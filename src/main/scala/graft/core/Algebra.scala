@@ -1,0 +1,116 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.types.Value
+
+/** The relational-algebra core, re-expressed as DataFrame combinators.
+  *
+  * Each combinator reproduces the reference's *semantics* (reference
+  * lib/algebra.ml, 334 LoC) while delegating the *algorithm* to Catalyst —
+  * e.g. the reference's equijoin drains the right side and nested-loops the
+  * left (lib/algebra.ml:172-235); here Spark picks broadcast / shuffled-hash
+  * / sort-merge join, which is what survives at 100 TB.
+  *
+  * Semantics pinned by the reference and preserved exactly:
+  *  - equijoin keeps the LEFT value on any non-join attribute-name
+  *    collision and drops the right one (lib/algebra.ml:190-204);
+  *  - union is BAG union — left stream then right stream, no dedup, left
+  *    schema (lib/algebra.ml:248-262);
+  *  - diff streams left and keeps tuples not attribute-equal to any right
+  *    tuple — left duplicates survive (lib/algebra.ml:270-303);
+  *  - select is a semijoin on common attributes projected back to source
+  *    attributes (lib/drl/executor.ml:35-49), NOT a WHERE clause.
+  */
+object Algebra {
+
+  /** σ by arbitrary predicate — reference `select_fn` (lib/algebra.ml:66-83)
+    * filters by an opaque OCaml closure; the Spark-native equivalent is a
+    * Column predicate, which stays inside codegen. */
+  def selectFn(pred: Column)(df: DataFrame): DataFrame = df.filter(pred)
+
+  /** π — keep the listed attributes, in the listed order
+    * (lib/algebra.ml:85-129). Bag semantics: no dedup. */
+  def project(attrs: Seq[String])(df: DataFrame): DataFrame =
+    df.select(attrs.map(col): _*)
+
+  /** ρ — rename by (old, new) pairs (lib/algebra.ml:131-170). */
+  def rename(pairs: Seq[(String, String)])(df: DataFrame): DataFrame =
+    df.withColumnsRenamed(pairs.toMap)
+
+  /** ⋈ — equijoin on the named attributes (lib/algebra.ml:172-246).
+    *
+    * Result schema = left schema ++ (right attributes not in the join list
+    * and not colliding with a left attribute). On collision the LEFT value
+    * wins (AttributeMap.union keeping left, lib/algebra.ml:190-195) — the
+    * right-side colliding column is never observable, so we drop it from
+    * the right input before the join (identical semantics, and it prunes
+    * the column from the right-side scan).
+    */
+  def equijoin(attrs: Seq[String], left: DataFrame, right: DataFrame): DataFrame = {
+    if (attrs.isEmpty) return cartesian(left, right)
+    val leftCols = left.columns.toSet
+    val collisions = right.columns.filter(c => !attrs.contains(c) && leftCols.contains(c))
+    val rightPruned = if (collisions.isEmpty) right else right.drop(collisions.toIndexedSeq: _*)
+    left.join(rightPruned, attrs, "inner")
+  }
+
+  /** × — cross product; the reference routes Cartesian through
+    * `equijoin storage [] r1 r2` (lib/drl/executor.ml:59-63). Right-side
+    * colliding columns are dropped, as in equijoin. */
+  def cartesian(left: DataFrame, right: DataFrame): DataFrame = {
+    val leftCols = left.columns.toSet
+    val collisions = right.columns.filter(leftCols.contains)
+    val rightPruned = if (collisions.isEmpty) right else right.drop(collisions.toIndexedSeq: _*)
+    left.crossJoin(rightPruned)
+  }
+
+  /** DRL Select: source rows that agree with `filter` on their common
+    * attributes, projected back to source attributes — implemented in the
+    * reference as project(source_attrs, equijoin(common, source, filter))
+    * (lib/drl/executor.ml:35-49). We reproduce that composition literally:
+    * an inner join (bag semantics — a filter relation with duplicate
+    * common-attr tuples multiplies matching source rows, exactly as the
+    * reference's nested-loop does) projected back to the source schema.
+    * With no common attributes the reference's equijoin degenerates to a
+    * cartesian product: source rows survive iff filter is non-empty.
+    * Catalyst folds the Const-filter case to a plain pushed-down predicate.
+    */
+  def select(filter: DataFrame, source: DataFrame): DataFrame = {
+    val common = source.columns.filter(filter.columns.contains).toSeq
+    val joined = equijoin(common, source, filter.select(common.map(col): _*))
+    joined.select(source.columns.toIndexedSeq.map(col): _*)
+  }
+
+  /** ∪ — bag union, left schema; right columns aligned by name
+    * (lib/algebra.ml:248-262 streams left then right with no dedup). */
+  def union(left: DataFrame, right: DataFrame): DataFrame =
+    left.unionAll(right.select(left.columns.toIndexedSeq.map(col): _*))
+
+  /** − — left tuples not attribute-equal to any right tuple; left
+    * duplicates preserved (lib/algebra.ml:270-303). Null-safe equality so a
+    * null attribute compares equal to null, matching structural tuple
+    * equality. Anti join: Spark broadcasts or hashes the right side. */
+  def diff(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.alias("l")
+    val r = right.select(left.columns.toIndexedSeq.map(col): _*).alias("r")
+    val cond = left.columns.map(c => col(s"l.$c") <=> col(s"r.$c")).reduce(_ && _)
+    l.join(r, cond, "left_anti")
+  }
+
+  /** τ — first n tuples (lib/algebra.ml:305-322). Spark pushes the limit
+    * into the scan. */
+  def take(n: Int)(df: DataFrame): DataFrame = df.limit(n)
+
+  /** Single-tuple literal relation (lib/algebra.ml:51-62). */
+  def constRelation(spark: SparkSession, attrs: Seq[(String, Value)]): DataFrame = {
+    val schema = StructType(attrs.map { case (a, v) => StructField(a, v.sparkType) })
+    val row = Row.fromSeq(attrs.map(_._2.any))
+    spark.createDataFrame(java.util.List.of(row), schema)
+  }
+
+  /** Drain to the driver — reference `materialize` (lib/algebra.ml:324-331).
+    * Driver-side by design; use only for protocol edges and tests. */
+  def materialize(df: DataFrame): Seq[Row] = df.collect().toIndexedSeq
+}
