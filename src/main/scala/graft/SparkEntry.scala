@@ -1,13 +1,159 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.catalog.ParquetCatalog
+import graft.drl.Compiler
+
+/** Driver contract — queries + DuckDB oracle SQL (see SURVEY.md §7).
+  *
+  * Query naming: `drl_*` exercise the reference's query language
+  * end-to-end (sexp text → parser → finiteness gate → compiler →
+  * DataFrame); `agg_*` are the beyond-reference analytics extensions
+  * (SURVEY.md §7.2 step 7); `dml_*`/`ddl_*`/`icl_*`/`dcl_*`/`scl_*`
+  * exercise the mutation/constraint/branch/cursor sublanguages;
+  * `dedup_*`/`text_*`/`ann_*` are the LLM-data-pipeline operators.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Run a DRL sexp program against the testdata catalog — the full
+    * reference request path (parse → gate → compile). */
+  private def drl(sexpText: String): (SparkSession, String) => DataFrame =
+    (spark, dir) =>
+      Compiler.run(spark, new ParquetCatalog(spark, dir), sexpText)
+        .fold(e => throw new IllegalArgumentException(e), identity)
+
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: revenue by nation (4-table join + aggregation) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    aggRevenueByNation(spark, "/root/testdata/sf0.001")
+
+  private def aggRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val o  = table(spark, dir, "orders")
+    val c  = table(spark, dir, "customer")
+    val n  = table(spark, dir, "nation")
+    // nation is tiny — broadcast; customer⋈orders⋈lineitem shuffle on keys.
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name"))
+      .agg(
+        // exact decimal accumulation (order-insensitive), double on output
+        sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2))))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- DRL core: one per AST node (reference lib/drl/ast.ml:16-28) ----
+    "drl_base_scan" -> drl("(Base region)"),
+    "drl_const" -> drl("(Const ((k (Int 1)) (label (Str graft))))"),
+    "drl_project" -> drl("(Project (n_name n_regionkey) (Base nation))"),
+    "drl_rename" -> drl("(Rename ((n_name nation_name)) (Project (n_name) (Base nation)))"),
+    "drl_select_const" -> drl("(Select (Const ((n_regionkey (Int 2)))) (Base nation))"),
+    "drl_select_semijoin" -> drl(
+      """(Select (Rename ((c_custkey o_custkey))
+        |          (Project (c_custkey)
+        |            (Select (Const ((c_mktsegment (Str BUILDING)))) (Base customer))))
+        |  (Base orders))""".stripMargin),
+    "drl_join" -> drl("(Join (c_custkey) (Base customer) (Rename ((o_custkey c_custkey)) (Base orders)))"),
+    "drl_join3" -> drl(
+      """(Project (l_orderkey l_linenumber l_quantity o_totalprice c_name)
+        |  (Join (o_custkey)
+        |    (Join (l_orderkey) (Base lineitem) (Rename ((o_orderkey l_orderkey)) (Base orders)))
+        |    (Rename ((c_custkey o_custkey)) (Base customer))))""".stripMargin),
+    "drl_cartesian" -> drl("(Cartesian (Base region) (Base nation))"),
+    "drl_union" -> drl(
+      """(Union (Project (n_regionkey) (Base nation))
+        |  (Rename ((r_regionkey n_regionkey)) (Project (r_regionkey) (Base region))))""".stripMargin),
+    "drl_diff" -> drl("(Diff (Project (l_returnflag) (Base lineitem)) (Const ((l_returnflag (Str A)))))"),
+    "drl_take" -> drl("(Take 5 (Base region))"),
+    "drl_virtual_lt" -> drl(
+      """(Select (Base natural_natural_less_than)
+        |  (Rename ((o_custkey left) (o_orderkey right))
+        |    (Project (o_custkey o_orderkey) (Base orders))))""".stripMargin),
+    "drl_virtual_plus" -> drl(
+      """(Select (Base natural_plus)
+        |  (Rename ((l_orderkey a) (l_linenumber b) (l_suppkey sum))
+        |    (Project (l_orderkey l_linenumber l_suppkey) (Base lineitem))))""".stripMargin),
+
+    // ---- Beyond-reference analytics (SURVEY.md §7.2 step 7) ----
+    "agg_pricing_summary" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base"),
+          count(lit(1)).as("count_order"))
+    }),
+    "agg_revenue_by_nation" -> ((s, dir) => aggRevenueByNation(s, dir)),
+    "agg_top_orders" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    "agg_latest_event_per_user" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id"))
+      table(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "drl_base_scan" -> "SELECT * FROM region",
+    "drl_const" -> "SELECT CAST(1 AS BIGINT) AS k, CAST('graft' AS VARCHAR) AS label",
+    "drl_project" -> "SELECT n_name, n_regionkey FROM nation",
+    "drl_rename" -> "SELECT n_name AS nation_name FROM nation",
+    "drl_select_const" -> "SELECT * FROM nation WHERE n_regionkey = 2",
+    "drl_select_semijoin" ->
+      "SELECT o.* FROM orders o WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')",
+    "drl_join" ->
+      ("SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment, " +
+        "o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority " +
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey"),
+    "drl_join3" ->
+      ("SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice, c.c_name " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey"),
+    "drl_cartesian" -> "SELECT * FROM region CROSS JOIN nation",
+    "drl_union" ->
+      "SELECT n_regionkey FROM nation UNION ALL SELECT r_regionkey AS n_regionkey FROM region",
+    "drl_diff" -> "SELECT l_returnflag FROM lineitem WHERE l_returnflag IS DISTINCT FROM 'A'",
+    "drl_take" -> "SELECT * FROM region LIMIT 5",
+    "drl_virtual_lt" ->
+      ("SELECT o_custkey AS \"left\", o_orderkey AS \"right\" FROM orders " +
+        "WHERE o_custkey >= 0 AND o_orderkey >= 0 AND o_custkey < o_orderkey"),
+    "drl_virtual_plus" ->
+      ("SELECT l_orderkey AS a, l_linenumber AS b, l_suppkey AS \"sum\" FROM lineitem " +
+        "WHERE l_orderkey >= 0 AND l_linenumber >= 0 AND l_suppkey >= 0 " +
+        "AND l_orderkey + l_linenumber = l_suppkey"),
+    "agg_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base, " +
+        "COUNT(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "agg_revenue_by_nation" ->
+      ("SELECT n.n_name, " +
+        "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, " +
+        "COUNT(*) AS n_items " +
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "JOIN customer c ON o.o_custkey = c.c_custkey " +
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"),
+    "agg_top_orders" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "agg_latest_event_per_user" ->
+      ("SELECT event_id, user_id, event_type, value FROM (" +
+        "SELECT event_id, user_id, event_type, value, " +
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn " +
+        "FROM events) WHERE rn = 1"),
+  )
 }

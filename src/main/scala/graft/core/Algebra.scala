@@ -53,7 +53,12 @@ object Algebra {
     val leftCols = left.columns.toSet
     val collisions = right.columns.filter(c => !attrs.contains(c) && leftCols.contains(c))
     val rightPruned = if (collisions.isEmpty) right else right.drop(collisions.toIndexedSeq: _*)
-    left.join(rightPruned, attrs, "inner")
+    // Spark's USING join emits the join columns first; the reference's
+    // merged schema preserves left order then appends the right remainder
+    // (lib/algebra.ml:198-204) and that order is observable on the wire
+    // (lib/listener.ml:113) — re-select the documented order.
+    val outOrder = left.columns ++ rightPruned.columns.filterNot(c => attrs.contains(c))
+    left.join(rightPruned, attrs, "inner").select(outOrder.toIndexedSeq.map(c => col(s"`$c`")): _*)
   }
 
   /** × — cross product; the reference routes Cartesian through
@@ -74,7 +79,8 @@ object Algebra {
     * common-attr tuples multiplies matching source rows, exactly as the
     * reference's nested-loop does) projected back to the source schema.
     * With no common attributes the reference's equijoin degenerates to a
-    * cartesian product: source rows survive iff filter is non-empty.
+    * cartesian product: each source row is multiplied by |filter| rows
+    * (so it survives — once per filter row — iff filter is non-empty).
     * Catalyst folds the Const-filter case to a plain pushed-down predicate.
     */
   def select(filter: DataFrame, source: DataFrame): DataFrame = {
@@ -93,9 +99,14 @@ object Algebra {
     * null attribute compares equal to null, matching structural tuple
     * equality. Anti join: Spark broadcasts or hashes the right side. */
   def diff(left: DataFrame, right: DataFrame): DataFrame = {
+    // The reference compares full attribute maps (attrs_equal,
+    // lib/algebra.ml:265-270): a right relation whose attribute set differs
+    // from the left's removes nothing. Mirror that instead of failing or
+    // over-matching on a projected right side.
+    if (left.columns.toSet != right.columns.toSet || left.columns.isEmpty) return left
     val l = left.alias("l")
-    val r = right.select(left.columns.toIndexedSeq.map(col): _*).alias("r")
-    val cond = left.columns.map(c => col(s"l.$c") <=> col(s"r.$c")).reduce(_ && _)
+    val r = right.select(left.columns.toIndexedSeq.map(c => col(s"`$c`")): _*).alias("r")
+    val cond = left.columns.map(c => col(s"l.`$c`") <=> col(s"r.`$c`")).reduce(_ && _)
     l.join(r, cond, "left_anti")
   }
 

@@ -11,7 +11,7 @@ package graft.sexp
 sealed trait Sexp {
   def render: String = this match {
     case Sexp.Atom(v) =>
-      if (v.isEmpty || v.exists(c => c.isWhitespace || c == '(' || c == ')' || c == '"'))
+      if (v.isEmpty || v.exists(c => c.isWhitespace || c == '(' || c == ')' || c == '"' || c == ';'))
         "\"" + v.flatMap {
           case '"'  => "\\\""
           case '\\' => "\\\\"

@@ -67,7 +67,9 @@ object Cardinality {
   case object ConstrainedFinite extends Cardinality
   /** Countably infinite — virtual relations (less_than, plus, ...). */
   case object AlephZero extends Cardinality
-  case object Unknown extends Cardinality
+  /** Uncountably infinite — part of the DDL wire surface
+    * (reference lib/conventions.ml:16, lib/ddl/ast.ml:6). */
+  case object Continuum extends Cardinality
 }
 
 /** A named domain: Spark type + optional membership check.

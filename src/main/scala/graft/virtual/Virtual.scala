@@ -1,0 +1,59 @@
+package graft.virtual
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.types.Cardinality
+
+/** The prelude's ten infinite, generator-backed relations
+  * (reference lib/prelude/standard.ml:53-330, registered at server start by
+  * lib/system.ml:41-67), re-expressed as *virtual relations*: a fixed
+  * attribute list plus a membership predicate compiled to a Column
+  * expression. They are never data — the reference enumerates them lazily
+  * with Cantor/triangular pairings and gates queries so they are only ever
+  * membership-checked; here membership IS the Column predicate, which
+  * Catalyst folds into the surrounding plan (a pushed-down filter at any
+  * scale, vs. the reference's full-scan membership check).
+  *
+  * All are relations over naturals, so the membership predicate includes
+  * non-negativity of every attribute (the domain check the reference gets
+  * from the `natural` domain generator).
+  */
+final case class VirtualRel(name: String, attrs: List[String], cardinality: Cardinality)(
+    pred: Map[String, Column] => Column) {
+  /** Membership predicate over a full binding of the relation's attributes. */
+  def predicate(binding: Map[String, Column]): Column = {
+    val nonNeg = attrs.map(a => binding(a) >= 0).reduce(_ && _)
+    nonNeg && pred(binding)
+  }
+}
+
+object Virtual {
+  private def rel(name: String, attrs: String*)(pred: Map[String, Column] => Column) =
+    VirtualRel(name, attrs.toList, Cardinality.AlephZero)(pred)
+
+  /** Six comparison relations with schema (left, right)
+    * (reference lib/prelude/standard.ml:53-161). */
+  val lessThan        = rel("natural_natural_less_than", "left", "right")(b => b("left") < b("right"))
+  val lessThanOrEq    = rel("natural_natural_less_than_or_equal", "left", "right")(b => b("left") <= b("right"))
+  val greaterThan     = rel("natural_natural_greater_than", "left", "right")(b => b("left") > b("right"))
+  val greaterThanOrEq = rel("natural_natural_greater_than_or_equal", "left", "right")(b => b("left") >= b("right"))
+  val equalRel        = rel("natural_natural_equal", "left", "right")(b => b("left") === b("right"))
+  val notEqualRel     = rel("natural_natural_not_equal", "left", "right")(b => b("left") =!= b("right"))
+
+  /** Four arithmetic relations (reference lib/prelude/standard.ml:163-330). */
+  val plus  = rel("natural_plus", "a", "b", "sum")(b => b("a") + b("b") === b("sum"))
+  val times = rel("natural_times", "a", "b", "product")(b => b("a") * b("b") === b("product"))
+  /** a = b + difference over naturals (defined iff a ≥ b). */
+  val minus = rel("natural_minus", "a", "b", "difference")(b => b("b") + b("difference") === b("a"))
+  /** a = b·quotient + remainder with 0 ≤ remainder < b
+    * (reference lib/prelude/standard.ml:281-330). */
+  val divide = rel("natural_divide", "a", "b", "quotient", "remainder") { b =>
+    (b("b") * b("quotient") + b("remainder") === b("a")) && (b("remainder") < b("b"))
+  }
+
+  val relations: Map[String, VirtualRel] =
+    List(lessThan, lessThanOrEq, greaterThan, greaterThanOrEq, equalRel, notEqualRel,
+         plus, times, minus, divide).map(r => r.name -> r).toMap
+
+  def isVirtual(name: String): Boolean = relations.contains(name)
+}

@@ -1,0 +1,142 @@
+package graft.drl
+
+import graft.SparkTestBase
+import graft.catalog.Catalog
+import graft.types.{Cardinality, Value}
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Mirrors the reference's DRL test block
+  * (reference test/test_relational_engine.ml:1585-1686) plus gate cases. */
+class DrlSpec extends SparkTestBase {
+  import Query._
+  import spark.implicits._
+
+  /** In-memory catalog over fixture DataFrames (FIXTURES.md §1). */
+  private final class TestCatalog(tables: Map[String, DataFrame]) extends Catalog {
+    def resolve(name: String): Either[String, DataFrame] =
+      if (graft.virtual.Virtual.isVirtual(name)) Left(s"virtual relation: $name")
+      else tables.get(name).toRight(s"unknown relation: $name")
+  }
+
+  private lazy val cat = new TestCatalog(Map(
+    "users" -> Seq((18L, "Alice"), (25L, "Bob")).toDF("age", "name"),
+    "items" -> Seq(10L, 20L).toDF("v"),
+  ))
+
+  private def run(sexp: String): Seq[Row] =
+    Compiler.run(spark, cat, sexp).fold(e => fail(e), _.collect().toSeq)
+
+  // ---- parser ----
+
+  test("parses Base / Const / Join / Select (reference test:1585-1628)") {
+    assert(Parser.parse("(Base users)") == Right(Base("users")))
+    assert(Parser.parse("(Base \"users\")") == Right(Base("users")))
+    assert(Parser.parse("(Const ((age (Int 18))))") ==
+      Right(Const(List("age" -> Value.IntV(18)))))
+    assert(Parser.parse("(Join (k) (Base a) (Base b))") ==
+      Right(Join(List("k"), Base("a"), Base("b"))))
+    assert(Parser.parse("(Select (Const ((age (Int 18)))) (Base users))") ==
+      Right(Select(Const(List("age" -> Value.IntV(18))), Base("users"))))
+    assert(Parser.parse("(drl (Base users))") == Right(Base("users")))
+  }
+
+  test("parses every node shape and round-trips through toSexp") {
+    val qs: List[String] = List(
+      "(Base users)",
+      "(Const ((a (Int 1)) (b (Float 1.5)) (c (Str x)) (d (Bool true))))",
+      "(Select (Base a) (Base b))",
+      "(Join (x y) (Base a) (Base b))",
+      "(Cartesian (Base a) (Base b))",
+      "(Project (x) (Base a))",
+      "(Rename ((x y)) (Base a))",
+      "(Union (Base a) (Base b))",
+      "(Diff (Base a) (Base b))",
+      "(Take 5 (Base a))",
+    )
+    qs.foreach { s =>
+      val q = Parser.parse(s).fold(e => fail(s"$s: $e"), identity)
+      assert(Parser.parse(Parser.toSexp(q).render) == Right(q), s"round-trip failed: $s")
+    }
+  }
+
+  test("rejects malformed queries") {
+    assert(Parser.parse("(Bogus users)").isLeft)
+    assert(Parser.parse("(Take x (Base a))").isLeft)
+    assert(Parser.parse("(Const ((age 18)))").isLeft) // untagged literal
+  }
+
+  // ---- gate ----
+
+  test("gate admits finite queries and rejects bare virtual scans") {
+    assert(Gate.admit(cat, Base("users")).isRight)
+    assert(Gate.admit(cat, Base("natural_plus")) == Left(Gate.rejection))
+    assert(Gate.admit(cat, Join(List("v"), Base("items"), Base("natural_plus"))) ==
+      Left(Gate.rejection))
+    // Select's FILTER may be infinite; its source must be finite.
+    assert(Gate.admit(cat, Select(Base("natural_natural_less_than"), Base("users"))).isRight)
+    assert(Gate.admit(cat, Select(Base("users"), Base("natural_plus"))) == Left(Gate.rejection))
+    // Take bounds anything; Diff needs only the left side finite.
+    assert(Gate.admit(cat, Take(5, Base("natural_plus"))).isRight)
+    assert(Gate.admit(cat, Diff(Base("users"), Base("users"))).isRight)
+  }
+
+  test("gate cardinality classes") {
+    assert(Gate.cardinality(cat, Const(List("a" -> Value.IntV(1)))) ==
+      Right(Cardinality.Finite(1)))
+    assert(Gate.cardinality(cat, Take(7, Base("natural_plus"))) ==
+      Right(Cardinality.Finite(7)))
+    assert(Gate.cardinality(cat, Base("nope")).isLeft)
+  }
+
+  // ---- compiler / end-to-end ----
+
+  test("executes Base (reference test:1610-1628)") {
+    assert(run("(Base items)").map(_.getLong(0)).sorted == Seq(10L, 20L))
+  }
+
+  test("executes Select+Const semijoin (reference test:1630-1686)") {
+    assert(run("(Select (Const ((age (Int 18)))) (Base users))") == Seq(Row(18L, "Alice")))
+  }
+
+  test("executes Project, Rename, Union, Diff, Take, Cartesian, Join") {
+    assert(run("(Project (name) (Base users))").map(_.getString(0)).sorted ==
+      Seq("Alice", "Bob"))
+    val renamed = Compiler.run(spark, cat, "(Rename ((age years)) (Base users))")
+      .fold(e => fail(e), identity)
+    assert(renamed.columns.toSeq == Seq("years", "name"))
+    assert(run("(Union (Base items) (Base items))").length == 4)
+    assert(run("(Diff (Base users) (Select (Const ((age (Int 18)))) (Base users)))") ==
+      Seq(Row(25L, "Bob")))
+    assert(run("(Take 1 (Base items))").length == 1)
+    assert(run("(Cartesian (Base users) (Base items))").length == 4)
+    assert(run("(Join (age) (Base users) (Rename ((v age)) (Base items)))").isEmpty)
+  }
+
+  test("virtual filter compiles to a Column predicate") {
+    // users where age < age is empty; age > 20 via greater_than against a const right
+    val r = run(
+      """(Select (Rename ((left age) (right age2)) (Base natural_natural_less_than))
+        |  (Cartesian (Base users) (Rename ((v age2)) (Base items))))""".stripMargin)
+    // pairs: (18,Alice)x(10,20), (25,Bob)x(10,20); keep age < age2
+    assert(r.map(row => (row.getLong(0), row.getString(1), row.getLong(2))).sorted ==
+      Seq((18L, "Alice", 20L)))
+  }
+
+  test("virtual arithmetic filter natural_plus") {
+    val c = new TestCatalog(Map(
+      "triples" -> Seq((1L, 2L, 3L), (2L, 2L, 5L), (-1L, 4L, 3L)).toDF("a", "b", "sum")))
+    val r = Compiler.run(spark, c, "(Select (Base natural_plus) (Base triples))")
+      .fold(e => fail(e), _.collect().toSeq)
+    // (-1,4,3) sums correctly but violates the natural (non-negative) domain
+    assert(r == Seq(Row(1L, 2L, 3L)))
+  }
+
+  test("scanning a virtual relation fails at compile with a clear error") {
+    val res = Compiler.run(spark, cat, "(Take 3 (Base natural_plus))")
+    assert(res.isLeft)
+  }
+
+  test("unknown base relation is a compile error") {
+    assert(Compiler.run(spark, cat, "(Base missing)").isLeft)
+  }
+}
