@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.catalog.ParquetCatalog
 import graft.drl.Compiler
+import graft.engine.{Database, DbCatalog}
 
 /** Driver contract — queries + DuckDB oracle SQL (see SURVEY.md §7).
   *
@@ -26,6 +27,27 @@ object SparkEntry {
 
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Run a script of DDL/DML sexp statements (first must be a
+    * CreateDatabase), then evaluate a final DRL query against the
+    * resulting database — the engine's full mutation request path, with
+    * the driver's parquet tables as external sources. */
+  private def script(stmts: Seq[String], finalQuery: String): (SparkSession, String) => DataFrame =
+    (spark, dir) => {
+      val ext = new ParquetCatalog(spark, dir)
+      def fail(e: String): Nothing = throw new IllegalArgumentException(e)
+      val db = stmts.foldLeft(null: Database) { (cur, s) =>
+        graft.ddl.Parser.parse(s) match {
+          case Right(stmt) => graft.ddl.Executor.execute(spark, cur, stmt).fold(fail, identity)
+          case Left(_) =>
+            graft.dml.Parser.parse(s) match {
+              case Right(stmt) => graft.dml.Executor.execute(spark, cur, stmt, Some(ext)).fold(fail, identity)
+              case Left(e) => fail(s"unparseable statement '$s': $e")
+            }
+        }
+      }
+      Compiler.run(spark, new DbCatalog(db, Some(ext)), finalQuery).fold(fail, identity)
+    }
 
   /** Flagship: revenue by nation (4-table join + aggregation) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
@@ -82,6 +104,31 @@ object SparkEntry {
         |  (Rename ((l_orderkey a) (l_linenumber b) (l_suppkey sum))
         |    (Project (l_orderkey l_linenumber l_suppkey) (Base lineitem))))""".stripMargin),
 
+    // ---- DML/DDL: full mutation pipeline over the engine ----
+    "dml_pipeline" -> script(Seq(
+      "(CreateDatabase g)",
+      "(CreateRelation (name region_copy) (schema ((r_regionkey integer) (r_name string))))",
+      "(InsertFrom (target region_copy) (source (Base region)))",
+      "(InsertTuple (relation region_copy) (attributes ((r_regionkey (Int 99)) (r_name (Str LAPUTA)))))",
+      "(DeleteWhere (target region_copy) (predicate (Const ((r_regionkey (Int 0))))))",
+    ), "(Base region_copy)"),
+    "dml_assign" -> script(Seq(
+      "(CreateDatabase g)",
+      "(CreateRelation (name big_orders) (schema ((o_orderkey integer) (o_totalprice rational))))",
+      "(InsertFrom (target big_orders) (source (Project (o_orderkey o_totalprice) (Select (Const ((o_orderstatus (Str P)))) (Base orders)))))",
+      "(Assign (target big_orders) (body (Project (o_orderkey o_totalprice) (Select (Const ((o_orderstatus (Str F)))) (Base orders)))))",
+    ), "(Base big_orders)"),
+    "ddl_catalog" -> script(Seq(
+      "(CreateDatabase g)",
+      "(CreateRelation (name region_copy) (schema ((r_regionkey integer) (r_name string))))",
+      "(CreateRelation (name scratch) (schema ((x integer))))",
+      "(RetractRelation scratch)",
+    ), "(Base sakura:relation)"),
+    "ddl_attributes" -> script(Seq(
+      "(CreateDatabase g)",
+      "(CreateRelation (name pair) (schema ((k integer) (v string))))",
+    ), "(Select (Const ((relation_name (Str pair)))) (Base sakura:attribute))"),
+
     // ---- Beyond-reference analytics (SURVEY.md §7.2 step 7) ----
     "agg_pricing_summary" -> ((s, dir) => {
       table(s, dir, "lineitem")
@@ -136,6 +183,18 @@ object SparkEntry {
       ("SELECT l_orderkey AS a, l_linenumber AS b, l_suppkey AS \"sum\" FROM lineitem " +
         "WHERE l_orderkey >= 0 AND l_linenumber >= 0 AND l_suppkey >= 0 " +
         "AND l_orderkey + l_linenumber = l_suppkey"),
+    "dml_pipeline" ->
+      ("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region WHERE r_regionkey <> 0 " +
+        "UNION ALL SELECT 99, 'LAPUTA'"),
+    "dml_assign" ->
+      ("SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice " +
+        "FROM orders WHERE o_orderstatus = 'F'"),
+    "ddl_catalog" ->
+      ("SELECT * FROM (VALUES ('sakura:relation'),('sakura:domain'),('sakura:attribute')," +
+        "('sakura:constraint'),('sakura:on'),('sakura:timing'),('region_copy')) t(name)"),
+    "ddl_attributes" ->
+      ("SELECT * FROM (VALUES ('pair','k','integer'),('pair','v','string')) " +
+        "t(relation_name, attr_name, domain_name)"),
     "agg_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +

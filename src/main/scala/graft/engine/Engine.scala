@@ -1,0 +1,419 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.hashing.Hashing
+import graft.hashing.Hashing.ContentRoot
+import graft.icl.Body
+import graft.types.{Domain, RelSchema, Value}
+
+/** A stored relation: declared schema + current extension + incremental
+  * content root + named constraints (reference lib/relation.ml:31-42).
+  * The DataFrame holds exactly the declared columns; stored relations are
+  * genuine sets (duplicate inserts are rejected) and never contain nulls.
+  */
+final case class StoredRelation(
+    name: String,
+    schema: RelSchema,
+    struct: StructType,
+    df: DataFrame,
+    root: ContentRoot,
+    constraints: ListMap[String, Body] = ListMap.empty) {
+  def relHash: String = Hashing.relationHash(name, schema, root)
+  def rowHash: Column = Hashing.rowHashCol(name, struct)
+  def cardinality: Long = root.count
+}
+
+final case class DeferredEntry(constraintName: String, relationName: String)
+
+/** Immutable database state (reference lib/management/database.ml:17-26):
+  * relations, domains, bounded history of prior state hashes, deferred
+  * constraint queue, and the state hash itself. Every mutation returns a
+  * NEW Database — append-only, which is what makes branches and
+  * time-travel (DCL) cheap: a snapshot is just a reference. */
+final case class Database(
+    name: String,
+    relations: ListMap[String, StoredRelation],
+    domains: Map[String, Domain],
+    history: List[String],
+    deferred: List[DeferredEntry],
+    hash: String) {
+  def relation(name: String): Either[String, StoredRelation] =
+    relations.get(name).toRight(s"RelationNotFound: $name")
+}
+
+/** The manipulation layer (reference lib/manipulation.ml): relation and
+  * tuple lifecycle with full validation, plus system-catalog maintenance.
+  *
+  * Scale design: single-tuple protocol ops (InsertTuple/DeleteTuple) cost
+  * one filtered scan of the target relation (attribute-equality predicates,
+  * so parquet-backed relations get pushdown); bulk ops (InsertFrom, Assign,
+  * DeleteWhere) are set-wise DataFrame jobs — duplicate detection via
+  * aggregation/join, deletion via anti-join — never a per-row driver loop.
+  * The reference materializes query results and folds row-by-row
+  * (lib/dml/executor.ml:79-126); the outcome is identical because any
+  * per-row failure aborts the whole statement there too.
+  */
+object Engine {
+
+  /** Constraint-validation hook, installed by graft.icl.Eval (wired in
+    * via Icl.install at library init). Takes (db, relation, coerced
+    * attrs) and returns the collected failures, if any. */
+  @volatile private[graft] var constraintValidator
+      : (SparkSession, Database, StoredRelation, Seq[(String, Value)]) => Either[String, Unit] =
+    (_, _, rel, _) =>
+      if (rel.constraints.isEmpty) Right(())
+      else Left(s"ConstraintViolation: no evaluator installed for ${rel.name}")
+
+  /** Cascade-recheck hook (reference lib/manipulation.ml:427-521),
+    * installed by graft.icl.Cascade. Kind is "insert" or "delete". */
+  @volatile private[graft] var cascadeChecker
+      : (SparkSession, Database, String, Seq[(String, Value)], String) => Either[String, Unit] =
+    (_, _, _, _, _) => Right(())
+
+  // ---- schema / value admission (reference build_membership_criteria,
+  // lib/manipulation.ml:20-33: integer/natural/string enforced, anything
+  // else admitted; we also type-check against the domain's Spark type) ----
+
+  def admits(domain: Domain, v: Value): Boolean = (domain.name, v) match {
+    case ("integer", Value.IntV(_))  => true
+    case ("integer", _)              => false
+    case ("natural", Value.IntV(i))  => i >= 0
+    case ("natural", _)              => false
+    case ("string", Value.StrV(_))   => true
+    case ("string", _)               => false
+    case _ => domain.sparkType match {
+      case LongType    => v.isInstanceOf[Value.IntV]
+      case DoubleType  => v.isInstanceOf[Value.FloatV] || v.isInstanceOf[Value.IntV]
+      case StringType  => v.isInstanceOf[Value.StrV]
+      case BooleanType => v.isInstanceOf[Value.BoolV]
+      case _           => true
+    }
+  }
+
+  /** Validate the attribute set against the schema and coerce values to
+    * their declared domains, returning them in schema order. */
+  def coerce(db: Database, rel: StoredRelation, attrs: Seq[(String, Value)])
+      : Either[String, List[(String, Value)]] = {
+    val given = attrs.toMap
+    if (attrs.size != given.size)
+      Left(s"ConstraintViolation: duplicate attribute in tuple for ${rel.name}")
+    else if (given.keySet != rel.schema.attrNames.toSet)
+      Left("ConstraintViolation: Tuple does not satisfy membership criteria " +
+        s"(expected attributes ${rel.schema.attrNames.mkString(",")})")
+    else {
+      val out = rel.schema.attrs.map { case (a, domName) =>
+        val dom = db.domains.getOrElse(domName, Domain(domName, StringType, graft.types.Cardinality.ConstrainedFinite))
+        val v = given(a)
+        if (!admits(dom, v)) return Left(
+          s"ConstraintViolation: Tuple does not satisfy membership criteria ($a is not a $domName)")
+        val coerced = (dom.sparkType, v) match {
+          case (DoubleType, Value.IntV(i)) => Value.FloatV(i.toDouble)
+          case _ => v
+        }
+        a -> coerced
+      }
+      Right(out)
+    }
+  }
+
+  private def rowOf(coerced: Seq[(String, Value)]): Row = Row.fromSeq(coerced.map(_._2.any))
+
+  private def eqPredicate(coerced: Seq[(String, Value)]): Column =
+    coerced.map { case (a, v) => col(s"`$a`") === v.lit }.reduce(_ && _)
+
+  private[engine] def updateState(db: Database, relations: ListMap[String, StoredRelation]): Database = {
+    val newHash = Hashing.databaseHash(db.name, relations.values.map(_.relHash))
+    val history =
+      if (db.hash.isEmpty) db.history
+      else (db.hash :: db.history).take(128) // reference max_history (database.ml:45)
+    db.copy(relations = relations, history = history, hash = newHash)
+  }
+
+  private def updateRelation(db: Database, rel: StoredRelation): Database =
+    updateState(db, db.relations.updated(rel.name, rel))
+
+  // ---- tuple lifecycle (reference lib/manipulation.ml:524-614) ----
+
+  /** Insert one tuple: membership criteria → named constraints →
+    * duplicate rejection → new state → cascade recheck. */
+  def createTuple(spark: SparkSession, db: Database, relName: String,
+      attrs: Seq[(String, Value)]): Either[String, Database] =
+    for {
+      rel <- db.relation(relName)
+      coerced <- coerce(db, rel, attrs)
+      _ <- constraintValidator(spark, db, rel, coerced)
+      h = Hashing.tupleHash(relName, coerced)
+      _ <- if (rel.root.count > 0 && !rel.df.filter(eqPredicate(coerced)).isEmpty)
+             Left(s"DuplicateTuple: $h") else Right(())
+      newRel = rel.copy(
+        df = rel.df.unionAll(spark.createDataFrame(java.util.List.of(rowOf(coerced)), rel.struct)),
+        root = rel.root.add(h))
+      newDb = updateRelation(db, newRel)
+      _ <- cascadeChecker(spark, newDb, relName, coerced, "insert")
+    } yield newDb
+
+  /** Sequential fold — each insert sees the prior state; any failure
+    * aborts the whole statement (reference lib/manipulation.ml:565-576). */
+  def createTuples(spark: SparkSession, db: Database, relName: String,
+      tuples: Seq[Seq[(String, Value)]]): Either[String, Database] =
+    tuples.foldLeft(Right(db): Either[String, Database]) { (acc, t) =>
+      acc.flatMap(createTuple(spark, _, relName, t))
+    }
+
+  /** Remove one tuple identified by its full attribute set
+    * (reference retract_tuple, lib/manipulation.ml:579-614). */
+  def retractTuple(spark: SparkSession, db: Database, relName: String,
+      attrs: Seq[(String, Value)]): Either[String, Database] =
+    for {
+      rel <- db.relation(relName)
+      coerced <- coerce(db, rel, attrs)
+      h = Hashing.tupleHash(relName, coerced)
+      _ <- if (rel.root.count == 0 || rel.df.filter(eqPredicate(coerced)).isEmpty)
+             Left(s"TupleNotFound: $h") else Right(())
+      newRel = rel.copy(df = rel.df.filter(!eqPredicate(coerced)), root = rel.root.remove(h))
+      newDb = updateRelation(db, newRel)
+      _ <- cascadeChecker(spark, newDb, relName, coerced, "delete")
+    } yield newDb
+
+  // ---- bulk paths (set-wise; scale-safe) ----
+
+  /** Conform a query result to the relation's declared schema: exact
+    * attribute set, columns cast to domain types, no nulls. */
+  private def conform(rel: StoredRelation, src: DataFrame): Either[String, DataFrame] = {
+    if (src.columns.toSet != rel.schema.attrNames.toSet)
+      Left("ConstraintViolation: result does not satisfy membership criteria " +
+        s"(expected attributes ${rel.schema.attrNames.mkString(",")}, got ${src.columns.mkString(",")})")
+    else {
+      val cast = src.select(rel.struct.fields.toIndexedSeq.map(f =>
+        col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+      Right(cast)
+    }
+  }
+
+  /** Set-wise validation mirroring per-row membership criteria: no nulls,
+    * domain checks (natural ≥ 0, user-domain predicates). */
+  private def bulkValidate(db: Database, rel: StoredRelation, src: DataFrame): Either[String, Unit] = {
+    val checks: Seq[Column] = rel.schema.attrs.flatMap { case (a, domName) =>
+      val base = col(s"`$a`").isNull
+      val domViol = db.domains.get(domName).flatMap(_.check).map(chk => !chk(col(s"`$a`")))
+      Seq(base) ++ domViol.toSeq
+    }
+    val bad = src.filter(checks.reduce(_ || _)).limit(1)
+    if (bad.isEmpty) Right(())
+    else Left("ConstraintViolation: result does not satisfy membership criteria")
+  }
+
+  /** Bulk insert of a query result (reference InsertFrom semantics:
+    * sequential create_tuples over the materialized result,
+    * lib/dml/executor.ml:89-97 — same outcome set-wise because any
+    * duplicate or violation aborts the statement). Falls back to the
+    * sequential path when the relation carries constraints, preserving
+    * row-at-a-time constraint visibility. */
+  def insertFrom(spark: SparkSession, db: Database, relName: String,
+      src: DataFrame): Either[String, Database] =
+    for {
+      rel <- db.relation(relName)
+      conformed <- conform(rel, src)
+      db2 <-
+        if (rel.constraints.nonEmpty)
+          createTuples(spark, db, relName,
+            conformed.collect().toSeq.map(r => rowToAttrs(rel, r)))
+        else
+          for {
+            _ <- bulkValidate(db, rel, conformed)
+            hashed = conformed.withColumn("__rh", rel.rowHash)
+            _ <- {
+              val dupIn = hashed.groupBy(col("__rh")).count().filter(col("count") > 1).limit(1)
+              if (dupIn.isEmpty) Right(()) else Left("DuplicateTuple: duplicate row in inserted result")
+            }
+            _ <- {
+              if (rel.root.count == 0) Right(())
+              else {
+                val clash = conformed.join(rel.df, rel.schema.attrNames.map(a => conformed(a) <=> rel.df(a)).reduce(_ && _), "left_semi").limit(1)
+                if (clash.isEmpty) Right(()) else Left("DuplicateTuple: row already present")
+              }
+            }
+            srcRoot = Hashing.contentRootOf(conformed, rel.rowHash)
+            newRel = rel.copy(df = rel.df.unionAll(conformed), root = rel.root.merge(srcRoot))
+          } yield updateRelation(db, newRel)
+    } yield db2
+
+  private def rowToAttrs(rel: StoredRelation, r: Row): Seq[(String, Value)] =
+    rel.struct.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+      val v: Value = f.dataType match {
+        case LongType    => Value.IntV(r.getLong(i))
+        case DoubleType  => Value.FloatV(r.getDouble(i))
+        case StringType  => Value.StrV(r.getString(i))
+        case BooleanType => Value.BoolV(r.getBoolean(i))
+        case other       => throw new IllegalArgumentException(s"unsupported type $other")
+      }
+      f.name -> v
+    }
+
+  /** Delete all target rows that semijoin-match the predicate relation on
+    * their common attributes (reference DeleteWhere,
+    * lib/dml/executor.ml:98-126). Set-wise: the matched row-set is
+    * removed via anti-join; the reference retracts row-by-row. */
+  def deleteWhere(spark: SparkSession, db: Database, relName: String,
+      pred: DataFrame): Either[String, Database] =
+    for {
+      rel <- db.relation(relName)
+      common = rel.schema.attrNames.filter(pred.columns.contains)
+      toDelete = graft.core.Algebra.project(rel.schema.attrNames)(
+        graft.core.Algebra.equijoin(common, rel.df, pred)).distinct()
+      delRoot = Hashing.contentRootOf(toDelete, rel.rowHash)
+      newRel = rel.copy(df = graft.core.Algebra.diff(rel.df, toDelete),
+        root = rel.root.subtract(delRoot))
+      newDb = updateRelation(db, newRel)
+      _ <- cascadeAll(spark, newDb, relName, toDelete, rel)
+    } yield newDb
+
+  /** Run the delete-cascade hook for each removed row (no-op without
+    * registered constraints referencing the relation). */
+  private def cascadeAll(spark: SparkSession, db: Database, relName: String,
+      removed: DataFrame, rel: StoredRelation): Either[String, Unit] = {
+    val anyConstraintCares = db.relations.values.exists(_.constraints.nonEmpty)
+    if (!anyConstraintCares) Right(())
+    else removed.collect().toSeq.foldLeft(Right(()): Either[String, Unit]) { (acc, r) =>
+      acc.flatMap(_ => cascadeChecker(spark, db, relName, rowToAttrs(rel, r), "delete"))
+    }
+  }
+
+  /** `:=` — evaluate, clear target, replace contents
+    * (reference lib/dml/executor.ml:79-88). */
+  def assign(spark: SparkSession, db: Database, relName: String,
+      src: DataFrame): Either[String, Database] =
+    for {
+      db2 <- clearRelation(spark, db, relName)
+      db3 <- insertFrom(spark, db2, relName, src)
+    } yield db3
+
+  // ---- relation lifecycle + system catalog (reference
+  // lib/manipulation.ml:622-879, lib/prelude/catalog.ml) ----
+
+  val CatalogPrefix = "sakura:"
+  val CatalogNames: List[String] = List(
+    "sakura:relation", "sakura:domain", "sakura:attribute",
+    "sakura:constraint", "sakura:on", "sakura:timing")
+  def isCatalog(name: String): Boolean = CatalogNames.contains(name)
+
+  private val catalogSchemas: Map[String, RelSchema] = Map(
+    "sakura:relation"   -> RelSchema(List("name" -> "string")),
+    "sakura:domain"     -> RelSchema(List("name" -> "string")),
+    "sakura:attribute"  -> RelSchema(List("relation_name" -> "string", "attr_name" -> "string", "domain_name" -> "string")),
+    "sakura:constraint" -> RelSchema(List("name" -> "string", "relation_name" -> "string")),
+    "sakura:on"         -> RelSchema(List("event" -> "string")),
+    "sakura:timing"     -> RelSchema(List("timing" -> "string")),
+  )
+
+  private def structOf(db: Database, schema: RelSchema): Either[String, StructType] =
+    schema.toStruct(db.domains)
+
+  /** Create a relation WITHOUT catalog maintenance (bootstrap / catalog
+    * relations themselves). */
+  private def createRelationRaw(spark: SparkSession, db: Database, name: String,
+      schema: RelSchema): Either[String, Database] =
+    if (db.relations.contains(name)) Left(s"RelationAlreadyExists: $name")
+    else structOf(db, schema).map { struct =>
+      val rel = StoredRelation(name, schema, struct,
+        spark.createDataFrame(java.util.List.of[Row](), struct), ContentRoot.empty)
+      updateRelation(db, rel)
+    }
+
+  /** Driver-side seeding of known-distinct tuples (bootstrap only — no
+    * per-row Spark jobs). */
+  private def seedRelation(spark: SparkSession, db: Database, name: String,
+      tuples: Seq[Seq[(String, Value)]]): Database = {
+    val rel = db.relations(name)
+    val coerced = tuples.map(t => coerce(db, rel, t).fold(e => throw new IllegalStateException(e), identity))
+    val rows: Seq[Row] = coerced.map(rowOf)
+    val root = coerced.foldLeft(rel.root)((r, t) => r.add(Hashing.tupleHash(name, t)))
+    import scala.jdk.CollectionConverters._
+    val newRel = rel.copy(df = rel.df.unionAll(spark.createDataFrame(rows.asJava, rel.struct)), root = root)
+    updateRelation(db, newRel)
+  }
+
+  /** Fresh database with the four prelude domains and the seeded system
+    * catalog (reference create_database → init_catalog_relations,
+    * lib/manipulation.ml:701-781). */
+  def createDatabase(spark: SparkSession, name: String): Database = {
+    var db = Database(name, ListMap.empty, Domain.prelude, Nil, Nil, "")
+    for (cat <- CatalogNames)
+      db = createRelationRaw(spark, db, cat, catalogSchemas(cat))
+        .fold(e => throw new IllegalStateException(e), identity)
+    db = seedRelation(spark, db, "sakura:relation",
+      CatalogNames.map(n => Seq("name" -> Value.StrV(n))))
+    db = seedRelation(spark, db, "sakura:attribute",
+      CatalogNames.flatMap(n => catalogSchemas(n).attrs.map { case (a, d) =>
+        Seq("relation_name" -> Value.StrV(n), "attr_name" -> Value.StrV(a), "domain_name" -> Value.StrV(d))
+      }))
+    db = seedRelation(spark, db, "sakura:on",
+      List("insert", "update", "delete").map(e => Seq("event" -> Value.StrV(e))))
+    db = seedRelation(spark, db, "sakura:timing",
+      List("immediate", "deferred").map(t => Seq("timing" -> Value.StrV(t))))
+    db = seedRelation(spark, db, "sakura:domain",
+      List("integer", "natural", "rational", "string").map(d => Seq("name" -> Value.StrV(d))))
+    db
+  }
+
+  /** Create a user relation + catalog maintenance (reference
+    * create_relation, lib/manipulation.ml:792-812). Schema order: we keep
+    * DECLARATION order (the reference's Schema.add prepends, so its stored
+    * order is reversed — an artifact we do not reproduce). */
+  def createRelation(spark: SparkSession, db: Database, name: String,
+      schema: RelSchema): Either[String, Database] =
+    for {
+      db2 <- createRelationRaw(spark, db, name, schema)
+      db3 <-
+        if (isCatalog(name)) Right(db2)
+        else for {
+          a <- createTuple(spark, db2, "sakura:relation", Seq("name" -> Value.StrV(name)))
+          b <- createTuples(spark, a, "sakura:attribute",
+            schema.attrs.map { case (at, d) => Seq(
+              "relation_name" -> Value.StrV(name),
+              "attr_name" -> Value.StrV(at),
+              "domain_name" -> Value.StrV(d)) })
+        } yield b
+    } yield db3
+
+  /** Drop a relation + catalog cleanup (reference retract_relation,
+    * lib/manipulation.ml:841-850). */
+  def retractRelation(spark: SparkSession, db: Database, name: String): Either[String, Database] =
+    for {
+      rel <- db.relation(name)
+      db2 = updateState(db, db.relations.removed(name))
+      db3 <-
+        if (isCatalog(name)) Right(db2)
+        else {
+          val dropName = retractTuple(spark, db2, "sakura:relation", Seq("name" -> Value.StrV(name)))
+            .getOrElse(db2) // absent row is not an error (reference checks membership first)
+          rel.schema.attrs.foldLeft(Right(dropName): Either[String, Database]) { case (acc, (at, d)) =>
+            acc.map { cur =>
+              retractTuple(spark, cur, "sakura:attribute", Seq(
+                "relation_name" -> Value.StrV(name),
+                "attr_name" -> Value.StrV(at),
+                "domain_name" -> Value.StrV(d))).getOrElse(cur)
+            }
+          }
+        }
+    } yield db3
+
+  /** Truncate a relation's extension; schema, constraints, and catalog
+    * rows stay (reference clear_relation, lib/manipulation.ml:853-879). */
+  def clearRelation(spark: SparkSession, db: Database, name: String): Either[String, Database] =
+    db.relation(name).map { rel =>
+      updateRelation(db, rel.copy(
+        df = spark.createDataFrame(java.util.List.of[Row](), rel.struct),
+        root = ContentRoot.empty))
+    }
+
+  /** Register a domain + catalog row (reference register_domain,
+    * lib/manipulation.ml:757-767). */
+  def registerDomain(spark: SparkSession, db: Database, domain: Domain): Either[String, Database] = {
+    val db2 = db.copy(domains = db.domains.updated(domain.name, domain))
+    createTuple(spark, db2, "sakura:domain", Seq("name" -> Value.StrV(domain.name)))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ddl
+
+import graft.SparkTestBase
+import graft.engine.Engine
+import graft.types.Cardinality
+
+/** DDL parse + execute round-trips (reference test:2673-3161 DDL block). */
+class DdlSpec extends SparkTestBase {
+
+  test("parser handles all five statements") {
+    assert(Parser.parse("(CreateDatabase mydb)").isRight)
+    assert(Parser.parse("(CreateRelation (name t) (schema ((id integer) (name string))))").isRight)
+    assert(Parser.parse("(RetractRelation t)").isRight)
+    assert(Parser.parse("(ClearRelation t)").isRight)
+    assert(Parser.parse("(RegisterDomain (name money) (cardinality AlephZero))").isRight)
+    assert(Parser.parse("(RegisterDomain (name tiny) (cardinality (Finite 3)))") ==
+      Right(Statement.RegisterDomain("tiny", Cardinality.Finite(3))))
+    assert(Parser.parse("(RegisterDomain (name r) (cardinality Continuum) (base rational))") ==
+      Right(Statement.RegisterDomain("r", Cardinality.Continuum, "rational")))
+    assert(Parser.parse("(ddl (ClearRelation t))").isRight)
+    assert(Parser.parse("(DropTable t)").isLeft)
+  }
+
+  test("CreateDatabase → CreateRelation → insert → ClearRelation → RetractRelation") {
+    val db0 = Executor.run(spark, null, "(CreateDatabase g)").fold(e => fail(e), identity)
+    val db1 = Executor.run(spark, db0,
+      "(CreateRelation (name t) (schema ((id integer) (label string))))").fold(e => fail(e), identity)
+    assert(db1.relations.contains("t"))
+    val db2 = graft.dml.Executor.run(spark, db1,
+      "(InsertTuple (relation t) (attributes ((id (Int 1)) (label (Str a)))))").fold(e => fail(e), identity)
+    assert(db2.relations("t").cardinality == 1)
+    val db3 = Executor.run(spark, db2, "(ClearRelation t)").fold(e => fail(e), identity)
+    assert(db3.relations("t").cardinality == 0)
+    val db4 = Executor.run(spark, db3, "(RetractRelation t)").fold(e => fail(e), identity)
+    assert(!db4.relations.contains("t"))
+    assert(Executor.run(spark, db4, "(ClearRelation t)").isLeft)
+  }
+
+  test("RegisterDomain makes the domain usable in CreateRelation") {
+    val db0 = Engine.createDatabase(spark, "g")
+    val db1 = Executor.run(spark, db0,
+      "(RegisterDomain (name money) (cardinality AlephZero) (base integer))").fold(e => fail(e), identity)
+    val db2 = Executor.run(spark, db1,
+      "(CreateRelation (name prices) (schema ((amount money))))").fold(e => fail(e), identity)
+    val db3 = graft.dml.Executor.run(spark, db2,
+      "(InsertTuple (relation prices) (attributes ((amount (Int 99)))))").fold(e => fail(e), identity)
+    assert(db3.relations("prices").df.collect().map(_.getLong(0)).toSeq == Seq(99L))
+    // unknown domain still fails
+    assert(Executor.run(spark, db3, "(CreateRelation (name x) (schema ((y nope))))").isLeft)
+  }
+}
