@@ -28,7 +28,7 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Run a script of DDL/DML sexp statements (first must be a
+  /** Run a script of DDL/DML/ICL sexp statements (first must be a
     * CreateDatabase), then evaluate a final DRL query against the
     * resulting database — the engine's full mutation request path, with
     * the driver's parquet tables as external sources. */
@@ -39,11 +39,13 @@ object SparkEntry {
       val db = stmts.foldLeft(null: Database) { (cur, s) =>
         graft.ddl.Parser.parse(s) match {
           case Right(stmt) => graft.ddl.Executor.execute(spark, cur, stmt).fold(fail, identity)
-          case Left(_) =>
-            graft.dml.Parser.parse(s) match {
-              case Right(stmt) => graft.dml.Executor.execute(spark, cur, stmt, Some(ext)).fold(fail, identity)
+          case Left(_) => graft.dml.Parser.parse(s) match {
+            case Right(stmt) => graft.dml.Executor.execute(spark, cur, stmt, Some(ext)).fold(fail, identity)
+            case Left(_) => graft.icl.Parser.parse(s) match {
+              case Right(stmt) => graft.icl.Executor.execute(spark, cur, stmt).fold(fail, identity)
               case Left(e) => fail(s"unparseable statement '$s': $e")
             }
+          }
         }
       }
       Compiler.run(spark, new DbCatalog(db, Some(ext)), finalQuery).fold(fail, identity)
@@ -129,6 +131,24 @@ object SparkEntry {
       "(CreateRelation (name pair) (schema ((k integer) (v string))))",
     ), "(Select (Const ((relation_name (Str pair)))) (Base sakura:attribute))"),
 
+    // ---- ICL: constraint registration + per-row enforcement ----
+    "icl_fk_pipeline" -> script(Seq(
+      "(CreateDatabase g)",
+      "(CreateRelation (name Department) (schema ((dept_id integer))))",
+      "(InsertFrom (target Department) (source (Rename ((r_regionkey dept_id)) (Project (r_regionkey) (Base region)))))",
+      "(CreateRelation (name Employee) (schema ((emp_id integer) (dept_id integer))))",
+      "(RegisterConstraint (constraint_name fk_dept) (relation_name Employee) (body (MemberOf (target Department) (binding ((dept_id (Var dept_id)))))))",
+      "(InsertFrom (target Employee) (source (Project (emp_id dept_id) (Rename ((n_nationkey emp_id) (n_regionkey dept_id)) (Base nation)))))",
+    ), "(Base Employee)"),
+    "icl_constraint_catalog" -> script(Seq(
+      "(CreateDatabase g)",
+      "(CreateRelation (name scores) (schema ((student_id integer) (score integer))))",
+      "(RegisterConstraint (constraint_name score_range) (relation_name scores) (body (MemberOf (target natural_natural_less_than_or_equal) (binding ((left (Var score)) (right (Const (Int 100))))))))",
+      "(RegisterConstraint (constraint_name student_known) (relation_name scores) (body (MemberOf (target natural_natural_less_than) (binding ((left (Var student_id)) (right (Const (Int 1000))))))) (timing Deferred))",
+      "(InsertTuple (relation scores) (attributes ((student_id (Int 7)) (score (Int 85)))))",
+      "(Commit)",
+    ), "(Base sakura:constraint)"),
+
     // ---- Beyond-reference analytics (SURVEY.md §7.2 step 7) ----
     "agg_pricing_summary" -> ((s, dir) => {
       table(s, dir, "lineitem")
@@ -195,6 +215,12 @@ object SparkEntry {
     "ddl_attributes" ->
       ("SELECT * FROM (VALUES ('pair','k','integer'),('pair','v','string')) " +
         "t(relation_name, attr_name, domain_name)"),
+    "icl_fk_pipeline" ->
+      ("SELECT CAST(n_nationkey AS BIGINT) AS emp_id, CAST(n_regionkey AS BIGINT) AS dept_id " +
+        "FROM nation"),
+    "icl_constraint_catalog" ->
+      ("SELECT * FROM (VALUES ('score_range','scores'),('student_known','scores')) " +
+        "t(name, relation_name)"),
     "agg_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +

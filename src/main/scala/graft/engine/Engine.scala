@@ -26,7 +26,7 @@ final case class StoredRelation(
   def cardinality: Long = root.count
 }
 
-final case class DeferredEntry(constraintName: String, relationName: String)
+final case class DeferredEntry(constraintName: String, relationName: String, body: Body)
 
 /** Immutable database state (reference lib/management/database.ml:17-26):
   * relations, domains, bounded history of prior state hashes, deferred
@@ -57,21 +57,6 @@ final case class Database(
   * per-row failure aborts the whole statement there too.
   */
 object Engine {
-
-  /** Constraint-validation hook, installed by graft.icl.Eval (wired in
-    * via Icl.install at library init). Takes (db, relation, coerced
-    * attrs) and returns the collected failures, if any. */
-  @volatile private[graft] var constraintValidator
-      : (SparkSession, Database, StoredRelation, Seq[(String, Value)]) => Either[String, Unit] =
-    (_, _, rel, _) =>
-      if (rel.constraints.isEmpty) Right(())
-      else Left(s"ConstraintViolation: no evaluator installed for ${rel.name}")
-
-  /** Cascade-recheck hook (reference lib/manipulation.ml:427-521),
-    * installed by graft.icl.Cascade. Kind is "insert" or "delete". */
-  @volatile private[graft] var cascadeChecker
-      : (SparkSession, Database, String, Seq[(String, Value)], String) => Either[String, Unit] =
-    (_, _, _, _, _) => Right(())
 
   // ---- schema / value admission (reference build_membership_criteria,
   // lib/manipulation.ml:20-33: integer/natural/string enforced, anything
@@ -144,7 +129,7 @@ object Engine {
     for {
       rel <- db.relation(relName)
       coerced <- coerce(db, rel, attrs)
-      _ <- constraintValidator(spark, db, rel, coerced)
+      _ <- graft.icl.Runtime.validateInsert(spark, db, rel, coerced)
       h = Hashing.tupleHash(relName, coerced)
       _ <- if (rel.root.count > 0 && !rel.df.filter(eqPredicate(coerced)).isEmpty)
              Left(s"DuplicateTuple: $h") else Right(())
@@ -152,8 +137,15 @@ object Engine {
         df = rel.df.unionAll(spark.createDataFrame(java.util.List.of(rowOf(coerced)), rel.struct)),
         root = rel.root.add(h))
       newDb = updateRelation(db, newRel)
-      _ <- cascadeChecker(spark, newDb, relName, coerced, "insert")
+      _ <- cascadeIfNeeded(spark, newDb, relName, coerced, "insert")
     } yield newDb
+
+  /** Cascade re-check, skipped entirely when no relation carries
+    * constraints (the common case costs nothing). */
+  private def cascadeIfNeeded(spark: SparkSession, db: Database, relName: String,
+      transition: Seq[(String, Value)], kind: String): Either[String, Unit] =
+    if (db.relations.valuesIterator.forall(_.constraints.isEmpty)) Right(())
+    else graft.icl.Runtime.cascade(spark, db, relName, transition, kind)
 
   /** Sequential fold — each insert sees the prior state; any failure
     * aborts the whole statement (reference lib/manipulation.ml:565-576). */
@@ -175,7 +167,7 @@ object Engine {
              Left(s"TupleNotFound: $h") else Right(())
       newRel = rel.copy(df = rel.df.filter(!eqPredicate(coerced)), root = rel.root.remove(h))
       newDb = updateRelation(db, newRel)
-      _ <- cascadeChecker(spark, newDb, relName, coerced, "delete")
+      _ <- cascadeIfNeeded(spark, newDb, relName, coerced, "delete")
     } yield newDb
 
   // ---- bulk paths (set-wise; scale-safe) ----
@@ -241,7 +233,7 @@ object Engine {
           } yield updateRelation(db, newRel)
     } yield db2
 
-  private def rowToAttrs(rel: StoredRelation, r: Row): Seq[(String, Value)] =
+  private[graft] def rowToAttrs(rel: StoredRelation, r: Row): Seq[(String, Value)] =
     rel.struct.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
       val v: Value = f.dataType match {
         case LongType    => Value.IntV(r.getLong(i))
@@ -271,14 +263,14 @@ object Engine {
       _ <- cascadeAll(spark, newDb, relName, toDelete, rel)
     } yield newDb
 
-  /** Run the delete-cascade hook for each removed row (no-op without
-    * registered constraints referencing the relation). */
+  /** Run the delete cascade for each removed row (no-op when no relation
+    * carries constraints). */
   private def cascadeAll(spark: SparkSession, db: Database, relName: String,
       removed: DataFrame, rel: StoredRelation): Either[String, Unit] = {
     val anyConstraintCares = db.relations.values.exists(_.constraints.nonEmpty)
     if (!anyConstraintCares) Right(())
     else removed.collect().toSeq.foldLeft(Right(()): Either[String, Unit]) { (acc, r) =>
-      acc.flatMap(_ => cascadeChecker(spark, db, relName, rowToAttrs(rel, r), "delete"))
+      acc.flatMap(_ => graft.icl.Runtime.cascade(spark, db, relName, rowToAttrs(rel, r), "delete"))
     }
   }
 
@@ -416,4 +408,36 @@ object Engine {
     val db2 = db.copy(domains = db.domains.updated(domain.name, domain))
     createTuple(spark, db2, "sakura:domain", Seq("name" -> Value.StrV(domain.name)))
   }
+
+  // ---- constraint registration + commit (reference
+  // lib/manipulation.ml:883-937, 965-1027) ----
+
+  /** Attach a named constraint to a relation (AND-merged on name
+    * collision), record it in sakura:constraint, and — when Deferred —
+    * queue it on the database's deferred list (cascade then skips it
+    * until commit). */
+  def registerConstraint(spark: SparkSession, db: Database, constraintName: String,
+      relationName: String, body: Body,
+      timing: graft.icl.Timing = graft.icl.Timing.Immediate): Either[String, Database] =
+    for {
+      rel <- db.relation(relationName)
+      merged = graft.icl.Analysis.mergeNamed(rel.constraints.toSeq, Seq(constraintName -> body))
+      db2 = updateRelation(db, rel.copy(constraints = ListMap(merged: _*)))
+      // idempotent catalog row: re-registering a name AND-merges the body
+      // but must not produce a duplicate sakura:constraint tuple
+      db3 <- createTuple(spark, db2, "sakura:constraint", Seq(
+        "name" -> Value.StrV(constraintName), "relation_name" -> Value.StrV(relationName)))
+        .left.flatMap(e => if (e.startsWith("DuplicateTuple")) Right(db2) else Left(e))
+      db4 = timing match {
+        case graft.icl.Timing.Immediate => db3
+        case graft.icl.Timing.Deferred =>
+          db3.copy(deferred = DeferredEntry(constraintName, relationName, body) :: db3.deferred)
+      }
+    } yield db4
+
+  /** Evaluate all deferred constraints against the current state; on
+    * success clear the deferral window (reference commit,
+    * lib/manipulation.ml:1016-1027). */
+  def commit(spark: SparkSession, db: Database): Either[String, Database] =
+    graft.icl.Runtime.checkDeferred(spark, db).map(_ => db.copy(deferred = Nil))
 }

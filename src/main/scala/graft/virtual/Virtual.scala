@@ -25,6 +25,28 @@ final case class VirtualRel(name: String, attrs: List[String], cardinality: Card
     val nonNeg = attrs.map(a => binding(a) >= 0).reduce(_ && _)
     nonNeg && pred(binding)
   }
+
+  /** Driver-side ground membership over literal natural values (the ICL
+    * check_membership path — no Spark job for a pure arithmetic check).
+    * Requires a full, non-negative binding; consistency with the Column
+    * predicate is pinned by VirtualSpec. */
+  def ground(binding: Map[String, Long]): Boolean =
+    attrs.forall(a => binding.get(a).exists(_ >= 0)) && {
+      def v(a: String) = binding(a)
+      name match {
+        case "natural_natural_less_than"             => v("left") < v("right")
+        case "natural_natural_less_than_or_equal"    => v("left") <= v("right")
+        case "natural_natural_greater_than"          => v("left") > v("right")
+        case "natural_natural_greater_than_or_equal" => v("left") >= v("right")
+        case "natural_natural_equal"                 => v("left") == v("right")
+        case "natural_natural_not_equal"             => v("left") != v("right")
+        case "natural_plus"   => v("a") + v("b") == v("sum")
+        case "natural_times"  => v("a") * v("b") == v("product")
+        case "natural_minus"  => v("b") + v("difference") == v("a")
+        case "natural_divide" => v("b") * v("quotient") + v("remainder") == v("a") && v("remainder") < v("b")
+        case _ => false
+      }
+    }
 }
 
 object Virtual {
