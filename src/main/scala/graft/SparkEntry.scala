@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.catalog.ParquetCatalog
 import graft.drl.Compiler
-import graft.engine.{Database, DbCatalog}
 
 /** Driver contract — queries + DuckDB oracle SQL (see SURVEY.md §7).
   *
@@ -28,27 +27,20 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Run a script of DDL/DML/ICL sexp statements (first must be a
-    * CreateDatabase), then evaluate a final DRL query against the
-    * resulting database — the engine's full mutation request path, with
-    * the driver's parquet tables as external sources. */
+  /** Run a script of DDL/DML/ICL/DCL sexp statements through an
+    * EngineSession (the listener-equivalent dispatcher), then evaluate a
+    * final DRL query against the resulting state — the engine's full
+    * request path, with the driver's parquet tables as external sources. */
   private def script(stmts: Seq[String], finalQuery: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
-      val ext = new ParquetCatalog(spark, dir)
+      val session = new graft.server.EngineSession(spark, Some(new ParquetCatalog(spark, dir)))
       def fail(e: String): Nothing = throw new IllegalArgumentException(e)
-      val db = stmts.foldLeft(null: Database) { (cur, s) =>
-        graft.ddl.Parser.parse(s) match {
-          case Right(stmt) => graft.ddl.Executor.execute(spark, cur, stmt).fold(fail, identity)
-          case Left(_) => graft.dml.Parser.parse(s) match {
-            case Right(stmt) => graft.dml.Executor.execute(spark, cur, stmt, Some(ext)).fold(fail, identity)
-            case Left(_) => graft.icl.Parser.parse(s) match {
-              case Right(stmt) => graft.icl.Executor.execute(spark, cur, stmt).fold(fail, identity)
-              case Left(e) => fail(s"unparseable statement '$s': $e")
-            }
-          }
-        }
+      stmts.foreach(s => session.execute(s).fold(e => fail(s"$s -> $e"), identity))
+      session.execute(s"(drl $finalQuery)") match {
+        case Right(graft.server.QueryResult(df)) => df
+        case Right(other) => fail(s"expected query result, got $other")
+        case Left(e) => fail(e)
       }
-      Compiler.run(spark, new DbCatalog(db, Some(ext)), finalQuery).fold(fail, identity)
     }
 
   /** Flagship: revenue by nation (4-table join + aggregation) on sf0.001. */
@@ -149,6 +141,37 @@ object SparkEntry {
       "(Commit)",
     ), "(Base sakura:constraint)"),
 
+    // ---- DCL: branch / checkout / merge ----
+    "dcl_branch_merge" -> script(Seq(
+      "(CreateDatabase g)",
+      "(CreateRelation (name scores) (schema ((r_regionkey integer) (r_name string))))",
+      "(InsertFrom (target scores) (source (Base region)))",
+      "(CreateBranch (name main))",
+      "(Checkout main)",
+      "(CreateBranch (name feature))",
+      "(Checkout feature)",
+      "(InsertTuple (relation scores) (attributes ((r_regionkey (Int 77)) (r_name (Str FEATURE)))))",
+      "(Checkout main)",
+      "(InsertTuple (relation scores) (attributes ((r_regionkey (Int 88)) (r_name (Str MAIN)))))",
+      "(Merge (left main) (right feature) (strategy PreferLeft))",
+    ), "(Base scores)"),
+
+    // ---- SCL: cursor streaming over a DRL query ----
+    "scl_cursor_stream" -> ((s, dir) => {
+      val session = new graft.server.EngineSession(s, Some(new ParquetCatalog(s, dir)))
+      def batchOf(r: Either[String, graft.server.Response]): graft.scl.Batch = r match {
+        case Right(graft.server.CursorBatch(b)) => b
+        case other => throw new IllegalArgumentException(s"unexpected: $other")
+      }
+      var batch = batchOf(session.execute("(scl (Begin (query (Base nation)) (limit 7)))"))
+      var rows = batch.rows
+      while (batch.hasMore) {
+        batch = batchOf(session.execute(s"(scl (Fetch (cursor ${batch.cursorId}) (limit 7)))"))
+        rows = rows ++ batch.rows
+      }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), table(s, dir, "nation").schema)
+    }),
+
     // ---- Beyond-reference analytics (SURVEY.md §7.2 step 7) ----
     "agg_pricing_summary" -> ((s, dir) => {
       table(s, dir, "lineitem")
@@ -221,6 +244,10 @@ object SparkEntry {
     "icl_constraint_catalog" ->
       ("SELECT * FROM (VALUES ('score_range','scores'),('student_known','scores')) " +
         "t(name, relation_name)"),
+    "dcl_branch_merge" ->
+      ("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region " +
+        "UNION ALL SELECT 88, 'MAIN' UNION ALL SELECT 77, 'FEATURE'"),
+    "scl_cursor_stream" -> "SELECT * FROM nation",
     "agg_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +

@@ -1,0 +1,302 @@
+package graft.dcl
+
+import scala.collection.immutable.ListMap
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.core.Algebra
+import graft.engine.{Database, Engine, StoredRelation}
+import graft.hashing.Hashing
+import graft.sexp.Sexp
+import graft.sexp.Sexp.{Atom, SList}
+
+/** Branch registry + snapshot store (reference lib/management/branch.ml).
+  *
+  * A snapshot is a Database VALUE — lazy DataFrame plans plus hashes — so
+  * storing every state is cheap (the reference's append-only
+  * content-addressed storage gives the same property). HEAD is a branch
+  * name; every successful mutation advances the HEAD branch's tip
+  * (reference lib/listener.ml:47-51). */
+final class Store {
+  private val snapshots = mutable.Map[String, Database]()
+  private val branches = mutable.LinkedHashMap[String, String]()
+  private var headBranch: Option[String] = None
+
+  def save(db: Database): Unit = if (!snapshots.contains(db.hash)) snapshots(db.hash) = db
+  def load(hash: String): Option[Database] = snapshots.get(hash)
+
+  def createBranch(name: String, tip: String): Unit = branches(name) = tip
+  def tip(name: String): Option[String] = branches.get(name)
+  def updateTip(name: String, tip: String): Either[String, Unit] =
+    if (branches.contains(name)) { branches(name) = tip; Right(()) }
+    else Left(s"Branch not found: $name")
+  def checkout(name: String): Unit = headBranch = Some(name)
+  def head: Option[String] = headBranch
+  def list: Seq[(String, String)] = branches.toSeq
+
+  /** Advance HEAD's tip after a successful mutation
+    * (reference advance_head_branch, lib/listener.ml:47-51). */
+  def advanceHead(newHash: String): Unit =
+    headBranch.foreach(n => if (branches.contains(n)) branches(n) = newHash)
+
+  /** sakura:branch — (name, 8-char hash prefix), reference
+    * lib/management/branch.ml:74-105. */
+  def branchDf(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("name", StringType), StructField("hash", StringType)))
+    val rows = list.map { case (n, t) => Row(n, t.take(8)) }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** sakura:head — single branch-name tuple (branch.ml:107-132). */
+  def headDf(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("branch", StringType)))
+    spark.createDataFrame(java.util.Arrays.asList(headBranch.map(Row(_)).toSeq: _*), schema)
+  }
+}
+
+/** Structural delta between two database states
+  * (reference lib/management/diff.ml:29-70), with tuple-level deltas as
+  * DataFrames — hash-set algebra becomes anti-joins, which is the
+  * formulation that survives at scale. */
+object Diff {
+  sealed trait RelationDiff { def name: String }
+  final case class RelationAdded(rel: StoredRelation) extends RelationDiff { def name: String = rel.name }
+  final case class RelationRemoved(name: String) extends RelationDiff
+  final case class RelationModified(name: String, added: DataFrame, removed: DataFrame,
+      schemaChanged: Boolean) extends RelationDiff
+
+  def diff(ancestor: Database, target: Database): Seq[RelationDiff] = {
+    val names = (ancestor.relations.keySet ++ target.relations.keySet).toSeq
+    names.flatMap { name =>
+      (ancestor.relations.get(name), target.relations.get(name)) match {
+        case (None, Some(rel)) => Some(RelationAdded(rel))
+        case (Some(_), None)   => Some(RelationRemoved(name))
+        case (Some(a), Some(t)) =>
+          if (a.relHash == t.relHash) None
+          else if (a.schema != t.schema)
+            // disjoint hash-spaces: everything moved (reference computes the
+            // same via value-encoding hashes)
+            Some(RelationModified(name, added = t.df, removed = a.df, schemaChanged = true))
+          else
+            Some(RelationModified(name,
+              added = Algebra.diff(t.df, a.df), removed = Algebra.diff(a.df, t.df),
+              schemaChanged = false))
+        case (None, None) => None
+      }
+    }
+  }
+}
+
+/** 3-way merge with LCA discovery over the history chains
+  * (reference lib/management/merge.ml:31-287). */
+object Merge {
+  sealed trait Strategy
+  case object PreferLeft extends Strategy
+  case object PreferRight extends Strategy
+  case object RevertToAncestor extends Strategy
+
+  final case class Conflicts(tupleConflicts: Map[String, Long], schemaConflicts: Seq[String]) {
+    def describe: String =
+      (tupleConflicts.map { case (r, n) => s"$n tuple conflict(s) in $r" } ++
+        schemaConflicts.map(r => s"schema conflict in $r")).mkString("; ")
+  }
+
+  /** First hash in right's ancestry chain present in left's
+    * (reference find_lca, merge.ml:31-36). */
+  def findLca(left: Database, right: Database): Option[String] = {
+    val leftAnc = (left.hash :: left.history).toSet
+    (right.hash :: right.history).find(leftAnc.contains)
+  }
+
+  private def distinctUnion(a: DataFrame, b: DataFrame): DataFrame =
+    Algebra.union(a, b).dropDuplicates()
+
+  private def intersect(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (a.columns.toSet != b.columns.toSet) a.limit(0)
+    else {
+      val l = a.alias("l")
+      val r = b.select(a.columns.toIndexedSeq.map(c => col(s"`$c`")): _*).alias("r")
+      val cond = a.columns.map(c => col(s"l.`$c`") <=> col(s"r.`$c`")).reduce(_ && _)
+      l.join(r, cond, "left_semi").dropDuplicates()
+    }
+  }
+
+  /** Merge two branch tips. Tuple conflicts (same row added on one side,
+    * removed on the other) are resolved per strategy, exactly mirroring
+    * the reference's hash-set rules (merge.ml:95-171) as row-set algebra.
+    * A relation whose schema changed on either side is taken WHOLESALE
+    * from the winning side (the reference mixes tuple hashes of two
+    * schemas into one tree in the both-changed case — we take the
+    * strategy winner's extension instead, recording the conflict). */
+  def merge(spark: SparkSession, store: Store, strategy: Strategy,
+      leftTip: String, rightTip: String): Either[String, (Database, Conflicts)] =
+    for {
+      leftDb <- store.load(leftTip).toRight(s"Left tip not found: $leftTip")
+      rightDb <- store.load(rightTip).toRight(s"Right tip not found: $rightTip")
+      lcaHash <- findLca(leftDb, rightDb).toRight("No common ancestor found between branches")
+      ancestor <- store.load(lcaHash).toRight(s"Ancestor not found: $lcaHash")
+    } yield {
+      val leftDiffs = Diff.diff(ancestor, leftDb)
+      val rightDiffs = Diff.diff(ancestor, rightDb).map(d => d.name -> d).toMap
+      val tupleConflicts = mutable.Map[String, Long]()
+      val schemaConflicts = mutable.ListBuffer[String]()
+
+      def applyOne(db: Database, ld: Diff.RelationDiff, rd: Option[Diff.RelationDiff],
+          fromDb: Database): Database = ld match {
+        case Diff.RelationAdded(rel) => Engine.updateState(db, db.relations.updated(rel.name, rel))
+        case Diff.RelationRemoved(n) => Engine.updateState(db, db.relations.removed(n))
+        case Diff.RelationModified(name, lAdd, lRem, lSchema) =>
+          db.relations.get(name) match {
+            case None => db
+            case Some(base) =>
+              val rMod = rd.collect { case m: Diff.RelationModified => m }
+              val bothSchema = lSchema && rMod.exists(_.schemaChanged)
+              if (lSchema || rMod.exists(_.schemaChanged)) {
+                // wholesale winner (see scaladoc)
+                if (bothSchema) schemaConflicts += name
+                val winner: StoredRelation =
+                  if (!lSchema) rightDb.relations.getOrElse(name, base)
+                  else if (bothSchema) strategy match {
+                    case PreferLeft       => leftDb.relations.getOrElse(name, base)
+                    case PreferRight      => rightDb.relations.getOrElse(name, base)
+                    case RevertToAncestor => base
+                  }
+                  else fromDb.relations.getOrElse(name, base)
+                Engine.updateState(db, db.relations.updated(name, winner))
+              } else {
+                var merged = Algebra.diff(distinctUnion(base.df, lAdd), lRem)
+                rMod match {
+                  case Some(Diff.RelationModified(_, rAdd, rRem, _)) =>
+                    val conflicts = distinctUnion(intersect(lAdd, rRem), intersect(lRem, rAdd))
+                    val nConf = conflicts.count()
+                    if (nConf > 0) {
+                      tupleConflicts(name) = nConf
+                      strategy match {
+                        case PreferLeft =>
+                          merged = Algebra.diff(
+                            distinctUnion(merged, Algebra.diff(rAdd, conflicts)),
+                            Algebra.diff(rRem, conflicts))
+                        case PreferRight =>
+                          merged = Algebra.diff(
+                            distinctUnion(Algebra.diff(merged, conflicts), rAdd), rRem)
+                        case RevertToAncestor =>
+                          merged = Algebra.diff(merged, conflicts)
+                      }
+                    } else {
+                      merged = Algebra.diff(distinctUnion(merged, rAdd), rRem)
+                    }
+                  case _ => ()
+                }
+                val root = Hashing.contentRootOf(merged, base.rowHash)
+                Engine.updateState(db, db.relations.updated(name,
+                  base.copy(df = merged, root = root)))
+              }
+          }
+      }
+
+      var db = ancestor
+      val leftNames = leftDiffs.map(_.name).toSet
+      for (ld <- leftDiffs) db = applyOne(db, ld, rightDiffs.get(ld.name), leftDb)
+      for ((n, rdOnly) <- rightDiffs if !leftNames.contains(n))
+        db = applyOne(db, rdOnly, None, rightDb)
+      (db, Conflicts(tupleConflicts.toMap, schemaConflicts.toSeq))
+    }
+}
+
+/** DCL statements (reference lib/dcl/ast.ml:6-13). */
+sealed trait Statement
+object Statement {
+  final case class CreateBranch(name: String, hash: Option[String]) extends Statement
+  final case class Checkout(name: String) extends Statement
+  case object GetHead extends Statement
+  final case class GetBranchTip(name: String) extends Statement
+  final case class UpdateBranchTip(name: String, hash: String) extends Statement
+  final case class MergeStmt(left: String, right: String, strategy: Merge.Strategy) extends Statement
+}
+
+object Parser {
+  import Statement._
+
+  def parse(input: String): Either[String, Statement] =
+    Sexp.parse(input).flatMap(ofSexp)
+
+  def ofSexp(s: Sexp): Either[String, Statement] = s match {
+    case SList(Atom("dcl") :: st :: Nil) => ofSexp(st)
+    case SList(Atom("CreateBranch") :: fields) =>
+      val fm = fields.collect { case SList(List(Atom(k), v)) => k -> v }.toMap
+      for {
+        n <- fm.get("name").toRight("missing field: name").flatMap(atom)
+        h <- fm.get("hash") match {
+          case None          => Right(None)
+          case Some(Atom(a)) => Right(Some(a))
+          case Some(o)       => Left(s"bad hash: ${o.render}")
+        }
+      } yield CreateBranch(n, h)
+    case SList(List(Atom("Checkout"), Atom(n)))     => Right(Checkout(n))
+    case SList(List(Atom("GetHead"))) | Atom("GetHead") => Right(GetHead)
+    case SList(List(Atom("GetBranchTip"), Atom(n))) => Right(GetBranchTip(n))
+    case SList(Atom("UpdateBranchTip") :: fields) =>
+      val fm = fields.collect { case SList(List(Atom(k), v)) => k -> v }.toMap
+      for {
+        n <- fm.get("name").toRight("missing field: name").flatMap(atom)
+        h <- fm.get("hash").toRight("missing field: hash").flatMap(atom)
+      } yield UpdateBranchTip(n, h)
+    case SList(Atom("Merge") :: fields) =>
+      val fm = fields.collect { case SList(List(Atom(k), v)) => k -> v }.toMap
+      for {
+        l <- fm.get("left").toRight("missing field: left").flatMap(atom)
+        r <- fm.get("right").toRight("missing field: right").flatMap(atom)
+        s <- fm.get("strategy").toRight("missing field: strategy").flatMap {
+          case Atom("PreferLeft")       => Right(Merge.PreferLeft)
+          case Atom("PreferRight")      => Right(Merge.PreferRight)
+          case Atom("RevertToAncestor") => Right(Merge.RevertToAncestor)
+          case o                        => Left(s"bad strategy: ${o.render}")
+        }
+      } yield MergeStmt(l, r, s)
+    case other => Left(s"unrecognized DCL form: ${other.render}")
+  }
+
+  private def atom(s: Sexp): Either[String, String] = s match {
+    case Atom(a) => Right(a)
+    case o => Left(s"bad atom: ${o.render}")
+  }
+}
+
+/** DCL executor (reference lib/dcl/executor.ml:32-96). Returns the
+  * (possibly switched) current database plus a response message. */
+object Executor {
+  import Statement._
+
+  def execute(spark: SparkSession, store: Store, db: Database,
+      stmt: Statement): Either[String, (Database, String)] = stmt match {
+    case CreateBranch(name, hash) =>
+      store.save(db)
+      val tip = hash.getOrElse(db.hash)
+      store.createBranch(name, tip)
+      Right((db, s"Branch $name created"))
+    case Checkout(name) =>
+      for {
+        tip <- store.tip(name).toRight(s"BranchNotFound: $name")
+        loaded <- store.load(tip).toRight(s"NoDatabaseAtHash: $tip")
+      } yield { store.checkout(name); (loaded, s"HEAD:$name") }
+    case GetHead =>
+      Right((db, store.head.map("HEAD:" + _).getOrElse("HEAD is unset")))
+    case GetBranchTip(name) =>
+      store.tip(name).toRight(s"BranchNotFound: $name").map(h => (db, s"branch:$name=$h"))
+    case UpdateBranchTip(name, hash) =>
+      store.updateTip(name, hash).map(_ => (db, s"Branch $name updated"))
+    case MergeStmt(left, right, strategy) =>
+      for {
+        lt <- store.tip(left).toRight(s"BranchNotFound: $left")
+        rt <- store.tip(right).toRight(s"BranchNotFound: $right")
+        res <- Merge.merge(spark, store, strategy, lt, rt)
+      } yield {
+        val (merged, _) = res
+        store.save(merged)
+        store.updateTip(left, merged.hash)
+        (merged, s"Merged:$right->$left")
+      }
+  }
+}

@@ -109,7 +109,7 @@ object Engine {
   private def eqPredicate(coerced: Seq[(String, Value)]): Column =
     coerced.map { case (a, v) => col(s"`$a`") === v.lit }.reduce(_ && _)
 
-  private[engine] def updateState(db: Database, relations: ListMap[String, StoredRelation]): Database = {
+  private[graft] def updateState(db: Database, relations: ListMap[String, StoredRelation]): Database = {
     val newHash = Hashing.databaseHash(db.name, relations.values.map(_.relHash))
     val history =
       if (db.hash.isEmpty) db.history

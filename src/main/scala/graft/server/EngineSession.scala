@@ -1,0 +1,115 @@
+package graft.server
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.catalog.Catalog
+import graft.dcl.Store
+import graft.engine.{Database, DbCatalog}
+import graft.scl.Cursors
+import graft.sexp.Sexp
+import graft.sexp.Sexp.{Atom, SList}
+
+/** The listener-equivalent session: one mutable head database, a snapshot
+  * store + branch registry, a cursor registry, and a dispatcher over the
+  * six sublanguages (reference lib/listener.ml:17-59,156-187).
+  *
+  * The reference holds the head in a process-global Atomic and CASes it
+  * per mutation (whole-database optimistic concurrency); a session here is
+  * single-threaded by construction — mutations are serialized exactly as
+  * the reference's effectively-single-writer design. Every successful
+  * transition stores the new snapshot and advances the HEAD branch tip
+  * (lib/listener.ml:47-51). */
+sealed trait Response
+final case class QueryResult(df: DataFrame) extends Response
+final case class Transition(message: String) extends Response
+final case class CursorBatch(batch: graft.scl.Batch) extends Response
+
+final class EngineSession(spark: SparkSession, external: Option[Catalog] = None) {
+  val store = new Store
+  val cursors = new Cursors
+  private var dbOpt: Option[Database] = None
+
+  def db: Database = dbOpt.getOrElse(
+    throw new IllegalStateException("no database; run (ddl (CreateDatabase name)) first"))
+
+  /** Catalog layering: engine relations shadow the store-backed
+    * sakura:branch / sakura:head generators, which shadow the external
+    * (parquet) tables. */
+  def catalog: Catalog = new Catalog {
+    def resolve(name: String): Either[String, DataFrame] = name match {
+      case "sakura:branch" => Right(store.branchDf(spark))
+      case "sakura:head"   => Right(store.headDf(spark))
+      case _ =>
+        dbOpt match {
+          case Some(d) => new DbCatalog(d, external).resolve(name)
+          case None => external.toRight(s"RelationNotFound: $name").flatMap(_.resolve(name))
+        }
+    }
+  }
+
+  private def transition(newDb: Database, msg: String): Response = {
+    dbOpt = Some(newDb)
+    store.save(newDb)
+    store.advanceHead(newDb.hash)
+    Transition(msg)
+  }
+
+  /** Dispatch one request (reference listener execute_command,
+    * lib/listener.ml:40-45). Accepts `(tag stmt)` with tag ∈
+    * drl|ddl|dml|icl|dcl|scl, or a bare statement (tried in that order). */
+  def execute(text: String): Either[String, Response] =
+    Sexp.parse(text).flatMap {
+      case SList(List(Atom("drl"), q)) => runDrl(q)
+      case SList(List(Atom("ddl"), s)) => runDdl(s)
+      case SList(List(Atom("dml"), s)) => runDml(s)
+      case SList(List(Atom("icl"), s)) => runIcl(s)
+      case SList(List(Atom("dcl"), s)) => runDcl(s)
+      case SList(List(Atom("scl"), s)) => runScl(s)
+      case bare =>
+        // decide by which parser ACCEPTS the form, so an execution error is
+        // reported by the sublanguage that owns the statement rather than
+        // masked by a later parser's parse error
+        if (graft.ddl.Parser.ofSexp(bare).isRight) runDdl(bare)
+        else if (graft.dml.Parser.ofSexp(bare).isRight) runDml(bare)
+        else if (graft.icl.Parser.ofSexp(bare).isRight) runIcl(bare)
+        else if (graft.dcl.Parser.ofSexp(bare).isRight) runDcl(bare)
+        else if (graft.scl.Parser.ofSexp(bare).isRight) runScl(bare)
+        else runDrl(bare)
+    }
+
+  private def runDrl(s: Sexp): Either[String, Response] =
+    graft.drl.Parser.ofSexp(s).flatMap { q =>
+      for {
+        _ <- graft.drl.Gate.admit(catalog, q)
+        df <- graft.drl.Compiler.compile(spark, catalog, q)
+      } yield QueryResult(df)
+    }
+
+  private def runDdl(s: Sexp): Either[String, Response] =
+    graft.ddl.Parser.ofSexp(s).flatMap(stmt =>
+      graft.ddl.Executor.execute(spark, dbOpt.orNull, stmt)
+        .map(transition(_, s"ok")))
+
+  private def runDml(s: Sexp): Either[String, Response] =
+    graft.dml.Parser.ofSexp(s).flatMap(stmt =>
+      graft.dml.Executor.execute(spark, db, stmt, external)
+        .map(transition(_, "ok")))
+
+  private def runIcl(s: Sexp): Either[String, Response] =
+    graft.icl.Parser.ofSexp(s).flatMap(stmt =>
+      graft.icl.Executor.execute(spark, db, stmt).map(transition(_, "ok")))
+
+  private def runDcl(s: Sexp): Either[String, Response] =
+    graft.dcl.Parser.ofSexp(s).flatMap(stmt =>
+      graft.dcl.Executor.execute(spark, store, db, stmt).map { case (newDb, msg) =>
+        // branch ops switch/advance state but are not themselves content
+        // mutations; Checkout/Merge change the current db
+        dbOpt = Some(newDb)
+        store.save(newDb)
+        Transition(msg)
+      })
+
+  private def runScl(s: Sexp): Either[String, Response] =
+    graft.scl.Parser.ofSexp(s).flatMap(stmt =>
+      graft.scl.Executor.execute(spark, catalog, cursors, dbOpt.map(_.hash).getOrElse(""), stmt)
+        .map(CursorBatch(_)))
+}
