@@ -74,7 +74,47 @@ object Compiler {
         yield Algebra.diff(lf, rf)
 
     case Take(n, src) =>
-      compile(spark, cat, src).map(Algebra.take(n))
+      virtualScanBase(src) match {
+        // Take over a (possibly renamed/projected) virtual base: bounded
+        // enumeration via the reference's deterministic generators —
+        // the reference yields the first n generator tuples here
+        // (lib/algebra.ml:305-322 over the standard.ml generators); a
+        // predicate-only treatment would misreport it as unscannable.
+        case Some(_) => compileVirtualTake(spark, n, src)
+        case None    => compile(spark, cat, src).map(Algebra.take(n))
+      }
+  }
+
+  /** The virtual relation at the base of a Rename/Project/Take chain, if
+    * any — the shapes whose bounded enumeration we support. */
+  private def virtualScanBase(q: Query): Option[VirtualRel] = q match {
+    case Base(name)        => Virtual.relations.get(name)
+    case Rename(_, inner)  => virtualScanBase(inner)
+    case Project(_, inner) => virtualScanBase(inner)
+    case Take(_, inner)    => virtualScanBase(inner)
+    case _                 => None
+  }
+
+  /** Materialize the first n tuples of a virtual base in the reference's
+    * enumeration order, then apply the surrounding Rename/Project/Take
+    * chain. Only pure column-shaping nodes are admitted above the virtual
+    * base — a Select/Join/Diff over an infinite enumeration could pull
+    * unboundedly many tuples before yielding n results, which the
+    * reference would also attempt unboundedly; we reject it instead with
+    * an explicit message. */
+  private def compileVirtualTake(spark: SparkSession, n: Int, q: Query): Either[String, DataFrame] = q match {
+    case Base(name) =>
+      val vr = Virtual.relations(name)
+      import org.apache.spark.sql.types._
+      val schema = StructType(vr.attrs.map(a => StructField(a, LongType)))
+      val rows = vr.enumerate(n).map(t => org.apache.spark.sql.Row.fromSeq(vr.attrs.map(t)))
+      Right(spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema))
+    case Rename(pairs, inner)  => compileVirtualTake(spark, n, inner).map(Algebra.rename(pairs))
+    case Project(attrs, inner) => compileVirtualTake(spark, n, inner).map(Algebra.project(attrs))
+    case Take(m, inner)        => compileVirtualTake(spark, math.min(n, m), inner).map(Algebra.take(m))
+    case other => Left(
+      s"Take over a virtual relation only supports Rename/Project/Take above the base " +
+      s"(got ${other.getClass.getSimpleName}); bound the finite side instead")
   }
 
   /** Recognize a filter subtree that denotes a virtual relation, possibly

@@ -42,7 +42,11 @@ object Hashing {
     case other => throw new IllegalArgumentException(s"unhashable type: $other")
   }
 
-  /** Canonical text encoding of one tuple (attrs sorted by name). */
+  /** Canonical text encoding of one tuple (attrs sorted by name). The
+    * length prefix is the UTF-8 BYTE length of the rendered value — the one
+    * representation identical driver-side and in [[rowHashCol]]'s
+    * `octet_length` (String.length counts UTF-16 units and Spark's `length`
+    * counts code points, which diverge on supplementary-plane chars). */
   def encodeTuple(relName: String, attrs: Seq[(String, Value)]): String = {
     val parts = attrs.sortBy(_._1).map { case (n, v) =>
       val r = v match {
@@ -51,7 +55,8 @@ object Hashing {
         case Value.StrV(s)   => s
         case Value.BoolV(b)  => b.toString
       }
-      s"$n:${v.tag}:${r.length}:$r"
+      val byteLen = r.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      s"$n:${v.tag}:$byteLen:$r"
     }
     relName + "|" + parts.mkString(";")
   }
@@ -74,7 +79,7 @@ object Hashing {
       }
       val piece = concat(
         lit(s"${f.name}:${tagOf(f.dataType)}:"),
-        length(repr).cast(StringType), lit(":"), repr)
+        octet_length(repr).cast(StringType), lit(":"), repr)
       if (i == 0) Seq(piece) else Seq(lit(";"), piece)
     }.toSeq
     sha2(concat((lit(relName + "|") +: parts): _*), 256)
@@ -82,7 +87,17 @@ object Hashing {
 
   /** Order-insensitive relation content root: element count + 4-limb
     * wrapping sum of the 256-bit row hashes. Insert/delete are O(1)
-    * limb updates; bulk computation is a single aggregation. */
+    * limb updates; bulk computation is a single aggregation.
+    *
+    * Collision posture: an additive combination of hashes is NOT
+    * collision-resistant against an adversary (generalized-birthday /
+    * lattice attacks can craft distinct row sets with equal roots), unlike
+    * the reference's sorted-concatenation root (lib/merkle.ml:41-67). State
+    * hashes here are integrity/identity checksums for honest data — change
+    * detection, snapshot identity, merge LCA — not tamper-evidence. If
+    * adversarial collision resistance is ever required, swap this for a
+    * wide homomorphic accumulator (LtHash/MuHash-style 2048-bit sum); the
+    * incremental/mergeable API stays identical. */
   final case class ContentRoot(count: Long, limbs: Vector[Long]) {
     require(limbs.length == 4)
     def add(hashHex: String): ContentRoot = combine(hashHex, 1)

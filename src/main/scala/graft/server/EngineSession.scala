@@ -31,6 +31,11 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None)
   def db: Database = dbOpt.getOrElse(
     throw new IllegalStateException("no database; run (ddl (CreateDatabase name)) first"))
 
+  /** Statements other than CreateDatabase need a current database; report
+    * its absence as a Left (the execute contract), never an exception. */
+  private def requireDb: Either[String, Database] =
+    dbOpt.toRight("NoDatabase: run (ddl (CreateDatabase name)) first")
+
   /** Catalog layering: engine relations shadow the store-backed
     * sakura:branch / sakura:head generators, which shadow the external
     * (parquet) tables. */
@@ -85,22 +90,27 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None)
     }
 
   private def runDdl(s: Sexp): Either[String, Response] =
-    graft.ddl.Parser.ofSexp(s).flatMap(stmt =>
-      graft.ddl.Executor.execute(spark, dbOpt.orNull, stmt)
-        .map(transition(_, s"ok")))
+    graft.ddl.Parser.ofSexp(s).flatMap {
+      case stmt @ graft.ddl.Statement.CreateDatabase(_) =>
+        graft.ddl.Executor.execute(spark, null, stmt).map(transition(_, s"ok"))
+      case stmt =>
+        requireDb.flatMap(cur => graft.ddl.Executor.execute(spark, cur, stmt))
+          .map(transition(_, s"ok"))
+    }
 
   private def runDml(s: Sexp): Either[String, Response] =
     graft.dml.Parser.ofSexp(s).flatMap(stmt =>
-      graft.dml.Executor.execute(spark, db, stmt, external)
+      requireDb.flatMap(cur => graft.dml.Executor.execute(spark, cur, stmt, external))
         .map(transition(_, "ok")))
 
   private def runIcl(s: Sexp): Either[String, Response] =
     graft.icl.Parser.ofSexp(s).flatMap(stmt =>
-      graft.icl.Executor.execute(spark, db, stmt).map(transition(_, "ok")))
+      requireDb.flatMap(cur => graft.icl.Executor.execute(spark, cur, stmt))
+        .map(transition(_, "ok")))
 
   private def runDcl(s: Sexp): Either[String, Response] =
     graft.dcl.Parser.ofSexp(s).flatMap(stmt =>
-      graft.dcl.Executor.execute(spark, store, db, stmt).map { case (newDb, msg) =>
+      requireDb.flatMap(cur => graft.dcl.Executor.execute(spark, store, cur, stmt)).map { case (newDb, msg) =>
         // branch ops switch/advance state but are not themselves content
         // mutations; Checkout/Merge change the current db
         dbOpt = Some(newDb)

@@ -20,6 +20,56 @@ import graft.types.Cardinality
   */
 final case class VirtualRel(name: String, attrs: List[String], cardinality: Cardinality)(
     pred: Map[String, Column] => Column) {
+
+  /** The tuple at enumeration position n (0-based), reproducing the
+    * reference's deterministic generators: triangular indexing for the
+    * strict comparisons and Cantor pairing elsewhere (reference
+    * lib/prelude/standard.ml:36-51 pair_of_nat_lt / cantor_pair_of_nat,
+    * and the per-relation generators at :53-330). Lets `Take n` over a
+    * virtual base return the same n tuples the reference's lazy generator
+    * yields, instead of failing as unscannable. */
+  def tupleAt(n: Long): Map[String, Long] = {
+    def pairLt(k: Long): (Long, Long) = { // (left, right) with left < right
+      val r = math.floor((1.0 + math.sqrt(1.0 + 8.0 * k)) / 2.0).toLong
+      (k - r * (r - 1) / 2, r)
+    }
+    def cantor(k: Long): (Long, Long) = { // all pairs (a, b)
+      val w = math.floor((math.sqrt(8.0 * k + 1.0) - 1.0) / 2.0).toLong
+      val b = k - w * (w + 1) / 2
+      (w - b, b)
+    }
+    name match {
+      case "natural_natural_less_than" =>
+        val (l, r) = pairLt(n); Map("left" -> l, "right" -> r)
+      case "natural_natural_less_than_or_equal" =>
+        val (a, b) = cantor(n); Map("left" -> math.min(a, b), "right" -> math.max(a, b))
+      case "natural_natural_greater_than" =>
+        val (l, r) = pairLt(n); Map("left" -> r, "right" -> l)
+      case "natural_natural_greater_than_or_equal" =>
+        val (a, b) = cantor(n); Map("left" -> math.max(a, b), "right" -> math.min(a, b))
+      case "natural_natural_equal" =>
+        Map("left" -> n, "right" -> n)
+      case "natural_natural_not_equal" =>
+        val (a, b) = cantor(n)
+        if (a == b) Map("left" -> a, "right" -> (b + 1)) else Map("left" -> a, "right" -> b)
+      case "natural_plus" =>
+        val (a, b) = cantor(n); Map("a" -> a, "b" -> b, "sum" -> (a + b))
+      case "natural_times" =>
+        val (a, b) = cantor(n); Map("a" -> a, "b" -> b, "product" -> (a * b))
+      case "natural_minus" =>
+        val (b, d) = cantor(n); Map("a" -> (b + d), "b" -> b, "difference" -> d)
+      case "natural_divide" =>
+        val (bIdx, qrIdx) = cantor(n)
+        val b = bIdx + 1
+        val (q, rRaw) = cantor(qrIdx)
+        val r = rRaw % b
+        Map("a" -> (b * q + r), "b" -> b, "quotient" -> q, "remainder" -> r)
+      case other => throw new IllegalStateException(s"no enumeration for $other")
+    }
+  }
+
+  /** First n tuples in enumeration order (reference generator drain). */
+  def enumerate(n: Int): Seq[Map[String, Long]] = (0L until n.toLong).map(tupleAt)
   /** Membership predicate over a full binding of the relation's attributes. */
   def predicate(binding: Map[String, Column]): Column = {
     val nonNeg = attrs.map(a => binding(a) >= 0).reduce(_ && _)

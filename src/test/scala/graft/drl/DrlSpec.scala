@@ -131,9 +131,27 @@ class DrlSpec extends SparkTestBase {
     assert(r == Seq(Row(1L, 2L, 3L)))
   }
 
-  test("scanning a virtual relation fails at compile with a clear error") {
-    val res = Compiler.run(spark, cat, "(Take 3 (Base natural_plus))")
+  test("Take over a virtual base enumerates in the reference's order") {
+    // natural_plus enumerates via Cantor pairing (reference
+    // lib/prelude/standard.ml:163-199): positions 0,1,2 → (0,0,0),(1,0,1),(0,1,1)
+    assert(run("(Take 3 (Base natural_plus))") ==
+      Seq(Row(0L, 0L, 0L), Row(1L, 0L, 1L), Row(0L, 1L, 1L)))
+    // less_than uses triangular indexing (standard.ml:36-41,53-70)
+    assert(run("(Take 3 (Base natural_natural_less_than))") ==
+      Seq(Row(0L, 1L), Row(0L, 2L), Row(1L, 2L)))
+    // column shaping above the virtual base still works
+    assert(run("(Project (sum) (Rename ((a x)) (Take 2 (Base natural_plus))))") ==
+      Seq(Row(0L), Row(1L)))
+    // every enumerated tuple satisfies the relation's own membership predicate
+    val vr = graft.virtual.Virtual.relations("natural_divide")
+    vr.enumerate(50).foreach(t => assert(vr.ground(t), s"bad tuple $t"))
+  }
+
+  test("Take over Select-of-virtual is rejected with a clear error") {
+    val res = Compiler.run(spark, cat,
+      "(Take 3 (Select (Const ((a (Int 1)))) (Base natural_plus)))")
     assert(res.isLeft)
+    assert(res.swap.exists(_.contains("virtual")))
   }
 
   test("unknown base relation is a compile error") {

@@ -41,6 +41,15 @@ class HashingSpec extends SparkTestBase {
     assert(hashes.toSeq == expected)
   }
 
+  test("rowHashCol matches tupleHash on non-BMP strings (UTF-8 byte length prefix)") {
+    // "🚀" is U+1F680: 2 UTF-16 units, 1 code point, 4 UTF-8 bytes — the
+    // three length notions all differ, so any mixed convention diverges.
+    val s = "a🚀bé" // ascii + supplementary + latin-1
+    val df = Seq(Tuple1(s)).toDF("t")
+    val colHash = df.select(Hashing.rowHashCol("r", df.schema)).head().getString(0)
+    assert(colHash == Hashing.tupleHash("r", Seq("t" -> Value.StrV(s))))
+  }
+
   test("rowHashCol normalizes int widths") {
     val narrow = Seq(Tuple1(5)).toDF("x") // IntegerType
     val wide = Seq(Tuple1(5L)).toDF("x")  // LongType
