@@ -56,14 +56,37 @@ final class Store {
 }
 
 /** Structural delta between two database states
-  * (reference lib/management/diff.ml:29-70), with tuple-level deltas as
-  * DataFrames — hash-set algebra becomes anti-joins, which is the
+  * (reference lib/management/diff.ml:29-70).
+  *
+  * Tuple-level deltas are [[Delta]]s: when both versions hold Local
+  * extensions (the protocol-op regime) the delta is literal row-hash set
+  * algebra on the driver — the reference's own formulation
+  * (diff.ml computes added/removed hash sets) with zero Spark jobs.
+  * Distributed versions produce lazy anti-join DataFrames — the
   * formulation that survives at scale. */
 object Diff {
+  import scala.collection.immutable.VectorMap
+  import scala.jdk.CollectionConverters._
+  import org.apache.spark.sql.types.StructType
+  import graft.engine.Extension
+
+  /** Row set as either a local hash→row map or a lazy DataFrame. */
+  final case class Delta(ext: Extension, struct: StructType) {
+    def df: DataFrame = ext match {
+      case Extension.Local(rows) =>
+        org.apache.spark.sql.SparkSession.active.createDataFrame(rows.values.toSeq.asJava, struct)
+      case Extension.Dist(d) => d
+    }
+    def local: Option[VectorMap[String, Row]] = ext match {
+      case Extension.Local(rows) => Some(rows)
+      case _                     => None
+    }
+  }
+
   sealed trait RelationDiff { def name: String }
   final case class RelationAdded(rel: StoredRelation) extends RelationDiff { def name: String = rel.name }
   final case class RelationRemoved(name: String) extends RelationDiff
-  final case class RelationModified(name: String, added: DataFrame, removed: DataFrame,
+  final case class RelationModified(name: String, added: Delta, removed: Delta,
       schemaChanged: Boolean) extends RelationDiff
 
   def diff(ancestor: Database, target: Database): Seq[RelationDiff] = {
@@ -77,11 +100,20 @@ object Diff {
           else if (a.schema != t.schema)
             // disjoint hash-spaces: everything moved (reference computes the
             // same via value-encoding hashes)
-            Some(RelationModified(name, added = t.df, removed = a.df, schemaChanged = true))
-          else
-            Some(RelationModified(name,
-              added = Algebra.diff(t.df, a.df), removed = Algebra.diff(a.df, t.df),
-              schemaChanged = false))
+            Some(RelationModified(name, added = Delta(t.ext, t.struct),
+              removed = Delta(a.ext, a.struct), schemaChanged = true))
+          else (a.localRows, t.localRows) match {
+            case (Some(ar), Some(tr)) =>
+              Some(RelationModified(name,
+                added = Delta(Extension.Local(tr.filter { case (h, _) => !ar.contains(h) }), t.struct),
+                removed = Delta(Extension.Local(ar.filter { case (h, _) => !tr.contains(h) }), a.struct),
+                schemaChanged = false))
+            case _ =>
+              Some(RelationModified(name,
+                added = Delta(Extension.Dist(Algebra.diff(t.df, a.df)), t.struct),
+                removed = Delta(Extension.Dist(Algebra.diff(a.df, t.df)), a.struct),
+                schemaChanged = false))
+          }
         case (None, None) => None
       }
     }
@@ -166,32 +198,66 @@ object Merge {
                   else fromDb.relations.getOrElse(name, base)
                 Engine.updateState(db, db.relations.updated(name, winner))
               } else {
-                var merged = Algebra.diff(distinctUnion(base.df, lAdd), lRem)
-                rMod match {
-                  case Some(Diff.RelationModified(_, rAdd, rRem, _)) =>
-                    val conflicts = distinctUnion(intersect(lAdd, rRem), intersect(lRem, rAdd))
-                    val nConf = conflicts.count()
-                    if (nConf > 0) {
-                      tupleConflicts(name) = nConf
-                      strategy match {
-                        case PreferLeft =>
-                          merged = Algebra.diff(
-                            distinctUnion(merged, Algebra.diff(rAdd, conflicts)),
-                            Algebra.diff(rRem, conflicts))
-                        case PreferRight =>
-                          merged = Algebra.diff(
-                            distinctUnion(Algebra.diff(merged, conflicts), rAdd), rRem)
-                        case RevertToAncestor =>
-                          merged = Algebra.diff(merged, conflicts)
-                      }
-                    } else {
-                      merged = Algebra.diff(distinctUnion(merged, rAdd), rRem)
+                val localInputs = (base.localRows, lAdd.local, lRem.local,
+                  rMod.map(m => (m.added.local, m.removed.local)))
+                localInputs match {
+                  // All row sets driver-local: the reference's hash-set
+                  // merge rules verbatim (merge.ml:95-171), zero Spark jobs.
+                  case (Some(baseRows), Some(la), Some(lr),
+                        rm @ (None | Some((Some(_), Some(_))))) =>
+                    var merged = (baseRows ++ la).removedAll(lr.keys)
+                    rm match {
+                      case Some((Some(ra), Some(rr))) =>
+                        val conflictKeys = (la.keySet & rr.keySet) | (lr.keySet & ra.keySet)
+                        if (conflictKeys.nonEmpty) {
+                          tupleConflicts(name) = conflictKeys.size.toLong
+                          strategy match {
+                            case PreferLeft =>
+                              merged = (merged ++ ra.removedAll(conflictKeys))
+                                .removedAll(rr.keySet.diff(conflictKeys))
+                            case PreferRight =>
+                              merged = (merged.removedAll(conflictKeys) ++ ra)
+                                .removedAll(rr.keySet)
+                            case RevertToAncestor =>
+                              merged = merged.removedAll(conflictKeys)
+                          }
+                        } else merged = (merged ++ ra).removedAll(rr.keySet)
+                      case _ => ()
                     }
-                  case _ => ()
+                    val root = merged.keysIterator
+                      .foldLeft(Hashing.ContentRoot.empty)(_.add(_))
+                    Engine.updateState(db, db.relations.updated(name,
+                      base.copy(ext = graft.engine.Extension.Local(merged), root = root)))
+
+                  // Any distributed row set: anti-join/union algebra.
+                  case _ =>
+                    var merged = Algebra.diff(distinctUnion(base.df, lAdd.df), lRem.df)
+                    rMod match {
+                      case Some(Diff.RelationModified(_, rAdd, rRem, _)) =>
+                        val conflicts = distinctUnion(intersect(lAdd.df, rRem.df), intersect(lRem.df, rAdd.df))
+                        val nConf = conflicts.count()
+                        if (nConf > 0) {
+                          tupleConflicts(name) = nConf
+                          strategy match {
+                            case PreferLeft =>
+                              merged = Algebra.diff(
+                                distinctUnion(merged, Algebra.diff(rAdd.df, conflicts)),
+                                Algebra.diff(rRem.df, conflicts))
+                            case PreferRight =>
+                              merged = Algebra.diff(
+                                distinctUnion(Algebra.diff(merged, conflicts), rAdd.df), rRem.df)
+                            case RevertToAncestor =>
+                              merged = Algebra.diff(merged, conflicts)
+                          }
+                        } else {
+                          merged = Algebra.diff(distinctUnion(merged, rAdd.df), rRem.df)
+                        }
+                      case _ => ()
+                    }
+                    val root = Hashing.contentRootOf(merged, base.rowHash)
+                    Engine.updateState(db, db.relations.updated(name,
+                      base.copy(ext = graft.engine.Extension.Dist(merged), root = root)))
                 }
-                val root = Hashing.contentRootOf(merged, base.rowHash)
-                Engine.updateState(db, db.relations.updated(name,
-                  base.copy(df = merged, root = root)))
               }
           }
       }

@@ -1,6 +1,7 @@
 package graft.engine
 
-import scala.collection.immutable.ListMap
+import scala.collection.immutable.{ListMap, VectorMap}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,21 +10,57 @@ import graft.hashing.Hashing.ContentRoot
 import graft.icl.Body
 import graft.types.{Domain, RelSchema, Value}
 
+/** How a stored relation's extension is held — the engine's analogue of
+  * Spark's broadcast-threshold decision, chosen per relation by size:
+  *
+  *  - [[Extension.Local]]: a driver-resident insertion-ordered
+  *    row-hash → row map. Single-tuple protocol ops (insert/delete/
+  *    duplicate check), constraint membership checks, and DCL diff/merge
+  *    become O(1)/O(n) driver operations with ZERO Spark jobs — the same
+  *    regime the reference's in-memory backend lives in permanently. As a
+  *    DataFrame it is a LocalTableScan, which Catalyst broadcasts freely.
+  *  - [[Extension.Dist]]: a lazy DataFrame plan. Everything stays set-wise
+  *    (anti-joins, aggregations) — the only formulation that survives when
+  *    a bulk insert pulls 10^9 rows from parquet.
+  *
+  * A relation is promoted Local→Dist the moment a bulk operation would
+  * push it past [[Engine.LocalThreshold]] rows; it never demotes.
+  */
+sealed trait Extension
+object Extension {
+  final case class Local(rows: VectorMap[String, Row]) extends Extension
+  final case class Dist(df: DataFrame) extends Extension
+  val emptyLocal: Local = Local(VectorMap.empty)
+}
+
 /** A stored relation: declared schema + current extension + incremental
   * content root + named constraints (reference lib/relation.ml:31-42).
-  * The DataFrame holds exactly the declared columns; stored relations are
+  * The extension holds exactly the declared columns; stored relations are
   * genuine sets (duplicate inserts are rejected) and never contain nulls.
   */
 final case class StoredRelation(
     name: String,
     schema: RelSchema,
     struct: StructType,
-    df: DataFrame,
+    ext: Extension,
     root: ContentRoot,
     constraints: ListMap[String, Body] = ListMap.empty) {
   def relHash: String = Hashing.relationHash(name, schema, root)
   def rowHash: Column = Hashing.rowHashCol(name, struct)
   def cardinality: Long = root.count
+
+  /** The extension as a DataFrame (a LocalTableScan for Local relations —
+    * cheap to build, broadcastable by Catalyst). */
+  def df: DataFrame = ext match {
+    case Extension.Local(rows) =>
+      SparkSession.active.createDataFrame(rows.values.toSeq.asJava, struct)
+    case Extension.Dist(d) => d
+  }
+
+  def localRows: Option[VectorMap[String, Row]] = ext match {
+    case Extension.Local(rows) => Some(rows)
+    case _                     => None
+  }
 }
 
 final case class DeferredEntry(constraintName: String, relationName: String, body: Body)
@@ -57,6 +94,13 @@ final case class Database(
   * per-row failure aborts the whole statement there too.
   */
 object Engine {
+
+  /** Row count above which a relation's extension graduates from a
+    * driver-local map to a distributed DataFrame plan (see [[Extension]]).
+    * Analogous to spark.sql.autoBroadcastJoinThreshold: ~10^5 rows of
+    * protocol-sized tuples is a few MB of driver heap, far below what a
+    * broadcast would ship anyway. */
+  val LocalThreshold = 100000
 
   // ---- schema / value admission (reference build_membership_criteria,
   // lib/manipulation.ml:20-33: integer/natural/string enforced, anything
@@ -123,7 +167,10 @@ object Engine {
   // ---- tuple lifecycle (reference lib/manipulation.ml:524-614) ----
 
   /** Insert one tuple: membership criteria → named constraints →
-    * duplicate rejection → new state → cascade recheck. */
+    * duplicate rejection → new state → cascade recheck. On a Local
+    * relation the duplicate check is an O(1) driver map probe — no Spark
+    * job; on a Dist relation it is one filtered scan with attribute
+    * predicates pushed to the source. */
   def createTuple(spark: SparkSession, db: Database, relName: String,
       attrs: Seq[(String, Value)]): Either[String, Database] =
     for {
@@ -131,11 +178,17 @@ object Engine {
       coerced <- coerce(db, rel, attrs)
       _ <- graft.icl.Runtime.validateInsert(spark, db, rel, coerced)
       h = Hashing.tupleHash(relName, coerced)
-      _ <- if (rel.root.count > 0 && !rel.df.filter(eqPredicate(coerced)).isEmpty)
-             Left(s"DuplicateTuple: $h") else Right(())
-      newRel = rel.copy(
-        df = rel.df.unionAll(spark.createDataFrame(java.util.List.of(rowOf(coerced)), rel.struct)),
-        root = rel.root.add(h))
+      newExt <- rel.ext match {
+        case Extension.Local(rows) =>
+          if (rows.contains(h)) Left(s"DuplicateTuple: $h")
+          else Right(Extension.Local(rows.updated(h, rowOf(coerced))))
+        case Extension.Dist(d) =>
+          if (rel.root.count > 0 && !d.filter(eqPredicate(coerced)).isEmpty)
+            Left(s"DuplicateTuple: $h")
+          else Right(Extension.Dist(
+            d.unionAll(spark.createDataFrame(java.util.List.of(rowOf(coerced)), rel.struct))))
+      }
+      newRel = rel.copy(ext = newExt, root = rel.root.add(h))
       newDb = updateRelation(db, newRel)
       _ <- cascadeIfNeeded(spark, newDb, relName, coerced, "insert")
     } yield newDb
@@ -163,9 +216,16 @@ object Engine {
       rel <- db.relation(relName)
       coerced <- coerce(db, rel, attrs)
       h = Hashing.tupleHash(relName, coerced)
-      _ <- if (rel.root.count == 0 || rel.df.filter(eqPredicate(coerced)).isEmpty)
-             Left(s"TupleNotFound: $h") else Right(())
-      newRel = rel.copy(df = rel.df.filter(!eqPredicate(coerced)), root = rel.root.remove(h))
+      newExt <- rel.ext match {
+        case Extension.Local(rows) =>
+          if (!rows.contains(h)) Left(s"TupleNotFound: $h")
+          else Right(Extension.Local(rows.removed(h)))
+        case Extension.Dist(d) =>
+          if (rel.root.count == 0 || d.filter(eqPredicate(coerced)).isEmpty)
+            Left(s"TupleNotFound: $h")
+          else Right(Extension.Dist(d.filter(!eqPredicate(coerced))))
+      }
+      newRel = rel.copy(ext = newExt, root = rel.root.remove(h))
       newDb = updateRelation(db, newRel)
       _ <- cascadeIfNeeded(spark, newDb, relName, coerced, "delete")
     } yield newDb
@@ -198,12 +258,42 @@ object Engine {
     else Left("ConstraintViolation: result does not satisfy membership criteria")
   }
 
+  /** Driver-side membership criteria for one collected row: no nulls,
+    * every value admitted by its declared domain (the per-row mirror of
+    * [[bulkValidate]]). Returns the coerced attribute list. */
+  private def validateLocalRow(db: Database, rel: StoredRelation, r: Row)
+      : Either[String, Seq[(String, Value)]] = {
+    var i = 0
+    while (i < rel.struct.fields.length) {
+      if (r.isNullAt(i)) return Left(
+        "ConstraintViolation: result does not satisfy membership criteria " +
+          s"(${rel.struct.fields(i).name} is null)")
+      i += 1
+    }
+    val attrs = rowToAttrs(rel, r)
+    attrs.find { case (a, v) =>
+      val domName = rel.schema.attrs.find(_._1 == a).map(_._2).getOrElse("string")
+      db.domains.get(domName).exists(d => !admits(d, v))
+    } match {
+      case Some((a, _)) => Left(
+        s"ConstraintViolation: result does not satisfy membership criteria ($a)")
+      case None => Right(attrs)
+    }
+  }
+
   /** Bulk insert of a query result (reference InsertFrom semantics:
     * sequential create_tuples over the materialized result,
     * lib/dml/executor.ml:89-97 — same outcome set-wise because any
     * duplicate or violation aborts the statement). Falls back to the
     * sequential path when the relation carries constraints, preserving
-    * row-at-a-time constraint visibility. */
+    * row-at-a-time constraint visibility.
+    *
+    * Size dispatch: the result is probed with a LocalThreshold+1-row
+    * collect (one job). A small result is validated, hashed, and
+    * dup-checked entirely driver-side; a large one takes the set-wise
+    * DataFrame path (aggregation dup-check, anti-join clash check, one
+    * distributed content-root aggregation) and promotes the relation to a
+    * Dist extension. */
   def insertFrom(spark: SparkSession, db: Database, relName: String,
       src: DataFrame): Either[String, Database] =
     for {
@@ -213,25 +303,77 @@ object Engine {
         if (rel.constraints.nonEmpty)
           createTuples(spark, db, relName,
             conformed.collect().toSeq.map(r => rowToAttrs(rel, r)))
-        else
-          for {
-            _ <- bulkValidate(db, rel, conformed)
-            hashed = conformed.withColumn("__rh", rel.rowHash)
-            _ <- {
-              val dupIn = hashed.groupBy(col("__rh")).count().filter(col("count") > 1).limit(1)
-              if (dupIn.isEmpty) Right(()) else Left("DuplicateTuple: duplicate row in inserted result")
-            }
-            _ <- {
-              if (rel.root.count == 0) Right(())
-              else {
-                val clash = conformed.join(rel.df, rel.schema.attrNames.map(a => conformed(a) <=> rel.df(a)).reduce(_ && _), "left_semi").limit(1)
-                if (clash.isEmpty) Right(()) else Left("DuplicateTuple: row already present")
-              }
-            }
-            srcRoot = Hashing.contentRootOf(conformed, rel.rowHash)
-            newRel = rel.copy(df = rel.df.unionAll(conformed), root = rel.root.merge(srcRoot))
-          } yield updateRelation(db, newRel)
+        else {
+          val probe = conformed.limit(LocalThreshold + 1).collect()
+          if (probe.length <= LocalThreshold) insertRowsLocal(db, rel, probe.toSeq)
+          else insertFromDist(spark, db, rel, conformed)
+        }
     } yield db2
+
+  /** Small-result insert: all validation/hashing/dup-checking on the
+    * driver; zero additional Spark jobs. */
+  private def insertRowsLocal(db: Database, rel: StoredRelation, rows: Seq[Row])
+      : Either[String, Database] = {
+    val hashed = new scala.collection.mutable.LinkedHashMap[String, Row]()
+    for (r <- rows) {
+      validateLocalRow(db, rel, r) match {
+        case Left(e) => return Left(e)
+        case Right(attrs) =>
+          val h = Hashing.tupleHash(rel.name, attrs)
+          if (hashed.contains(h))
+            return Left("DuplicateTuple: duplicate row in inserted result")
+          hashed(h) = r
+      }
+    }
+    rel.ext match {
+      case Extension.Local(existing) =>
+        hashed.keysIterator.find(existing.contains) match {
+          case Some(_) => Left("DuplicateTuple: row already present")
+          case None =>
+            val merged = hashed.foldLeft(existing) { case (m, (h, r)) => m.updated(h, r) }
+            val root = hashed.keysIterator.foldLeft(rel.root)(_.add(_))
+            if (merged.size > LocalThreshold) {
+              // crossed the threshold: graduate to a distributed plan
+              val df = SparkSession.active.createDataFrame(merged.values.toSeq.asJava, rel.struct)
+              Right(updateRelation(db, rel.copy(ext = Extension.Dist(df), root = root)))
+            } else
+              Right(updateRelation(db, rel.copy(ext = Extension.Local(merged), root = root)))
+        }
+      case Extension.Dist(d) =>
+        // small batch into a large relation: one anti-join clash probe
+        val batchDf = SparkSession.active.createDataFrame(rows.asJava, rel.struct)
+        val clash = batchDf.join(d,
+          rel.schema.attrNames.map(a => batchDf(a) <=> d(a)).reduce(_ && _), "left_semi").limit(1)
+        if (!clash.isEmpty) Left("DuplicateTuple: row already present")
+        else {
+          val root = hashed.keysIterator.foldLeft(rel.root)(_.add(_))
+          Right(updateRelation(db, rel.copy(ext = Extension.Dist(d.unionAll(batchDf)), root = root)))
+        }
+    }
+  }
+
+  /** Large-result insert: set-wise validation and dup-checks, one
+    * distributed content-root aggregation. */
+  private def insertFromDist(spark: SparkSession, db: Database, rel: StoredRelation,
+      conformed: DataFrame): Either[String, Database] =
+    for {
+      _ <- bulkValidate(db, rel, conformed)
+      hashed = conformed.withColumn("__rh", rel.rowHash)
+      _ <- {
+        val dupIn = hashed.groupBy(col("__rh")).count().filter(col("count") > 1).limit(1)
+        if (dupIn.isEmpty) Right(()) else Left("DuplicateTuple: duplicate row in inserted result")
+      }
+      _ <- {
+        if (rel.root.count == 0) Right(())
+        else {
+          val cur = rel.df
+          val clash = conformed.join(cur, rel.schema.attrNames.map(a => conformed(a) <=> cur(a)).reduce(_ && _), "left_semi").limit(1)
+          if (clash.isEmpty) Right(()) else Left("DuplicateTuple: row already present")
+        }
+      }
+      srcRoot = Hashing.contentRootOf(conformed, rel.rowHash)
+      newRel = rel.copy(ext = Extension.Dist(rel.df.unionAll(conformed)), root = rel.root.merge(srcRoot))
+    } yield updateRelation(db, newRel)
 
   private[graft] def rowToAttrs(rel: StoredRelation, r: Row): Seq[(String, Value)] =
     rel.struct.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
@@ -248,7 +390,10 @@ object Engine {
   /** Delete all target rows that semijoin-match the predicate relation on
     * their common attributes (reference DeleteWhere,
     * lib/dml/executor.ml:98-126). Set-wise: the matched row-set is
-    * removed via anti-join; the reference retracts row-by-row. */
+    * removed via anti-join; the reference retracts row-by-row. A Local
+    * relation collects the (rel-bounded) match set in one job and
+    * subtracts it driver-side; a Dist relation keeps the anti-join plan
+    * plus one content-root aggregation. */
   def deleteWhere(spark: SparkSession, db: Database, relName: String,
       pred: DataFrame): Either[String, Database] =
     for {
@@ -256,21 +401,35 @@ object Engine {
       common = rel.schema.attrNames.filter(pred.columns.contains)
       toDelete = graft.core.Algebra.project(rel.schema.attrNames)(
         graft.core.Algebra.equijoin(common, rel.df, pred)).distinct()
-      delRoot = Hashing.contentRootOf(toDelete, rel.rowHash)
-      newRel = rel.copy(df = graft.core.Algebra.diff(rel.df, toDelete),
-        root = rel.root.subtract(delRoot))
+      res <- rel.ext match {
+        case Extension.Local(rows) =>
+          val removed = toDelete.collect().toSeq // subset of rel's own rows
+          val keys = removed.map(r => Hashing.tupleHash(rel.name, rowToAttrs(rel, r)))
+            .filter(rows.contains)
+          val root = keys.foldLeft(rel.root)(_.remove(_))
+          Right((rel.copy(ext = Extension.Local(rows.removedAll(keys)), root = root), removed))
+        case Extension.Dist(d) =>
+          val delRoot = Hashing.contentRootOf(toDelete, rel.rowHash)
+          Right((rel.copy(ext = Extension.Dist(graft.core.Algebra.diff(d, toDelete)),
+            root = rel.root.subtract(delRoot)), Seq.empty[Row]))
+      }
+      (newRel, removedRows) = res
       newDb = updateRelation(db, newRel)
-      _ <- cascadeAll(spark, newDb, relName, toDelete, rel)
+      _ <- cascadeAll(spark, newDb, relName, removedRows, toDelete, rel)
     } yield newDb
 
   /** Run the delete cascade for each removed row (no-op when no relation
-    * carries constraints). */
+    * carries constraints). `removedRows` is pre-collected on the Local
+    * path; the Dist path collects only when a constraint actually cares. */
   private def cascadeAll(spark: SparkSession, db: Database, relName: String,
-      removed: DataFrame, rel: StoredRelation): Either[String, Unit] = {
+      removedRows: Seq[Row], removedDf: DataFrame, rel: StoredRelation): Either[String, Unit] = {
     val anyConstraintCares = db.relations.values.exists(_.constraints.nonEmpty)
     if (!anyConstraintCares) Right(())
-    else removed.collect().toSeq.foldLeft(Right(()): Either[String, Unit]) { (acc, r) =>
-      acc.flatMap(_ => graft.icl.Runtime.cascade(spark, db, relName, rowToAttrs(rel, r), "delete"))
+    else {
+      val rows = if (removedRows.nonEmpty) removedRows else removedDf.collect().toSeq
+      rows.foldLeft(Right(()): Either[String, Unit]) { (acc, r) =>
+        acc.flatMap(_ => graft.icl.Runtime.cascade(spark, db, relName, rowToAttrs(rel, r), "delete"))
+      }
     }
   }
 
@@ -310,22 +469,23 @@ object Engine {
       schema: RelSchema): Either[String, Database] =
     if (db.relations.contains(name)) Left(s"RelationAlreadyExists: $name")
     else structOf(db, schema).map { struct =>
-      val rel = StoredRelation(name, schema, struct,
-        spark.createDataFrame(java.util.List.of[Row](), struct), ContentRoot.empty)
+      val rel = StoredRelation(name, schema, struct, Extension.emptyLocal, ContentRoot.empty)
       updateRelation(db, rel)
     }
 
   /** Driver-side seeding of known-distinct tuples (bootstrap only — no
-    * per-row Spark jobs). */
+    * Spark involvement at all). */
   private def seedRelation(spark: SparkSession, db: Database, name: String,
       tuples: Seq[Seq[(String, Value)]]): Database = {
     val rel = db.relations(name)
-    val coerced = tuples.map(t => coerce(db, rel, t).fold(e => throw new IllegalStateException(e), identity))
-    val rows: Seq[Row] = coerced.map(rowOf)
-    val root = coerced.foldLeft(rel.root)((r, t) => r.add(Hashing.tupleHash(name, t)))
-    import scala.jdk.CollectionConverters._
-    val newRel = rel.copy(df = rel.df.unionAll(spark.createDataFrame(rows.asJava, rel.struct)), root = root)
-    updateRelation(db, newRel)
+    val existing = rel.localRows.getOrElse(
+      throw new IllegalStateException(s"seedRelation on non-local $name"))
+    val merged = tuples.foldLeft((existing, rel.root)) { case ((m, r), t) =>
+      val coerced = coerce(db, rel, t).fold(e => throw new IllegalStateException(e), identity)
+      val h = Hashing.tupleHash(name, coerced)
+      (m.updated(h, rowOf(coerced)), r.add(h))
+    }
+    updateRelation(db, rel.copy(ext = Extension.Local(merged._1), root = merged._2))
   }
 
   /** Fresh database with the four prelude domains and the seeded system
@@ -397,9 +557,7 @@ object Engine {
     * rows stay (reference clear_relation, lib/manipulation.ml:853-879). */
   def clearRelation(spark: SparkSession, db: Database, name: String): Either[String, Database] =
     db.relation(name).map { rel =>
-      updateRelation(db, rel.copy(
-        df = spark.createDataFrame(java.util.List.of[Row](), rel.struct),
-        root = ContentRoot.empty))
+      updateRelation(db, rel.copy(ext = Extension.emptyLocal, root = ContentRoot.empty))
     }
 
   /** Register a domain + catalog row (reference register_domain,

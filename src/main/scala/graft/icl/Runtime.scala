@@ -20,6 +20,22 @@ object Runtime {
     * (the reference's documented O(n) scan, docs/icl-quantification.org:
     * 85-91, distributed). Membership on a virtual relation is a driver-side
     * arithmetic check — no job at all. */
+  /** Does the row's cell for field `f` equal the bound literal? Mirrors
+    * the Column predicate `col(a) === v.lit` driver-side (with the same
+    * Int-widens-to-Double coercion Spark applies). */
+  private def cellMatches(f: org.apache.spark.sql.types.StructField, cell: Any, v: Value): Boolean =
+    (f.dataType, v) match {
+      case (org.apache.spark.sql.types.DoubleType, Value.IntV(i)) => cell == i.toDouble
+      case _ => cell == v.any
+    }
+
+  private def localMatches(rel: StoredRelation, row: org.apache.spark.sql.Row,
+      bound: Seq[(String, Value)]): Boolean =
+    bound.forall { case (a, v) =>
+      val i = rel.struct.fieldIndex(a)
+      cellMatches(rel.struct.fields(i), row.get(i), v)
+    }
+
   def context(spark: SparkSession, db: Database): Eval.Ctx = Eval.Ctx(
     checkMembership = (relName, bound) =>
       Virtual.relations.get(relName) match {
@@ -32,18 +48,25 @@ object Runtime {
             case Some(rel) =>
               val schemaAttrs = rel.schema.attrNames.toSet
               bound.nonEmpty && bound.forall { case (a, _) => schemaAttrs.contains(a) } &&
-                rel.root.count > 0 && {
-                  val cond = bound.map { case (a, v) => col(s"`$a`") === v.lit }.reduce(_ && _)
-                  !rel.df.filter(cond).isEmpty
-                }
+                rel.root.count > 0 && (rel.localRows match {
+                  // Local extension: the reference's documented O(n) scan
+                  // (docs/icl-quantification.org:85-91), driver-side, no job
+                  case Some(rows) => rows.valuesIterator.exists(localMatches(rel, _, bound))
+                  case None =>
+                    val cond = bound.map { case (a, v) => col(s"`$a`") === v.lit }.reduce(_ && _)
+                    !rel.df.filter(cond).isEmpty
+                })
           }
       },
     iterateFinite = relName =>
       if (Virtual.isVirtual(relName)) None // AlephZero (reference standard.ml)
       else db.relations.get(relName).map { rel =>
         // eager materialization, as the reference does
-        // (docs/icl-quantification.org:94-109)
-        rel.df.collect().toSeq.map(r => graft.engine.Engine.rowToAttrs(rel, r))
+        // (docs/icl-quantification.org:94-109); free for Local extensions
+        rel.localRows match {
+          case Some(rows) => rows.valuesIterator.toSeq.map(r => graft.engine.Engine.rowToAttrs(rel, r))
+          case None => rel.df.collect().toSeq.map(r => graft.engine.Engine.rowToAttrs(rel, r))
+        }
       }
   )
 
@@ -81,15 +104,20 @@ object Runtime {
           else Analysis.polarityOf(cbody).get(targetRel) match {
             case Some(pol) if Analysis.triggeredBy(kind, pol) =>
               val filter = Analysis.focusedFilter(cbody, targetRel, transition)
-              val candidates =
-                if (filter.isEmpty) constrained.df
-                else {
-                  val present = filter.filter { case (a, _) => constrained.schema.attrNames.contains(a) }
-                  if (present.isEmpty) constrained.df
-                  else constrained.df.filter(present.map { case (a, v) => col(s"`$a`") === v.lit }.reduce(_ && _))
-                }
+              val present = filter.filter { case (a, _) => constrained.schema.attrNames.contains(a) }
+              val candidateRows: Seq[org.apache.spark.sql.Row] = constrained.localRows match {
+                // Local extension: focused filter applied driver-side
+                case Some(rows) =>
+                  if (present.isEmpty) rows.valuesIterator.toSeq
+                  else rows.valuesIterator.filter(localMatches(constrained, _, present)).toSeq
+                case None =>
+                  val df =
+                    if (present.isEmpty) constrained.df
+                    else constrained.df.filter(present.map { case (a, v) => col(s"`$a`") === v.lit }.reduce(_ && _))
+                  df.collect().toSeq
+              }
               val substituted = Analysis.substituteTransition(cbody, targetRel, transition)
-              candidates.collect().toSeq.foldLeft(Right(()): Either[String, Unit]) { (a3, row) =>
+              candidateRows.foldLeft(Right(()): Either[String, Unit]) { (a3, row) =>
                 a3.flatMap { _ =>
                   val tup = tupleMap(graft.engine.Engine.rowToAttrs(constrained, row))
                   Eval.firstFailure(ctx, tup, Seq(cname -> substituted)) match {
@@ -115,7 +143,11 @@ object Runtime {
         db.relations.get(entry.relationName) match {
           case None => Right(())
           case Some(rel) =>
-            rel.df.collect().toSeq.foldLeft(Right(()): Either[String, Unit]) { (a2, row) =>
+            val rows = rel.localRows match {
+              case Some(m) => m.valuesIterator.toSeq
+              case None    => rel.df.collect().toSeq
+            }
+            rows.foldLeft(Right(()): Either[String, Unit]) { (a2, row) =>
               a2.flatMap { _ =>
                 val tup = tupleMap(graft.engine.Engine.rowToAttrs(rel, row))
                 Eval.firstFailure(ctx, tup, Seq(entry.constraintName -> entry.body)) match {

@@ -61,8 +61,8 @@ class DclSpec extends SparkTestBase {
     assert(ds.length == 1)
     ds.head match {
       case Diff.RelationModified("scores", added, removed, false) =>
-        assert(added.collect().toSeq == Seq(Row("Bob", 25L)))
-        assert(removed.collect().isEmpty)
+        assert(added.df.collect().toSeq == Seq(Row("Bob", 25L)))
+        assert(removed.df.collect().isEmpty)
       case other => fail(s"unexpected diff: $other")
     }
     val db2 = Engine.createRelation(spark, db1, "extra",
