@@ -196,6 +196,34 @@ object SparkEntry {
         .filter(col("rn") === 1)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     }),
+
+    // ---- LLM-data-pipeline operators (graft.pipeline) ----
+    "dedup_exact" -> ((s, dir) =>
+      graft.pipeline.Dedup.exact(table(s, dir, "documents"), "doc_id", "text")),
+    "dedup_minhash_sig" -> ((s, dir) =>
+      graft.pipeline.Dedup.bandSignatures(table(s, dir, "documents"), "doc_id", "text")),
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      graft.pipeline.Dedup.nearDupPairs(table(s, dir, "documents"), "doc_id", "text")),
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      graft.pipeline.Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text")),
+    "dedup_simhash" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.simhash(table(s, dir, "documents"), "doc_id", "text")),
+    "text_token_stats" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.tokenStats(table(s, dir, "documents"), "doc_id", "text")),
+    "text_quality" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.quality(table(s, dir, "documents"), "doc_id", "text")),
+    "text_langid" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.langId(table(s, dir, "documents"), "doc_id", "text")),
+    "text_fingerprint" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.fingerprint(table(s, dir, "documents"), "doc_id", "text")),
+    "mm_payload_stats" -> ((s, dir) =>
+      graft.pipeline.MultiModal.payloadStats(table(s, dir, "documents"))),
+    "ann_cosine_topk" -> ((s, dir) =>
+      graft.pipeline.Ann.cosineTopK(table(s, dir, "embeddings"))),
+    "ann_lsh_buckets" -> ((s, dir) =>
+      graft.pipeline.Ann.lshBuckets(table(s, dir, "embeddings"))),
+    "ann_lsh_topk" -> ((s, dir) =>
+      graft.pipeline.Ann.lshTopK(table(s, dir, "embeddings"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -267,5 +295,21 @@ object SparkEntry {
         "SELECT event_id, user_id, event_type, value, " +
         "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn " +
         "FROM events) WHERE rn = 1"),
+
+    // ---- LLM-data-pipeline oracles (generated in lockstep with the
+    // Spark operators' constants — see graft.pipeline.Oracles) ----
+    "dedup_exact" -> graft.pipeline.Oracles.dedupExact,
+    "dedup_minhash_sig" -> graft.pipeline.Oracles.dedupMinhashSig,
+    "dedup_minhash_pairs" -> graft.pipeline.Oracles.dedupMinhashPairs,
+    "dedup_jaccard_pairs" -> graft.pipeline.Oracles.dedupJaccardPairs(0.2),
+    "dedup_simhash" -> graft.pipeline.Oracles.dedupSimhash,
+    "text_token_stats" -> graft.pipeline.Oracles.textTokenStats,
+    "text_quality" -> graft.pipeline.Oracles.textQuality,
+    "text_langid" -> graft.pipeline.Oracles.textLangId,
+    "text_fingerprint" -> graft.pipeline.Oracles.textFingerprint,
+    "mm_payload_stats" -> graft.pipeline.Oracles.mmPayloadStats,
+    "ann_cosine_topk" -> graft.pipeline.Oracles.annCosineTopK,
+    "ann_lsh_buckets" -> graft.pipeline.Oracles.annLshBuckets,
+    "ann_lsh_topk" -> graft.pipeline.Oracles.annLshTopK,
   )
 }

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  *  - Brute-force cosine top-k: the exact baseline. The (small) query set
+  *    is broadcast against the corpus — a map-side nested loop with no
+  *    shuffle of the corpus, then a per-query top-k window. At 100 TB the
+  *    corpus streams once per query batch; cost is linear in corpus size.
+  *  - Sign-random-projection LSH: 4 fixed hyperplanes → 16 buckets; ANN
+  *    candidates are same-bucket rows, turning search into an equi-join
+  *    on the bucket id (bucketed shuffle). More planes trade recall for
+  *    bucket sparsity; an IVF variant would replace the planes with
+  *    k-means centroids, same join shape.
+  *
+  * Determinism contract with the DuckDB oracle ([[Oracles]]): dot
+  * products and norms are explicit left-associated 64-term chains over
+  * double-cast elements (bit-identical IEEE evaluation in any engine —
+  * no reliance on an engine's sum order), sqrt is IEEE-exact, and
+  * similarities are rounded before ranking; ties break by vec_id.
+  */
+object Ann {
+  /** Embedding dimensionality of the testdata corpus. */
+  val Dim = 64
+  /** Hyperplane count for sign-LSH (2^Planes buckets). */
+  val Planes = 4
+  val TopK = 3
+  /** Query set: vec_id < NumQueries. */
+  val NumQueries = 10
+
+  /** Left-associated Σ a[i]·b[i] over double-cast elements. */
+  def dotChain(a: Column, b: Column): Column =
+    (1 to Dim).map(i => element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
+  /** Deterministic hyperplane weights, precomputed on the driver from
+    * sha256("plane_j_i") hex digits and inlined as LITERALS in both the
+    * Spark plan and the oracle SQL (so no cross-engine hashing is ever
+    * needed): w(j,i) = hexDigit − 7.5, a fixed pseudo-random value in
+    * [−7.5, 7.5] \ {0} — exactly representable, so both engines evaluate
+    * the identical IEEE expression. */
+  def planeWeight(j: Int, i: Int): Double = {
+    val h = graft.hashing.Hashing.sha256Hex(s"plane_${j}_$i")
+    Integer.parseInt(h.substring(0, 1), 16) - 7.5
+  }
+
+  /** Σ w(j,i)·e[i] for plane j, as a left-associated literal chain. */
+  def projection(e: Column, j: Int): Column =
+    (1 to Dim).map(i => lit(planeWeight(j, i - 1)) * element_at(e, i).cast("double"))
+      .reduce(_ + _)
+
+  /** Bucket id: the Planes-bit sign pattern of the projections. */
+  def bucket(e: Column): Column =
+    (0 until Planes).map(j => when(projection(e, j) > 0, 1 << (Planes - 1 - j)).otherwise(0))
+      .reduce(_ + _)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(dotChain(col("embedding"), col("embedding"))))
+
+  /** Exact top-k cosine neighbors for each query vector (vec_id <
+    * NumQueries), excluding self. Queries are broadcast; the corpus is
+    * scanned once. */
+  def cosineTopK(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    val q = broadcast(n.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn")))
+    val pairs = n.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dotChain(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+  }
+
+  /** Bucket census: LSH bucket id → membership stats. */
+  def lshBuckets(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), bucket(col("embedding")).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+
+  /** Approximate nearest neighbor: for each query vector, the best
+    * same-bucket neighbor by cosine. The join key is the bucket id —
+    * the bucketed scale path (recall < 1 by construction; add planes or
+    * probe neighboring buckets to trade recall vs. cost). */
+  def lshTopK(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+      .withColumn("bucket", bucket(col("embedding")))
+    val q = broadcast(n.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket").as("qb")))
+    val pairs = n.join(q, col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dotChain(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+  }
+}

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators, each in the formulation that survives 100 TB:
+  *
+  *  - exact dedup: hash-groupBy — one shuffle on the group key with
+  *    map-side partial aggregation, the canonical Spark reduction;
+  *  - MinHash + banded LSH near-dup: shingle → signature (narrow map) →
+  *    band explode → equi-join on (band, hash) — candidate generation is
+  *    a BUCKETED shuffle whose cost is Σ bucket² over colliding buckets,
+  *    never the |docs|² cross product;
+  *  - n-gram Jaccard: inverted-index formulation — explode shingles, join
+  *    on the shingle value, count co-occurrences — again an equi-join
+  *    shuffle keyed by content, with the standard hot-key caveat (a
+  *    stop-shingle frequency cap bounds the worst bucket; not applied
+  *    here because the oracle must see the exact result).
+  */
+object Dedup {
+  /** MinHash/LSH geometry, shared with the DuckDB oracle ([[Oracles]]):
+    * 24 hashes = 8 bands × 3 rows. P(candidate | J) = 1-(1-J³)⁸, i.e.
+    * ~0.03 at J=0.2 and ~0.997 at J=0.8 — an aggressive near-dup sieve. */
+  val NumHashes = 24
+  val NumBands = 8
+  val RowsPerBand = 3
+  val ShingleN = 3
+  /** Verification threshold for reported near-dup pairs. */
+  val JaccardThreshold = 0.5
+
+  /** Exact dedup by content: one surviving row per distinct key (min id),
+    * with the multiplicity that a pure dedup would drop. */
+  def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
+  /** doc → one row per DISTINCT shingle, via a typed flatMap (a JVM
+    * closure beats interpreted higher-order-function eval on the hot
+    * exploded path; the narrow map shape — no shuffle — is identical).
+    * Tokenization matches [[TextPipeline.tokens]] and the oracle:
+    * trim + split on runs of whitespace. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ss = df.sparkSession
+    import ss.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string")).as[(Long, String)]
+      .flatMap { p: (Long, String) =>
+        val ws = p._2.trim.split("\\s+")
+        if (ws.length < ShingleN) Iterator.empty[(Long, String)]
+        else ws.sliding(ShingleN).map(_.mkString(" ")).toSet.iterator.map((s: String) => (p._1, s))
+      }.toDF(idCol, "shingle")
+  }
+
+  /** doc → distinct shingle set (collect_set over [[shingleRows]]). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    shingleRows(df, idCol, textCol)
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh"))
+
+  /** doc → LSH band hashes (b0..b{NumBands-1}), one row per document.
+    *
+    * Formulated as explode → groupBy with NumHashes min-aggregates — each
+    * (doc, shingle) row computes its seed hashes exactly once inside
+    * whole-stage codegen, and the mins combine map-side before one
+    * shuffle on doc id. (The tempting nested form — array_min over a
+    * transform per signature slot — re-evaluates the whole signature per
+    * band element because higher-order functions are codegen-fallback
+    * with no subexpression elimination; measured minutes vs. seconds.)
+    *
+    * Precondition: documents have ≥ ShingleN tokens (the testdata
+    * guarantees ≥ 10); shorter docs drop out at the explode. */
+  def bandSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = shingleRows(df, idCol, textCol)
+    val minAggs = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i"))
+    val sig = ex.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until NumBands).map { b =>
+      md5(concat((0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*)).as(s"b$b")
+    }
+    sig.select(col(idCol) +: bandCols: _*)
+  }
+
+  /** Candidate pairs from band collisions: unpivot the band columns to
+    * (band, hash) rows and self-equi-join — the bucketed formulation. */
+  def minhashCandidates(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val stackExpr = (0 until NumBands).map(b => s"$b, b$b").mkString(s"stack($NumBands, ", ", ", ") AS (band, bh)")
+    val long = bandsDf.select(col(idCol), expr(stackExpr))
+    val a = long.alias("a")
+    val b = long.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** Verify candidates with exact Jaccard over the shingle sets and keep
+    * pairs at/above the threshold. The shingle-set join is two hash joins
+    * on doc id (broadcastable when the candidate set is small). */
+  def jaccardVerify(cands: DataFrame, sets: DataFrame, idCol: String): DataFrame = {
+    val sa = sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
+    val sb = sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
+    * join → Jaccard verify. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    jaccardVerify(
+      minhashCandidates(bandSignatures(df, idCol, textCol), idCol),
+      shingleSets(df, idCol, textCol), idCol)
+
+  /** Exact n-gram Jaccard pairs via the inverted index: explode shingles,
+    * self-join on the shingle, count shared shingles per pair, then
+    * J = |∩| / (|A| + |B| − |∩|). Reports pairs with J ≥ `threshold`. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.2): DataFrame = {
+    val inv = shingleRows(df, idCol, textCol)
+    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = inv.alias("a")
+    val b = inv.alias("b")
+    val co = a.join(b, col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, MinHash signatures, SimHash fingerprints,
+  * language ID, quality scoring, and document fingerprinting — all as
+  * codegen-friendly Column expressions over a text column (no UDFs), so
+  * every operator is a single narrow map stage that scales embarrassingly:
+  * no shuffle until a downstream groupBy/join, columns pruned at the scan.
+  *
+  * Cross-engine determinism (the DuckDB oracle mirrors every formula, see
+  * [[Oracles]]): hashes are md5 hex strings (identical in any engine);
+  * ratios are double divisions of integer counts rounded half-up; no
+  * transcendental functions (exp/log differ across libm implementations —
+  * sqrt alone is IEEE-correctly-rounded and allowed).
+  */
+object TextPipeline {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct word n-gram shingles (n=3): the standard near-dup unit for
+    * MinHash/Jaccard (shingling per Broder '97). Guarded so texts shorter
+    * than n tokens yield an empty set. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = tokens(text)
+    val grams = transform(sequence(lit(1), size(ws) - (n - 1)), i =>
+      concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))
+    array_distinct(when(size(ws) < n, array().cast("array<string>")).otherwise(grams))
+  }
+
+  /** Per-document 64-bit SimHash over the distinct token set, emitted as a
+    * 16-hex-char fingerprint. Each token contributes ±1 to 64 bit-scores
+    * from its md5's leading 64 bits; the fingerprint takes the sign of
+    * each score. Computed as explode → 64 conditional sums → reassembly:
+    * one shuffle on doc_id with map-side partial aggregation. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .withColumn("h", substring(md5(col("token")), 1, 16))
+    // nibble values v0..v15 of the 16 leading hex chars
+    val withNibbles = (0 until 16).foldLeft(tok) { (d, p) =>
+      d.withColumn(s"v$p", conv(substring(col("h"), p + 1, 1), 16, 10).cast("int"))
+    }
+    // bit-score sums s0..s63 (bit k = bit 3-(k%4) of nibble k/4, MSB first)
+    val sums = (0 until 64).map { k =>
+      val bit = shiftright(col(s"v${k / 4}"), 3 - k % 4).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$k")
+    }
+    val scored = withNibbles.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    // reassemble: nibble p = 8·(s_{4p}>0) + 4·(s_{4p+1}>0) + 2·(s_{4p+2}>0) + (s_{4p+3}>0)
+    val withNibbleVals = (0 until 16).foldLeft(scored) { (d, p) =>
+      val v = (0 until 4).map { j =>
+        val w = 8 >> j
+        when(col(s"s${4 * p + j}") > 0, w).otherwise(0)
+      }.reduce(_ + _)
+      d.withColumn(s"n$p", v)
+    }
+    withNibbleVals.select(col(idCol),
+      concat((0 until 16).map(p => expr(s"substr('0123456789abcdef', n$p + 1, 1)")): _*).as("simhash"))
+  }
+
+  /** Token counting statistics: counts + type-token ratio. One map stage;
+    * counts surfaced as long (the oracle engine's count type). */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      size(ws).cast("long").as("n_tokens"),
+      size(array_distinct(ws)).cast("long").as("n_distinct"),
+      round(size(array_distinct(ws)).cast("double") / size(ws), 4).as("ttr"))
+  }
+
+  /** Language-profile stopword lists for the lang-ID heuristic. Tiny,
+    * fixed, and shared verbatim with the oracle SQL. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "est"),
+    "es" -> Seq("el", "la", "los", "y", "un", "es"),
+  )
+
+  /** Count of tokens present in a fixed word list. */
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Stopword-profile language ID: score each profile by stopword hits,
+    * predict the argmax with a fixed tie-break order (the listing order of
+    * [[LangProfiles]]). A pure map — no shuffle. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = LangProfiles.foldLeft(df.select(col(idCol), toks.as("toks"))) {
+      case (d, (lang, words)) => d.withColumn(s"s_$lang", stopwordCount(col("toks"), words))
+    }
+    val langs = LangProfiles.map(_._1)
+    val pred = langs.zipWithIndex.foldRight(lit(langs.last): Column) { case ((lang, i), els) =>
+      if (i == langs.length - 1) els
+      else {
+        val beats = langs.drop(i + 1).map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
+        when(beats, lang).otherwise(els)
+      }
+    }
+    val outCols = col(idCol) +: langs.map(l => col(s"s_$l").cast("long").as(s"s_$l")) :+ pred.as("pred_lang")
+    scored.select(outCols: _*)
+  }
+
+  /** Quality scoring from length/stopword/token-shape statistics — pure
+    * rational arithmetic (cross-engine safe), one map stage. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = trim(col(textCol))
+    val toks = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      round(stopwordCount(toks, LangProfiles.head._2).cast("double") / size(toks), 4).as("stop_ratio"),
+      round(length(regexp_replace(t, "[a-z0-9 ]", "")).cast("double") / length(t), 4).as("punct_ratio"),
+      round(length(regexp_replace(t, " ", "")).cast("double") / size(toks), 4).as("mean_tok_len"))
+      .withColumn("score",
+        round(lit(0.6) * col("stop_ratio")
+          + lit(0.04) * least(col("mean_tok_len"), lit(10.0))
+          + lit(0.2) * when(col("n_tokens").between(20, 80), 1.0).otherwise(0.0), 4))
+  }
+
+  /** Document fingerprinting: full-content md5 over the normalized text
+    * (lowercase, whitespace collapsed) plus a winnowing-style min-shingle
+    * hash — the rolling-hash minimum used by near-dup sketchers. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    df.select(
+      col(idCol),
+      md5(norm).as("fp_full"),
+      array_min(transform(shingles(col(textCol)), s => md5(s))).as("fp_min"))
+  }
+}

@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operator specs over small controlled fixtures (the
+  * testdata-scale behavior is pinned by the DuckDB oracle entries in
+  * SparkEntry; these pin the operator semantics themselves). */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en"),
+    (1L, "the quick brown fox jumps over the lazy cat", "en"), // near-dup of 0
+    (2L, "completely different words appear here now always", "en"),
+    (3L, "the quick brown fox jumps over the lazy dog", "en"), // exact dup of 0
+    (4L, "tiny doc", "en"), // < 3 tokens → no shingles
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup keeps one row per distinct text with multiplicity") {
+    val r = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r(0L) == 2L) // docs 0 and 3 collapse to keeper 0
+    assert(r(1L) == 1L && r(2L) == 1L && r(4L) == 1L)
+    assert(!r.contains(3L))
+  }
+
+  test("shingleRows emits distinct word 3-grams; short docs drop out") {
+    val sh = Dedup.shingleRows(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = sh.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(0L).contains("the quick brown"))
+    assert(byDoc(0L).size == 7) // 9 tokens → 7 shingles, all distinct here
+    assert(!byDoc.contains(4L))
+    assert(byDoc(0L) == byDoc(3L))
+  }
+
+  test("minhash near-dup pipeline finds the planted pairs, never self-pairs") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact dup pair (0,3) has J=1; near-dup (0,1)/(1,3) share 6 of 8 shingles
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 1.0))
+    pairs.foreach { p =>
+      assert(p._1 < p._2)
+      assert(p._3 >= Dedup.JaccardThreshold && p._3 <= 1.0)
+    }
+  }
+
+  test("exact jaccard pairs agree with minhash-verified pairs on shared support") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.nearDupPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // LSH is a recall<=1 subset of the exact pairs at the same threshold
+    assert(lsh.subsetOf(exact))
+    assert(exact.contains((0L, 3L, 1.0)))
+  }
+
+  test("simhash: identical texts share fingerprints; near-dups are close, distinct texts differ") {
+    val fp = TextPipeline.simhash(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(fp(0L) == fp(3L))
+    assert(fp(0L).length == 16)
+    assert(fp(0L).forall("0123456789abcdef".contains(_)))
+    def hamming(a: String, b: String): Int = a.zip(b).map { case (x, y) =>
+      Integer.bitCount(Integer.parseInt(x.toString, 16) ^ Integer.parseInt(y.toString, 16))
+    }.sum
+    assert(hamming(fp(0L), fp(1L)) < hamming(fp(0L), fp(2L)))
+  }
+
+  test("token stats and quality are pure per-row arithmetic") {
+    val ts = TextPipeline.tokenStats(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(ts(0L)._1 == 9 && ts(0L)._2 == 8) // "the" repeats
+    assert(ts(0L)._3 == math.rint(8.0 / 9.0 * 10000) / 10000)
+    val q = TextPipeline.quality(docs, "doc_id", "text").collect()
+    assert(q.forall(_.getAs[Double]("stop_ratio") >= 0.0))
+    val r0 = q.find(_.getLong(0) == 0L).get
+    assert(r0.getAs[Long]("n_tokens") == 9L)
+    assert(r0.getAs[Double]("stop_ratio") == math.rint(2.0 / 9.0 * 10000) / 10000)
+  }
+
+  test("langId predicts by stopword profile with fixed tie-break") {
+    val d = Seq(
+      (0L, "the cat and the dog of the house"),  // en stopwords
+      (1L, "der hund und die katze ist da"),     // de stopwords
+      (2L, "xyzzy plugh frobozz"),               // no hits → tie → first profile
+    ).toDF("doc_id", "text")
+    val r = TextPipeline.langId(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("pred_lang"))).toMap
+    assert(r(0L) == "en")
+    assert(r(1L) == "de")
+    assert(r(2L) == "en") // tie-break order
+  }
+
+  test("fingerprint: whitespace/case-insensitive full hash, shingle min-hash") {
+    val d = Seq(
+      (0L, "Hello   World again"),
+      (1L, "hello world again"),
+    ).toDF("doc_id", "text")
+    val fp = TextPipeline.fingerprint(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2)))).toMap
+    assert(fp(0L)._1 == fp(1L)._1) // normalization collapses case+spaces
+    assert(fp(1L)._2 != null)      // min shingle hash present
+  }
+
+  test("ann: brute-force top-k is exact; lsh buckets partition; lsh top-k ⊆ brute order") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f) ++ Array.fill(62)(0.0f)),
+      (1L, Array(0.99f, 0.1f) ++ Array.fill(62)(0.0f)),   // ≈ vec 0
+      (2L, Array(-1.0f, 0.05f) ++ Array.fill(62)(0.0f)),  // opposite
+      (3L, Array(0.7f, 0.7f) ++ Array.fill(62)(0.0f)),
+    ).toDF("vec_id", "embedding")
+    val topk = Ann.cosineTopK(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val for0 = topk.filter(_._1 == 0L).sortBy(-_._3)
+    assert(for0.head._2 == 1L) // nearest to e1 is its perturbation
+    assert(for0.last._2 == 2L) // farthest is the antipode
+    val buckets = Ann.lshBuckets(vecs).collect()
+    assert(buckets.map(_.getAs[Long]("n_vecs")).sum == 4L)
+    val lsh = Ann.lshTopK(vecs).collect()
+    // any LSH answer must be a same-bucket vector with its exact brute sim
+    val bruteSims = topk.map(t => (t._1, t._2) -> t._3).toMap
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bruteSims(key) == r.getDouble(2))
+    }
+  }
+
+  test("multimodal: binary payload plumbing with stubbed decode") {
+    val body = Array[Byte](1, 2, 3, 4)
+    val enc = MultiModal.fakeEncode(640, 480, body)
+    assert(MultiModal.decodeStub(enc) == ((640, 480, "gf-image")))
+    assert(MultiModal.decodeStub(Array[Byte](9, 9)) == ((0, 0, "opaque")))
+
+    val ds = Seq(
+      MultiModal.Payload(1L, MultiModal.fakeEncode(32, 16, body)),
+      MultiModal.Payload(2L, Array[Byte](0, 0, 0)),
+    ).toDS()
+    val feats = MultiModal.extractFeatures(ds).collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).width == 32 && feats(1L).height == 16 && feats(1L).kind == "gf-image")
+    assert(feats(1L).n_bytes == 6L + body.length)
+    assert(feats(2L).kind == "opaque" && feats(2L).width == 0)
+
+    val stats = MultiModal.payloadStats(docs.withColumn("source", lit("s"))).collect()
+    assert(stats.length == docs.count())
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_bytes") > 0)
+      assert(r.getAs[String]("checksum").length == 32)
+    }
+  }
+
+  test("band signatures are deterministic across invocations") {
+    val a = Dedup.bandSignatures(docs, "doc_id", "text").collect().map(_.toSeq).toSet
+    val b = Dedup.bandSignatures(docs, "doc_id", "text").collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a.forall(_.length == 1 + Dedup.NumBands))
+  }
+}
