@@ -31,6 +31,9 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None)
   def db: Database = dbOpt.getOrElse(
     throw new IllegalStateException("no database; run (ddl (CreateDatabase name)) first"))
 
+  /** Current database, if one has been created (listener rendering). */
+  def current: Option[Database] = dbOpt
+
   /** Statements other than CreateDatabase need a current database; report
     * its absence as a Left (the execute contract), never an exception. */
   private def requireDb: Either[String, Database] =

@@ -1,0 +1,163 @@
+package graft.server
+
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import graft.catalog.Catalog
+import graft.sexp.Sexp
+import graft.sexp.Sexp.{Atom, SList}
+
+/** TCP sexp listener — the reference's wire protocol surface
+  * (reference lib/listener.ml:95-187): one OS thread per connection, a
+  * shared head database, responses rendered as tagged sexps with the
+  * 16-row query cap.
+  *
+  * Response forms mirror lib/listener.ml:95-130:
+  *  - `(error <message>)`
+  *  - `(relation (schema ((attr type)...)) (rows (((attr (Tag v))...)...))
+  *     (row_count n) (truncated bool) (db_hash h) (db_name n) (branch b))`
+  *  - `(ok (message m) (db_hash h) (db_name n) (branch b))`
+  *  - `(cursor (id c) (rows ...) (row_count n) (has_more bool)
+  *     (db_hash h) (db_name n) (branch b))`
+  *
+  * Concurrency: the reference CASes a process-global head database and is
+  * effectively single-writer (lib/listener.ml:53-59,174-181); here every
+  * request holds the session lock — same serialization semantics, simpler
+  * failure model. Framing is one request sexp per line (a documented
+  * divergence: the reference streams raw sexps; newline framing keeps
+  * clients trivial). Binds loopback only.
+  */
+final class Listener(spark: SparkSession, external: Option[Catalog] = None, port: Int = 0) {
+  /** Query response row cap (reference current_limit, lib/listener.ml:64). */
+  val RowCap = 16
+
+  private val session = new EngineSession(spark, external)
+  private val serverSocket = new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
+  @volatile private var running = true
+
+  def localPort: Int = serverSocket.getLocalPort
+
+  /** Accept loop on a daemon thread; one daemon thread per connection
+    * (reference spawns one Domain per connection, lib/listener.ml:174-176). */
+  def start(): Listener = {
+    val t = new Thread(() => {
+      while (running) {
+        try {
+          val sock = serverSocket.accept()
+          val h = new Thread(() => handleConnection(sock))
+          h.setDaemon(true)
+          h.start()
+        } catch { case _: Throwable => () /* socket closed on shutdown */ }
+      }
+    })
+    t.setDaemon(true)
+    t.start()
+    this
+  }
+
+  def close(): Unit = { running = false; serverSocket.close() }
+
+  private def handleConnection(sock: Socket): Unit = {
+    val in = new BufferedReader(new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+    val out = new PrintWriter(sock.getOutputStream, true, StandardCharsets.UTF_8)
+    try {
+      var line = in.readLine()
+      while (line != null && running) {
+        if (line.trim.nonEmpty) out.println(handle(line))
+        line = in.readLine()
+      }
+    } catch { case _: Throwable => () } finally sock.close()
+  }
+
+  /** Execute one request and render the response sexp (synchronized —
+    * whole-database write serialization, as the reference). */
+  def handle(request: String): String = session.synchronized {
+    val rendered =
+      try session.execute(request) match {
+        case Left(err) => errorSexp(err)
+        case Right(QueryResult(df)) => relationSexp(df)
+        case Right(Transition(msg)) => okSexp(msg)
+        case Right(CursorBatch(batch)) => cursorSexp(batch)
+      } catch { case e: Throwable => errorSexp(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+    rendered.render
+  }
+
+  private def errorSexp(msg: String): Sexp = Sexp.list(Atom("error"), Atom(msg))
+
+  private def stateFields: List[Sexp] = {
+    val (hash, name) = session.current.map(d => (d.hash, d.name)).getOrElse(("", "--"))
+    List(
+      Sexp.list(Atom("db_hash"), Atom(hash)),
+      Sexp.list(Atom("db_name"), Atom(name)),
+      Sexp.list(Atom("branch"), Atom(session.store.head.getOrElse("--"))))
+  }
+
+  private def valueSexp(dt: DataType, v: Any): Sexp = (dt, v) match {
+    case (_, null)          => Sexp.list(Atom("Null"))
+    case (LongType, x)      => Sexp.list(Atom("Int"), Atom(x.toString))
+    case (IntegerType, x)   => Sexp.list(Atom("Int"), Atom(x.toString))
+    case (DoubleType, x)    => Sexp.list(Atom("Float"), Atom(x.toString))
+    case (FloatType, x)     => Sexp.list(Atom("Float"), Atom(x.toString))
+    case (BooleanType, x)   => Sexp.list(Atom("Bool"), Atom(x.toString))
+    case (_, x)             => Sexp.list(Atom("Str"), Atom(x.toString))
+  }
+
+  private def rowSexp(schema: StructType, r: Row): Sexp =
+    SList(schema.fields.toList.zipWithIndex.map { case (f, i) =>
+      Sexp.list(Atom(f.name), valueSexp(f.dataType, r.get(i)))
+    })
+
+  private def typeName(dt: DataType): String = dt match {
+    case LongType | IntegerType => "integer"
+    case DoubleType | FloatType => "rational"
+    case BooleanType            => "boolean"
+    case _                      => "string"
+  }
+
+  /** Query response: ≤ RowCap rows + truncation flag (the reference pulls
+    * limit+? through the generator; here limit(RowCap+1) pushes the bound
+    * into the plan). */
+  private def relationSexp(df: DataFrame): Sexp = {
+    val rows = df.limit(RowCap + 1).collect()
+    val truncated = rows.length > RowCap
+    val shown = rows.take(RowCap)
+    val schemaSexp = SList(df.schema.fields.toList.map(f =>
+      Sexp.list(Atom(f.name), Atom(typeName(f.dataType)))))
+    SList(List(
+      Atom("relation"),
+      Sexp.list(Atom("schema"), schemaSexp),
+      Sexp.list(Atom("rows"), SList(shown.toList.map(rowSexp(df.schema, _)))),
+      Sexp.list(Atom("row_count"), Atom(shown.length.toString)),
+      Sexp.list(Atom("truncated"), Atom(truncated.toString))) ++ stateFields)
+  }
+
+  private def okSexp(msg: String): Sexp =
+    SList(List(Atom("ok"), Sexp.list(Atom("message"), Atom(msg))) ++ stateFields)
+
+  /** Tag by runtime class (cursor batches carry column names only). */
+  private def dynValueSexp(v: Any): Sexp = v match {
+    case null                   => Sexp.list(Atom("Null"))
+    case x: Long                => Sexp.list(Atom("Int"), Atom(x.toString))
+    case x: Int                 => Sexp.list(Atom("Int"), Atom(x.toString))
+    case x: Double              => Sexp.list(Atom("Float"), Atom(x.toString))
+    case x: Float               => Sexp.list(Atom("Float"), Atom(x.toString))
+    case x: Boolean             => Sexp.list(Atom("Bool"), Atom(x.toString))
+    case x                      => Sexp.list(Atom("Str"), Atom(x.toString))
+  }
+
+  private def cursorSexp(b: graft.scl.Batch): Sexp = {
+    val rowSexps = b.rows.toList.map { r =>
+      SList(b.schema.toList.zipWithIndex.map { case (name, i) =>
+        Sexp.list(Atom(name), dynValueSexp(r.get(i)))
+      })
+    }
+    SList(List(
+      Atom("cursor"),
+      Sexp.list(Atom("id"), Atom(b.cursorId)),
+      Sexp.list(Atom("rows"), SList(rowSexps)),
+      Sexp.list(Atom("row_count"), Atom(b.rows.length.toString)),
+      Sexp.list(Atom("has_more"), Atom(b.hasMore.toString))) ++ stateFields)
+  }
+}

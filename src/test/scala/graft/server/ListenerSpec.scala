@@ -1,0 +1,124 @@
+package graft.server
+
+import java.net.Socket
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.nio.charset.StandardCharsets
+import graft.SparkTestBase
+import graft.sexp.Sexp
+import graft.sexp.Sexp.{Atom, SList}
+
+/** End-to-end protocol test over a real loopback socket (the reference's
+  * full request path: TCP → sexp → sublanguage dispatch → rendered
+  * response, lib/listener.ml:156-187). */
+class ListenerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def newListener(): Listener =
+    new Listener(spark, external = Some(new graft.catalog.Catalog {
+      def resolve(name: String) = name match {
+        case "nums" => Right((1L to 25L).map(i => (i, s"row$i")).toDF("n", "label"))
+        case other  => Left(s"unknown relation: $other")
+      }
+    })).start()
+
+  private def connect(l: Listener): (Socket, PrintWriter, BufferedReader) = {
+    val sock = new Socket("127.0.0.1", l.localPort)
+    (sock,
+      new PrintWriter(sock.getOutputStream, true, StandardCharsets.UTF_8),
+      new BufferedReader(new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8)))
+  }
+
+  private def withServer[A](f: (PrintWriter, BufferedReader) => A): A = {
+    val listener = newListener()
+    val (sock, out, in) = connect(listener)
+    try f(out, in) finally { sock.close(); listener.close() }
+  }
+
+  private def request(out: PrintWriter, in: BufferedReader, req: String): Sexp = {
+    out.println(req)
+    val line = in.readLine()
+    assert(line != null, s"no response for $req")
+    Sexp.parse(line).fold(e => fail(s"unparseable response '$line': $e"), identity)
+  }
+
+  private def field(resp: Sexp, name: String): Option[Sexp] = resp match {
+    case SList(_ :: fields) => fields.collectFirst {
+      case SList(List(Atom(`name`), v)) => v
+    }
+    case _ => None
+  }
+
+  private def tag(resp: Sexp): String = resp match {
+    case SList(Atom(t) :: _) => t
+    case other => fail(s"untagged response: ${other.render}")
+  }
+
+  test("full protocol session: ddl, dml, query, error, cursor, branch") {
+    withServer { (out, in) =>
+      // errors before a database exists are protocol errors, not crashes
+      assert(tag(request(out, in, "(dml (InsertTuple (relation r) (attributes ((x (Int 1))))))")) == "error")
+
+      assert(tag(request(out, in, "(ddl (CreateDatabase shop))")) == "ok")
+      val created = request(out, in,
+        "(ddl (CreateRelation (name items) (schema ((sku integer) (name string)))))")
+      assert(tag(created) == "ok")
+      assert(field(created, "db_name").contains(Atom("shop")))
+
+      assert(tag(request(out, in,
+        "(dml (InsertTuple (relation items) (attributes ((sku (Int 1)) (name (Str Widget))))))")) == "ok")
+      // duplicate insert → error response
+      assert(tag(request(out, in,
+        "(dml (InsertTuple (relation items) (attributes ((sku (Int 1)) (name (Str Widget))))))")) == "error")
+
+      val q = request(out, in, "(drl (Base items))")
+      assert(tag(q) == "relation")
+      assert(field(q, "row_count").contains(Atom("1")))
+      assert(field(q, "truncated").contains(Atom("false")))
+      assert(field(q, "rows").exists(_.render.contains("(sku (Int 1))")))
+      assert(field(q, "schema").contains(
+        Sexp.list(Sexp.list(Atom("sku"), Atom("integer")), Sexp.list(Atom("name"), Atom("string")))))
+
+      // 16-row cap over the external catalog (25 rows)
+      val big = request(out, in, "(drl (Base nums))")
+      assert(field(big, "row_count").contains(Atom("16")))
+      assert(field(big, "truncated").contains(Atom("true")))
+
+      // SCL cursor over the same table pages beyond the cap
+      val cur = request(out, in, "(scl (Begin (query (Base nums)) (limit 20)))")
+      assert(tag(cur) == "cursor")
+      assert(field(cur, "row_count").contains(Atom("20")))
+      assert(field(cur, "has_more").contains(Atom("true")))
+      val curId = field(cur, "id").collect { case Atom(v) => v }.get
+      val rest = request(out, in, s"(scl (Fetch (cursor $curId)))")
+      assert(field(rest, "row_count").contains(Atom("5")))
+      assert(field(rest, "has_more").contains(Atom("false")))
+
+      // DCL: branch bookkeeping is visible in responses
+      assert(tag(request(out, in, "(dcl (CreateBranch (name main)))")) == "ok")
+      assert(tag(request(out, in, "(dcl (Checkout main))")) == "ok")
+      val afterIns = request(out, in,
+        "(dml (InsertTuple (relation items) (attributes ((sku (Int 2)) (name (Str Gadget))))))")
+      assert(field(afterIns, "branch").contains(Atom("main")))
+
+      // malformed input → parse error, connection stays usable
+      assert(tag(request(out, in, "(drl (NoSuchNode x))")) == "error")
+      assert(tag(request(out, in, "(drl (Base items))")) == "relation")
+    }
+  }
+
+  test("a second connection shares the serialized head database") {
+    val listener = newListener()
+    val (s1, out1, in1) = connect(listener)
+    val (s2, out2, in2) = connect(listener)
+    try {
+      request(out1, in1, "(ddl (CreateDatabase shared))")
+      request(out1, in1, "(ddl (CreateRelation (name t) (schema ((x integer)))))")
+      // connection 2 sees connection 1's state and can mutate it
+      val r2 = request(out2, in2, "(dml (InsertTuple (relation t) (attributes ((x (Int 1))))))")
+      assert(tag(r2) == "ok")
+      // ...and connection 1 observes the mutation
+      val q = request(out1, in1, "(drl (Base t))")
+      assert(field(q, "row_count").contains(Atom("1")))
+    } finally { s1.close(); s2.close(); listener.close() }
+  }
+}
