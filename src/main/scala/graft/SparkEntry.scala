@@ -208,6 +208,8 @@ object SparkEntry {
       graft.pipeline.Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text")),
     "dedup_simhash" -> ((s, dir) =>
       graft.pipeline.TextPipeline.simhash(table(s, dir, "documents"), "doc_id", "text")),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      graft.pipeline.Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text")),
     "text_token_stats" -> ((s, dir) =>
       graft.pipeline.TextPipeline.tokenStats(table(s, dir, "documents"), "doc_id", "text")),
     "text_quality" -> ((s, dir) =>
@@ -303,6 +305,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> graft.pipeline.Oracles.dedupMinhashPairs,
     "dedup_jaccard_pairs" -> graft.pipeline.Oracles.dedupJaccardPairs(0.2),
     "dedup_simhash" -> graft.pipeline.Oracles.dedupSimhash,
+    "dedup_simhash_pairs" -> graft.pipeline.Oracles.dedupSimhashPairs,
     "text_token_stats" -> graft.pipeline.Oracles.textTokenStats,
     "text_quality" -> graft.pipeline.Oracles.textQuality,
     "text_langid" -> graft.pipeline.Oracles.textLangId,

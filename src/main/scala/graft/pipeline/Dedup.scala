@@ -113,6 +113,40 @@ object Dedup {
       minhashCandidates(bandSignatures(df, idCol, textCol), idCol),
       shingleSets(df, idCol, textCol), idCol)
 
+  /** SimHash near-dup pairs via block banding (Manku, Jain & Sarma,
+    * WWW'07): split the 64-bit fingerprint into 4 blocks of 16 bits; any
+    * pair within Hamming distance ≤ 3 agrees on at least one whole block
+    * (pigeonhole), so candidates come from an equi-join on
+    * (block_idx, block_value) — bucketed, never all-pairs — and are then
+    * verified with an exact per-nibble XOR popcount. */
+  val MaxHamming = 3
+  val SimhashBlocks = 4
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextPipeline.simhash(df, idCol, textCol)
+    val blockCols = (0 until SimhashBlocks).map(b =>
+      substring(col("simhash"), 1 + 4 * b, 4).as(s"blk$b"))
+    val blocks = fp.select(col(idCol) +: col("simhash") +: blockCols: _*)
+    val stackExpr = (0 until SimhashBlocks).map(b => s"$b, blk$b")
+      .mkString(s"stack($SimhashBlocks, ", ", ", ") AS (blk, blockv)")
+    val long = blocks.select(col(idCol), col("simhash"), expr(stackExpr))
+    val a = long.alias("a")
+    val b = long.alias("b")
+    val cand = a.join(b, col("a.blk") === col("b.blk") && col("a.blockv") === col("b.blockv") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+    val hamming = (0 until 16).map { p =>
+      val na = conv(substring(col("sa"), p + 1, 1), 16, 10).cast("int")
+      val nb = conv(substring(col("sb"), p + 1, 1), 16, 10).cast("int")
+      bit_count(na.bitwiseXOR(nb))
+    }.reduce(_ + _)
+    cand.withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= MaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Exact n-gram Jaccard pairs via the inverted index: explode shingles,
     * self-join on the shingle, count shared shingles per pair, then
     * J = |∩| / (|A| + |B| − |∩|). Reports pairs with J ≥ `threshold`. */

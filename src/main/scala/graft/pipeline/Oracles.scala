@@ -63,7 +63,12 @@ object Oracles {
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $threshold"""
       .stripMargin
 
-  val dedupSimhash: String = {
+  lazy val dedupSimhash: String =
+    s"WITH $simhashCtes SELECT doc_id, simhash FROM fp"
+
+  /** Token→nibble→bit-score pipeline shared by the simhash queries
+    * (lazy: referenced by vals textually above this definition). */
+  private lazy val simhashCtes: String = {
     val vCols = (0 until 16).map(p =>
       s"instr('0123456789abcdef', substr(h, ${p + 1}, 1)) - 1 AS v$p").mkString(", ")
     val sCols = (0 until 64).map { k =>
@@ -76,12 +81,28 @@ object Oracles {
       s"$terms AS n$p"
     }.mkString(", ")
     val hexChars = (0 until 16).map(p => s"substr('0123456789abcdef', n$p + 1, 1)").mkString(" || ")
-    s"""WITH tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS token FROM documents),
+    s"""tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS token FROM documents),
        |h AS (SELECT doc_id, substr(md5(token), 1, 16) AS h FROM tok),
        |v AS (SELECT doc_id, $vCols FROM h),
        |sc AS (SELECT doc_id, $sCols FROM v GROUP BY doc_id),
-       |n AS (SELECT doc_id, $nCols FROM sc)
-       |SELECT doc_id, $hexChars AS simhash FROM n"""
+       |n AS (SELECT doc_id, $nCols FROM sc),
+       |fp AS (SELECT doc_id, $hexChars AS simhash FROM n)"""
+      .stripMargin
+  }
+
+  lazy val dedupSimhashPairs: String = {
+    val ham = (0 until 16).map { p =>
+      s"bit_count(xor(instr('0123456789abcdef', substr(sa, ${p + 1}, 1)) - 1, " +
+        s"instr('0123456789abcdef', substr(sb, ${p + 1}, 1)) - 1))"
+    }.mkString(" + ")
+    s"""WITH $simhashCtes,
+       |blk AS (SELECT doc_id, simhash, b, substr(simhash, 1 + 4*b, 4) AS blockv
+       |        FROM fp, unnest(range(0, ${Dedup.SimhashBlocks})) AS t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.simhash AS sa, b.simhash AS sb
+       |         FROM blk a JOIN blk b ON a.b = b.b AND a.blockv = b.blockv AND a.doc_id < b.doc_id),
+       |hd AS (SELECT doc_a, doc_b, ($ham)::BIGINT AS hamming FROM cand)
+       |SELECT doc_a, doc_b, hamming FROM hd WHERE hamming <= ${Dedup.MaxHamming}"""
       .stripMargin
   }
 

@@ -69,6 +69,27 @@ class PipelineSpec extends SparkTestBase {
     assert(hamming(fp(0L), fp(1L)) < hamming(fp(0L), fp(2L)))
   }
 
+  test("simhash block-banding finds pairs within the hamming bound") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exact dup pair (0,3): identical fingerprints, hamming 0
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0L))
+    pairs.foreach { p =>
+      assert(p._1 < p._2)
+      assert(p._3 <= Dedup.MaxHamming)
+    }
+    // recall guarantee at hd <= MaxHamming: brute-force check on this corpus
+    val fp = TextPipeline.simhash(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def hd(a: String, b: String): Int = a.zip(b).map { case (x, y) =>
+      Integer.bitCount(Integer.parseInt(x.toString, 16) ^ Integer.parseInt(y.toString, 16))
+    }.sum
+    val brute = (for {
+      (ia, sa) <- fp; (ib, sb) <- fp if ia < ib && hd(sa, sb) <= Dedup.MaxHamming
+    } yield (ia, ib)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == brute)
+  }
+
   test("token stats and quality are pure per-row arithmetic") {
     val ts = TextPipeline.tokenStats(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
