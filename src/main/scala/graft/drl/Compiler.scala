@@ -31,7 +31,20 @@ object Compiler {
 
     case Select(filter, source) =>
       compile(spark, cat, source).flatMap { src =>
-        resolveVirtual(filter) match {
+        filter match {
+          // Constant filter: fold the semijoin to a literal predicate on
+          // the common attributes. Semantically identical to the
+          // reference's project(equijoin(common, source, const)) — the
+          // const relation has exactly one tuple, so each matching source
+          // row survives exactly once, and an attribute-disjoint const
+          // degenerates to the identity — but as a WHERE clause the
+          // predicate reaches the parquet scan (PushedFilters/partition
+          // pruning) instead of building a 1-row broadcast join.
+          case Const(attrs) =>
+            val common = attrs.filter { case (a, _) => src.columns.contains(a) }
+            if (common.isEmpty) Right(src)
+            else Right(src.filter(common.map { case (a, v) => col(s"`$a`") === v.lit }.reduce(_ && _)))
+          case _ => resolveVirtual(filter) match {
           case Some((vr, renamed)) =>
             // A virtual (infinite) filter relation compiles to its
             // membership predicate over the source's columns — the
@@ -48,6 +61,7 @@ object Compiler {
             }
           case None =>
             compile(spark, cat, filter).map(f => Algebra.select(f, src))
+          }
         }
       }
 
