@@ -35,6 +35,16 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
+  /** Balance a tiny input across the cluster before map-heavy hash
+    * stages: a sub-parallelism scan (one small parquet file) would
+    * otherwise run the whole shingle/md5 pipeline on a single core.
+    * Inputs already at/above default parallelism — any real corpus —
+    * keep their natural partitioning: no shuffle. */
+  private[pipeline] def balanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** doc → one row per DISTINCT shingle, via a typed flatMap (a JVM
     * closure beats interpreted higher-order-function eval on the hot
     * exploded path; the narrow map shape — no shuffle — is identical).
@@ -43,7 +53,7 @@ object Dedup {
   def shingleRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ss = df.sparkSession
     import ss.implicits._
-    df.select(col(idCol).cast("long"), col(textCol).cast("string")).as[(Long, String)]
+    balanced(df.select(col(idCol).cast("long"), col(textCol).cast("string"))).as[(Long, String)]
       .flatMap { p: (Long, String) =>
         val ws = p._2.trim.split("\\s+")
         if (ws.length < ShingleN) Iterator.empty[(Long, String)]
@@ -107,11 +117,16 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
-    * join → Jaccard verify. */
-  def nearDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * join → Jaccard verify. The shingle-set subtree is persisted — it
+    * feeds both sides of the verify join, and Spark's exchange reuse
+    * cannot unify the two independently-built flatMap subtrees. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardVerify(
       minhashCandidates(bandSignatures(df, idCol, textCol), idCol),
-      shingleSets(df, idCol, textCol), idCol)
+      sets, idCol)
+  }
 
   /** SimHash near-dup pairs via block banding (Manku, Jain & Sarma,
     * WWW'07): split the 64-bit fingerprint into 4 blocks of 16 bits; any
@@ -123,28 +138,31 @@ object Dedup {
   val SimhashBlocks = 4
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // hex → two 32-bit halves ONCE per document, so the per-pair Hamming
+    // check in the (potentially hot) bucket join is two XOR+popcounts on
+    // longs instead of 32 per-nibble string conversions.
     val fp = TextPipeline.simhash(df, idCol, textCol)
+      .withColumn("hi", conv(substring(col("simhash"), 1, 8), 16, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("simhash"), 9, 8), 16, 10).cast("long"))
     val blockCols = (0 until SimhashBlocks).map(b =>
       substring(col("simhash"), 1 + 4 * b, 4).as(s"blk$b"))
-    val blocks = fp.select(col(idCol) +: col("simhash") +: blockCols: _*)
+    val blocks = fp.select(Seq(col(idCol), col("hi"), col("lo")) ++ blockCols: _*)
     val stackExpr = (0 until SimhashBlocks).map(b => s"$b, blk$b")
       .mkString(s"stack($SimhashBlocks, ", ", ", ") AS (blk, blockv)")
-    val long = blocks.select(col(idCol), col("simhash"), expr(stackExpr))
+    val long = blocks.select(col(idCol), col("hi"), col("lo"), expr(stackExpr))
     val a = long.alias("a")
     val b = long.alias("b")
-    val cand = a.join(b, col("a.blk") === col("b.blk") && col("a.blockv") === col("b.blockv") &&
+    val hamming = (bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+      bit_count(col("a.lo").bitwiseXOR(col("b.lo")))).cast("long")
+    // Hamming filter BEFORE the pair-dedup: hot buckets generate the
+    // bulk of candidate rows, and filtering in the join's output stage
+    // means the distinct() shuffle only carries surviving pairs.
+    a.join(b, col("a.blk") === col("b.blk") && col("a.blockv") === col("b.blockv") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      .distinct()
-    val hamming = (0 until 16).map { p =>
-      val na = conv(substring(col("sa"), p + 1, 1), 16, 10).cast("int")
-      val nb = conv(substring(col("sb"), p + 1, 1), 16, 10).cast("int")
-      bit_count(na.bitwiseXOR(nb))
-    }.reduce(_ + _)
-    cand.withColumn("hamming", hamming.cast("long"))
+      .withColumn("hamming", hamming)
       .filter(col("hamming") <= MaxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard pairs via the inverted index: explode shingles,

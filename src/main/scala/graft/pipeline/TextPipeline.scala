@@ -37,7 +37,8 @@ object TextPipeline {
     * each score. Computed as explode → 64 conditional sums → reassembly:
     * one shuffle on doc_id with map-side partial aggregation. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("token"))
+    val src = Dedup.balanced(df.select(col(idCol), col(textCol)))
+    val tok = src.select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("token"))
       .withColumn("h", substring(md5(col("token")), 1, 16))
     // nibble values v0..v15 of the 16 leading hex chars
     val withNibbles = (0 until 16).foldLeft(tok) { (d, p) =>
