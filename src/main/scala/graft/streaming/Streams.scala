@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events stream.
+  *
+  * The reference has no streaming constructs (SURVEY.md §2 note) — its
+  * only incremental surface is SCL cursors. These operators are the
+  * beyond-reference streaming path the events table implies: the same
+  * declarative plans as the batch aggregates, run by the micro-batch
+  * engine with bounded state.
+  *
+  * Scale design: a watermark bounds every stateful operator's state (no
+  * unbounded accumulation); windowed aggregation shuffles once per key;
+  * sessionization keys state by user_id — the natural partition key — and
+  * closes sessions by event-time gap plus watermark timeout, so state per
+  * user is O(1). All expressions are built-in (codegen'd); the custom
+  * session logic is a typed state function, the one place
+  * mapGroupsWithState genuinely beats composition.
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class Session(user_id: Long, n_events: Long, duration_ms: Long, total_value: Double)
+
+  /** Tumbling-window counts per event type with a watermark: late rows
+    * beyond the watermark are dropped and window state is reclaimed. */
+  def windowedEventCounts(events: DataFrame, windowDur: String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Event-time sessionization: per-user sessions close when the gap to
+    * the next event exceeds `gapMs`, or when the watermark passes the
+    * session's horizon (event-time timeout). Emits one row per completed
+    * session. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      watermark: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(userId, s.n, s.last - s.start, s.total)).iterator
+            state.remove()
+            out
+          } else {
+            val completed = scala.collection.mutable.ListBuffer[Session]()
+            var cur = state.getOption
+            // micro-batch iterators carry no order guarantee; order by event time
+            for (e <- batch.toSeq.sortBy(_.ts.getTime)) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last > gapMs =>
+                  completed += Session(userId, s.n, s.last - s.start, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1, total = s.total + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            completed.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming operators driven through the real micro-batch engine with a
+  * MemoryStream source and memory sink. */
+class StreamsSpec extends SparkTestBase {
+  import Streams._
+  import spark.implicits._
+
+  private def ev(id: Long, sec: Long, user: Long, typ: String, v: Double) =
+    Event(id, new Timestamp(sec * 1000L), user, typ, v)
+
+  test("windowed counts with watermark over a micro-batch stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = windowedEventCounts(source.toDF(), windowDur = "1 minute")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    try {
+      source.addData(
+        ev(1, 10, 1, "click", 1.0), ev(2, 20, 1, "click", 2.0),
+        ev(3, 70, 2, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains((0L, "click", 2L, 3.0)))
+      assert(rows.contains((60L, "view", 1L, 5.0)))
+
+      // a second batch updates the open window
+      source.addData(ev(4, 30, 3, "click", 4.0))
+      q.processAllAvailable()
+      val updated = spark.table("win_counts").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(updated.contains((0L, "click", 3L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("event-time sessionization closes sessions by gap and by timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = sessionize(source.toDS(), gapMs = 60 * 1000L, watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: a 3-event burst, then (next batch) an event far beyond
+      // the gap → the burst must be emitted as a completed session.
+      // (t starts at 1: a t=0 row is ≤ the initial watermark and the
+      // engine drops it as late.)
+      source.addData(
+        ev(1, 1, 1, "click", 1.0), ev(2, 10, 1, "click", 2.0), ev(3, 20, 1, "click", 3.0),
+        ev(4, 5, 2, "view", 9.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").collect().isEmpty) // nothing closed yet
+
+      // the t=1000s event closes user 1's burst by gap; the watermark it
+      // advances (1000s − 1min) also times out user 2's idle session in
+      // the trailing no-data micro-batch
+      source.addData(ev(5, 1000, 1, "click", 4.0))
+      q.processAllAvailable()
+      val afterGap = spark.table("sessions").as[Session].collect().toSet
+      assert(afterGap.contains(Session(1L, 3L, 19000L, 6.0)))
+      assert(afterGap.contains(Session(2L, 1L, 0L, 9.0)))
+      assert(afterGap.size == 2) // user 1's new session (t=1000) is still open
+    } finally q.stop()
+  }
+}
