@@ -226,6 +226,10 @@ object SparkEntry {
       graft.pipeline.Ann.lshBuckets(table(s, dir, "embeddings"))),
     "ann_lsh_topk" -> ((s, dir) =>
       graft.pipeline.Ann.lshTopK(table(s, dir, "embeddings"))),
+    "ann_ivf_topk" -> ((s, dir) =>
+      graft.pipeline.Ann.ivfTopK(table(s, dir, "embeddings"))),
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      graft.pipeline.Ann.embeddingPairs(table(s, dir, "embeddings"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -314,5 +318,7 @@ object SparkEntry {
     "ann_cosine_topk" -> graft.pipeline.Oracles.annCosineTopK,
     "ann_lsh_buckets" -> graft.pipeline.Oracles.annLshBuckets,
     "ann_lsh_topk" -> graft.pipeline.Oracles.annLshTopK,
+    "ann_ivf_topk" -> graft.pipeline.Oracles.annIvfTopK,
+    "dedup_embedding_pairs" -> graft.pipeline.Oracles.dedupEmbeddingPairs,
   )
 }

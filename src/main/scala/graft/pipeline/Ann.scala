@@ -29,11 +29,18 @@ object Ann {
   val TopK = 3
   /** Query set: vec_id < NumQueries. */
   val NumQueries = 10
+  /** IVF coarse-quantizer size: cells seeded from the first vectors (a
+    * production quantizer would k-means; the partition/probe shape — the
+    * part that matters at scale — is identical). */
+  val NumCentroids = 8
+  /** Within-bucket cosine threshold for embedding near-dup pairs. */
+  val CosineDupThreshold = 0.4
 
-  /** Left-associated Σ a[i]·b[i] over double-cast elements. */
-  def dotChain(a: Column, b: Column): Column =
-    (1 to Dim).map(i => element_at(a, i).cast("double") * element_at(b, i).cast("double"))
-      .reduce(_ + _)
+  /** Σ a[i]·b[i] via the native codegen'd [[graft.functions.DotProduct]]
+    * expression — a fused loop, bit-identical to the oracle's explicit
+    * left-associated chain. */
+  private def dot(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    graft.functions.Functions.dot(spark, a, b)
 
   /** Deterministic hyperplane weights, precomputed on the driver from
     * sha256("plane_j_i") hex digits and inlined as LITERALS in both the
@@ -46,7 +53,9 @@ object Ann {
     Integer.parseInt(h.substring(0, 1), 16) - 7.5
   }
 
-  /** Σ w(j,i)·e[i] for plane j, as a left-associated literal chain. */
+  /** Σ w(j,i)·e[i] for plane j, as a left-associated literal chain
+    * (weights are .5-grid values, exactly representable in float AND
+    * double, so the chain and the oracle's literal arithmetic agree). */
   def projection(e: Column, j: Int): Column =
     (1 to Dim).map(i => lit(planeWeight(j, i - 1)) * element_at(e, i).cast("double"))
       .reduce(_ + _)
@@ -57,20 +66,69 @@ object Ann {
       .reduce(_ + _)
 
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm", sqrt(dotChain(col("embedding"), col("embedding"))))
+    df.withColumn("nrm", sqrt(dot(df.sparkSession, col("embedding"), col("embedding"))))
 
   /** Exact top-k cosine neighbors for each query vector (vec_id <
     * NumQueries), excluding self. Queries are broadcast; the corpus is
     * scanned once. */
   def cosineTopK(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val ss = embeddings.sparkSession
     val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
     val q = broadcast(n.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn")))
     val pairs = n.join(q, col("vec_id") =!= col("query_id"))
-      .withColumn("sim", round(dotChain(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
+      .withColumn("sim", round(dot(ss, col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+  }
+
+  /** Embedding-cosine near-dup pairs, bucketed by sign-LSH: candidates
+    * are same-bucket pairs (equi-join on the bucket id), verified by
+    * exact cosine at [[CosineDupThreshold]]. Recall < 1 by construction
+    * (cross-bucket near pairs are unseen) — the standard trade; add
+    * planes/probes to tighten. */
+  def embeddingPairs(embeddings: DataFrame): DataFrame = {
+    val ss = embeddings.sparkSession
+    val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+      .withColumn("bucket", bucket(col("embedding")))
+    val a = n.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("nrm").as("na"), col("bucket"))
+    val b = n.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", round(dot(ss, col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .filter(col("sim") >= CosineDupThreshold)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest coarse-quantizer
+    * cell (centroids = the first NumCentroids vectors, broadcast), then
+    * probe only the query's own cell for the best neighbor. The probe is
+    * an equi-join on the cell id — the same bucketed shape as the LSH
+    * path, with data-adaptive cells. */
+  def ivfTopK(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = embeddings.sparkSession
+    val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    val cents = broadcast(n.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce")))
+    // coarse quantization: argmin ||v − c||² = (v·v + c·c) − 2·(v·c)
+    val dist2 = (dot(ss, col("embedding"), col("embedding")) + dot(ss, col("ce"), col("ce"))) -
+      (lit(2.0) * dot(ss, col("embedding"), col("ce")))
+    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cent_id"))
+    val assigned = n.join(cents).withColumn("dist2", dist2)
+      .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cell"))
+    val pairs = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dot(ss, col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
       .select(col("query_id"), col("vec_id"), col("sim"))
   }
 
@@ -86,13 +144,14 @@ object Ann {
     * probe neighboring buckets to trade recall vs. cost). */
   def lshTopK(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val ss = embeddings.sparkSession
     val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
       .withColumn("bucket", bucket(col("embedding")))
     val q = broadcast(n.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket").as("qb")))
     val pairs = n.join(q, col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))
-      .withColumn("sim", round(dotChain(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
+      .withColumn("sim", round(dot(ss, col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
       .select(col("query_id"), col("vec_id"), col("sim"))

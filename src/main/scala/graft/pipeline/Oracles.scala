@@ -185,6 +185,35 @@ object Oracles {
        |SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec FROM b GROUP BY bucket"""
       .stripMargin
 
+  val dedupEmbeddingPairs: String =
+    s"""WITH n AS (SELECT vec_id, embedding, sqrt(${dotChainSql("embedding", "embedding")}) AS nrm,
+       |             $bucketSql AS bucket FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       round((${dotChainSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm), 4) AS sim
+       |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round((${dotChainSql("a.embedding", "b.embedding")}) / (a.nrm * b.nrm), 4) >= ${Ann.CosineDupThreshold}"""
+      .stripMargin
+
+  val annIvfTopK: String =
+    s"""WITH n AS (SELECT vec_id, embedding, sqrt(${dotChainSql("embedding", "embedding")}) AS nrm FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < ${Ann.NumCentroids}),
+       |d AS (SELECT n.vec_id, c.cent_id,
+       |        ((${dotChainSql("n.embedding", "n.embedding")}) + (${dotChainSql("c.ce", "c.ce")}))
+       |          - (2.0 * (${dotChainSql("n.embedding", "c.ce")})) AS dist2
+       |      FROM n, c),
+       |asg AS (SELECT vec_id, cent_id AS cell FROM
+       |         (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cent_id) AS rn FROM d)
+       |        WHERE rn = 1),
+       |p AS (SELECT q.vec_id AS query_id, x.vec_id AS vec_id,
+       |        round((${dotChainSql("q.embedding", "x.embedding")}) / (q.nrm * x.nrm), 4) AS sim
+       |      FROM n q JOIN asg qa ON qa.vec_id = q.vec_id
+       |      JOIN asg xa ON xa.cell = qa.cell
+       |      JOIN n x ON x.vec_id = xa.vec_id
+       |      WHERE q.vec_id < ${Ann.NumQueries} AND x.vec_id <> q.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM p)
+       |SELECT query_id, vec_id, sim FROM r WHERE rn <= 1"""
+      .stripMargin
+
   val annLshTopK: String =
     s"""WITH n AS (SELECT vec_id, embedding, sqrt(${dotChainSql("embedding", "embedding")}) AS nrm,
        |             $bucketSql AS bucket FROM embeddings),

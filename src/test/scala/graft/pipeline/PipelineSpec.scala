@@ -149,6 +149,57 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("native DotProduct matches the explicit chain and its interpreted eval") {
+    val vecs = Seq(
+      (0L, Array(1.5f, -2.25f, 0.5f)),
+      (1L, Array(0.25f, 4.0f, -1.0f)),
+    ).toDF("vec_id", "embedding")
+    graft.functions.Functions.register(spark)
+    val native = vecs.selectExpr("graft_dot(embedding, embedding) AS d")
+      .collect().map(_.getDouble(0)).toSeq
+    // left-associated explicit chain (the oracle's formulation)
+    val chain = vecs.select(
+      (1 to 3).map(i => element_at(col("embedding"), i).cast("double") *
+        element_at(col("embedding"), i).cast("double")).reduce(_ + _).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(native == chain)
+    assert(native.head == (1.5 * 1.5 + (-2.25) * (-2.25) + 0.5 * 0.5))
+    // interpreted path agrees with codegen
+    val e = graft.functions.DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0f, 2.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(3.0f, 4.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false)))
+    assert(e.eval(null) == 11.0)
+    assert(e.checkInputDataTypes().isSuccess)
+  }
+
+  test("ivf: cell assignment probes only the query's cell; embedding pairs stay in-bucket") {
+    // ids 0,1 seed centroid cells; 10,11 are non-centroid members that
+    // must assign to their nearest seed's cell (ids < NumCentroids would
+    // each seed a singleton cell of their own)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f) ++ Array.fill(62)(0.0f)),    // centroid seed
+      (1L, Array(0.0f, 1.0f) ++ Array.fill(62)(0.0f)),    // centroid seed
+      (10L, Array(0.9f, 0.1f) ++ Array.fill(62)(0.0f)),   // → cell of 0
+      (11L, Array(0.1f, 0.9f) ++ Array.fill(62)(0.0f)),   // → cell of 1
+    ).toDF("vec_id", "embedding")
+    val ivf = Ann.ivfTopK(vecs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(ivf(0L)._1 == 10L && ivf(0L)._2 > 0.9) // probe finds the in-cell neighbor
+    assert(ivf(1L)._1 == 11L && ivf(1L)._2 > 0.9)
+    assert(ivf.size == 2) // queries are vec_id < NumQueries → 0 and 1 only
+
+    val pairs = Ann.embeddingPairs(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    pairs.foreach { p =>
+      assert(p._1 < p._2)
+      assert(p._3 >= Ann.CosineDupThreshold)
+    }
+    // (0,10) are near-identical directions → must be reported
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 10L && p._3 > 0.9))
+  }
+
   test("multimodal: binary payload plumbing with stubbed decode") {
     val body = Array[Byte](1, 2, 3, 4)
     val enc = MultiModal.fakeEncode(640, 480, body)
