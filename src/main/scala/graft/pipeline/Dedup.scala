@@ -78,8 +78,12 @@ object Dedup {
     *
     * Precondition: documents have ≥ ShingleN tokens (the testdata
     * guarantees ≥ 10); shorter docs drop out at the explode. */
-  def bandSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = shingleRows(df, idCol, textCol)
+  def bandSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    bandSignaturesFromRows(shingleRows(df, idCol, textCol), idCol)
+
+  /** Band hashes from an existing (doc, shingle) row set — lets callers
+    * share one shingle scan across the signature and verification arms. */
+  def bandSignaturesFromRows(ex: DataFrame, idCol: String): DataFrame = {
     val minAggs = (0 until NumHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i"))
     val sig = ex.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
@@ -117,14 +121,17 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
-    * join → Jaccard verify. The shingle-set subtree is persisted — it
-    * feeds both sides of the verify join, and Spark's exchange reuse
-    * cannot unify the two independently-built flatMap subtrees. */
+    * join → Jaccard verify. The (doc, shingle) row set is computed once
+    * and persisted — it feeds the signature arm and both sides of the
+    * verify join, and Spark's exchange reuse cannot unify
+    * independently-built flatMap subtrees. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol)
+    val rows = shingleRows(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = rows.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardVerify(
-      minhashCandidates(bandSignatures(df, idCol, textCol), idCol),
+      minhashCandidates(bandSignaturesFromRows(rows, idCol), idCol),
       sets, idCol)
   }
 
