@@ -200,6 +200,9 @@ object SparkEntry {
     // ---- LLM-data-pipeline operators (graft.pipeline) ----
     "dedup_exact" -> ((s, dir) =>
       graft.pipeline.Dedup.exact(table(s, dir, "documents"), "doc_id", "text")),
+    "dedup_exact_hash" -> ((s, dir) =>
+      graft.pipeline.Dedup.exactByRowHash(table(s, dir, "documents"), "doc_id",
+        "documents", Seq("lang", "source", "text"))),
     "dedup_minhash_sig" -> ((s, dir) =>
       graft.pipeline.Dedup.bandSignatures(table(s, dir, "documents"), "doc_id", "text")),
     "dedup_minhash_pairs" -> ((s, dir) =>
@@ -305,6 +308,7 @@ object SparkEntry {
     // ---- LLM-data-pipeline oracles (generated in lockstep with the
     // Spark operators' constants — see graft.pipeline.Oracles) ----
     "dedup_exact" -> graft.pipeline.Oracles.dedupExact,
+    "dedup_exact_hash" -> graft.pipeline.Oracles.dedupExactHash,
     "dedup_minhash_sig" -> graft.pipeline.Oracles.dedupMinhashSig,
     "dedup_minhash_pairs" -> graft.pipeline.Oracles.dedupMinhashPairs,
     "dedup_jaccard_pairs" -> graft.pipeline.Oracles.dedupJaccardPairs(0.2),

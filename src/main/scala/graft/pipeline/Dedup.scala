@@ -35,6 +35,20 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
+  /** Exact dedup keyed by the engine's content-addressed row hash
+    * (graft.hashing canonical encoding → sha-256, the same identity that
+    * names tuples in the storage/DCL layer — SURVEY.md §1.3). Grouping by
+    * a 256-bit digest instead of the raw key columns is the 100 TB
+    * formulation: the shuffle carries 32-byte keys, not documents. */
+  def exactByRowHash(df: DataFrame, idCol: String, relName: String,
+      keyCols: Seq[String]): DataFrame = {
+    val struct = org.apache.spark.sql.types.StructType(keyCols.map(c => df.schema(c)))
+    df.withColumn("content_hash", graft.hashing.Hashing.rowHashCol(relName, struct))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col("content_hash"), col(idCol), col("n_copies"))
+  }
+
   /** Balance a tiny input across the cluster before map-heavy hash
     * stages: a sub-parallelism scan (one small parquet file) would
     * otherwise run the whole shingle/md5 pipeline on a single core.

@@ -29,6 +29,19 @@ object Oracles {
   val dedupExact: String =
     "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text"
 
+  /** Rebuilds graft.hashing's canonical tuple encoding (attrs sorted by
+    * name, `name:tag:utf8ByteLen:value` joined with ';', relName prefix)
+    * in SQL and sha-256s it — the oracle for row-hash-keyed dedup. */
+  val dedupExactHash: String = {
+    val keyCols = Seq("lang", "source", "text") // sorted attribute order
+    val enc = keyCols.zipWithIndex.map { case (c, i) =>
+      val sep = if (i == 0) "" else ";"
+      s"'$sep$c:s:' || octet_length(encode($c)) || ':' || $c"
+    }.mkString(" || ")
+    s"SELECT sha256('documents|' || $enc) AS content_hash, " +
+      "min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY 1"
+  }
+
   val dedupMinhashSig: String = {
     val bandCols = (0 until Dedup.NumBands).map { b =>
       val parts = (1 to Dedup.RowsPerBand).map(r => s"mh[${b * Dedup.RowsPerBand + r}]").mkString(" || ")

@@ -26,6 +26,20 @@ class PipelineSpec extends SparkTestBase {
     assert(!r.contains(3L))
   }
 
+  test("row-hash dedup groups by the engine's canonical tuple hash") {
+    val d = docs.withColumn("source", lit("s"))
+    val r = Dedup.exactByRowHash(d, "doc_id", "documents", Seq("lang", "source", "text"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.map(_._3).sum == 5L)
+    assert(r.count(_._3 == 2L) == 1) // docs 0 and 3 share one content hash
+    // the column hash IS the engine's tuple hash
+    val expected = graft.hashing.Hashing.tupleHash("documents", Seq(
+      "lang" -> graft.types.Value.StrV("en"),
+      "source" -> graft.types.Value.StrV("s"),
+      "text" -> graft.types.Value.StrV("the quick brown fox jumps over the lazy dog")))
+    assert(r.exists(x => x._1 == expected && x._3 == 2L))
+  }
+
   test("shingleRows emits distinct word 3-grams; short docs drop out") {
     val sh = Dedup.shingleRows(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1)))
