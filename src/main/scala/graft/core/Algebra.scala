@@ -95,19 +95,72 @@ object Algebra {
     left.unionAll(right.select(left.columns.toIndexedSeq.map(col): _*))
 
   /** − — left tuples not attribute-equal to any right tuple; left
-    * duplicates preserved (lib/algebra.ml:270-303). Null-safe equality so a
-    * null attribute compares equal to null, matching structural tuple
-    * equality. Anti join: Spark broadcasts or hashes the right side. */
+    * duplicates preserved (lib/algebra.ml:270-303). Null-safe: a null
+    * attribute compares equal to null, matching structural tuple
+    * equality.
+    *
+    * Scale formulation: when every column is hashable, both sides fold
+    * to a single 256-bit content digest and the anti-join keys on THAT —
+    * a 32-byte shuffle key regardless of row width (the same identity
+    * the engine's storage layer uses). Rows with nulls get an explicit
+    * null tag in the digest so null = null still matches. Schemas with
+    * exotic types fall back to the all-column null-safe condition. */
   def diff(left: DataFrame, right: DataFrame): DataFrame = {
     // The reference compares full attribute maps (attrs_equal,
     // lib/algebra.ml:265-270): a right relation whose attribute set differs
     // from the left's removes nothing. Mirror that instead of failing or
     // over-matching on a projected right side.
     if (left.columns.toSet != right.columns.toSet || left.columns.isEmpty) return left
-    val l = left.alias("l")
-    val r = right.select(left.columns.toIndexedSeq.map(c => col(s"`$c`")): _*).alias("r")
-    val cond = left.columns.map(c => col(s"l.`$c`") <=> col(s"r.`$c`")).reduce(_ && _)
-    l.join(r, cond, "left_anti")
+    val aligned = right.select(left.columns.toIndexedSeq.map(c => col(s"`$c`")): _*)
+    nullAwareRowDigest(left.schema) match {
+      case Some(digest) =>
+        val key = "__graft_diff_rh"
+        left.withColumn(key, digest)
+          .join(aligned.select(digest.as(key)), Seq(key), "left_anti")
+          .drop(key)
+      case None =>
+        val l = left.alias("l")
+        val r = aligned.alias("r")
+        val cond = left.columns.map(c => col(s"l.`$c`") <=> col(s"r.`$c`")).reduce(_ && _)
+        l.join(r, cond, "left_anti")
+    }
+  }
+
+  /** Null-aware content digest over a full row: the canonical
+    * name:tag:len:value encoding (graft.hashing) with a dedicated null
+    * tag, sha-256'd. None when a column type has no canonical encoding. */
+  private def nullAwareRowDigest(schema: StructType): Option[Column] = {
+    val tags = schema.fields.map { f =>
+      f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => Some("i")
+        case DoubleType | FloatType => Some("f")
+        case StringType => Some("s")
+        case BooleanType => Some("b")
+        case _ => None
+      }
+    }
+    if (tags.exists(_.isEmpty)) None
+    else Some {
+      val parts = schema.fields.sortBy(_.name).zipWithIndex.flatMap { case (f, i) =>
+        val tag = f.dataType match {
+          case LongType | IntegerType | ShortType | ByteType => "i"
+          case DoubleType | FloatType => "f"
+          case StringType => "s"
+          case BooleanType => "b"
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        }
+        val repr = f.dataType match {
+          case IntegerType | ShortType | ByteType => col(s"`${f.name}`").cast(LongType).cast(StringType)
+          case FloatType => col(s"`${f.name}`").cast(DoubleType).cast(StringType)
+          case _ => col(s"`${f.name}`").cast(StringType)
+        }
+        val piece = when(col(s"`${f.name}`").isNull, lit(s"${f.name}:n"))
+          .otherwise(concat(lit(s"${f.name}:$tag:"),
+            octet_length(repr).cast(StringType), lit(":"), repr))
+        if (i == 0) Seq(piece) else Seq(lit(";"), piece)
+      }
+      sha2(concat(parts.toIndexedSeq: _*), 256)
+    }
   }
 
   /** τ — first n tuples (lib/algebra.ml:305-322). Spark pushes the limit
