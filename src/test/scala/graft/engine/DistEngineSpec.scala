@@ -1,0 +1,94 @@
+package graft.engine
+
+import graft.SparkTestBase
+import graft.hashing.Hashing
+import graft.types.{RelSchema, Value}
+import org.apache.spark.sql.functions._
+
+/** The DISTRIBUTED engine paths — what runs when a relation outgrows the
+  * Local threshold: set-wise bulk insert (aggregation dup-check,
+  * anti-join clash check, distributed content-root), single-tuple ops as
+  * filtered scans, anti-join DeleteWhere, and the DataFrame DCL
+  * diff/merge. Every other suite stays under the threshold; this one
+  * forces relations past it with generated data. */
+class DistEngineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val n = Engine.LocalThreshold + 20000 // safely past the threshold
+
+  private def bigDf(rows: Long, tag: String = "v") =
+    spark.range(rows).select(col("id").as("k"), concat(lit(tag), col("id")).as("v"))
+
+  private def freshBig: Database = {
+    val db = Engine.createRelation(spark, Engine.createDatabase(spark, "dist"),
+      "big", RelSchema(List("k" -> "integer", "v" -> "string"))).fold(e => fail(e), identity)
+    Engine.insertFrom(spark, db, "big", bigDf(n)).fold(e => fail(e), identity)
+  }
+
+  test("bulk insert past the threshold promotes to a Dist extension with a correct root") {
+    val db = freshBig
+    val rel = db.relations("big")
+    assert(rel.localRows.isEmpty, "should have promoted to Dist")
+    assert(rel.cardinality == n)
+    assert(rel.df.count() == n)
+    // incremental root equals a from-scratch distributed recompute
+    assert(rel.root == Hashing.contentRootOf(rel.df, rel.rowHash))
+  }
+
+  test("Dist single-tuple ops: duplicate rejection, insert, retract") {
+    val db = freshBig
+    // duplicate of an existing row is caught by the filtered scan
+    assert(Engine.createTuple(spark, db, "big",
+      Seq("k" -> Value.IntV(7), "v" -> Value.StrV("v7"))).left.exists(_.startsWith("DuplicateTuple")))
+    val db2 = Engine.createTuple(spark, db, "big",
+      Seq("k" -> Value.IntV(-1), "v" -> Value.StrV("new"))).fold(e => fail(e), identity)
+    assert(db2.relations("big").cardinality == n + 1)
+    val db3 = Engine.retractTuple(spark, db2, "big",
+      Seq("k" -> Value.IntV(-1), "v" -> Value.StrV("new"))).fold(e => fail(e), identity)
+    // insert+retract restores the content root exactly
+    assert(db3.relations("big").root == db.relations("big").root)
+    assert(Engine.retractTuple(spark, db3, "big",
+      Seq("k" -> Value.IntV(-1), "v" -> Value.StrV("new"))).left.exists(_.startsWith("TupleNotFound")))
+  }
+
+  test("Dist bulk insert rejects in-batch and against-table duplicates set-wise") {
+    val db = freshBig
+    // against-table clash (overlapping keys)
+    assert(Engine.insertFrom(spark, db, "big", bigDf(5)).isLeft)
+    // in-batch duplicate
+    val dup = bigDf(Engine.LocalThreshold + 1, "x").unionAll(bigDf(1, "x"))
+    val fresh = Engine.createRelation(spark, Engine.createDatabase(spark, "d2"),
+      "t", RelSchema(List("k" -> "integer", "v" -> "string"))).fold(e => fail(e), identity)
+    assert(Engine.insertFrom(spark, fresh, "t", dup).left.exists(_.startsWith("DuplicateTuple")))
+  }
+
+  test("Dist DeleteWhere removes the matched set via anti-join and updates the root") {
+    val db = freshBig
+    val pred = spark.range(1000).select(col("id").as("k")) // delete k < 1000
+    val db2 = Engine.deleteWhere(spark, db, "big", pred).fold(e => fail(e), identity)
+    val rel = db2.relations("big")
+    assert(rel.cardinality == n - 1000)
+    assert(rel.df.filter(col("k") < 1000).isEmpty)
+    assert(rel.root == Hashing.contentRootOf(rel.df, rel.rowHash))
+  }
+
+  test("DCL merge takes the DataFrame path for Dist relations") {
+    val db0 = freshBig
+    // left adds one row; right deletes k=0 — disjoint edits must both land
+    val left = Engine.createTuple(spark, db0, "big",
+      Seq("k" -> Value.IntV(-5), "v" -> Value.StrV("left"))).fold(e => fail(e), identity)
+    val right = Engine.retractTuple(spark, db0, "big",
+      Seq("k" -> Value.IntV(0), "v" -> Value.StrV("v0"))).fold(e => fail(e), identity)
+    val store = new graft.dcl.Store
+    store.save(db0); store.save(left); store.save(right)
+    store.createBranch("l", left.hash); store.createBranch("r", right.hash)
+    val (merged, conflicts) = graft.dcl.Merge.merge(spark, store, graft.dcl.Merge.PreferLeft,
+      left.hash, right.hash).fold(e => fail(e), identity)
+    assert(conflicts.tupleConflicts.isEmpty && conflicts.schemaConflicts.isEmpty)
+    val rel = merged.relations("big")
+    assert(rel.cardinality == n) // +1 −1
+    assert(rel.df.filter(col("k") === -5).count() == 1)
+    assert(rel.df.filter(col("k") === 0).isEmpty)
+    assert(rel.root == Hashing.contentRootOf(rel.df, rel.rowHash))
+  }
+}
