@@ -97,6 +97,20 @@ object SparkEntry {
       """(Select (Base natural_plus)
         |  (Rename ((l_orderkey a) (l_linenumber b) (l_suppkey sum))
         |    (Project (l_orderkey l_linenumber l_suppkey) (Base lineitem))))""".stripMargin),
+    // extension nodes (SURVEY.md §7.2 step 7): sort/top-k, aggregation,
+    // theta join — the reference's declared-but-unbuilt Lineage surface
+    "drl_sort_topk" -> drl(
+      "(Take 10 (Sort ((o_totalprice Desc) (o_orderkey Asc)) (Project (o_orderkey o_totalprice) (Base orders))))"),
+    // integer-typed aggregates only: a double sum is partial-order
+    // dependent and cannot hash-match a sequential oracle
+    "drl_aggregate" -> drl(
+      """(Aggregate (group (l_returnflag l_linestatus))
+        |  (aggs ((count n_rows) (sum l_linenumber sum_ln) (min l_orderkey min_ok) (max l_orderkey max_ok)))
+        |  (Base lineitem))""".stripMargin),
+    "drl_theta_join" -> drl(
+      """(ThetaJoin ((lt s_suppkey n_nationkey) (neq s_nationkey n_regionkey))
+        |  (Project (s_suppkey s_nationkey) (Base supplier))
+        |  (Project (n_nationkey n_regionkey) (Base nation)))""".stripMargin),
 
     // ---- DML/DDL: full mutation pipeline over the engine ----
     "dml_pipeline" -> script(Seq(
@@ -263,6 +277,16 @@ object SparkEntry {
       ("SELECT l_orderkey AS a, l_linenumber AS b, l_suppkey AS \"sum\" FROM lineitem " +
         "WHERE l_orderkey >= 0 AND l_linenumber >= 0 AND l_suppkey >= 0 " +
         "AND l_orderkey + l_linenumber = l_suppkey"),
+    "drl_sort_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "drl_aggregate" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows, " +
+        "CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln, " +
+        "MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok FROM lineitem " +
+        "GROUP BY l_returnflag, l_linestatus"),
+    "drl_theta_join" ->
+      ("SELECT s.s_suppkey, s.s_nationkey, n.n_nationkey, n.n_regionkey " +
+        "FROM supplier s JOIN nation n ON s.s_suppkey < n.n_nationkey AND s.s_nationkey <> n.n_regionkey"),
     "dml_pipeline" ->
       ("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region WHERE r_regionkey <> 0 " +
         "UNION ALL SELECT 99, 'LAPUTA'"),

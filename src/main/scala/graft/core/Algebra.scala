@@ -167,6 +167,25 @@ object Algebra {
     * into the scan. */
   def take(n: Int)(df: DataFrame): DataFrame = df.limit(n)
 
+  /** θ-join: inner join under a conjunction of (op, leftAttr, rightAttr)
+    * comparisons (the extension surface of the reference's unconstructed
+    * Lineage.ThetaJoin, lib/relation.ml:25-28). Output schema follows the
+    * equijoin convention: left columns, then right columns that do not
+    * collide with a left name (left wins). Catalyst picks the physical
+    * strategy — a pure-inequality θ-join is a broadcast nested loop when
+    * one side is small; mixed predicates with an equality become hash
+    * joins on the equality with the inequalities as residuals. */
+  def thetaJoin(preds: Seq[((Column, Column) => Column, String, String)],
+      left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.alias("l")
+    val r = right.alias("r")
+    val cond = preds.map { case (op, a, b) => op(col(s"l.`$a`"), col(s"r.`$b`")) }.reduce(_ && _)
+    val keep = right.columns.filterNot(left.columns.contains)
+    l.join(r, cond, "inner")
+      .select(left.columns.toIndexedSeq.map(c => col(s"l.`$c`")) ++
+        keep.toIndexedSeq.map(c => col(s"r.`$c`")): _*)
+  }
+
   /** Single-tuple literal relation (lib/algebra.ml:51-62). */
   def constRelation(spark: SparkSession, attrs: Seq[(String, Value)]): DataFrame = {
     val schema = StructType(attrs.map { case (a, v) => StructField(a, v.sparkType) })

@@ -29,4 +29,48 @@ object Query {
   final case class Diff(left: Query, right: Query) extends Query
   /** First n tuples. */
   final case class Take(n: Int, source: Query) extends Query
+
+  // ---- extension nodes (SURVEY.md §7.2 step 7): the surface the
+  // reference DECLARES but never constructs — `direction = Asc | Desc`
+  // (lib/drl/ast.ml:14) and Lineage.Sort/Aggregate/ThetaJoin
+  // (lib/relation.ml:25-28) — realized as live DRL nodes. ----
+
+  sealed trait Direction
+  case object Asc extends Direction
+  case object Desc extends Direction
+
+  /** Total order by the listed (attribute, direction) keys. Order is
+    * observable through Take (top-k) and the cursor protocol. */
+  final case class Sort(keys: List[(String, Direction)], source: Query) extends Query
+
+  /** Aggregate function surface: count(*) plus per-attribute sum/min/
+    * max/avg (the "aggregates-for-integrity" intent named in the
+    * reference's docs/karuta-integration.org:19-21). */
+  sealed trait AggFn
+  object AggFn {
+    case object CountAll extends AggFn
+    final case class Sum(attr: String) extends AggFn
+    final case class Min(attr: String) extends AggFn
+    final case class Max(attr: String) extends AggFn
+    final case class Avg(attr: String) extends AggFn
+  }
+  /** Group by the listed attributes (empty = global aggregate) and
+    * compute the named aggregates. */
+  final case class Aggregate(groupBy: List[String], aggs: List[(AggFn, String)],
+      source: Query) extends Query
+
+  /** Comparison operators for theta-join predicates — the six
+    * comparison relations of the prelude (§1.5), applied as join
+    * conditions instead of membership filters. */
+  sealed trait CmpOp
+  object CmpOp {
+    case object Lt extends CmpOp; case object Lte extends CmpOp
+    case object Gt extends CmpOp; case object Gte extends CmpOp
+    case object Eq extends CmpOp; case object Neq extends CmpOp
+  }
+  /** Inner join under a conjunction of comparisons between left and
+    * right attributes; right-side name collisions resolve left-wins as
+    * in equijoin. */
+  final case class ThetaJoin(preds: List[(CmpOp, String, String)],
+      left: Query, right: Query) extends Query
 }

@@ -87,6 +87,35 @@ object Compiler {
       for { lf <- compile(spark, cat, l); rf <- compile(spark, cat, r) }
         yield Algebra.diff(lf, rf)
 
+    case Sort(keys, src) =>
+      compile(spark, cat, src).map { df =>
+        val order = keys.map {
+          case (a, Asc)  => col(s"`$a`").asc
+          case (a, Desc) => col(s"`$a`").desc
+        }
+        df.orderBy(order: _*)
+      }
+
+    case Aggregate(groupBy, aggs, src) =>
+      compile(spark, cat, src).map { df =>
+        import org.apache.spark.sql.functions.{count, lit, sum, min, max, avg}
+        val aggCols = aggs.map {
+          case (AggFn.CountAll, alias) => count(lit(1)).as(alias)
+          case (AggFn.Sum(a), alias)   => sum(col(s"`$a`")).as(alias)
+          case (AggFn.Min(a), alias)   => min(col(s"`$a`")).as(alias)
+          case (AggFn.Max(a), alias)   => max(col(s"`$a`")).as(alias)
+          case (AggFn.Avg(a), alias)   => avg(col(s"`$a`")).as(alias)
+        }
+        if (groupBy.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+        else df.groupBy(groupBy.map(a => col(s"`$a`")): _*).agg(aggCols.head, aggCols.tail: _*)
+      }
+
+    case ThetaJoin(preds, l, r) =>
+      for { lf <- compile(spark, cat, l); rf <- compile(spark, cat, r) }
+        yield Algebra.thetaJoin(preds.map { case (op, a, b) =>
+          (opFn(op), a, b)
+        }, lf, rf)
+
     case Take(n, src) =>
       virtualScanBase(src) match {
         // Take over a (possibly renamed/projected) virtual base: bounded
@@ -130,6 +159,16 @@ object Compiler {
       s"Take over a virtual relation only supports Rename/Project/Take above the base " +
       s"(got ${other.getClass.getSimpleName}); bound the finite side instead")
   }
+
+  private def opFn(op: Query.CmpOp): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+    op match {
+      case Query.CmpOp.Lt  => _ < _
+      case Query.CmpOp.Lte => _ <= _
+      case Query.CmpOp.Gt  => _ > _
+      case Query.CmpOp.Gte => _ >= _
+      case Query.CmpOp.Eq  => _ === _
+      case Query.CmpOp.Neq => _ =!= _
+    }
 
   /** Recognize a filter subtree that denotes a virtual relation, possibly
     * renamed: returns the relation plus a map from its canonical attribute

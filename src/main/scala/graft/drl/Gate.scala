@@ -35,6 +35,13 @@ object Gate {
     case Join(_, l, r)    => both(cat, l, r)
     case Cartesian(l, r)  => both(cat, l, r)
     case Union(l, r)      => both(cat, l, r)
+    // extension nodes: Sort permutes (pass-through); Aggregate cannot
+    // grow its input (finite in → finite out); ThetaJoin is bounded by
+    // the cross product, so both sides must be finite (same rule as
+    // Join/Cartesian in the reference's table, proof/Drl.v:49-67).
+    case Sort(_, src)          => cardinality(cat, src)
+    case Aggregate(_, _, src)  => cardinality(cat, src)
+    case ThetaJoin(_, l, r)    => both(cat, l, r)
   }
 
   private def both(cat: Catalog, l: Query, r: Query): Either[String, Cardinality] =

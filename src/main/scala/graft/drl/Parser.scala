@@ -74,7 +74,58 @@ object Parser {
         sq <- ofSexp(src)
       } yield Take(k, sq)
 
+    // (Sort ((attr Asc) (attr2 Desc)) <q>)
+    case SList(List(Atom("Sort"), SList(keys), src)) =>
+      for {
+        ks <- traverse(keys) {
+          case SList(List(Atom(a), Atom("Asc")))  => Right(a -> (Asc: Direction))
+          case SList(List(Atom(a), Atom("Desc"))) => Right(a -> (Desc: Direction))
+          case other => Left(s"bad Sort key: ${other.render}")
+        }
+        sq <- ofSexp(src)
+      } yield Sort(ks, sq)
+
+    // (Aggregate (group (a b)) (aggs ((sum x total) (count n))) <q>)
+    case SList(List(Atom("Aggregate"), SList(List(Atom("group"), SList(groups))),
+        SList(List(Atom("aggs"), SList(aggs))), src)) =>
+      for {
+        gs <- traverse(groups) { case Atom(a) => Right(a); case o => Left(s"bad group attr: ${o.render}") }
+        as <- traverse(aggs) {
+          case SList(List(Atom("count"), Atom(alias)))          => Right((AggFn.CountAll: AggFn) -> alias)
+          case SList(List(Atom("sum"), Atom(a), Atom(alias)))   => Right((AggFn.Sum(a): AggFn) -> alias)
+          case SList(List(Atom("min"), Atom(a), Atom(alias)))   => Right((AggFn.Min(a): AggFn) -> alias)
+          case SList(List(Atom("max"), Atom(a), Atom(alias)))   => Right((AggFn.Max(a): AggFn) -> alias)
+          case SList(List(Atom("avg"), Atom(a), Atom(alias)))   => Right((AggFn.Avg(a): AggFn) -> alias)
+          case other => Left(s"bad aggregate: ${other.render}")
+        }
+        sq <- ofSexp(src)
+      } yield Aggregate(gs, as, sq)
+
+    // (ThetaJoin ((lt a b) (neq c d)) <l> <r>)
+    case SList(List(Atom("ThetaJoin"), SList(preds), l, r)) =>
+      for {
+        ps <- traverse(preds) {
+          case SList(List(Atom(op), Atom(a), Atom(b))) =>
+            cmpOf(op).map(c => (c, a, b))
+          case other => Left(s"bad ThetaJoin predicate: ${other.render}")
+        }
+        _ <- if (ps.isEmpty) Left("ThetaJoin needs at least one predicate") else Right(())
+        lq <- ofSexp(l); rq <- ofSexp(r)
+      } yield ThetaJoin(ps, lq, rq)
+
     case other => Left(s"unrecognized DRL form: ${other.render}")
+  }
+
+  private def cmpOf(op: String): Either[String, CmpOp] = op match {
+    case "lt" => Right(CmpOp.Lt); case "lte" => Right(CmpOp.Lte)
+    case "gt" => Right(CmpOp.Gt); case "gte" => Right(CmpOp.Gte)
+    case "eq" => Right(CmpOp.Eq); case "neq" => Right(CmpOp.Neq)
+    case o => Left(s"bad comparison op: $o")
+  }
+
+  private def cmpName(op: CmpOp): String = op match {
+    case CmpOp.Lt => "lt"; case CmpOp.Lte => "lte"; case CmpOp.Gt => "gt"
+    case CmpOp.Gte => "gte"; case CmpOp.Eq => "eq"; case CmpOp.Neq => "neq"
   }
 
   /** Render an AST back to its sexp form (round-trip surface). */
@@ -91,6 +142,20 @@ object Parser {
     case Union(l, r)    => Sexp.list(Atom("Union"), toSexp(l), toSexp(r))
     case Diff(l, r)     => Sexp.list(Atom("Diff"), toSexp(l), toSexp(r))
     case Take(n, s)     => Sexp.list(Atom("Take"), Atom(n.toString), toSexp(s))
+    case Sort(ks, s)    => Sexp.list(Atom("Sort"), SList(ks.map { case (a, d) =>
+      Sexp.list(Atom(a), Atom(d.toString)) }), toSexp(s))
+    case Aggregate(gs, as, s) => Sexp.list(Atom("Aggregate"),
+      Sexp.list(Atom("group"), SList(gs.map(Atom(_)))),
+      Sexp.list(Atom("aggs"), SList(as.map {
+        case (AggFn.CountAll, alias) => Sexp.list(Atom("count"), Atom(alias))
+        case (AggFn.Sum(a), alias)   => Sexp.list(Atom("sum"), Atom(a), Atom(alias))
+        case (AggFn.Min(a), alias)   => Sexp.list(Atom("min"), Atom(a), Atom(alias))
+        case (AggFn.Max(a), alias)   => Sexp.list(Atom("max"), Atom(a), Atom(alias))
+        case (AggFn.Avg(a), alias)   => Sexp.list(Atom("avg"), Atom(a), Atom(alias))
+      })), toSexp(s))
+    case ThetaJoin(ps, l, r) => Sexp.list(Atom("ThetaJoin"),
+      SList(ps.map { case (op, a, b) => Sexp.list(Atom(cmpName(op)), Atom(a), Atom(b)) }),
+      toSexp(l), toSexp(r))
   }
 
   private def valueSexp(v: Value): Sexp = v match {

@@ -52,6 +52,9 @@ class DrlSpec extends SparkTestBase {
       "(Union (Base a) (Base b))",
       "(Diff (Base a) (Base b))",
       "(Take 5 (Base a))",
+      "(Sort ((x Asc) (y Desc)) (Base a))",
+      "(Aggregate (group (x)) (aggs ((count n) (sum y total) (min y lo) (max y hi) (avg y mean))) (Base a))",
+      "(ThetaJoin ((lt x y) (neq a b)) (Base l) (Base r))",
     )
     qs.foreach { s =>
       val q = Parser.parse(s).fold(e => fail(s"$s: $e"), identity)
@@ -110,6 +113,27 @@ class DrlSpec extends SparkTestBase {
     assert(run("(Take 1 (Base items))").length == 1)
     assert(run("(Cartesian (Base users) (Base items))").length == 4)
     assert(run("(Join (age) (Base users) (Rename ((v age)) (Base items)))").isEmpty)
+  }
+
+  test("extension nodes: Sort/Take top-k, Aggregate, ThetaJoin") {
+    // top-1 by age descending: Bob
+    assert(run("(Take 1 (Sort ((age Desc)) (Base users)))") == Seq(Row(25L, "Bob")))
+    // grouped aggregate over items joined... simple global aggregate
+    assert(run("(Aggregate (group ()) (aggs ((count n) (sum v total) (min v lo) (max v hi))) (Base items))") ==
+      Seq(Row(2L, 30L, 10L, 20L)))
+    // grouped by name over users
+    val g = run("(Aggregate (group (name)) (aggs ((count n) (max age oldest))) (Base users))")
+    assert(g.toSet == Set(Row("Alice", 1L, 18L), Row("Bob", 1L, 25L)))
+    // theta join: users × items where age < v (only 18 < 20)
+    val t = run("(ThetaJoin ((lt age v)) (Base users) (Base items))")
+    assert(t.toSet == Set(Row(18L, "Alice", 20L)))
+    // gate: extension nodes pass finiteness through
+    assert(Gate.admit(cat, Parser.parse("(Sort ((age Asc)) (Base users))").toOption.get).isRight)
+    assert(Gate.admit(cat, Parser.parse("(Sort ((a Asc)) (Base natural_plus))").toOption.get) ==
+      Left(Gate.rejection))
+    assert(Gate.admit(cat,
+      Parser.parse("(ThetaJoin ((lt a left)) (Base users) (Base natural_natural_less_than))").toOption.get) ==
+      Left(Gate.rejection))
   }
 
   test("virtual filter compiles to a Column predicate") {
