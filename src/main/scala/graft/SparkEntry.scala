@@ -146,6 +146,45 @@ object SparkEntry {
       "(RegisterConstraint (constraint_name fk_dept) (relation_name Employee) (body (MemberOf (target Department) (binding ((dept_id (Var dept_id)))))))",
       "(InsertFrom (target Employee) (source (Project (emp_id dept_id) (Rename ((n_nationkey emp_id) (n_regionkey dept_id)) (Base nation)))))",
     ), "(Base Employee)"),
+    // Bulk FK ingest past Engine.LocalThreshold: the constrained relation
+    // takes the SET-WISE path (compiled anti-join FK validation + compiled
+    // Exists quantifier over the batch — graft.icl.Compile), promoting to
+    // a Dist extension. region × nation × customer ≈ 187k rows at sf0.01.
+    "icl_fk_bulk" -> script(Seq(
+      "(CreateDatabase g)",
+      "(CreateRelation (name cust_keys) (schema ((c_custkey integer))))",
+      "(InsertFrom (target cust_keys) (source (Project (c_custkey) (Base customer))))",
+      "(CreateRelation (name region_keys) (schema ((rk integer))))",
+      "(InsertFrom (target region_keys) (source (Rename ((r_regionkey rk)) (Project (r_regionkey) (Base region)))))",
+      "(CreateRelation (name fact) (schema ((r_regionkey integer) (n_nationkey integer) (c_custkey integer))))",
+      "(RegisterConstraint (constraint_name fk_cust) (relation_name fact) " +
+        "(body (MemberOf (target cust_keys) (binding ((c_custkey (Var c_custkey)))))))",
+      "(RegisterConstraint (constraint_name region_known) (relation_name fact) " +
+        "(body (Exists (variable r) (quantifier region_keys) " +
+        "(body (MemberOf (target natural_natural_equal) (binding ((left (Var r_regionkey)) (right (Var r.rk)))))))))",
+      "(InsertFrom (target fact) (source (Cartesian (Project (r_regionkey) (Base region)) " +
+        "(Cartesian (Project (n_nationkey) (Base nation)) (Project (c_custkey) (Base customer))))))",
+    ), "(Base fact)"),
+    // Exists/Forall/Or + quantifier namespacing end-to-end (reference
+    // weak-entity / implication scenarios, test_relational_engine.ml:
+    // 2110-2587): inserts only succeed if the quantified constraints hold.
+    "icl_quantifier_pipeline" -> script(Seq(
+      "(CreateDatabase g)",
+      "(CreateRelation (name Department) (schema ((dept_id integer))))",
+      "(InsertFrom (target Department) (source (Rename ((r_regionkey dept_id)) (Project (r_regionkey) (Base region)))))",
+      "(CreateRelation (name Employee) (schema ((emp_id integer) (dept_id integer))))",
+      "(RegisterConstraint (constraint_name emp_dept_exists) (relation_name Employee) " +
+        "(body (Exists (variable d) (quantifier Department) " +
+        "(body (MemberOf (target natural_natural_equal) (binding ((left (Var dept_id)) (right (Var d.dept_id)))))))))",
+      "(InsertFrom (target Employee) (source (Project (emp_id dept_id) " +
+        "(Rename ((n_nationkey emp_id) (n_regionkey dept_id)) (Base nation)))))",
+      // ∀ employees: dept ≠ this one OR emp_id ≤ 1000 (implication via Or)
+      "(RegisterConstraint (constraint_name small_emp_ids) (relation_name Department) " +
+        "(body (Forall (variable e) (quantifier Employee) (body (Or (" +
+        "(MemberOf (target natural_natural_not_equal) (binding ((left (Var dept_id)) (right (Var e.dept_id))))) " +
+        "(MemberOf (target natural_natural_less_than_or_equal) (binding ((left (Var e.emp_id)) (right (Const (Int 1000))))))))))))",
+      "(InsertTuple (relation Department) (attributes ((dept_id (Int 90)))))",
+    ), "(Base Department)"),
     "icl_constraint_catalog" -> script(Seq(
       "(CreateDatabase g)",
       "(CreateRelation (name scores) (schema ((student_id integer) (score integer))))",
@@ -302,6 +341,12 @@ object SparkEntry {
     "icl_fk_pipeline" ->
       ("SELECT CAST(n_nationkey AS BIGINT) AS emp_id, CAST(n_regionkey AS BIGINT) AS dept_id " +
         "FROM nation"),
+    "icl_fk_bulk" ->
+      ("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, CAST(n_nationkey AS BIGINT) AS n_nationkey, " +
+        "CAST(c_custkey AS BIGINT) AS c_custkey FROM region CROSS JOIN nation CROSS JOIN customer"),
+    "icl_quantifier_pipeline" ->
+      ("SELECT CAST(r_regionkey AS BIGINT) AS dept_id FROM region " +
+        "UNION ALL SELECT 90"),
     "icl_constraint_catalog" ->
       ("SELECT * FROM (VALUES ('score_range','scores'),('student_known','scores')) " +
         "t(name, relation_name)"),

@@ -2,6 +2,7 @@ package graft.dcl
 
 import scala.collection.immutable.ListMap
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import graft.core.Algebra
 import graft.engine.{Database, Engine, StoredRelation}
@@ -226,8 +227,16 @@ object Merge {
                     }
                     val root = merged.keysIterator
                       .foldLeft(Hashing.ContentRoot.empty)(_.add(_))
+                    // two near-threshold sides can merge past the Local
+                    // bound — promote, as every bulk path does
+                    val ext: graft.engine.Extension =
+                      if (merged.size > Engine.LocalThreshold)
+                        graft.engine.Extension.Dist(
+                          org.apache.spark.sql.SparkSession.active.createDataFrame(
+                            merged.values.toSeq.asJava, base.struct))
+                      else graft.engine.Extension.Local(merged)
                     Engine.updateState(db, db.relations.updated(name,
-                      base.copy(ext = graft.engine.Extension.Local(merged), root = root)))
+                      base.copy(ext = ext, root = root, chain = 0)))
 
                   // Any distributed row set: anti-join/union algebra.
                   case _ =>
@@ -254,9 +263,17 @@ object Merge {
                         }
                       case _ => ()
                     }
-                    val root = Hashing.contentRootOf(merged, base.rowHash)
+                    // a merge stacks several union/diff nodes — bound the
+                    // plan chain; checkpointing BEFORE the root aggregation
+                    // also spares the conflict/root passes a recompute
+                    val (ext, chain) = Engine.boundedDist(merged, base.chain, cost = 4)
+                    val mergedDf = ext match {
+                      case graft.engine.Extension.Dist(d) => d
+                      case _ => merged
+                    }
+                    val root = Hashing.contentRootOf(mergedDf, base.rowHash)
                     Engine.updateState(db, db.relations.updated(name,
-                      base.copy(ext = graft.engine.Extension.Dist(merged), root = root)))
+                      base.copy(ext = ext, root = root, chain = chain)))
                 }
               }
           }

@@ -44,7 +44,8 @@ final case class StoredRelation(
     struct: StructType,
     ext: Extension,
     root: ContentRoot,
-    constraints: ListMap[String, Body] = ListMap.empty) {
+    constraints: ListMap[String, Body] = ListMap.empty,
+    chain: Int = 0) {
   def relHash: String = Hashing.relationHash(name, schema, root)
   def rowHash: Column = Hashing.rowHashCol(name, struct)
   def cardinality: Long = root.count
@@ -101,6 +102,28 @@ object Engine {
     * protocol-sized tuples is a few MB of driver heap, far below what a
     * broadcast would ship anyway. */
   val LocalThreshold = 100000
+
+  /** Mutation-chain depth at which a Dist relation's lazy plan is
+    * materialized and its lineage truncated. Without a bound, N mutations
+    * stack N plan nodes (union-per-insert, diff-per-delete) and analysis
+    * cost grows per operation; SURVEY §1.3 maps a relation version to
+    * "parquet snapshot + state hash" — `localCheckpoint` is the in-process
+    * stand-in for that snapshot (a cluster deployment would write parquet
+    * and reread). The content root is driver-side limb arithmetic, so
+    * checkpointing never changes a state hash. */
+  val MaxPlanChain = 24
+
+  /** Column name carrying a row's executor-computed content hash through
+    * the bulk paths (same digest as [[Hashing.tupleHash]]; parity pinned
+    * by HashingSpec). */
+  private[graft] val RhCol = "__rh"
+
+  /** Wrap a mutated Dist plan, checkpointing once the accumulated chain
+    * depth passes [[MaxPlanChain]]. Returns the new extension plus the
+    * relation's new chain depth. */
+  private[graft] def boundedDist(df: DataFrame, prevChain: Int, cost: Int = 1): (Extension, Int) =
+    if (prevChain + cost >= MaxPlanChain) (Extension.Dist(df.localCheckpoint(true)), 0)
+    else (Extension.Dist(df), prevChain + cost)
 
   // ---- schema / value admission (reference build_membership_criteria,
   // lib/manipulation.ml:20-33: integer/natural/string enforced, anything
@@ -178,17 +201,24 @@ object Engine {
       coerced <- coerce(db, rel, attrs)
       _ <- graft.icl.Runtime.validateInsert(spark, db, rel, coerced)
       h = Hashing.tupleHash(relName, coerced)
-      newExt <- rel.ext match {
+      extChain <- rel.ext match {
         case Extension.Local(rows) =>
           if (rows.contains(h)) Left(s"DuplicateTuple: $h")
-          else Right(Extension.Local(rows.updated(h, rowOf(coerced))))
+          else {
+            val m = rows.updated(h, rowOf(coerced))
+            if (m.size > LocalThreshold) // repeated single inserts also promote
+              Right((Extension.Dist(
+                spark.createDataFrame(m.values.toSeq.asJava, rel.struct)): Extension, 0))
+            else Right((Extension.Local(m): Extension, rel.chain))
+          }
         case Extension.Dist(d) =>
           if (rel.root.count > 0 && !d.filter(eqPredicate(coerced)).isEmpty)
             Left(s"DuplicateTuple: $h")
-          else Right(Extension.Dist(
-            d.unionAll(spark.createDataFrame(java.util.List.of(rowOf(coerced)), rel.struct))))
+          else Right(boundedDist(
+            d.unionAll(spark.createDataFrame(java.util.List.of(rowOf(coerced)), rel.struct)),
+            rel.chain))
       }
-      newRel = rel.copy(ext = newExt, root = rel.root.add(h))
+      newRel = rel.copy(ext = extChain._1, chain = extChain._2, root = rel.root.add(h))
       newDb = updateRelation(db, newRel)
       _ <- cascadeIfNeeded(spark, newDb, relName, coerced, "insert")
     } yield newDb
@@ -216,21 +246,31 @@ object Engine {
       rel <- db.relation(relName)
       coerced <- coerce(db, rel, attrs)
       h = Hashing.tupleHash(relName, coerced)
-      newExt <- rel.ext match {
+      extChain <- rel.ext match {
         case Extension.Local(rows) =>
           if (!rows.contains(h)) Left(s"TupleNotFound: $h")
-          else Right(Extension.Local(rows.removed(h)))
+          else Right((Extension.Local(rows.removed(h)): Extension, rel.chain))
         case Extension.Dist(d) =>
           if (rel.root.count == 0 || d.filter(eqPredicate(coerced)).isEmpty)
             Left(s"TupleNotFound: $h")
-          else Right(Extension.Dist(d.filter(!eqPredicate(coerced))))
+          else Right(boundedDist(d.filter(!eqPredicate(coerced)), rel.chain))
       }
-      newRel = rel.copy(ext = newExt, root = rel.root.remove(h))
+      newRel = rel.copy(ext = extChain._1, chain = extChain._2, root = rel.root.remove(h))
       newDb = updateRelation(db, newRel)
       _ <- cascadeIfNeeded(spark, newDb, relName, coerced, "delete")
     } yield newDb
 
   // ---- bulk paths (set-wise; scale-safe) ----
+
+  /** Spread a narrow-partitioned bulk source across the cluster before
+    * the hash-heavy set-wise stages: a single-file parquet scan (or a
+    * broadcast-join output that inherits it) is ONE partition, which
+    * would run the digest/validation pipeline on one core. Inputs at or
+    * above default parallelism keep their natural partitioning. */
+  private def balance(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   /** Conform a query result to the relation's declared schema: exact
     * attribute set, columns cast to domain types, no nulls. */
@@ -284,45 +324,141 @@ object Engine {
   /** Bulk insert of a query result (reference InsertFrom semantics:
     * sequential create_tuples over the materialized result,
     * lib/dml/executor.ml:89-97 — same outcome set-wise because any
-    * duplicate or violation aborts the statement). Falls back to the
-    * sequential path when the relation carries constraints, preserving
-    * row-at-a-time constraint visibility.
+    * duplicate or violation aborts the statement).
     *
     * Size dispatch: the result is probed with a LocalThreshold+1-row
-    * collect (one job). A small result is validated, hashed, and
-    * dup-checked entirely driver-side; a large one takes the set-wise
-    * DataFrame path (aggregation dup-check, anti-join clash check, one
-    * distributed content-root aggregation) and promotes the relation to a
-    * Dist extension. */
+    * collect (one job) that also carries each row's EXECUTOR-computed
+    * content hash — the driver never hashes rows itself. A small result
+    * is validated and dup-checked driver-side; a large one takes the
+    * set-wise DataFrame path (aggregation dup-check, digest-keyed
+    * anti-join clash check, one distributed content-root aggregation) and
+    * promotes the relation to a Dist extension.
+    *
+    * Single-evaluation contract: the probe rows themselves become the
+    * inserted set on the small path, so a nondeterministic source query
+    * (limit/sample upstream) is evaluated exactly once and the stored
+    * rows are exactly what was observed — the statement never re-runs the
+    * source and diverges from its own validation.
+    *
+    * Constrained relations are validated SET-WISE too (one compiled
+    * violation query per constraint, [[graft.icl.Compile]]) whenever the
+    * constraint bodies permit it; only self-referencing, Both-polarity,
+    * quantify-over-target, or incompilable bodies fall back to the
+    * reference's row-at-a-time fold, whose per-transition visibility they
+    * genuinely need. */
   def insertFrom(spark: SparkSession, db: Database, relName: String,
       src: DataFrame): Either[String, Database] =
     for {
       rel <- db.relation(relName)
       conformed <- conform(rel, src)
       db2 <-
-        if (rel.constraints.nonEmpty)
-          createTuples(spark, db, relName,
-            conformed.collect().toSeq.map(r => rowToAttrs(rel, r)))
+        if (rel.constraints.nonEmpty || graft.icl.Runtime.affected(db, relName, "insert").nonEmpty)
+          insertFromConstrained(spark, db, rel, conformed)
         else {
-          val probe = conformed.limit(LocalThreshold + 1).collect()
+          val probe = conformed.withColumn(RhCol, rel.rowHash).limit(LocalThreshold + 1).collect()
           if (probe.length <= LocalThreshold) insertRowsLocal(db, rel, probe.toSeq)
           else insertFromDist(spark, db, rel, conformed)
         }
     } yield db2
 
-  /** Small-result insert: all validation/hashing/dup-checking on the
-    * driver; zero additional Spark jobs. */
+  /** Insert into a relation whose constraints (or inbound constraint
+    * references) are live. Three regimes, in preference order:
+    *
+    *  1. set-wise (the 100 TB path): compiled validation queries against
+    *     the pre-insert snapshot + one batch cascade re-check per affected
+    *     constraint against the post-insert state. Sound whenever no
+    *     involved body is self-referencing (needs row-at-a-time batch
+    *     visibility), Both-polarity on this relation (verdicts not
+    *     monotone under inserts — a mid-batch violation could be repaired
+    *     by a later row, which the reference's fold would have rejected),
+    *     quantifying over this relation (needs per-transition universal
+    *     substitution), or incompilable (unbounded quantifier);
+    *  2. all-Local small batch: the reference's sequential fold, entirely
+    *     driver-side — zero Spark jobs;
+    *  3. sequential fold over a full collect — the semantic fallback for
+    *     the hazard cases of (1). */
+  private def insertFromConstrained(spark: SparkSession, db: Database, rel: StoredRelation,
+      conformed: DataFrame): Either[String, Database] = {
+    import graft.icl.{Compile, Runtime => IclRuntime}
+    val relName = rel.name
+    val aff = IclRuntime.affected(db, relName, "insert")
+    val selfRef = rel.constraints.valuesIterator.exists(b => Body.relationsIn(b).contains(relName))
+    val hazard = selfRef ||
+      rel.constraints.valuesIterator.exists(b => !Compile.compilable(db, b)) ||
+      aff.exists { case (r, _, body) =>
+        r.name == relName ||
+          graft.icl.Analysis.polarityOf(body).get(relName).contains(graft.icl.Analysis.Both) ||
+          Compile.quantifiesOver(body, relName) ||
+          !Compile.compilable(db, body)
+      }
+    if (hazard)
+      createTuples(spark, db, relName,
+        conformed.collect().toSeq.map(r => rowToAttrs(rel, r)))
+    else {
+      val referenced = (rel.constraints.valuesIterator.flatMap(Body.relationsIn).toSet ++
+        aff.flatMap { case (r, _, b) => Body.relationsIn(b) + r.name }) - relName
+      val allLocal = rel.localRows.isDefined && referenced.forall(n =>
+        graft.virtual.Virtual.isVirtual(n) || db.relations.get(n).forall(_.localRows.isDefined))
+      val probe = conformed.withColumn(RhCol, rel.rowHash).limit(LocalThreshold + 1).collect()
+      val small = probe.length <= LocalThreshold
+      if (probe.isEmpty) insertRowsLocal(db, rel, Nil) // no transitions: nothing to validate
+      else if (small && allLocal)
+        // the zero-Spark-job regime: per-row fold over driver maps
+        createTuples(spark, db, relName, probe.toSeq.map(r => rowToAttrs(rel, r)))
+      else {
+        // batch as a stable DataFrame: the probe rows on the small path
+        // (single evaluation); on the large one the balanced source is
+        // persisted so validation, dup/root aggregation, cascade, and the
+        // stored extension share ONE materialization
+        val batchDf =
+          if (small)
+            spark.createDataFrame(
+              probe.toSeq.map(r => Row.fromSeq(r.toSeq.take(rel.struct.fields.length))).asJava,
+              rel.struct)
+          else prepareBulk(conformed)
+        for {
+          _ <- validateSetWise(db, rel, batchDf)
+          db2 <-
+            if (small) insertRowsLocal(db, rel, probe.toSeq)
+            else insertFromDistPrepared(spark, db, rel, batchDf)
+          _ <- IclRuntime.cascadeBatch(spark, db2, relName, batchDf, "insert")
+        } yield db2
+      }
+    }
+  }
+
+  /** One compiled violation query per named constraint over the batch
+    * (insert-time validation against the pre-insert snapshot — reference
+    * validate_tuple_constraints, lib/manipulation.ml:395-415, set-wise). */
+  private def validateSetWise(db: Database, rel: StoredRelation,
+      batch: DataFrame): Either[String, Unit] =
+    rel.constraints.foldLeft(Right(()): Either[String, Unit]) { case (acc, (cname, body)) =>
+      acc.flatMap { _ =>
+        graft.icl.Compile.violations(db, body, batch) match {
+          case Some(viol) =>
+            if (viol.limit(1).isEmpty) Right(())
+            else Left(s"ConstraintViolation: constraint $cname violated")
+          case None => Left(s"InternalError: set-wise validation of incompilable constraint $cname")
+        }
+      }
+    }
+
+  /** Small-result insert: validation and dup-checking on the driver, over
+    * rows that carry their executor-computed content hash in a trailing
+    * [[RhCol]] column; zero additional Spark jobs when the relation is
+    * Local. */
   private def insertRowsLocal(db: Database, rel: StoredRelation, rows: Seq[Row])
       : Either[String, Database] = {
+    val width = rel.struct.fields.length
     val hashed = new scala.collection.mutable.LinkedHashMap[String, Row]()
     for (r <- rows) {
       validateLocalRow(db, rel, r) match {
         case Left(e) => return Left(e)
-        case Right(attrs) =>
-          val h = Hashing.tupleHash(rel.name, attrs)
+        case Right(_) =>
+          val h = r.getString(width)
           if (hashed.contains(h))
             return Left("DuplicateTuple: duplicate row in inserted result")
-          hashed(h) = r
+          hashed(h) = Row.fromSeq(r.toSeq.take(width))
       }
     }
     rel.ext match {
@@ -335,45 +471,67 @@ object Engine {
             if (merged.size > LocalThreshold) {
               // crossed the threshold: graduate to a distributed plan
               val df = SparkSession.active.createDataFrame(merged.values.toSeq.asJava, rel.struct)
-              Right(updateRelation(db, rel.copy(ext = Extension.Dist(df), root = root)))
+              Right(updateRelation(db, rel.copy(ext = Extension.Dist(df), root = root, chain = 0)))
             } else
               Right(updateRelation(db, rel.copy(ext = Extension.Local(merged), root = root)))
         }
       case Extension.Dist(d) =>
-        // small batch into a large relation: one anti-join clash probe
-        val batchDf = SparkSession.active.createDataFrame(rows.asJava, rel.struct)
-        val clash = batchDf.join(d,
-          rel.schema.attrNames.map(a => batchDf(a) <=> d(a)).reduce(_ && _), "left_semi").limit(1)
+        // small batch into a large relation: one semi probe keyed on the
+        // 32-byte digest, with the tiny batch key set broadcast — one scan
+        // of the stored side, no wide-row shuffle
+        val spark = SparkSession.active
+        val keySchema = StructType(Seq(StructField(RhCol, StringType)))
+        val keysDf = spark.createDataFrame(
+          hashed.keysIterator.map(Row(_)).toSeq.asJava, keySchema)
+        val clash = d.withColumn(RhCol, rel.rowHash).select(col(RhCol))
+          .join(broadcast(keysDf), Seq(RhCol), "left_semi").limit(1)
         if (!clash.isEmpty) Left("DuplicateTuple: row already present")
         else {
+          val batchDf = spark.createDataFrame(hashed.values.toSeq.asJava, rel.struct)
           val root = hashed.keysIterator.foldLeft(rel.root)(_.add(_))
-          Right(updateRelation(db, rel.copy(ext = Extension.Dist(d.unionAll(batchDf)), root = root)))
+          val (ext, chain) = boundedDist(d.unionAll(batchDf), rel.chain)
+          Right(updateRelation(db, rel.copy(ext = ext, root = root, chain = chain)))
         }
     }
   }
 
-  /** Large-result insert: set-wise validation and dup-checks, one
+  /** Large-result insert: set-wise validation and dup-checks — both keyed
+    * on the 32-byte content digest, never on full rows — and one
     * distributed content-root aggregation. */
+  /** Balance + persist a large bulk source: the set-wise insert makes
+    * several passes (validation, dup/root aggregation, clash probe) and
+    * the result becomes the relation's extension — one shared
+    * materialization instead of re-evaluating the source plan per pass.
+    * Cache entries live until LRU eviction or the chain checkpoint
+    * supersedes them (a cluster deployment would snapshot parquet here —
+    * SURVEY §1.3). */
+  private def prepareBulk(src: DataFrame): DataFrame =
+    balance(src).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   private def insertFromDist(spark: SparkSession, db: Database, rel: StoredRelation,
-      conformed: DataFrame): Either[String, Database] =
+      src: DataFrame): Either[String, Database] =
+    insertFromDistPrepared(spark, db, rel, prepareBulk(src))
+
+  private def insertFromDistPrepared(spark: SparkSession, db: Database, rel: StoredRelation,
+      conformed: DataFrame): Either[String, Database] = {
     for {
       _ <- bulkValidate(db, rel, conformed)
-      hashed = conformed.withColumn("__rh", rel.rowHash)
-      _ <- {
-        val dupIn = hashed.groupBy(col("__rh")).count().filter(col("count") > 1).limit(1)
-        if (dupIn.isEmpty) Right(()) else Left("DuplicateTuple: duplicate row in inserted result")
-      }
+      // duplicate probe + content root fused into ONE digest aggregation
+      dupRoot = Hashing.rootWithDupCheck(conformed, rel.rowHash)
+      _ <- if (dupRoot._1) Left("DuplicateTuple: duplicate row in inserted result") else Right(())
       _ <- {
         if (rel.root.count == 0) Right(())
         else {
-          val cur = rel.df
-          val clash = conformed.join(cur, rel.schema.attrNames.map(a => conformed(a) <=> cur(a)).reduce(_ && _), "left_semi").limit(1)
+          val cur = rel.df.withColumn(RhCol, rel.rowHash).select(col(RhCol))
+          val clash = conformed.withColumn(RhCol, rel.rowHash).select(col(RhCol))
+            .join(cur, Seq(RhCol), "left_semi").limit(1)
           if (clash.isEmpty) Right(()) else Left("DuplicateTuple: row already present")
         }
       }
-      srcRoot = Hashing.contentRootOf(conformed, rel.rowHash)
-      newRel = rel.copy(ext = Extension.Dist(rel.df.unionAll(conformed)), root = rel.root.merge(srcRoot))
+      extChain = boundedDist(rel.df.unionAll(conformed), rel.chain)
+      newRel = rel.copy(ext = extChain._1, chain = extChain._2, root = rel.root.merge(dupRoot._2))
     } yield updateRelation(db, newRel)
+  }
 
   private[graft] def rowToAttrs(rel: StoredRelation, r: Row): Seq[(String, Value)] =
     rel.struct.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
@@ -410,7 +568,8 @@ object Engine {
           Right((rel.copy(ext = Extension.Local(rows.removedAll(keys)), root = root), removed))
         case Extension.Dist(d) =>
           val delRoot = Hashing.contentRootOf(toDelete, rel.rowHash)
-          Right((rel.copy(ext = Extension.Dist(graft.core.Algebra.diff(d, toDelete)),
+          val (ext, chain) = boundedDist(graft.core.Algebra.diff(d, toDelete), rel.chain, cost = 2)
+          Right((rel.copy(ext = ext, chain = chain,
             root = rel.root.subtract(delRoot)), Seq.empty[Row]))
       }
       (newRel, removedRows) = res
@@ -418,18 +577,40 @@ object Engine {
       _ <- cascadeAll(spark, newDb, relName, removedRows, toDelete, rel)
     } yield newDb
 
-  /** Run the delete cascade for each removed row (no-op when no relation
-    * carries constraints). `removedRows` is pre-collected on the Local
-    * path; the Dist path collects only when a constraint actually cares. */
+  /** Delete cascade over the removed row set, against the post-delete
+    * state (as the per-row path always has). Dispatch mirrors
+    * [[insertFromConstrained]]: ONE batch re-check per affected constraint
+    * ([[graft.icl.Runtime.cascadeBatch]]) unless a body is on this
+    * relation itself, Both-polarity, quantifies over it, or is
+    * incompilable — those keep the per-row evaluator; an all-Local
+    * mutation keeps the zero-job driver loop. */
   private def cascadeAll(spark: SparkSession, db: Database, relName: String,
       removedRows: Seq[Row], removedDf: DataFrame, rel: StoredRelation): Either[String, Unit] = {
-    val anyConstraintCares = db.relations.values.exists(_.constraints.nonEmpty)
-    if (!anyConstraintCares) Right(())
+    import graft.icl.{Compile, Runtime => IclRuntime}
+    val aff = IclRuntime.affected(db, relName, "delete")
+    if (aff.isEmpty) Right(())
     else {
-      val rows = if (removedRows.nonEmpty) removedRows else removedDf.collect().toSeq
-      rows.foldLeft(Right(()): Either[String, Unit]) { (acc, r) =>
-        acc.flatMap(_ => graft.icl.Runtime.cascade(spark, db, relName, rowToAttrs(rel, r), "delete"))
+      val allLocal = rel.localRows.isDefined && aff.forall { case (r, _, b) =>
+        r.localRows.isDefined && (Body.relationsIn(b) - relName).forall(n =>
+          graft.virtual.Virtual.isVirtual(n) || db.relations.get(n).forall(_.localRows.isDefined))
       }
+      val batchable = aff.forall { case (r, _, body) =>
+        r.name != relName &&
+          !graft.icl.Analysis.polarityOf(body).get(relName).contains(graft.icl.Analysis.Both) &&
+          !Compile.quantifiesOver(body, relName) &&
+          Compile.compilable(db, body)
+      }
+      def perRow(rows: Seq[Row]): Either[String, Unit] =
+        rows.foldLeft(Right(()): Either[String, Unit]) { (acc, r) =>
+          acc.flatMap(_ => IclRuntime.cascade(spark, db, relName, rowToAttrs(rel, r), "delete"))
+        }
+      if (allLocal && removedRows.nonEmpty) perRow(removedRows) // zero-job regime
+      else if (batchable) {
+        // an empty removal set has no transitions — and must not surface
+        // violations latent before the statement
+        if (removedRows.isEmpty && removedDf.limit(1).isEmpty) Right(())
+        else IclRuntime.cascadeBatch(spark, db, relName, removedDf, "delete")
+      } else perRow(if (removedRows.nonEmpty) removedRows else removedDf.collect().toSeq)
     }
   }
 

@@ -140,6 +140,28 @@ object Hashing {
     }.toVector)
   }
 
+  /** Combined duplicate probe + content root in ONE distributed
+    * aggregation (one digest shuffle instead of two full hashing passes):
+    * group by the row digest, then fold count / max-multiplicity / limb
+    * sums. Returns (hasDuplicate, root); the root is exact whenever no
+    * duplicate exists (the only case callers proceed in). */
+  def rootWithDupCheck(df: DataFrame, rowHash: Column): (Boolean, ContentRoot) = {
+    val g = df.groupBy(rowHash.as("__h")).agg(count(lit(1)).as("__c"))
+    val limbAggs = (0 until 4).map { i =>
+      sum(conv(substring(col("__h"), i * 16 + 1, 16), 16, 10).cast(DecimalType(38, 0)) * col("__c")).as(s"l$i")
+    }
+    val row = g.agg(sum(col("__c")).as("cnt"), (max(col("__c")).as("mx") +: limbAggs): _*).head()
+    if (row.isNullAt(0)) (false, ContentRoot.empty)
+    else {
+      val cnt = row.getLong(0)
+      val hasDup = row.getLong(1) > 1
+      val root = ContentRoot(cnt, (2 to 5).map { i =>
+        row.getDecimal(i).toBigInteger.mod(TwoPow64).longValue()
+      }.toVector)
+      (hasDup, root)
+    }
+  }
+
   /** Relation hash = name | schema | content root
     * (reference hash_relation, lib/hashing.ml:51-56). */
   def relationHash(name: String, schema: RelSchema, root: ContentRoot): String =

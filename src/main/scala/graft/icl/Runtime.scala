@@ -105,30 +105,111 @@ object Runtime {
             case Some(pol) if Analysis.triggeredBy(kind, pol) =>
               val filter = Analysis.focusedFilter(cbody, targetRel, transition)
               val present = filter.filter { case (a, _) => constrained.schema.attrNames.contains(a) }
-              val candidateRows: Seq[org.apache.spark.sql.Row] = constrained.localRows match {
+              val substituted = Analysis.substituteTransition(cbody, targetRel, transition)
+              val violation = Left("ConstraintViolation: " +
+                s"cascade: $verb $targetRel violates constraint $cname on ${constrained.name}")
+              def perRow(rows: Seq[org.apache.spark.sql.Row]): Either[String, Unit] =
+                rows.foldLeft(Right(()): Either[String, Unit]) { (a3, row) =>
+                  a3.flatMap { _ =>
+                    val tup = tupleMap(graft.engine.Engine.rowToAttrs(constrained, row))
+                    Eval.firstFailure(ctx, tup, Seq(cname -> substituted)) match {
+                      case Right(()) => Right(())
+                      case Left(_)   => violation
+                    }
+                  }
+                }
+              constrained.localRows match {
                 // Local extension: focused filter applied driver-side
                 case Some(rows) =>
-                  if (present.isEmpty) rows.valuesIterator.toSeq
-                  else rows.valuesIterator.filter(localMatches(constrained, _, present)).toSeq
+                  perRow(
+                    if (present.isEmpty) rows.valuesIterator.toSeq
+                    else rows.valuesIterator.filter(localMatches(constrained, _, present)).toSeq)
                 case None =>
+                  // Dist extension: ONE set-wise violation query — the
+                  // focused filter narrows candidates and the substituted
+                  // constants ride inside the compiled joins (SURVEY §2.5)
                   val df =
                     if (present.isEmpty) constrained.df
                     else constrained.df.filter(present.map { case (a, v) => col(s"`$a`") === v.lit }.reduce(_ && _))
-                  df.collect().toSeq
-              }
-              val substituted = Analysis.substituteTransition(cbody, targetRel, transition)
-              candidateRows.foldLeft(Right(()): Either[String, Unit]) { (a3, row) =>
-                a3.flatMap { _ =>
-                  val tup = tupleMap(graft.engine.Engine.rowToAttrs(constrained, row))
-                  Eval.firstFailure(ctx, tup, Seq(cname -> substituted)) match {
-                    case Right(()) => Right(())
-                    case Left(_) => Left("ConstraintViolation: " +
-                      s"cascade: $verb $targetRel violates constraint $cname on ${constrained.name}")
+                  Compile.violations(db, substituted, df) match {
+                    case Some(viol) => if (viol.limit(1).isEmpty) Right(()) else violation
+                    case None       => perRow(df.collect().toSeq) // unbounded quantifier: per-row evaluator
                   }
-                }
               }
             case _ => Right(())
           }
+        }
+      }
+    }
+  }
+
+  /** The constraints a mutation of `targetRel` of the given kind must
+    * re-check (the cascade's iteration set, minus deferred entries). */
+  def affected(db: Database, targetRel: String, kind: String)
+      : Seq[(StoredRelation, String, Body)] =
+    db.relations.values.toSeq.flatMap { r =>
+      r.constraints.toSeq.flatMap { case (cname, body) =>
+        if (isDeferred(db, r.name, cname)) None
+        else Analysis.polarityOf(body).get(targetRel) match {
+          case Some(pol) if Analysis.triggeredBy(kind, pol) => Some((r, cname, body))
+          case _ => None
+        }
+      }
+    }
+
+  /** The attributes that focus a BATCH re-check of `body` after mutating
+    * `depRel`: Var-bound sources of MemberOf(depRel) nodes named by both
+    * the mutated relation's schema (so every transition row carries a
+    * value — Analysis.focusedFilter's tmap lookup) and the constrained
+    * relation's schema (cascade's `present` filter). */
+  def focusAttrs(body: Body, depRel: String, depAttrs: Set[String],
+      conAttrs: Set[String]): List[String] = {
+    def loop(acc: List[String], node: Body): List[String] = node match {
+      case Body.MemberOf(target, binding) if target == depRel =>
+        binding.foldLeft(acc) {
+          case (a, (_, Binding.Var(src))) if depAttrs.contains(src) && conAttrs.contains(src) => src :: a
+          case (a, _) => a
+        }
+      case Body.MemberOf(_, _)  => acc
+      case Body.Not(b, _)       => loop(acc, b)
+      case Body.Exists(_, _, b) => loop(acc, b)
+      case Body.Forall(_, _, b) => loop(acc, b)
+      case Body.And(cs)         => cs.foldLeft(acc)(loop)
+      case Body.Or(cs)          => cs.foldLeft(acc)(loop)
+    }
+    loop(Nil, body).distinct
+  }
+
+  /** Batch cascade after a bulk mutation of `targetRel`: one set-wise
+    * violation query per affected constraint against the POST-mutation
+    * state, with candidates narrowed by a semi-join against the mutation
+    * batch on the focus attributes (the set-wise image of the reference's
+    * per-transition focused filter, lib/constraint.ml:355-383).
+    *
+    * Soundness contract (the CALLER must pre-check, e.g.
+    * Engine.insertFrom/deleteWhere): no affected constraint is on
+    * `targetRel` itself, has Both polarity on it, quantifies over it
+    * ([[Compile.quantifiesOver]] — substitution not expressible batch-wise),
+    * or is incompilable. Under those conditions per-transition verdicts
+    * are monotone in the mutation direction, so the single post-state
+    * check equals the reference's per-transition cascade. */
+  def cascadeBatch(spark: SparkSession, db: Database, targetRel: String,
+      batch: org.apache.spark.sql.DataFrame, kind: String): Either[String, Unit] = {
+    val verb = if (kind == "insert") "inserting into" else "deleting from"
+    val depAttrs = batch.columns.toSet
+    affected(db, targetRel, kind).foldLeft(Right(()): Either[String, Unit]) {
+      case (acc, (constrained, cname, body)) => acc.flatMap { _ =>
+        val focus = focusAttrs(body, targetRel, depAttrs, constrained.schema.attrNames.toSet)
+        val candidates =
+          if (focus.isEmpty) constrained.df
+          else constrained.df.join(
+            batch.select(focus.map(a => col(s"`$a`")): _*).distinct(), focus, "left_semi")
+        Compile.violations(db, body, candidates) match {
+          case Some(viol) =>
+            if (viol.limit(1).isEmpty) Right(())
+            else Left("ConstraintViolation: " +
+              s"cascade: $verb $targetRel violates constraint $cname on ${constrained.name}")
+          case None => Left(s"InternalError: cascadeBatch on incompilable constraint $cname")
         }
       }
     }
@@ -143,19 +224,26 @@ object Runtime {
         db.relations.get(entry.relationName) match {
           case None => Right(())
           case Some(rel) =>
-            val rows = rel.localRows match {
-              case Some(m) => m.valuesIterator.toSeq
-              case None    => rel.df.collect().toSeq
-            }
-            rows.foldLeft(Right(()): Either[String, Unit]) { (a2, row) =>
-              a2.flatMap { _ =>
-                val tup = tupleMap(graft.engine.Engine.rowToAttrs(rel, row))
-                Eval.firstFailure(ctx, tup, Seq(entry.constraintName -> entry.body)) match {
-                  case Right(()) => Right(())
-                  case Left(_) => Left("ConstraintViolation: " +
-                    s"deferred constraint ${entry.constraintName} on ${entry.relationName} violated")
+            val violation = Left("ConstraintViolation: " +
+              s"deferred constraint ${entry.constraintName} on ${entry.relationName} violated")
+            def perRow(rows: Seq[org.apache.spark.sql.Row]): Either[String, Unit] =
+              rows.foldLeft(Right(()): Either[String, Unit]) { (a2, row) =>
+                a2.flatMap { _ =>
+                  val tup = tupleMap(graft.engine.Engine.rowToAttrs(rel, row))
+                  Eval.firstFailure(ctx, tup, Seq(entry.constraintName -> entry.body)) match {
+                    case Right(()) => Right(())
+                    case Left(_)   => violation
+                  }
                 }
               }
+            rel.localRows match {
+              case Some(m) => perRow(m.valuesIterator.toSeq)
+              case None =>
+                // Dist extension: one set-wise commit-time validation query
+                Compile.violations(db, entry.body, rel.df) match {
+                  case Some(viol) => if (viol.limit(1).isEmpty) Right(()) else violation
+                  case None       => perRow(rel.df.collect().toSeq)
+                }
             }
         }
       }
