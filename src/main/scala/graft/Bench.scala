@@ -43,6 +43,9 @@ object Bench {
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"; None }
       }
+      // a query with at least one timed pass is reported by its time, not
+      // as an error — the JSON must never carry both for one query
+      if (times.nonEmpty) errors.remove(name)
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")

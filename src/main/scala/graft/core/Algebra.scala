@@ -112,13 +112,18 @@ object Algebra {
     // over-matching on a projected right side.
     if (left.columns.toSet != right.columns.toSet || left.columns.isEmpty) return left
     val aligned = right.select(left.columns.toIndexedSeq.map(c => col(s"`$c`")): _*)
+    // the digest encodes per LEFT schema types — same-named columns of
+    // differing types would render/cast differently on the right side, so
+    // type skew keeps the coercing null-safe conjunction path
+    val typesAgree = left.schema.fields.map(_.dataType).toSeq ==
+      aligned.schema.fields.map(_.dataType).toSeq
     nullAwareRowDigest(left.schema) match {
-      case Some(digest) =>
+      case Some(digest) if typesAgree =>
         val key = "__graft_diff_rh"
         left.withColumn(key, digest)
           .join(aligned.select(digest.as(key)), Seq(key), "left_anti")
           .drop(key)
-      case None =>
+      case _ =>
         val l = left.alias("l")
         val r = aligned.alias("r")
         val cond = left.columns.map(c => col(s"l.`$c`") <=> col(s"r.`$c`")).reduce(_ && _)

@@ -83,21 +83,29 @@ object Parser {
 object Executor {
   import Statement._
 
-  def execute(spark: SparkSession, db: Database, stmt: Statement): Either[String, Database] =
+  /** CreateDatabase is the only statement meaningful without a current
+    * database — the Option makes that explicit instead of a null. */
+  def execute(spark: SparkSession, db: Option[Database], stmt: Statement): Either[String, Database] =
     stmt match {
-      case CreateDatabase(n)      => Right(Engine.createDatabase(spark, n))
-      case CreateRelation(n, sch) => Engine.createRelation(spark, db, n, sch)
-      case RetractRelation(n)     => Engine.retractRelation(spark, db, n)
-      case ClearRelation(n)       => Engine.clearRelation(spark, db, n)
-      case RegisterDomain(n, card, base) =>
-        val baseType: DataType = base match {
-          case "integer" | "natural" => LongType
-          case "rational"            => DoubleType
-          case _                     => StringType
+      case CreateDatabase(n) => Right(Engine.createDatabase(spark, n))
+      case other =>
+        db.toRight("NoDatabase: run (ddl (CreateDatabase name)) first").flatMap { cur =>
+          other match {
+            case CreateDatabase(_)      => Right(cur) // unreachable
+            case CreateRelation(n, sch) => Engine.createRelation(spark, cur, n, sch)
+            case RetractRelation(n)     => Engine.retractRelation(spark, cur, n)
+            case ClearRelation(n)       => Engine.clearRelation(spark, cur, n)
+            case RegisterDomain(n, card, base) =>
+              val baseType: DataType = base match {
+                case "integer" | "natural" => LongType
+                case "rational"            => DoubleType
+                case _                     => StringType
+              }
+              Engine.registerDomain(spark, cur, Domain(n, baseType, card))
+          }
         }
-        Engine.registerDomain(spark, db, Domain(n, baseType, card))
     }
 
-  def run(spark: SparkSession, db: Database, sexpText: String): Either[String, Database] =
+  def run(spark: SparkSession, db: Option[Database], sexpText: String): Either[String, Database] =
     Parser.parse(sexpText).flatMap(execute(spark, db, _))
 }

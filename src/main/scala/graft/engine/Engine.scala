@@ -716,6 +716,8 @@ object Engine {
     * lib/manipulation.ml:841-850). */
   def retractRelation(spark: SparkSession, db: Database, name: String): Either[String, Database] =
     for {
+      _ <- if (isCatalog(name)) Left(s"ConstraintViolation: cannot retract system relation $name")
+           else Right(())
       rel <- db.relation(name)
       db2 = updateState(db, db.relations.removed(name))
       db3 <-
@@ -737,8 +739,9 @@ object Engine {
   /** Truncate a relation's extension; schema, constraints, and catalog
     * rows stay (reference clear_relation, lib/manipulation.ml:853-879). */
   def clearRelation(spark: SparkSession, db: Database, name: String): Either[String, Database] =
-    db.relation(name).map { rel =>
-      updateRelation(db, rel.copy(ext = Extension.emptyLocal, root = ContentRoot.empty))
+    if (isCatalog(name)) Left(s"ConstraintViolation: cannot clear system relation $name")
+    else db.relation(name).map { rel =>
+      updateRelation(db, rel.copy(ext = Extension.emptyLocal, root = ContentRoot.empty, chain = 0))
     }
 
   /** Register a domain + catalog row (reference register_domain,

@@ -153,6 +153,23 @@ object Analysis {
       filterByAttrs(v :: attrs, body).map(Body.Forall(v, q, _))
   }
 
+  /** Rename base-tuple Var references per (old → new) pairs (reference
+    * rename_vars, lib/constraint.ml:69-93): only un-namespaced Vars are
+    * touched — quantifier-bound `v.attr` names are scoped to their
+    * quantifier row, not the renamed relation's attributes. */
+  def renameVars(pairs: Map[String, String], c: Body): Body = c match {
+    case Body.MemberOf(t, binding) => Body.MemberOf(t, binding.map {
+      case (tgt, Binding.Var(src)) if !src.contains('.') && pairs.contains(src) =>
+        (tgt, Binding.Var(pairs(src)))
+      case p => p
+    })
+    case Body.Not(b, u)          => Body.Not(renameVars(pairs, b), u)
+    case Body.And(cs)            => Body.And(cs.map(renameVars(pairs, _)))
+    case Body.Or(cs)             => Body.Or(cs.map(renameVars(pairs, _)))
+    case Body.Exists(v, q, b)    => Body.Exists(v, q, renameVars(pairs, b))
+    case Body.Forall(v, q, b)    => Body.Forall(v, q, renameVars(pairs, b))
+  }
+
   /** AND-merge named constraint lists on name collision (reference merge,
     * lib/constraint.ml:121-135). */
   def mergeNamed(cs1: Seq[(String, Body)], cs2: Seq[(String, Body)]): Seq[(String, Body)] = {

@@ -60,9 +60,11 @@ object Ann {
     (1 to Dim).map(i => lit(planeWeight(j, i - 1)) * element_at(e, i).cast("double"))
       .reduce(_ + _)
 
-  /** Bucket id: the Planes-bit sign pattern of the projections. */
-  def bucket(e: Column): Column =
-    (0 until Planes).map(j => when(projection(e, j) > 0, 1 << (Planes - 1 - j)).otherwise(0))
+  /** Bucket id: the planes-bit sign pattern of the projections. More
+    * planes → sparser buckets (lower recall, cheaper join); the object's
+    * val is the oracle-pinned default. */
+  def bucket(e: Column, planes: Int = Planes): Column =
+    (0 until planes).map(j => when(projection(e, j) > 0, 1 << (planes - 1 - j)).otherwise(0))
       .reduce(_ + _)
 
   private def withNorm(df: DataFrame): DataFrame =
@@ -71,16 +73,17 @@ object Ann {
   /** Exact top-k cosine neighbors for each query vector (vec_id <
     * NumQueries), excluding self. Queries are broadcast; the corpus is
     * scanned once. */
-  def cosineTopK(embeddings: DataFrame): DataFrame = {
+  def cosineTopK(embeddings: DataFrame, k: Int = TopK,
+      numQueries: Int = NumQueries): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ss = embeddings.sparkSession
     val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
-    val q = broadcast(n.filter(col("vec_id") < NumQueries)
+    val q = broadcast(n.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn")))
     val pairs = n.join(q, col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(dot(ss, col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= TopK)
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id"), col("sim"))
   }
 
@@ -89,17 +92,18 @@ object Ann {
     * exact cosine at [[CosineDupThreshold]]. Recall < 1 by construction
     * (cross-bucket near pairs are unseen) — the standard trade; add
     * planes/probes to tighten. */
-  def embeddingPairs(embeddings: DataFrame): DataFrame = {
+  def embeddingPairs(embeddings: DataFrame, planes: Int = Planes,
+      threshold: Double = CosineDupThreshold): DataFrame = {
     val ss = embeddings.sparkSession
     val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
-      .withColumn("bucket", bucket(col("embedding")))
+      .withColumn("bucket", bucket(col("embedding"), planes))
     val a = n.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       col("nrm").as("na"), col("bucket"))
     val b = n.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
       col("nrm").as("nb"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
       .withColumn("sim", round(dot(ss, col("ea"), col("eb")) / (col("na") * col("nb")), 4))
-      .filter(col("sim") >= CosineDupThreshold)
+      .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("sim"))
   }
 
@@ -108,11 +112,12 @@ object Ann {
     * probe only the query's own cell for the best neighbor. The probe is
     * an equi-join on the cell id — the same bucketed shape as the LSH
     * path, with data-adaptive cells. */
-  def ivfTopK(embeddings: DataFrame): DataFrame = {
+  def ivfTopK(embeddings: DataFrame, numCentroids: Int = NumCentroids,
+      numQueries: Int = NumQueries): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ss = embeddings.sparkSession
     val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
-    val cents = broadcast(n.filter(col("vec_id") < NumCentroids)
+    val cents = broadcast(n.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce")))
     // coarse quantization: argmin ||v − c||² = (v·v + c·c) − 2·(v·c)
     val dist2 = (dot(ss, col("embedding"), col("embedding")) + dot(ss, col("ce"), col("ce"))) -
@@ -121,7 +126,7 @@ object Ann {
     val assigned = n.join(cents).withColumn("dist2", dist2)
       .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
-    val q = assigned.filter(col("vec_id") < NumQueries)
+    val q = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cell"))
     val pairs = assigned.join(broadcast(q), Seq("cell"))
@@ -133,8 +138,8 @@ object Ann {
   }
 
   /** Bucket census: LSH bucket id → membership stats. */
-  def lshBuckets(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"), bucket(col("embedding")).cast("long").as("bucket"))
+  def lshBuckets(embeddings: DataFrame, planes: Int = Planes): DataFrame =
+    embeddings.select(col("vec_id"), bucket(col("embedding"), planes).cast("long").as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
 
@@ -142,12 +147,13 @@ object Ann {
     * same-bucket neighbor by cosine. The join key is the bucket id —
     * the bucketed scale path (recall < 1 by construction; add planes or
     * probe neighboring buckets to trade recall vs. cost). */
-  def lshTopK(embeddings: DataFrame): DataFrame = {
+  def lshTopK(embeddings: DataFrame, planes: Int = Planes,
+      numQueries: Int = NumQueries): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ss = embeddings.sparkSession
     val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
-      .withColumn("bucket", bucket(col("embedding")))
-    val q = broadcast(n.filter(col("vec_id") < NumQueries)
+      .withColumn("bucket", bucket(col("embedding"), planes))
+    val q = broadcast(n.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket").as("qb")))
     val pairs = n.join(q, col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))

@@ -28,10 +28,30 @@ object Dedup {
   /** Verification threshold for reported near-dup pairs. */
   val JaccardThreshold = 0.5
 
+  /** Tunable MinHash/LSH geometry; the object's vals are the defaults the
+    * oracle suite pins. At real scale, band/row counts tune the
+    * candidate-probability curve and `shingleN` the granularity — all
+    * plumbed through every stage so a non-default geometry is a config
+    * value, not a code change. */
+  final case class LshConfig(
+      numHashes: Int = NumHashes,
+      numBands: Int = NumBands,
+      rowsPerBand: Int = RowsPerBand,
+      shingleN: Int = ShingleN,
+      jaccardThreshold: Double = JaccardThreshold) {
+    require(numHashes == numBands * rowsPerBand,
+      s"numHashes ($numHashes) must equal numBands*rowsPerBand (${numBands * rowsPerBand})")
+  }
+
   /** Exact dedup by content: one surviving row per distinct key (min id),
-    * with the multiplicity that a pure dedup would drop. */
+    * with the multiplicity that a pure dedup would drop. The group key is
+    * the 256-bit digest of the key column, not the raw value — at 100 TB
+    * the shuffle carries 32-byte keys instead of documents; the output
+    * (id, multiplicity) is identical since the digest is injective on
+    * honest data. */
   def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame =
-    df.groupBy(col(keyCol))
+    balanced(df)
+      .groupBy(sha2(col(keyCol).cast("string"), 256).as("__key"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
 
@@ -43,7 +63,7 @@ object Dedup {
   def exactByRowHash(df: DataFrame, idCol: String, relName: String,
       keyCols: Seq[String]): DataFrame = {
     val struct = org.apache.spark.sql.types.StructType(keyCols.map(c => df.schema(c)))
-    df.withColumn("content_hash", graft.hashing.Hashing.rowHashCol(relName, struct))
+    balanced(df).withColumn("content_hash", graft.hashing.Hashing.rowHashCol(relName, struct))
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col("content_hash"), col(idCol), col("n_copies"))
@@ -64,14 +84,16 @@ object Dedup {
     * exploded path; the narrow map shape — no shuffle — is identical).
     * Tokenization matches [[TextPipeline.tokens]] and the oracle:
     * trim + split on runs of whitespace. */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = ShingleN): DataFrame = {
     val ss = df.sparkSession
     import ss.implicits._
+    val n = shingleN
     balanced(df.select(col(idCol).cast("long"), col(textCol).cast("string"))).as[(Long, String)]
       .flatMap { p: (Long, String) =>
         val ws = p._2.trim.split("\\s+")
-        if (ws.length < ShingleN) Iterator.empty[(Long, String)]
-        else ws.sliding(ShingleN).map(_.mkString(" ")).toSet.iterator.map((s: String) => (p._1, s))
+        if (ws.length < n) Iterator.empty[(Long, String)]
+        else ws.sliding(n).map(_.mkString(" ")).toSet.iterator.map((s: String) => (p._1, s))
       }.toDF(idCol, "shingle")
   }
 
@@ -92,25 +114,28 @@ object Dedup {
     *
     * Precondition: documents have ≥ ShingleN tokens (the testdata
     * guarantees ≥ 10); shorter docs drop out at the explode. */
-  def bandSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    bandSignaturesFromRows(shingleRows(df, idCol, textCol), idCol)
+  def bandSignatures(df: DataFrame, idCol: String, textCol: String,
+      cfg: LshConfig = LshConfig()): DataFrame =
+    bandSignaturesFromRows(shingleRows(df, idCol, textCol, cfg.shingleN), idCol, cfg)
 
   /** Band hashes from an existing (doc, shingle) row set — lets callers
     * share one shingle scan across the signature and verification arms. */
-  def bandSignaturesFromRows(ex: DataFrame, idCol: String): DataFrame = {
-    val minAggs = (0 until NumHashes).map(i =>
+  def bandSignaturesFromRows(ex: DataFrame, idCol: String,
+      cfg: LshConfig = LshConfig()): DataFrame = {
+    val minAggs = (0 until cfg.numHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i"))
     val sig = ex.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
-    val bandCols = (0 until NumBands).map { b =>
-      md5(concat((0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*)).as(s"b$b")
+    val bandCols = (0 until cfg.numBands).map { b =>
+      md5(concat((0 until cfg.rowsPerBand).map(r => col(s"mh${b * cfg.rowsPerBand + r}")): _*)).as(s"b$b")
     }
     sig.select(col(idCol) +: bandCols: _*)
   }
 
   /** Candidate pairs from band collisions: unpivot the band columns to
     * (band, hash) rows and self-equi-join — the bucketed formulation. */
-  def minhashCandidates(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val stackExpr = (0 until NumBands).map(b => s"$b, b$b").mkString(s"stack($NumBands, ", ", ", ") AS (band, bh)")
+  def minhashCandidates(bandsDf: DataFrame, idCol: String,
+      numBands: Int = NumBands): DataFrame = {
+    val stackExpr = (0 until numBands).map(b => s"$b, b$b").mkString(s"stack($numBands, ", ", ", ") AS (band, bh)")
     val long = bandsDf.select(col(idCol), expr(stackExpr))
     val a = long.alias("a")
     val b = long.alias("b")
@@ -123,14 +148,15 @@ object Dedup {
   /** Verify candidates with exact Jaccard over the shingle sets and keep
     * pairs at/above the threshold. The shingle-set join is two hash joins
     * on doc id (broadcastable when the candidate set is small). */
-  def jaccardVerify(cands: DataFrame, sets: DataFrame, idCol: String): DataFrame = {
+  def jaccardVerify(cands: DataFrame, sets: DataFrame, idCol: String,
+      threshold: Double = JaccardThreshold): DataFrame = {
     val sa = sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
     val sb = sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
     cands.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jaccard",
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4))
-      .filter(col("jaccard") >= JaccardThreshold)
+      .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
@@ -139,18 +165,19 @@ object Dedup {
     * and persisted — it feeds the signature arm and both sides of the
     * verify join, and Spark's exchange reuse cannot unify
     * independently-built flatMap subtrees. */
-  def nearDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      cfg: LshConfig = LshConfig()): DataFrame = {
     // MEMORY_AND_DISK: the row set feeds the signature arm and both
     // sides of the verification join (measured 3× end-to-end without
     // it). Entries live until LRU eviction or session clearCache — the
     // standard Spark trade for a multi-consumer intermediate.
-    val rows = shingleRows(df, idCol, textCol)
+    val rows = shingleRows(df, idCol, textCol, cfg.shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sets = rows.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardVerify(
-      minhashCandidates(bandSignaturesFromRows(rows, idCol), idCol),
-      sets, idCol)
+      minhashCandidates(bandSignaturesFromRows(rows, idCol, cfg), idCol, cfg.numBands),
+      sets, idCol, cfg.jaccardThreshold)
   }
 
   /** SimHash near-dup pairs via block banding (Manku, Jain & Sarma,
@@ -162,19 +189,25 @@ object Dedup {
   val MaxHamming = 3
   val SimhashBlocks = 4
 
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = MaxHamming, blocks: Int = SimhashBlocks): DataFrame = {
+    // pigeonhole: a pair within maxHamming bits must agree on one of
+    // blocks > maxHamming equal slices of the 64-bit fingerprint
+    require(blocks > maxHamming && 64 % blocks == 0,
+      s"need blocks ($blocks) > maxHamming ($maxHamming) and blocks | 64")
+    val nibbles = 16 / blocks // hex chars per block
     // hex → two 32-bit halves ONCE per document, so the per-pair Hamming
     // check in the (potentially hot) bucket join is two XOR+popcounts on
     // longs instead of 32 per-nibble string conversions.
     val fp = TextPipeline.simhash(df, idCol, textCol)
       .withColumn("hi", conv(substring(col("simhash"), 1, 8), 16, 10).cast("long"))
       .withColumn("lo", conv(substring(col("simhash"), 9, 8), 16, 10).cast("long"))
-    val blockCols = (0 until SimhashBlocks).map(b =>
-      substring(col("simhash"), 1 + 4 * b, 4).as(s"blk$b"))
-    val blocks = fp.select(Seq(col(idCol), col("hi"), col("lo")) ++ blockCols: _*)
-    val stackExpr = (0 until SimhashBlocks).map(b => s"$b, blk$b")
-      .mkString(s"stack($SimhashBlocks, ", ", ", ") AS (blk, blockv)")
-    val long = blocks.select(col(idCol), col("hi"), col("lo"), expr(stackExpr))
+    val blockCols = (0 until blocks).map(b =>
+      substring(col("simhash"), 1 + nibbles * b, nibbles).as(s"blk$b"))
+    val blocksDf = fp.select(Seq(col(idCol), col("hi"), col("lo")) ++ blockCols: _*)
+    val stackExpr = (0 until blocks).map(b => s"$b, blk$b")
+      .mkString(s"stack($blocks, ", ", ", ") AS (blk, blockv)")
+    val long = blocksDf.select(col(idCol), col("hi"), col("lo"), expr(stackExpr))
     val a = long.alias("a")
     val b = long.alias("b")
     val hamming = (bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
@@ -185,7 +218,7 @@ object Dedup {
     a.join(b, col("a.blk") === col("b.blk") && col("a.blockv") === col("b.blockv") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("hamming", hamming)
-      .filter(col("hamming") <= MaxHamming)
+      .filter(col("hamming") <= maxHamming)
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"), col("hamming"))
       .distinct()
   }
@@ -194,11 +227,23 @@ object Dedup {
     * self-join on the shingle, count shared shingles per pair, then
     * J = |∩| / (|A| + |B| − |∩|). Reports pairs with J ≥ `threshold`. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.2): DataFrame = {
-    val inv = shingleRows(df, idCol, textCol)
+      threshold: Double = 0.2, maxShingleFreq: Option[Int] = None,
+      shingleN: Int = ShingleN): DataFrame = {
+    val inv = shingleRows(df, idCol, textCol, shingleN)
     val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val a = inv.alias("a")
-    val b = inv.alias("b")
+    // hot-shingle cap: a stop-shingle shared by k docs contributes k²
+    // join rows — at real scale cap the inverted-index posting length
+    // (the standard prefix-filter trade: slightly underestimates J for
+    // pairs whose only overlap was capped shingles). None = exact, the
+    // oracle regime.
+    val postings = maxShingleFreq match {
+      case None => inv
+      case Some(cap) =>
+        val freq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("__f"))
+        inv.join(freq.filter(col("__f") <= cap).select(col("shingle")), Seq("shingle"), "left_semi")
+    }
+    val a = postings.alias("a")
+    val b = postings.alias("b")
     val co = a.join(b, col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .agg(count(lit(1)).as("inter"))

@@ -95,9 +95,9 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None)
   private def runDdl(s: Sexp): Either[String, Response] =
     graft.ddl.Parser.ofSexp(s).flatMap {
       case stmt @ graft.ddl.Statement.CreateDatabase(_) =>
-        graft.ddl.Executor.execute(spark, null, stmt).map(transition(_, s"ok"))
+        graft.ddl.Executor.execute(spark, None, stmt).map(transition(_, s"ok"))
       case stmt =>
-        requireDb.flatMap(cur => graft.ddl.Executor.execute(spark, cur, stmt))
+        requireDb.flatMap(cur => graft.ddl.Executor.execute(spark, Some(cur), stmt))
           .map(transition(_, s"ok"))
     }
 

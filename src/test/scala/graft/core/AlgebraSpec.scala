@@ -122,6 +122,14 @@ class AlgebraSpec extends SparkTestBase {
     assert(Algebra.diff(l, r).collect().toSeq == Seq(Row(2L, "b")))
   }
 
+  test("diff with same names but differing types coerces instead of digest-matching") {
+    // left double vs right long: the digest would render '5.0' vs '5' and
+    // remove nothing — the coercing null-safe conjunction must kick in
+    val l = Seq(5.0, 6.0).toDF("x")
+    val r = Seq(5L).toDF("x")
+    assert(Algebra.diff(l, r).collect().map(_.getDouble(0)).toSeq == Seq(6.0))
+  }
+
   test("take bounds the result") {
     val df = Seq(1L, 2L, 3L).toDF("v")
     assert(Algebra.take(2)(df).collect().length == 2)

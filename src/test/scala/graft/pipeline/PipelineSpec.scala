@@ -243,4 +243,62 @@ class PipelineSpec extends SparkTestBase {
     assert(a == b)
     assert(a.forall(_.length == 1 + Dedup.NumBands))
   }
+
+  // ---- non-default configurations: the tunables are real arguments ----
+
+  test("LSH geometry is tunable: 4×2 bands, bigram shingles") {
+    val cfg = Dedup.LshConfig(numHashes = 8, numBands = 4, rowsPerBand = 2, shingleN = 2)
+    val sigs = Dedup.bandSignatures(docs, "doc_id", "text", cfg)
+    assert(sigs.columns.toSeq == Seq("doc_id", "b0", "b1", "b2", "b3"))
+    // bigrams admit the 2-token doc the default trigram geometry drops
+    assert(sigs.count() == 5)
+    // the full pipeline still finds the exact-dup pair under the new geometry
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+    assertThrows[IllegalArgumentException](Dedup.LshConfig(numHashes = 7, numBands = 4, rowsPerBand = 2))
+  }
+
+  test("jaccardPairs hot-shingle cap bounds the inverted index") {
+    // every doc shares the hot shingle; only 0/1/3 share rare ones
+    val hot = Seq(
+      (0L, "common common common alpha beta gamma"),
+      (1L, "common common common alpha beta delta"),
+      (2L, "common common common zz yy xx"),
+      (3L, "common common common alpha beta gamma")).toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(hot, "doc_id", "text", threshold = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap = 3 removes the shingles shared by all four docs; pairs that
+    // only overlapped on hot shingles disappear, the rare-overlap pairs stay
+    val capped = Dedup.jaccardPairs(hot, "doc_id", "text", threshold = 0.01,
+      maxShingleFreq = Some(3)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact))
+    assert(capped.contains((0L, 3L)) && capped.contains((0L, 1L)))
+    assert(!capped.contains((0L, 2L)) && exact.contains((0L, 2L)))
+  }
+
+  test("simhash banding is tunable: 8 blocks catch wider hamming bounds") {
+    val near = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight often"),
+      (2L, "utterly unrelated content with zero shared vocabulary here")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(near, "doc_id", "text", maxHamming = 7, blocks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.forall(_._3 <= 7))
+    assertThrows[IllegalArgumentException](
+      Dedup.simhashPairs(near, "doc_id", "text", maxHamming = 4, blocks = 4))
+  }
+
+  test("ANN tunables: plane count reshapes buckets, centroid count reshapes cells") {
+    val vecs = (0L until 32L).map(i =>
+      (i, Array.tabulate(Ann.Dim)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))).toDF("vec_id", "embedding")
+    val b2 = Ann.lshBuckets(vecs, planes = 2).collect().map(_.getLong(0)).toSet
+    assert(b2.subsetOf((0L until 4L).toSet)) // 2 planes → ≤4 buckets
+    val b6 = Ann.lshBuckets(vecs, planes = 6).collect().map(_.getLong(0)).toSet
+    assert(b6.forall(b => b >= 0 && b < 64))
+    val ivf = Ann.ivfTopK(vecs, numCentroids = 2, numQueries = 3).collect()
+    assert(ivf.map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L, 2L)))
+    val topk = Ann.cosineTopK(vecs, k = 5, numQueries = 2)
+    assert(topk.groupBy(col("query_id")).count().collect().forall(_.getLong(1) == 5L))
+  }
 }
