@@ -67,6 +67,13 @@ object Compile {
   private def finiteStored(db: Database, q: String): Boolean =
     !Virtual.isVirtual(q) && db.relations.contains(q)
 
+  /** Does the body reference the quantifier variable's namespaced
+    * attributes anywhere? Conservative: a same-named inner quantifier's
+    * references count too (skipping the degenerate-quantifier shortcut
+    * there is safe, just not fast). */
+  private def usesVariable(b: Body, v: String): Boolean =
+    Body.varsIn(b).exists(_.startsWith(s"$v."))
+
   /** The candidate rows that violate `body`, as one lazy DataFrame plan
     * (empty result = constraint satisfied), or None when the body is not
     * set-wise compilable. `candidates` rows must carry the constrained
@@ -81,6 +88,16 @@ object Compile {
       cs.foldLeft(Option(candidates.limit(0))) { (acc, c) =>
         for { a <- acc; v <- violations(db, c, candidates) } yield a.unionAll(v)
       }
+    // a quantifier the body never references degenerates to an
+    // emptiness gate (zero-job: the root count) around the body itself —
+    // the reference's FK-via-Exists idiom compiles to the body's anti-join
+    case Body.Exists(v, q, b) if !usesVariable(b, v) && finiteStored(db, q) =>
+      if (db.relations(q).root.count == 0) Some(candidates) // ∃ over ∅: every row violates
+      else violations(db, b, candidates)
+        .orElse(Some(candidates)) // incompilable body is never-true → all violate
+    case Body.Forall(v, q, b) if !usesVariable(b, v) && finiteStored(db, q) =>
+      if (db.relations(q).root.count == 0) Some(candidates.limit(0)) // vacuous
+      else violations(db, b, candidates)
     // single-join fast paths for predicate-bodied quantifiers
     case Body.Exists(v, q, b) =>
       quantJoin(db, candidates, v, q, b, isForall = false, wantViolations = true)
@@ -141,6 +158,14 @@ object Compile {
         case hs => f.join(hs.map(_.select(col(KeyCol))).reduce(_ unionAll _).distinct(),
           Seq(KeyCol), "left_semi")
       })
+
+    case Body.Exists(v, q, b) if !usesVariable(b, v) && finiteStored(db, q) =>
+      if (db.relations(q).root.count == 0) Some(f.limit(0))
+      else holds(db, b, f, depth).orElse(Some(f.limit(0))) // never-true body: ∃ is const false
+
+    case Body.Forall(v, q, b) if !usesVariable(b, v) && finiteStored(db, q) =>
+      if (db.relations(q).root.count == 0) Some(f)
+      else holds(db, b, f, depth)
 
     case Body.Exists(v, q, b) =>
       quantJoin(db, f, v, q, b, isForall = false, wantViolations = false).map(Some(_)).getOrElse {

@@ -135,6 +135,18 @@ class CompileSpec extends SparkTestBase {
     assert(Compile.compilable(localDb, Or(List(Forall("x", "natural_plus", fk)))))
   }
 
+  test("degenerate quantifiers (body ignores the variable): FK-via-Exists idiom") {
+    // the reference's FK form: ∃ d ∈ Department. MemberOf(Department, dept_id = Var dept_id)
+    checkParity(Exists("d", "Department", fk))
+    checkParity(Forall("d", "Department", fk))
+    checkParity(Not(Exists("d", "Department", fk), "Department"))
+    // ∃/∀ over an EMPTY quantifier with an ignored variable
+    checkParity(Exists("e", "EmptyRel", smallId))
+    checkParity(Forall("e", "EmptyRel", smallId))
+    // ∃ with an ignored variable and an incompilable (never-true) body
+    checkParity(Or(List(Exists("d", "Department", Forall("x", "natural_plus", fk)), smallId)))
+  }
+
   test("quantifiesOver sees quantifiers at any depth") {
     assert(Compile.quantifiesOver(Exists("e", "Employee", fk), "Employee"))
     assert(Compile.quantifiesOver(Not(Forall("e", "Employee", fk), "u"), "Employee"))
