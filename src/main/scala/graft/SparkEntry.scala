@@ -164,6 +164,10 @@ object SparkEntry {
         "(body (MemberOf (target natural_natural_equal) (binding ((left (Var r_regionkey)) (right (Var r.rk)))))))))",
       "(InsertFrom (target fact) (source (Cartesian (Project (r_regionkey) (Base region)) " +
         "(Cartesian (Project (n_nationkey) (Base nation)) (Project (c_custkey) (Base customer))))))",
+      // delete an UNREFERENCED key: the batch delete-cascade re-check
+      // (focus semi-join against the Dist fact relation) must pass
+      "(InsertTuple (relation cust_keys) (attributes ((c_custkey (Int 99999999)))))",
+      "(DeleteWhere (target cust_keys) (predicate (Const ((c_custkey (Int 99999999))))))",
     ), "(Base fact)"),
     // Exists/Forall/Or + quantifier namespacing end-to-end (reference
     // weak-entity / implication scenarios, test_relational_engine.ml:

@@ -561,11 +561,13 @@ object Engine {
         graft.core.Algebra.equijoin(common, rel.df, pred)).distinct()
       res <- rel.ext match {
         case Extension.Local(rows) =>
-          val removed = toDelete.collect().toSeq // subset of rel's own rows
-          val keys = removed.map(r => Hashing.tupleHash(rel.name, rowToAttrs(rel, r)))
-            .filter(rows.contains)
+          // subset of rel's own rows; hashes computed on executors
+          val width = rel.struct.fields.length
+          val removed = toDelete.withColumn(RhCol, rel.rowHash).collect().toSeq
+          val keys = removed.map(_.getString(width)).filter(rows.contains)
           val root = keys.foldLeft(rel.root)(_.remove(_))
-          Right((rel.copy(ext = Extension.Local(rows.removedAll(keys)), root = root), removed))
+          Right((rel.copy(ext = Extension.Local(rows.removedAll(keys)), root = root),
+            removed.map(r => Row.fromSeq(r.toSeq.take(width)))))
         case Extension.Dist(d) =>
           val delRoot = Hashing.contentRootOf(toDelete, rel.rowHash)
           val (ext, chain) = boundedDist(graft.core.Algebra.diff(d, toDelete), rel.chain, cost = 2)
