@@ -112,6 +112,53 @@ class DistEngineSpec extends SparkTestBase {
       spark.range(n, n.toLong + 1).select(col("id").as("k"))).isRight)
   }
 
+  test("self-referencing FK falls back to the sequential fold: within-batch visibility preserved") {
+    import graft.icl.{Binding, Body}
+    // parent must already be a row id — only row-at-a-time evaluation can
+    // admit a batch whose later rows reference earlier ones
+    val selfFk = Body.MemberOf("t", List("id" -> Binding.Var("parent")))
+    var db = Engine.createDatabase(spark, "selfref")
+    db = Engine.createRelation(spark, db, "t",
+      RelSchema(List("id" -> "integer", "parent" -> "integer"))).fold(e => fail(e), identity)
+    db = Engine.createTuple(spark, db, "t",
+      Seq("id" -> Value.IntV(0), "parent" -> Value.IntV(0))).fold(e => fail(e), identity)
+    db = Engine.registerConstraint(spark, db, "parent_exists", "t", selfFk).fold(e => fail(e), identity)
+    val batch = Seq((1L, 0L), (2L, 1L)).toDF("id", "parent") // 2 depends on 1: batch-internal
+    val db2 = Engine.insertFrom(spark, db, "t", batch).fold(e => fail(e), identity)
+    assert(db2.relations("t").cardinality == 3)
+    // an actual orphan still aborts the whole statement
+    assert(Engine.insertFrom(spark, db2, "t", Seq((5L, 99L)).toDF("id", "parent"))
+      .left.exists(_.startsWith("ConstraintViolation")))
+  }
+
+  test("batch delete cascade stays focused: pre-existing violations are not surfaced") {
+    import graft.icl.{Binding, Body}
+    val fk = Body.MemberOf("keys", List("k" -> Binding.Var("k")))
+    var db = Engine.createDatabase(spark, "latent")
+    db = Engine.createRelation(spark, db, "keys", RelSchema(List("k" -> "integer")))
+      .fold(e => fail(e), identity)
+    db = Engine.insertFrom(spark, db, "keys",
+      spark.range(n).select(col("id").as("k"))).fold(e => fail(e), identity)
+    db = Engine.createRelation(spark, db, "fact",
+      RelSchema(List("k" -> "integer", "v" -> "string"))).fold(e => fail(e), identity)
+    // fact holds an ORPHAN (k = -1) inserted before the FK existed —
+    // a latent violation the reference's focused cascade never revisits
+    db = Engine.insertFrom(spark, db, "fact",
+      bigDf(n).unionAll(Seq((-1L, "orphan")).toDF("k", "v"))).fold(e => fail(e), identity)
+    assert(db.relations("fact").localRows.isEmpty)
+    db = Engine.registerConstraint(spark, db, "fk_k", "fact", fk).fold(e => fail(e), identity)
+    // deleting a key NO fact row references: the focus semi-join narrows
+    // the re-check to rows with that key — the orphan must stay latent
+    val extra = Engine.insertFrom(spark, db, "keys",
+      spark.range(n, n.toLong + 1).select(col("id").as("k"))).fold(e => fail(e), identity)
+    assert(Engine.deleteWhere(spark, extra, "keys",
+      spark.range(n, n.toLong + 1).select(col("id").as("k"))).isRight)
+    // deleting a REFERENCED key is still caught
+    assert(Engine.deleteWhere(spark, db, "keys",
+      spark.range(1).select(col("id").as("k")))
+      .left.exists(_.startsWith("ConstraintViolation")))
+  }
+
   test("Dist plan lineage is bounded: long mutation chains checkpoint, state hash unaffected") {
     var db = Engine.createDatabase(spark, "chain")
     db = Engine.createRelation(spark, db, "t",
