@@ -149,16 +149,16 @@ object Engine {
     * their declared domains, returning them in schema order. */
   def coerce(db: Database, rel: StoredRelation, attrs: Seq[(String, Value)])
       : Either[String, List[(String, Value)]] = {
-    val given = attrs.toMap
-    if (attrs.size != given.size)
+    val provided = attrs.toMap
+    if (attrs.size != provided.size)
       Left(s"ConstraintViolation: duplicate attribute in tuple for ${rel.name}")
-    else if (given.keySet != rel.schema.attrNames.toSet)
+    else if (provided.keySet != rel.schema.attrNames.toSet)
       Left("ConstraintViolation: Tuple does not satisfy membership criteria " +
         s"(expected attributes ${rel.schema.attrNames.mkString(",")})")
     else {
       val out = rel.schema.attrs.map { case (a, domName) =>
         val dom = db.domains.getOrElse(domName, Domain(domName, StringType, graft.types.Cardinality.ConstrainedFinite))
-        val v = given(a)
+        val v = provided(a)
         if (!admits(dom, v)) return Left(
           s"ConstraintViolation: Tuple does not satisfy membership criteria ($a is not a $domName)")
         val coerced = (dom.sparkType, v) match {
