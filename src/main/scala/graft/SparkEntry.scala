@@ -136,6 +136,11 @@ object SparkEntry {
       "(CreateDatabase g)",
       "(CreateRelation (name pair) (schema ((k integer) (v string))))",
     ), "(Select (Const ((relation_name (Str pair)))) (Base sakura:attribute))"),
+    // RegisterDomain catalog maintenance: prelude domains + the new one
+    "ddl_domains" -> script(Seq(
+      "(CreateDatabase g)",
+      "(RegisterDomain (name money) (cardinality AlephZero) (base integer))",
+    ), "(Base sakura:domain)"),
 
     // ---- ICL: constraint registration + per-row enforcement ----
     "icl_fk_pipeline" -> script(Seq(
@@ -212,6 +217,16 @@ object SparkEntry {
       "(InsertTuple (relation scores) (attributes ((r_regionkey (Int 88)) (r_name (Str MAIN)))))",
       "(Merge (left main) (right feature) (strategy PreferLeft))",
     ), "(Base scores)"),
+
+    // Branch registry as queryable catalog relations (sakura:branch /
+    // sakura:head, reference lib/management/branch.ml:74-132); names
+    // only — tips are state hashes, deterministic but hash-shaped
+    "dcl_branch_catalog" -> script(Seq(
+      "(CreateDatabase g)",
+      "(CreateBranch (name main))",
+      "(Checkout main)",
+      "(CreateBranch (name feature))",
+    ), "(Union (Project (name) (Base sakura:branch)) (Rename ((branch name)) (Base sakura:head)))"),
 
     // ---- SCL: cursor streaming over a DRL query ----
     "scl_cursor_stream" -> ((s, dir) => {
@@ -342,6 +357,11 @@ object SparkEntry {
     "ddl_attributes" ->
       ("SELECT * FROM (VALUES ('pair','k','integer'),('pair','v','string')) " +
         "t(relation_name, attr_name, domain_name)"),
+    "ddl_domains" ->
+      ("SELECT * FROM (VALUES ('integer'),('natural'),('rational'),('string'),('money')) " +
+        "t(name)"),
+    "dcl_branch_catalog" ->
+      "SELECT * FROM (VALUES ('main'),('feature'),('main')) t(name)",
     "icl_fk_pipeline" ->
       ("SELECT CAST(n_nationkey AS BIGINT) AS emp_id, CAST(n_regionkey AS BIGINT) AS dept_id " +
         "FROM nation"),
