@@ -14,6 +14,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // isolation knobs for perf triage on a noisy host: run only the named
+    // queries (comma-separated) and/or take best-of-N instead of best-of-2
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,14 +35,16 @@ object Bench {
       } + "\""
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // untimed warmup pass (see scaladoc); failures surface in the timed pass
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // best-of-2 timed passes: the minimum is the standard noise-robust
     // steady-state statistic (host-level scheduling jitter only ever
     // ADDS time to a deterministic computation)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"; None }
@@ -51,7 +57,7 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":1,"iterations":2,"queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":1,"iterations":$iters,"queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

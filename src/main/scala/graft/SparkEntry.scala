@@ -194,6 +194,21 @@ object SparkEntry {
         "(MemberOf (target natural_natural_less_than_or_equal) (binding ((left (Var e.emp_id)) (right (Const (Int 1000))))))))))))",
       "(InsertTuple (relation Department) (attributes ((dept_id (Int 90)))))",
     ), "(Base Department)"),
+    // Mutual exclusion via closed-world Not (reference subtype scenarios,
+    // test_relational_engine.ml:2110-2587): WestDept keys must NOT be
+    // EastDept members. The WestDept source also exercises the
+    // virtual-comparison filter over a Cartesian-with-Const bound.
+    "icl_exclusion_pipeline" -> script(Seq(
+      "(CreateDatabase g)",
+      "(CreateRelation (name EastDept) (schema ((dept_id integer))))",
+      "(InsertFrom (target EastDept) (source (Rename ((r_regionkey dept_id)) (Project (r_regionkey) (Base region)))))",
+      "(CreateRelation (name WestDept) (schema ((dept_id integer))))",
+      "(RegisterConstraint (constraint_name west_not_east) (relation_name WestDept) " +
+        "(body (Not (body (MemberOf (target EastDept) (binding ((dept_id (Var dept_id)))))) (universe EastDept))))",
+      "(InsertFrom (target WestDept) (source (Rename ((left dept_id)) (Project (left) " +
+        "(Select (Base natural_natural_greater_than) " +
+        "(Rename ((n_nationkey left)) (Cartesian (Project (n_nationkey) (Base nation)) (Const ((right (Int 4)))))))))))",
+    ), "(Base WestDept)"),
     "icl_constraint_catalog" -> script(Seq(
       "(CreateDatabase g)",
       "(CreateRelation (name scores) (schema ((student_id integer) (score integer))))",
@@ -371,6 +386,8 @@ object SparkEntry {
     "icl_quantifier_pipeline" ->
       ("SELECT CAST(r_regionkey AS BIGINT) AS dept_id FROM region " +
         "UNION ALL SELECT 90"),
+    "icl_exclusion_pipeline" ->
+      "SELECT CAST(n_nationkey AS BIGINT) AS dept_id FROM nation WHERE n_nationkey > 4",
     "icl_constraint_catalog" ->
       ("SELECT * FROM (VALUES ('score_range','scores'),('student_known','scores')) " +
         "t(name, relation_name)"),
