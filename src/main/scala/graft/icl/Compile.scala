@@ -101,9 +101,11 @@ object Compile {
     // single-join fast paths for predicate-bodied quantifiers
     case Body.Exists(v, q, b) =>
       quantJoin(db, candidates, v, q, b, isForall = false, wantViolations = true)
+        .orElse(storedQuant(db, candidates, v, q, b, isForall = false, wantViolations = true))
         .orElse(generic(db, body, candidates))
     case Body.Forall(v, q, b) =>
       quantJoin(db, candidates, v, q, b, isForall = true, wantViolations = true)
+        .orElse(storedQuant(db, candidates, v, q, b, isForall = true, wantViolations = true))
         .orElse(generic(db, body, candidates))
     case other => generic(db, other, candidates)
   }
@@ -168,7 +170,9 @@ object Compile {
       else holds(db, b, f, depth)
 
     case Body.Exists(v, q, b) =>
-      quantJoin(db, f, v, q, b, isForall = false, wantViolations = false).map(Some(_)).getOrElse {
+      quantJoin(db, f, v, q, b, isForall = false, wantViolations = false)
+        .orElse(storedQuant(db, f, v, q, b, isForall = false, wantViolations = false))
+        .map(Some(_)).getOrElse {
         extendFrame(db, f, v, q, depth).map { case (ext, pk) =>
           holds(db, b, ext, depth + 1) match {
             case Some(h) =>
@@ -182,7 +186,9 @@ object Compile {
       }
 
     case Body.Forall(v, q, b) =>
-      quantJoin(db, f, v, q, b, isForall = true, wantViolations = false).map(Some(_)).getOrElse {
+      quantJoin(db, f, v, q, b, isForall = true, wantViolations = false)
+        .orElse(storedQuant(db, f, v, q, b, isForall = true, wantViolations = false))
+        .map(Some(_)).getOrElse {
         for {
           extPk <- extendFrame(db, f, v, q, depth)
           (ext, pk) = extPk
@@ -228,6 +234,118 @@ object Compile {
         }
       }
     }
+
+  /** Fast path for a quantifier whose body is a single STORED-relation
+    * membership test (or its closed-world negation) that references the
+    * quantifier variable: compiles to binary joins over the parent-free
+    * PAIR SET  J = q ⋈ target  (joined on the binding conjuncts that
+    * involve only `v.attr` columns and constants), so the plan contains no
+    * candidates × quantifier cross join — the scale hazard of the generic
+    * keyed path. With matchedQ(p) = |{distinct q-rows matched for parent
+    * p}| and |q| the maintained ContentRoot count (driver value, no job):
+    *
+    *   ∃ MemberOf   holds = f ⋉ J on parent conds   (violations = f ▷ J)
+    *   ∀ ¬MemberOf  holds = f ▷ J                   (violations = f ⋉ J)
+    *   ∀ MemberOf   holds = {p : matchedQ(p) = |q|}
+    *   ∃ ¬MemberOf  holds = {p : matchedQ(p) < |q|} ∪ zero-match parents
+    *
+    * The count shapes group the f ⋈ J pairs back by ALL parent columns
+    * (frame rows are unique — stored relations are sets and extended
+    * frames carry composite keys). A binding that references no parent
+    * column makes the verdict uniform across parents; that degenerates to
+    * one bounded aggregate job deciding between `f` and `f.limit(0)`.
+    * Membership edge cases (unknown/empty target, empty or schema-foreign
+    * binding) are constant-false, mirroring [[memberSplit]]'s `never`.
+    * None → caller falls back to the generic keyed path. */
+  private def storedQuant(db: Database, f: DataFrame, v: String, q: String, b: Body,
+      isForall: Boolean, wantViolations: Boolean): Option[DataFrame] = {
+    val memberOpt = b match {
+      case m: Body.MemberOf if !Virtual.relations.contains(m.target) => Some((m, false))
+      case Body.Not(m: Body.MemberOf, _) if !Virtual.relations.contains(m.target) =>
+        Some((m, true))
+      case _ => None
+    }
+    memberOpt.flatMap { case (m, negBody) =>
+      if (!finiteStored(db, q)) None
+      else {
+        val qrel = db.relations(q)
+        val qAttrs = qrel.struct.fields.map(_.name).toSeq
+        if (qAttrs.exists(a => f.columns.contains(s"$v.$a"))) None // outer shadow → generic
+        else {
+          def whole = f
+          def none = f.limit(0)
+          def const(holdsAll: Boolean): Option[DataFrame] =
+            Some(if (holdsAll != wantViolations) whole else none)
+          val totalQ = qrel.root.count
+          if (totalQ == 0) const(isForall) // ∃ over ∅ never holds; ∀ over ∅ vacuous
+          else {
+            val qNames = qAttrs.map(a => s"$v.$a").toSet
+            val extCols = f.columns.toSet ++ qNames
+            val resolved = m.binding.flatMap {
+              case (t, Binding.Const(value)) => Some(t -> (Right(value): Either[String, Value]))
+              case (t, Binding.Var(s)) =>
+                if (extCols.contains(s)) Some(t -> (Left(s): Either[String, Value])) else None
+            }
+            val constFalse = db.relations.get(m.target) match {
+              case None => true
+              case Some(t) =>
+                val sa = t.schema.attrNames.toSet
+                resolved.isEmpty || !resolved.forall(p => sa.contains(p._1)) || t.root.count == 0
+            }
+            if (constFalse) const(negBody) // body verdict uniform for every extended row
+            else {
+              val qConds = resolved.collect { case (t, Left(s)) if qNames.contains(s) => (t, s) }
+              if (qConds.isEmpty) None // body ignores v: degenerate shortcut owns this
+              else {
+                val target = db.relations(m.target)
+                val parentConds = resolved.collect {
+                  case (t, Left(s)) if !qNames.contains(s) => (t, s)
+                }
+                val constConds = resolved.collect { case (t, Right(value)) => (t, value) }
+                val tAttrs = resolved.map(_._1).distinct
+                val idx = tAttrs.zipWithIndex.toMap
+                val tdf = target.df.select(
+                  tAttrs.map(a => col(s"`$a`").as(s"${Internal}t${idx(a)}")): _*)
+                val qdf = qrel.df.select(qAttrs.map(a => col(s"`$a`").as(s"$v.$a")): _*)
+                val qtCond = (qConds.map { case (t, s) =>
+                    col(s"`$s`") === col(s"${Internal}t${idx(t)}") } ++
+                  constConds.map { case (t, value) =>
+                    col(s"${Internal}t${idx(t)}") === value.lit }).reduce(_ && _)
+                val pairs = qdf.join(tdf, qtCond, "inner")
+                val pCond = parentConds.map { case (t, s) =>
+                  col(s"`$s`") === col(s"${Internal}t${idx(t)}") }.reduceOption(_ && _)
+                pCond match {
+                  case Some(cond) if negBody == isForall => // plain semi/anti shapes
+                    Some(f.join(pairs, cond,
+                      if (wantViolations == isForall) "left_semi" else "left_anti"))
+                  case Some(cond) => // count shapes: A = every q-row matched
+                    val fCols = f.columns.map(c => col(s"`$c`"))
+                    val cntCol = s"${Internal}cnt"
+                    val grouped = f.join(pairs, cond, "inner")
+                      .groupBy(fCols: _*)
+                      .agg(countDistinct(struct(qAttrs.map(a => col(s"`$v.$a`")): _*)).as(cntCol))
+                    val wantA = isForall != wantViolations
+                    if (wantA) Some(grouped.filter(col(cntCol) === lit(totalQ)).select(fCols: _*))
+                    else Some(grouped.filter(col(cntCol) < lit(totalQ)).select(fCols: _*)
+                      .unionAll(f.join(pairs, cond, "left_anti")))
+                  case None if negBody == isForall =>
+                    // no parent column in the binding: verdict uniform;
+                    // ∃ MemberOf holds iff some pair exists, ∀ ¬ iff none
+                    val nonEmptyPairs = !pairs.limit(1).isEmpty
+                    const(if (isForall) !nonEmptyPairs else nonEmptyPairs)
+                  case None =>
+                    // ∀ MemberOf holds iff every q-row matched; ∃ ¬ the dual
+                    val matched =
+                      pairs.select(qAttrs.map(a => col(s"`$v.$a`")): _*).distinct().count()
+                    const(if (isForall) matched == totalQ else matched < totalQ)
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+  }
 
   /** The body as a pure Column predicate over the given fields, if it is
     * built solely from virtual-relation membership and connectives —

@@ -16,9 +16,10 @@ class CompileSpec extends SparkTestBase {
 
   private def iv(i: Long) = Value.IntV(i)
 
-  /** Department {1,2}; Employee {(10,1),(20,2),(30,7),(2000,1)};
-    * Proj {(5,2)}; EmptyRel {}. Employee 30 is an FK orphan; 2000 breaks
-    * small-id checks. */
+  /** Department {1,2}; Employee {(10,1),(20,2),(30,7),(2000,1),(40,1),
+    * (40,2)}; Proj {(5,2)}; EmptyRel {}. Employee 30 is an FK orphan;
+    * 2000 breaks small-id checks; 40 is the only emp_id present in every
+    * department (the ∀-membership witness). */
   private lazy val localDb: Database = {
     var db = Engine.createDatabase(spark, "cmp")
     def mk(name: String, schema: RelSchema, rows: Seq[Seq[(String, Value)]]): Unit = {
@@ -32,7 +33,9 @@ class CompileSpec extends SparkTestBase {
       Seq(Seq("emp_id" -> iv(10), "dept_id" -> iv(1)),
         Seq("emp_id" -> iv(20), "dept_id" -> iv(2)),
         Seq("emp_id" -> iv(30), "dept_id" -> iv(7)),
-        Seq("emp_id" -> iv(2000), "dept_id" -> iv(1))))
+        Seq("emp_id" -> iv(2000), "dept_id" -> iv(1)),
+        Seq("emp_id" -> iv(40), "dept_id" -> iv(1)),
+        Seq("emp_id" -> iv(40), "dept_id" -> iv(2))))
     mk("Proj", RelSchema(List("proj_id" -> "natural", "dept_id" -> "natural")),
       Seq(Seq("proj_id" -> iv(5), "dept_id" -> iv(2))))
     mk("EmptyRel", RelSchema(List("x" -> "natural")), Nil)
@@ -145,6 +148,74 @@ class CompileSpec extends SparkTestBase {
     checkParity(Forall("e", "EmptyRel", smallId))
     // ∃ with an ignored variable and an incompilable (never-true) body
     checkParity(Or(List(Exists("d", "Department", Forall("x", "natural_plus", fk)), smallId)))
+  }
+
+  // ---- quantified STORED membership (the storedQuant join compilation) ----
+
+  /** emp_id appears under d's department: binding mixes a parent column
+    * (emp_id), a quantifier column (d.dept_id), and a self-referencing
+    * stored target. */
+  private val empUnderD = MemberOf("Employee",
+    List("emp_id" -> Var("emp_id"), "dept_id" -> Var("d.dept_id")))
+
+  test("∃ over stored membership: semi join on the pair set") {
+    // holds unless emp_id appears in NO department (orphan 30 violates)
+    checkParity(Exists("d", "Department", empUnderD))
+  }
+
+  test("∃ over negated stored membership: count dual") {
+    // holds unless emp_id appears in EVERY department (only 40 violates)
+    checkParity(Exists("d", "Department", Not(empUnderD, "Employee")))
+  }
+
+  test("∀ over stored membership: matched-count equality") {
+    // holds only for emp_ids present in every department (only 40)
+    checkParity(Forall("d", "Department", empUnderD))
+  }
+
+  test("∀ over negated stored membership: anti join on the pair set") {
+    // holds only for emp_ids in no department at all (only orphan 30)
+    checkParity(Forall("d", "Department", Not(empUnderD, "Employee")))
+  }
+
+  test("quantified stored membership with no parent column: uniform verdict") {
+    // Proj parents are never referenced; one bounded aggregate decides all
+    checkParity(Exists("d", "Department",
+      MemberOf("Employee", List("dept_id" -> Var("d.dept_id"), "emp_id" -> Const(iv(10))))),
+      relName = "Proj") // (10, 1) ∈ Employee → every Proj row holds
+    checkParity(Forall("d", "Department",
+      MemberOf("Employee", List("dept_id" -> Var("d.dept_id"), "emp_id" -> Const(iv(10))))),
+      relName = "Proj") // (10, 2) ∉ Employee → every Proj row violates
+    checkParity(Forall("d", "Department",
+      MemberOf("Employee", List("dept_id" -> Var("d.dept_id"), "emp_id" -> Const(iv(40))))),
+      relName = "Proj") // 40 in every department → every Proj row holds
+  }
+
+  test("quantified stored membership: constant-false membership edge cases") {
+    checkParity(Exists("d", "Department", MemberOf("EmptyRel", List("x" -> Var("d.dept_id")))))
+    checkParity(Forall("d", "Department", MemberOf("NoSuchRel", List("x" -> Var("d.dept_id")))))
+    checkParity(Forall("d", "Department",
+      Not(MemberOf("EmptyRel", List("x" -> Var("d.dept_id"))), "EmptyRel")))
+  }
+
+  test("nested quantifier with stored membership referencing both variables") {
+    checkParity(Exists("d", "Department", Exists("e2", "Employee",
+      MemberOf("Employee",
+        List("emp_id" -> Var("e2.emp_id"), "dept_id" -> Var("d.dept_id"))))))
+  }
+
+  test("quantified stored membership compiles without a cross join") {
+    for (body <- Seq(
+        Exists("d", "Department", empUnderD),
+        Forall("d", "Department", empUnderD),
+        Exists("d", "Department", Not(empUnderD, "Employee")),
+        Forall("d", "Department", Not(empUnderD, "Employee")))) {
+      val viol = Compile.violations(distDb, body, distDb.relations("Employee").df)
+        .getOrElse(fail(s"not compiled: $body"))
+      val plan = viol.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+        s"cross join in plan for $body:\n$plan")
+    }
   }
 
   test("quantifiesOver sees quantifiers at any depth") {
