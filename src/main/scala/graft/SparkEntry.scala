@@ -209,6 +209,20 @@ object SparkEntry {
         "(Select (Base natural_natural_greater_than) " +
         "(Rename ((n_nationkey left)) (Cartesian (Project (n_nationkey) (Base nation)) (Const ((right (Int 4)))))))))))",
     ), "(Base WestDept)"),
+    // And-bodied constraint through the full engine path: bulk insert
+    // into a relation whose constraint is a conjunction of two virtual
+    // comparisons — the compiled form is the union of per-conjunct
+    // violation sets (graft.icl.Compile And case).
+    "icl_conjunction_pipeline" -> script(Seq(
+      "(CreateDatabase g)",
+      "(CreateRelation (name grades) (schema ((sid integer) (score integer))))",
+      "(RegisterConstraint (constraint_name bounded) (relation_name grades) " +
+        "(body (And (" +
+        "(MemberOf (target natural_natural_less_than_or_equal) (binding ((left (Var score)) (right (Const (Int 100)))))) " +
+        "(MemberOf (target natural_natural_less_than) (binding ((left (Var sid)) (right (Const (Int 500))))))))))",
+      "(InsertFrom (target grades) (source (Project (sid score) " +
+        "(Rename ((n_nationkey sid) (n_regionkey score)) (Base nation)))))",
+    ), "(Base grades)"),
     "icl_constraint_catalog" -> script(Seq(
       "(CreateDatabase g)",
       "(CreateRelation (name scores) (schema ((student_id integer) (score integer))))",
@@ -296,6 +310,10 @@ object SparkEntry {
       graft.pipeline.Dedup.nearDupPairs(table(s, dir, "documents"), "doc_id", "text")),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       graft.pipeline.Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text")),
+    "dedup_clusters" -> ((s, dir) =>
+      graft.pipeline.Dedup.nearDupClusters(table(s, dir, "documents"), "doc_id", "text")),
+    "split_assign" -> ((s, dir) =>
+      graft.pipeline.Splits.hashSplit(table(s, dir, "documents"), "doc_id")),
     "dedup_simhash" -> ((s, dir) =>
       graft.pipeline.TextPipeline.simhash(table(s, dir, "documents"), "doc_id", "text")),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -388,6 +406,9 @@ object SparkEntry {
         "UNION ALL SELECT 90"),
     "icl_exclusion_pipeline" ->
       "SELECT CAST(n_nationkey AS BIGINT) AS dept_id FROM nation WHERE n_nationkey > 4",
+    "icl_conjunction_pipeline" ->
+      ("SELECT CAST(n_nationkey AS BIGINT) AS sid, CAST(n_regionkey AS BIGINT) AS score " +
+        "FROM nation"),
     "icl_constraint_catalog" ->
       ("SELECT * FROM (VALUES ('score_range','scores'),('student_known','scores')) " +
         "t(name, relation_name)"),
@@ -422,6 +443,8 @@ object SparkEntry {
     "dedup_minhash_sig" -> graft.pipeline.Oracles.dedupMinhashSig,
     "dedup_minhash_pairs" -> graft.pipeline.Oracles.dedupMinhashPairs,
     "dedup_jaccard_pairs" -> graft.pipeline.Oracles.dedupJaccardPairs(0.2),
+    "dedup_clusters" -> graft.pipeline.Oracles.dedupClusters,
+    "split_assign" -> graft.pipeline.Oracles.splitAssign,
     "dedup_simhash" -> graft.pipeline.Oracles.dedupSimhash,
     "dedup_simhash_pairs" -> graft.pipeline.Oracles.dedupSimhashPairs,
     "text_token_stats" -> graft.pipeline.Oracles.textTokenStats,

@@ -55,14 +55,43 @@ object Oracles {
     s"bands AS (SELECT doc_id, b, md5($parts) AS bh FROM g, unnest(range(0, ${Dedup.NumBands})) AS t(b))"
   }
 
-  val dedupMinhashPairs: String =
-    s"""WITH $shingleCtes, $sigCte, $bandsCte,
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  /** Band-collision candidates + exact-Jaccard verification, shared by
+    * the pair and cluster oracles. */
+  private val pairCtes: String =
+    s"""cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
        |j AS (SELECT doc_a, doc_b,
        |        round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
-       |      FROM cand JOIN s sa ON sa.doc_id = cand.doc_a JOIN s sb ON sb.doc_id = cand.doc_b)
+       |      FROM cand JOIN s sa ON sa.doc_id = cand.doc_a JOIN s sb ON sb.doc_id = cand.doc_b)"""
+      .stripMargin
+
+  val dedupMinhashPairs: String =
+    s"""WITH $shingleCtes, $sigCte, $bandsCte, $pairCtes
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= ${Dedup.JaccardThreshold}"""
+      .stripMargin
+
+  /** Connected components of the verified near-dup pair graph via a
+    * recursive transitive closure: reach(id, rid) accumulates every node
+    * reachable from id (UNION dedup terminates it), min(rid) is the
+    * cluster label — the oracle mirror of [[Dedup.clustersFromPairs]]'s
+    * min-label propagation fixpoint. */
+  val dedupClusters: String =
+    s"""WITH RECURSIVE $shingleCtes, $sigCte, $bandsCte, $pairCtes,
+       |p AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= ${Dedup.JaccardThreshold}),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach AS (SELECT doc_id AS id, doc_id AS rid FROM documents
+       |          UNION
+       |          SELECT r.id, e.dst AS rid FROM reach r JOIN e ON e.src = r.rid)
+       |SELECT id AS doc_id, min(rid) AS cluster_id FROM reach GROUP BY id"""
+      .stripMargin
+
+  /** Stable hash-bucket split, constants single-sourced from [[Splits]];
+    * lowercase-hex buckets compare lexically = numerically. */
+  val splitAssign: String =
+    s"""WITH b AS (SELECT *, substr(sha256(doc_id::VARCHAR || '|${Splits.DefaultSalt}'), 1, 2) AS bucket
+       |          FROM documents)
+       |SELECT *, CASE WHEN bucket < '${Splits.TrainUpper}' THEN 'train'
+       |  WHEN bucket < '${Splits.ValUpper}' THEN 'val' ELSE 'test' END AS split FROM b"""
       .stripMargin
 
   def dedupJaccardPairs(threshold: Double): String =

@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines.
+  *
+  * A train/val/test split at corpus scale must be (a) stable across
+  * re-runs and cluster layouts — `rand()` or `monotonically_increasing_id`
+  * reshuffle membership whenever partitioning changes, leaking eval docs
+  * into training between pipeline versions — and (b) a pure narrow map,
+  * no shuffle. Hashing a stable id with a salt gives both: membership is
+  * a function of (id, salt) alone, and changing the salt draws a fresh
+  * independent split.
+  *
+  * The bucket is the first two hex characters of sha-256(id|salt) — 256
+  * equal-probability buckets compared LEXICALLY, which on lowercase hex
+  * equals numeric order in every engine (no hex→int conversion, which
+  * SQL dialects disagree on). 256 buckets quantize fractions to ~0.4%,
+  * plenty for split ratios; a finer grid would take more hex chars.
+  */
+object Splits {
+
+  /** Default boundaries: train < 'cd' (205/256 ≈ 80.1%),
+    * val < 'e6' (29/256 ≈ 11.3%), test the rest (22/256 ≈ 8.6%). */
+  val TrainUpper = "cd"
+  val ValUpper = "e6"
+  val DefaultSalt = "graft"
+
+  private[pipeline] def bucketCol(idCol: String, salt: String): Column =
+    substring(sha2(concat(col(idCol).cast("string"), lit("|" + salt)), 256), 1, 2)
+
+  /** Assign every row a stable (bucket, split) pair keyed on `idCol`.
+    * Boundaries are inclusive-exclusive on the hex bucket: bucket <
+    * trainUpper → train, < valUpper → val, else test. */
+  def hashSplit(df: DataFrame, idCol: String, salt: String = DefaultSalt,
+      trainUpper: String = TrainUpper, valUpper: String = ValUpper): DataFrame = {
+    require(trainUpper <= valUpper,
+      s"trainUpper ($trainUpper) must not exceed valUpper ($valUpper)")
+    val b = bucketCol(idCol, salt)
+    df.withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < lit(trainUpper), lit("train"))
+          .when(col("bucket") < lit(valUpper), lit("val"))
+          .otherwise(lit("test")))
+  }
+}

@@ -289,6 +289,54 @@ class PipelineSpec extends SparkTestBase {
       Dedup.simhashPairs(near, "doc_id", "text", maxHamming = 4, blocks = 4))
   }
 
+  test("connected components merge transitive chains; singletons label themselves") {
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // chain 0-1-2-3 (no direct 0-3 edge), island 4-5, singleton 6
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clustersFromPairs(nodes, pairs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+    // no pairs at all: every node is its own cluster
+    val lone = Dedup.clustersFromPairs(nodes, pairs.limit(0), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lone.forall(p => p._1 == p._2) && lone.length == 7)
+    // unconverged propagation must throw, not silently mislabel
+    assertThrows[IllegalStateException](
+      Dedup.clustersFromPairs(nodes, pairs, "doc_id", maxIter = 1).collect())
+  }
+
+  test("near-dup clusters collapse exact+near dup groups over the LSH pairs") {
+    val got = Dedup.nearDupClusters(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 5) // every doc labeled, including shingle-less doc 4
+    assert(got(3L) == 0L && got(1L) == 0L) // 0/1/3 are one near-dup cluster
+    assert(got(2L) == 2L && got(4L) == 4L) // singletons keep their own id
+  }
+
+  test("hash split is stable, salted, and respects bucket boundaries") {
+    val ids = (0L until 512L).toDF("doc_id")
+    val s1 = Splits.hashSplit(ids, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val s2 = Splits.hashSplit(ids, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(s1.sortBy(_._1).sameElements(s2.sortBy(_._1))) // rerun-stable
+    s1.foreach { case (_, bucket, split) =>
+      val expected = if (bucket < Splits.TrainUpper) "train"
+        else if (bucket < Splits.ValUpper) "val" else "test"
+      assert(split == expected)
+    }
+    val bySplit = s1.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // a different salt draws an independent assignment
+    val salted = Splits.hashSplit(ids, "doc_id", salt = "other").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val base = s1.map(p => (p._1, p._3)).toMap
+    assert((0L until 512L).exists(i => salted(i) != base(i)))
+    assertThrows[IllegalArgumentException](
+      Splits.hashSplit(ids, "doc_id", trainUpper = "f0", valUpper = "10"))
+  }
+
   test("ANN tunables: plane count reshapes buckets, centroid count reshapes cells") {
     val vecs = (0L until 32L).map(i =>
       (i, Array.tabulate(Ann.Dim)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))).toDF("vec_id", "embedding")
