@@ -326,6 +326,14 @@ object SparkEntry {
       graft.pipeline.TextPipeline.langId(table(s, dir, "documents"), "doc_id", "text")),
     "text_fingerprint" -> ((s, dir) =>
       graft.pipeline.TextPipeline.fingerprint(table(s, dir, "documents"), "doc_id", "text")),
+    "text_repetition" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.repetition(table(s, dir, "documents"), "doc_id", "text")),
+    "text_contamination" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      graft.pipeline.Dedup.contamination(
+        d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text")
+    }),
     "mm_payload_stats" -> ((s, dir) =>
       graft.pipeline.MultiModal.payloadStats(table(s, dir, "documents"))),
     "ann_cosine_topk" -> ((s, dir) =>
@@ -451,6 +459,8 @@ object SparkEntry {
     "text_quality" -> graft.pipeline.Oracles.textQuality,
     "text_langid" -> graft.pipeline.Oracles.textLangId,
     "text_fingerprint" -> graft.pipeline.Oracles.textFingerprint,
+    "text_repetition" -> graft.pipeline.Oracles.textRepetition,
+    "text_contamination" -> graft.pipeline.Oracles.textContamination(2),
     "mm_payload_stats" -> graft.pipeline.Oracles.mmPayloadStats,
     "ann_cosine_topk" -> graft.pipeline.Oracles.annCosineTopK,
     "ann_lsh_buckets" -> graft.pipeline.Oracles.annLshBuckets,

@@ -223,6 +223,25 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minOverlap` distinct word n-grams with a benchmark document —
+    * the standard eval-contamination sweep before training. The
+    * formulation is the inverted-index equi-join on the shingle value
+    * (one shuffle keyed by content, like [[jaccardPairs]]), never a
+    * corpus × benchmark product; the benchmark side is tiny in practice
+    * and broadcastable. Returns (corpus id, benchmark id, shared-gram
+    * count) for every flagged pair. */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      minOverlap: Int = 2, shingleN: Int = ShingleN): DataFrame = {
+    val c = shingleRows(corpus, idCol, textCol, shingleN)
+    val b = shingleRows(bench, idCol, textCol, shingleN)
+      .select(col(idCol).as("bench_id"), col("shingle"))
+    c.join(b, "shingle")
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the verified
     * LSH pair graph, labeling every document (singletons included) with
     * the smallest doc id reachable through near-dup pairs — the group

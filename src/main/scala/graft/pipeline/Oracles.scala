@@ -85,6 +85,33 @@ object Oracles {
        |SELECT id AS doc_id, min(rid) AS cluster_id FROM reach GROUP BY id"""
       .stripMargin
 
+  /** Repetition ratios over NON-distinct token/3-gram lists (the gram CTE
+    * deliberately skips list_distinct — multiplicity is the signal). */
+  val textRepetition: String =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+       |g AS (SELECT doc_id, ws, CASE WHEN len(ws) < 3 THEN []
+       |       ELSE list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS grams FROM w)
+       |SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+       |  round(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 4) AS dup_token_ratio,
+       |  len(grams)::BIGINT AS n_grams,
+       |  CASE WHEN len(grams) > 0
+       |    THEN round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 4)
+       |    ELSE 0.0 END AS dup_gram_ratio
+       |FROM g"""
+      .stripMargin
+
+  /** Contamination flags between the doc_id % 50 = 0 "benchmark" slice
+    * and the rest of the corpus: shared distinct-shingle counts via the
+    * same inverted-index join the Spark operator uses. */
+  def textContamination(minOverlap: Int): String =
+    s"""WITH $shingleCtes,
+       |inv_c AS (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE doc_id % 50 <> 0),
+       |inv_b AS (SELECT doc_id AS bench_id, unnest(sh) AS shingle FROM s WHERE doc_id % 50 = 0)
+       |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+       |FROM inv_c c JOIN inv_b b USING (shingle)
+       |GROUP BY 1, 2 HAVING count(*) >= $minOverlap"""
+      .stripMargin
+
   /** Stable hash-bucket split, constants single-sourced from [[Splits]];
     * lowercase-hex buckets compare lexically = numerically. */
   val splitAssign: String =

@@ -124,6 +124,28 @@ object TextPipeline {
           + lit(0.2) * when(col("n_tokens").between(20, 80), 1.0).otherwise(0.0), 4))
   }
 
+  /** Repetition statistics (the Gopher-style repetition filters of Rae
+    * et al. '21 §A1.1): the fraction of repeated tokens and repeated word
+    * n-grams within a document — high ratios mark boilerplate and
+    * degenerate looped text. Pure map stage; documents shorter than n
+    * tokens report zero grams and a zero gram ratio. */
+  def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val ws = tokens(col(textCol))
+    // NON-distinct grams (unlike [[shingles]]): multiplicity is the signal
+    val grams = when(size(ws) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(ws) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
+    df.select(
+      col(idCol),
+      size(ws).cast("long").as("n_tokens"),
+      round(lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws), 4)
+        .as("dup_token_ratio"),
+      size(grams).cast("long").as("n_grams"),
+      round(when(size(grams) > 0,
+        lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+        .otherwise(0.0), 4).as("dup_gram_ratio"))
+  }
+
   /** Document fingerprinting: full-content md5 over the normalized text
     * (lowercase, whitespace collapsed) plus a winnowing-style min-shingle
     * hash — the rolling-hash minimum used by near-dup sketchers. */

@@ -337,6 +337,44 @@ class PipelineSpec extends SparkTestBase {
       Splits.hashSplit(ids, "doc_id", trainUpper = "f0", valUpper = "10"))
   }
 
+  test("repetition: looped text scores high, varied text zero, short text no grams") {
+    val d = Seq(
+      (0L, "spam spam spam spam spam spam"),          // one token, one gram
+      (1L, "all seven words here are fully distinct"),
+      (2L, "so") // < 3 tokens → zero grams
+    ).toDF("doc_id", "text")
+    val r = TextPipeline.repetition(d, "doc_id", "text").collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getDouble(2), x.getLong(3), x.getDouble(4)))).toMap
+    val (n0, dt0, g0, dg0) = r(0L)
+    assert(n0 == 6 && g0 == 4)
+    assert(dt0 == 0.8333 && dg0 == 0.75) // 1 distinct of 6 tokens / 1 of 4 grams
+    val (_, dt1, _, dg1) = r(1L)
+    assert(dt1 == 0.0 && dg1 == 0.0)
+    val (n2, _, g2, dg2) = r(2L)
+    assert(n2 == 1 && g2 == 0 && dg2 == 0.0)
+  }
+
+  test("contamination flags corpus docs sharing enough shingles with the benchmark") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // near-copy of bench 1
+      (11L, "completely unrelated corpus content lives right here"),
+      (12L, "the quick brown fox naps all day")              // shares 2 shingles with bench 1
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "benchmark questions about astrophysics and chemistry")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, bench, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(hits((10L, 1L)) == 7L) // full 7-shingle overlap
+    assert(hits((12L, 1L)) == 2L) // "the quick brown" + "quick brown fox"
+    assert(!hits.keySet.exists(_._1 == 11L)) // clean doc stays clean
+    assert(!hits.keySet.exists(_._2 == 2L))  // untouched benchmark doc flags nothing
+    // raising the threshold drops the weak overlap
+    val strict = Dedup.contamination(corpus, bench, "doc_id", "text", minOverlap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((10L, 1L)))
+  }
+
   test("ANN tunables: plane count reshapes buckets, centroid count reshapes cells") {
     val vecs = (0L until 32L).map(i =>
       (i, Array.tabulate(Ann.Dim)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))).toDF("vec_id", "embedding")
