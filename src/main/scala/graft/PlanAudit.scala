@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off physical-plan audit helper for PLANS.md: prints exchange /
+  * join-strategy counts for the pipeline operators added in round 4. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    def audit(name: String, df: DataFrame): Unit = {
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
+      def c(s: String) = p.split(s, -1).length - 1
+      println(s"AUDIT $name exchanges=${c("Exchange")} bhj=${c("BroadcastHashJoin")} " +
+        s"smj=${c("SortMergeJoin")} cartesian=${c("CartesianProduct")} bnlj=${c("BroadcastNestedLoopJoin")}")
+      val scans = p.split("\n").filter(l => l.contains("ReadSchema")).map(_.trim).take(4)
+      scans.foreach(s => println(s"  scan: ${s.take(200)}"))
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    audit("split_assign", graft.pipeline.Splits.hashSplit(docs, "doc_id"))
+    audit("text_repetition", graft.pipeline.TextPipeline.repetition(docs, "doc_id", "text"))
+    audit("text_contamination", graft.pipeline.Dedup.contamination(
+      docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text"))
+    // faithful to clustersFromPairs: edges persisted, labels checkpointed
+    val pairs = graft.pipeline.Dedup.nearDupPairs(docs, "doc_id", "text")
+    val edges = pairs.select(col("doc_a").as("__src"), col("doc_b").as("__dst"))
+      .unionAll(pairs.select(col("doc_b").as("__src"), col("doc_a").as("__dst")))
+      .persist()
+    val labels = edges.select(col("__src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+    val nbMin = edges.join(labels.select(col("doc_id").as("__dst"), col("cluster_id")), "__dst")
+      .groupBy(col("__src").as("doc_id")).agg(min(col("cluster_id")).as("__nb"))
+    val round = labels.join(nbMin, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), least(col("cluster_id"), coalesce(col("__nb"), col("cluster_id"))).as("cluster_id"))
+    // plan-string Exchange counts overcount cached subtrees (InMemoryTableScan
+    // prints its build plan); count stages actually run for one round instead
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); ()
+      }
+    })
+    round.count()
+    Thread.sleep(500)
+    println(s"AUDIT clusters_one_round stagesRun=${stages.get}")
+    spark.stop()
+  }
+}
