@@ -118,15 +118,34 @@ object Dedup {
       cfg: LshConfig = LshConfig()): DataFrame =
     bandSignaturesFromRows(shingleRows(df, idCol, textCol, cfg.shingleN), idCol, cfg)
 
+  /** Arithmetic MinHash family over the Mersenne prime p = 2³¹−1:
+    * slot i of a shingle with base hash x is (aᵢ·x + bᵢ) mod p. One md5
+    * per (doc, shingle) row derives x; the k permutations are fused
+    * integer arithmetic inside codegen — k× cheaper than k independent
+    * md5s per row, the textbook MinHash construction (Broder '97 §4).
+    * Constants are deterministic functions of the slot index, shared
+    * verbatim with the oracle SQL; aᵢ ≠ 0 because p is prime and
+    * (2i+1)·1103515245 < p·p never hits a multiple of p for real i. */
+  val MinhashP = 2147483647L
+  def minhashA(i: Int): Long = ((2L * i + 1L) * 1103515245L) % MinhashP
+  def minhashB(i: Int): Long = ((i + 1L) * 2654435761L) % MinhashP
+
   /** Band hashes from an existing (doc, shingle) row set — lets callers
-    * share one shingle scan across the signature and verification arms. */
+    * share one shingle scan across the signature and verification arms.
+    * The shingle's 60-bit base hash (15 hex chars of its md5) is computed
+    * ONCE per row; each signature slot is a mod-p permutation of it
+    * (min-combined map-side), and each band is the md5 of its
+    * '|'-delimited slot values. */
   def bandSignaturesFromRows(ex: DataFrame, idCol: String,
       cfg: LshConfig = LshConfig()): DataFrame = {
+    val x = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashP
     val minAggs = (0 until cfg.numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i"))
-    val sig = ex.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+      min((lit(minhashA(i)) * col("__x") + lit(minhashB(i))) % MinhashP).as(s"mh$i"))
+    val sig = ex.withColumn("__x", x).groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
     val bandCols = (0 until cfg.numBands).map { b =>
-      md5(concat((0 until cfg.rowsPerBand).map(r => col(s"mh${b * cfg.rowsPerBand + r}")): _*)).as(s"b$b")
+      md5(concat_ws("|",
+        (0 until cfg.rowsPerBand).map(r => col(s"mh${b * cfg.rowsPerBand + r}").cast("string")): _*))
+        .as(s"b$b")
     }
     sig.select(col(idCol) +: bandCols: _*)
   }
