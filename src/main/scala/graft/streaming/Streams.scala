@@ -39,6 +39,21 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup for a document ingest pipeline: emit the
+    * FIRST occurrence of each content digest, drop later duplicates.
+    * State is keyed on the 32-byte sha-256 of the text — never the
+    * document itself — and reclaimed once the watermark passes
+    * (`dropDuplicatesWithinWatermark`), so state size is one digest per
+    * distinct document inside the watermark horizon, not per document
+    * ever seen: the bounded-state streaming counterpart of
+    * [[graft.pipeline.Dedup.exact]]. */
+  def streamingDedup(docs: DataFrame, tsCol: String = "ts", textCol: String = "text",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash", sha2(col(textCol).cast("string"), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Event-time sessionization: per-user sessions close when the gap to
     * the next event exceeds `gapMs`, or when the watermark passes the
     * session's horizon (event-time timeout). Emits one row per completed

@@ -66,4 +66,25 @@ class StreamsSpec extends SparkTestBase {
       assert(afterGap.size == 2) // user 1's new session (t=1000) is still open
     } finally q.stop()
   }
+
+  test("streaming dedup emits first occurrences only, keyed on the digest") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val q = streamingDedup(
+        source.toDF().toDF("ts", "text"), watermark = "1 minute")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      def t(sec: Long) = new Timestamp(sec * 1000L)
+      source.addData((t(1), "alpha"), (t(2), "alpha"), (t(3), "beta"))
+      q.processAllAvailable()
+      // same-batch and cross-batch duplicates both drop
+      source.addData((t(10), "alpha"), (t(11), "gamma"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1)))
+      assert(rows.map(_._2).sorted.toSeq == Seq("alpha", "beta", "gamma"))
+      assert(rows.contains((1L, "alpha"))) // the FIRST alpha survives
+    } finally q.stop()
+  }
 }
