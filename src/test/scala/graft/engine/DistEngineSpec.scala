@@ -112,6 +112,45 @@ class DistEngineSpec extends SparkTestBase {
       spark.range(n, n.toLong + 1).select(col("id").as("k"))).isRight)
   }
 
+  test("quantified stored membership validates set-wise on the Dist path via pair-set joins") {
+    import graft.icl.{Binding, Body, Compile}
+    // ∃ d ∈ whitelist: (k, d.w) ∈ edges — a stored-membership body that
+    // references the quantifier variable, i.e. the storedQuant shape
+    val body = Body.Exists("d", "whitelist",
+      Body.MemberOf("edges", List("k" -> Binding.Var("k"), "w" -> Binding.Var("d.w"))))
+    var db = Engine.createDatabase(spark, "qsm")
+    db = Engine.createRelation(spark, db, "whitelist", RelSchema(List("w" -> "integer")))
+      .fold(e => fail(e), identity)
+    db = Engine.createTuples(spark, db, "whitelist",
+      Seq(Seq("w" -> Value.IntV(0)), Seq("w" -> Value.IntV(1)))).fold(e => fail(e), identity)
+    db = Engine.createRelation(spark, db, "edges",
+      RelSchema(List("k" -> "integer", "w" -> "integer"))).fold(e => fail(e), identity)
+    db = Engine.insertFrom(spark, db, "edges",
+      spark.range(n).select(col("id").as("k"), (col("id") % 2).as("w")))
+      .fold(e => fail(e), identity)
+    assert(db.relations("edges").localRows.isEmpty) // the membership target is Dist
+    db = Engine.createRelation(spark, db, "fact",
+      RelSchema(List("k" -> "integer", "v" -> "string"))).fold(e => fail(e), identity)
+    db = Engine.registerConstraint(spark, db, "k_has_edge", "fact", body)
+      .fold(e => fail(e), identity)
+
+    // compiled form: anti join against the whitelist ⋈ edges pair set —
+    // lazy, no cross product, no driver collect
+    val viol = Compile.violations(db, body, bigDf(n)).getOrElse(fail("must compile"))
+    val plan = viol.queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected anti-join, got:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      s"cross join in quantified-membership plan:\n$plan")
+
+    // every k < n has an edge with w ∈ {0,1} → bulk ingest passes, Dist
+    val db2 = Engine.insertFrom(spark, db, "fact", bigDf(n)).fold(e => fail(e), identity)
+    assert(db2.relations("fact").localRows.isEmpty)
+    assert(db2.relations("fact").cardinality == n)
+    // ks beyond the edge table violate the quantified constraint set-wise
+    assert(Engine.insertFrom(spark, db, "fact", bigDf(n.toLong + 5))
+      .left.exists(_.startsWith("ConstraintViolation")))
+  }
+
   test("self-referencing FK falls back to the sequential fold: within-batch visibility preserved") {
     import graft.icl.{Binding, Body}
     // parent must already be a row id — only row-at-a-time evaluation can
