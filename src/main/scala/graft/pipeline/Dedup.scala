@@ -38,9 +38,11 @@ object Dedup {
       numBands: Int = NumBands,
       rowsPerBand: Int = RowsPerBand,
       shingleN: Int = ShingleN,
-      jaccardThreshold: Double = JaccardThreshold) {
+      jaccardThreshold: Double = JaccardThreshold,
+      maxBandBucket: Option[Int] = None) {
     require(numHashes == numBands * rowsPerBand,
       s"numHashes ($numHashes) must equal numBands*rowsPerBand (${numBands * rowsPerBand})")
+    require(maxBandBucket.forall(_ >= 2), "maxBandBucket below 2 drops every candidate")
   }
 
   /** Exact dedup by content: one surviving row per distinct key (min id),
@@ -151,11 +153,27 @@ object Dedup {
   }
 
   /** Candidate pairs from band collisions: unpivot the band columns to
-    * (band, hash) rows and self-equi-join — the bucketed formulation. */
+    * (band, hash) rows and self-equi-join — the bucketed formulation.
+    *
+    * `maxBandBucket` is the hot-bucket cap: a bucket shared by k
+    * documents contributes k² candidate rows, so a degenerate band value
+    * (boilerplate-heavy corpora produce them) can dominate the join. The
+    * cap drops buckets larger than the bound before the self-join — the
+    * same prefix-filter trade as [[jaccardPairs]]'s `maxShingleFreq`
+    * (pairs whose ONLY collision was a capped bucket are missed; they
+    * are overwhelmingly non-duplicates, and true near-dups collide in
+    * several bands). None = exact, the oracle regime. */
   def minhashCandidates(bandsDf: DataFrame, idCol: String,
-      numBands: Int = NumBands): DataFrame = {
+      numBands: Int = NumBands, maxBandBucket: Option[Int] = None): DataFrame = {
     val stackExpr = (0 until numBands).map(b => s"$b, b$b").mkString(s"stack($numBands, ", ", ", ") AS (band, bh)")
-    val long = bandsDf.select(col(idCol), expr(stackExpr))
+    val long0 = bandsDf.select(col(idCol), expr(stackExpr))
+    val long = maxBandBucket match {
+      case None => long0
+      case Some(cap) =>
+        val ok = long0.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("__k"))
+          .filter(col("__k") <= cap).select(col("band"), col("bh"))
+        long0.join(ok, Seq("band", "bh"), "left_semi")
+    }
     val a = long.alias("a")
     val b = long.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -195,7 +213,8 @@ object Dedup {
     val sets = rows.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardVerify(
-      minhashCandidates(bandSignaturesFromRows(rows, idCol, cfg), idCol, cfg.numBands),
+      minhashCandidates(bandSignaturesFromRows(rows, idCol, cfg), idCol,
+        cfg.numBands, cfg.maxBandBucket),
       sets, idCol, cfg.jaccardThreshold)
   }
 

@@ -35,6 +35,11 @@ object Splits {
     * trainUpper → train, < valUpper → val, else test. */
   def hashSplit(df: DataFrame, idCol: String, salt: String = DefaultSalt,
       trainUpper: String = TrainUpper, valUpper: String = ValUpper): DataFrame = {
+    // boundaries must live on the lowercase-hex grid the buckets use, or
+    // the lexical comparison silently stops being a numeric one
+    for (bound <- Seq(trainUpper, valUpper))
+      require(bound.length == 2 && bound.forall(c => c.isDigit || ('a' to 'f').contains(c)),
+        s"split boundary '$bound' is not two lowercase hex chars")
     require(trainUpper <= valUpper,
       s"trainUpper ($trainUpper) must not exceed valUpper ($valUpper)")
     val b = bucketCol(idCol, salt)

@@ -277,6 +277,22 @@ class PipelineSpec extends SparkTestBase {
     assert(!capped.contains((0L, 2L)) && exact.contains((0L, 2L)))
   }
 
+  test("hot-band-bucket cap drops oversized buckets before the pair join") {
+    // three identical docs fill every band bucket to size 3; a distinct
+    // identical pair fills its buckets to size 2 — cap=2 keeps only the pair
+    val trip = "the quick brown fox jumps over the lazy dog"
+    val duo = "completely different words appear here now always again"
+    val d = Seq((0L, trip), (1L, trip), (2L, trip), (3L, duo), (4L, duo)).toDF("doc_id", "text")
+    val uncapped = Dedup.nearDupPairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L)))
+    val capped = Dedup.nearDupPairs(d, "doc_id", "text",
+        Dedup.LshConfig(maxBandBucket = Some(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((3L, 4L)))
+    assertThrows[IllegalArgumentException](Dedup.LshConfig(maxBandBucket = Some(1)))
+  }
+
   test("simhash banding is tunable: 8 blocks catch wider hamming bounds") {
     val near = Seq(
       (0L, "the quick brown fox jumps over the lazy dog tonight again"),
