@@ -209,6 +209,39 @@ object SparkEntry {
         "(Select (Base natural_natural_greater_than) " +
         "(Rename ((n_nationkey left)) (Cartesian (Project (n_nationkey) (Base nation)) (Const ((right (Int 4)))))))))))",
     ), "(Base WestDept)"),
+    // 3-wise nested quantification (reference docs/n-way-binding.org:
+    // the hotel Suite→Room→Building chain): a suite is valid only if its
+    // room's building has more than 3 floors — inherently ∃r∈Room ∃b∈
+    // Building with the chain tied through both quantifier variables.
+    // Exercises nested Exists, And over virtual memberships, namespaced
+    // variables, FK composition, and the doc's 3-way join as the result.
+    "icl_nway_pipeline" -> script(Seq(
+      "(CreateDatabase g)",
+      "(CreateRelation (name Building) (schema ((building_id integer) (building_name string) (floors integer))))",
+      "(InsertTuples (relation Building) (tuples (" +
+        "((building_id (Int 1)) (building_name (Str TowerA)) (floors (Int 10))) " +
+        "((building_id (Int 2)) (building_name (Str TowerB)) (floors (Int 2))))))",
+      "(CreateRelation (name Room) (schema ((room_id integer) (building_id integer) (floor integer))))",
+      "(RegisterConstraint (constraint_name fk_room_building) (relation_name Room) " +
+        "(body (MemberOf (target Building) (binding ((building_id (Var building_id)))))))",
+      "(InsertTuples (relation Room) (tuples (" +
+        "((room_id (Int 101)) (building_id (Int 1)) (floor (Int 1))) " +
+        "((room_id (Int 102)) (building_id (Int 1)) (floor (Int 2))) " +
+        "((room_id (Int 201)) (building_id (Int 2)) (floor (Int 1))))))",
+      "(CreateRelation (name Suite) (schema ((suite_id integer) (room_id integer) (capacity integer))))",
+      "(RegisterConstraint (constraint_name fk_suite_room) (relation_name Suite) " +
+        "(body (MemberOf (target Room) (binding ((room_id (Var room_id)))))))",
+      "(RegisterConstraint (constraint_name suite_in_tall_building) (relation_name Suite) " +
+        "(body (Exists (variable r) (quantifier Room) (body (Exists (variable b) (quantifier Building) " +
+        "(body (And (" +
+        "(MemberOf (target natural_natural_equal) (binding ((left (Var room_id)) (right (Var r.room_id))))) " +
+        "(MemberOf (target natural_natural_equal) (binding ((left (Var r.building_id)) (right (Var b.building_id))))) " +
+        "(MemberOf (target natural_natural_greater_than) (binding ((left (Var b.floors)) (right (Const (Int 3))))))))))))))",
+      "(InsertTuples (relation Suite) (tuples (" +
+        "((suite_id (Int 1001)) (room_id (Int 101)) (capacity (Int 4))) " +
+        "((suite_id (Int 1002)) (room_id (Int 101)) (capacity (Int 2))) " +
+        "((suite_id (Int 1003)) (room_id (Int 102)) (capacity (Int 3))))))",
+    ), "(Project (suite_id building_name) (Join (room_id) (Base Suite) (Join (building_id) (Base Room) (Base Building))))"),
     // And-bodied constraint through the full engine path: bulk insert
     // into a relation whose constraint is a conjunction of two virtual
     // comparisons — the compiled form is the union of per-conjunct
@@ -417,6 +450,9 @@ object SparkEntry {
     "icl_conjunction_pipeline" ->
       ("SELECT CAST(n_nationkey AS BIGINT) AS sid, CAST(n_regionkey AS BIGINT) AS score " +
         "FROM nation"),
+    "icl_nway_pipeline" ->
+      ("SELECT * FROM (VALUES (CAST(1001 AS BIGINT), 'TowerA'), (1002, 'TowerA'), " +
+        "(1003, 'TowerA')) t(suite_id, building_name)"),
     "icl_constraint_catalog" ->
       ("SELECT * FROM (VALUES ('score_range','scores'),('student_known','scores')) " +
         "t(name, relation_name)"),

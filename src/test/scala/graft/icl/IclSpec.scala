@@ -245,6 +245,45 @@ class IclSpec extends SparkTestBase {
 
   // ---- parser ----
 
+  test("3-wise nested quantification rejects the short-building suite (docs/n-way-binding.org)") {
+    // ∃ r ∈ Room: ∃ b ∈ Building: suite.room_id = r.room_id ∧
+    // r.building_id = b.building_id ∧ b.floors > 3
+    val tall = Exists("r", "Room", Exists("b", "Building", And(List(
+      MemberOf("natural_natural_equal",
+        List("left" -> Var("room_id"), "right" -> Var("r.room_id"))),
+      MemberOf("natural_natural_equal",
+        List("left" -> Var("r.building_id"), "right" -> Var("b.building_id"))),
+      MemberOf("natural_natural_greater_than",
+        List("left" -> Var("b.floors"), "right" -> Const(iv(3))))))))
+    var db = Engine.createDatabase(spark, "hotel")
+    db = Engine.createRelation(spark, db, "Building",
+      RelSchema(List("building_id" -> "natural", "floors" -> "natural"))).fold(e => fail(e), identity)
+    db = Engine.createTuples(spark, db, "Building", Seq(
+      Seq("building_id" -> iv(1), "floors" -> iv(10)),
+      Seq("building_id" -> iv(2), "floors" -> iv(2)))).fold(e => fail(e), identity)
+    db = Engine.createRelation(spark, db, "Room",
+      RelSchema(List("room_id" -> "natural", "building_id" -> "natural"))).fold(e => fail(e), identity)
+    db = Engine.createTuples(spark, db, "Room", Seq(
+      Seq("room_id" -> iv(101), "building_id" -> iv(1)),
+      Seq("room_id" -> iv(201), "building_id" -> iv(2)))).fold(e => fail(e), identity)
+    db = Engine.createRelation(spark, db, "Suite",
+      RelSchema(List("suite_id" -> "natural", "room_id" -> "natural"))).fold(e => fail(e), identity)
+    db = Engine.registerConstraint(spark, db, "suite_in_tall_building", "Suite", tall)
+      .fold(e => fail(e), identity)
+    // room 101 is in the 10-floor tower: accepted
+    val ok = Engine.createTuple(spark, db, "Suite",
+      Seq("suite_id" -> iv(1001), "room_id" -> iv(101)))
+    assert(ok.isRight)
+    // room 201 is in the 2-floor tower: no (r, b) witness exists
+    val rejected = Engine.createTuple(spark, ok.toOption.get, "Suite",
+      Seq("suite_id" -> iv(1003), "room_id" -> iv(201)))
+    assert(rejected.left.exists(_.startsWith("ConstraintViolation")))
+    // and a dangling room id fails the same way (no r at all)
+    assert(Engine.createTuple(spark, ok.toOption.get, "Suite",
+      Seq("suite_id" -> iv(1004), "room_id" -> iv(999)))
+      .left.exists(_.startsWith("ConstraintViolation")))
+  }
+
   test("ICL parser round-trips constraint bodies") {
     val s = """(RegisterConstraint (constraint_name fk_order) (relation_name order_items)
               |  (body (MemberOf (target orders) (binding ((id (Var order_id)))))))""".stripMargin
