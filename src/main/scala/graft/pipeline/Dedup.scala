@@ -308,9 +308,48 @@ object Dedup {
     * scale would swap in the large-star/small-star alternation (Kiveris
     * et al., COSN'14) — same join primitives, O(log²) rounds. Throws if
     * `maxIter` rounds don't reach fixpoint: a truncated propagation
-    * silently mislabels. */
+    * silently mislabels.
+    *
+    * Hybrid regime: a pair set with long ids that fits under
+    * `localThreshold` resolves by exact driver union-find instead
+    * (one collect + one broadcast join-back — no iteration jobs),
+    * mirroring the engine's Local/Dist extension split. */
   def clustersFromPairs(nodes: DataFrame, pairs: DataFrame, idCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, localThreshold: Int = 100000): DataFrame = {
+    // hybrid regime, mirroring Engine.LocalThreshold: a pair set small
+    // enough to hold on the driver (the common case — dup pairs are a
+    // sliver of the corpus) resolves by exact union-find in one collect
+    // + one broadcast join-back, instead of ~2 jobs per propagation
+    // round; a larger graph takes the distributed fixpoint below
+    val longIds = Seq("doc_a", "doc_b").forall(c =>
+      pairs.schema(c).dataType == org.apache.spark.sql.types.LongType)
+    val probe =
+      if (longIds) pairs.select(col("doc_a"), col("doc_b")).limit(localThreshold + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (longIds && probe.length <= localThreshold) {
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      for (row <- probe) {
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { // keep the smaller id as root: root = min of component
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val labels = probe.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+        .map(id => (id, find(id)))
+      val ss = nodes.sparkSession
+      import ss.implicits._
+      val labelDf = labels.toSeq.toDF(idCol, "__cc")
+      return nodes.select(col(idCol)).distinct()
+        .join(org.apache.spark.sql.functions.broadcast(labelDf), Seq(idCol), "left_outer")
+        .select(col(idCol), coalesce(col("__cc"), col(idCol)).as("cluster_id"))
+    }
     val edges = pairs.select(col("doc_a").as("__src"), col("doc_b").as("__dst"))
       .unionAll(pairs.select(col("doc_b").as("__src"), col("doc_a").as("__dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

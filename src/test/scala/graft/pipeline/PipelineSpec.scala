@@ -309,16 +309,22 @@ class PipelineSpec extends SparkTestBase {
     val nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // chain 0-1-2-3 (no direct 0-3 edge), island 4-5, singleton 6
     val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
-    val got = Dedup.clustersFromPairs(nodes, pairs, "doc_id")
+    val expected = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L, 5L -> 4L, 6L -> 6L)
+    // driver union-find regime (small pair set)
+    val local = Dedup.clustersFromPairs(nodes, pairs, "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+    assert(local == expected)
+    // distributed propagation regime must agree (localThreshold = 0)
+    val dist = Dedup.clustersFromPairs(nodes, pairs, "doc_id", localThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == expected)
     // no pairs at all: every node is its own cluster
     val lone = Dedup.clustersFromPairs(nodes, pairs.limit(0), "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(lone.forall(p => p._1 == p._2) && lone.length == 7)
-    // unconverged propagation must throw, not silently mislabel
+    // unconverged distributed propagation must throw, not silently mislabel
     assertThrows[IllegalStateException](
-      Dedup.clustersFromPairs(nodes, pairs, "doc_id", maxIter = 1).collect())
+      Dedup.clustersFromPairs(nodes, pairs, "doc_id", maxIter = 1, localThreshold = 0).collect())
   }
 
   test("near-dup clusters collapse exact+near dup groups over the LSH pairs") {
