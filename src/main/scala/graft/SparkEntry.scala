@@ -65,6 +65,13 @@ object SparkEntry {
         count(lit(1)).as("n_items"))
   }
 
+  /** Per-language sampling rates for `sample_stratified` (strata not
+    * listed keep everything); shared with the oracle SQL. */
+  val SampleRates: Seq[(String, Double)] = Seq("en" -> 0.5, "zh" -> 0.25, "fr" -> 0.1)
+
+  /** One day in the events table's epoch-nanosecond ts unit. */
+  val RangeJoinDayNs: Long = 86400L * 1000 * 1000 * 1000
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- DRL core: one per AST node (reference lib/drl/ast.ml:16-28) ----
     "drl_base_scan" -> drl("(Base region)"),
@@ -367,6 +374,35 @@ object SparkEntry {
         d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
         "doc_id", "text")
     }),
+    "pack_sequences" -> ((s, dir) =>
+      graft.pipeline.Packing.pack(table(s, dir, "documents"), "doc_id", "text")),
+    "sample_stratified" -> ((s, dir) =>
+      graft.pipeline.Sampling.stratified(table(s, dir, "documents"), "doc_id", "lang",
+        SampleRates.toMap)),
+    // as-of join: each click attributed to the user's most recent
+    // purchase at-or-before it (union + one window pass — no join)
+    "asof_click_purchase" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.operators.AsofJoin.backward(clicks, purchases, Seq("user_id"), "ts",
+        Seq("event_id", "value"), "event_id")
+        .select(col("event_id"), col("user_id"), col("asof_event_id"), col("asof_value"))
+    }),
+    // banded range join: every non-signup event within a day after a
+    // signup by the same user (bucketed equi-join, never a cross product)
+    "range_join_events" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_event"), col("user_id"), col("ts"))
+      val acts = ev.filter(col("event_type") =!= "signup")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      graft.operators.RangeJoin.band(signups, acts, Seq("user_id"), "ts",
+        1L, RangeJoinDayNs, Seq("event_id", "event_type"))
+        .select(col("signup_event"), col("user_id"), col("r_event_id"), col("r_event_type"))
+    }),
     "mm_payload_stats" -> ((s, dir) =>
       graft.pipeline.MultiModal.payloadStats(table(s, dir, "documents"))),
     "ann_cosine_topk" -> ((s, dir) =>
@@ -497,6 +533,36 @@ object SparkEntry {
     "text_fingerprint" -> graft.pipeline.Oracles.textFingerprint,
     "text_repetition" -> graft.pipeline.Oracles.textRepetition,
     "text_contamination" -> graft.pipeline.Oracles.textContamination(2),
+    "pack_sequences" -> graft.pipeline.Oracles.packSequences(graft.pipeline.Packing.Capacity),
+    "sample_stratified" ->
+      graft.pipeline.Oracles.sampleStratified(SampleRates, graft.pipeline.Sampling.DefaultSalt),
+    // window-formulation mirror of AsofJoin.backward: same tagged union,
+    // same (ts, side, tie) ordering, same inclusive-frame last_value
+    "asof_click_purchase" ->
+      ("""WITH u AS (
+         |  SELECT user_id, ts, 1 AS side, NULL::BIGINT AS tie, event_id,
+         |         NULL::BIGINT AS p_event, NULL::DOUBLE AS p_value
+         |  FROM events WHERE event_type = 'click'
+         |  UNION ALL
+         |  SELECT user_id, ts, 0, event_id, NULL, event_id, value
+         |  FROM events WHERE event_type = 'purchase'
+         |), f AS (
+         |  SELECT side, event_id, user_id,
+         |    last_value(p_event IGNORE NULLS) OVER win AS asof_event_id,
+         |    last_value(p_value IGNORE NULLS) OVER win AS asof_value
+         |  FROM u
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, tie
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT event_id, user_id, asof_event_id, asof_value FROM f WHERE side = 1""".stripMargin),
+    // the band is [1 ns, 1 day] after the signup; events.ts is
+    // nano-resolution on both sides (epoch_ns == Spark's long ts)
+    "range_join_events" ->
+      (s"""SELECT l.event_id AS signup_event, l.user_id,
+          |       r.event_id AS r_event_id, r.event_type AS r_event_type
+          |FROM events l JOIN events r ON l.user_id = r.user_id
+          |  AND epoch_ns(r.ts) - epoch_ns(l.ts) BETWEEN 1 AND $RangeJoinDayNs
+          |WHERE l.event_type = 'signup' AND r.event_type <> 'signup'""".stripMargin),
     "mm_payload_stats" -> graft.pipeline.Oracles.mmPayloadStats,
     "ann_cosine_topk" -> graft.pipeline.Oracles.annCosineTopK,
     "ann_lsh_buckets" -> graft.pipeline.Oracles.annLshBuckets,

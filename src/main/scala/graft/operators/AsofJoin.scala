@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the single most recent
+  * right row with `right.ts <= left.ts` within the same key group — the
+  * temporal-join primitive (market-data "latest quote at trade time",
+  * attribution "latest campaign touch before conversion") that plain
+  * equi-joins cannot express and naive range joins explode on.
+  *
+  * Scale formulation: NO join at all. Both sides are tagged and unioned,
+  * then ONE window pass per key group ordered by (ts, side, tiebreak)
+  * carries the latest right-side payload forward (`last(_, ignoreNulls)`
+  * over an unbounded-preceding frame). Cost is a single shuffle on the
+  * key columns + a per-partition sort — the same shape as any windowed
+  * aggregate, with no candidate blow-up however dense the right side is.
+  * This is the standard union-scan formulation of temporal joins (the
+  * plan a MATCH/ASOF-capable SQL engine lowers to); a sort-merge
+  * formulation would need a custom physical operator for no asymptotic
+  * gain, so composition wins here (extension-ladder tier (a)).
+  *
+  * Semantics (deterministic, shared with the oracle SQL):
+  *  - inclusive match: a right row at exactly left.ts is visible (it
+  *    sorts before the left row via the side flag);
+  *  - among right rows tied on ts, the greatest `rightTieBreak` wins;
+  *  - left rows with no prior right row keep NULL payloads (left outer).
+  */
+object AsofJoin {
+
+  /** @param keys          equality keys (e.g. user_id) — the shuffle key
+    * @param tsCol         ordering column, same name and type both sides
+    * @param rightPayload  right columns carried onto matching left rows
+    * @param rightTieBreak right column ordering ties on equal ts
+    * @param outPrefix     prefix for the attached payload columns
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      rightPayload: Seq[String], rightTieBreak: String,
+      outPrefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one equality key")
+    val lTs = left.schema(tsCol).dataType
+    val rTs = right.schema(tsCol).dataType
+    require(lTs == rTs, s"ts column type mismatch: left $lTs vs right $rTs")
+
+    val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val tieType = right.schema(rightTieBreak).dataType
+    def q(c: String): Column = col(s"`$c`")
+
+    // tagged union: keys ++ ts ++ side ++ tie ++ left-only ++ payload
+    val lSide = left.select(
+      (keys.map(q) :+ q(tsCol) :+ lit(1).as("__side") :+
+        lit(null).cast(tieType).as("__tie")) ++
+        leftOnly.map(q) ++
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"$outPrefix$c")): _*)
+    val rSide = right.select(
+      (keys.map(q) :+ q(tsCol) :+ lit(0).as("__side") :+
+        q(rightTieBreak).as("__tie")) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightPayload.map(c => q(c).as(s"$outPrefix$c")): _*)
+
+    val w = Window.partitionBy(keys.map(q): _*)
+      .orderBy(q(tsCol).asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(lSide.unionAll(rSide)) { (d, c) =>
+      d.withColumn(s"$outPrefix$c", last(col(s"`$outPrefix$c`"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select((keys.map(q) :+ q(tsCol)) ++ leftOnly.map(q) ++
+        rightPayload.map(c => col(s"`$outPrefix$c`")): _*)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+class AsofJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long, Double)]) = {
+    // left: (event_id, user_id, ts); right: (user_id, ts, event_id, value)
+    val l = left.toDF("event_id", "user_id", "ts")
+    val r = right.toDF("user_id", "ts", "event_id", "value")
+    AsofJoin.backward(l, r, Seq("user_id"), "ts", Seq("event_id", "value"), "event_id")
+      .select("event_id", "asof_event_id", "asof_value")
+      .collect().map(row => (row.getLong(0),
+        if (row.isNullAt(1)) None else Some(row.getLong(1)),
+        if (row.isNullAt(2)) None else Some(row.getDouble(2)))).toSet
+  }
+
+  test("backward as-of picks the latest right row at-or-before each left ts") {
+    val got = run(
+      left = Seq((1L, 7L, 100L), (2L, 7L, 200L), (3L, 7L, 50L)),
+      right = Seq((7L, 60L, 10L, 1.5), (7L, 150L, 11L, 2.5)))
+    assert(got === Set(
+      (1L, Some(10L), Some(1.5)), // ts=100 sees the ts=60 purchase
+      (2L, Some(11L), Some(2.5)), // ts=200 sees the ts=150 purchase
+      (3L, None, None)))          // ts=50 precedes every purchase
+  }
+
+  test("a right row at exactly the left ts is visible (inclusive)") {
+    val got = run(left = Seq((1L, 7L, 100L)), right = Seq((7L, 100L, 10L, 9.0)))
+    assert(got === Set((1L, Some(10L), Some(9.0))))
+  }
+
+  test("ties on right ts break by the greatest tiebreak column") {
+    val got = run(
+      left = Seq((1L, 7L, 100L)),
+      right = Seq((7L, 90L, 10L, 1.0), (7L, 90L, 12L, 2.0), (7L, 90L, 11L, 3.0)))
+    assert(got === Set((1L, Some(12L), Some(2.0))))
+  }
+
+  test("keys partition the timeline: no cross-user leakage") {
+    val got = run(
+      left = Seq((1L, 7L, 100L), (2L, 8L, 100L)),
+      right = Seq((7L, 50L, 10L, 1.0)))
+    assert(got === Set((1L, Some(10L), Some(1.0)), (2L, None, None)))
+  }
+
+  test("plan has no join node — one window over the union") {
+    val l = Seq((1L, 7L, 100L)).toDF("event_id", "user_id", "ts")
+    val r = Seq((7L, 50L, 10L, 1.0)).toDF("user_id", "ts", "event_id", "value")
+    val plan = AsofJoin.backward(l, r, Seq("user_id"), "ts", Seq("event_id", "value"), "event_id")
+      .queryExecution.optimizedPlan
+    val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, s"expected a join-free plan, got:\n$plan")
+    val windows = plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = (1L to 2000L).map(i =>
+    (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+    .toDF("doc_id", "lang")
+
+  test("unlisted strata keep every row; rate-1.0 strata keep every row") {
+    val out = Sampling.stratified(docs, "doc_id", "lang", Map("en" -> 1.0))
+    assert(out.count() === 2000)
+  }
+
+  test("rate 0 drops the whole stratum") {
+    val out = Sampling.stratified(docs, "doc_id", "lang", Map("de" -> 0.0))
+    assert(out.filter(col("lang") === "de").count() === 0)
+    assert(out.filter(col("lang") =!= "de").count() === docs.filter(col("lang") =!= "de").count())
+  }
+
+  test("sampled fraction lands near the rate and is deterministic") {
+    val out = Sampling.stratified(docs, "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.1))
+    val en = out.filter(col("lang") === "en").count().toDouble /
+      docs.filter(col("lang") === "en").count()
+    val de = out.filter(col("lang") === "de").count().toDouble /
+      docs.filter(col("lang") === "de").count()
+    assert(math.abs(en - 0.5) < 0.08, s"en fraction $en")
+    assert(math.abs(de - 0.1) < 0.05, s"de fraction $de")
+    // determinism: same ids survive on a different partitioning
+    val again = Sampling.stratified(docs.repartition(7), "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.1))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("membership is a function of (id, salt): salts draw independent samples") {
+    val a = Sampling.stratified(docs, "doc_id", "lang", Map("en" -> 0.5), salt = "a")
+      .filter(col("lang") === "en").select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratified(docs, "doc_id", "lang", Map("en" -> 0.5), salt = "b")
+      .filter(col("lang") === "en").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a !== b)
+  }
+
+  test("hexBound boundaries sit on the 4-hex grid") {
+    assert(Sampling.hexBound(0.0) === "0000")
+    assert(Sampling.hexBound(0.5) === "8000")
+    assert(Sampling.hexBound(1.0) === "ffff")
+    assert(Sampling.hexBound(0.1) === "1999")
+  }
+
+  test("no shuffle: the sampling plan is scan → filter/project only") {
+    val plan = Sampling.stratified(docs, "doc_id", "lang", Map("en" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"stratified sampling shuffled:\n$plan")
+  }
+}
