@@ -33,6 +33,8 @@ final class Store {
   def checkout(name: String): Unit = headBranch = Some(name)
   def head: Option[String] = headBranch
   def list: Seq[(String, String)] = branches.toSeq
+  /** Every stored snapshot (persistence walks these). */
+  def allSnapshots: Seq[Database] = snapshots.values.toSeq
 
   /** Advance HEAD's tip after a successful mutation
     * (reference advance_head_branch, lib/listener.ml:47-51). */

@@ -1,0 +1,339 @@
+package graft.engine
+
+import scala.collection.immutable.{ListMap, VectorMap}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import graft.dcl.Store
+import graft.hashing.Hashing
+import graft.hashing.Hashing.ContentRoot
+import graft.icl.Body
+import graft.sexp.Sexp
+import graft.sexp.Sexp.{Atom, SList}
+import graft.types.{Cardinality, Domain, RelSchema}
+
+/** Durable engine state — the Spark-native mapping of the reference's
+  * physical storage layer (reference lib/storable.ml:25-36,
+  * lib/management/physical.ml:11-84, which persists content-addressed
+  * objects under a configured root).
+  *
+  * Layout under a storage root (any Hadoop-visible filesystem — local
+  * path in tests, HDFS/object store on a cluster):
+  *
+  * {{{
+  * objects/<relHash>.parquet   relation extensions, content-addressed:
+  *                             written at most once per distinct relation
+  *                             version, shared by every snapshot that
+  *                             references it (the reference's dedup-by-
+  *                             content-hash, at parquet-file granularity
+  *                             instead of per-tuple KV granularity)
+  * snapshots/<dbHash>.sexp     database manifests: name, history, domains,
+  *                             constraints, deferred queue, and per-
+  *                             relation (schema, content root, object ref)
+  * store.sexp                  branch registry + HEAD + current hash
+  * }}}
+  *
+  * Scale posture: a snapshot write costs one parquet write PER CHANGED
+  * RELATION (unchanged relations re-reference their existing object) plus
+  * two tiny manifest files; reloading builds relations directly over the
+  * parquet objects, so a restored Dist relation starts with a clean
+  * one-node scan plan (the "relation version = parquet snapshot" mapping
+  * of SURVEY §1.3, now durable across JVMs). Local-threshold relations
+  * verify their content root on load; Dist relations trust the
+  * content-addressed path (re-deriving a 10^9-row root at boot would scan
+  * the world — integrity there is the filesystem's contract, as it is for
+  * the reference's KV store).
+  */
+object Persist {
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def objectPath(root: String, relHash: String) = new Path(root, s"objects/$relHash.parquet")
+  private def snapshotPath(root: String, dbHash: String) = new Path(root, s"snapshots/$dbHash.sexp")
+  private def storePath(root: String) = new Path(root, "store.sexp")
+
+  private def writeText(f: FileSystem, p: Path, text: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readText(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
+
+  // ---- manifest rendering ----
+
+  private def renderCardinality(c: Cardinality): Sexp = c match {
+    case Cardinality.Finite(n)         => Sexp.list(Atom("Finite"), Atom(n.toString))
+    case Cardinality.ConstrainedFinite => Atom("ConstrainedFinite")
+    case Cardinality.AlephZero         => Atom("AlephZero")
+    case Cardinality.Continuum         => Atom("Continuum")
+  }
+
+  private def typeNameOf(dt: DataType): String = dt match {
+    case LongType    => "long"
+    case DoubleType  => "double"
+    case StringType  => "string"
+    case BooleanType => "boolean"
+    case other       => throw new IllegalArgumentException(s"unpersistable type: $other")
+  }
+
+  private def typeOfName(n: String): Either[String, DataType] = n match {
+    case "long"    => Right(LongType)
+    case "double"  => Right(DoubleType)
+    case "string"  => Right(StringType)
+    case "boolean" => Right(BooleanType)
+    case other     => Left(s"unknown persisted type: $other")
+  }
+
+  private def renderRelation(rel: StoredRelation): Sexp =
+    SList(List(
+      Sexp.list(Atom("name"), Atom(rel.name)),
+      Sexp.list(Atom("schema"),
+        SList(rel.schema.attrs.map { case (a, d) => Sexp.list(Atom(a), Atom(d)) })),
+      Sexp.list(Atom("count"), Atom(rel.root.count.toString)),
+      Sexp.list(Atom("limbs"),
+        SList(rel.root.limbs.toList.map(l => Atom(f"$l%016x")))),
+      Sexp.list(Atom("constraints"),
+        SList(rel.constraints.toList.map { case (cn, b) =>
+          Sexp.list(Atom(cn), graft.icl.Render.body(b))
+        }))))
+
+  private def renderDatabase(db: Database): Sexp = {
+    val userDomains = db.domains.view.filterKeys(n => !Domain.prelude.contains(n)).toSeq.sortBy(_._1)
+    SList(List(
+      Atom("database"),
+      Sexp.list(Atom("name"), Atom(db.name)),
+      Sexp.list(Atom("hash"), Atom(db.hash)),
+      Sexp.list(Atom("history"), SList(db.history.map(Atom(_)))),
+      Sexp.list(Atom("deferred"), SList(db.deferred.map(e =>
+        Sexp.list(Atom(e.constraintName), Atom(e.relationName), graft.icl.Render.body(e.body))))),
+      Sexp.list(Atom("domains"), SList(userDomains.toList.map { case (_, d) =>
+        Sexp.list(Atom(d.name), Atom(typeNameOf(d.sparkType)), renderCardinality(d.cardinality))
+      })),
+      Sexp.list(Atom("relations"), SList(db.relations.values.toList.map(renderRelation)))))
+  }
+
+  // ---- save ----
+
+  /** Persist one snapshot: changed relation objects + its manifest.
+    * Content addressing makes this idempotent and incremental — existing
+    * objects and manifests are never rewritten. */
+  def saveSnapshot(spark: SparkSession, root: String, db: Database): Unit = {
+    val f = fs(spark, root)
+    for (rel <- db.relations.values if rel.root.count > 0) {
+      val p = objectPath(root, rel.relHash)
+      if (!f.exists(new Path(p, "_SUCCESS")))
+        rel.df.write.mode("overwrite").parquet(p.toString)
+    }
+    val mp = snapshotPath(root, db.hash)
+    if (!f.exists(mp)) writeText(f, mp, renderDatabase(db).render)
+  }
+
+  /** Persist the whole session state: every stored snapshot, the branch
+    * registry, HEAD, and the current database hash. */
+  def saveStore(spark: SparkSession, root: String, store: Store,
+      current: Option[Database]): Unit = {
+    val f = fs(spark, root)
+    store.allSnapshots.foreach(saveSnapshot(spark, root, _))
+    current.foreach(saveSnapshot(spark, root, _))
+    val sexp = SList(List(
+      Atom("store"),
+      Sexp.list(Atom("current"), Atom(current.map(_.hash).getOrElse("none"))),
+      Sexp.list(Atom("head"), Atom(store.head.getOrElse("none"))),
+      Sexp.list(Atom("branches"),
+        SList(store.list.toList.map { case (n, t) => Sexp.list(Atom(n), Atom(t)) })),
+      Sexp.list(Atom("snapshots"),
+        SList((store.allSnapshots.map(_.hash) ++ current.map(_.hash)).distinct.toList.map(Atom(_))))))
+    writeText(f, storePath(root), sexp.render)
+  }
+
+  // ---- load ----
+
+  private def field(fields: List[Sexp], k: String): Either[String, Sexp] =
+    fields.collectFirst { case SList(Atom(`k`) :: v :: Nil) => v }
+      .toRight(s"missing field: $k")
+
+  private def atomOf(s: Sexp, what: String): Either[String, String] = s match {
+    case Atom(a) => Right(a)
+    case o       => Left(s"bad $what: ${o.render}")
+  }
+
+  private def traverse[A, B](xs: List[A])(f: A => Either[String, B]): Either[String, List[B]] =
+    xs.foldRight(Right(Nil): Either[String, List[B]]) { (a, acc) =>
+      for { b <- f(a); rest <- acc } yield b :: rest
+    }
+
+  private def parseDomain(s: Sexp): Either[String, Domain] = s match {
+    case SList(List(Atom(name), Atom(tn), cardS)) =>
+      for {
+        dt <- typeOfName(tn)
+        card <- graft.ddl.Parser.parseCardinality(cardS)
+      } yield Domain(name, dt, card)
+    case o => Left(s"bad domain entry: ${o.render}")
+  }
+
+  private def parseRelation(spark: SparkSession, root: String, domains: Map[String, Domain],
+      s: Sexp): Either[String, StoredRelation] = s match {
+    case SList(fields) =>
+      for {
+        name <- field(fields, "name").flatMap(atomOf(_, "name"))
+        schema <- field(fields, "schema").flatMap {
+          case SList(pairs) => traverse(pairs) {
+            case SList(List(Atom(a), Atom(d))) => Right(a -> d)
+            case o => Left(s"bad schema entry: ${o.render}")
+          }.map(RelSchema(_))
+          case o => Left(s"bad schema: ${o.render}")
+        }
+        count <- field(fields, "count").flatMap(atomOf(_, "count"))
+          .flatMap(c => c.toLongOption.toRight(s"bad count: $c"))
+        limbs <- field(fields, "limbs").flatMap {
+          case SList(ls) if ls.length == 4 => traverse(ls) {
+            case Atom(h) =>
+              try Right(java.lang.Long.parseUnsignedLong(h, 16))
+              catch { case _: NumberFormatException => Left(s"bad limb: $h") }
+            case o => Left(s"bad limb: ${o.render}")
+          }
+          case o => Left(s"bad limbs: ${o.render}")
+        }
+        constraints <- field(fields, "constraints").flatMap {
+          case SList(cs) => traverse(cs) {
+            case SList(List(Atom(cn), bodyS)) => graft.icl.Parser.parseBody(bodyS).map(cn -> _)
+            case o => Left(s"bad constraint entry: ${o.render}")
+          }
+          case o => Left(s"bad constraints: ${o.render}")
+        }
+        struct <- schema.toStruct(domains)
+        root0 = ContentRoot(count, limbs.toVector)
+        rel <- loadExtension(spark, root, StoredRelation(
+          name, schema, struct, Extension.emptyLocal, root0, ListMap(constraints: _*)))
+      } yield rel
+    case o => Left(s"bad relation entry: ${o.render}")
+  }
+
+  /** Rebuild a relation's extension from its content-addressed object.
+    * Small relations come back Local (rows re-keyed by tuple hash, sorted
+    * for determinism) with the root VERIFIED against the manifest; large
+    * ones come back as a Dist plan over the parquet object — fresh
+    * lineage, verified lazily by the content-addressed path name. */
+  private def loadExtension(spark: SparkSession, root: String,
+      rel: StoredRelation): Either[String, StoredRelation] = {
+    if (rel.root.count == 0) Right(rel)
+    else {
+      val p = objectPath(root, rel.relHash)
+      if (!fs(spark, root).exists(new Path(p, "_SUCCESS")))
+        Left(s"missing object for relation ${rel.name}: $p")
+      else {
+        val df = spark.read.parquet(p.toString)
+          .select(rel.struct.fields.toIndexedSeq.map(f => col(s"`${f.name}`")): _*)
+        if (rel.root.count <= Engine.LocalThreshold) {
+          val keyed = df.collect().toSeq
+            .map(r => Hashing.tupleHash(rel.name, Engine.rowToAttrs(rel, r)) -> r)
+            .sortBy(_._1)
+          val rebuilt = keyed.foldLeft(ContentRoot.empty) { case (acc, (h, _)) => acc.add(h) }
+          if (rebuilt != rel.root)
+            Left(s"content root mismatch for relation ${rel.name}: " +
+              s"stored ${rel.root.render}, rebuilt ${rebuilt.render}")
+          else Right(rel.copy(ext = Extension.Local(VectorMap.from(keyed))))
+        } else Right(rel.copy(ext = Extension.Dist(df)))
+      }
+    }
+  }
+
+  /** Load one snapshot manifest + its relation extensions. */
+  def loadSnapshot(spark: SparkSession, root: String, hash: String): Either[String, Database] = {
+    val f = fs(spark, root)
+    val p = snapshotPath(root, hash)
+    if (!f.exists(p)) Left(s"snapshot not found: $hash")
+    else Sexp.parse(readText(f, p)).flatMap {
+      case SList(Atom("database") :: fields) =>
+        for {
+          name <- field(fields, "name").flatMap(atomOf(_, "name"))
+          dbHash <- field(fields, "hash").flatMap(atomOf(_, "hash"))
+          _ <- if (dbHash == hash) Right(())
+               else Left(s"manifest hash $dbHash does not match path $hash")
+          history <- field(fields, "history").flatMap {
+            case SList(hs) => traverse(hs)(atomOf(_, "history entry"))
+            case o => Left(s"bad history: ${o.render}")
+          }
+          deferred <- field(fields, "deferred").flatMap {
+            case SList(ds) => traverse(ds) {
+              case SList(List(Atom(cn), Atom(rn), bodyS)) =>
+                graft.icl.Parser.parseBody(bodyS).map(DeferredEntry(cn, rn, _))
+              case o => Left(s"bad deferred entry: ${o.render}")
+            }
+            case o => Left(s"bad deferred: ${o.render}")
+          }
+          userDomains <- field(fields, "domains").flatMap {
+            case SList(ds) => traverse(ds)(parseDomain)
+            case o => Left(s"bad domains: ${o.render}")
+          }
+          domains = Domain.prelude ++ userDomains.map(d => d.name -> d).toMap
+          relations <- field(fields, "relations").flatMap {
+            case SList(rs) => traverse(rs)(parseRelation(spark, root, domains, _))
+            case o => Left(s"bad relations: ${o.render}")
+          }
+          db = Database(name, ListMap(relations.map(r => r.name -> r): _*),
+            domains, history, deferred, dbHash)
+          // cross-check the whole-state identity: relation hashes fold to
+          // the persisted database hash or the manifest is inconsistent
+          recomputed = Hashing.databaseHash(name, db.relations.values.map(_.relHash))
+          _ <- if (recomputed == dbHash) Right(())
+               else Left(s"database hash mismatch: manifest $dbHash, recomputed $recomputed")
+        } yield db
+      case other => Left(s"bad snapshot manifest: ${other.render}")
+    }
+  }
+
+  /** True when `root` holds a persisted store. */
+  def exists(spark: SparkSession, root: String): Boolean =
+    fs(spark, root).exists(storePath(root))
+
+  /** Restore a persisted session into `store`: all snapshots, branches,
+    * HEAD; returns the current database (None for a pre-CreateDatabase
+    * store). */
+  def restoreStore(spark: SparkSession, root: String,
+      store: Store): Either[String, Option[Database]] = {
+    val f = fs(spark, root)
+    val p = storePath(root)
+    if (!f.exists(p)) Right(None)
+    else Sexp.parse(readText(f, p)).flatMap {
+      case SList(Atom("store") :: fields) =>
+        for {
+          current <- field(fields, "current").flatMap(atomOf(_, "current"))
+          head <- field(fields, "head").flatMap(atomOf(_, "head"))
+          branches <- field(fields, "branches").flatMap {
+            case SList(bs) => traverse(bs) {
+              case SList(List(Atom(n), Atom(t))) => Right(n -> t)
+              case o => Left(s"bad branch entry: ${o.render}")
+            }
+            case o => Left(s"bad branches: ${o.render}")
+          }
+          hashes <- field(fields, "snapshots").flatMap {
+            case SList(hs) => traverse(hs)(atomOf(_, "snapshot hash"))
+            case o => Left(s"bad snapshots: ${o.render}")
+          }
+          snapshots <- traverse(hashes)(loadSnapshot(spark, root, _))
+          cur <-
+            if (current == "none") Right(None)
+            else snapshots.find(_.hash == current)
+              .toRight(s"current snapshot $current not among persisted snapshots").map(Some(_))
+        } yield {
+          snapshots.foreach(store.save)
+          branches.foreach { case (n, t) => store.createBranch(n, t) }
+          if (head != "none") store.checkout(head)
+          cur
+        }
+      case other => Left(s"bad store file: ${other.render}")
+    }
+  }
+}

@@ -23,10 +23,21 @@ final case class QueryResult(df: DataFrame) extends Response
 final case class Transition(message: String) extends Response
 final case class CursorBatch(batch: graft.scl.Batch) extends Response
 
-final class EngineSession(spark: SparkSession, external: Option[Catalog] = None) {
+final class EngineSession(spark: SparkSession, external: Option[Catalog] = None,
+    persistDir: Option[String] = None) {
   val store = new Store
   val cursors = new Cursors
   private var dbOpt: Option[Database] = None
+
+  // disk storage backend: restore the persisted session at construction
+  // (reference boots its storage from config the same way, bin/server.ml:
+  // 3-12); write-through happens on every successful transition below
+  for (dir <- persistDir if graft.engine.Persist.exists(spark, dir))
+    dbOpt = graft.engine.Persist.restoreStore(spark, dir, store)
+      .fold(e => throw new IllegalStateException(s"corrupt persisted store at $dir: $e"), identity)
+
+  private def persist(): Unit =
+    persistDir.foreach(graft.engine.Persist.saveStore(spark, _, store, dbOpt))
 
   def db: Database = dbOpt.getOrElse(
     throw new IllegalStateException("no database; run (ddl (CreateDatabase name)) first"))
@@ -58,6 +69,7 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None)
     dbOpt = Some(newDb)
     store.save(newDb)
     store.advanceHead(newDb.hash)
+    persist()
     Transition(msg)
   }
 
@@ -118,6 +130,7 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None)
         // mutations; Checkout/Merge change the current db
         dbOpt = Some(newDb)
         store.save(newDb)
+        persist()
         Transition(msg)
       })
 

@@ -29,11 +29,12 @@ import graft.sexp.Sexp.{Atom, SList}
   * divergence: the reference streams raw sexps; newline framing keeps
   * clients trivial). Binds loopback only.
   */
-final class Listener(spark: SparkSession, external: Option[Catalog] = None, port: Int = 0) {
+final class Listener(spark: SparkSession, external: Option[Catalog] = None, port: Int = 0,
+    persistDir: Option[String] = None) {
   /** Query response row cap (reference current_limit, lib/listener.ml:64). */
   val RowCap = 16
 
-  private val session = new EngineSession(spark, external)
+  private val session = new EngineSession(spark, external, persistDir)
   private val serverSocket = new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
   @volatile private var running = true
 

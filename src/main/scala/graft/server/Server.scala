@@ -11,34 +11,40 @@ import graft.sexp.Sexp.{Atom, SList}
   *
   * {{{
   * (server
-  *   (storage (memory))            ; engine state store (memory only, as
-  *                                 ;   the reference's default backend)
+  *   (storage (memory))            ; engine state store: (memory) — the
+  *                                 ;   reference's default backend — or
+  *                                 ;   (disk /path/to/root) for durable
+  *                                 ;   content-addressed state (Persist)
   *   (transport (tcp (port 4422))) ; port 0 = ephemeral
   *   (external /path/to/parquet))  ; OPTIONAL extension: a parquet
   *                                 ;   directory served as base tables
   * }}}
   *
   * The reference instantiates storage and transport from registries; the
-  * Spark build has one storage regime (in-process engine state over
-  * Local/Dist extensions) and one transport (the TCP sexp listener), so
-  * the config surface validates the same shape and rejects unknown
-  * backends the same way (`Unknown storage/transport`).
+  * Spark build has two storage regimes (in-process, and write-through
+  * disk persistence via [[graft.engine.Persist]]) and one transport (the
+  * TCP sexp listener); the config surface validates the same shape and
+  * rejects unknown backends the same way (`Unknown storage/transport`).
   */
 object Server {
 
-  final case class Config(storage: String, port: Int, external: Option[String])
+  final case class Config(storage: String, port: Int, external: Option[String],
+      storageDir: Option[String] = None)
 
   def parseConfig(text: String): Either[String, Config] =
     Sexp.parse(text).flatMap {
       case SList(Atom("server") :: fields) =>
         val fm = fields.collect { case SList(Atom(k) :: v) => k -> v }.toMap
         for {
-          storage <- fm.get("storage").toRight("missing field: storage").flatMap {
-            case List(SList(Atom(kind) :: _)) => Right(kind)
-            case List(Atom(kind))             => Right(kind)
+          storagePair <- fm.get("storage").toRight("missing field: storage").flatMap {
+            case List(SList(List(Atom("disk"), Atom(dir)))) => Right(("disk", Some(dir)))
+            case List(SList(Atom("disk") :: _)) => Left("disk storage needs a root path: (disk /path)")
+            case List(SList(Atom(kind) :: _)) => Right((kind, None))
+            case List(Atom(kind))             => Right((kind, None))
             case o => Left(s"bad storage: ${SList(o).render}")
           }
-          _ <- if (storage == "memory") Right(())
+          (storage, storageDir) = storagePair
+          _ <- if (storage == "memory" || storage == "disk") Right(())
                else Left(s"Unknown storage backend: $storage")
           port <- fm.get("transport").toRight("missing field: transport").flatMap {
             case List(SList(Atom("tcp") :: tcpFields)) =>
@@ -49,7 +55,7 @@ object Server {
             case o => Left(s"Unknown transport: ${SList(o).render}")
           }
           external = fm.get("external").collectFirst { case List(Atom(dir)) => dir }
-        } yield Config(storage, port, external)
+        } yield Config(storage, port, external, storageDir)
       case other => Left(s"config must be a (server ...) form, got: ${other.render}")
     }
 
@@ -57,7 +63,7 @@ object Server {
   def boot(spark: SparkSession, configText: String): Either[String, Listener] =
     parseConfig(configText).map { cfg =>
       val external: Option[Catalog] = cfg.external.map(new ParquetCatalog(spark, _))
-      new Listener(spark, external, cfg.port).start()
+      new Listener(spark, external, cfg.port, cfg.storageDir).start()
     }
 
   /** `runMain graft.Server <config-file | config-sexp>`; with no args,

@@ -1,0 +1,177 @@
+package graft.engine
+
+import java.nio.file.Files
+import graft.SparkTestBase
+import graft.server.{EngineSession, QueryResult, Transition}
+
+class PersistSpec extends SparkTestBase {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-persist").toString
+
+  private def exec(s: EngineSession, stmt: String): Unit =
+    s.execute(stmt).fold(e => fail(s"$stmt -> $e"), _ => ())
+
+  private def query(s: EngineSession, q: String): Seq[Seq[Any]] =
+    s.execute(s"(drl $q)") match {
+      case Right(QueryResult(df)) => df.collect().toSeq.map(_.toSeq.toIndexedSeq).sortBy(_.mkString("|"))
+      case other => fail(s"$q -> $other")
+    }
+
+  test("full session state survives a restart: relations, constraints, domains, deferred") {
+    val dir = tmpDir()
+    val s1 = new EngineSession(spark, persistDir = Some(dir))
+    exec(s1, "(CreateDatabase g)")
+    exec(s1, "(RegisterDomain (name money) (cardinality AlephZero) (base rational))")
+    exec(s1, "(CreateRelation (name dept) (schema ((dept_id integer))))")
+    exec(s1, "(InsertTuple (relation dept) (attributes ((dept_id (Int 1)))))")
+    exec(s1, "(InsertTuple (relation dept) (attributes ((dept_id (Int 2)))))")
+    exec(s1, "(CreateRelation (name emp) (schema ((emp_id integer) (dept_id integer))))")
+    exec(s1, "(RegisterConstraint (constraint_name fk) (relation_name emp) " +
+      "(body (MemberOf (target dept) (binding ((dept_id (Var dept_id)))))))")
+    exec(s1, "(InsertTuple (relation emp) (attributes ((emp_id (Int 10)) (dept_id (Int 1)))))")
+    exec(s1, "(RegisterConstraint (constraint_name cap) (relation_name emp) " +
+      "(body (MemberOf (target natural_natural_less_than) " +
+      "(binding ((left (Var emp_id)) (right (Const (Int 1000))))))) (timing Deferred))")
+    val beforeHash = s1.db.hash
+
+    // a fresh session over the same dir restores everything
+    val s2 = new EngineSession(spark, persistDir = Some(dir))
+    assert(s2.db.hash === beforeHash)
+    assert(query(s2, "(Base dept)") === Seq(Seq(1L), Seq(2L)))
+    assert(query(s2, "(Base emp)") === Seq(Seq(10L, 1L)))
+    assert(s2.db.domains.contains("money"))
+    assert(s2.db.deferred.map(_.constraintName) === List("cap"))
+    // the FK constraint still bites after reload
+    val bad = s2.execute("(InsertTuple (relation emp) (attributes ((emp_id (Int 11)) (dept_id (Int 99)))))")
+    assert(bad.isLeft && bad.swap.exists(_.contains("ConstraintViolation")), s"got $bad")
+    // and a valid insert still works, advancing state on disk
+    exec(s2, "(InsertTuple (relation emp) (attributes ((emp_id (Int 11)) (dept_id (Int 2)))))")
+
+    val s3 = new EngineSession(spark, persistDir = Some(dir))
+    assert(query(s3, "(Base emp)") === Seq(Seq(10L, 1L), Seq(11L, 2L)))
+  }
+
+  test("branches and HEAD survive a restart; merge works on the restored store") {
+    val dir = tmpDir()
+    val s1 = new EngineSession(spark, persistDir = Some(dir))
+    exec(s1, "(CreateDatabase g)")
+    exec(s1, "(CreateRelation (name t) (schema ((k integer))))")
+    exec(s1, "(InsertTuple (relation t) (attributes ((k (Int 1)))))")
+    exec(s1, "(CreateBranch (name main))")
+    exec(s1, "(Checkout main)")
+    exec(s1, "(CreateBranch (name feat))")
+    exec(s1, "(Checkout feat)")
+    exec(s1, "(InsertTuple (relation t) (attributes ((k (Int 2)))))")
+    exec(s1, "(Checkout main)")
+    exec(s1, "(InsertTuple (relation t) (attributes ((k (Int 3)))))")
+
+    val s2 = new EngineSession(spark, persistDir = Some(dir))
+    assert(s2.store.head === Some("main"))
+    assert(s2.store.list.map(_._1).sorted === Seq("feat", "main"))
+    // LCA discovery requires ancestor snapshots — all restored
+    s2.execute("(Merge (left main) (right feat) (strategy PreferLeft))") match {
+      case Right(Transition(msg)) => assert(msg.contains("Merged"))
+      case other => fail(s"merge -> $other")
+    }
+    assert(query(s2, "(Base t)") === Seq(Seq(1L), Seq(2L), Seq(3L)))
+  }
+
+  test("a bulk-inserted relation roundtrips with its state hash intact") {
+    val dir = tmpDir()
+    val s1 = new EngineSession(spark,
+      external = Some(new graft.catalog.ParquetCatalog(spark, "/root/testdata/sf0.001")),
+      persistDir = Some(dir))
+    exec(s1, "(CreateDatabase g)")
+    exec(s1, "(CreateRelation (name li) (schema ((o_orderkey integer) (o_custkey integer))))")
+    exec(s1, "(InsertFrom (target li) (source (Project (o_orderkey o_custkey) (Base orders))))")
+    val h1 = s1.db.hash
+    val n1 = query(s1, "(Base li)").length
+
+    val s2 = new EngineSession(spark,
+      external = Some(new graft.catalog.ParquetCatalog(spark, "/root/testdata/sf0.001")),
+      persistDir = Some(dir))
+    assert(s2.db.hash === h1)
+    assert(query(s2, "(Base li)").length === n1)
+  }
+
+  test("a past-threshold relation restores as a Dist parquet scan, not a driver map") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir()
+    val n = Engine.LocalThreshold + 50000
+    val df = spark.range(n.toLong).select(col("id").as("x"))
+    val schema = graft.types.RelSchema(List("x" -> "integer"))
+    val struct = schema.toStruct(graft.types.Domain.prelude).toOption.get
+    val rel0 = StoredRelation("big", schema, struct, Extension.Dist(df),
+      graft.hashing.Hashing.contentRootOf(df, graft.hashing.Hashing.rowHashCol("big", struct)))
+    var db = Database("g", scala.collection.immutable.ListMap("big" -> rel0),
+      graft.types.Domain.prelude, Nil, Nil, "")
+    db = db.copy(hash = graft.hashing.Hashing.databaseHash(db.name, Seq(rel0.relHash)))
+
+    Persist.saveSnapshot(spark, dir, db)
+    val loaded = Persist.loadSnapshot(spark, dir, db.hash)
+      .fold(e => fail(s"load failed: $e"), identity)
+    val rel = loaded.relations("big")
+    assert(rel.localRows.isEmpty, "past-threshold relation must restore as Dist")
+    assert(rel.root === rel0.root)
+    assert(rel.df.count() === n.toLong)
+    // the restored plan reads the content-addressed parquet object directly
+    val plan = rel.df.queryExecution.executedPlan.toString
+    assert(plan.contains("parquet") || plan.contains("FileScan"), s"expected parquet scan:\n$plan")
+  }
+
+  test("objects are content-addressed: unchanged relations are not rewritten") {
+    val dir = tmpDir()
+    val s1 = new EngineSession(spark, persistDir = Some(dir))
+    exec(s1, "(CreateDatabase g)")
+    exec(s1, "(CreateRelation (name a) (schema ((x integer))))")
+    exec(s1, "(InsertTuple (relation a) (attributes ((x (Int 1)))))")
+    val objects = new java.io.File(dir, "objects")
+    def objCount: Int = Option(objects.list()).map(_.length).getOrElse(0)
+    val before = objCount
+    // a second relation's insert must add objects for the changed
+    // relations only; relation `a`'s object stays put (same relHash)
+    exec(s1, "(CreateRelation (name b) (schema ((y integer))))")
+    exec(s1, "(InsertTuple (relation b) (attributes ((y (Int 9)))))")
+    assert(objCount > before)
+    val after = objCount
+    // re-persisting the same state writes nothing new
+    graft.engine.Persist.saveStore(spark, dir, s1.store, Some(s1.db))
+    assert(objCount === after)
+  }
+
+  test("corrupt object data is rejected at load by the content root check") {
+    val dir = tmpDir()
+    val s1 = new EngineSession(spark, persistDir = Some(dir))
+    exec(s1, "(CreateDatabase g)")
+    exec(s1, "(CreateRelation (name a) (schema ((x integer))))")
+    exec(s1, "(InsertTuple (relation a) (attributes ((x (Int 1)))))")
+    val rel = s1.db.relations("a")
+    // swap a's object for a DIFFERENT relation extension (wrong rows)
+    val objDir = new java.io.File(dir, s"objects/${rel.relHash}.parquet")
+    import spark.implicits._
+    Seq(42L).toDF("x").write.mode("overwrite").parquet(objDir.toString)
+    val err = intercept[IllegalStateException] {
+      new EngineSession(spark, persistDir = Some(dir))
+    }
+    assert(err.getMessage.contains("content root mismatch"))
+  }
+
+  test("constraint bodies roundtrip through the sexp renderer") {
+    val bodies = Seq(
+      "(MemberOf (target dept) (binding ((dept_id (Var dept_id)) (k (Const (Int 5))))))",
+      "(Not (body (MemberOf (target e) (binding ((a (Var a)))))) (universe e))",
+      "(And ((MemberOf (target x) (binding ((a (Var a))))) (MemberOf (target y) (binding ((b (Const (Str \"hi world\"))))))))",
+      "(Or ((MemberOf (target x) (binding ((a (Const (Float 1.5)))))) (MemberOf (target y) (binding ((b (Const (Bool true))))))))",
+      "(Exists (variable r) (quantifier Room) (body (Forall (variable b) (quantifier Building) " +
+        "(body (MemberOf (target natural_natural_equal) (binding ((left (Var r.x)) (right (Var b.y)))))))))")
+    for (text <- bodies) {
+      val parsed = graft.sexp.Sexp.parse(text).flatMap(graft.icl.Parser.parseBody)
+        .fold(e => fail(s"$text -> $e"), identity)
+      val rendered = graft.icl.Render.body(parsed).render
+      val reparsed = graft.sexp.Sexp.parse(rendered).flatMap(graft.icl.Parser.parseBody)
+        .fold(e => fail(s"rendered $rendered -> $e"), identity)
+      assert(reparsed === parsed, s"roundtrip of $text via $rendered")
+    }
+  }
+}

@@ -18,6 +18,10 @@ class ServerSpec extends SparkTestBase {
     assert(Server.parseConfig(
       "(server (storage (memory)) (transport (tcp (port 0))) (external /data/sf1))") ==
       Right(Server.Config("memory", 0, Some("/data/sf1"))))
+    assert(Server.parseConfig("(server (storage (disk /var/graft)) (transport (tcp (port 1))))") ==
+      Right(Server.Config("disk", 1, None, Some("/var/graft"))))
+    assert(Server.parseConfig("(server (storage (disk)) (transport (tcp)))")
+      .left.exists(_.contains("root path")))
     assert(Server.parseConfig("(server (storage (sqlite)) (transport (tcp (port 1))))")
       .left.exists(_.startsWith("Unknown storage")))
     assert(Server.parseConfig("(server (storage (memory)) (transport (carrier-pigeon)))")
@@ -42,5 +46,27 @@ class ServerSpec extends SparkTestBase {
       val resp = req("(drl (Base t))")
       assert(resp.startsWith("(relation") && resp.contains("(Int 7)"), resp)
     } finally { sock.close(); listener.close() }
+  }
+
+  test("disk storage backend: state written by one server boot serves the next") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-server-disk").toString
+    val cfg = s"(server (storage (disk $dir)) (transport (tcp (port 0))))"
+    def roundTrip(reqs: Seq[String]): Seq[String] = {
+      val listener = Server.boot(spark, cfg).fold(e => fail(e), identity)
+      val sock = new Socket("127.0.0.1", listener.localPort)
+      try {
+        val out = new PrintWriter(sock.getOutputStream, true, StandardCharsets.UTF_8)
+        val in = new BufferedReader(new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+        reqs.map { r => out.println(r); in.readLine() }
+      } finally { sock.close(); listener.close() }
+    }
+    val first = roundTrip(Seq(
+      "(ddl (CreateDatabase g))",
+      "(ddl (CreateRelation (name t) (schema ((k integer)))))",
+      "(dml (InsertTuple (relation t) (attributes ((k (Int 7))))))"))
+    assert(first.forall(_.startsWith("(ok")), first)
+    // a BRAND NEW listener over the same storage root sees the state
+    val second = roundTrip(Seq("(drl (Base t))"))
+    assert(second.head.startsWith("(relation") && second.head.contains("(Int 7)"), second.head)
   }
 }
