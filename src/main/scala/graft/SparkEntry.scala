@@ -374,6 +374,13 @@ object SparkEntry {
         d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
         "doc_id", "text")
     }),
+    "text_vocab" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.vocab(table(s, dir, "documents"), "doc_id", "text")),
+    // per-source quota: keep the 10 largest documents of every source
+    // (testdata has 25 docs/source, so the cap genuinely bites)
+    "sample_source_cap" -> ((s, dir) =>
+      graft.pipeline.Sampling.capPerStratum(table(s, dir, "documents"),
+        "doc_id", "source", "n_chars", 10)),
     "pack_sequences" -> ((s, dir) =>
       graft.pipeline.Packing.pack(table(s, dir, "documents"), "doc_id", "text")),
     "sample_stratified" -> ((s, dir) =>
@@ -533,6 +540,8 @@ object SparkEntry {
     "text_fingerprint" -> graft.pipeline.Oracles.textFingerprint,
     "text_repetition" -> graft.pipeline.Oracles.textRepetition,
     "text_contamination" -> graft.pipeline.Oracles.textContamination(2),
+    "text_vocab" -> graft.pipeline.Oracles.textVocab(100),
+    "sample_source_cap" -> graft.pipeline.Oracles.sampleSourceCap(10),
     "pack_sequences" -> graft.pipeline.Oracles.packSequences(graft.pipeline.Packing.Capacity),
     "sample_stratified" ->
       graft.pipeline.Oracles.sampleStratified(SampleRates, graft.pipeline.Sampling.DefaultSalt),

@@ -31,6 +31,28 @@ object Sampling {
   private[pipeline] def gateCol(idCol: String, salt: String): Column =
     substring(sha2(concat(col(s"`$idCol`").cast("string"), lit("|" + salt)), 256), 1, 4)
 
+  /** Per-stratum quota capping: keep the top `k` rows of every stratum by
+    * `scoreCol` (descending, `idCol` ascending tie-break) — the domain/
+    * source capping step of web-corpus curation (a handful of giant
+    * domains must not dominate the training mix; cf. CCNet/RefinedWeb-
+    * style per-domain quotas).
+    *
+    * Scale shape: ONE shuffle on the stratum key + a per-group sort,
+    * emitted through a rank filter (Spark pushes a rank-limit into the
+    * window sort at execution). Caveat at extreme skew: a stratum is one
+    * task's sort; a pathological mega-stratum would want a pre-filter by
+    * score quantile first — composable with this operator, not built in. */
+  def capPerStratum(df: DataFrame, idCol: String, strataCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    require(k > 0, s"quota must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"`$strataCol`"))
+      .orderBy(col(s"`$scoreCol`").desc, col(s"`$idCol`").asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Rows surviving the per-stratum gate, with the gate cell surfaced as
     * `gate` for auditability. A rate of exactly 1.0 keeps every row of
     * the stratum (no boundary comparison — 'ffff' would drop cell ffff). */

@@ -146,6 +146,28 @@ object TextPipeline {
         .otherwise(0.0), 4).as("dup_gram_ratio"))
   }
 
+  /** Corpus vocabulary: the `topK` tokens by total frequency, with
+    * document frequency — the term-statistics sweep behind tokenizer
+    * vocab induction and stop-list construction.
+    *
+    * Scale shape: explode → (token, doc) pre-aggregation → token
+    * aggregation — two shuffles, both map-side combinable (the pre-agg
+    * collapses per-document repetitions BEFORE the global shuffle, so a
+    * document repeating "the" 10⁴ times contributes one row, and df is a
+    * plain count instead of a count-distinct's extra dedup pass). Top-k
+    * is orderBy+limit — Spark's TakeOrderedAndProject, a per-partition
+    * heap + driver merge of k·partitions rows, never a global sort.
+    * Ties break deterministically (total desc, token asc). */
+  def vocab(df: DataFrame, idCol: String, textCol: String, topK: Int = 100): DataFrame = {
+    val perDoc = Dedup.balanced(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf_doc"))
+    perDoc.groupBy(col("token"))
+      .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(topK)
+  }
+
   /** Document fingerprinting: full-content md5 over the normalized text
     * (lowercase, whitespace collapsed) plus a winnowing-style min-shingle
     * hash — the rolling-hash minimum used by near-dup sketchers. */

@@ -51,6 +51,31 @@ class SamplingSpec extends SparkTestBase {
     assert(Sampling.hexBound(0.1) === "1999")
   }
 
+  test("capPerStratum keeps exactly k rows per stratum, by score then id") {
+    val rows = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b", (i % 10).toDouble))
+    val df = rows.toDF("doc_id", "source", "score")
+    val out = Sampling.capPerStratum(df, "doc_id", "source", "score", 3)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    // stratum a (even ids): score 9 never occurs (even%10 even); best score 8
+    // at ids 8,18,...,98 → tie-break keeps smallest ids 8,18,28
+    assert(out === Set(("a", 8L), ("a", 18L), ("a", 28L), ("b", 9L), ("b", 19L), ("b", 29L)))
+  }
+
+  test("capPerStratum leaves small strata whole") {
+    val df = Seq((1L, "x", 1.0), (2L, "x", 2.0)).toDF("doc_id", "source", "score")
+    assert(Sampling.capPerStratum(df, "doc_id", "source", "score", 10).count() === 2)
+  }
+
+  test("vocab ranks tokens by corpus frequency with doc frequency") {
+    val df = Seq(
+      (1L, "a a a b c"),
+      (2L, "a b b"),
+      (3L, "c")).toDF("doc_id", "text")
+    val got = TextPipeline.vocab(df, "doc_id", "text", topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("a", 4L, 2L), ("b", 3L, 2L)))
+  }
+
   test("no shuffle: the sampling plan is scan → filter/project only") {
     val plan = Sampling.stratified(docs, "doc_id", "lang", Map("en" -> 0.5))
       .queryExecution.executedPlan.toString
