@@ -23,6 +23,29 @@ object PlanAudit {
       scans.foreach(s => println(s"  scan: ${s.take(200)}"))
     }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    audit("asof_click_purchase", {
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.operators.AsofJoin.backward(clicks, purchases, Seq("user_id"), "ts",
+        Seq("event_id", "value"), "event_id")
+    })
+    audit("range_join_events", {
+      val signups = events.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_event"), col("user_id"), col("ts"))
+      val acts = events.filter(col("event_type") =!= "signup")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      graft.operators.RangeJoin.band(signups, acts, Seq("user_id"), "ts",
+        1L, SparkEntry.RangeJoinDayNs, Seq("event_id", "event_type"))
+    })
+    audit("pack_sequences", graft.pipeline.Packing.pack(docs, "doc_id", "text"))
+    audit("sample_stratified", graft.pipeline.Sampling.stratified(
+      docs, "doc_id", "lang", SparkEntry.SampleRates.toMap))
+    audit("sample_source_cap", graft.pipeline.Sampling.capPerStratum(
+      docs, "doc_id", "source", "n_chars", 10))
+    audit("text_vocab", graft.pipeline.TextPipeline.vocab(docs, "doc_id", "text"))
     audit("split_assign", graft.pipeline.Splits.hashSplit(docs, "doc_id"))
     audit("text_repetition", graft.pipeline.TextPipeline.repetition(docs, "doc_id", "text"))
     audit("text_contamination", graft.pipeline.Dedup.contamination(
