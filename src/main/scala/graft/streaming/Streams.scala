@@ -54,6 +54,34 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream interval join — the streaming counterpart of
+    * [[graft.operators.RangeJoin]]: attribute every event on `right` to
+    * the `left` rows of the same user it follows within `(0, maxGap]`
+    * event time (e.g. purchases within an hour of a click).
+    *
+    * Scale design: both sides carry watermarks and the join condition
+    * bounds right.ts within a window of left.ts, so the micro-batch
+    * engine derives a state-eviction horizon for BOTH sides — buffered
+    * state is O(events inside the watermark + gap window), never
+    * unbounded (the documented requirement for streaming equi-joins with
+    * time-interval conditions). The join key (`user_id`) shuffles both
+    * streams once; everything else is codegen'd comparison. */
+  def intervalJoin(left: DataFrame, right: DataFrame, gap: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.select(col("event_id").as("l_event"), col("user_id"),
+        col("ts").as("l_ts"), col("event_type").as("l_type"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("event_id").as("r_event"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"), col("event_type").as("r_type"), col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $gap"))
+      .select(col("l_event"), col("user_id"), col("l_type"),
+        col("r_event"), col("r_type"), col("r_value"))
+  }
+
   /** Event-time sessionization: per-user sessions close when the gap to
     * the next event exceeds `gapMs`, or when the watermark passes the
     * session's horizon (event-time timeout). Emits one row per completed

@@ -67,6 +67,35 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes right events within the gap window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Streams.intervalJoin(clicks.toDF(), purchases.toDF(),
+        gap = "1 minute", watermark = "1 minute")
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      clicks.addData(ev(1, 100, 1, "click", 0.0), ev(2, 500, 2, "click", 0.0))
+      purchases.addData(
+        ev(10, 130, 1, "purchase", 9.99),  // 30 s after click 1: attributed
+        ev(11, 260, 1, "purchase", 5.00),  // 160 s after: outside the gap
+        ev(12, 510, 3, "purchase", 1.00))  // wrong user
+      q.processAllAvailable()
+      val rows = spark.table("attributed").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getDouble(5))).toSet
+      assert(rows === Set((1L, 10L, 9.99)))
+
+      // a later in-window purchase for click 2 still joins (state kept
+      // within the watermark + gap horizon)
+      purchases.addData(ev(13, 540, 2, "purchase", 2.50))
+      q.processAllAvailable()
+      val rows2 = spark.table("attributed").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getDouble(5))).toSet
+      assert(rows2 === Set((1L, 10L, 9.99), (2L, 13L, 2.50)))
+    } finally q.stop()
+  }
+
   test("streaming dedup emits first occurrences only, keyed on the digest") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, String)]
