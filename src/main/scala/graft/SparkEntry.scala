@@ -72,6 +72,10 @@ object SparkEntry {
   /** One day in the events table's epoch-nanosecond ts unit. */
   val RangeJoinDayNs: Long = 86400L * 1000 * 1000 * 1000
 
+  /** Quality-score gate for `pipeline_curate` (keeps ~half the testdata
+    * corpus); shared with the oracle SQL. */
+  val CurateMinScore: Double = 0.4
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- DRL core: one per AST node (reference lib/drl/ast.ml:16-28) ----
     "drl_base_scan" -> drl("(Base region)"),
@@ -374,6 +378,19 @@ object SparkEntry {
         d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
         "doc_id", "text")
     }),
+    // end-to-end curation: quality gate → near-dup cluster dedup (keep
+    // each cluster's representative) → concat-and-chunk packing — the
+    // composed training-data pipeline, verified as ONE oracle query
+    "pipeline_curate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val good = graft.pipeline.TextPipeline.quality(docs, "doc_id", "text")
+        .filter(col("score") >= CurateMinScore).select("doc_id")
+      val reps = graft.pipeline.Dedup.nearDupClusters(docs, "doc_id", "text")
+        .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+      val keep = docs.select(col("doc_id"), col("text"))
+        .join(good, "doc_id").join(reps, "doc_id")
+      graft.pipeline.Packing.pack(keep, "doc_id", "text")
+    }),
     "text_vocab" -> ((s, dir) =>
       graft.pipeline.TextPipeline.vocab(table(s, dir, "documents"), "doc_id", "text")),
     // per-source quota: keep the 10 largest documents of every source
@@ -540,6 +557,8 @@ object SparkEntry {
     "text_fingerprint" -> graft.pipeline.Oracles.textFingerprint,
     "text_repetition" -> graft.pipeline.Oracles.textRepetition,
     "text_contamination" -> graft.pipeline.Oracles.textContamination(2),
+    "pipeline_curate" ->
+      graft.pipeline.Oracles.pipelineCurate(CurateMinScore, graft.pipeline.Packing.Capacity),
     "text_vocab" -> graft.pipeline.Oracles.textVocab(100),
     "sample_source_cap" -> graft.pipeline.Oracles.sampleSourceCap(10),
     "pack_sequences" -> graft.pipeline.Oracles.packSequences(graft.pipeline.Packing.Capacity),
