@@ -429,6 +429,8 @@ object SparkEntry {
     }),
     "mm_payload_stats" -> ((s, dir) =>
       graft.pipeline.MultiModal.payloadStats(table(s, dir, "documents"))),
+    "mm_chunks" -> ((s, dir) =>
+      graft.pipeline.MultiModal.chunkPayloads(table(s, dir, "documents"))),
     "ann_cosine_topk" -> ((s, dir) =>
       graft.pipeline.Ann.cosineTopK(table(s, dir, "embeddings"))),
     "ann_lsh_buckets" -> ((s, dir) =>
@@ -592,6 +594,7 @@ object SparkEntry {
           |  AND epoch_ns(r.ts) - epoch_ns(l.ts) BETWEEN 1 AND $RangeJoinDayNs
           |WHERE l.event_type = 'signup' AND r.event_type <> 'signup'""".stripMargin),
     "mm_payload_stats" -> graft.pipeline.Oracles.mmPayloadStats,
+    "mm_chunks" -> graft.pipeline.Oracles.mmChunks(64),
     "ann_cosine_topk" -> graft.pipeline.Oracles.annCosineTopK,
     "ann_lsh_buckets" -> graft.pipeline.Oracles.annLshBuckets,
     "ann_lsh_topk" -> graft.pipeline.Oracles.annLshTopK,

@@ -51,6 +51,32 @@ object MultiModal {
     }
   }
 
+  /** Fixed-size payload chunking: split each binary payload into
+    * `chunkBytes`-byte chunks with per-chunk digests — the unit of
+    * chunk-level dedup, resumable transfer, and bounded-memory media
+    * processing (a 4 GB video never has to be one task's row).
+    *
+    * Scale shape: a narrow map + explode — each payload expands to
+    * ⌈bytes/chunk⌉ rows with no shuffle; chunk rows carry offsets so any
+    * downstream processor can operate chunk-parallel and reassemble by
+    * (doc_id, chunk_idx). All byte arithmetic (substr on binary,
+    * octet_length, md5) stays inside codegen. */
+  def chunkPayloads(docs: DataFrame, chunkBytes: Int = 64): DataFrame = {
+    require(chunkBytes > 0, s"chunkBytes must be positive, got $chunkBytes")
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .filter(col("n_bytes") > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr(s"(n_bytes - 1) div $chunkBytes"))))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        expr(s"octet_length(substr(payload, cast(chunk_idx * $chunkBytes + 1 as int), $chunkBytes))")
+          .cast("long").as("chunk_bytes"),
+        expr(s"md5(substr(payload, cast(chunk_idx * $chunkBytes + 1 as int), $chunkBytes))")
+          .as("chunk_md5"))
+  }
+
   /** Documents → binary payload column + typed metadata, exercising the
     * binary path end-to-end on the real testdata (text bytes stand in for
     * media bytes; the plumbing — binary column, octet accounting,

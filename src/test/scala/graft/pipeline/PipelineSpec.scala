@@ -237,6 +237,25 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal: fixed-size chunking covers every byte exactly once") {
+    // 100 bytes of 'a' + "END" → 103 bytes: chunks of 40 = [40, 40, 23]
+    val df = Seq((1L, "a" * 100 + "END"), (2L, "xy")).toDF("doc_id", "text")
+    val chunks = MultiModal.chunkPayloads(df, chunkBytes = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._2, c._3)).toSeq === Seq((0L, 40L), (1L, 40L), (2L, 23L)))
+    assert(d1.map(_._3).sum === 103L)
+    // digests match a direct md5 of each byte slice
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val full = ("a" * 100 + "END").getBytes("UTF-8")
+    val want0 = md.digest(full.slice(0, 40)).map(b => f"$b%02x").mkString
+    assert(d1.head._4 === want0)
+    assert(chunks.filter(_._1 == 2L).map(c => (c._2, c._3)).toSeq === Seq((0L, 2L)))
+    // narrow plan: no exchange anywhere
+    val plan = MultiModal.chunkPayloads(df, 40).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking shuffled:\n$plan")
+  }
+
   test("band signatures are deterministic across invocations") {
     val a = Dedup.bandSignatures(docs, "doc_id", "text").collect().map(_.toSeq).toSet
     val b = Dedup.bandSignatures(docs, "doc_id", "text").collect().map(_.toSeq).toSet
