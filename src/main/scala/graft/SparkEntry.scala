@@ -333,6 +333,19 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)
     }),
+    // lineitem ⋈ orders with the probe side salted 8 ways — the skew
+    // tool; the salt is invisible in the result, so the oracle is the
+    // PLAIN join (multiset equality is exactly the operator's contract)
+    "join_salted_agg" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+      graft.operators.SaltedJoin.inner(li, o, Seq("okey"), saltFactor = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+    }),
     "agg_latest_event_per_user" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id"))
@@ -536,6 +549,10 @@ object SparkEntry {
         "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"),
     "agg_top_orders" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "join_salted_agg" ->
+      ("SELECT o_orderstatus, COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus"),
     "agg_latest_event_per_user" ->
       ("SELECT event_id, user_id, event_type, value FROM (" +
         "SELECT event_id, user_id, event_type, value, " +
