@@ -25,20 +25,22 @@ object PlanAudit {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val events = spark.read.parquet(s"$dir/events.parquet")
     audit("asof_click_purchase", {
-      val clicks = events.filter(col("event_type") === "click")
+      val ev = events.withColumn("ts", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
-      val purchases = events.filter(col("event_type") === "purchase")
+      val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       graft.operators.AsofJoin.backward(clicks, purchases, Seq("user_id"), "ts",
         Seq("event_id", "value"), "event_id")
     })
     audit("range_join_events", {
-      val signups = events.filter(col("event_type") === "signup")
+      val ev = events.withColumn("ts", expr("ts div 1000"))
+      val signups = ev.filter(col("event_type") === "signup")
         .select(col("event_id").as("signup_event"), col("user_id"), col("ts"))
-      val acts = events.filter(col("event_type") =!= "signup")
+      val acts = ev.filter(col("event_type") =!= "signup")
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       graft.operators.RangeJoin.band(signups, acts, Seq("user_id"), "ts",
-        1L, SparkEntry.RangeJoinDayNs, Seq("event_id", "event_type"))
+        1L, SparkEntry.RangeJoinDayUs, Seq("event_id", "event_type"))
     })
     audit("pack_sequences", graft.pipeline.Packing.pack(docs, "doc_id", "text"))
     audit("sample_stratified", graft.pipeline.Sampling.stratified(

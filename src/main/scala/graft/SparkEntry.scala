@@ -69,12 +69,19 @@ object SparkEntry {
     * listed keep everything); shared with the oracle SQL. */
   val SampleRates: Seq[(String, Double)] = Seq("en" -> 0.5, "zh" -> 0.25, "fr" -> 0.1)
 
-  /** One day in the events table's epoch-nanosecond ts unit. */
-  val RangeJoinDayNs: Long = 86400L * 1000 * 1000 * 1000
+  /** One day in epoch micros (the µs-truncated ts the query joins on). */
+  val RangeJoinDayUs: Long = 86400L * 1000 * 1000
 
   /** Quality-score gate for `pipeline_curate` (keeps ~half the testdata
     * corpus); shared with the oracle SQL. */
   val CurateMinScore: Double = 0.4
+
+  /** Session gap for `agg_sessionize`: 30 minutes in epoch MICROS.
+    * The query sessionizes on µs-truncated event time: DuckDB timestamps
+    * are µs-resolution, so feeding both engines identical µs values is
+    * the only way boundaries and durations agree bit-for-bit (testdata
+    * carries sub-µs nano components at some SFs). */
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- DRL core: one per AST node (reference lib/drl/ast.ml:16-28) ----
@@ -346,6 +353,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
     }),
+    // batch sessionization: per-user sessions split on >30 min gaps
+    "agg_sessionize" -> ((s, dir) =>
+      graft.operators.Sessionize.byGap(
+        table(s, dir, "events").withColumn("ts", expr("ts div 1000")),
+        "user_id", "ts", SessionGapUs, "value")),
     "agg_latest_event_per_user" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id"))
@@ -419,7 +431,9 @@ object SparkEntry {
     // as-of join: each click attributed to the user's most recent
     // purchase at-or-before it (union + one window pass — no join)
     "asof_click_purchase" -> ((s, dir) => {
-      val ev = table(s, dir, "events")
+      // µs-truncated ordering time, matching the oracle's µs timestamps
+      // exactly even where testdata carries sub-µs nano components
+      val ev = table(s, dir, "events").withColumn("ts", expr("ts div 1000"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -429,15 +443,16 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("asof_event_id"), col("asof_value"))
     }),
     // banded range join: every non-signup event within a day after a
-    // signup by the same user (bucketed equi-join, never a cross product)
+    // signup by the same user (bucketed equi-join, never a cross
+    // product). µs-truncated time on both sides — see SessionGapUs note.
     "range_join_events" -> ((s, dir) => {
-      val ev = table(s, dir, "events")
+      val ev = table(s, dir, "events").withColumn("ts", expr("ts div 1000"))
       val signups = ev.filter(col("event_type") === "signup")
         .select(col("event_id").as("signup_event"), col("user_id"), col("ts"))
       val acts = ev.filter(col("event_type") =!= "signup")
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       graft.operators.RangeJoin.band(signups, acts, Seq("user_id"), "ts",
-        1L, RangeJoinDayNs, Seq("event_id", "event_type"))
+        1L, RangeJoinDayUs, Seq("event_id", "event_type"))
         .select(col("signup_event"), col("user_id"), col("r_event_id"), col("r_event_type"))
     }),
     "mm_payload_stats" -> ((s, dir) =>
@@ -549,6 +564,18 @@ object SparkEntry {
         "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"),
     "agg_top_orders" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "agg_sessionize" ->
+      (s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+          |b AS (SELECT user_id, tus, value,
+          |  CASE WHEN tus - lag(tus) OVER w > $SessionGapUs THEN 1 ELSE 0 END AS boundary
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+          |s AS (SELECT user_id, tus, value,
+          |  SUM(boundary) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+          |  FROM b)
+          |SELECT user_id, session_idx, count(*) AS n_events,
+          |  (max(tus) - min(tus))::BIGINT AS duration,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          |FROM s GROUP BY 1, 2""".stripMargin),
     "join_salted_agg" ->
       ("SELECT o_orderstatus, COUNT(*) AS n_items, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
@@ -602,13 +629,13 @@ object SparkEntry {
          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |)
          |SELECT event_id, user_id, asof_event_id, asof_value FROM f WHERE side = 1""".stripMargin),
-    // the band is [1 ns, 1 day] after the signup; events.ts is
-    // nano-resolution on both sides (epoch_ns == Spark's long ts)
+    // the band is [1 µs, 1 day] after the signup, on µs-truncated time
+    // (identical on both engines — see the SessionGapUs note)
     "range_join_events" ->
       (s"""SELECT l.event_id AS signup_event, l.user_id,
           |       r.event_id AS r_event_id, r.event_type AS r_event_type
           |FROM events l JOIN events r ON l.user_id = r.user_id
-          |  AND epoch_ns(r.ts) - epoch_ns(l.ts) BETWEEN 1 AND $RangeJoinDayNs
+          |  AND epoch_us(r.ts) - epoch_us(l.ts) BETWEEN 1 AND $RangeJoinDayUs
           |WHERE l.event_type = 'signup' AND r.event_type <> 'signup'""".stripMargin),
     "mm_payload_stats" -> graft.pipeline.Oracles.mmPayloadStats,
     "mm_chunks" -> graft.pipeline.Oracles.mmChunks(64),
