@@ -298,6 +298,153 @@ object Persist {
   def exists(spark: SparkSession, root: String): Boolean =
     fs(spark, root).exists(storePath(root))
 
+  // ---- maintenance ----
+
+  /** Every relation hash referenced by any persisted snapshot. */
+  private def referencedHashes(spark: SparkSession, root: String): Either[String, Set[String]] = {
+    val f = fs(spark, root)
+    val snapDir = new Path(root, "snapshots")
+    if (!f.exists(snapDir)) Right(Set.empty)
+    else {
+      val manifests = f.listStatus(snapDir).toSeq.map(_.getPath)
+      manifests.foldLeft(Right(Set.empty[String]): Either[String, Set[String]]) { (acc, p) =>
+        acc.flatMap { set =>
+          Sexp.parse(readText(f, p)).flatMap {
+            case SList(Atom("database") :: fields) =>
+              for {
+                name <- field(fields, "name").flatMap(atomOf(_, "name"))
+                rels <- field(fields, "relations").flatMap {
+                  case SList(rs) => traverse(rs) {
+                    case SList(rfields) =>
+                      for {
+                        rn <- field(rfields, "name").flatMap(atomOf(_, "name"))
+                        schema <- field(rfields, "schema").flatMap {
+                          case SList(pairs) => traverse(pairs) {
+                            case SList(List(Atom(a), Atom(d))) => Right(a -> d)
+                            case o => Left(s"bad schema entry: ${o.render}")
+                          }.map(RelSchema(_))
+                          case o => Left(s"bad schema: ${o.render}")
+                        }
+                        count <- field(rfields, "count").flatMap(atomOf(_, "count"))
+                          .flatMap(c => c.toLongOption.toRight(s"bad count: $c"))
+                        limbs <- field(rfields, "limbs").flatMap {
+                          case SList(ls) => traverse(ls) {
+                            case Atom(h) => Right(java.lang.Long.parseUnsignedLong(h, 16))
+                            case o => Left(s"bad limb: ${o.render}")
+                          }
+                          case o => Left(s"bad limbs: ${o.render}")
+                        }
+                      } yield Hashing.relationHash(rn, schema, ContentRoot(count, limbs.toVector))
+                    case o => Left(s"bad relation entry: ${o.render}")
+                  }
+                  case o => Left(s"bad relations: ${o.render}")
+                }
+              } yield set ++ rels
+            case other => Left(s"bad snapshot manifest ${p.getName}: ${other.render}")
+          }
+        }
+      }
+    }
+  }
+
+  /** Garbage-collect relation objects referenced by NO persisted
+    * snapshot. Content addressing makes this safe-by-construction: a
+    * hash not named in any manifest can never be loaded again. Returns
+    * the deleted object names. Run it periodically on a write-through
+    * store — every mutation writes a new relation version, and without
+    * collection the object directory grows with the full mutation
+    * history (the reference's append-only KV store has the same
+    * unbounded-growth property; this is the knob it lacks). */
+  def gc(spark: SparkSession, root: String): Either[String, Seq[String]] =
+    referencedHashes(spark, root).map { live =>
+      val f = fs(spark, root)
+      val objDir = new Path(root, "objects")
+      if (!f.exists(objDir)) Seq.empty
+      else f.listStatus(objDir).toSeq.map(_.getPath)
+        .filter(p => !live.contains(p.getName.stripSuffix(".parquet")))
+        .map { p => f.delete(p, true); p.getName }
+    }
+
+  /** Verify every persisted object against its content-addressed name:
+    * recompute each relation version's content root DISTRIBUTIVELY (one
+    * digest aggregation per object — no collect, any object size) and
+    * compare against the manifest. Returns the per-relation failures;
+    * empty = healthy. The deep-scan complement of the load-time Local
+    * check (which a 10^9-row Dist restore deliberately skips). */
+  def fsck(spark: SparkSession, root: String): Either[String, Seq[String]] = {
+    val f = fs(spark, root)
+    val snapDir = new Path(root, "snapshots")
+    if (!f.exists(snapDir)) Right(Seq.empty)
+    else {
+      val hashes = f.listStatus(snapDir).toSeq.map(_.getPath.getName.stripSuffix(".sexp"))
+      hashes.foldLeft(Right(Seq.empty[String]): Either[String, Seq[String]]) { (acc, h) =>
+        acc.flatMap { errs =>
+          // parse WITHOUT loading extensions (loadSnapshot would verify
+          // Local relations but trust Dist ones — fsck trusts nothing)
+          Sexp.parse(readText(f, snapshotPath(root, h))).flatMap {
+            case SList(Atom("database") :: fields) =>
+              (for {
+                userDomains <- field(fields, "domains").flatMap {
+                  case SList(ds) => traverse(ds)(parseDomain)
+                  case o => Left(s"bad domains: ${o.render}")
+                }
+                relFields <- field(fields, "relations").flatMap {
+                  case SList(rs) => traverse(rs) {
+                    case SList(rfields) => Right(rfields)
+                    case o => Left(s"bad relation entry: ${o.render}")
+                  }
+                  case o => Left(s"bad relations: ${o.render}")
+                }
+              } yield (Domain.prelude ++ userDomains.map(d => d.name -> d).toMap, relFields))
+                .flatMap { case (domains, relFields) =>
+                traverse(relFields) { rfields =>
+                  for {
+                    rn <- field(rfields, "name").flatMap(atomOf(_, "name"))
+                    schema <- field(rfields, "schema").flatMap {
+                      case SList(pairs) => traverse(pairs) {
+                        case SList(List(Atom(a), Atom(d))) => Right(a -> d)
+                        case o => Left(s"bad schema entry: ${o.render}")
+                      }.map(RelSchema(_))
+                      case o => Left(s"bad schema: ${o.render}")
+                    }
+                    count <- field(rfields, "count").flatMap(atomOf(_, "count"))
+                      .flatMap(c => c.toLongOption.toRight(s"bad count: $c"))
+                    limbs <- field(rfields, "limbs").flatMap {
+                      case SList(ls) => traverse(ls) {
+                        case Atom(x) => Right(java.lang.Long.parseUnsignedLong(x, 16))
+                        case o => Left(s"bad limb: ${o.render}")
+                      }
+                      case o => Left(s"bad limbs: ${o.render}")
+                    }
+                  } yield {
+                    val declared = ContentRoot(count, limbs.toVector)
+                    if (count == 0) None
+                    else {
+                      val relHash = Hashing.relationHash(rn, schema, declared)
+                      val p = objectPath(root, relHash)
+                      if (!f.exists(new Path(p, "_SUCCESS")))
+                        Some(s"$rn@$h: missing object $relHash")
+                      else {
+                        val struct = schema.toStruct(domains)
+                          .getOrElse(StructType(schema.attrs.map { case (a, _) => StructField(a, StringType) }))
+                        val df = spark.read.parquet(p.toString)
+                          .select(struct.fields.toIndexedSeq.map(fld => col(s"`${fld.name}`")): _*)
+                        val actual = Hashing.contentRootOf(df, Hashing.rowHashCol(rn, struct))
+                        if (actual == declared) None
+                        else Some(s"$rn@$h: content root mismatch " +
+                          s"(declared ${declared.render}, actual ${actual.render})")
+                      }
+                    }
+                  }
+                }.map(found => errs ++ found.flatten)
+                }
+            case other => Left(s"bad snapshot manifest $h: ${other.render}")
+          }
+        }
+      }
+    }
+  }
+
   /** Restore a persisted session into `store`: all snapshots, branches,
     * HEAD; returns the current database (None for a pre-CreateDatabase
     * store). */

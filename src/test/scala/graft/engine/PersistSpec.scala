@@ -157,6 +157,47 @@ class PersistSpec extends SparkTestBase {
     assert(err.getMessage.contains("content root mismatch"))
   }
 
+  test("fsck verifies every object distributively and reports corruption") {
+    val dir = tmpDir()
+    val s1 = new EngineSession(spark, persistDir = Some(dir))
+    exec(s1, "(CreateDatabase g)")
+    exec(s1, "(CreateRelation (name a) (schema ((x integer))))")
+    exec(s1, "(InsertTuple (relation a) (attributes ((x (Int 1)))))")
+    // healthy store: no findings
+    assert(Persist.fsck(spark, dir) === Right(Seq.empty))
+    // corrupt the object in place (rows no longer match its name)
+    val rel = s1.db.relations("a")
+    import spark.implicits._
+    Seq(42L).toDF("x").write.mode("overwrite")
+      .parquet(new java.io.File(dir, s"objects/${rel.relHash}.parquet").toString)
+    val findings = Persist.fsck(spark, dir).fold(e => fail(e), identity)
+    assert(findings.exists(_.contains("content root mismatch")), findings.toString)
+  }
+
+  test("gc removes exactly the objects no retained snapshot references") {
+    val dir = tmpDir()
+    val s1 = new EngineSession(spark, persistDir = Some(dir))
+    exec(s1, "(CreateDatabase g)")
+    exec(s1, "(CreateRelation (name a) (schema ((x integer))))")
+    exec(s1, "(InsertTuple (relation a) (attributes ((x (Int 1)))))")
+    exec(s1, "(InsertTuple (relation a) (attributes ((x (Int 2)))))")
+    // nothing is unreferenced while every snapshot manifest is retained
+    assert(Persist.gc(spark, dir) === Right(Seq.empty))
+
+    // retire every snapshot except the current one (history pruning);
+    // the one-row version of `a` becomes unreferenced and collects
+    val objectsBefore = new java.io.File(dir, "objects").list().length
+    new java.io.File(dir, "snapshots").listFiles()
+      .filter(_.getName != s"${s1.db.hash}.sexp").foreach(_.delete())
+    val deleted = Persist.gc(spark, dir).fold(e => fail(e), identity)
+    assert(deleted.nonEmpty)
+    assert(new java.io.File(dir, "objects").list().length === objectsBefore - deleted.length)
+    // the retained snapshot still loads and still verifies clean
+    val loaded = Persist.loadSnapshot(spark, dir, s1.db.hash).fold(e => fail(e), identity)
+    assert(loaded.relations("a").root.count === 2)
+    assert(Persist.fsck(spark, dir) === Right(Seq.empty))
+  }
+
   test("constraint bodies roundtrip through the sexp renderer") {
     val bodies = Seq(
       "(MemberOf (target dept) (binding ((dept_id (Var dept_id)) (k (Const (Int 5))))))",
