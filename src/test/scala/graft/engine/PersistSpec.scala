@@ -157,6 +157,32 @@ class PersistSpec extends SparkTestBase {
     assert(err.getMessage.contains("content root mismatch"))
   }
 
+  test("a past-threshold bulk ingest persists through the session and restores as Dist") {
+    val dir = tmpDir()
+    val n = Engine.LocalThreshold + 20000
+    import spark.implicits._
+    val src = spark.range(n.toLong).select(org.apache.spark.sql.functions.col("id").as("x"))
+    val tmpParquet = tmpDir() + "/big.parquet"
+    src.write.parquet(tmpParquet)
+    val ext = new graft.catalog.Catalog {
+      def resolve(name: String) =
+        if (name == "bigsrc") Right(spark.read.parquet(tmpParquet))
+        else Left(s"RelationNotFound: $name")
+    }
+    val s1 = new EngineSession(spark, external = Some(ext), persistDir = Some(dir))
+    exec(s1, "(CreateDatabase g)")
+    exec(s1, "(CreateRelation (name big) (schema ((x integer))))")
+    exec(s1, "(InsertFrom (target big) (source (Base bigsrc)))")
+    assert(s1.db.relations("big").localRows.isEmpty, "ingest must promote to Dist")
+    val h1 = s1.db.hash
+
+    val s2 = new EngineSession(spark, external = Some(ext), persistDir = Some(dir))
+    assert(s2.db.hash === h1)
+    val rel = s2.db.relations("big")
+    assert(rel.localRows.isEmpty && rel.root.count === n.toLong)
+    assert(rel.df.count() === n.toLong)
+  }
+
   test("fsck verifies every object distributively and reports corruption") {
     val dir = tmpDir()
     val s1 = new EngineSession(spark, persistDir = Some(dir))
