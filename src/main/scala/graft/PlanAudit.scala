@@ -42,6 +42,16 @@ object PlanAudit {
       graft.operators.RangeJoin.band(signups, acts, Seq("user_id"), "ts",
         1L, SparkEntry.RangeJoinDayUs, Seq("event_id", "event_type"))
     })
+    audit("agg_sessionize", graft.operators.Sessionize.byGap(
+      events.withColumn("ts", expr("ts div 1000")), "user_id", "ts",
+      SparkEntry.SessionGapUs, "value"))
+    audit("join_salted_agg", {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+      graft.operators.SaltedJoin.inner(li, o, Seq("okey"), 8)
+    })
     audit("pack_sequences", graft.pipeline.Packing.pack(docs, "doc_id", "text"))
     audit("sample_stratified", graft.pipeline.Sampling.stratified(
       docs, "doc_id", "lang", SparkEntry.SampleRates.toMap))
