@@ -54,9 +54,18 @@ object Persist {
   private def snapshotPath(root: String, dbHash: String) = new Path(root, s"snapshots/$dbHash.sexp")
   private def storePath(root: String) = new Path(root, "store.sexp")
 
+  /** Atomic text write: create a sibling temp file, then rename over the
+    * target with OVERWRITE (atomic on local/HDFS semantics — the reader
+    * always sees either the old or the new complete file). The store
+    * file is rewritten on EVERY transition — a torn in-place write would
+    * brick the whole store at the next boot; manifests get the same
+    * treatment for free. */
   private def writeText(f: FileSystem, p: Path, text: String): Unit = {
-    val out = f.create(p, true)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = f.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, f.getConf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readText(f: FileSystem, p: Path): String = {
