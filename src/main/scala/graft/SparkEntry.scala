@@ -611,24 +611,26 @@ object SparkEntry {
     "sample_stratified" ->
       graft.pipeline.Oracles.sampleStratified(SampleRates, graft.pipeline.Sampling.DefaultSalt),
     // window-formulation mirror of AsofJoin.backward: same tagged union,
-    // same (ts, side, tie) ordering, same inclusive-frame last_value
+    // same (ts, side, tie) ordering, same inclusive frame — and the same
+    // STRUCT-filled payload, so the matched right row travels whole
     "asof_click_purchase" ->
       ("""WITH u AS (
          |  SELECT user_id, ts, 1 AS side, NULL::BIGINT AS tie, event_id,
-         |         NULL::BIGINT AS p_event, NULL::DOUBLE AS p_value
+         |         NULL::STRUCT(e BIGINT, v DOUBLE) AS pay
          |  FROM events WHERE event_type = 'click'
          |  UNION ALL
-         |  SELECT user_id, ts, 0, event_id, NULL, event_id, value
+         |  SELECT user_id, ts, 0, event_id, NULL,
+         |         struct_pack(e := event_id, v := value)
          |  FROM events WHERE event_type = 'purchase'
          |), f AS (
          |  SELECT side, event_id, user_id,
-         |    last_value(p_event IGNORE NULLS) OVER win AS asof_event_id,
-         |    last_value(p_value IGNORE NULLS) OVER win AS asof_value
+         |    last_value(pay IGNORE NULLS) OVER win AS pay
          |  FROM u
          |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, tie
          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |)
-         |SELECT event_id, user_id, asof_event_id, asof_value FROM f WHERE side = 1""".stripMargin),
+         |SELECT event_id, user_id, pay.e AS asof_event_id, pay.v AS asof_value
+         |FROM f WHERE side = 1""".stripMargin),
     // the band is [1 µs, 1 day] after the signup, on µs-truncated time
     // (identical on both engines — see the SessionGapUs note)
     "range_join_events" ->

@@ -1,14 +1,14 @@
 package graft.engine
 
 import scala.collection.immutable.{ListMap, VectorMap}
+import scala.collection.mutable
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import graft.dcl.Store
 import graft.hashing.Hashing
 import graft.hashing.Hashing.ContentRoot
-import graft.icl.Body
 import graft.sexp.Sexp
 import graft.sexp.Sexp.{Atom, SList}
 import graft.types.{Cardinality, Domain, RelSchema}
@@ -36,14 +36,16 @@ import graft.types.{Cardinality, Domain, RelSchema}
   *
   * Scale posture: a snapshot write costs one parquet write PER CHANGED
   * RELATION (unchanged relations re-reference their existing object) plus
-  * two tiny manifest files; reloading builds relations directly over the
-  * parquet objects, so a restored Dist relation starts with a clean
-  * one-node scan plan (the "relation version = parquet snapshot" mapping
-  * of SURVEY §1.3, now durable across JVMs). Local-threshold relations
-  * verify their content root on load; Dist relations trust the
-  * content-addressed path (re-deriving a 10^9-row root at boot would scan
-  * the world — integrity there is the filesystem's contract, as it is for
-  * the reference's KV store).
+  * two tiny manifest files; a fully-persisted snapshot short-circuits on
+  * its manifest's existence, so write-through cost stays O(one changed
+  * snapshot) however long the history grows. Reloading builds relations
+  * directly over the parquet objects, so a restored Dist relation starts
+  * with a clean one-node scan plan (the "relation version = parquet
+  * snapshot" mapping of SURVEY §1.3, now durable across JVMs).
+  * Local-threshold relations verify their content root on load; Dist
+  * relations trust the content-addressed path (re-deriving a 10^9-row
+  * root at boot would scan the world — [[fsck]] is the explicit deep
+  * scan). History growth is managed by [[prune]] + [[gc]].
   */
 object Persist {
 
@@ -53,6 +55,18 @@ object Persist {
   private def objectPath(root: String, relHash: String) = new Path(root, s"objects/$relHash.parquet")
   private def snapshotPath(root: String, dbHash: String) = new Path(root, s"snapshots/$dbHash.sexp")
   private def storePath(root: String) = new Path(root, "store.sexp")
+
+  private val SnapshotFile = "^([0-9a-f]{64})\\.sexp$".r
+
+  /** Hashes of the snapshot manifests present on disk (ignores temp
+    * files and anything else that is not a complete manifest name). */
+  private def listSnapshotHashes(f: FileSystem, root: String): Seq[String] = {
+    val dir = new Path(root, "snapshots")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case SnapshotFile(h) => h
+    }
+  }
 
   /** Atomic text write: create a sibling temp file, then rename over the
     * target with OVERWRITE (atomic on local/HDFS semantics — the reader
@@ -118,7 +132,12 @@ object Persist {
         }))))
 
   private def renderDatabase(db: Database): Sexp = {
-    val userDomains = db.domains.view.filterKeys(n => !Domain.prelude.contains(n)).toSeq.sortBy(_._1)
+    // persist a domain when it is not the untouched prelude binding —
+    // a REDEFINED prelude name (Engine.registerDomain allows it) must
+    // roundtrip or restored schemas resolve to the wrong Spark type
+    val userDomains = db.domains.view
+      .filter { case (n, d) => !Domain.prelude.get(n).contains(d) }
+      .toSeq.sortBy(_._1)
     SList(List(
       Atom("database"),
       Sexp.list(Atom("name"), Atom(db.name)),
@@ -135,21 +154,25 @@ object Persist {
   // ---- save ----
 
   /** Persist one snapshot: changed relation objects + its manifest.
-    * Content addressing makes this idempotent and incremental — existing
-    * objects and manifests are never rewritten. */
+    * Content addressing makes this idempotent and incremental: the
+    * manifest is written AFTER its objects, so an existing manifest
+    * proves the snapshot is fully on disk and the whole call
+    * short-circuits on one exists() probe. */
   def saveSnapshot(spark: SparkSession, root: String, db: Database): Unit = {
     val f = fs(spark, root)
+    val mp = snapshotPath(root, db.hash)
+    if (f.exists(mp)) return
     for (rel <- db.relations.values if rel.root.count > 0) {
       val p = objectPath(root, rel.relHash)
       if (!f.exists(new Path(p, "_SUCCESS")))
         rel.df.write.mode("overwrite").parquet(p.toString)
     }
-    val mp = snapshotPath(root, db.hash)
-    if (!f.exists(mp)) writeText(f, mp, renderDatabase(db).render)
+    writeText(f, mp, renderDatabase(db).render)
   }
 
   /** Persist the whole session state: every stored snapshot, the branch
-    * registry, HEAD, and the current database hash. */
+    * registry, HEAD, and the current database hash. Cost per call is
+    * O(changed snapshots) — see [[saveSnapshot]]. */
   def saveStore(spark: SparkSession, root: String, store: Store,
       current: Option[Database]): Unit = {
     val f = fs(spark, root)
@@ -166,7 +189,7 @@ object Persist {
     writeText(f, storePath(root), sexp.render)
   }
 
-  // ---- load ----
+  // ---- manifest parsing (shared by load, gc, fsck) ----
 
   private def field(fields: List[Sexp], k: String): Either[String, Sexp] =
     fields.collectFirst { case SList(Atom(`k`) :: v :: Nil) => v }
@@ -191,85 +214,47 @@ object Persist {
     case o => Left(s"bad domain entry: ${o.render}")
   }
 
-  private def parseRelation(spark: SparkSession, root: String, domains: Map[String, Domain],
-      s: Sexp): Either[String, StoredRelation] = s match {
-    case SList(fields) =>
-      for {
-        name <- field(fields, "name").flatMap(atomOf(_, "name"))
-        schema <- field(fields, "schema").flatMap {
-          case SList(pairs) => traverse(pairs) {
-            case SList(List(Atom(a), Atom(d))) => Right(a -> d)
-            case o => Left(s"bad schema entry: ${o.render}")
-          }.map(RelSchema(_))
-          case o => Left(s"bad schema: ${o.render}")
-        }
-        count <- field(fields, "count").flatMap(atomOf(_, "count"))
-          .flatMap(c => c.toLongOption.toRight(s"bad count: $c"))
-        limbs <- field(fields, "limbs").flatMap {
-          case SList(ls) if ls.length == 4 => traverse(ls) {
-            case Atom(h) =>
-              try Right(java.lang.Long.parseUnsignedLong(h, 16))
-              catch { case _: NumberFormatException => Left(s"bad limb: $h") }
-            case o => Left(s"bad limb: ${o.render}")
+  /** The identity core of one relation entry: (fields, name, schema,
+    * root). THE single parser for relation metadata — load, gc, and fsck
+    * all read manifests through it, so they can never disagree about
+    * which object a snapshot references. */
+  private def parseRelCore(s: Sexp): Either[String, (List[Sexp], String, RelSchema, ContentRoot)] =
+    s match {
+      case SList(fields) =>
+        for {
+          name <- field(fields, "name").flatMap(atomOf(_, "name"))
+          schema <- field(fields, "schema").flatMap {
+            case SList(pairs) => traverse(pairs) {
+              case SList(List(Atom(a), Atom(d))) => Right(a -> d)
+              case o => Left(s"bad schema entry: ${o.render}")
+            }.map(RelSchema(_))
+            case o => Left(s"bad schema: ${o.render}")
           }
-          case o => Left(s"bad limbs: ${o.render}")
-        }
-        constraints <- field(fields, "constraints").flatMap {
-          case SList(cs) => traverse(cs) {
-            case SList(List(Atom(cn), bodyS)) => graft.icl.Parser.parseBody(bodyS).map(cn -> _)
-            case o => Left(s"bad constraint entry: ${o.render}")
+          count <- field(fields, "count").flatMap(atomOf(_, "count"))
+            .flatMap(c => c.toLongOption.toRight(s"bad count: $c"))
+          limbs <- field(fields, "limbs").flatMap {
+            case SList(ls) if ls.length == 4 => traverse(ls) {
+              case Atom(h) =>
+                try Right(java.lang.Long.parseUnsignedLong(h, 16))
+                catch { case _: NumberFormatException => Left(s"bad limb: $h") }
+              case o => Left(s"bad limb: ${o.render}")
+            }
+            case o => Left(s"bad limbs: ${o.render}")
           }
-          case o => Left(s"bad constraints: ${o.render}")
-        }
-        struct <- schema.toStruct(domains)
-        root0 = ContentRoot(count, limbs.toVector)
-        rel <- loadExtension(spark, root, StoredRelation(
-          name, schema, struct, Extension.emptyLocal, root0, ListMap(constraints: _*)))
-      } yield rel
-    case o => Left(s"bad relation entry: ${o.render}")
-  }
-
-  /** Rebuild a relation's extension from its content-addressed object.
-    * Small relations come back Local (rows re-keyed by tuple hash, sorted
-    * for determinism) with the root VERIFIED against the manifest; large
-    * ones come back as a Dist plan over the parquet object — fresh
-    * lineage, verified lazily by the content-addressed path name. */
-  private def loadExtension(spark: SparkSession, root: String,
-      rel: StoredRelation): Either[String, StoredRelation] = {
-    if (rel.root.count == 0) Right(rel)
-    else {
-      val p = objectPath(root, rel.relHash)
-      if (!fs(spark, root).exists(new Path(p, "_SUCCESS")))
-        Left(s"missing object for relation ${rel.name}: $p")
-      else {
-        val df = spark.read.parquet(p.toString)
-          .select(rel.struct.fields.toIndexedSeq.map(f => col(s"`${f.name}`")): _*)
-        if (rel.root.count <= Engine.LocalThreshold) {
-          val keyed = df.collect().toSeq
-            .map(r => Hashing.tupleHash(rel.name, Engine.rowToAttrs(rel, r)) -> r)
-            .sortBy(_._1)
-          val rebuilt = keyed.foldLeft(ContentRoot.empty) { case (acc, (h, _)) => acc.add(h) }
-          if (rebuilt != rel.root)
-            Left(s"content root mismatch for relation ${rel.name}: " +
-              s"stored ${rel.root.render}, rebuilt ${rebuilt.render}")
-          else Right(rel.copy(ext = Extension.Local(VectorMap.from(keyed))))
-        } else Right(rel.copy(ext = Extension.Dist(df)))
-      }
+        } yield (fields, name, schema, ContentRoot(count, limbs.toVector))
+      case o => Left(s"bad relation entry: ${o.render}")
     }
-  }
 
-  /** Load one snapshot manifest + its relation extensions. */
-  def loadSnapshot(spark: SparkSession, root: String, hash: String): Either[String, Database] = {
-    val f = fs(spark, root)
-    val p = snapshotPath(root, hash)
-    if (!f.exists(p)) Left(s"snapshot not found: $hash")
-    else Sexp.parse(readText(f, p)).flatMap {
+  /** Parsed manifest skeleton: everything except relation extensions. */
+  private final case class Manifest(name: String, hash: String, history: List[String],
+      deferred: List[DeferredEntry], domains: Map[String, Domain], relations: List[Sexp])
+
+  private def parseManifest(text: String): Either[String, Manifest] =
+    Sexp.parse(text).flatMap {
       case SList(Atom("database") :: fields) =>
         for {
           name <- field(fields, "name").flatMap(atomOf(_, "name"))
           dbHash <- field(fields, "hash").flatMap(atomOf(_, "hash"))
-          _ <- if (dbHash == hash) Right(())
-               else Left(s"manifest hash $dbHash does not match path $hash")
           history <- field(fields, "history").flatMap {
             case SList(hs) => traverse(hs)(atomOf(_, "history entry"))
             case o => Left(s"bad history: ${o.render}")
@@ -286,177 +271,104 @@ object Persist {
             case SList(ds) => traverse(ds)(parseDomain)
             case o => Left(s"bad domains: ${o.render}")
           }
-          domains = Domain.prelude ++ userDomains.map(d => d.name -> d).toMap
           relations <- field(fields, "relations").flatMap {
-            case SList(rs) => traverse(rs)(parseRelation(spark, root, domains, _))
+            case SList(rs) => Right(rs)
             case o => Left(s"bad relations: ${o.render}")
           }
-          db = Database(name, ListMap(relations.map(r => r.name -> r): _*),
-            domains, history, deferred, dbHash)
-          // cross-check the whole-state identity: relation hashes fold to
-          // the persisted database hash or the manifest is inconsistent
-          recomputed = Hashing.databaseHash(name, db.relations.values.map(_.relHash))
-          _ <- if (recomputed == dbHash) Right(())
-               else Left(s"database hash mismatch: manifest $dbHash, recomputed $recomputed")
-        } yield db
+        } yield Manifest(name, dbHash, history, deferred,
+          Domain.prelude ++ userDomains.map(d => d.name -> d).toMap, relations)
       case other => Left(s"bad snapshot manifest: ${other.render}")
     }
+
+  // ---- load ----
+
+  private def parseRelation(spark: SparkSession, root: String, domains: Map[String, Domain],
+      s: Sexp, cache: mutable.Map[String, Extension]): Either[String, StoredRelation] =
+    for {
+      core <- parseRelCore(s)
+      (fields, name, schema, root0) = core
+      constraints <- field(fields, "constraints").flatMap {
+        case SList(cs) => traverse(cs) {
+          case SList(List(Atom(cn), bodyS)) => graft.icl.Parser.parseBody(bodyS).map(cn -> _)
+          case o => Left(s"bad constraint entry: ${o.render}")
+        }
+        case o => Left(s"bad constraints: ${o.render}")
+      }
+      struct <- schema.toStruct(domains)
+      rel <- loadExtension(spark, root, StoredRelation(
+        name, schema, struct, Extension.emptyLocal, root0, ListMap(constraints: _*)), cache)
+    } yield rel
+
+  /** Rebuild a relation's extension from its content-addressed object.
+    * Small relations come back Local (rows re-keyed by tuple hash, sorted
+    * for determinism) with the root VERIFIED against the manifest; large
+    * ones come back as a Dist plan over the parquet object — fresh
+    * lineage, verified lazily by the content-addressed path name. The
+    * cache (keyed by relation hash) makes a multi-snapshot restore load
+    * and verify each distinct relation version exactly once. */
+  private def loadExtension(spark: SparkSession, root: String,
+      rel: StoredRelation, cache: mutable.Map[String, Extension]): Either[String, StoredRelation] = {
+    if (rel.root.count == 0) Right(rel)
+    else cache.get(rel.relHash) match {
+      case Some(ext) => Right(rel.copy(ext = ext))
+      case None =>
+        val p = objectPath(root, rel.relHash)
+        if (!fs(spark, root).exists(new Path(p, "_SUCCESS")))
+          Left(s"missing object for relation ${rel.name}: $p")
+        else {
+          val df = spark.read.parquet(p.toString)
+            .select(rel.struct.fields.toIndexedSeq.map(f => col(s"`${f.name}`")): _*)
+          val extE: Either[String, Extension] =
+            if (rel.root.count <= Engine.LocalThreshold) {
+              val keyed = df.collect().toSeq
+                .map(r => Hashing.tupleHash(rel.name, Engine.rowToAttrs(rel, r)) -> r)
+                .sortBy(_._1)
+              val rebuilt = keyed.foldLeft(ContentRoot.empty) { case (acc, (h, _)) => acc.add(h) }
+              if (rebuilt != rel.root)
+                Left(s"content root mismatch for relation ${rel.name}: " +
+                  s"stored ${rel.root.render}, rebuilt ${rebuilt.render}")
+              else Right(Extension.Local(VectorMap.from(keyed)))
+            } else Right(Extension.Dist(df))
+          extE.map { ext => cache(rel.relHash) = ext; rel.copy(ext = ext) }
+        }
+    }
   }
+
+  private def loadSnapshotCached(spark: SparkSession, root: String, hash: String,
+      cache: mutable.Map[String, Extension]): Either[String, Database] = {
+    val f = fs(spark, root)
+    val p = snapshotPath(root, hash)
+    if (!f.exists(p)) Left(s"snapshot not found: $hash")
+    else for {
+      m <- parseManifest(readText(f, p))
+      _ <- if (m.hash == hash) Right(())
+           else Left(s"manifest hash ${m.hash} does not match path $hash")
+      relations <- traverse(m.relations)(parseRelation(spark, root, m.domains, _, cache))
+      db = Database(m.name, ListMap(relations.map(r => r.name -> r): _*),
+        m.domains, m.history, m.deferred, m.hash)
+      // cross-check the whole-state identity: relation hashes fold to
+      // the persisted database hash or the manifest is inconsistent
+      recomputed = Hashing.databaseHash(m.name, db.relations.values.map(_.relHash))
+      _ <- if (recomputed == m.hash) Right(())
+           else Left(s"database hash mismatch: manifest ${m.hash}, recomputed $recomputed")
+    } yield db
+  }
+
+  /** Load one snapshot manifest + its relation extensions. */
+  def loadSnapshot(spark: SparkSession, root: String, hash: String): Either[String, Database] =
+    loadSnapshotCached(spark, root, hash, mutable.Map.empty)
 
   /** True when `root` holds a persisted store. */
   def exists(spark: SparkSession, root: String): Boolean =
     fs(spark, root).exists(storePath(root))
 
-  // ---- maintenance ----
-
-  /** Every relation hash referenced by any persisted snapshot. */
-  private def referencedHashes(spark: SparkSession, root: String): Either[String, Set[String]] = {
-    val f = fs(spark, root)
-    val snapDir = new Path(root, "snapshots")
-    if (!f.exists(snapDir)) Right(Set.empty)
-    else {
-      val manifests = f.listStatus(snapDir).toSeq.map(_.getPath)
-      manifests.foldLeft(Right(Set.empty[String]): Either[String, Set[String]]) { (acc, p) =>
-        acc.flatMap { set =>
-          Sexp.parse(readText(f, p)).flatMap {
-            case SList(Atom("database") :: fields) =>
-              for {
-                name <- field(fields, "name").flatMap(atomOf(_, "name"))
-                rels <- field(fields, "relations").flatMap {
-                  case SList(rs) => traverse(rs) {
-                    case SList(rfields) =>
-                      for {
-                        rn <- field(rfields, "name").flatMap(atomOf(_, "name"))
-                        schema <- field(rfields, "schema").flatMap {
-                          case SList(pairs) => traverse(pairs) {
-                            case SList(List(Atom(a), Atom(d))) => Right(a -> d)
-                            case o => Left(s"bad schema entry: ${o.render}")
-                          }.map(RelSchema(_))
-                          case o => Left(s"bad schema: ${o.render}")
-                        }
-                        count <- field(rfields, "count").flatMap(atomOf(_, "count"))
-                          .flatMap(c => c.toLongOption.toRight(s"bad count: $c"))
-                        limbs <- field(rfields, "limbs").flatMap {
-                          case SList(ls) => traverse(ls) {
-                            case Atom(h) => Right(java.lang.Long.parseUnsignedLong(h, 16))
-                            case o => Left(s"bad limb: ${o.render}")
-                          }
-                          case o => Left(s"bad limbs: ${o.render}")
-                        }
-                      } yield Hashing.relationHash(rn, schema, ContentRoot(count, limbs.toVector))
-                    case o => Left(s"bad relation entry: ${o.render}")
-                  }
-                  case o => Left(s"bad relations: ${o.render}")
-                }
-              } yield set ++ rels
-            case other => Left(s"bad snapshot manifest ${p.getName}: ${other.render}")
-          }
-        }
-      }
-    }
-  }
-
-  /** Garbage-collect relation objects referenced by NO persisted
-    * snapshot. Content addressing makes this safe-by-construction: a
-    * hash not named in any manifest can never be loaded again. Returns
-    * the deleted object names. Run it periodically on a write-through
-    * store — every mutation writes a new relation version, and without
-    * collection the object directory grows with the full mutation
-    * history (the reference's append-only KV store has the same
-    * unbounded-growth property; this is the knob it lacks). */
-  def gc(spark: SparkSession, root: String): Either[String, Seq[String]] =
-    referencedHashes(spark, root).map { live =>
-      val f = fs(spark, root)
-      val objDir = new Path(root, "objects")
-      if (!f.exists(objDir)) Seq.empty
-      else f.listStatus(objDir).toSeq.map(_.getPath)
-        .filter(p => !live.contains(p.getName.stripSuffix(".parquet")))
-        .map { p => f.delete(p, true); p.getName }
-    }
-
-  /** Verify every persisted object against its content-addressed name:
-    * recompute each relation version's content root DISTRIBUTIVELY (one
-    * digest aggregation per object — no collect, any object size) and
-    * compare against the manifest. Returns the per-relation failures;
-    * empty = healthy. The deep-scan complement of the load-time Local
-    * check (which a 10^9-row Dist restore deliberately skips). */
-  def fsck(spark: SparkSession, root: String): Either[String, Seq[String]] = {
-    val f = fs(spark, root)
-    val snapDir = new Path(root, "snapshots")
-    if (!f.exists(snapDir)) Right(Seq.empty)
-    else {
-      val hashes = f.listStatus(snapDir).toSeq.map(_.getPath.getName.stripSuffix(".sexp"))
-      hashes.foldLeft(Right(Seq.empty[String]): Either[String, Seq[String]]) { (acc, h) =>
-        acc.flatMap { errs =>
-          // parse WITHOUT loading extensions (loadSnapshot would verify
-          // Local relations but trust Dist ones — fsck trusts nothing)
-          Sexp.parse(readText(f, snapshotPath(root, h))).flatMap {
-            case SList(Atom("database") :: fields) =>
-              (for {
-                userDomains <- field(fields, "domains").flatMap {
-                  case SList(ds) => traverse(ds)(parseDomain)
-                  case o => Left(s"bad domains: ${o.render}")
-                }
-                relFields <- field(fields, "relations").flatMap {
-                  case SList(rs) => traverse(rs) {
-                    case SList(rfields) => Right(rfields)
-                    case o => Left(s"bad relation entry: ${o.render}")
-                  }
-                  case o => Left(s"bad relations: ${o.render}")
-                }
-              } yield (Domain.prelude ++ userDomains.map(d => d.name -> d).toMap, relFields))
-                .flatMap { case (domains, relFields) =>
-                traverse(relFields) { rfields =>
-                  for {
-                    rn <- field(rfields, "name").flatMap(atomOf(_, "name"))
-                    schema <- field(rfields, "schema").flatMap {
-                      case SList(pairs) => traverse(pairs) {
-                        case SList(List(Atom(a), Atom(d))) => Right(a -> d)
-                        case o => Left(s"bad schema entry: ${o.render}")
-                      }.map(RelSchema(_))
-                      case o => Left(s"bad schema: ${o.render}")
-                    }
-                    count <- field(rfields, "count").flatMap(atomOf(_, "count"))
-                      .flatMap(c => c.toLongOption.toRight(s"bad count: $c"))
-                    limbs <- field(rfields, "limbs").flatMap {
-                      case SList(ls) => traverse(ls) {
-                        case Atom(x) => Right(java.lang.Long.parseUnsignedLong(x, 16))
-                        case o => Left(s"bad limb: ${o.render}")
-                      }
-                      case o => Left(s"bad limbs: ${o.render}")
-                    }
-                  } yield {
-                    val declared = ContentRoot(count, limbs.toVector)
-                    if (count == 0) None
-                    else {
-                      val relHash = Hashing.relationHash(rn, schema, declared)
-                      val p = objectPath(root, relHash)
-                      if (!f.exists(new Path(p, "_SUCCESS")))
-                        Some(s"$rn@$h: missing object $relHash")
-                      else {
-                        val struct = schema.toStruct(domains)
-                          .getOrElse(StructType(schema.attrs.map { case (a, _) => StructField(a, StringType) }))
-                        val df = spark.read.parquet(p.toString)
-                          .select(struct.fields.toIndexedSeq.map(fld => col(s"`${fld.name}`")): _*)
-                        val actual = Hashing.contentRootOf(df, Hashing.rowHashCol(rn, struct))
-                        if (actual == declared) None
-                        else Some(s"$rn@$h: content root mismatch " +
-                          s"(declared ${declared.render}, actual ${actual.render})")
-                      }
-                    }
-                  }
-                }.map(found => errs ++ found.flatten)
-                }
-            case other => Left(s"bad snapshot manifest $h: ${other.render}")
-          }
-        }
-      }
-    }
-  }
-
-  /** Restore a persisted session into `store`: all snapshots, branches,
+  /** Restore a persisted session into `store`: snapshots, branches,
     * HEAD; returns the current database (None for a pre-CreateDatabase
-    * store). */
+    * store). Snapshots whose manifest is MISSING are skipped — that is
+    * the expected state after [[prune]] — but a present-and-corrupt
+    * manifest, or a missing CURRENT snapshot, still fails the boot
+    * loudly. Each distinct relation version is loaded and verified once
+    * across all snapshots (content addressing guarantees equality). */
   def restoreStore(spark: SparkSession, root: String,
       store: Store): Either[String, Option[Database]] = {
     val f = fs(spark, root)
@@ -478,7 +390,9 @@ object Persist {
             case SList(hs) => traverse(hs)(atomOf(_, "snapshot hash"))
             case o => Left(s"bad snapshots: ${o.render}")
           }
-          snapshots <- traverse(hashes)(loadSnapshot(spark, root, _))
+          cache = mutable.Map.empty[String, Extension]
+          snapshots <- traverse(hashes.filter(h => f.exists(snapshotPath(root, h))))(
+            loadSnapshotCached(spark, root, _, cache))
           cur <-
             if (current == "none") Right(None)
             else snapshots.find(_.hash == current)
@@ -490,6 +404,138 @@ object Persist {
           cur
         }
       case other => Left(s"bad store file: ${other.render}")
+    }
+  }
+
+  // ---- maintenance ----
+
+  /** Relation hashes referenced by the given manifests. */
+  private def referencedHashes(f: FileSystem, root: String,
+      hashes: Seq[String]): Either[String, Set[String]] =
+    hashes.foldLeft(Right(Set.empty[String]): Either[String, Set[String]]) { (acc, h) =>
+      acc.flatMap { set =>
+        parseManifest(readText(f, snapshotPath(root, h))).flatMap { m =>
+          traverse(m.relations)(parseRelCore(_).map { case (_, rn, schema, root0) =>
+            Hashing.relationHash(rn, schema, root0)
+          }).map(set ++ _)
+        }.left.map(e => s"snapshot $h: $e")
+      }
+    }
+
+  /** Retire history: rewrite the store file to reference only the
+    * current snapshot, the branch tips, and `retainExtra`; delete the
+    * other snapshot manifests; then [[gc]] the orphaned objects. The
+    * ONE correct way to shrink a store — deleting manifests by hand
+    * leaves the store file pointing at ghosts. Returns the deleted
+    * object names. Note the trade: merges whose LCA was pruned stop
+    * working (the reference's append-only store has no pruning at all). */
+  def prune(spark: SparkSession, root: String,
+      retainExtra: Set[String] = Set.empty): Either[String, Seq[String]] = {
+    val f = fs(spark, root)
+    val p = storePath(root)
+    if (!f.exists(p)) Right(Seq.empty)
+    else Sexp.parse(readText(f, p)).flatMap {
+      case SList(Atom("store") :: fields) =>
+        for {
+          current <- field(fields, "current").flatMap(atomOf(_, "current"))
+          branches <- field(fields, "branches").flatMap {
+            case SList(bs) => traverse(bs) {
+              case SList(List(Atom(n), Atom(t))) => Right(n -> t)
+              case o => Left(s"bad branch entry: ${o.render}")
+            }
+            case o => Left(s"bad branches: ${o.render}")
+          }
+          hashes <- field(fields, "snapshots").flatMap {
+            case SList(hs) => traverse(hs)(atomOf(_, "snapshot hash"))
+            case o => Left(s"bad snapshots: ${o.render}")
+          }
+          retain = (retainExtra ++ branches.map(_._2) ++
+            (if (current == "none") Set.empty else Set(current))).intersect(hashes.toSet)
+          kept = hashes.filter(retain.contains)
+          head <- field(fields, "head").flatMap(atomOf(_, "head"))
+          deleted <- {
+            // rewrite the store FIRST (atomic), then delete manifests:
+            // a crash in between leaves unreferenced manifests, which a
+            // later gc/prune collects — never a dangling reference
+            val sexp = SList(List(
+              Atom("store"),
+              Sexp.list(Atom("current"), Atom(current)),
+              Sexp.list(Atom("head"), Atom(head)),
+              Sexp.list(Atom("branches"),
+                SList(branches.map { case (n, t) => Sexp.list(Atom(n), Atom(t)) })),
+              Sexp.list(Atom("snapshots"), SList(kept.map(Atom(_))))))
+            writeText(f, p, sexp.render)
+            hashes.filterNot(retain.contains)
+              .foreach(h => f.delete(snapshotPath(root, h), false))
+            gc(spark, root)
+          }
+        } yield deleted
+      case other => Left(s"bad store file: ${other.render}")
+    }
+  }
+
+  /** Garbage-collect relation objects referenced by NO on-disk snapshot
+    * manifest, plus any leftover atomic-write temp files. Content
+    * addressing makes this safe-by-construction: a hash not named in any
+    * manifest can never be loaded again. Returns the deleted object
+    * names. Run via [[prune]] (or directly after it) on a write-through
+    * store — every mutation writes a new relation version, and without
+    * collection the object directory grows with the full mutation
+    * history (the reference's append-only KV store has the same
+    * unbounded-growth property; this is the knob it lacks). */
+  def gc(spark: SparkSession, root: String): Either[String, Seq[String]] = {
+    val f = fs(spark, root)
+    // leftover temp files from interrupted atomic writes are never live
+    for (dir <- Seq(new Path(root, "snapshots"), new Path(root)) if f.exists(dir);
+         st <- f.listStatus(dir) if st.isFile && st.getPath.getName.endsWith(".tmp"))
+      f.delete(st.getPath, false)
+    referencedHashes(f, root, listSnapshotHashes(f, root)).map { live =>
+      val objDir = new Path(root, "objects")
+      if (!f.exists(objDir)) Seq.empty
+      else f.listStatus(objDir).toSeq.map(_.getPath)
+        .filter(p => !live.contains(p.getName.stripSuffix(".parquet")))
+        .map { p => f.delete(p, true); p.getName }
+    }
+  }
+
+  /** Verify every persisted object against its content-addressed name:
+    * recompute each distinct relation version's content root
+    * DISTRIBUTIVELY (one digest aggregation per object — no collect, any
+    * object size) and compare against the manifest. Returns per-relation
+    * findings; empty = healthy. The deep-scan complement of the
+    * load-time Local check (which a 10^9-row Dist restore deliberately
+    * skips). Unresolvable schemas are reported as findings, never
+    * guessed at. */
+  def fsck(spark: SparkSession, root: String): Either[String, Seq[String]] = {
+    val f = fs(spark, root)
+    val checked = mutable.Set[String]()
+    listSnapshotHashes(f, root).foldLeft(Right(Seq.empty[String]): Either[String, Seq[String]]) {
+      (acc, h) =>
+        acc.flatMap { errs =>
+          parseManifest(readText(f, snapshotPath(root, h))).flatMap { m =>
+            traverse(m.relations)(parseRelCore).map { cores =>
+              errs ++ cores.flatMap { case (_, rn, schema, declared) =>
+                if (declared.count == 0) None
+                else {
+                  val relHash = Hashing.relationHash(rn, schema, declared)
+                  if (!checked.add(relHash)) None // verified via an earlier snapshot
+                  else if (!f.exists(new Path(objectPath(root, relHash), "_SUCCESS")))
+                    Some(s"$rn@$h: missing object $relHash")
+                  else schema.toStruct(m.domains) match {
+                    case Left(e) => Some(s"$rn@$h: unresolvable schema: $e")
+                    case Right(struct) =>
+                      val df = spark.read.parquet(objectPath(root, relHash).toString)
+                        .select(struct.fields.toIndexedSeq.map(fld => col(s"`${fld.name}`")): _*)
+                      val actual = Hashing.contentRootOf(df, Hashing.rowHashCol(rn, struct))
+                      if (actual == declared) None
+                      else Some(s"$rn@$h: content root mismatch " +
+                        s"(declared ${declared.render}, actual ${actual.render})")
+                  }
+                }
+              }
+            }.left.map(e => s"snapshot $h: $e")
+          }
+        }
     }
   }
 }

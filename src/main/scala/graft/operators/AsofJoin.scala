@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Backward as-of join: for each left row, attach the single most recent
   * right row with `right.ts <= left.ts` within the same key group — the
@@ -25,7 +26,11 @@ import org.apache.spark.sql.functions._
   *  - inclusive match: a right row at exactly left.ts is visible (it
   *    sorts before the left row via the side flag);
   *  - among right rows tied on ts, the greatest `rightTieBreak` wins;
-  *  - left rows with no prior right row keep NULL payloads (left outer).
+  *  - left rows with no prior right row keep NULL payloads (left outer);
+  *  - the payload travels as ONE struct filled as a unit, so a NULL
+  *    field in the matched right row stays NULL — it is never backfilled
+  *    from an older right row (which per-column ignoreNulls fills would
+  *    silently do, mixing columns of different right rows in one match).
   */
 object AsofJoin {
 
@@ -45,28 +50,31 @@ object AsofJoin {
 
     val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
     val tieType = right.schema(rightTieBreak).dataType
+    val payType = StructType(rightPayload.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
     def q(c: String): Column = col(s"`$c`")
 
     // tagged union: keys ++ ts ++ side ++ tie ++ left-only ++ payload
+    // struct (non-null on every right row, so ignoreNulls skips only
+    // LEFT rows — the payload of the winning right row travels whole)
     val lSide = left.select(
       (keys.map(q) :+ q(tsCol) :+ lit(1).as("__side") :+
         lit(null).cast(tieType).as("__tie")) ++
-        leftOnly.map(q) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"$outPrefix$c")): _*)
+        leftOnly.map(q) :+
+        lit(null).cast(payType).as("__pay"): _*)
     val rSide = right.select(
       (keys.map(q) :+ q(tsCol) :+ lit(0).as("__side") :+
         q(rightTieBreak).as("__tie")) ++
-        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => q(c).as(s"$outPrefix$c")): _*)
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightPayload.map(c => q(c).as(c)): _*).as("__pay"): _*)
 
     val w = Window.partitionBy(keys.map(q): _*)
       .orderBy(q(tsCol).asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(lSide.unionAll(rSide)) { (d, c) =>
-      d.withColumn(s"$outPrefix$c", last(col(s"`$outPrefix$c`"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1)
+    lSide.unionAll(rSide)
+      .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select((keys.map(q) :+ q(tsCol)) ++ leftOnly.map(q) ++
-        rightPayload.map(c => col(s"`$outPrefix$c`")): _*)
+        rightPayload.map(c => col("__pay").getField(c).as(s"$outPrefix$c")): _*)
   }
 }

@@ -59,11 +59,15 @@ object Server {
       case other => Left(s"config must be a (server ...) form, got: ${other.render}")
     }
 
-  /** Boot a listener from a config string on an existing session. */
+  /** Boot a listener from a config string on an existing session. A
+    * corrupt persisted store surfaces on the SAME error channel as a
+    * bad config — callers handle one Either, not an Either plus an
+    * escaping constructor exception. */
   def boot(spark: SparkSession, configText: String): Either[String, Listener] =
-    parseConfig(configText).map { cfg =>
+    parseConfig(configText).flatMap { cfg =>
       val external: Option[Catalog] = cfg.external.map(new ParquetCatalog(spark, _))
-      new Listener(spark, external, cfg.port, cfg.storageDir).start()
+      try Right(new Listener(spark, external, cfg.port, cfg.storageDir).start())
+      catch { case e: IllegalStateException => Left(e.getMessage) }
     }
 
   /** `runMain graft.Server <config-file | config-sexp>`; with no args,

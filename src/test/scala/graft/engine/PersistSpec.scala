@@ -200,28 +200,33 @@ class PersistSpec extends SparkTestBase {
     assert(findings.exists(_.contains("content root mismatch")), findings.toString)
   }
 
-  test("gc removes exactly the objects no retained snapshot references") {
+  test("prune retires history, gc collects orphans, and the store still boots") {
     val dir = tmpDir()
     val s1 = new EngineSession(spark, persistDir = Some(dir))
     exec(s1, "(CreateDatabase g)")
     exec(s1, "(CreateRelation (name a) (schema ((x integer))))")
     exec(s1, "(InsertTuple (relation a) (attributes ((x (Int 1)))))")
+    exec(s1, "(CreateBranch (name main))")
+    exec(s1, "(Checkout main)")
     exec(s1, "(InsertTuple (relation a) (attributes ((x (Int 2)))))")
     // nothing is unreferenced while every snapshot manifest is retained
     assert(Persist.gc(spark, dir) === Right(Seq.empty))
 
-    // retire every snapshot except the current one (history pruning);
-    // the one-row version of `a` becomes unreferenced and collects
+    // prune: keep current + branch tips, drop the rest, collect orphans
+    val snapsBefore = new java.io.File(dir, "snapshots").list().length
     val objectsBefore = new java.io.File(dir, "objects").list().length
-    new java.io.File(dir, "snapshots").listFiles()
-      .filter(_.getName != s"${s1.db.hash}.sexp").foreach(_.delete())
-    val deleted = Persist.gc(spark, dir).fold(e => fail(e), identity)
-    assert(deleted.nonEmpty)
+    val deleted = Persist.prune(spark, dir).fold(e => fail(e), identity)
+    assert(deleted.nonEmpty) // the one-row version of `a` is orphaned
+    assert(new java.io.File(dir, "snapshots").list().length < snapsBefore)
     assert(new java.io.File(dir, "objects").list().length === objectsBefore - deleted.length)
-    // the retained snapshot still loads and still verifies clean
-    val loaded = Persist.loadSnapshot(spark, dir, s1.db.hash).fold(e => fail(e), identity)
-    assert(loaded.relations("a").root.count === 2)
     assert(Persist.fsck(spark, dir) === Right(Seq.empty))
+
+    // the pruned store BOOTS: store.sexp was rewritten in lockstep with
+    // the manifest deletions, current state and branches intact
+    val s2 = new EngineSession(spark, persistDir = Some(dir))
+    assert(s2.db.hash === s1.db.hash)
+    assert(s2.store.head === Some("main"))
+    assert(query(s2, "(Base a)") === Seq(Seq(1L), Seq(2L)))
   }
 
   test("constraint bodies roundtrip through the sexp renderer") {

@@ -39,6 +39,21 @@ class AsofJoinSpec extends SparkTestBase {
     assert(got === Set((1L, Some(12L), Some(2.0))))
   }
 
+  test("a null field in the matched right row stays null — no backfill from older rows") {
+    // right rows: (ts=5, value=9.0) then (ts=10, value=NULL); a left row
+    // at ts=20 matches the ts=10 row and must surface ITS null value,
+    // not the older row's 9.0
+    val l = Seq((1L, 7L, 20L)).toDF("event_id", "user_id", "ts")
+    val r = Seq(
+      (7L, 5L, 10L, java.lang.Double.valueOf(9.0)),
+      (7L, 10L, 11L, null.asInstanceOf[java.lang.Double]))
+      .toDF("user_id", "ts", "event_id", "value")
+    val row = AsofJoin.backward(l, r, Seq("user_id"), "ts", Seq("event_id", "value"), "event_id")
+      .select("asof_event_id", "asof_value").collect().head
+    assert(row.getLong(0) === 11L)
+    assert(row.isNullAt(1), s"null payload backfilled from an older right row: $row")
+  }
+
   test("keys partition the timeline: no cross-user leakage") {
     val got = run(
       left = Seq((1L, 7L, 100L), (2L, 8L, 100L)),

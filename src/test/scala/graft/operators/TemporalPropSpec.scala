@@ -24,22 +24,27 @@ class TemporalPropSpec extends SparkTestBase {
   } yield (id, user, ts)).map(_.distinctBy(_._1))
   private val genRight = Gen.listOfN(12, for {
     id <- Gen.choose(1001L, 2000L); user <- Gen.choose(1L, 3L); ts <- Gen.choose(0L, 30L)
-    v <- Gen.choose(0, 100).map(_ / 10.0)
+    v <- Gen.option(Gen.choose(0, 100).map(_ / 10.0)) // nulls exercise the struct fill
   } yield (user, ts, id, v)).map(_.distinctBy(_._3))
 
   test("as-of join matches the brute-force latest-at-or-before reference") {
     checkProp(Prop.forAll(genLeft, genRight) { (ls, rs) =>
       (ls.nonEmpty && rs.nonEmpty) ==> {
+        val rdf = rs.map { case (u, t, id, v) =>
+          (u, t, id, v.map(java.lang.Double.valueOf).orNull)
+        }.toDF("user_id", "ts", "event_id", "value")
         val got = AsofJoin.backward(
-          ls.toDF("event_id", "user_id", "ts"), rs.toDF("user_id", "ts", "event_id", "value"),
+          ls.toDF("event_id", "user_id", "ts"), rdf,
           Seq("user_id"), "ts", Seq("event_id", "value"), "event_id")
-          .select("event_id", "asof_event_id")
+          .select("event_id", "asof_event_id", "asof_value")
           .collect().map(r => r.getLong(0) ->
-            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+            (if (r.isNullAt(1)) None
+             else Some((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))).toMap
         val want = ls.map { case (lid, user, lts) =>
           val cands = rs.filter(r => r._1 == user && r._2 <= lts)
-          // latest ts wins; among equal ts, the greatest tiebreak (event_id)
-          lid -> cands.sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+          // latest ts wins; among equal ts, the greatest tiebreak (event_id);
+          // the winner's value comes through verbatim, nulls included
+          lid -> cands.sortBy(r => (r._2, r._3)).lastOption.map(r => (r._3, r._4))
         }.toMap
         got == want
       }
