@@ -17,7 +17,19 @@ object Bench {
     // isolation knobs for perf triage on a noisy host: run only the named
     // queries (comma-separated) and/or take best-of-N instead of best-of-2
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
+    // fail loudly on knob typos: a misspelled query name would otherwise
+    // emit a plausible empty-but-successful JSON line
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty) {
+        System.err.println(s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toIntOption.getOrElse {
+      System.err.println(s"SPARK_GRAFT_ITERS is not a number: ${sys.env("SPARK_GRAFT_ITERS")}")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -30,6 +30,18 @@ object Algebra {
     * Column predicate, which stays inside codegen. */
   def selectFn(pred: Column)(df: DataFrame): DataFrame = df.filter(pred)
 
+  /** Spread a narrow-partitioned input across the cluster before
+    * map-heavy stages: a single-file parquet scan (or a broadcast-join
+    * output inheriting it) is ONE partition, which would run a whole
+    * hash/shingle pipeline on one core. Inputs at or above default
+    * parallelism — any real corpus — keep their natural partitioning (no
+    * shuffle). THE single balance helper (engine bulk paths and the
+    * pipeline operators both use it, so the heuristic cannot drift). */
+  def balanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** π — keep the listed attributes, in the listed order
     * (lib/algebra.ml:85-129). Bag semantics: no dedup. */
   def project(attrs: Seq[String])(df: DataFrame): DataFrame =

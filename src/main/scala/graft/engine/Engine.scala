@@ -263,14 +263,9 @@ object Engine {
   // ---- bulk paths (set-wise; scale-safe) ----
 
   /** Spread a narrow-partitioned bulk source across the cluster before
-    * the hash-heavy set-wise stages: a single-file parquet scan (or a
-    * broadcast-join output that inherits it) is ONE partition, which
-    * would run the digest/validation pipeline on one core. Inputs at or
-    * above default parallelism keep their natural partitioning. */
-  private def balance(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
-  }
+    * the hash-heavy set-wise stages (the single shared helper —
+    * [[graft.core.Algebra.balanced]]). */
+  private def balance(df: DataFrame): DataFrame = graft.core.Algebra.balanced(df)
 
   /** Conform a query result to the relation's declared schema: exact
     * attribute set, columns cast to domain types, no nulls. */
@@ -392,8 +387,8 @@ object Engine {
           !Compile.compilable(db, body)
       }
     if (hazard)
-      createTuples(spark, db, relName,
-        conformed.collect().toSeq.map(r => rowToAttrs(rel, r)))
+      rowsToAttrsChecked(db, rel, conformed.collect().toSeq)
+        .flatMap(createTuples(spark, db, relName, _))
     else {
       val referenced = (rel.constraints.valuesIterator.flatMap(Body.relationsIn).toSet ++
         aff.flatMap { case (r, _, b) => Body.relationsIn(b) + r.name }) - relName
@@ -404,7 +399,8 @@ object Engine {
       if (probe.isEmpty) insertRowsLocal(db, rel, Nil) // no transitions: nothing to validate
       else if (small && allLocal)
         // the zero-Spark-job regime: per-row fold over driver maps
-        createTuples(spark, db, relName, probe.toSeq.map(r => rowToAttrs(rel, r)))
+        rowsToAttrsChecked(db, rel, probe.toSeq)
+          .flatMap(createTuples(spark, db, relName, _))
       else {
         // batch as a stable DataFrame: the probe rows on the small path
         // (single evaluation); on the large one the balanced source is
@@ -416,13 +412,21 @@ object Engine {
               probe.toSeq.map(r => Row.fromSeq(r.toSeq.take(rel.struct.fields.length))).asJava,
               rel.struct)
           else prepareBulk(conformed)
-        for {
+        val res = for {
+          // membership criteria FIRST: a null/domain violation must
+          // surface as the reference's membership error, not as whichever
+          // named constraint its compiled join happens to trip
+          _ <- bulkValidate(db, rel, batchDf)
           _ <- validateSetWise(db, rel, batchDf)
           db2 <-
             if (small) insertRowsLocal(db, rel, probe.toSeq)
             else insertFromDistPrepared(spark, db, rel, batchDf)
           _ <- IclRuntime.cascadeBatch(spark, db2, relName, batchDf, "insert")
         } yield db2
+        // an aborted statement must not leak its persisted batch (the
+        // installed-extension case keeps it until the chain checkpoint)
+        if (res.isLeft && !small) batchDf.unpersist()
+        res
       }
     }
   }
@@ -509,8 +513,12 @@ object Engine {
     balance(src).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def insertFromDist(spark: SparkSession, db: Database, rel: StoredRelation,
-      src: DataFrame): Either[String, Database] =
-    insertFromDistPrepared(spark, db, rel, prepareBulk(src))
+      src: DataFrame): Either[String, Database] = {
+    val batch = prepareBulk(src)
+    val res = insertFromDistPrepared(spark, db, rel, batch)
+    if (res.isLeft) batch.unpersist() // aborted: don't leak the cache entry
+    res
+  }
 
   private def insertFromDistPrepared(spark: SparkSession, db: Database, rel: StoredRelation,
       conformed: DataFrame): Either[String, Database] = {
@@ -531,6 +539,20 @@ object Engine {
       extChain = boundedDist(rel.df.unionAll(conformed), rel.chain)
       newRel = rel.copy(ext = extChain._1, chain = extChain._2, root = rel.root.merge(dupRoot._2))
     } yield updateRelation(db, newRel)
+  }
+
+  /** Convert collected rows to attribute lists with membership checking
+    * FIRST: a null cell must surface as the reference's membership-
+    * criteria violation, not crash [[rowToAttrs]]'s primitive getters
+    * (and not be misreported as whichever named constraint trips). */
+  private def rowsToAttrsChecked(db: Database, rel: StoredRelation,
+      rows: Seq[Row]): Either[String, Seq[Seq[(String, Value)]]] = {
+    val out = Seq.newBuilder[Seq[(String, Value)]]
+    for (r <- rows) validateLocalRow(db, rel, r) match {
+      case Left(e)      => return Left(e)
+      case Right(attrs) => out += attrs
+    }
+    Right(out.result())
   }
 
   private[graft] def rowToAttrs(rel: StoredRelation, r: Row): Seq[(String, Value)] =
@@ -722,20 +744,18 @@ object Engine {
            else Right(())
       rel <- db.relation(name)
       db2 = updateState(db, db.relations.removed(name))
-      db3 <-
-        if (isCatalog(name)) Right(db2)
-        else {
-          val dropName = retractTuple(spark, db2, "sakura:relation", Seq("name" -> Value.StrV(name)))
-            .getOrElse(db2) // absent row is not an error (reference checks membership first)
-          rel.schema.attrs.foldLeft(Right(dropName): Either[String, Database]) { case (acc, (at, d)) =>
-            acc.map { cur =>
-              retractTuple(spark, cur, "sakura:attribute", Seq(
-                "relation_name" -> Value.StrV(name),
-                "attr_name" -> Value.StrV(at),
-                "domain_name" -> Value.StrV(d))).getOrElse(cur)
-            }
+      // catalog names were rejected above; always clean the catalog rows
+      dropName = retractTuple(spark, db2, "sakura:relation", Seq("name" -> Value.StrV(name)))
+        .getOrElse(db2) // absent row is not an error (reference checks membership first)
+      db3 <- rel.schema.attrs.foldLeft(Right(dropName): Either[String, Database]) {
+        case (acc, (at, d)) =>
+          acc.map { cur =>
+            retractTuple(spark, cur, "sakura:attribute", Seq(
+              "relation_name" -> Value.StrV(name),
+              "attr_name" -> Value.StrV(at),
+              "domain_name" -> Value.StrV(d))).getOrElse(cur)
           }
-        }
+      }
     } yield db3
 
   /** Truncate a relation's extension; schema, constraints, and catalog

@@ -72,14 +72,10 @@ object Dedup {
   }
 
   /** Balance a tiny input across the cluster before map-heavy hash
-    * stages: a sub-parallelism scan (one small parquet file) would
-    * otherwise run the whole shingle/md5 pipeline on a single core.
-    * Inputs already at/above default parallelism — any real corpus —
-    * keep their natural partitioning: no shuffle. */
-  private[pipeline] def balanced(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
-  }
+    * stages (delegates to the single shared helper — see
+    * [[graft.core.Algebra.balanced]]). */
+  private[pipeline] def balanced(df: DataFrame): DataFrame =
+    graft.core.Algebra.balanced(df)
 
   /** doc → one row per DISTINCT shingle, via a typed flatMap (a JVM
     * closure beats interpreted higher-order-function eval on the hot

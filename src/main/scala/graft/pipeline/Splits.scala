@@ -38,7 +38,9 @@ object Splits {
     // boundaries must live on the lowercase-hex grid the buckets use, or
     // the lexical comparison silently stops being a numeric one
     for (bound <- Seq(trainUpper, valUpper))
-      require(bound.length == 2 && bound.forall(c => c.isDigit || ('a' to 'f').contains(c)),
+      // ASCII range check, NOT isDigit: Unicode digits ('٥') pass isDigit
+      // but sort above 'f', silently sending every row to train
+      require(bound.length == 2 && bound.forall(c => ('0' to '9').contains(c) || ('a' to 'f').contains(c)),
         s"split boundary '$bound' is not two lowercase hex chars")
     require(trainUpper <= valUpper,
       s"trainUpper ($trainUpper) must not exceed valUpper ($valUpper)")

@@ -112,6 +112,28 @@ class DistEngineSpec extends SparkTestBase {
       spark.range(n, n.toLong + 1).select(col("id").as("k"))).isRight)
   }
 
+  test("a null in a constrained bulk batch reports the membership error, not a constraint name") {
+    import graft.icl.{Binding, Body}
+    val fk = Body.MemberOf("keys2", List("k" -> Binding.Var("k")))
+    var db = Engine.createDatabase(spark, "nullfirst")
+    db = Engine.createRelation(spark, db, "keys2", RelSchema(List("k" -> "integer")))
+      .fold(e => fail(e), identity)
+    db = Engine.insertFrom(spark, db, "keys2",
+      spark.range(10).select(col("id").as("k"))).fold(e => fail(e), identity)
+    db = Engine.createRelation(spark, db, "fact2",
+      RelSchema(List("k" -> "integer", "v" -> "string"))).fold(e => fail(e), identity)
+    db = Engine.registerConstraint(spark, db, "fk_k2", "fact2", fk).fold(e => fail(e), identity)
+    // k = NULL fails membership criteria AND the FK anti-join; the
+    // reference's per-row fold reports the membership error — so must
+    // the set-wise path (precedence, reference lib/manipulation.ml)
+    val withNull = spark.range(5).select(
+      when(col("id") === 3, lit(null)).otherwise(col("id")).cast("long").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    val err = Engine.insertFrom(spark, db, "fact2", withNull)
+    assert(err.left.exists(_.contains("membership criteria")), s"got $err")
+    assert(!err.left.exists(_.contains("fk_k2")), s"constraint name leaked: $err")
+  }
+
   test("quantified stored membership validates set-wise on the Dist path via pair-set joins") {
     import graft.icl.{Binding, Body, Compile}
     // ∃ d ∈ whitelist: (k, d.w) ∈ edges — a stored-membership body that
