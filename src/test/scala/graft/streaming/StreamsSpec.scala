@@ -96,6 +96,31 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("text-analysis operators run unchanged on a stream (pure maps are engine-agnostic)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    // the BATCH quality operator applied verbatim to a streaming frame:
+    // stateless narrow maps need no watermark, no state, no rewrite
+    val q = graft.pipeline.TextPipeline.quality(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("stream_quality")
+      .outputMode("append").start()
+    try {
+      source.addData((1L, "the cat sat on the mat"), (2L, "zzz"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_quality").collect()
+        .map(r => r.getLong(0) -> r.getAs[Double]("stop_ratio")).toMap
+      assert(rows(1L) > 0.0) // "the" twice + "on" → stopword hits
+      assert(rows(2L) === 0.0)
+      // batch parity: identical rows from the batch path on the same data
+      import spark.implicits._
+      val batch = graft.pipeline.TextPipeline.quality(
+        Seq((1L, "the cat sat on the mat"), (2L, "zzz")).toDF("doc_id", "text"),
+        "doc_id", "text").collect().map(r => r.getLong(0) -> r.getAs[Double]("stop_ratio")).toMap
+      assert(rows === batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup emits first occurrences only, keyed on the digest") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, String)]
