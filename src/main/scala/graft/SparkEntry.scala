@@ -423,6 +423,10 @@ object SparkEntry {
     "sample_source_cap" -> ((s, dir) =>
       graft.pipeline.Sampling.capPerStratum(table(s, dir, "documents"),
         "doc_id", "source", "n_chars", 10)),
+    // exact-k uniform eval draw: 20 hash-ranked docs per language
+    "sample_uniform_k" -> ((s, dir) =>
+      graft.pipeline.Sampling.uniformPerStratum(table(s, dir, "documents"),
+        "doc_id", "lang", 20)),
     "pack_sequences" -> ((s, dir) =>
       graft.pipeline.Packing.pack(table(s, dir, "documents"), "doc_id", "text")),
     "sample_stratified" -> ((s, dir) =>
@@ -607,6 +611,8 @@ object SparkEntry {
       graft.pipeline.Oracles.pipelineCurate(CurateMinScore, graft.pipeline.Packing.Capacity),
     "text_vocab" -> graft.pipeline.Oracles.textVocab(100),
     "sample_source_cap" -> graft.pipeline.Oracles.sampleSourceCap(10),
+    "sample_uniform_k" ->
+      graft.pipeline.Oracles.sampleUniformK(20, graft.pipeline.Sampling.DefaultSalt),
     "pack_sequences" -> graft.pipeline.Oracles.packSequences(graft.pipeline.Packing.Capacity),
     "sample_stratified" ->
       graft.pipeline.Oracles.sampleStratified(SampleRates, graft.pipeline.Sampling.DefaultSalt),

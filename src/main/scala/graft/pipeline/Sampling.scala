@@ -53,6 +53,25 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Exact-k uniform sample per stratum: rank rows inside each stratum
+    * by the salted hash of their id and keep the k smallest — a
+    * reproducible uniform draw (every row equally likely under the
+    * random-oracle hash) that completes the sampling triad: rate-based
+    * ([[stratified]]), score-based ([[capPerStratum]]), and uniform
+    * exact-k (this — the eval-set builder: "200 random docs per
+    * language, same 200 every run"). One shuffle on the stratum key;
+    * same skew caveat as [[capPerStratum]]. */
+  def uniformPerStratum(df: DataFrame, idCol: String, strataCol: String,
+      k: Int, salt: String = DefaultSalt): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"`$strataCol`"))
+      .orderBy(gateCol(idCol, salt).asc, col(s"`$idCol`").asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Rows surviving the per-stratum gate, with the gate cell surfaced as
     * `gate` for auditability. A rate of exactly 1.0 keeps every row of
     * the stratum (no boundary comparison — 'ffff' would drop cell ffff). */

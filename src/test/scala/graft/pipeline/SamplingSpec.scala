@@ -66,6 +66,19 @@ class SamplingSpec extends SparkTestBase {
     assert(Sampling.capPerStratum(df, "doc_id", "source", "score", 10).count() === 2)
   }
 
+  test("uniformPerStratum draws exactly k per stratum, stable across partitioning") {
+    val out = Sampling.uniformPerStratum(docs, "doc_id", "lang", k = 5)
+    val counts = out.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ === 5L), counts.toString)
+    val again = Sampling.uniformPerStratum(docs.repartition(11), "doc_id", "lang", k = 5)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // a different salt draws a different sample
+    val other = Sampling.uniformPerStratum(docs, "doc_id", "lang", k = 5, salt = "other")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet !==
+      other.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("vocab ranks tokens by corpus frequency with doc frequency") {
     val df = Seq(
       (1L, "a a a b c"),
