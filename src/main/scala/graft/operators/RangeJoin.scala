@@ -37,17 +37,20 @@ object RangeJoin {
     val w = math.max(hi - lo, 1L)
     def q(c: String): Column = col(s"`$c`")
 
-    // floor division on possibly-negative longs (pmod-style)
-    def fdiv(x: Column): Column = floor(x.cast("double") / w).cast("long")
+    // Floor division on possibly-negative longs in exact integer arithmetic:
+    // x − pmod(x, w) is the greatest multiple of w ≤ x, and `div` then
+    // divides it exactly. A double-based floor(x/w) would misbin timestamps
+    // beyond 2^53 (epoch nanos), silently dropping boundary pairs.
+    def fdiv(e: String): String = s"((($e) - pmod(($e), ${w}L)) div ${w}L)"
 
     val lBins = left
-      .withColumn("__bin_lo", fdiv(q(tsCol) + lo))
-      .withColumn("__bin_hi", fdiv(q(tsCol) + hi))
+      .withColumn("__bin_lo", expr(fdiv(s"`$tsCol` + ${lo}L")))
+      .withColumn("__bin_hi", expr(fdiv(s"`$tsCol` + ${hi}L")))
       .withColumn("__bin", explode(sequence(col("__bin_lo"), col("__bin_hi"))))
       .drop("__bin_lo", "__bin_hi")
     val rBins = right
       .select((keys.map(q) :+ q(tsCol).as("__rts") :+
-        fdiv(q(tsCol)).as("__bin")) ++
+        expr(fdiv(s"`$tsCol`")).as("__bin")) ++
         rightPayload.map(c => q(c).as(s"$outPrefix$c")): _*)
 
     lBins.join(rBins, keys :+ "__bin")

@@ -42,6 +42,27 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got === Set((1L, 10L), (1L, 11L)))
   }
 
+  test("bins stay exact past 2^53 (epoch-nano timestamps)") {
+    // A double mantissa has 52 bits: near 1.7e18 its ulp is 256, so the old
+    // floor(x/w)-via-double binning could shift a boundary row into a bin
+    // the left side never exploded to, silently dropping a true pair.
+    // Sweep odd bases (never representable as doubles at this magnitude)
+    // with deltas at both band edges and just outside them.
+    val base = 1_723_500_000_000_000_001L // odd, ≈ 2^60.6
+    val offsets = Seq(0L, 255L, 256L, 257L, 4095L, 4097L)
+    val left = offsets.zipWithIndex.map { case (o, i) => (i.toLong, 100L + i, base + o) }
+    val right = left.flatMap { case (lid, uid, ts) =>
+      Seq((uid, ts + 1, lid * 10 + 1),   // lo edge: kept
+          (uid, ts + 100, lid * 10 + 2), // hi edge: kept
+          (uid, ts, lid * 10 + 3),       // delta 0: dropped
+          (uid, ts + 101, lid * 10 + 4)) // past hi: dropped
+    }
+    val got = pairs(1, 100, left, right)
+    val want = left.flatMap { case (lid, _, _) =>
+      Seq((lid, lid * 10 + 1), (lid, lid * 10 + 2)) }.toSet
+    assert(got === want)
+  }
+
   test("plan is an equi-join on (keys, bin), not a nested-loop product") {
     val l = Seq((1L, 7L, 1000L)).toDF("lid", "user_id", "ts")
     val r = Seq((7L, 1001L, 10L)).toDF("user_id", "ts", "rid")
