@@ -11,7 +11,12 @@ import org.apache.spark.sql.SparkSession
   * }}}
   *
   * Exit code 0 = healthy/done; 1 = findings or usage error (findings are
-  * printed one per line). */
+  * printed one per line).
+  *
+  * gc and prune are OFFLINE operations: stop any server/session writing
+  * to the root first. A snapshot save writes objects before its manifest,
+  * so collecting concurrently with a writer can delete the objects of an
+  * in-flight snapshot (fsck is read-only and safe anytime). */
 object Maintenance {
   def main(args: Array[String]): Unit = {
     val usage = "usage: graft.Maintenance <fsck|gc|prune> <storage-root>"

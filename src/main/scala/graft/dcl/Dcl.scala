@@ -24,6 +24,10 @@ final class Store {
 
   def save(db: Database): Unit = if (!snapshots.contains(db.hash)) snapshots(db.hash) = db
   def load(hash: String): Option[Database] = snapshots.get(hash)
+  /** Swap a stored snapshot for an equal-hash representation (same
+    * content, different plan — e.g. re-anchored on persisted objects so
+    * a later Checkout starts from a clean object scan). */
+  def replace(db: Database): Unit = snapshots(db.hash) = db
 
   def createBranch(name: String, tip: String): Unit = branches(name) = tip
   def tip(name: String): Option[String] = branches.get(name)

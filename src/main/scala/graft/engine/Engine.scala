@@ -107,10 +107,20 @@ object Engine {
     * materialized and its lineage truncated. Without a bound, N mutations
     * stack N plan nodes (union-per-insert, diff-per-delete) and analysis
     * cost grows per operation; SURVEY §1.3 maps a relation version to
-    * "parquet snapshot + state hash" — `localCheckpoint` is the in-process
-    * stand-in for that snapshot (a cluster deployment would write parquet
-    * and reread). The content root is driver-side limb arithmetic, so
-    * checkpointing never changes a state hash. */
+    * "parquet snapshot + state hash".
+    *
+    * Durability regimes: with `(storage (disk root))` the DURABLE
+    * checkpoint is the per-transition snapshot write itself — every
+    * committed state's objects land as content-addressed parquet and the
+    * session re-anchors each Dist plan on them
+    * ([[graft.engine.Persist.reopen]]), so lineage never exceeds one
+    * statement's mutations and a crash loses at most the in-flight
+    * statement (reference persists every state, lib/storable.ml:25-36).
+    * `localCheckpoint` here remains the INTRA-statement bound (e.g. a
+    * 30-tuple InsertTuples folds 30 plan nodes before its single commit)
+    * and the whole story in the `(storage (memory))` regime, where state
+    * is process-resident by contract. The content root is driver-side
+    * limb arithmetic, so checkpointing never changes a state hash. */
   val MaxPlanChain = 24
 
   /** Column name carrying a row's executor-computed content hash through

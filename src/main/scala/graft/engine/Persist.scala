@@ -146,6 +146,14 @@ object Persist {
       Sexp.list(Atom("deferred"), SList(db.deferred.map(e =>
         Sexp.list(Atom(e.constraintName), Atom(e.relationName), graft.icl.Render.body(e.body))))),
       Sexp.list(Atom("domains"), SList(userDomains.toList.map { case (_, d) =>
+        // a Column=>Column check predicate is driver code — it cannot be
+        // serialized, and restoring it as check-free would silently admit
+        // values the domain rejects. Fail the save loudly (same contract
+        // as typeNameOf for unpersistable types); DDL-registered domains
+        // never carry checks, only programmatic registration can
+        if (d.check.nonEmpty)
+          throw new IllegalArgumentException(s"unpersistable domain ${d.name}: " +
+            "programmatic check predicates do not survive a restart")
         Sexp.list(Atom(d.name), Atom(typeNameOf(d.sparkType)), renderCardinality(d.cardinality))
       })),
       Sexp.list(Atom("relations"), SList(db.relations.values.toList.map(renderRelation)))))
@@ -175,9 +183,20 @@ object Persist {
     * O(changed snapshots) — see [[saveSnapshot]]. */
   def saveStore(spark: SparkSession, root: String, store: Store,
       current: Option[Database]): Unit = {
-    val f = fs(spark, root)
     store.allSnapshots.foreach(saveSnapshot(spark, root, _))
     current.foreach(saveSnapshot(spark, root, _))
+    writeStoreFile(spark, root, store, current)
+  }
+
+  /** Write just the store file (branches, HEAD, snapshot references) —
+    * the caller asserts every referenced snapshot is already on disk.
+    * Split out so a write-through session that tracks persisted hashes
+    * in memory can skip the per-snapshot exists() probes of
+    * [[saveStore]] (O(history) filesystem round-trips per mutation on a
+    * remote store). */
+  def writeStoreFile(spark: SparkSession, root: String, store: Store,
+      current: Option[Database]): Unit = {
+    val f = fs(spark, root)
     val sexp = SList(List(
       Atom("store"),
       Sexp.list(Atom("current"), Atom(current.map(_.hash).getOrElse("none"))),
@@ -407,6 +426,35 @@ object Persist {
     }
   }
 
+  /** Re-anchor a just-persisted database on its on-disk objects: each
+    * Dist relation whose content-addressed object exists comes back as a
+    * fresh parquet scan with chain 0. The snapshot write IS the durable
+    * chain checkpoint (reference persists every state —
+    * lib/storable.ml:25-36, lib/management/physical.ml:11-84): without
+    * this, a write-through session re-executes a lineage that grows with
+    * every mutation on each save, and the only truncation is
+    * `localCheckpoint` — executor-memory resident, lost on JVM death.
+    * After reopen, a crash at ANY point loses at most the in-flight
+    * statement, and the restored plan is a single object scan by
+    * construction. Local relations stay driver-resident (their rows are
+    * already the durable manifest's concern, not lineage's). */
+  def reopen(spark: SparkSession, root: String, db: Database): Database = {
+    val f = fs(spark, root)
+    val relations = db.relations.map { case (n, rel) =>
+      rel.ext match {
+        case Extension.Dist(_) if rel.root.count > 0 =>
+          val p = objectPath(root, rel.relHash)
+          if (f.exists(new Path(p, "_SUCCESS"))) {
+            val df = spark.read.parquet(p.toString)
+              .select(rel.struct.fields.toIndexedSeq.map(fl => col(s"`${fl.name}`")): _*)
+            n -> rel.copy(ext = Extension.Dist(df), chain = 0)
+          } else n -> rel
+        case _ => n -> rel
+      }
+    }
+    db.copy(relations = relations)
+  }
+
   // ---- maintenance ----
 
   /** Relation hashes referenced by the given manifests. */
@@ -482,7 +530,13 @@ object Persist {
     * store — every mutation writes a new relation version, and without
     * collection the object directory grows with the full mutation
     * history (the reference's append-only KV store has the same
-    * unbounded-growth property; this is the knob it lacks). */
+    * unbounded-growth property; this is the knob it lacks).
+    *
+    * OFFLINE ONLY: [[saveSnapshot]] writes objects BEFORE their manifest,
+    * so gc/prune racing an active writer could collect the objects of an
+    * in-flight snapshot whose manifest has not landed yet. Run against a
+    * quiesced store (no live session on the root) — the contract
+    * [[graft.Maintenance]] documents. */
   def gc(spark: SparkSession, root: String): Either[String, Seq[String]] = {
     val f = fs(spark, root)
     // leftover temp files from interrupted atomic writes are never live

@@ -29,15 +29,42 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None,
   val cursors = new Cursors
   private var dbOpt: Option[Database] = None
 
+  // Snapshot hashes known to be fully on disk — saveSnapshot probes the
+  // filesystem per call, so an unbounded history would cost O(history)
+  // exists() round-trips per mutation without this cache.
+  private val persisted = scala.collection.mutable.Set[String]()
+
   // disk storage backend: restore the persisted session at construction
   // (reference boots its storage from config the same way, bin/server.ml:
   // 3-12); write-through happens on every successful transition below
-  for (dir <- persistDir if graft.engine.Persist.exists(spark, dir))
+  for (dir <- persistDir if graft.engine.Persist.exists(spark, dir)) {
     dbOpt = graft.engine.Persist.restoreStore(spark, dir, store)
       .fold(e => throw new IllegalStateException(s"corrupt persisted store at $dir: $e"), identity)
+    store.allSnapshots.foreach(d => persisted += d.hash)
+    dbOpt.foreach(d => persisted += d.hash)
+  }
 
+  /** Write-through + durable chain checkpoint. Only snapshots not yet
+    * known on disk are saved (one changed snapshot per transition in
+    * steady state); then the current database is re-anchored on the
+    * objects the save just wrote ([[graft.engine.Persist.reopen]]) —
+    * each Dist relation's lineage is truncated at its content-addressed
+    * parquet object, so per-save cost stays O(one mutation) instead of
+    * re-executing a plan that grows with the chain, and a JVM crash at
+    * any point loses at most the in-flight statement. */
   private def persist(): Unit =
-    persistDir.foreach(graft.engine.Persist.saveStore(spark, _, store, dbOpt))
+    for (dir <- persistDir) {
+      val fresh = (store.allSnapshots ++ dbOpt)
+        .filterNot(d => persisted.contains(d.hash)).distinctBy(_.hash)
+      fresh.foreach(graft.engine.Persist.saveSnapshot(spark, dir, _))
+      fresh.foreach(d => persisted += d.hash)
+      graft.engine.Persist.writeStoreFile(spark, dir, store, dbOpt)
+      dbOpt = dbOpt.map { d =>
+        val reopened = graft.engine.Persist.reopen(spark, dir, d)
+        store.replace(reopened)
+        reopened
+      }
+    }
 
   def db: Database = dbOpt.getOrElse(
     throw new IllegalStateException("no database; run (ddl (CreateDatabase name)) first"))

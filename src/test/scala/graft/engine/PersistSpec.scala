@@ -183,6 +183,48 @@ class PersistSpec extends SparkTestBase {
     assert(rel.df.count() === n.toLong)
   }
 
+  test("durable chain checkpoint: chain-deep mutation of a past-threshold relation survives a kill") {
+    val dir = tmpDir()
+    val n = Engine.LocalThreshold + 20000
+    val src = spark.range(n.toLong).select(org.apache.spark.sql.functions.col("id").as("x"))
+    val tmpParquet = tmpDir() + "/big.parquet"
+    src.write.parquet(tmpParquet)
+    val ext = new graft.catalog.Catalog {
+      def resolve(name: String) =
+        if (name == "bigsrc") Right(spark.read.parquet(tmpParquet))
+        else Left(s"RelationNotFound: $name")
+    }
+    val s1 = new EngineSession(spark, external = Some(ext), persistDir = Some(dir))
+    exec(s1, "(CreateDatabase g)")
+    exec(s1, "(CreateRelation (name big) (schema ((x integer))))")
+    exec(s1, "(InsertFrom (target big) (source (Base bigsrc)))")
+    // mutate past MaxPlanChain: each transition is a durable commit, so
+    // the snapshot write doubles as the chain checkpoint — lineage is
+    // re-anchored on the persisted object and chain stays 0
+    val extra = Engine.MaxPlanChain + 4
+    for (i <- 1 to extra)
+      exec(s1, s"(InsertTuple (relation big) (attributes ((x (Int ${n + i})))))")
+    val rel1 = s1.db.relations("big")
+    assert(rel1.chain === 0, "durable transition must truncate the plan chain")
+    val plan = rel1.df.queryExecution.executedPlan.toString
+    assert(plan.contains("parquet") || plan.contains("FileScan"),
+      s"expected the current plan to scan the persisted object:\n$plan")
+    val h1 = s1.db.hash
+
+    // "kill" the JVM's in-memory state: a fresh session over the same
+    // root must restore the exact state — hash, cardinality, contents
+    val s2 = new EngineSession(spark, external = Some(ext), persistDir = Some(dir))
+    assert(s2.db.hash === h1)
+    val rel2 = s2.db.relations("big")
+    assert(rel2.localRows.isEmpty && rel2.root.count === (n + extra).toLong)
+    assert(rel2.df.count() === (n + extra).toLong)
+    // the tail inserts are all present
+    import spark.implicits._
+    val tail = rel2.df.filter(org.apache.spark.sql.functions.col("x") >= n.toLong)
+      .as[Long].collect().sorted.toSeq
+    assert(tail === (1 to extra).map(i => (n + i).toLong))
+  }
+
   test("fsck verifies every object distributively and reports corruption") {
     val dir = tmpDir()
     val s1 = new EngineSession(spark, persistDir = Some(dir))
@@ -227,6 +269,18 @@ class PersistSpec extends SparkTestBase {
     assert(s2.db.hash === s1.db.hash)
     assert(s2.store.head === Some("main"))
     assert(query(s2, "(Base a)") === Seq(Seq(1L), Seq(2L)))
+  }
+
+  test("persisting a programmatically-checked domain fails loudly instead of dropping the check") {
+    // a Column=>Column check cannot be serialized; restoring it as
+    // check-free would silently admit values the domain rejects
+    val dir = tmpDir()
+    val checked = graft.types.Domain("bounded", org.apache.spark.sql.types.LongType,
+      graft.types.Cardinality.AlephZero, Some(c => c < 100))
+    val db = Database("g", scala.collection.immutable.ListMap.empty,
+      graft.types.Domain.prelude + ("bounded" -> checked), Nil, Nil, "h0")
+    val err = intercept[IllegalArgumentException] { Persist.saveSnapshot(spark, dir, db) }
+    assert(err.getMessage.contains("unpersistable domain bounded"))
   }
 
   test("constraint bodies roundtrip through the sexp renderer") {
