@@ -173,14 +173,20 @@ object Compile {
       quantJoin(db, f, v, q, b, isForall = false, wantViolations = false)
         .orElse(storedQuant(db, f, v, q, b, isForall = false, wantViolations = false))
         .map(Some(_)).getOrElse {
-        extendFrame(db, f, v, q, depth).map { case (ext, pk) =>
-          holds(db, b, ext, depth + 1) match {
-            case Some(h) =>
+        extendFrame(db, f, v, q, depth, b).map { case Extended(ext, pk, residual, _) =>
+          // theta-filtered pairs have body = false (a compilable conjunct
+          // never errors), and Exists absorbs every non-true outcome —
+          // so the parents that hold are exactly those with a surviving
+          // pair whose residual holds
+          residual.map(holds(db, _, ext, depth + 1)) match {
+            case Some(Some(h)) =>
               f.join(h.select(col(s"`$pk`").as(KeyCol)).distinct(), Seq(KeyCol), "left_semi")
-            case None =>
+            case Some(None) =>
               // body can never be Right(true); Exists absorbs non-true
               // outcomes (Eval.evaluate compares == Right(true)) → const false
               f.limit(0)
+            case None => // body fully absorbed by the theta predicate
+              f.join(ext.select(col(s"`$pk`").as(KeyCol)).distinct(), Seq(KeyCol), "left_semi")
           }
         }
       }
@@ -190,15 +196,41 @@ object Compile {
         .orElse(storedQuant(db, f, v, q, b, isForall = true, wantViolations = false))
         .map(Some(_)).getOrElse {
         for {
-          extPk <- extendFrame(db, f, v, q, depth)
-          (ext, pk) = extPk
-          h <- holds(db, b, ext, depth + 1)
-        } yield {
-          // Forall propagates body errors, so the body must be compilable;
-          // a parent fails iff SOME quantifier row makes the body not-hold
-          val failing = ext.join(h.select(col(KeyCol)).distinct(), Seq(KeyCol), "left_anti")
-          f.join(failing.select(col(s"`$pk`").as(KeyCol)).distinct(), Seq(KeyCol), "left_anti")
-        }
+          extended <- extendFrame(db, f, v, q, depth, b)
+          Extended(ext, pk, residualOpt, thetaApplied) = extended
+          totalQ = db.relations(q).root.count
+          res <-
+            if (totalQ == 0) Some(f) // vacuous
+            else {
+              // a pair dropped by the theta predicate is a body-false row,
+              // which FAILS the parent: it holds only when every q-row
+              // passed the theta (matched(p) = |q|, a duplicate-safe
+              // distinct count — no cross join needed to see the misses)
+              val base =
+                if (!thetaApplied) f
+                else {
+                  val cnt = s"${Internal}cnt"
+                  val qCols = db.relations(q).struct.fields.map(fl => col(s"`$v.${fl.name}`"))
+                  val allP = ext.groupBy(col(s"`$pk`"))
+                    .agg(countDistinct(struct(qCols.toIndexedSeq: _*)).as(cnt))
+                    .filter(col(cnt) === lit(totalQ)).select(col(s"`$pk`").as(KeyCol))
+                  f.join(allP, Seq(KeyCol), "left_semi")
+                }
+              residualOpt match {
+                case None => Some(base)
+                case Some(rb) =>
+                  // Forall propagates body errors, so the residual must be
+                  // compilable; a parent fails iff SOME surviving pair
+                  // makes the residual not-hold
+                  holds(db, rb, ext, depth + 1).map { h =>
+                    val failing =
+                      ext.join(h.select(col(KeyCol)).distinct(), Seq(KeyCol), "left_anti")
+                    base.join(failing.select(col(s"`$pk`").as(KeyCol)).distinct(),
+                      Seq(KeyCol), "left_anti")
+                  }
+              }
+            }
+        } yield res
       }
   }
 
@@ -389,13 +421,31 @@ object Compile {
     case _ => None
   }
 
-  /** Cross the frame with quantifier rows namespaced under `v.attr`
+  /** An extended frame: candidates × quantifier rows (theta-reduced),
+    * the depth-unique parent-key column, the body part still to evaluate
+    * post-join (None = fully absorbed by the theta predicate), and
+    * whether a theta predicate was applied (false = genuine cross). */
+  private final case class Extended(ext: DataFrame, pk: String,
+      residual: Option[Body], thetaApplied: Boolean)
+
+  /** Extend the frame with quantifier rows namespaced under `v.attr`
     * (reference extend_tuple, lib/constraint.ml:230-251; an inner binding
     * shadows an outer quantifier reusing the same variable). The frame's
     * key moves to a depth-unique parent-key column; the extended key is
-    * the (parent, quantifier-row) composite. None iff `q` is unbounded. */
+    * the (parent, quantifier-row) composite. None iff `q` is unbounded.
+    *
+    * The extension is a THETA join, not a cross join, whenever any part
+    * of the body compiles to a pure Column predicate ([[splitTheta]]):
+    * Catalyst lifts the predicate's equality conjuncts into hash-join
+    * keys, so `Exists e (And(MemberOf stored, v.x = parent.y))` plans as
+    * two equi-joins instead of candidates × quantifier — the difference
+    * between O(|f|·|q|) pairs and O(matches) at 100×. Pairs the predicate
+    * rejects have body = false (compilable conjuncts never error), which
+    * each quantifier's caller accounts for exactly. Only a body with no
+    * predicate-compilable part keeps the reference's documented
+    * O(∏ nᵢ) cross (docs/icl-quantification.org:438-457). */
   private def extendFrame(db: Database, f: DataFrame, v: String, q: String,
-      depth: Int): Option[(DataFrame, String)] =
+      depth: Int, body: Body): Option[Extended] =
     if (!finiteStored(db, q)) None
     else db.relations.get(q).map { qrel =>
       val pk = s"${Internal}pk$depth"
@@ -406,11 +456,43 @@ object Compile {
         .withColumnRenamed(KeyCol, pk)
       val qdf = qrel.df.withColumn(qkCol, keyOver(qrel.struct))
         .select(qAttrs.map(a => col(s"`$a`").as(s"$v.$a")) :+ col(qkCol): _*)
-      val ext = f2.crossJoin(qdf)
+      val fields = f2.schema.fields.filterNot(_.name.startsWith(Internal))
+        .map(x => x.name -> x.dataType).toMap ++
+        qrel.struct.fields.map(x => s"$v.${x.name}" -> x.dataType).toMap
+      val (thetaOpt, residual) = splitTheta(db, fields, body)
+      val joined = thetaOpt match {
+        case Some(p) => f2.join(qdf, p, "inner")
+        case None    => f2.crossJoin(qdf)
+      }
+      val ext = joined
         .withColumn(KeyCol, sha2(concat(col(s"`$pk`"), col(qkCol)), 256))
         .drop(qkCol)
-      (ext, pk)
+      Extended(ext, pk, residual, thetaOpt.nonEmpty)
     }
+
+  /** Partition a quantifier body into (theta predicate, residual body):
+    * the And-conjuncts that compile to pure Column predicates over
+    * parent + `v.attr` columns move into the extend join condition; the
+    * rest stays for post-join evaluation. A non-And body that compiles
+    * whole becomes pure theta (this happens only under variable
+    * shadowing, where [[quantJoin]] bowed out). */
+  private def splitTheta(db: Database, fields: Map[String, DataType],
+      body: Body): (Option[Column], Option[Body]) = body match {
+    case Body.And(cs) if cs.nonEmpty =>
+      val (preds, rest) = cs.partition(c => asPredicate(db, fields, c).isDefined)
+      val theta = preds.flatMap(asPredicate(db, fields, _)).reduceOption(_ && _)
+      val residual = rest match {
+        case Nil        => None
+        case one :: Nil => Some(one)
+        case many       => Some(Body.And(many))
+      }
+      (theta, residual)
+    case other =>
+      asPredicate(db, fields, other) match {
+        case Some(p) => (Some(p), None)
+        case None    => (None, Some(other))
+      }
+  }
 
   /** Resolved binding: target attr → frame column (Var) or literal
     * (Const). Unresolvable Vars are silently dropped (Eval.bind,

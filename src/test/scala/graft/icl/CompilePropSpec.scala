@@ -94,6 +94,31 @@ class CompilePropSpec extends SparkTestBase {
   private def rowsOf(rel: StoredRelation): Seq[Seq[(String, Value)]] =
     rel.df.collect().toIndexedSeq.map(r => graft.engine.Engine.rowToAttrs(rel, r))
 
+  test("And(stored MemberOf, virtual equality) under a quantifier: theta-join plan, no cartesian") {
+    // The round-4 design debt: this shape misses both quantifier fast
+    // paths (body is neither a pure predicate nor a single stored
+    // MemberOf), so it used to cross-join candidates × quantifier rows.
+    // The equality conjunct must now ride the extend join as a hash key.
+    for (mk <- Seq[(String, String, Body) => Body](Exists.apply, Forall.apply)) {
+      val body = mk("q1", "Proj", And(List(
+        MemberOf("Department", List("dept_id" -> Var("q1.dept_id"))),
+        MemberOf("natural_natural_equal",
+          List("left" -> Var("q1.dept_id"), "right" -> Var("dept_id"))))))
+      assert(Compile.compilable(distDb, body))
+      val rel = distDb.relations("Employee")
+      val viol = Compile.violations(distDb, body, rel.df)
+        .getOrElse(fail(s"violations None for $body"))
+      val plan = viol.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"quantifier body still plans a product for $mk:\n$plan")
+      // parity with the per-row evaluator on the same Dist state
+      val ctx = Runtime.context(spark, distDb)
+      val want = rowsOf(rel).filter(t => Eval.evaluate(ctx, t.toMap, body) != Right(true)).toSet
+      val got = viol.collect().toIndexedSeq.map(r => graft.engine.Engine.rowToAttrs(rel, r)).toSet
+      assert(got === want)
+    }
+  }
+
   test("compiled violations equal per-row verdicts for random bodies (Local and Dist)") {
     val prop = Prop.forAll(genBody(List("emp_id", "dept_id"), 2)) { body =>
       Compile.compilable(localDb, body) ==> {
