@@ -29,10 +29,20 @@ object Ann {
   val TopK = 3
   /** Query set: vec_id < NumQueries. */
   val NumQueries = 10
-  /** IVF coarse-quantizer size: cells seeded from the first vectors (a
-    * production quantizer would k-means; the partition/probe shape — the
-    * part that matters at scale — is identical). */
+  /** IVF coarse-quantizer size: cells seeded from the first vectors and
+    * refined by [[KMeansIters]] Lloyd rounds. */
   val NumCentroids = 8
+  /** Lloyd update rounds for the IVF coarse quantizer. 0 = untrained
+    * (cells seeded from the first vectors — the recall baseline). */
+  val KMeansIters = 2
+  /** Centroid-mean quantization: member values are scaled by 2^20 and
+    * floored BEFORE summing, so every partial sum is an exact integer in
+    * a double — the sum is order-independent and the resulting mean is
+    * bit-identical across engines (a raw double sum would depend on
+    * Spark's partial-aggregation order and could not be re-derived by
+    * the DuckDB oracle). A float32 times 2^20 is exact in double, so the
+    * only loss is the sub-2^-20 floor — noise for clustering. */
+  val CentroidQuant = 1048576.0d
   /** Within-bucket cosine threshold for embedding near-dup pairs. */
   val CosineDupThreshold = 0.4
 
@@ -107,25 +117,63 @@ object Ann {
       .select(col("vec_a"), col("vec_b"), col("sim"))
   }
 
-  /** IVF-style ANN: assign every vector to its nearest coarse-quantizer
-    * cell (centroids = the first NumCentroids vectors, broadcast), then
-    * probe only the query's own cell for the best neighbor. The probe is
-    * an equi-join on the cell id — the same bucketed shape as the LSH
-    * path, with data-adaptive cells. */
+  /** Centroid frame columns: cent_id plus ce1..ceDim doubles (a row per
+    * cell). Initial cells are the first `k` vectors, element-cast. */
+  private def initialCentroids(n: DataFrame, k: Int): DataFrame =
+    n.filter(col("vec_id") < k).select(
+      col("vec_id").as("cent_id") +:
+        (1 to Dim).map(i => element_at(col("embedding"), i).cast("double").as(s"ce$i")): _*)
+
+  /** Nearest-cell assignment: argmin ||v − c||² = (v·v + c·c) − 2·(v·c),
+    * ties by cent_id. The c·c and v·c chains are left-associated exactly
+    * like the oracle's SQL chains, so the dist2 doubles — and therefore
+    * the argmin — are bit-identical across engines. Returns (vec_id,
+    * cell). */
+  private def assignCells(n: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = n.sparkSession
+    val cc = (1 to Dim).map(i => col(s"ce$i") * col(s"ce$i")).reduce(_ + _)
+    val vc = (1 to Dim).map(i => element_at(col("embedding"), i).cast("double") * col(s"ce$i"))
+      .reduce(_ + _)
+    val dist2 = (dot(ss, col("embedding"), col("embedding")) + cc) - (lit(2.0) * vc)
+    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cent_id"))
+    n.join(broadcast(cents)).withColumn("dist2", dist2)
+      .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+  }
+
+  /** Lloyd update: per-cell per-dimension quantized mean (see
+    * [[CentroidQuant]] for why the sum is exact and order-independent).
+    * A cell that lost all members drops out — the standard Lloyd
+    * degeneracy, deterministic on both engines. */
+  private def updateCentroids(n: DataFrame, asg: DataFrame): DataFrame = {
+    val joined = n.join(asg, Seq("vec_id"))
+    val sums = (1 to Dim).map(i =>
+      sum(floor(element_at(col("embedding"), i).cast("double") * lit(CentroidQuant))).as(s"s$i"))
+    val aggs = sums :+ count(lit(1)).as("__cnt")
+    joined.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+      .select(col("cell").as("cent_id") +:
+        (1 to Dim).map(i => ((col(s"s$i") / col("__cnt")) / lit(CentroidQuant)).as(s"ce$i")): _*)
+  }
+
+  /** IVF ANN with a trained coarse quantizer: cells seeded from the
+    * first `numCentroids` vectors, refined by `iters` Lloyd rounds
+    * (assignment + quantized-mean update, all cross-engine
+    * deterministic), then each query probes only its own cell for the
+    * best cosine neighbor. Assignment is a broadcast join against ≤k
+    * centroid rows + one shuffle per round for the window/update —
+    * the standard distributed-Lloyd shape; the probe stays the bucketed
+    * equi-join on the cell id. `iters = 0` reproduces the untrained
+    * first-N quantizer (the recall baseline the spec compares against). */
   def ivfTopK(embeddings: DataFrame, numCentroids: Int = NumCentroids,
-      numQueries: Int = NumQueries): DataFrame = {
+      numQueries: Int = NumQueries, iters: Int = KMeansIters): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ss = embeddings.sparkSession
     val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
-    val cents = broadcast(n.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce")))
-    // coarse quantization: argmin ||v − c||² = (v·v + c·c) − 2·(v·c)
-    val dist2 = (dot(ss, col("embedding"), col("embedding")) + dot(ss, col("ce"), col("ce"))) -
-      (lit(2.0) * dot(ss, col("embedding"), col("ce")))
-    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cent_id"))
-    val assigned = n.join(cents).withColumn("dist2", dist2)
-      .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    var cents = initialCentroids(n, numCentroids)
+    for (_ <- 1 to iters)
+      cents = updateCentroids(n, assignCells(n, cents))
+    val assigned = n.join(assignCells(n, cents), Seq("vec_id"))
     val q = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cell"))

@@ -416,6 +416,22 @@ class PipelineSpec extends SparkTestBase {
     assert(strict == Set((10L, 1L)))
   }
 
+  test("trained IVF quantizer: recall@1 at least matches the untrained first-N baseline") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Ann.cosineTopK(vecs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recallAt1(iters: Int): Double = {
+      val got = Ann.ivfTopK(vecs, iters = iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exact.count { case (q, nn) => got.get(q).contains(nn) }.toDouble / exact.size
+    }
+    val untrained = recallAt1(0)
+    val trained = recallAt1(Ann.KMeansIters)
+    info(s"IVF recall@1 on testdata queries: untrained=$untrained trained=$trained")
+    assert(trained >= untrained,
+      s"Lloyd training degraded recall: $trained < $untrained")
+  }
+
   test("ANN tunables: plane count reshapes buckets, centroid count reshapes cells") {
     val vecs = (0L until 32L).map(i =>
       (i, Array.tabulate(Ann.Dim)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))).toDF("vec_id", "embedding")
