@@ -51,6 +51,7 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
     // best-of-2 timed passes: the minimum is the standard noise-robust
     // steady-state statistic (host-level scheduling jitter only ever
@@ -58,8 +59,15 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        val t = try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"; None }
+        // drop this pass's persisted frames OUTSIDE the timing window: a
+        // query re-persists its own caches per execution, so leftovers
+        // only steal executor memory from later queries (the r4 bench
+        // showed icl_fk_bulk 2x slower in-suite than isolated for
+        // exactly this reason) — each query is measured fresh-state
+        spark.catalog.clearCache()
+        t
       }
       // a query with at least one timed pass is reported by its time, not
       // as an error — the JSON must never carry both for one query

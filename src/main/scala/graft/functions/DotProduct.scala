@@ -9,8 +9,9 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
-/** Native Catalyst expression: Σ a[i]·b[i] over two float-array columns,
-  * accumulated left-to-right in double.
+/** Native Catalyst expression: Σ a[i]·b[i] over two array columns
+  * (float or double elements, independently per side), accumulated
+  * left-to-right in double.
   *
   * This is the custom-Expression tier of the extension ladder (compose >
   * Expression > custom plan > mapPartitions): the interpreted path and
@@ -32,20 +33,35 @@ final case class DotProduct(left: Expression, right: Expression) extends BinaryE
     * surface as missing similarities, not plausible-but-wrong ones. */
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
-    case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"graft_dot expects two array<float> arguments, got ${l.simpleString(10)} and ${r.simpleString(10)}")
+  private def elementType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elementType(left.dataType), elementType(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot expects two array<float|double> arguments, got " +
+          s"${left.dataType.simpleString(10)} and ${right.dataType.simpleString(10)}")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (y.numElements() != n) return null
+    val xd = left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+    val yd = right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      val xe = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val ye = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+      s += xe * ye
+      i += 1
+    }
     s
   }
 
@@ -54,6 +70,10 @@ final case class DotProduct(left: Expression, right: Expression) extends BinaryE
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      def elem(arr: String, dt: DataType): String = dt match {
+        case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
+        case _                        => s"((double) $arr.getFloat($i))"
+      }
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -61,7 +81,7 @@ final case class DotProduct(left: Expression, right: Expression) extends BinaryE
          |} else {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |    $s += ${elem(a, left.dataType)} * ${elem(b, right.dataType)};
          |  }
          |  ${ev.value} = $s;
          |}

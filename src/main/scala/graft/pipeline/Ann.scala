@@ -117,29 +117,31 @@ object Ann {
       .select(col("vec_a"), col("vec_b"), col("sim"))
   }
 
-  /** Centroid frame columns: cent_id plus ce1..ceDim doubles (a row per
-    * cell). Initial cells are the first `k` vectors, element-cast. */
-  private def initialCentroids(n: DataFrame, k: Int): DataFrame =
-    n.filter(col("vec_id") < k).select(
-      col("vec_id").as("cent_id") +:
-        (1 to Dim).map(i => element_at(col("embedding"), i).cast("double").as(s"ce$i")): _*)
+  /** Centroid frame: (cent_id, ce array<double>, cc = ce·ce). Initial
+    * cells are the first `k` vectors, element-cast (exact). cc rides the
+    * frame so the per-pair dist² needs one fused dot, not two. */
+  private def initialCentroids(n: DataFrame, k: Int): DataFrame = {
+    val ss = n.sparkSession
+    n.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"),
+        col("embedding").cast("array<double>").as("ce"))
+      .withColumn("cc", dot(ss, col("ce"), col("ce")))
+  }
 
   /** Nearest-cell assignment: argmin ||v − c||² = (v·v + c·c) − 2·(v·c),
-    * ties by cent_id. The c·c and v·c chains are left-associated exactly
-    * like the oracle's SQL chains, so the dist2 doubles — and therefore
-    * the argmin — are bit-identical across engines. Returns (vec_id,
+    * ties by cent_id via one min(struct) hash aggregate — no sort. The
+    * fused dot loops accumulate in element order, bit-identical to the
+    * oracle's left-associated SQL chains, so the dist2 doubles — and
+    * therefore the argmin — agree across engines. Returns (vec_id,
     * cell). */
   private def assignCells(n: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ss = n.sparkSession
-    val cc = (1 to Dim).map(i => col(s"ce$i") * col(s"ce$i")).reduce(_ + _)
-    val vc = (1 to Dim).map(i => element_at(col("embedding"), i).cast("double") * col(s"ce$i"))
-      .reduce(_ + _)
-    val dist2 = (dot(ss, col("embedding"), col("embedding")) + cc) - (lit(2.0) * vc)
-    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cent_id"))
+    val dist2 = (dot(ss, col("embedding"), col("embedding")) + col("cc")) -
+      (lit(2.0) * dot(ss, col("embedding"), col("ce")))
     n.join(broadcast(cents)).withColumn("dist2", dist2)
-      .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist2"), col("cent_id"))).as("__m"))
+      .select(col("vec_id"), col("__m.cent_id").as("cell"))
   }
 
   /** Lloyd update: per-cell per-dimension quantized mean (see
@@ -147,13 +149,15 @@ object Ann {
     * A cell that lost all members drops out — the standard Lloyd
     * degeneracy, deterministic on both engines. */
   private def updateCentroids(n: DataFrame, asg: DataFrame): DataFrame = {
+    val ss = n.sparkSession
     val joined = n.join(asg, Seq("vec_id"))
     val sums = (1 to Dim).map(i =>
       sum(floor(element_at(col("embedding"), i).cast("double") * lit(CentroidQuant))).as(s"s$i"))
     val aggs = sums :+ count(lit(1)).as("__cnt")
     joined.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
-      .select(col("cell").as("cent_id") +:
-        (1 to Dim).map(i => ((col(s"s$i") / col("__cnt")) / lit(CentroidQuant)).as(s"ce$i")): _*)
+      .select(col("cell").as("cent_id"),
+        array((1 to Dim).map(i => (col(s"s$i") / col("__cnt")) / lit(CentroidQuant)): _*).as("ce"))
+      .withColumn("cc", dot(ss, col("ce"), col("ce")))
   }
 
   /** IVF ANN with a trained coarse quantizer: cells seeded from the
@@ -171,8 +175,15 @@ object Ann {
     val ss = embeddings.sparkSession
     val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
     var cents = initialCentroids(n, numCentroids)
-    for (_ <- 1 to iters)
-      cents = updateCentroids(n, assignCells(n, cents))
+    for (_ <- 1 to iters) {
+      val updated = updateCentroids(n, assignCells(n, cents))
+      // materialize the round's centroids on the driver — a bounded
+      // k × Dim doubles table (like Packing's per-partition totals) —
+      // so each Lloyd round executes exactly once; left lazy, every
+      // downstream reference would re-derive the whole training chain
+      cents = ss.createDataFrame(
+        java.util.Arrays.asList(updated.collect(): _*), updated.schema)
+    }
     val assigned = n.join(assignCells(n, cents), Seq("vec_id"))
     val q = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
