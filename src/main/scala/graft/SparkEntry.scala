@@ -144,6 +144,28 @@ object SparkEntry {
       "(InsertFrom (target big_orders) (source (Project (o_orderkey o_totalprice) (Select (Const ((o_orderstatus (Str P)))) (Base orders)))))",
       "(Assign (target big_orders) (body (Project (o_orderkey o_totalprice) (Select (Const ((o_orderstatus (Str F)))) (Base orders)))))",
     ), "(Base big_orders)"),
+    // Rational fidelity: attribute values of the rational domain are
+    // floats — the reference compares them as float (lib/prelude/
+    // domains.ml:101-102) and hashes/renders the float value
+    // (lib/conventions.ml:27-41); the num/den pair schema exists only in
+    // the domain's GENERATOR, which system.ml:58-67 never registers as a
+    // queryable relation. This row pins the observable surface: the
+    // engine's content hash over engine-stored rational tuples is
+    // re-derived by the oracle from the documented canonical encoding.
+    "dml_rational_hash" -> ((s, dir) => {
+      val session = new graft.server.EngineSession(s, Some(new ParquetCatalog(s, dir)))
+      Seq(
+        "(CreateDatabase g)",
+        "(CreateRelation (name priced) (schema ((item integer) (price rational))))",
+        "(InsertTuple (relation priced) (attributes ((item (Int 1)) (price (Float 10.5)))))",
+        "(InsertTuple (relation priced) (attributes ((item (Int 2)) (price (Float -2.75)))))",
+        "(InsertTuple (relation priced) (attributes ((item (Int 3)) (price (Float 4.0)))))",
+        "(InsertTuple (relation priced) (attributes ((item (Int 4)) (price (Float 0.25)))))",
+      ).foreach(t => session.execute(t).fold(
+        e => throw new IllegalArgumentException(s"$t -> $e"), identity))
+      val rel = session.db.relations("priced")
+      rel.df.withColumn("content_hash", rel.rowHash)
+    }),
     "ddl_catalog" -> script(Seq(
       "(CreateDatabase g)",
       "(CreateRelation (name region_copy) (schema ((r_regionkey integer) (r_name string))))",
@@ -519,6 +541,16 @@ object SparkEntry {
     "dml_assign" ->
       ("SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice " +
         "FROM orders WHERE o_orderstatus = 'F'"),
+    // re-derives the engine's canonical tuple encoding + sha-256 over
+    // rational (float-valued) attributes; the .25-grid literals render
+    // identically as doubles in Spark and DuckDB
+    "dml_rational_hash" ->
+      ("""WITH t(item, price) AS (VALUES (CAST(1 AS BIGINT), CAST(10.5 AS DOUBLE)), """ +
+        """(2, -2.75), (3, 4.0), (4, 0.25)), """ +
+        """e AS (SELECT item, price, 'priced|item:i:' || octet_length(encode(item::VARCHAR)) """ +
+        """|| ':' || item::VARCHAR || ';price:f:' || octet_length(encode(price::VARCHAR)) """ +
+        """|| ':' || price::VARCHAR AS enc FROM t) """ +
+        """SELECT item, price, sha256(enc) AS content_hash FROM e"""),
     "ddl_catalog" ->
       ("SELECT * FROM (VALUES ('sakura:relation'),('sakura:domain'),('sakura:attribute')," +
         "('sakura:constraint'),('sakura:on'),('sakura:timing'),('region_copy')) t(name)"),

@@ -92,8 +92,19 @@ object Domain {
   /** The four prelude domains (reference lib/prelude/domains.ml:23,47,75,105). */
   val integer: Domain = Domain("integer", LongType, Cardinality.AlephZero)
   val natural: Domain = Domain("natural", LongType, Cardinality.AlephZero, Some(c => c >= 0))
-  /** rational: reference stores numerator/denominator pairs but compares as
-    * float (lib/prelude/domains.ml:101-102); we use Double (SURVEY §1.2). */
+  /** rational → Double (SURVEY §1.2). Adjudication of the apparent
+    * num/den-pair representation: in the reference, ATTRIBUTE VALUES of
+    * the rational domain are floats — compared as float
+    * (lib/prelude/domains.ml:101-102: `Obj.magic a : float`) and
+    * rendered/hashed through the float tag (lib/conventions.ml:27-41).
+    * The numerator/denominator pair schema belongs only to the domain's
+    * enumeration GENERATOR (domains.ml:75-100), and system.ml:58-67
+    * registers only the ten standard virtual relations — the rational
+    * generator is never exposed as a queryable relation, so the pair
+    * form is unreachable from every query/DML/hash surface. Double is
+    * therefore the faithful mapping, pinned by the dml_rational_hash
+    * oracle (DuckDB re-derives engine tuple hashes over rational
+    * values) and EngineSpec's comparator cases. */
   val rational: Domain = Domain("rational", DoubleType, Cardinality.AlephZero)
   val string: Domain = Domain("string", StringType, Cardinality.AlephZero)
   val boolean: Domain = Domain("boolean", BooleanType, Cardinality.Finite(2))

@@ -148,4 +148,41 @@ class EngineSpec extends SparkTestBase {
     assert(Engine.createRelation(spark, db, "products", productsSchema)
       .left.exists(_.startsWith("RelationAlreadyExists")))
   }
+
+  test("rational attributes carry float comparator/identity semantics (domains.ml:101-102)") {
+    // the reference compares rational ATTRIBUTE VALUES as floats and
+    // hashes the float rendering; the num/den pair form lives only in
+    // the never-registered domain generator (see Domain.rational's
+    // adjudication note)
+    val schema = RelSchema(List("item" -> "integer", "price" -> "rational"))
+    var db = Engine.createRelation(spark, freshDb, "priced", schema).fold(e => fail(e), identity)
+    db = Engine.createTuples(spark, db, "priced", Seq(
+      Seq("item" -> Value.IntV(1), "price" -> Value.FloatV(10.5)),
+      Seq("item" -> Value.IntV(2), "price" -> Value.FloatV(-2.75)),
+    )).fold(e => fail(e), identity)
+    // identity IS the double value: re-inserting an equal float is a dup
+    val dup = Engine.createTuple(spark, db, "priced",
+      Seq("item" -> Value.IntV(1), "price" -> Value.FloatV(10.5)))
+    assert(dup.left.exists(_.startsWith("DuplicateTuple")), s"got $dup")
+    // a float-distinguishable value is a distinct tuple
+    db = Engine.createTuple(spark, db, "priced",
+      Seq("item" -> Value.IntV(1), "price" -> Value.FloatV(10.500001)))
+      .fold(e => fail(e), identity)
+    assert(db.relations("priced").cardinality == 3)
+    // the non-rational type is rejected by membership criteria
+    val bad = Engine.createTuple(spark, db, "priced",
+      Seq("item" -> Value.IntV(9), "price" -> Value.StrV("ten")))
+    assert(bad.isLeft)
+    // comparisons over the column order as doubles (the float comparator)
+    val sorted = db.relations("priced").df.orderBy(org.apache.spark.sql.functions.col("price"))
+      .collect().map(_.getDouble(1)).toSeq
+    assert(sorted == sorted.sorted)
+    // driver hash = executor hash over the float rendering (the identity
+    // dml_rational_hash's oracle re-derives in DuckDB)
+    val rel = db.relations("priced")
+    val hashed = rel.df.withColumn("h", rel.rowHash).collect()
+      .map(r => graft.hashing.Hashing.tupleHash("priced",
+        Engine.rowToAttrs(rel, r)) == r.getString(2))
+    assert(hashed.forall(identity))
+  }
 }
