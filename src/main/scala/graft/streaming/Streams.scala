@@ -25,7 +25,8 @@ object Streams {
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
-  final case class Session(user_id: Long, n_events: Long, duration_ms: Long, total_value: Double)
+  final case class Session(user_id: Long, start_ms: Long, n_events: Long,
+      duration_ms: Long, total_value: Double)
 
   /** Tumbling-window counts per event type with a watermark: late rows
     * beyond the watermark are dropped and window state is reclaimed. */
@@ -97,7 +98,7 @@ object Streams {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val out = state.getOption.map(s =>
-              Session(userId, s.n, s.last - s.start, s.total)).iterator
+              Session(userId, s.start, s.n, s.last - s.start, s.total)).iterator
             state.remove()
             out
           } else {
@@ -108,7 +109,7 @@ object Streams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last > gapMs =>
-                  completed += Session(userId, s.n, s.last - s.start, s.total)
+                  completed += Session(userId, s.start, s.n, s.last - s.start, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(s) =>
                   cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1, total = s.total + e.value))

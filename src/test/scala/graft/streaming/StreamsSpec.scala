@@ -61,8 +61,8 @@ class StreamsSpec extends SparkTestBase {
       source.addData(ev(5, 1000, 1, "click", 4.0))
       q.processAllAvailable()
       val afterGap = spark.table("sessions").as[Session].collect().toSet
-      assert(afterGap.contains(Session(1L, 3L, 19000L, 6.0)))
-      assert(afterGap.contains(Session(2L, 1L, 0L, 9.0)))
+      assert(afterGap.contains(Session(1L, 1000L, 3L, 19000L, 6.0)))
+      assert(afterGap.contains(Session(2L, 5000L, 1L, 0L, 9.0)))
       assert(afterGap.size == 2) // user 1's new session (t=1000) is still open
     } finally q.stop()
   }
