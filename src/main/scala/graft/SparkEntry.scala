@@ -411,6 +411,11 @@ object SparkEntry {
       graft.pipeline.Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text")),
     "text_token_stats" -> ((s, dir) =>
       graft.pipeline.TextPipeline.tokenStats(table(s, dir, "documents"), "doc_id", "text")),
+    // the same statistics under the unicode-word (BPE-style pre-token)
+    // tokenizer — punctuation splits, letter/digit runs stay whole
+    "text_token_stats_unicode" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.tokenStats(table(s, dir, "documents"), "doc_id", "text",
+        graft.pipeline.TextPipeline.Tokenizer.UnicodeWords)),
     "text_quality" -> ((s, dir) =>
       graft.pipeline.TextPipeline.quality(table(s, dir, "documents"), "doc_id", "text")),
     "text_langid" -> ((s, dir) =>
@@ -634,6 +639,8 @@ object SparkEntry {
     "dedup_simhash" -> graft.pipeline.Oracles.dedupSimhash,
     "dedup_simhash_pairs" -> graft.pipeline.Oracles.dedupSimhashPairs,
     "text_token_stats" -> graft.pipeline.Oracles.textTokenStats,
+    "text_token_stats_unicode" -> graft.pipeline.Oracles.textTokenStatsWith(
+      graft.pipeline.TextPipeline.Tokenizer.UnicodeWords),
     "text_quality" -> graft.pipeline.Oracles.textQuality,
     "text_langid" -> graft.pipeline.Oracles.textLangId,
     "text_fingerprint" -> graft.pipeline.Oracles.textFingerprint,

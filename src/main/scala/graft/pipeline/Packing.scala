@@ -34,12 +34,13 @@ object Packing {
   val Capacity = 256L
 
   def pack(df: DataFrame, idCol: String, textCol: String,
-      capacity: Long = Capacity): DataFrame = {
+      capacity: Long = Capacity,
+      tokenizer: TextPipeline.Tokenizer = TextPipeline.Tokenizer.Whitespace): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val spark = df.sparkSession
     val counted = df.select(
       col(idCol).cast("long").as(idCol),
-      size(TextPipeline.tokens(col(textCol))).cast("long").as("n_tokens"))
+      size(TextPipeline.tokens(col(textCol), tokenizer)).cast("long").as("n_tokens"))
 
     // Range-partition by id so partition order == id order, then persist:
     // the per-partition totals and the windowed second pass MUST see the

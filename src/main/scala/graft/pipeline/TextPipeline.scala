@@ -18,8 +18,37 @@ import org.apache.spark.sql.functions._
   */
 object TextPipeline {
 
-  /** Whitespace tokenization of trimmed text. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Tokenization strategy, single-sourced for the Spark plan AND the
+    * DuckDB oracle SQL (so the two sides cannot drift). Both variants
+    * stay pure Column expressions — codegen'd narrow maps, no UDFs. */
+  sealed trait Tokenizer {
+    /** The token array as a Column expression. */
+    def of(text: Column): Column
+    /** The same tokenization as a DuckDB expression over `textExpr`. */
+    def duck(textExpr: String): String
+  }
+  object Tokenizer {
+    /** Split on whitespace runs — the classic corpus-stats tokenizer.
+      * Quirk (shared by both engines via split-semantics parity): an
+      * empty/whitespace-only text yields [""], one empty token. */
+    case object Whitespace extends Tokenizer {
+      def of(text: Column): Column = split(trim(text), "\\s+")
+      def duck(e: String): String = s"regexp_split_to_array(trim($e), '\\s+')"
+    }
+    /** Unicode letter/digit runs — the BPE-style pre-tokenizer shape:
+      * punctuation splits, diacritics and non-Latin scripts stay inside
+      * tokens. `\p{L}\p{N}` classes are shared by Java regex (Spark) and
+      * RE2 (DuckDB). An all-symbol text yields zero tokens. */
+    case object UnicodeWords extends Tokenizer {
+      def of(text: Column): Column =
+        regexp_extract_all(text, lit("[\\p{L}\\p{N}]+"), lit(0))
+      def duck(e: String): String = s"regexp_extract_all($e, '[\\p{L}\\p{N}]+')"
+    }
+  }
+
+  /** Tokenization of trimmed text under the given strategy. */
+  def tokens(text: Column, tokenizer: Tokenizer = Tokenizer.Whitespace): Column =
+    tokenizer.of(text)
 
   /** Distinct word n-gram shingles (n=3): the standard near-dup unit for
     * MinHash/Jaccard (shingling per Broder '97). Guarded so texts shorter
@@ -64,13 +93,17 @@ object TextPipeline {
 
   /** Token counting statistics: counts + type-token ratio. One map stage;
     * counts surfaced as long (the oracle engine's count type). */
-  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = tokens(col(textCol))
+  def tokenStats(df: DataFrame, idCol: String, textCol: String,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val ws = tokens(col(textCol), tokenizer)
     df.select(
       col(idCol),
       size(ws).cast("long").as("n_tokens"),
       size(array_distinct(ws)).cast("long").as("n_distinct"),
-      round(size(array_distinct(ws)).cast("double") / size(ws), 4).as("ttr"))
+      // a zero-token doc (possible under UnicodeWords) yields NULL, the
+      // same as DuckDB's x/0 — never an ANSI divide-by-zero error
+      round(when(size(ws) > 0,
+        size(array_distinct(ws)).cast("double") / size(ws)), 4).as("ttr"))
   }
 
   /** Language-profile stopword lists for the lang-ID heuristic. Tiny,
@@ -108,16 +141,22 @@ object TextPipeline {
 
   /** Quality scoring from length/stopword/token-shape statistics — pure
     * rational arithmetic (cross-engine safe), one map stage. */
-  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def quality(df: DataFrame, idCol: String, textCol: String,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val t = trim(col(textCol))
-    val toks = tokens(col(textCol))
+    val toks = tokens(col(textCol), tokenizer)
     df.select(
       col(idCol),
       length(t).cast("long").as("n_chars"),
       size(toks).cast("long").as("n_tokens"),
-      round(stopwordCount(toks, LangProfiles.head._2).cast("double") / size(toks), 4).as("stop_ratio"),
-      round(length(regexp_replace(t, "[a-z0-9 ]", "")).cast("double") / length(t), 4).as("punct_ratio"),
-      round(length(regexp_replace(t, " ", "")).cast("double") / size(toks), 4).as("mean_tok_len"))
+      // zero-token / zero-char docs yield NULL ratios (DuckDB x/0
+      // parity), never an ANSI divide-by-zero error
+      round(when(size(toks) > 0,
+        stopwordCount(toks, LangProfiles.head._2).cast("double") / size(toks)), 4).as("stop_ratio"),
+      round(when(length(t) > 0,
+        length(regexp_replace(t, "[a-z0-9 ]", "")).cast("double") / length(t)), 4).as("punct_ratio"),
+      round(when(size(toks) > 0,
+        length(regexp_replace(t, " ", "")).cast("double") / size(toks)), 4).as("mean_tok_len"))
       .withColumn("score",
         round(lit(0.6) * col("stop_ratio")
           + lit(0.04) * least(col("mean_tok_len"), lit(10.0))
@@ -158,9 +197,10 @@ object TextPipeline {
     * is orderBy+limit — Spark's TakeOrderedAndProject, a per-partition
     * heap + driver merge of k·partitions rows, never a global sort.
     * Ties break deterministically (total desc, token asc). */
-  def vocab(df: DataFrame, idCol: String, textCol: String, topK: Int = 100): DataFrame = {
+  def vocab(df: DataFrame, idCol: String, textCol: String, topK: Int = 100,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val perDoc = Dedup.balanced(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .select(col(idCol), explode(tokens(col(textCol), tokenizer)).as("token"))
       .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf_doc"))
     perDoc.groupBy(col("token"))
       .agg(sum(col("tf_doc")).as("tf"), count(lit(1)).as("df"))

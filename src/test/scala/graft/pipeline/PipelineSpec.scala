@@ -416,6 +416,23 @@ class PipelineSpec extends SparkTestBase {
     assert(strict == Set((10L, 1L)))
   }
 
+  test("unicode-word tokenizer: punctuation splits, diacritics and digits stay inside tokens") {
+    val d = Seq((0L, "Hello, wörld 42—done!"), (1L, "...!!!")).toDF("doc_id", "text")
+    val uni = TextPipeline.Tokenizer.UnicodeWords
+    val r = TextPipeline.tokenStats(d, "doc_id", "text", uni).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(0L) == ((4L, 4L))) // Hello | wörld | 42 | done
+    assert(r(1L) == ((0L, 0L))) // all-symbol text: zero tokens
+    // whitespace tokenizer sees 3 raw chunks for doc 0 (punct attached)
+    val ws = TextPipeline.tokenStats(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(ws(0L) == 3L)
+    // packing under the alternate tokenizer counts the same tokens
+    val packed = Packing.pack(d, "doc_id", "text", capacity = 8, tokenizer = uni)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(packed(0L) == 4L && packed(1L) == 0L)
+  }
+
   test("trained IVF quantizer: recall@1 at least matches the untrained first-N baseline") {
     val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val exact = Ann.cosineTopK(vecs, k = 1).collect()
