@@ -403,6 +403,16 @@ object SparkEntry {
       graft.pipeline.Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text")),
     "dedup_clusters" -> ((s, dir) =>
       graft.pipeline.Dedup.nearDupClusters(table(s, dir, "documents"), "doc_id", "text")),
+    // keeper selection per cluster: highest quality wins, ties by id
+    "dedup_canonical" -> ((s, dir) =>
+      graft.pipeline.Dedup.canonicalKeepers(table(s, dir, "documents"), "doc_id", "text")),
+    // PII redaction over the fixed fixture (a pure Java-vs-RE2 regex
+    // parity check — the corpus itself carries no PII)
+    "text_redact" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.TextPipeline.redact(
+        graft.pipeline.TextPipeline.RedactionFixture.toDF("doc_id", "text"), "doc_id", "text")
+    }),
     "split_assign" -> ((s, dir) =>
       graft.pipeline.Splits.hashSplit(table(s, dir, "documents"), "doc_id")),
     "dedup_simhash" -> ((s, dir) =>
@@ -635,6 +645,8 @@ object SparkEntry {
     "dedup_minhash_pairs" -> graft.pipeline.Oracles.dedupMinhashPairs,
     "dedup_jaccard_pairs" -> graft.pipeline.Oracles.dedupJaccardPairs(0.2),
     "dedup_clusters" -> graft.pipeline.Oracles.dedupClusters,
+    "dedup_canonical" -> graft.pipeline.Oracles.dedupCanonical,
+    "text_redact" -> graft.pipeline.Oracles.textRedact,
     "split_assign" -> graft.pipeline.Oracles.splitAssign,
     "dedup_simhash" -> graft.pipeline.Oracles.dedupSimhash,
     "dedup_simhash_pairs" -> graft.pipeline.Oracles.dedupSimhashPairs,

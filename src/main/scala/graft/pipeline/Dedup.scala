@@ -287,6 +287,29 @@ object Dedup {
     clustersFromPairs(df.select(col(idCol)), nearDupPairs(df, idCol, textCol, cfg),
       idCol, maxIter)
 
+  /** Canonical-keeper selection — the curation step AFTER clustering: for
+    * each near-dup cluster keep the highest-quality member (ties by
+    * smallest id), reporting the cluster size. "Keep the best copy, drop
+    * the rest" is the standard dedup policy for training corpora (keeping
+    * min-id instead silently prefers whichever shard was crawled first).
+    *
+    * Shape: clusters (the hybrid component labeling) ⋈ per-doc quality
+    * scores, then ONE min(struct) hash aggregate per cluster — argmax by
+    * (score desc, id asc) with no window sort. */
+  def canonicalKeepers(df: DataFrame, idCol: String, textCol: String,
+      cfg: LshConfig = LshConfig()): DataFrame = {
+    val clusters = nearDupClusters(df, idCol, textCol, cfg)
+    val scored = TextPipeline.quality(df, idCol, textCol)
+      .select(col(idCol), col("score"))
+    clusters.join(scored, Seq(idCol))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(struct((-col("score")).as("ns"), col(idCol).as("id"))).as("__m"))
+      .select(col("cluster_id"), col("__m.id").as("keeper_id"),
+        col("n_members"), (-col("__m.ns")).as("keeper_score"))
+  }
+
   /** Connected components by Pregel-style min-label propagation over the
     * pair-TOUCHED subgraph only: nodes with no near-dup edge (the vast
     * majority of a real corpus) never enter the loop and are joined back

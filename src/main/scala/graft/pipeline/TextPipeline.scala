@@ -208,6 +208,47 @@ object TextPipeline {
       .limit(topK)
   }
 
+  /** PII redaction patterns: (name, regex, replacement), applied in
+    * order — emails first, then IPv4 (before the phone pattern, which a
+    * dotted quad also matches), then phone-like digit runs. The regex
+    * constructs here (\d, \b, classes, bounded repetition) behave
+    * identically under Java regex (Spark) and RE2 (DuckDB), which is
+    * what lets [[Oracles.textRedact]] replay redaction verbatim. */
+  val RedactionPatterns: Seq[(String, String, String)] = Seq(
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phones", "\\+?\\(?\\d[\\d().-]{5,}\\d", "<PHONE>"),
+  )
+
+  /** Fixed PII-laden corpus driving the cross-engine redaction oracle:
+    * the SAME literals feed the Spark frame and the oracle's VALUES, so
+    * the oracle checks Java-vs-RE2 regex semantics, not data plumbing. */
+  val RedactionFixture: Seq[(Long, String)] = Seq(
+    1L -> "contact me at jane.doe+spam@example.co.uk or at work",
+    2L -> "server 10.0.0.1 and 192.168.1.255 timed out",
+    3L -> "call +1-800-555-0199 or (212)555-0142 now",
+    4L -> "mixed: bob@test.io from 172.16.254.3 dialed 415.555.0123",
+    5L -> "clean text with no identifiers at all",
+  )
+
+  /** PII redaction: sequentially replace each [[RedactionPatterns]]
+    * match with its placeholder, reporting a per-pattern match count
+    * (counted on the text as that step sees it, i.e. post-prior-steps).
+    * One codegen'd narrow map — no UDFs, no shuffle; at 100 TB this is
+    * a pure scan-side rewrite. */
+  def redact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val start = df.select(col(idCol), col(textCol).as("__t0"))
+    val stepped = RedactionPatterns.zipWithIndex.foldLeft(start) {
+      case (d, ((name, pat, repl), i)) =>
+        d.withColumn(s"n_$name",
+            size(regexp_extract_all(col(s"__t$i"), lit(pat), lit(0))).cast("long"))
+          .withColumn(s"__t${i + 1}", regexp_replace(col(s"__t$i"), pat, repl))
+    }
+    stepped.select(col(idCol) +:
+      col(s"__t${RedactionPatterns.length}").as("redacted") +:
+      RedactionPatterns.map { case (name, _, _) => col(s"n_$name") }: _*)
+  }
+
   /** Document fingerprinting: full-content md5 over the normalized text
     * (lowercase, whitespace collapsed) plus a winnowing-style min-shingle
     * hash — the rolling-hash minimum used by near-dup sketchers. */

@@ -416,6 +416,36 @@ class PipelineSpec extends SparkTestBase {
     assert(strict == Set((10L, 1L)))
   }
 
+  test("PII redaction replaces emails, IPv4s, and phone runs; clean text is untouched") {
+    import TextPipeline.RedactionFixture
+    val r = TextPipeline.redact(RedactionFixture.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getString(1) == "contact me at <EMAIL> or at work")
+    assert(r(2L).getString(1) == "server <IP> and <IP> timed out")
+    assert(r(3L).getString(1) == "call <PHONE> or <PHONE> now")
+    assert(r(4L).getString(1) == "mixed: <EMAIL> from <IP> dialed <PHONE>")
+    assert(r(5L).getString(1) == RedactionFixture.toMap.apply(5L)) // untouched
+    // per-pattern counts (emails, ipv4, phones)
+    assert((r(4L).getLong(2), r(4L).getLong(3), r(4L).getLong(4)) == ((1L, 1L, 1L)))
+    assert((r(2L).getLong(2), r(2L).getLong(3), r(2L).getLong(4)) == ((0L, 2L, 0L)))
+  }
+
+  test("canonical keepers: highest quality wins within a cluster, ties break by id") {
+    // docs 0, 1, 3 cluster together (near/exact dups); 2 and 4 are singletons
+    val got = Dedup.canonicalKeepers(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set(0L, 2L, 4L))
+    val (keeper, n) = got(0L)
+    assert(n == 3L)
+    // quality is identical for the exact dups 0 and 3 → keeper ties to
+    // the smaller id among the argmax set
+    val q = TextPipeline.quality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    val best = Seq(0L, 1L, 3L).maxBy(id => (q(id), -id))
+    assert(keeper == best)
+    assert(got(2L) == ((2L, 1L)) && got(4L) == ((4L, 1L)))
+  }
+
   test("unicode-word tokenizer: punctuation splits, diacritics and digits stay inside tokens") {
     val d = Seq((0L, "Hello, wörld 42—done!"), (1L, "...!!!")).toDF("doc_id", "text")
     val uni = TextPipeline.Tokenizer.UnicodeWords
