@@ -63,6 +63,14 @@ object PlanAudit {
     audit("text_contamination", graft.pipeline.Dedup.contamination(
       docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0),
       "doc_id", "text"))
+    audit("ann_ivf_topk_trained", graft.pipeline.Ann.ivfTopK(
+      spark.read.parquet(s"$dir/embeddings.parquet")))
+    audit("dedup_canonical", graft.pipeline.Dedup.canonicalKeepers(docs, "doc_id", "text"))
+    audit("text_redact", {
+      import spark.implicits._
+      graft.pipeline.TextPipeline.redact(
+        graft.pipeline.TextPipeline.RedactionFixture.toDF("doc_id", "text"), "doc_id", "text")
+    })
     // faithful to clustersFromPairs: edges persisted, labels checkpointed
     val pairs = graft.pipeline.Dedup.nearDupPairs(docs, "doc_id", "text")
     val edges = pairs.select(col("doc_a").as("__src"), col("doc_b").as("__dst"))
