@@ -67,6 +67,16 @@ object Compile {
   private def finiteStored(db: Database, q: String): Boolean =
     !Virtual.isVirtual(q) && db.relations.contains(q)
 
+  /** A (possibly negated) stored-relation membership — the shapes
+    * storedQuant compiles to an equi count/anti-join with no frame
+    * extension. The distribution rewrites only fire when every branch
+    * has this shape (or, for ∃∨, is otherwise product-free). */
+  private def storedShape(b: Body): Boolean = b match {
+    case m: Body.MemberOf              => !Virtual.isVirtual(m.target)
+    case Body.Not(m: Body.MemberOf, _) => !Virtual.isVirtual(m.target)
+    case _                             => false
+  }
+
   /** Does the body reference the quantifier variable's namespaced
     * attributes anywhere? Conservative: a same-named inner quantifier's
     * references count too (skipping the degenerate-quantifier shortcut
@@ -168,6 +178,28 @@ object Compile {
     case Body.Forall(v, q, b) if !usesVariable(b, v) && finiteStored(db, q) =>
       if (db.relations(q).root.count == 0) Some(f)
       else holds(db, b, f, depth)
+
+    // ∃ distributes over ∨ exactly (∃x. A∨B ⟺ (∃x.A)∨(∃x.B)), and the
+    // error semantics agree: Exists absorbs per-branch non-true outcomes
+    // just as Or swallows branch errors. Rewriting lets each branch hit
+    // its own fast path (quantJoin / storedQuant / theta) instead of
+    // crossing the frame with the quantifier for the whole disjunction.
+    case Body.Exists(v, q, Body.Or(cs)) if cs.nonEmpty && finiteStored(db, q) &&
+        quantJoin(db, f, v, q, Body.Or(cs), isForall = false, wantViolations = false).isEmpty =>
+      holds(db, Body.Or(cs.map(c => Body.Exists(v, q, c))), f, depth)
+
+    // ∀ distributes over ∧ exactly (∀x. A∧B ⟺ (∀x.A)∧(∀x.B)); compiled
+    // conjuncts are error-free, and an incompilable conjunct makes both
+    // forms return None (the per-row fallback), so the orders agree.
+    // Restricted to all-stored-membership conjuncts, where each ∀
+    // becomes a storedQuant count/anti-join shape — no extend join at
+    // all. A predicate conjunct must NOT be distributed: in isolation
+    // its ∀ negates to a disjunctive join condition (a nested-loop
+    // product), while the undistributed theta path keeps the positive
+    // equality as a hash-join key and counts matches instead.
+    case Body.Forall(v, q, Body.And(cs)) if cs.nonEmpty && finiteStored(db, q) &&
+        cs.forall(storedShape) =>
+      holds(db, Body.And(cs.map(c => Body.Forall(v, q, c))), f, depth)
 
     case Body.Exists(v, q, b) =>
       quantJoin(db, f, v, q, b, isForall = false, wantViolations = false)

@@ -119,6 +119,32 @@ class CompilePropSpec extends SparkTestBase {
     }
   }
 
+  test("quantifier distribution: ∃ over ∨ and ∀ over ∧ plan without a cartesian") {
+    val cases = Seq[Body](
+      // ∃ r (r∈Proj[dept] ∨ r.dept=dept): branches hit storedQuant/quantJoin
+      Exists("q1", "Proj", Or(List(
+        MemberOf("Department", List("dept_id" -> Var("q1.dept_id"))),
+        MemberOf("natural_natural_equal",
+          List("left" -> Var("q1.dept_id"), "right" -> Var("dept_id")))))),
+      // ∀ r (two stored memberships): two count shapes, no extend join
+      Forall("q1", "Proj", And(List(
+        MemberOf("Department", List("dept_id" -> Var("q1.dept_id"))),
+        MemberOf("Proj", List("proj_id" -> Var("q1.proj_id"), "dept_id" -> Var("dept_id")))))))
+    for (body <- cases) {
+      assert(Compile.compilable(distDb, body))
+      val rel = distDb.relations("Employee")
+      val viol = Compile.violations(distDb, body, rel.df)
+        .getOrElse(fail(s"violations None for $body"))
+      val plan = viol.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"distribution failed to avoid a product for $body:\n$plan")
+      val ctx = Runtime.context(spark, distDb)
+      val want = rowsOf(rel).filter(t => Eval.evaluate(ctx, t.toMap, body) != Right(true)).toSet
+      val got = viol.collect().toIndexedSeq.map(r => graft.engine.Engine.rowToAttrs(rel, r)).toSet
+      assert(got === want, s"parity broken for $body")
+    }
+  }
+
   test("compiled violations equal per-row verdicts for random bodies (Local and Dist)") {
     val prop = Prop.forAll(genBody(List("emp_id", "dept_id"), 2)) { body =>
       Compile.compilable(localDb, body) ==> {
