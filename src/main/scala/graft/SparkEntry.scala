@@ -510,6 +510,24 @@ object SparkEntry {
       graft.pipeline.Ann.ivfTopK(table(s, dir, "embeddings"))),
     "dedup_embedding_pairs" -> ((s, dir) =>
       graft.pipeline.Ann.embeddingPairs(table(s, dir, "embeddings"))),
+    // per-document top terms by log-free tf-idf (term extraction)
+    "text_tfidf" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.tfidfTopTerms(table(s, dir, "documents"), "doc_id", "text")),
+    // RAG-style sliding token windows: 32-token chunks every 24 tokens
+    "text_chunks" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.chunkTokens(table(s, dir, "documents"), "doc_id", "text")),
+    // cross-document duplicated 6-gram spans (substring-dup detection)
+    "dedup_dup_spans" -> ((s, dir) =>
+      graft.pipeline.Dedup.dupNgramSpans(table(s, dir, "documents"), "doc_id", "text")),
+    // α=0.5 temperature mixing over the (skewed) language distribution
+    "sample_temperature" -> ((s, dir) =>
+      graft.pipeline.Sampling.temperatureMix(table(s, dir, "documents"), "doc_id", "lang")),
+    // deterministic sharded training order (the scalable global shuffle)
+    "split_shuffle_order" -> ((s, dir) =>
+      graft.pipeline.Splits.shuffleOrder(table(s, dir, "documents"), "doc_id")),
+    // int8 symmetric quantization of the embedding column
+    "emb_quantize" -> ((s, dir) =>
+      graft.pipeline.Embeddings.quantizeInt8(table(s, dir, "embeddings"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -703,5 +721,16 @@ object SparkEntry {
     "ann_lsh_topk" -> graft.pipeline.Oracles.annLshTopK,
     "ann_ivf_topk" -> graft.pipeline.Oracles.annIvfTopK,
     "dedup_embedding_pairs" -> graft.pipeline.Oracles.dedupEmbeddingPairs,
+    "text_tfidf" -> graft.pipeline.Oracles.textTfidfTopK(3,
+      graft.pipeline.TextPipeline.Tokenizer.Whitespace),
+    "text_chunks" -> graft.pipeline.Oracles.textChunks(32, 24,
+      graft.pipeline.TextPipeline.Tokenizer.Whitespace),
+    "dedup_dup_spans" -> graft.pipeline.Oracles.dedupDupNgramSpans(
+      graft.pipeline.Dedup.DupSpanN, graft.pipeline.Dedup.DupSpanTopK),
+    "sample_temperature" -> graft.pipeline.Oracles.sampleTemperatureMix(
+      graft.pipeline.Sampling.DefaultSalt),
+    "split_shuffle_order" -> graft.pipeline.Oracles.splitShuffleOrder(8,
+      graft.pipeline.Splits.DefaultSalt),
+    "emb_quantize" -> graft.pipeline.Oracles.embQuantizeInt8,
   )
 }

@@ -27,6 +27,11 @@ object Dedup {
   val ShingleN = 3
   /** Verification threshold for reported near-dup pairs. */
   val JaccardThreshold = 0.5
+  /** Duplicated-span grid: window length (tokens) and report size for
+    * [[dupNgramSpans]]. n=6 ≈ a clause — long enough that a shared gram
+    * is verbatim reuse, short enough to catch partial-sentence reuse. */
+  val DupSpanN = 6
+  val DupSpanTopK = 50
 
   /** Tunable MinHash/LSH geometry; the object's vals are the defaults the
     * oracle suite pins. At real scale, band/row counts tune the
@@ -431,5 +436,37 @@ object Dedup {
       .withColumn("jaccard", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Cross-document duplicated n-gram spans — the n-gram-granularity
+    * approximation of exact-substring dedup (Lee et al. '21,
+    * "Deduplicating Training Data Makes Language Models Better": shared
+    * verbatim spans, not whole-document similarity). NON-distinct
+    * n-grams (multiplicity counts), grouped by content hash; spans in
+    * ≥2 documents surface with document and occurrence counts, top-k by
+    * occurrences. The full suffix-array approach finds maximal spans;
+    * the n-gram grid finds every duplicated window of length n — enough
+    * to locate boilerplate and licence blocks for span-level excision.
+    *
+    * Scale shape: explode → (gram, doc) pre-agg (map-side combinable,
+    * collapses within-doc repeats before the wide exchange) → gram agg →
+    * TakeOrderedAndProject top-k (per-partition heaps). Grams travel as
+    * md5 hashes, never strings, so shuffle rows are fixed-width. */
+  def dupNgramSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = DupSpanN, topK: Int = DupSpanTopK): DataFrame = {
+    require(n > 0 && topK > 0, s"need positive n/topK, got n=$n topK=$topK")
+    val ws = TextPipeline.tokens(col(textCol))
+    val grams = when(size(ws) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(ws) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
+    balanced(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("__d"), explode(grams).as("gram"))
+      .select(col("__d"), md5(col("gram")).as("gram_hash"))
+      .groupBy(col("gram_hash"), col("__d")).agg(count(lit(1)).as("__tf"))
+      .groupBy(col("gram_hash"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tf")).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_occ").desc, col("n_docs").desc, col("gram_hash"))
+      .limit(topK)
   }
 }

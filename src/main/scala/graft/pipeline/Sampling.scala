@@ -72,6 +72,34 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Temperature-flattened corpus mixing (the multilingual-corpus
+    * resampling of mBERT/XLM-R style pipelines at α = 0.5): keep each
+    * stratum with rate √(n_min / n_s), so a stratum's expected surviving
+    * count is √(n_min · n_s) — the geometric mean, flattening the size
+    * distribution halfway toward uniform while never upsampling. Rates
+    * are DERIVED FROM THE DATA in-plan (a per-stratum count aggregate
+    * broadcast back onto the scan), not configured: two jobs' worth of
+    * stages but the second pass is a pure scan-side gate, zero wide
+    * exchange over the corpus — the shape that matters at 100 TB.
+    *
+    * Cross-engine determinism: the rate is sqrt(exactLong / exactLong) —
+    * one IEEE division + IEEE sqrt, bit-identical everywhere; the gate
+    * compares the numeric 4-hex cell against floor(rate · 65536) (the
+    * minimal stratum's rate 1.0 yields bound 65536 > every cell, keeping
+    * all rows with no special case). */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+      salt: String = DefaultSalt): DataFrame = {
+    val counts = df.groupBy(col(s"`$strataCol`")).agg(count(lit(1)).as("n_stratum"))
+    val minN = counts.agg(min(col("n_stratum")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("rate", sqrt(col("__nmin").cast("double") / col("n_stratum")))
+      .select(col(s"`$strataCol`"), col("n_stratum"), col("rate"))
+    df.join(broadcast(rates), strataCol)
+      .withColumn("gate", gateCol(idCol, salt))
+      .filter(conv(col("gate"), 16, 10).cast("long") < floor(col("rate") * lit(65536.0d)))
+      .select(col(s"`$idCol`"), col(s"`$strataCol`"), col("n_stratum"), col("rate"), col("gate"))
+  }
+
   /** Rows surviving the per-stratum gate, with the gate cell surfaced as
     * `gate` for auditability. A rate of exactly 1.0 keeps every row of
     * the stratum (no boundary comparison — 'ffff' would drop cell ffff). */

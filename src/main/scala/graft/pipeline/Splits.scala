@@ -51,4 +51,30 @@ object Splits {
           .when(col("bucket") < lit(valUpper), lit("val"))
           .otherwise(lit("test")))
   }
+
+  /** Deterministic global training order as (shard, shard_pos): rows land
+    * in one of `numShards` shards by salted hash, ordered within each
+    * shard by the full hash (lexical on lowercase hex = numeric). This IS
+    * the scalable formulation of "shuffle the corpus": a reader that
+    * walks shards round-robin sees a reproducible pseudo-random
+    * permutation, yet the plan is ONE shuffle with `numShards`-way
+    * parallel window sorts — never the single-task global row_number a
+    * naive `ORDER BY hash` rank would compile to. At 100 TB, shards map
+    * 1:1 onto output files (repartitionByRange + sortWithinPartitions
+    * under the hood of a partitioned write); stability follows from the
+    * [[hashSplit]] argument — membership and position are functions of
+    * (id, salt) alone, so re-runs and incremental ingest cannot reorder
+    * history. The salt is namespaced ("|order") so shard assignment is
+    * independent of the split/sample gates drawn from the same id. */
+  def shuffleOrder(df: DataFrame, idCol: String, numShards: Int = 8,
+      salt: String = DefaultSalt): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val h = sha2(concat(col(s"`$idCol`").cast("string"), lit("|" + salt + "|order")), 256)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h").asc, col(s"`$idCol`").asc)
+    df.withColumn("__h", h)
+      .withColumn("shard", conv(substring(col("__h"), 1, 4), 16, 10).cast("long") % numShards)
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select(col(s"`$idCol`"), col("shard"), col("shard_pos"))
+  }
 }

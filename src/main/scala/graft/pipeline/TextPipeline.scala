@@ -249,6 +249,70 @@ object TextPipeline {
       RedactionPatterns.map { case (name, _, _) => col(s"n_$name") }: _*)
   }
 
+  /** Per-document top-`topK` terms by LOG-FREE tf-idf: score =
+    * (tf · N) / df evaluated as exact-long tf·N cast to double and ONE
+    * division — rank-equivalent to classic tf·log(N/df) within a
+    * document for terms of equal tf, and (unlike log) bit-identical
+    * across engines (this file's determinism contract bans
+    * transcendentals; the multiplicative idf keeps the "rare terms
+    * score higher" ordering that term extraction actually uses).
+    *
+    * Scale shape: reuses [[vocab]]'s explode → (token, doc) pre-agg
+    * (collapses per-doc repetitions before any wide exchange), then a
+    * token-keyed shuffle join against the document-frequency aggregate
+    * (vocab-sized, NOT corpus-sized — broadcastable when the vocabulary
+    * fits, AQE decides), then one doc-keyed window for the per-document
+    * top-k. The corpus row count rides along as a broadcast single-row
+    * frame — no driver-side count, the plan stays one job. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, topK: Int = 3,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val src = Dedup.balanced(df.select(col(idCol), col(textCol)))
+    val perDoc = src
+      .select(col(idCol), explode(tokens(col(textCol), tokenizer)).as("token"))
+      .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
+    val dfreq = perDoc.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = src.select(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("token").asc)
+    perDoc.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round((col("tf") * col("__n")).cast("double") / col("df"), 4))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Sliding-window token chunking with overlap — the RAG/context-window
+    * chunker: windows of `window` tokens starting every `stride` tokens
+    * (overlap = window − stride), the final window allowed to run short.
+    * A start whose PREDECESSOR window already reached the document's end
+    * is dropped (it would add no new tokens); start 1 always survives,
+    * so every document yields ≥1 chunk. Chunks surface as md5 content
+    * hashes plus exact token spans — one codegen'd explode, no shuffle,
+    * no UDF; at 100 TB this is a pure scan-side row multiplier.
+    *
+    * `chunk_idx` is derivable from the start ((start−1) div stride + 1)
+    * BECAUSE dropped starts are only ever a suffix of the arithmetic
+    * start sequence — both engines recompute it rather than threading an
+    * ordinality through the explode. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 32, stride: Int = 24,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val ws = tokens(col(textCol), tokenizer)
+    val starts = filter(sequence(lit(1), greatest(size(ws), lit(1)), lit(stride)),
+      s => (s === 1) || (s - stride + (window - 1) < size(ws)))
+    df.select(col(idCol), ws.as("__ws"), explode(starts).as("start_tok"))
+      .select(
+        col(idCol),
+        (expr(s"(start_tok - 1) div $stride") + 1).cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        size(slice(col("__ws"), col("start_tok"), lit(window))).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice(col("__ws"), col("start_tok"), lit(window)))).as("chunk_hash"))
+  }
+
   /** Document fingerprinting: full-content md5 over the normalized text
     * (lowercase, whitespace collapsed) plus a winnowing-style min-shingle
     * hash — the rolling-hash minimum used by near-dup sketchers. */
