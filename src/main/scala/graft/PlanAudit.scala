@@ -66,6 +66,13 @@ object PlanAudit {
     audit("ann_ivf_topk_trained", graft.pipeline.Ann.ivfTopK(
       spark.read.parquet(s"$dir/embeddings.parquet")))
     audit("dedup_canonical", graft.pipeline.Dedup.canonicalKeepers(docs, "doc_id", "text"))
+    audit("text_tfidf", graft.pipeline.TextPipeline.tfidfTopTerms(docs, "doc_id", "text"))
+    audit("text_chunks", graft.pipeline.TextPipeline.chunkTokens(docs, "doc_id", "text"))
+    audit("dedup_dup_spans", graft.pipeline.Dedup.dupNgramSpans(docs, "doc_id", "text"))
+    audit("sample_temperature", graft.pipeline.Sampling.temperatureMix(docs, "doc_id", "lang"))
+    audit("split_shuffle_order", graft.pipeline.Splits.shuffleOrder(docs, "doc_id"))
+    audit("emb_quantize", graft.pipeline.Embeddings.quantizeInt8(
+      spark.read.parquet(s"$dir/embeddings.parquet")))
     audit("text_redact", {
       import spark.implicits._
       graft.pipeline.TextPipeline.redact(

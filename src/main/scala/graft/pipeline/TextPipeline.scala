@@ -268,10 +268,17 @@ object TextPipeline {
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
     val src = Dedup.balanced(df.select(col(idCol), col(textCol)))
+    // the (token, doc) pre-agg feeds tf, df AND N — persist it so the
+    // token explosion over the corpus runs once, not three times (the
+    // same shared-scan move as Dedup's shingle inverted index)
     val perDoc = src
       .select(col(idCol), explode(tokens(col(textCol), tokenizer)).as("token"))
       .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = perDoc.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // N is the CORPUS size, not the tokenized-doc count (a zero-token
+    // doc under UnicodeWords drops out of perDoc but still counts) — a
+    // columnless count over the scan, not a third pass over tokens
     val n = src.select(count(lit(1)).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("token").asc)

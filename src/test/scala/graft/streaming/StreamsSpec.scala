@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import graft.SparkTestBase
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 /** Streaming operators driven through the real micro-batch engine with a
   * MemoryStream source and memory sink. */
@@ -118,6 +119,37 @@ class StreamsSpec extends SparkTestBase {
         Seq((1L, "the cat sat on the mat"), (2L, "zzz")).toDF("doc_id", "text"),
         "doc_id", "text").collect().map(r => r.getLong(0) -> r.getAs[Double]("stop_ratio")).toMap
       assert(rows === batch)
+    } finally q.stop()
+  }
+
+  test("chunking and redaction run unchanged on a stream with batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val data = Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (2L, "short doc with a mail to a@b.io inside"))
+    // chunking then redaction over the chunk hashes' source text: both are
+    // stateless narrow maps, so the BATCH operators apply verbatim
+    val q = graft.pipeline.TextPipeline.chunkTokens(
+        graft.pipeline.TextPipeline.redact(
+          source.toDF().toDF("doc_id", "text"), "doc_id", "text")
+          .select(col("doc_id"), col("redacted").as("text")),
+        "doc_id", "text", window = 16, stride = 12)
+      .writeStream.format("memory").queryName("stream_chunks")
+      .outputMode("append").start()
+    try {
+      source.addData(data: _*)
+      q.processAllAvailable()
+      val rows = spark.table("stream_chunks").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+      import spark.implicits._
+      val batch = graft.pipeline.TextPipeline.chunkTokens(
+        graft.pipeline.TextPipeline.redact(data.toDF("doc_id", "text"), "doc_id", "text")
+          .select(col("doc_id"), col("redacted").as("text")),
+        "doc_id", "text", window = 16, stride = 12).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+      assert(rows === batch)
+      assert(rows.count(_._1 == 1L) == 3) // 40 tokens / stride 12 → starts 1,13,25(,37)
     } finally q.stop()
   }
 
