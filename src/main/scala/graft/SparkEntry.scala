@@ -76,6 +76,11 @@ object SparkEntry {
     * corpus); shared with the oracle SQL. */
   val CurateMinScore: Double = 0.4
 
+  /** Content-key prefix length for `dedup_incremental` (long enough to
+    * be a content identity on real crawls, short enough that the
+    * template-generated testdata actually collides on it). */
+  val IncrementalPrefixLen: Int = 60
+
   /** Session gap for `agg_sessionize`: 30 minutes in epoch MICROS.
     * The query sessionizes on µs-truncated event time: DuckDB timestamps
     * are µs-resolution, so feeding both engines identical µs values is
@@ -528,6 +533,15 @@ object SparkEntry {
     // int8 symmetric quantization of the embedding column
     "emb_quantize" -> ((s, dir) =>
       graft.pipeline.Embeddings.quantizeInt8(table(s, dir, "embeddings"))),
+    // incremental-ingest dedup: every 5th doc arrives as the "new batch",
+    // keyed on the leading-60-char content prefix (collides on testdata)
+    "dedup_incremental" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("k", substring(col("text"), 1, IncrementalPrefixLen))
+      graft.pipeline.Dedup.incrementalNew(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "k")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -732,5 +746,6 @@ object SparkEntry {
     "split_shuffle_order" -> graft.pipeline.Oracles.splitShuffleOrder(8,
       graft.pipeline.Splits.DefaultSalt),
     "emb_quantize" -> graft.pipeline.Oracles.embQuantizeInt8,
+    "dedup_incremental" -> graft.pipeline.Oracles.dedupIncremental(IncrementalPrefixLen),
   )
 }

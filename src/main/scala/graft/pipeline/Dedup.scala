@@ -438,6 +438,26 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Incremental-ingest dedup: the rows of `batch` that are genuinely
+    * NEW — first occurrence of their content digest within the batch
+    * (min id wins, with the dropped-copy count surfaced) and digest
+    * absent from `corpus`. The daily-crawl shape: the corpus side
+    * reduces to a distinct digest index (at 100 TB this is the
+    * precomputed index you maintain, not a rescan — pass the digest
+    * relation directly and it prunes to a scan), and the batch joins it
+    * LEFT ANTI on 32-byte keys. Both sides shuffle digests, never
+    * documents; a small batch's per-digest aggregate broadcasts. */
+  def incrementalNew(corpus: DataFrame, batch: DataFrame, idCol: String,
+      keyCol: String): DataFrame = {
+    val digest = sha2(col(s"`$keyCol`").cast("string"), 256)
+    val batchFirst = balanced(batch)
+      .groupBy(digest.as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_batch_copies"))
+    val corpusIdx = balanced(corpus)
+      .select(digest.as("content_hash")).distinct()
+    batchFirst.join(corpusIdx, Seq("content_hash"), "left_anti")
+  }
+
   /** Cross-document duplicated n-gram spans — the n-gram-granularity
     * approximation of exact-substring dedup (Lee et al. '21,
     * "Deduplicating Training Data Makes Language Models Better": shared
