@@ -513,6 +513,10 @@ object SparkEntry {
       graft.pipeline.Ann.lshTopK(table(s, dir, "embeddings"))),
     "ann_ivf_topk" -> ((s, dir) =>
       graft.pipeline.Ann.ivfTopK(table(s, dir, "embeddings"))),
+    // product-quantization ADC scan: trained per-subspace codebooks
+    // inlined as literals — encode+score is a zero-join narrow map
+    "ann_pq_topk" -> ((s, dir) =>
+      graft.pipeline.Ann.pqTopK(table(s, dir, "embeddings"))),
     "dedup_embedding_pairs" -> ((s, dir) =>
       graft.pipeline.Ann.embeddingPairs(table(s, dir, "embeddings"))),
     // per-document top terms by log-free tf-idf (term extraction)
@@ -734,6 +738,7 @@ object SparkEntry {
     "ann_lsh_buckets" -> graft.pipeline.Oracles.annLshBuckets,
     "ann_lsh_topk" -> graft.pipeline.Oracles.annLshTopK,
     "ann_ivf_topk" -> graft.pipeline.Oracles.annIvfTopK,
+    "ann_pq_topk" -> graft.pipeline.Oracles.annPqTopK,
     "dedup_embedding_pairs" -> graft.pipeline.Oracles.dedupEmbeddingPairs,
     "text_tfidf" -> graft.pipeline.Oracles.textTfidfTopK(3,
       graft.pipeline.TextPipeline.Tokenizer.Whitespace),

@@ -110,4 +110,11 @@ object Functions {
     register(spark)
     call_function(DotName, a, b)
   }
+
+  /** PQ encode as a Column: the cent_id from `cids` whose `books` row
+    * minimizes (c·c − 2·sub·c), ties by smaller cent_id ([[PqEncode]]). */
+  def pqEncode(spark: SparkSession, sub: Column, books: Column, cids: Column): Column = {
+    PqEncode.register(spark)
+    call_function(PqEncode.Name, sub, books, cids)
+  }
 }

