@@ -537,6 +537,15 @@ object SparkEntry {
     // int8 symmetric quantization of the embedding column
     "emb_quantize" -> ((s, dir) =>
       graft.pipeline.Embeddings.quantizeInt8(table(s, dir, "embeddings"))),
+    // RAG-style retrieval: exact ANN top-k joined back to the document
+    // payloads (vec_id ↔ doc_id) — the cross-modal fetch step of a
+    // retrieval pipeline; at scale the payload join is the cheap part
+    // (k·queries rows against a bucketed documents table)
+    "rag_retrieve" -> ((s, dir) =>
+      graft.pipeline.Ann.cosineTopK(table(s, dir, "embeddings"))
+        .join(table(s, dir, "documents")
+          .select(col("doc_id").as("vec_id"), col("lang"),
+            md5(col("text")).as("text_md5"), col("n_chars")), "vec_id")),
     // incremental-ingest dedup: every 5th doc arrives as the "new batch",
     // keyed on the leading-60-char content prefix (collides on testdata)
     "dedup_incremental" -> ((s, dir) => {
@@ -752,5 +761,9 @@ object SparkEntry {
       graft.pipeline.Splits.DefaultSalt),
     "emb_quantize" -> graft.pipeline.Oracles.embQuantizeInt8,
     "dedup_incremental" -> graft.pipeline.Oracles.dedupIncremental(IncrementalPrefixLen),
+    "rag_retrieve" ->
+      s"""WITH topk AS (${graft.pipeline.Oracles.annCosineTopK})
+         |SELECT t.query_id, t.vec_id, t.sim, d.lang, md5(d.text) AS text_md5, d.n_chars
+         |FROM topk t JOIN documents d ON d.doc_id = t.vec_id""".stripMargin,
   )
 }
