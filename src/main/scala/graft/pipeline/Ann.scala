@@ -125,74 +125,54 @@ object Ann {
       .select(col("vec_a"), col("vec_b"), col("sim"))
   }
 
-  /** Centroid frame: (cent_id, ce array<double>, cc = ce·ce). Initial
-    * cells are the first `k` vectors, element-cast (exact). cc rides the
-    * frame so the per-pair dist² needs one fused dot, not two. */
-  private def initialCentroids(n: DataFrame, k: Int): DataFrame = {
-    val ss = n.sparkSession
-    n.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"),
-        col("embedding").cast("array<double>").as("ce"))
-      .withColumn("cc", dot(ss, col("ce"), col("ce")))
-  }
-
-  /** Nearest-cell assignment: argmin ||v − c||² = (v·v + c·c) − 2·(v·c),
-    * ties by cent_id via one min(struct) hash aggregate — no sort. The
-    * fused dot loops accumulate in element order, bit-identical to the
-    * oracle's left-associated SQL chains, so the dist2 doubles — and
-    * therefore the argmin — agree across engines. Returns (vec_id,
-    * cell). */
-  private def assignCells(n: DataFrame, cents: DataFrame): DataFrame = {
-    val ss = n.sparkSession
-    val dist2 = (dot(ss, col("embedding"), col("embedding")) + col("cc")) -
-      (lit(2.0) * dot(ss, col("embedding"), col("ce")))
-    n.join(broadcast(cents)).withColumn("dist2", dist2)
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist2"), col("cent_id"))).as("__m"))
-      .select(col("vec_id"), col("__m.cent_id").as("cell"))
-  }
-
-  /** Lloyd update: per-cell per-dimension quantized mean (see
-    * [[CentroidQuant]] for why the sum is exact and order-independent).
-    * A cell that lost all members drops out — the standard Lloyd
-    * degeneracy, deterministic on both engines. */
-  private def updateCentroids(n: DataFrame, asg: DataFrame, dims: Int = Dim): DataFrame = {
-    val ss = n.sparkSession
-    val joined = n.join(asg, Seq("vec_id"))
-    val sums = (1 to dims).map(i =>
-      sum(floor(element_at(col("embedding"), i).cast("double") * lit(CentroidQuant))).as(s"s$i"))
-    val aggs = sums :+ count(lit(1)).as("__cnt")
-    joined.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
-      .select(col("cell").as("cent_id"),
-        array((1 to dims).map(i => (col(s"s$i") / col("__cnt")) / lit(CentroidQuant)): _*).as("ce"))
-      .withColumn("cc", dot(ss, col("ce"), col("ce")))
+  /** Train the IVF coarse quantizer: cells seeded from the first `k`
+    * vectors, refined by `iters` quantized-mean Lloyd rounds. ONE Spark
+    * job per round (the fused [[graft.functions.PqEncode]] literal
+    * argmin assigns cells in a narrow map; the grouped quantized sums
+    * collect to the driver, where the means fold with the same
+    * left-associated arithmetic the oracle replays). A cell that loses
+    * all members drops out — the standard Lloyd degeneracy,
+    * deterministic on both engines. `iters = 0` returns the untrained
+    * first-`k` seeds (the recall baseline the spec compares against). */
+  def ivfCentroids(embeddings: DataFrame, k: Int = NumCentroids,
+      iters: Int = KMeansIters): Seq[(Int, Array[Double])] = {
+    val ss = embeddings.sparkSession
+    val n = embeddings.select(col("vec_id"), col("embedding"))
+    var book: Seq[(Int, Array[Double])] = n.filter(col("vec_id") < k).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1).toSeq
+    for (_ <- 1 to iters) {
+      val sums = (1 to Dim).map(i =>
+        sum(floor(element_at(col("embedding"), i).cast("double") * lit(CentroidQuant))).as(s"s$i"))
+      val aggs = sums :+ count(lit(1)).as("__cnt")
+      val rows = n.withColumn("cell", pqEncodeCol(ss, col("embedding"), book))
+        .groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+        .collect()
+      book = rows.map { r =>
+        val cnt = r.getLong(1 + Dim)
+        (r.getInt(0), (1 to Dim).map(i => (r.getLong(i).toDouble / cnt) / CentroidQuant).toArray)
+      }.sortBy(_._1).toSeq
+    }
+    book
   }
 
   /** IVF ANN with a trained coarse quantizer: cells seeded from the
     * first `numCentroids` vectors, refined by `iters` Lloyd rounds
     * (assignment + quantized-mean update, all cross-engine
-    * deterministic), then each query probes only its own cell for the
-    * best cosine neighbor. Assignment is a broadcast join against ≤k
-    * centroid rows + one shuffle per round for the window/update —
-    * the standard distributed-Lloyd shape; the probe stays the bucketed
-    * equi-join on the cell id. `iters = 0` reproduces the untrained
-    * first-N quantizer (the recall baseline the spec compares against). */
+    * deterministic — see [[ivfCentroids]]), then each query probes only
+    * its own cell for the best cosine neighbor. Assignment is a narrow
+    * map against the literal trained book (ONE job per Lloyd round);
+    * the probe stays the bucketed equi-join on the cell id. `iters = 0`
+    * reproduces the untrained first-N quantizer (the recall baseline
+    * the spec compares against). */
   def ivfTopK(embeddings: DataFrame, numCentroids: Int = NumCentroids,
       numQueries: Int = NumQueries, iters: Int = KMeansIters): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ss = embeddings.sparkSession
+    val book = ivfCentroids(embeddings, numCentroids, iters)
     val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
-    var cents = initialCentroids(n, numCentroids)
-    for (_ <- 1 to iters) {
-      val updated = updateCentroids(n, assignCells(n, cents))
-      // materialize the round's centroids on the driver — a bounded
-      // k × Dim doubles table (like Packing's per-partition totals) —
-      // so each Lloyd round executes exactly once; left lazy, every
-      // downstream reference would re-derive the whole training chain
-      cents = ss.createDataFrame(
-        java.util.Arrays.asList(updated.collect(): _*), updated.schema)
-    }
-    val assigned = n.join(assignCells(n, cents), Seq("vec_id"))
+    // cell assignment is a narrow map against the literal trained book
+    val assigned = n.withColumn("cell", pqEncodeCol(ss, col("embedding"), book))
     val q = assigned.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cell"))
