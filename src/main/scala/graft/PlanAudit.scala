@@ -73,6 +73,17 @@ object PlanAudit {
     audit("split_shuffle_order", graft.pipeline.Splits.shuffleOrder(docs, "doc_id"))
     audit("emb_quantize", graft.pipeline.Embeddings.quantizeInt8(
       spark.read.parquet(s"$dir/embeddings.parquet")))
+    audit("ann_pq_topk", graft.pipeline.Ann.pqTopK(
+      spark.read.parquet(s"$dir/embeddings.parquet")))
+    audit("rag_retrieve", graft.pipeline.Ann.cosineTopK(
+      spark.read.parquet(s"$dir/embeddings.parquet"))
+      .join(docs.select(col("doc_id").as("vec_id"), col("lang"),
+        md5(col("text")).as("text_md5"), col("n_chars")), "vec_id"))
+    audit("dedup_incremental", {
+      val d = docs.withColumn("k", substring(col("text"), 1, SparkEntry.IncrementalPrefixLen))
+      graft.pipeline.Dedup.incrementalNew(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0), "doc_id", "k")
+    })
     audit("text_redact", {
       import spark.implicits._
       graft.pipeline.TextPipeline.redact(
