@@ -32,8 +32,8 @@ object GraftExtensions {
     * to the runtime registration path. */
   val injected: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     (graft.functions.Functions.DotName, classOf[graft.functions.DotProduct],
-      exprs => graft.functions.DotProduct(exprs(0), exprs(1))),
+      graft.functions.Functions.dotBuilder),
     (graft.functions.PqEncode.Name, classOf[graft.functions.PqEncode],
-      exprs => graft.functions.PqEncode(exprs(0), exprs(1), exprs(2))),
+      graft.functions.PqEncode.builder),
   )
 }

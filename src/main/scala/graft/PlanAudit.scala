@@ -75,15 +75,9 @@ object PlanAudit {
       spark.read.parquet(s"$dir/embeddings.parquet")))
     audit("ann_pq_topk", graft.pipeline.Ann.pqTopK(
       spark.read.parquet(s"$dir/embeddings.parquet")))
-    audit("rag_retrieve", graft.pipeline.Ann.cosineTopK(
-      spark.read.parquet(s"$dir/embeddings.parquet"))
-      .join(docs.select(col("doc_id").as("vec_id"), col("lang"),
-        md5(col("text")).as("text_md5"), col("n_chars")), "vec_id"))
-    audit("dedup_incremental", {
-      val d = docs.withColumn("k", substring(col("text"), 1, SparkEntry.IncrementalPrefixLen))
-      graft.pipeline.Dedup.incrementalNew(
-        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0), "doc_id", "k")
-    })
+    audit("rag_retrieve", SparkEntry.ragRetrieve(
+      spark.read.parquet(s"$dir/embeddings.parquet"), docs))
+    audit("dedup_incremental", SparkEntry.incrementalNewDocs(docs))
     audit("text_redact", {
       import spark.implicits._
       graft.pipeline.TextPipeline.redact(

@@ -81,6 +81,22 @@ object SparkEntry {
     * template-generated testdata actually collides on it). */
   val IncrementalPrefixLen: Int = 60
 
+  /** The `rag_retrieve` composition — shared verbatim with PlanAudit
+    * so the audited plan is the shipped plan. */
+  def ragRetrieve(embeddings: DataFrame, docs: DataFrame): DataFrame =
+    graft.pipeline.Ann.cosineTopK(embeddings)
+      .join(docs.select(col("doc_id").as("vec_id"), col("lang"),
+        md5(col("text")).as("text_md5"), col("n_chars")), "vec_id")
+
+  /** The `dedup_incremental` corpus/batch split (every 5th doc arrives
+    * as the new batch) over the prefix content key — shared with
+    * PlanAudit. */
+  def incrementalNewDocs(docs: DataFrame): DataFrame = {
+    val d = docs.withColumn("k", substring(col("text"), 1, IncrementalPrefixLen))
+    graft.pipeline.Dedup.incrementalNew(
+      d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0), "doc_id", "k")
+  }
+
   /** Session gap for `agg_sessionize`: 30 minutes in epoch MICROS.
     * The query sessionizes on µs-truncated event time: DuckDB timestamps
     * are µs-resolution, so feeding both engines identical µs values is
@@ -542,19 +558,11 @@ object SparkEntry {
     // retrieval pipeline; at scale the payload join is the cheap part
     // (k·queries rows against a bucketed documents table)
     "rag_retrieve" -> ((s, dir) =>
-      graft.pipeline.Ann.cosineTopK(table(s, dir, "embeddings"))
-        .join(table(s, dir, "documents")
-          .select(col("doc_id").as("vec_id"), col("lang"),
-            md5(col("text")).as("text_md5"), col("n_chars")), "vec_id")),
+      ragRetrieve(table(s, dir, "embeddings"), table(s, dir, "documents"))),
     // incremental-ingest dedup: every 5th doc arrives as the "new batch",
     // keyed on the leading-60-char content prefix (collides on testdata)
-    "dedup_incremental" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
-        .withColumn("k", substring(col("text"), 1, IncrementalPrefixLen))
-      graft.pipeline.Dedup.incrementalNew(
-        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
-        "doc_id", "k")
-    }),
+    "dedup_incremental" -> ((s, dir) =>
+      incrementalNewDocs(table(s, dir, "documents"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -749,16 +757,18 @@ object SparkEntry {
     "ann_ivf_topk" -> graft.pipeline.Oracles.annIvfTopK,
     "ann_pq_topk" -> graft.pipeline.Oracles.annPqTopK,
     "dedup_embedding_pairs" -> graft.pipeline.Oracles.dedupEmbeddingPairs,
-    "text_tfidf" -> graft.pipeline.Oracles.textTfidfTopK(3,
+    "text_tfidf" -> graft.pipeline.Oracles.textTfidfTopK(
+      graft.pipeline.TextPipeline.TfidfTopK,
       graft.pipeline.TextPipeline.Tokenizer.Whitespace),
-    "text_chunks" -> graft.pipeline.Oracles.textChunks(32, 24,
+    "text_chunks" -> graft.pipeline.Oracles.textChunks(
+      graft.pipeline.TextPipeline.ChunkWindow, graft.pipeline.TextPipeline.ChunkStride,
       graft.pipeline.TextPipeline.Tokenizer.Whitespace),
     "dedup_dup_spans" -> graft.pipeline.Oracles.dedupDupNgramSpans(
       graft.pipeline.Dedup.DupSpanN, graft.pipeline.Dedup.DupSpanTopK),
     "sample_temperature" -> graft.pipeline.Oracles.sampleTemperatureMix(
       graft.pipeline.Sampling.DefaultSalt),
-    "split_shuffle_order" -> graft.pipeline.Oracles.splitShuffleOrder(8,
-      graft.pipeline.Splits.DefaultSalt),
+    "split_shuffle_order" -> graft.pipeline.Oracles.splitShuffleOrder(
+      graft.pipeline.Splits.NumShards, graft.pipeline.Splits.DefaultSalt),
     "emb_quantize" -> graft.pipeline.Oracles.embQuantizeInt8,
     "dedup_incremental" -> graft.pipeline.Oracles.dedupIncremental(IncrementalPrefixLen),
     "rag_retrieve" ->

@@ -98,11 +98,20 @@ final case class DotProduct(left: Expression, right: Expression) extends BinaryE
 object Functions {
   val DotName = "graft_dot"
 
+  /** The canonical builder, shared by runtime registration and
+    * [[graft.GraftExtensions]] injection. Arity-checked: wrong-arity
+    * SQL must surface a descriptive analysis error, not an
+    * IndexOutOfBoundsException from a pure-SQL client. */
+  val dotBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"$DotName expects 2 arguments, got ${exprs.length}")
+    DotProduct(exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(DotName),
       new ExpressionInfo(classOf[DotProduct].getName, DotName),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
+      dotBuilder)
 
   /** Σ a[i]·b[i] as a Column (registers the function on the column's
     * session at first use — call sites pass the owning session). */

@@ -135,9 +135,15 @@ final case class PqEncode(first: Expression, second: Expression, third: Expressi
 object PqEncode {
   val Name = "graft_pq_encode"
 
+  /** Canonical arity-checked builder (see [[Functions.dotBuilder]]). */
+  val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3, s"$Name expects 3 arguments, got ${exprs.length}")
+    PqEncode(exprs(0), exprs(1), exprs(2))
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(Name),
       new ExpressionInfo(classOf[PqEncode].getName, Name),
-      (exprs: Seq[Expression]) => PqEncode(exprs(0), exprs(1), exprs(2)))
+      builder)
 }

@@ -179,15 +179,6 @@ object Compile {
       if (db.relations(q).root.count == 0) Some(f)
       else holds(db, b, f, depth)
 
-    // ∃ distributes over ∨ exactly (∃x. A∨B ⟺ (∃x.A)∨(∃x.B)), and the
-    // error semantics agree: Exists absorbs per-branch non-true outcomes
-    // just as Or swallows branch errors. Rewriting lets each branch hit
-    // its own fast path (quantJoin / storedQuant / theta) instead of
-    // crossing the frame with the quantifier for the whole disjunction.
-    case Body.Exists(v, q, Body.Or(cs)) if cs.nonEmpty && finiteStored(db, q) &&
-        quantJoin(db, f, v, q, Body.Or(cs), isForall = false, wantViolations = false).isEmpty =>
-      holds(db, Body.Or(cs.map(c => Body.Exists(v, q, c))), f, depth)
-
     // ∀ distributes over ∧ exactly (∀x. A∧B ⟺ (∀x.A)∧(∀x.B)); compiled
     // conjuncts are error-free, and an incompilable conjunct makes both
     // forms return None (the per-row fallback), so the orders agree.
@@ -202,7 +193,20 @@ object Compile {
       holds(db, Body.And(cs.map(c => Body.Forall(v, q, c))), f, depth)
 
     case Body.Exists(v, q, b) =>
+      // ∃ distributes over ∨ exactly (∃x. A∨B ⟺ (∃x.A)∨(∃x.B)), and the
+      // error semantics agree: Exists absorbs per-branch non-true
+      // outcomes just as Or swallows branch errors. Tried only AFTER
+      // quantJoin misses (the whole-body join is built once, not once in
+      // a guard and again here), and BEFORE the whole-body stored/theta
+      // fallbacks: per-branch fast paths beat crossing the frame with
+      // the quantifier for the whole disjunction.
+      def distributedOr: Option[DataFrame] = b match {
+        case Body.Or(cs) if cs.nonEmpty && finiteStored(db, q) =>
+          holds(db, Body.Or(cs.map(c => Body.Exists(v, q, c))), f, depth)
+        case _ => None
+      }
       quantJoin(db, f, v, q, b, isForall = false, wantViolations = false)
+        .orElse(distributedOr)
         .orElse(storedQuant(db, f, v, q, b, isForall = false, wantViolations = false))
         .map(Some(_)).getOrElse {
         extendFrame(db, f, v, q, depth, b).map { case Extended(ext, pk, residual, _) =>

@@ -200,7 +200,7 @@ object Ann {
     * vectors and refined by the same deterministic quantized-mean Lloyd
     * rounds as the IVF coarse quantizer. Returns the driver-side
     * codebooks, sorted by cent_id: a bounded m × k × subDim doubles
-    * table (8·16·8 here), the thing a real deployment broadcasts to
+    * table (8·32·8 here), the thing a real deployment broadcasts to
     * every executor. */
   def pqCodebooks(embeddings: DataFrame, k: Int = PqCentroids,
       iters: Int = PqIters): Seq[Seq[(Int, Array[Double])]] = {
@@ -266,10 +266,12 @@ object Ann {
     *
     * Spark shape: the codebooks come back to the driver after training
     * (bounded m·k·subDim doubles) and are INLINED AS LITERALS — encoding
-    * is argmin over 16 literal-centroid dist²s via one min(array<struct>)
-    * per subspace, and ADC is a literal-table lookup: the entire
-    * encode+score pipeline is a zero-join, zero-shuffle projection over
-    * the corpus scan, followed only by the per-query top-k window.
+    * is the fused [[graft.functions.PqEncode]] argmin over the 32
+    * literal centroids per subspace (the equivalent min(array<struct>)
+    * tree overflows janino's 64 KB method limit at k=32), and ADC is a
+    * literal-table lookup: the entire encode+score pipeline is a
+    * zero-join, zero-shuffle projection over the corpus scan, followed
+    * only by the per-query top-k window.
     * Determinism: dist² and ADC chains are fused [[graft.functions.DotProduct]]
     * loops (bit-identical to the oracle's left-associated chains),
     * quantized means are exact, ties break by cent_id / vec_id. */

@@ -26,6 +26,8 @@ object Splits {
   val TrainUpper = "cd"
   val ValUpper = "e6"
   val DefaultSalt = "graft"
+  /** Shard count pinned by the `split_shuffle_order` oracle. */
+  val NumShards = 8
 
   private[pipeline] def bucketCol(idCol: String, salt: String): Column =
     substring(sha2(concat(col(idCol).cast("string"), lit("|" + salt)), 256), 1, 2)
@@ -66,7 +68,7 @@ object Splits {
     * (id, salt) alone, so re-runs and incremental ingest cannot reorder
     * history. The salt is namespaced ("|order") so shard assignment is
     * independent of the split/sample gates drawn from the same id. */
-  def shuffleOrder(df: DataFrame, idCol: String, numShards: Int = 8,
+  def shuffleOrder(df: DataFrame, idCol: String, numShards: Int = NumShards,
       salt: String = DefaultSalt): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     val h = sha2(concat(col(s"`$idCol`").cast("string"), lit("|" + salt + "|order")), 256)

@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object TextPipeline {
 
+  /** Defaults pinned by the oracle suite, single-sourced between the
+    * Spark operators and the SparkEntry oracle registrations so the two
+    * sides cannot drift. */
+  val TfidfTopK = 3
+  val ChunkWindow = 32
+  val ChunkStride = 24
+
   /** Tokenization strategy, single-sourced for the Spark plan AND the
     * DuckDB oracle SQL (so the two sides cannot drift). Both variants
     * stay pure Column expressions — codegen'd narrow maps, no UDFs. */
@@ -264,13 +271,16 @@ object TextPipeline {
     * fits, AQE decides), then one doc-keyed window for the per-document
     * top-k. The corpus row count rides along as a broadcast single-row
     * frame — no driver-side count, the plan stays one job. */
-  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, topK: Int = 3,
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, topK: Int = TfidfTopK,
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
     val src = Dedup.balanced(df.select(col(idCol), col(textCol)))
     // the (token, doc) pre-agg feeds tf, df AND N — persist it so the
     // token explosion over the corpus runs once, not three times (the
-    // same shared-scan move as Dedup's shingle inverted index)
+    // same shared-scan move as Dedup's shingle inverted index). Cache
+    // contract (as in Packing.pack): the frame stays persisted until
+    // LRU eviction or spark.catalog.clearCache() — repeated library
+    // calls in one session accumulate cached relations by design
     val perDoc = src
       .select(col(idCol), explode(tokens(col(textCol), tokenizer)).as("token"))
       .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("tf"))
@@ -304,7 +314,7 @@ object TextPipeline {
     * start sequence — both engines recompute it rather than threading an
     * ordinality through the explode. */
   def chunkTokens(df: DataFrame, idCol: String, textCol: String,
-      window: Int = 32, stride: Int = 24,
+      window: Int = ChunkWindow, stride: Int = ChunkStride,
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")

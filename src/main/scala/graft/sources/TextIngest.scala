@@ -69,7 +69,10 @@ object TextIngest {
     val ordered = df.join(
         graft.pipeline.Splits.shuffleOrder(df, idCol, numShards, salt),
         idCol)
-      .repartition(numShards, col("shard"))
+      // range (not hash) repartition: hash(shard) % numShards collides
+      // shards into one task and leaves others empty; range gives the
+      // bijective shard→task layout the scaladoc promises
+      .repartitionByRange(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("shard_pos"))
     ordered.write.mode("overwrite").partitionBy("shard").parquet(path)
   }
