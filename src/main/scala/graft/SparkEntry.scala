@@ -563,6 +563,16 @@ object SparkEntry {
     // keyed on the leading-60-char content prefix (collides on testdata)
     "dedup_incremental" -> ((s, dir) =>
       incrementalNewDocs(table(s, dir, "documents"))),
+    // leakage-safe split: the split gate hashes the near-dup CLUSTER
+    // label, not the doc id — a near-duplicate of a training document
+    // can never land in val/test (the contamination channel a plain
+    // per-doc split leaves open)
+    "split_leakage_safe" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val clusters = graft.pipeline.Dedup.nearDupClusters(docs, "doc_id", "text")
+      graft.pipeline.Splits.hashSplit(clusters, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -771,6 +781,7 @@ object SparkEntry {
       graft.pipeline.Splits.NumShards, graft.pipeline.Splits.DefaultSalt),
     "emb_quantize" -> graft.pipeline.Oracles.embQuantizeInt8,
     "dedup_incremental" -> graft.pipeline.Oracles.dedupIncremental(IncrementalPrefixLen),
+    "split_leakage_safe" -> graft.pipeline.Oracles.splitLeakageSafe,
     "rag_retrieve" ->
       s"""WITH topk AS (${graft.pipeline.Oracles.annCosineTopK})
          |SELECT t.query_id, t.vec_id, t.sim, d.lang, md5(d.text) AS text_md5, d.n_chars

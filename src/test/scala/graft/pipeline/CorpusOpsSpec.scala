@@ -114,6 +114,24 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(inOrder != inOrder.sorted)
   }
 
+  test("leakage-safe split: a near-dup cluster never straddles splits") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+      (3L, "completely unrelated content lives here in this doc"),
+      (4L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(d, "doc_id", "text")
+    val split = Splits.hashSplit(clusters, "cluster_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[String]("split")))
+    // docs 1, 2, 4 share a cluster → identical split assignment
+    val dupSplits = split.filter(x => Set(1L, 2L, 4L).contains(x._1)).map(_._3).toSet
+    assert(dupSplits.size == 1, s"near-dup cluster straddles splits: $split")
+    // every cluster maps to exactly one split
+    for ((_, rows) <- split.groupBy(_._2))
+      assert(rows.map(_._3).toSet.size == 1)
+  }
+
   test("quantizeInt8 codes bound by ±127, exact round-trip bound, zero vector safe") {
     val d = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 2.0f)),
