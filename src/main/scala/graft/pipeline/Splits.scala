@@ -69,6 +69,15 @@ object Splits {
     * history. The salt is namespaced ("|order") so shard assignment is
     * independent of the split/sample gates drawn from the same id. */
   def shuffleOrder(df: DataFrame, idCol: String, numShards: Int = NumShards,
+      salt: String = DefaultSalt): DataFrame =
+    withShuffleOrder(df, idCol, numShards, salt)
+      .select(col(s"`$idCol`"), col("shard"), col("shard_pos"))
+
+  /** [[shuffleOrder]] keeping every input column — the writer-side form
+    * ([[graft.sources.TextIngest.writeShuffled]]): computing the order
+    * in place costs one window shuffle, where joining the projected
+    * form back would cost two more. */
+  def withShuffleOrder(df: DataFrame, idCol: String, numShards: Int = NumShards,
       salt: String = DefaultSalt): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     val h = sha2(concat(col(s"`$idCol`").cast("string"), lit("|" + salt + "|order")), 256)
@@ -77,6 +86,6 @@ object Splits {
     df.withColumn("__h", h)
       .withColumn("shard", conv(substring(col("__h"), 1, 4), 16, 10).cast("long") % numShards)
       .withColumn("shard_pos", row_number().over(w).cast("long"))
-      .select(col(s"`$idCol`"), col("shard"), col("shard_pos"))
+      .drop("__h")
   }
 }

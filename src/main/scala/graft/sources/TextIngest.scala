@@ -66,9 +66,8 @@ object TextIngest {
     * write-side sort, never a global one. */
   def writeShuffled(df: DataFrame, idCol: String, path: String,
       numShards: Int = 8, salt: String = graft.pipeline.Splits.DefaultSalt): Unit = {
-    val ordered = df.join(
-        graft.pipeline.Splits.shuffleOrder(df, idCol, numShards, salt),
-        idCol)
+    val ordered = graft.pipeline.Splits
+      .withShuffleOrder(df, idCol, numShards, salt) // in place — no self-join
       // range (not hash) repartition: hash(shard) % numShards collides
       // shards into one task and leaves others empty; range gives the
       // bijective shard→task layout the scaladoc promises
