@@ -1,0 +1,62 @@
+package graft
+
+/** Partition-invariance net: every oracle-checked query must produce
+  * identical rows whatever the scan/shuffle layout — the property the
+  * whole DuckDB-oracle gate rests on (the oracle is single-node;
+  * Spark's answer must not depend on partial-aggregation order,
+  * partition count, or scan splits). Runs a representative slice of
+  * the pipeline queries at sf0.001 under deliberately tiny scan
+  * partitions + a different shuffle width and compares canonicalized
+  * row sets against the default layout. Catches the classic
+  * regressions: raw double sums, first()/head-dependent picks,
+  * rand()/monotonically_increasing_id leakage. */
+class DeterminismSpec extends SparkTestBase {
+
+  private val Dir = "/root/testdata/sf0.001"
+
+  /** Queries spanning each operator family's accumulation pattern. */
+  private val Names = Seq(
+    "dedup_exact_hash",     // digest grouping
+    "dedup_minhash_pairs",  // min-agg over permutations + banded join
+    "dedup_clusters",       // iterative label propagation
+    "text_tfidf",           // two-level agg + window top-k
+    "text_vocab",           // pre-agg + heap top-k
+    "sample_temperature",   // data-derived rates + hash gate
+    "split_shuffle_order",  // per-shard window rank
+    "emb_quantize",         // per-row fold over arrays
+    "ann_pq_topk",          // trained codebooks + ADC window
+    "agg_revenue_by_nation",// decimal-accumulated join aggregate
+    "pack_sequences",       // distributed prefix sum
+  )
+
+  private def canonical(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, Dir)
+    val cols = df.columns.sorted
+    df.selectExpr(cols.map(c => s"`$c`"): _*).collect()
+      .map(_.toSeq.map {
+        case null => "NULL"
+        case a: Seq[_] => a.mkString("[", ",", "]")
+        case v => v.toString
+      }.mkString("|")).sorted.mkString("\n").hashCode.toString + ":" +
+      df.count()
+  }
+
+  test("oracle queries are invariant to scan partitioning and shuffle width") {
+    val conf = spark.conf
+    val defaults = Names.map(n => n -> canonical(n)).toMap
+    val oldMax = conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    val oldShuffle = conf.get("spark.sql.shuffle.partitions")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", "16384") // many tiny scan splits
+      conf.set("spark.sql.shuffle.partitions", "13")
+      spark.catalog.clearCache()
+      for (n <- Names)
+        assert(canonical(n) == defaults(n),
+          s"$n changed its answer under a different partition layout")
+    } finally {
+      conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+      conf.set("spark.sql.shuffle.partitions", oldShuffle)
+      spark.catalog.clearCache()
+    }
+  }
+}
