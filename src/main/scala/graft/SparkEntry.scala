@@ -544,6 +544,9 @@ object SparkEntry {
     // cross-document duplicated 6-gram spans (substring-dup detection)
     "dedup_dup_spans" -> ((s, dir) =>
       graft.pipeline.Dedup.dupNgramSpans(table(s, dir, "documents"), "doc_id", "text")),
+    // ...and the matching fix: excise every globally-duplicated span
+    "dedup_excise_spans" -> ((s, dir) =>
+      graft.pipeline.Dedup.exciseDupSpans(table(s, dir, "documents"), "doc_id", "text")),
     // α=0.5 temperature mixing over the (skewed) language distribution
     "sample_temperature" -> ((s, dir) =>
       graft.pipeline.Sampling.temperatureMix(table(s, dir, "documents"), "doc_id", "lang")),
@@ -782,6 +785,8 @@ object SparkEntry {
     "emb_quantize" -> graft.pipeline.Oracles.embQuantizeInt8,
     "dedup_incremental" -> graft.pipeline.Oracles.dedupIncremental(IncrementalPrefixLen),
     "split_leakage_safe" -> graft.pipeline.Oracles.splitLeakageSafe,
+    "dedup_excise_spans" -> graft.pipeline.Oracles.dedupExciseSpans(
+      graft.pipeline.Dedup.DupSpanN),
     "rag_retrieve" ->
       s"""WITH topk AS (${graft.pipeline.Oracles.annCosineTopK})
          |SELECT t.query_id, t.vec_id, t.sim, d.lang, md5(d.text) AS text_md5, d.n_chars

@@ -458,6 +458,50 @@ object Dedup {
     batchFirst.join(corpusIdx, Seq("content_hash"), "left_anti")
   }
 
+  /** Span EXCISION — the fix step behind [[dupNgramSpans]]'s detector
+    * (Lee et al. '21 remove duplicated spans rather than whole
+    * documents): every token covered by an n-gram occurring in ≥2
+    * distinct documents is cut, and the surviving tokens (in order)
+    * are re-joined. Reports per document the token count, the number
+    * of excised positions, and the md5 of the cleaned text — the
+    * compact identity the oracle can re-derive.
+    *
+    * Scale shape: gram hashes pre-agg to (hash, doc) before the wide
+    * exchange; the hot-gram set is vocab-sized (broadcastable); the
+    * covered-position set returns to each doc via ONE id-keyed
+    * aggregation join, and the final cut is a narrow array filter —
+    * no token-level shuffle survives to the output side. */
+  def exciseDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = DupSpanN): DataFrame = {
+    require(n > 0, s"need positive n, got $n")
+    val ws = TextPipeline.tokens(col(textCol))
+    val src = balanced(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), ws.as("__ws"))
+    // (doc, start, gramHash) occurrence rows; docs shorter than n yield none
+    val occ = src
+      .select(col(idCol), explode(when(size(col("__ws")) < n, array().cast("array<int>"))
+        .otherwise(sequence(lit(1), size(col("__ws")) - (n - 1)))).as("__i"),
+        col("__ws"))
+      .select(col(idCol), col("__i"),
+        md5(concat_ws(" ", slice(col("__ws"), col("__i"), lit(n)))).as("__h"))
+    val hot = occ.select(col("__h"), col(idCol)).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("__h"))
+    val covered = occ.join(hot, Seq("__h"))
+      .select(col(idCol), explode(sequence(col("__i"), col("__i") + (n - 1))).as("__p"))
+      .distinct()
+      .groupBy(col(idCol)).agg(collect_set(col("__p")).as("__cov"))
+    src.join(covered, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
+        md5(concat_ws(" ", transform(
+          filter(sequence(lit(1), size(col("__ws"))),
+            k => !coalesce(array_contains(col("__cov"), k), lit(false))),
+          k => element_at(col("__ws"), k)))).as("clean_md5"))
+  }
+
   /** Cross-document duplicated n-gram spans — the n-gram-granularity
     * approximation of exact-substring dedup (Lee et al. '21,
     * "Deduplicating Training Data Makes Language Models Better": shared

@@ -77,6 +77,22 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(r.forall(_._2 >= 2))
   }
 
+  test("exciseDupSpans cuts exactly the shared-span tokens, untouched docs keep their text") {
+    val phrase = "one two three four five six"
+    val d = Seq(
+      (1L, s"alpha $phrase omega"),
+      (2L, s"beta $phrase gamma delta"),
+      (3L, "entirely unique text with no shared spans at all here"),
+      (4L, phrase), // nothing but the shared span → fully excised
+    ).toDF("doc_id", "text")
+    val r = Dedup.exciseDupSpans(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((8L, 6L, md5Hex("alpha omega"))))
+    assert(r(2L) == ((9L, 6L, md5Hex("beta gamma delta"))))
+    assert(r(3L) == ((10L, 0L, md5Hex("entirely unique text with no shared spans at all here"))))
+    assert(r(4L) == ((6L, 6L, md5Hex(""))))
+  }
+
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
     d.map("%02x".format(_)).mkString
