@@ -78,6 +78,7 @@ object PlanAudit {
     audit("rag_retrieve", SparkEntry.ragRetrieve(
       spark.read.parquet(s"$dir/embeddings.parquet"), docs))
     audit("dedup_incremental", SparkEntry.incrementalNewDocs(docs))
+    audit("dedup_excise_spans", graft.pipeline.Dedup.exciseDupSpans(docs, "doc_id", "text"))
     audit("text_redact", {
       import spark.implicits._
       graft.pipeline.TextPipeline.redact(

@@ -383,6 +383,34 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)
     }),
+    // TPC-H Q16-like: distinct suppliers per (brand, type) — the
+    // count-distinct aggregation pattern (expand → two-level agg)
+    "agg_supplier_variety" -> ((s, dir) => {
+      val ps = table(s, dir, "part")
+      table(s, dir, "lineitem")
+        .join(ps, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+          count(lit(1)).as("n_lineitems"))
+    }),
+    // TPC-H Q7-like: shipping volume between nation pairs by order
+    // year — a two-dimension join-aggregate with integer-exact volume
+    // (quantity sum) so the oracle hash cannot drift
+    "agg_nation_traffic" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val su = table(s, dir, "supplier")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").as("supp_nation"),
+          col("c_nationkey").as("cust_nation"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("volume"),
+          count(lit(1)).as("n_items"))
+        .select(col("supp_nation"), col("cust_nation"), col("volume"), col("n_items"))
+    }),
     // lineitem ⋈ orders with the probe side salted 8 ways — the skew
     // tool; the salt is invisible in the result, so the oracle is the
     // PLAIN join (multiset equality is exactly the operator's contract)
@@ -681,6 +709,18 @@ object SparkEntry {
         "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"),
     "agg_top_orders" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "agg_supplier_variety" ->
+      ("SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt, " +
+        "COUNT(*) AS n_lineitems FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand, p_type"),
+    "agg_nation_traffic" ->
+      ("SELECT s_nationkey AS supp_nation, c_nationkey AS cust_nation, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS volume, " +
+        "COUNT(*) AS n_items FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE s_nationkey <> c_nationkey GROUP BY 1, 2"),
     "agg_sessionize" ->
       (s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),
           |b AS (SELECT user_id, tus, value,
