@@ -79,6 +79,8 @@ object PlanAudit {
       spark.read.parquet(s"$dir/embeddings.parquet"), docs))
     audit("dedup_incremental", SparkEntry.incrementalNewDocs(docs))
     audit("dedup_excise_spans", graft.pipeline.Dedup.exciseDupSpans(docs, "doc_id", "text"))
+    audit("agg_supplier_variety", SparkEntry.queries("agg_supplier_variety")(spark, dir))
+    audit("agg_nation_traffic", SparkEntry.queries("agg_nation_traffic")(spark, dir))
     audit("text_redact", {
       import spark.implicits._
       graft.pipeline.TextPipeline.redact(
