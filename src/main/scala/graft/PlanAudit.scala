@@ -81,6 +81,11 @@ object PlanAudit {
     audit("dedup_excise_spans", graft.pipeline.Dedup.exciseDupSpans(docs, "doc_id", "text"))
     audit("agg_supplier_variety", SparkEntry.queries("agg_supplier_variety")(spark, dir))
     audit("agg_nation_traffic", SparkEntry.queries("agg_nation_traffic")(spark, dir))
+    audit("agg_rollup", SparkEntry.queries("agg_rollup")(spark, dir))
+    audit("agg_running_total", SparkEntry.queries("agg_running_total")(spark, dir))
+    audit("text_bpe_pairs", SparkEntry.queries("text_bpe_pairs")(spark, dir))
+    audit("agg_no_urgent_customers", SparkEntry.queries("agg_no_urgent_customers")(spark, dir))
+    audit("agg_priority_pivot", SparkEntry.queries("agg_priority_pivot")(spark, dir))
     audit("text_redact", {
       import spark.implicits._
       graft.pipeline.TextPipeline.redact(

@@ -411,6 +411,59 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .select(col("supp_nation"), col("cust_nation"), col("volume"), col("n_items"))
     }),
+    // ROLLUP over (returnflag, linestatus): hierarchical subtotals in ONE
+    // pass — Spark expands the grouping sets map-side, so the grand total
+    // never costs a second scan; 'ALL' stands in for the rollup NULLs
+    // (both columns are non-null in the data, so the encoding is lossless)
+    "agg_rollup" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n_items"))
+    }),
+    // per-customer running order total: the cumulative-window pattern.
+    // One hash exchange on o_custkey, then each customer's history sums
+    // in-partition; DECIMAL accumulation + a unique (date, key) sort
+    // order make the running values exact and the hash reproducible
+    "agg_running_total" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val order = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("run_total"),
+          row_number().over(order).as("rn"))
+    }),
+    // LEFT ANTI at the analytics layer: customers with no urgent orders,
+    // counted per nation. The anti side ships only o_custkey (filter and
+    // projection both push to the scan); at 1000× the anti join shuffles
+    // on the key like any equi-join — no NOT IN rewrite blow-up
+    "agg_no_urgent_customers" -> ((s, dir) => {
+      val urgent = table(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      table(s, dir, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+    }),
+    // pivot: order counts per year × priority — Spark's pivot compiles to
+    // ONE aggregate with conditional sums (no per-priority passes); the
+    // explicit value list keeps the plan static and the columns named
+    "agg_priority_pivot" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("yr"), col("o_orderpriority"))
+        .groupBy(col("yr"))
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("yr"), col("`1-URGENT`").as("urgent"), col("`2-HIGH`").as("high"),
+          col("`3-MEDIUM`").as("medium"), col("`4-NOT SPECIFIED`").as("notspec"),
+          col("`5-LOW`").as("low"))
+    }),
     // lineitem ⋈ orders with the probe side salted 8 ways — the skew
     // tool; the salt is invisible in the result, so the oracle is the
     // PLAIN join (multiset equality is exactly the operator's contract)
@@ -504,6 +557,9 @@ object SparkEntry {
     }),
     "text_vocab" -> ((s, dir) =>
       graft.pipeline.TextPipeline.vocab(table(s, dir, "documents"), "doc_id", "text")),
+    // one BPE merge round: adjacent-token-pair frequencies, top-100
+    "text_bpe_pairs" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.bpePairs(table(s, dir, "documents"), "doc_id", "text")),
     // per-source quota: keep the 10 largest documents of every source
     // (testdata has 25 docs/source, so the cap genuinely bites)
     "sample_source_cap" -> ((s, dir) =>
@@ -721,6 +777,29 @@ object SparkEntry {
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN supplier ON l_suppkey = s_suppkey " +
         "WHERE s_nationkey <> c_nationkey GROUP BY 1, 2"),
+    "agg_rollup" ->
+      ("SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "COUNT(*) AS n_items FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+    "agg_running_total" ->
+      ("""SELECT o_orderkey, o_custkey,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER cum AS DOUBLE) AS run_total,
+         |  row_number() OVER ord AS rn
+         |FROM orders
+         |WINDOW cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING),
+         |  ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin),
+    "agg_no_urgent_customers" ->
+      ("SELECT c_nationkey, COUNT(*) AS n_customers FROM customer " +
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
+        "GROUP BY c_nationkey"),
+    "agg_priority_pivot" ->
+      ("""SELECT year(o_orderdate) AS yr,
+         |  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS urgent,
+         |  SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS high,
+         |  SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS medium,
+         |  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS notspec,
+         |  SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS low
+         |FROM orders GROUP BY yr""".stripMargin),
     "agg_sessionize" ->
       (s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),
           |b AS (SELECT user_id, tus, value,
@@ -767,6 +846,7 @@ object SparkEntry {
     "pipeline_curate" ->
       graft.pipeline.Oracles.pipelineCurate(CurateMinScore, graft.pipeline.Packing.Capacity),
     "text_vocab" -> graft.pipeline.Oracles.textVocab(100),
+    "text_bpe_pairs" -> graft.pipeline.Oracles.bpePairs(100),
     "sample_source_cap" -> graft.pipeline.Oracles.sampleSourceCap(10),
     "sample_uniform_k" ->
       graft.pipeline.Oracles.sampleUniformK(20, graft.pipeline.Sampling.DefaultSalt),

@@ -215,6 +215,28 @@ object TextPipeline {
       .limit(topK)
   }
 
+  /** One BPE merge round over the corpus: adjacent-token-pair frequencies,
+    * top-k by (count desc, pair asc). This is the counting step a
+    * byte-pair/word-pair tokenizer trainer iterates — the expensive part at
+    * corpus scale, and the part that must be distributed: pair explosion is
+    * a pure scan-side row multiplier (no shuffle), the count is one
+    * map-side-combinable aggregation on the pair string, and the top-k is
+    * per-partition heaps (TakeOrderedAndProject), never a global sort.
+    * Unlike [[shingles]] (distinct, per-doc), repeats within a document
+    * count — merge ranking needs raw frequencies. */
+  def bpePairs(df: DataFrame, idCol: String, textCol: String, topK: Int = 100,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val ws = tokens(col(textCol), tokenizer)
+    val pairs = when(size(ws) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - 1), i =>
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+    Dedup.balanced(df.select(col(idCol), col(textCol)))
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** PII redaction patterns: (name, regex, replacement), applied in
     * order — emails first, then IPv4 (before the phone pattern, which a
     * dotted quad also matches), then phone-like digit runs. The regex

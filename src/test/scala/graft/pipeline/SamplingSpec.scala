@@ -89,6 +89,17 @@ class SamplingSpec extends SparkTestBase {
     assert(got === Seq(("a", 4L, 2L), ("b", 3L, 2L)))
   }
 
+  test("bpePairs counts adjacent pairs with repeats, short docs yield none") {
+    val df = Seq(
+      (1L, "a b a b"),   // pairs: "a b" ×2, "b a" ×1
+      (2L, "a b"),       // "a b" ×1
+      (3L, "solo"),      // 1 token → no pairs
+      (4L, "  ")).toDF("doc_id", "text") // whitespace-only → [""] → no pairs
+    val got = TextPipeline.bpePairs(df, "doc_id", "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a b", 3L), ("b a", 1L)))
+  }
+
   test("no shuffle: the sampling plan is scan → filter/project only") {
     val plan = Sampling.stratified(docs, "doc_id", "lang", Map("en" -> 0.5))
       .queryExecution.executedPlan.toString
