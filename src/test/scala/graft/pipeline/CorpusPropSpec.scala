@@ -73,4 +73,20 @@ class CorpusPropSpec extends SparkTestBase {
       }
     })
   }
+
+  test("bpePairs: total pair mass = Σ max(0, len−1); counts match brute force") {
+    val genCorpus = Gen.listOfN(6,
+      Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    checkProp(Prop.forAll(genCorpus) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextPipeline.bpePairs(df, "doc_id", "text", topK = 1000)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val expected = texts
+        .map(_.trim.split("\\s+").toSeq)
+        .flatMap(ts => if (ts.length < 2) Nil else ts.sliding(2).map(_.mkString(" ")))
+        .groupBy(identity).map { case (p, os) => (p, os.size.toLong) }
+      (got == expected) :| s"got $got expected $expected from $texts"
+    })
+  }
 }
