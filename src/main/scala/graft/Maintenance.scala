@@ -13,10 +13,12 @@ import org.apache.spark.sql.SparkSession
   * Exit code 0 = healthy/done; 1 = findings or usage error (findings are
   * printed one per line).
   *
-  * gc and prune are OFFLINE operations: stop any server/session writing
-  * to the root first. A snapshot save writes objects before its manifest,
-  * so collecting concurrently with a writer can delete the objects of an
-  * in-flight snapshot (fsck is read-only and safe anytime). */
+  * gc and prune skip anything modified inside a grace window
+  * ([[graft.engine.Persist.DefaultGcGraceMs]], 15 min), which protects
+  * the objects of an in-flight snapshot save (objects land before their
+  * manifest) from a collector racing a live writer. Offline runs remain
+  * the recommendation — a young TRUE orphan simply waits for the next
+  * pass. fsck is read-only and safe anytime. */
 object Maintenance {
   def main(args: Array[String]): Unit = {
     val usage = "usage: graft.Maintenance <fsck|gc|prune> <storage-root>"

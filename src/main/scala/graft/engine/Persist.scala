@@ -478,7 +478,8 @@ object Persist {
     * object names. Note the trade: merges whose LCA was pruned stop
     * working (the reference's append-only store has no pruning at all). */
   def prune(spark: SparkSession, root: String,
-      retainExtra: Set[String] = Set.empty): Either[String, Seq[String]] = {
+      retainExtra: Set[String] = Set.empty,
+      graceMs: Long = DefaultGcGraceMs): Either[String, Seq[String]] = {
     val f = fs(spark, root)
     val p = storePath(root)
     if (!f.exists(p)) Right(Seq.empty)
@@ -515,7 +516,7 @@ object Persist {
             writeText(f, p, sexp.render)
             hashes.filterNot(retain.contains)
               .foreach(h => f.delete(snapshotPath(root, h), false))
-            gc(spark, root)
+            gc(spark, root, graceMs)
           }
         } yield deleted
       case other => Left(s"bad store file: ${other.render}")
@@ -532,25 +533,38 @@ object Persist {
     * history (the reference's append-only KV store has the same
     * unbounded-growth property; this is the knob it lacks).
     *
-    * OFFLINE ONLY: [[saveSnapshot]] writes objects BEFORE their manifest,
-    * so gc/prune racing an active writer could collect the objects of an
-    * in-flight snapshot whose manifest has not landed yet. Run against a
-    * quiesced store (no live session on the root) — the contract
-    * [[graft.Maintenance]] documents. */
-  def gc(spark: SparkSession, root: String): Either[String, Seq[String]] = {
+    * RACE SAFETY: [[saveSnapshot]] writes objects BEFORE their manifest,
+    * so gc/prune racing an active writer could otherwise collect the
+    * objects of an in-flight snapshot whose manifest has not landed yet.
+    * The grace period closes that window: anything modified within
+    * `graceMs` is skipped this pass (an in-flight save completes far
+    * inside it; a genuine orphan is collected by the next run). Offline
+    * runs that want immediate collection pass `graceMs = 0`. */
+  def gc(spark: SparkSession, root: String,
+      graceMs: Long = DefaultGcGraceMs): Either[String, Seq[String]] = {
     val f = fs(spark, root)
-    // leftover temp files from interrupted atomic writes are never live
+    val cutoff = System.currentTimeMillis() - graceMs
+    // leftover temp files from interrupted atomic writes are never live —
+    // but a YOUNG .tmp may be an atomic write in progress
     for (dir <- Seq(new Path(root, "snapshots"), new Path(root)) if f.exists(dir);
-         st <- f.listStatus(dir) if st.isFile && st.getPath.getName.endsWith(".tmp"))
+         st <- f.listStatus(dir)
+         if st.isFile && st.getPath.getName.endsWith(".tmp") &&
+           st.getModificationTime < cutoff)
       f.delete(st.getPath, false)
     referencedHashes(f, root, listSnapshotHashes(f, root)).map { live =>
       val objDir = new Path(root, "objects")
       if (!f.exists(objDir)) Seq.empty
-      else f.listStatus(objDir).toSeq.map(_.getPath)
-        .filter(p => !live.contains(p.getName.stripSuffix(".parquet")))
-        .map { p => f.delete(p, true); p.getName }
+      else f.listStatus(objDir).toSeq
+        .filter(st => !live.contains(st.getPath.getName.stripSuffix(".parquet")) &&
+          st.getModificationTime < cutoff)
+        .map { st => f.delete(st.getPath, true); st.getPath.getName }
     }
   }
+
+  /** [[gc]]'s default protection window for recently-written objects:
+    * generous against a snapshot save in flight (seconds), small against
+    * the unbounded growth gc exists to curb. */
+  val DefaultGcGraceMs: Long = 15 * 60 * 1000L
 
   /** Verify every persisted object against its content-addressed name:
     * recompute each distinct relation version's content root

@@ -257,7 +257,7 @@ class PersistSpec extends SparkTestBase {
     // prune: keep current + branch tips, drop the rest, collect orphans
     val snapsBefore = new java.io.File(dir, "snapshots").list().length
     val objectsBefore = new java.io.File(dir, "objects").list().length
-    val deleted = Persist.prune(spark, dir).fold(e => fail(e), identity)
+    val deleted = Persist.prune(spark, dir, graceMs = 0L).fold(e => fail(e), identity)
     assert(deleted.nonEmpty) // the one-row version of `a` is orphaned
     assert(new java.io.File(dir, "snapshots").list().length < snapsBefore)
     assert(new java.io.File(dir, "objects").list().length === objectsBefore - deleted.length)
@@ -269,6 +269,24 @@ class PersistSpec extends SparkTestBase {
     assert(s2.db.hash === s1.db.hash)
     assert(s2.store.head === Some("main"))
     assert(query(s2, "(Base a)") === Seq(Seq(1L), Seq(2L)))
+  }
+
+  test("gc grace period protects young objects from a racing collector") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val s1 = new EngineSession(spark, persistDir = Some(dir))
+    exec(s1, "(CreateDatabase g)")
+    exec(s1, "(CreateRelation (name a) (schema ((x integer))))")
+    exec(s1, "(InsertTuple (relation a) (attributes ((x (Int 1)))))")
+    // a just-written unreferenced object models an in-flight snapshot
+    // whose manifest has not landed yet
+    val orphan = new java.io.File(dir, "objects/deadbeef.parquet")
+    Seq(1L).toDF("x").write.parquet(orphan.toString)
+    assert(Persist.gc(spark, dir) === Right(Seq.empty)) // default grace: skipped
+    assert(orphan.exists())
+    val deleted = Persist.gc(spark, dir, graceMs = 0L).fold(e => fail(e), identity)
+    assert(deleted === Seq("deadbeef.parquet"))
+    assert(!orphan.exists())
   }
 
   test("persisting a programmatically-checked domain fails loudly instead of dropping the check") {
