@@ -58,4 +58,43 @@ class SexpSpec extends AnyFunSuite {
   test("render quotes the empty atom") {
     assert(Atom("").render == "\"\"")
   }
+
+  test("parse never throws on arbitrary input (fuzz)") {
+    import org.scalacheck.{Gen, Prop}
+    // bias toward the parser's own metacharacters — random unicode alone
+    // rarely exercises the quote/escape/comment machinery
+    val genInput = Gen.frequency(
+      2 -> Gen.asciiPrintableStr,
+      2 -> Gen.listOf(Gen.oneOf('(', ')', '"', '\\', ';', ' ', '\n', 'a', '\t'))
+        .map(_.mkString),
+      1 -> Gen.listOf(Gen.oneOf(Gen.asciiPrintableChar, Gen.choose(Char.MinValue, Char.MaxValue)))
+        .map(_.mkString))
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(500),
+      Prop.forAll(genInput) { s =>
+        Sexp.parse(s); Sexp.parseMany(s) // Either, never an exception
+        true
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("render ∘ parse is identity on arbitrary trees (fuzz)") {
+    import org.scalacheck.{Gen, Prop}
+    val genLeaf: Gen[Sexp] = Gen.oneOf(
+      Gen.asciiPrintableStr, Gen.alphaNumStr,
+      Gen.listOf(Gen.oneOf('(', ')', '"', '\\', ';', ' ', 'é')).map(_.mkString)
+    ).map(Atom(_))
+    def genTree(depth: Int): Gen[Sexp] =
+      if (depth == 0) genLeaf
+      else Gen.frequency(
+        3 -> genLeaf,
+        2 -> Gen.choose(0, 4).flatMap(n =>
+          Gen.listOfN(n, genTree(depth - 1)).map(SList(_))))
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300),
+      Prop.forAll(genTree(3)) { t =>
+        Sexp.parse(t.render) == Right(t)
+      })
+    assert(res.passed, res.status.toString)
+  }
 }
