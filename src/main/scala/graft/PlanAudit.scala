@@ -86,6 +86,7 @@ object PlanAudit {
     audit("text_bpe_pairs", SparkEntry.queries("text_bpe_pairs")(spark, dir))
     audit("agg_no_urgent_customers", SparkEntry.queries("agg_no_urgent_customers")(spark, dir))
     audit("agg_priority_pivot", SparkEntry.queries("agg_priority_pivot")(spark, dir))
+    audit("sketch_kmv_distinct", SparkEntry.queries("sketch_kmv_distinct")(spark, dir))
     audit("text_redact", {
       import spark.implicits._
       graft.pipeline.TextPipeline.redact(

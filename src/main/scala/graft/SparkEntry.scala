@@ -464,6 +464,11 @@ object SparkEntry {
           col("`3-MEDIUM`").as("medium"), col("`4-NOT SPECIFIED`").as("notspec"),
           col("`5-LOW`").as("low"))
     }),
+    // KMV distinct-count sketch over order keys: the DETERMINISTIC
+    // approximate-distinct (HLL's register layout is engine-defined, so
+    // only a k-minimum-values sketch can be oracle-checked exactly)
+    "sketch_kmv_distinct" -> ((s, dir) =>
+      graft.pipeline.Sketches.kmvDistinct(table(s, dir, "lineitem"), "l_orderkey")),
     // lineitem ⋈ orders with the probe side salted 8 ways — the skew
     // tool; the salt is invisible in the result, so the oracle is the
     // PLAIN join (multiset equality is exactly the operator's contract)
@@ -800,6 +805,8 @@ object SparkEntry {
          |  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS notspec,
          |  SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS low
          |FROM orders GROUP BY yr""".stripMargin),
+    "sketch_kmv_distinct" ->
+      graft.pipeline.Sketches.kmvDistinctOracle("lineitem", "l_orderkey"),
     "agg_sessionize" ->
       (s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),
           |b AS (SELECT user_id, tus, value,

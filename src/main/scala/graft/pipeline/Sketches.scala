@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed-sketch operators whose estimates are DETERMINISTIC —
+  * unlike HLL-family sketches (whose register layout is
+  * implementation-defined, so no cross-engine oracle can check them),
+  * these are exact functions of the input multiset and re-derivable in
+  * plain SQL by the DuckDB oracle.
+  */
+object Sketches {
+
+  /** 2^60 — the hash-space size of the 15-hex-char md5 prefix used as the
+    * KMV uniform hash (same construction as [[Dedup]]'s MinHash base
+    * hash). Exactly representable in a double (a power of two), so the
+    * estimate's floating-point arithmetic is reproducible anywhere. */
+  val KmvHashSpace: Double = 1152921504606846976.0
+
+  /** K-minimum-values distinct-count sketch (Bar-Yossef et al. '02): hash
+    * every value uniformly, keep the k smallest DISTINCT hashes; with
+    * U = kth smallest hash / hash-space, distinct ≈ (k−1)/U. Relative
+    * error ~ 1/√(k−2) (≈3% at k=1024). Deterministic: same input set →
+    * same k-minima → same estimate, on any engine that can md5.
+    *
+    * Scale shape: the hash is a narrow map fused with the scan; the
+    * distinct is a map-side-combined hash aggregate on an 8-byte key (each
+    * partition ships its UNIQUE hashes once); the k smallest is
+    * TakeOrderedAndProject — per-partition heaps + driver merge of
+    * k·partitions rows, never a global sort. The shuffle is bounded by the
+    * distinct-value count, not the row count — the right trade for a
+    * sketch whose whole job is `count(DISTINCT x)` without a giant exact
+    * distinct: the estimate needs only ONE pass and O(k) driver memory.
+    *
+    * Returns one row: `k` (minima actually kept), `kth` (the largest of
+    * them), `est_distinct`. Fewer than k distinct values → the sketch IS
+    * the exact count and reports it. */
+  def kmvDistinct(df: DataFrame, valueCol: String, k: Int = 1024): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    df.select(h.as("hv")).distinct()
+      .orderBy(col("hv")).limit(k)
+      .agg(count(lit(1)).as("k"), max(col("hv")).as("kth"))
+      .select(col("k"), col("kth"),
+        when(col("k") < k, col("k").cast("double"))
+          .otherwise((col("k") - 1).cast("double") * lit(KmvHashSpace) /
+            col("kth").cast("double"))
+          .as("est_distinct"))
+  }
+
+  /** The DuckDB re-derivation of [[kmvDistinct]] over `table.valueExpr`
+    * (single-sourced so the two sides cannot drift). */
+  def kmvDistinctOracle(table: String, valueExpr: String, k: Int = 1024): String =
+    s"""WITH h AS (SELECT DISTINCT ('0x' || substr(md5(($valueExpr)::VARCHAR), 1, 15))::BIGINT AS hv FROM $table),
+       |mins AS (SELECT hv FROM h ORDER BY hv LIMIT $k),
+       |m AS (SELECT count(*) AS k, max(hv) AS kth FROM mins)
+       |SELECT k, kth, CASE WHEN k < $k THEN k::DOUBLE
+       |  ELSE (k - 1)::DOUBLE * $KmvHashSpace / kth::DOUBLE END AS est_distinct
+       |FROM m""".stripMargin
+}
