@@ -87,6 +87,9 @@ object PlanAudit {
     audit("agg_no_urgent_customers", SparkEntry.queries("agg_no_urgent_customers")(spark, dir))
     audit("agg_priority_pivot", SparkEntry.queries("agg_priority_pivot")(spark, dir))
     audit("sketch_kmv_distinct", SparkEntry.queries("sketch_kmv_distinct")(spark, dir))
+    audit("agg_quartiles", SparkEntry.queries("agg_quartiles")(spark, dir))
+    audit("agg_decile_profile", SparkEntry.queries("agg_decile_profile")(spark, dir))
+    audit("agg_small_quantity_revenue", SparkEntry.queries("agg_small_quantity_revenue")(spark, dir))
     audit("text_redact", {
       import spark.implicits._
       graft.pipeline.TextPipeline.redact(

@@ -464,6 +464,42 @@ object SparkEntry {
           col("`3-MEDIUM`").as("medium"), col("`4-NOT SPECIFIED`").as("notspec"),
           col("`5-LOW`").as("low"))
     }),
+    // quartiles of the integral quantity column: percentile interpolation
+    // lands on exact binary fractions (.25/.5/.75 of integer gaps), so the
+    // doubles match DuckDB's quantile_cont bit-for-bit
+    "agg_quartiles" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.25)").as("q1"),
+          expr("percentile(l_quantity, 0.5)").as("med"),
+          expr("percentile(l_quantity, 0.75)").as("q3"),
+          count(lit(1)).as("n"))
+    }),
+    // decile revenue profile via the SCALABLE global rank: range exchange
+    // + per-partition sorts + driver prefix sum over partition counts —
+    // never Spark's single-task no-partition window (see GlobalRank)
+    "agg_decile_profile" -> ((s, dir) => {
+      val d = graft.operators.GlobalRank.withNtile(
+        table(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        Seq("o_totalprice", "o_orderkey"), buckets = 10, out = "decile")
+      d.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("volume"))
+    }),
+    // TPC-H Q17-like decorrelated aggregate join: lineitems whose quantity
+    // is below 20% of their part's average. The correlated subquery
+    // becomes ONE per-part aggregate joined back; the threshold compare is
+    // division-free integer-exact DECIMAL arithmetic (5·qty·cnt < Σqty)
+    "agg_small_quantity_revenue" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"))
+      li.join(perPart, col("l_partkey") === col("pk"))
+        .filter((col("l_quantity") * 5).cast(DecimalType(18, 2)) * col("cnt") < col("sq"))
+        .agg(count(lit(1)).as("n_small"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+    }),
     // KMV distinct-count sketch over order keys: the DETERMINISTIC
     // approximate-distinct (HLL's register layout is engine-defined, so
     // only a k-minimum-values sketch can be oracle-checked exactly)
@@ -805,6 +841,23 @@ object SparkEntry {
          |  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS notspec,
          |  SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS low
          |FROM orders GROUP BY yr""".stripMargin),
+    "agg_quartiles" ->
+      ("SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS q1, " +
+        "quantile_cont(l_quantity, 0.5) AS med, quantile_cont(l_quantity, 0.75) AS q3, " +
+        "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag"),
+    "agg_decile_profile" ->
+      ("""WITH d AS (SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+         |  o_totalprice FROM orders)
+         |SELECT decile, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+         |FROM d GROUP BY decile""".stripMargin),
+    "agg_small_quantity_revenue" ->
+      ("""WITH pa AS (SELECT l_partkey AS pk, COUNT(*) AS cnt,
+         |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq FROM lineitem GROUP BY 1)
+         |SELECT COUNT(*) AS n_small,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN pa ON l_partkey = pk
+         |WHERE CAST(5 * l_quantity AS DECIMAL(18,2)) * cnt < sq""".stripMargin),
     "sketch_kmv_distinct" ->
       graft.pipeline.Sketches.kmvDistinctOracle("lineitem", "l_orderkey"),
     "agg_sessionize" ->

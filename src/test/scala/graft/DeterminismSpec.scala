@@ -27,6 +27,9 @@ class DeterminismSpec extends SparkTestBase {
     "ann_pq_topk",          // trained codebooks + ADC window
     "agg_revenue_by_nation",// decimal-accumulated join aggregate
     "pack_sequences",       // distributed prefix sum
+    "text_bpe_pairs",       // combinable pair count + heap top-k
+    "sketch_kmv_distinct",  // distinct-bounded shuffle + k-minima heaps
+    "agg_decile_profile",   // two-phase global rank over range partitions
   )
 
   private def canonical(name: String): String = {
