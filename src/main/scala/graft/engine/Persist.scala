@@ -544,19 +544,24 @@ object Persist {
       graceMs: Long = DefaultGcGraceMs): Either[String, Seq[String]] = {
     val f = fs(spark, root)
     val cutoff = System.currentTimeMillis() - graceMs
+    // Some FileSystems (object stores) synthesize directory statuses with
+    // modification time 0 — that is "age unknown", not "ancient". Under a
+    // nonzero grace such entries must be treated as young (skipped), or
+    // the whole window is silently inert exactly where it matters.
+    def agedOut(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      graceMs <= 0 || (st.getModificationTime > 0 && st.getModificationTime < cutoff)
     // leftover temp files from interrupted atomic writes are never live —
     // but a YOUNG .tmp may be an atomic write in progress
     for (dir <- Seq(new Path(root, "snapshots"), new Path(root)) if f.exists(dir);
          st <- f.listStatus(dir)
-         if st.isFile && st.getPath.getName.endsWith(".tmp") &&
-           st.getModificationTime < cutoff)
+         if st.isFile && st.getPath.getName.endsWith(".tmp") && agedOut(st))
       f.delete(st.getPath, false)
     referencedHashes(f, root, listSnapshotHashes(f, root)).map { live =>
       val objDir = new Path(root, "objects")
       if (!f.exists(objDir)) Seq.empty
       else f.listStatus(objDir).toSeq
         .filter(st => !live.contains(st.getPath.getName.stripSuffix(".parquet")) &&
-          st.getModificationTime < cutoff)
+          agedOut(st))
         .map { st => f.delete(st.getPath, true); st.getPath.getName }
     }
   }

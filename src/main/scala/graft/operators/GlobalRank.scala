@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Global order statistics WITHOUT a single-task global sort.
   *
@@ -55,25 +54,11 @@ object GlobalRank {
 
   /** Shared phase 1+2: range-partitioned frame with `__pid` and global
     * `__rank` columns, plus the total row count (free from the
-    * per-partition counts — no extra job). */
+    * per-partition counts — no extra job). The scaffold (range exchange,
+    * driver prefix sum, persist rationale) lives in [[PrefixSum]]. */
   private def ranked(df: DataFrame, orderCols: Seq[String]): (DataFrame, Long) = {
-    val spark = df.sparkSession
-    val parallelism = spark.sparkContext.defaultParallelism
+    val (ranged, baseDf, n) = PrefixSum.rangedBases(df, orderCols, lit(1L))
     val cols: Seq[Column] = orderCols.map(c => col(s"`$c`"))
-    // persisted: the driver count pass and the returned plan must see the
-    // SAME range partitioning (boundary sampling is not re-run stable)
-    val ranged = df.repartitionByRange(parallelism, cols: _*)
-      .sortWithinPartitions(cols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val n = counts.values.sum
-    val bases = Iterator.iterate((0, 0L)) { case (pid, acc) =>
-      (pid + 1, acc + counts.getOrElse(pid, 0L))
-    }.take(parallelism + 1).toSeq
-    import spark.implicits._
-    val baseDf = bases.toDF("__pid", "__base")
     val w = Window.partitionBy(col("__pid")).orderBy(cols: _*)
     val out = ranged.join(broadcast(baseDf), Seq("__pid"))
       .withColumn("__rank", col("__base") + row_number().over(w))

@@ -3,7 +3,6 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Sequence packing for LLM training: lay every document's tokens
   * end-to-end in a canonical order (doc id) and cut the tape every
@@ -42,28 +41,11 @@ object Packing {
       col(idCol).cast("long").as(idCol),
       size(TextPipeline.tokens(col(textCol), tokenizer)).cast("long").as("n_tokens"))
 
-    // Range-partition by id so partition order == id order, then persist:
-    // the per-partition totals and the windowed second pass MUST see the
-    // same partitioning (range sampling is not re-run deterministic).
-    val parallelism = spark.sparkContext.defaultParallelism
-    // persisted until LRU eviction or session clearCache — the returned
-    // plan re-reads it (standard multi-consumer trade, see Dedup)
-    val ranged = counted
-      .repartitionByRange(parallelism, col(idCol))
-      .sortWithinPartitions(col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // phase 1: per-partition token totals → driver prefix sum (the
-    // collect is num-partitions rows — thousands at most, never data)
-    val partTotals = ranged.groupBy(col("__pid"))
-      .agg(sum(col("n_tokens")).as("__total"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val bases = Iterator.iterate((0, 0L)) { case (pid, acc) =>
-      (pid + 1, acc + partTotals.getOrElse(pid, 0L))
-    }.take(parallelism + 1).toSeq
-    import spark.implicits._
-    val baseDf = bases.toDF("__pid", "__base")
+    // Two-phase distributed prefix sum over token counts in doc-id order
+    // (range exchange + driver prefix of per-partition totals — the
+    // scaffold and its persist rationale live in operators.PrefixSum)
+    val (ranged, baseDf, _) =
+      graft.operators.PrefixSum.rangedBases(counted, Seq(idCol), col("n_tokens"))
 
     // phase 2: within-partition running sum + broadcast base join
     val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
