@@ -90,6 +90,8 @@ object PlanAudit {
     audit("agg_quartiles", SparkEntry.queries("agg_quartiles")(spark, dir))
     audit("agg_decile_profile", SparkEntry.queries("agg_decile_profile")(spark, dir))
     audit("agg_small_quantity_revenue", SparkEntry.queries("agg_small_quantity_revenue")(spark, dir))
+    audit("split_curriculum", SparkEntry.queries("split_curriculum")(spark, dir))
+    audit("text_token_ids", SparkEntry.queries("text_token_ids")(spark, dir))
     audit("text_redact", {
       import spark.implicits._
       graft.pipeline.TextPipeline.redact(

@@ -500,6 +500,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_small"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
     }),
+    // curriculum binning: quality-score quartile bins over the corpus —
+    // the difficulty-staged training order, composed from the quality
+    // scorer and the scalable GlobalRank NTILE (no single-task window).
+    // NULL scores (empty docs) are pinned to -1 so both engines agree on
+    // their ordering (Spark sorts NULLS FIRST asc, DuckDB NULLS LAST)
+    "split_curriculum" -> ((s, dir) => {
+      val q = graft.pipeline.TextPipeline.quality(table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("score"), lit(-1.0)).as("sort_score"))
+      graft.operators.GlobalRank.withNtile(q, Seq("sort_score", "doc_id"), 4, "bin")
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("sort_score")).as("min_score"),
+          max(col("sort_score")).as("max_score"))
+    }),
     // KMV distinct-count sketch over order keys: the DETERMINISTIC
     // approximate-distinct (HLL's register layout is engine-defined, so
     // only a k-minimum-values sketch can be oracle-checked exactly)
@@ -601,6 +617,22 @@ object SparkEntry {
     // one BPE merge round: adjacent-token-pair frequencies, top-100
     "text_bpe_pairs" -> ((s, dir) =>
       graft.pipeline.TextPipeline.bpePairs(table(s, dir, "documents"), "doc_id", "text")),
+    // dictionary encode: corpus tokens → vocab ids (rank in the top-100
+    // vocab; 0 = OOV). The id table is vocab-sized → broadcast join; the
+    // token explosion is scan-side; at 1000× only the explosion grows.
+    // The id-assignment window sorts 100 rows — bounded by topK, not data
+    "text_token_ids" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      val ids = graft.pipeline.TextPipeline.vocab(docs, "doc_id", "text")
+        .select(col("token"), row_number().over(
+          Window.orderBy(col("tf").desc, col("token"))).as("token_id"))
+      docs.select(col("doc_id"),
+          posexplode(graft.pipeline.TextPipeline.tokens(col("text"))).as(Seq("pos", "token")))
+        .join(broadcast(ids), Seq("token"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("token_id"), lit(0)).as("token_id"))
+    }),
     // per-source quota: keep the 10 largest documents of every source
     // (testdata has 25 docs/source, so the cap genuinely bites)
     "sample_source_cap" -> ((s, dir) =>
@@ -858,6 +890,13 @@ object SparkEntry {
          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          |FROM lineitem JOIN pa ON l_partkey = pk
          |WHERE CAST(5 * l_quantity AS DECIMAL(18,2)) * cnt < sq""".stripMargin),
+    "split_curriculum" ->
+      (s"""WITH qual AS (${graft.pipeline.Oracles.textQuality}),
+          |d AS (SELECT doc_id, n_tokens, COALESCE(score, -1.0) AS sort_score,
+          |  ntile(4) OVER (ORDER BY COALESCE(score, -1.0), doc_id) AS bin FROM qual)
+          |SELECT bin, COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS total_tokens,
+          |  min(sort_score) AS min_score, max(sort_score) AS max_score
+          |FROM d GROUP BY bin""".stripMargin),
     "sketch_kmv_distinct" ->
       graft.pipeline.Sketches.kmvDistinctOracle("lineitem", "l_orderkey"),
     "agg_sessionize" ->
@@ -907,6 +946,14 @@ object SparkEntry {
       graft.pipeline.Oracles.pipelineCurate(CurateMinScore, graft.pipeline.Packing.Capacity),
     "text_vocab" -> graft.pipeline.Oracles.textVocab(100),
     "text_bpe_pairs" -> graft.pipeline.Oracles.bpePairs(100),
+    "text_token_ids" ->
+      (s"""WITH v AS (${graft.pipeline.Oracles.textVocab(100)}),
+          |ids AS (SELECT token, row_number() OVER (ORDER BY tf DESC, token) AS token_id FROM v),
+          |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+          |p AS (SELECT doc_id, t.i - 1 AS pos, ws[t.i] AS token
+          |  FROM w, unnest(generate_series(1, len(ws))) AS t(i))
+          |SELECT p.doc_id, p.pos, COALESCE(ids.token_id, 0) AS token_id
+          |FROM p LEFT JOIN ids ON p.token = ids.token""".stripMargin),
     "sample_source_cap" -> graft.pipeline.Oracles.sampleSourceCap(10),
     "sample_uniform_k" ->
       graft.pipeline.Oracles.sampleUniformK(20, graft.pipeline.Sampling.DefaultSalt),
