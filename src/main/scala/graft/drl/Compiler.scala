@@ -74,7 +74,15 @@ object Compiler {
         yield Algebra.cartesian(lf, rf)
 
     case Project(attrs, src) =>
-      compile(spark, cat, src).map(Algebra.project(attrs))
+      // validated here rather than leaking Spark's AnalysisException: the
+      // engine's error contract is Left, never a throw (DispatchFuzzSpec)
+      compile(spark, cat, src).flatMap { df =>
+        val missing = attrs.filterNot(df.columns.contains)
+        if (missing.nonEmpty)
+          Left(s"Project: unknown attribute(s) ${missing.mkString(", ")} " +
+            s"(relation has: ${df.columns.mkString(", ")})")
+        else Right(Algebra.project(attrs)(df))
+      }
 
     case Rename(pairs, src) =>
       compile(spark, cat, src).map(Algebra.rename(pairs))
