@@ -500,6 +500,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_small"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
     }),
+    // CUBE over (returnflag, linestatus): all four grouping sets in ONE
+    // pass (Spark expands map-side, like rollup), with grouping_id
+    // distinguishing the subtotal level — same bitmask encoding as
+    // DuckDB's GROUPING(a, b), so the oracle checks the id itself
+    "agg_cube" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("sum_qty"), col("n_items"))
+    }),
+    // equi-width histogram profile of extendedprice: the data-profiling
+    // primitive. Bin = floor(x / 1000) — one IEEE division + floor, bit-
+    // identical in every engine, so bins never drift at the boundary.
+    // ONE map-side-combinable aggregate: ~100 bins regardless of corpus
+    // size, the shape that holds at 100 TB
+    "agg_histogram" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 1000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_items"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+    }),
     // curriculum binning: quality-score quartile bins over the corpus —
     // the difficulty-staged training order, composed from the quality
     // scorer and the scalable GlobalRank NTILE (no single-task window).
@@ -707,6 +734,11 @@ object SparkEntry {
     // α=0.5 temperature mixing over the (skewed) language distribution
     "sample_temperature" -> ((s, dir) =>
       graft.pipeline.Sampling.temperatureMix(table(s, dir, "documents"), "doc_id", "lang")),
+    // quality-weighted Bernoulli keep (p ∝ n_chars), integer-exact gate
+    "sample_weighted" -> ((s, dir) =>
+      graft.pipeline.Sampling.weightedBernoulli(
+        table(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        "doc_id", "n_chars")),
     // deterministic sharded training order (the scalable global shuffle)
     "split_shuffle_order" -> ((s, dir) =>
       graft.pipeline.Splits.shuffleOrder(table(s, dir, "documents"), "doc_id")),
@@ -890,6 +922,16 @@ object SparkEntry {
          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          |FROM lineitem JOIN pa ON l_partkey = pk
          |WHERE CAST(5 * l_quantity AS DECIMAL(18,2)) * cnt < sq""".stripMargin),
+    "agg_cube" ->
+      ("SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, " +
+        "GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "COUNT(*) AS n_items FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"),
+    "agg_histogram" ->
+      ("SELECT floor(l_extendedprice / 1000)::BIGINT AS bin, COUNT(*) AS n_items, " +
+        "min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+        "FROM lineitem GROUP BY 1"),
     "split_curriculum" ->
       (s"""WITH qual AS (${graft.pipeline.Oracles.textQuality}),
           |d AS (SELECT doc_id, n_tokens, COALESCE(score, -1.0) AS sort_score,
@@ -1005,6 +1047,8 @@ object SparkEntry {
       graft.pipeline.TextPipeline.Tokenizer.Whitespace),
     "dedup_dup_spans" -> graft.pipeline.Oracles.dedupDupNgramSpans(
       graft.pipeline.Dedup.DupSpanN, graft.pipeline.Dedup.DupSpanTopK),
+    "sample_weighted" ->
+      graft.pipeline.Oracles.sampleWeighted(graft.pipeline.Sampling.DefaultSalt),
     "sample_temperature" -> graft.pipeline.Oracles.sampleTemperatureMix(
       graft.pipeline.Sampling.DefaultSalt),
     "split_shuffle_order" -> graft.pipeline.Oracles.splitShuffleOrder(

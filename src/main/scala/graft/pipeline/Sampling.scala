@@ -100,6 +100,30 @@ object Sampling {
       .select(col(s"`$idCol`"), col(s"`$strataCol`"), col("n_stratum"), col("rate"), col("gate"))
   }
 
+  /** Quality-weighted Bernoulli sampling: keep each row with probability
+    * proportional to a non-negative integer weight column, normalized
+    * in-plan by the corpus weight maximum (the heaviest row is kept with
+    * p = 1) — the score-proportional downsampling of quality-classifier
+    * pipelines ("keep high-quality documents more often"), deterministic
+    * like the rest of the triad. The gate is salted with a `|weight`
+    * namespace so composing with [[stratified]]/[[uniformPerStratum]]
+    * draws INDEPENDENT coins.
+    *
+    * Cross-engine determinism: the keep test is pure integer arithmetic —
+    * cell · w_max < w · 65536 — no float rate, no rounding boundary.
+    * Scale shape: one tiny max() aggregate broadcast back onto the scan;
+    * the pass over the corpus itself is a zero-exchange filtered scan,
+    * same as [[stratified]]. */
+  def weightedBernoulli(df: DataFrame, idCol: String, weightCol: String,
+      salt: String = DefaultSalt): DataFrame = {
+    val w = col(s"`$weightCol`").cast("long")
+    val wmax = df.agg(max(w).as("__wmax"))
+    df.crossJoin(broadcast(wmax))
+      .withColumn("gate", gateCol(idCol, salt + "|weight"))
+      .filter(conv(col("gate"), 16, 10).cast("long") * col("__wmax") < w * lit(65536L))
+      .drop("__wmax")
+  }
+
   /** Rows surviving the per-stratum gate, with the gate cell surfaced as
     * `gate` for auditability. A rate of exactly 1.0 keeps every row of
     * the stratum (no boundary comparison — 'ffff' would drop cell ffff). */

@@ -79,6 +79,31 @@ class SamplingSpec extends SparkTestBase {
       other.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("weightedBernoulli: keep probability tracks the weight; max-weight row scale") {
+    val weighted = (1L to 4000L).map(i => (i, (i % 4) * 100L)).toDF("doc_id", "w")
+    val out = Sampling.weightedBernoulli(weighted, "doc_id", "w")
+    val kept = out.groupBy("w").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // weight 0 rows can never satisfy cell·wmax < 0·65536
+    assert(!kept.contains(0L), s"weight-0 rows survived: $kept")
+    // expected keep fractions are w/wmax = 1/3 and 2/3 of 1000 rows each;
+    // weight == wmax keeps everything except cells ≥ 65536·w/wmax — i.e. all
+    val f1 = kept.getOrElse(100L, 0L).toDouble / 1000
+    val f2 = kept.getOrElse(200L, 0L).toDouble / 1000
+    assert(math.abs(f1 - 1.0 / 3) < 0.06, s"w=100 fraction $f1")
+    assert(math.abs(f2 - 2.0 / 3) < 0.06, s"w=200 fraction $f2")
+    assert(kept.getOrElse(300L, 0L) === 1000L, "max-weight rows must all survive")
+    // deterministic across partitioning
+    val again = Sampling.weightedBernoulli(weighted.repartition(13), "doc_id", "w")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("weightedBernoulli draws independently of the stratified gate") {
+    val df = (1L to 2000L).map(i => (i, 1L)).toDF("doc_id", "w")
+    // uniform weight 1 == wmax keeps ALL rows (p = 1): the degenerate case
+    assert(Sampling.weightedBernoulli(df, "doc_id", "w").count() === 2000)
+  }
+
   test("vocab ranks tokens by corpus frequency with doc frequency") {
     val df = Seq(
       (1L, "a a a b c"),
