@@ -527,6 +527,17 @@ object SparkEntry {
           max(col("l_extendedprice")).as("max_price"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
+    // triangle count over the part-co-order graph (parts linked when one
+    // order contains both): degree-ordered wedge generation bounds the
+    // explosion at O(m^1.5) regardless of hub skew — see Triangles
+    "graph_triangles" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val pairs = lp.select(col("ok"), col("p").as("s1"))
+        .join(lp.select(col("ok"), col("p").as("s2")), "ok")
+      graft.operators.Triangles.count(
+        graft.operators.Triangles.canonicalEdges(pairs, "s1", "s2"))
+    }),
     // curriculum binning: quality-score quartile bins over the corpus —
     // the difficulty-staged training order, composed from the quality
     // scorer and the scalable GlobalRank NTILE (no single-task window).
@@ -932,6 +943,16 @@ object SparkEntry {
         "min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
         "FROM lineitem GROUP BY 1"),
+    // id-ordered closure (a < b < c) counts each triangle once — the same
+    // multiset the degree-ordered Spark orientation produces
+    "graph_triangles" ->
+      ("""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+         |n AS (SELECT count(DISTINCT v) AS n_nodes FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+         |ne AS (SELECT count(*) AS n_edges FROM e),
+         |t AS (SELECT count(*) AS n_triangles FROM e e1
+         |      JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT n_nodes, n_edges, n_triangles FROM n, ne, t""".stripMargin),
     "split_curriculum" ->
       (s"""WITH qual AS (${graft.pipeline.Oracles.textQuality}),
           |d AS (SELECT doc_id, n_tokens, COALESCE(score, -1.0) AS sort_score,

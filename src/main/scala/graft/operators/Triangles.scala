@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed triangle counting over an undirected graph — the graph-
+  * analytics profiling primitive (clustering-coefficient numerators,
+  * community density, link-spam signals for web-corpus curation).
+  *
+  * Scale shape: the naive wedge join explodes a node of degree d into
+  * C(d, 2) wedge rows — a hub with d = 10⁶ is a 5·10¹¹-row task. This
+  * implementation first ORIENTS every edge from its (degree, id)-smaller
+  * endpoint to its larger one; each triangle then has exactly one source
+  * whose two out-edges form its wedge, and out-degrees under this
+  * orientation are bounded by O(√m) on any graph (the classic
+  * arboricity argument behind cover-edge/forward counting), so wedge
+  * generation is O(m^1.5) worst-case TOTAL, independent of hub skew.
+  * Three equi-joins end to end — orientation (2 broadcast-able degree
+  * joins), wedge (self-join on the source), closure (equi-join of the
+  * wedge's (v, w) against the directed edge list) — never an all-pairs
+  * product.
+  */
+object Triangles {
+
+  /** Canonical undirected edge set: distinct (a, b) with a < b, loops
+    * dropped. One shuffle (the distinct) keyed on the pair. */
+  def canonicalEdges(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(s"`$aCol`")
+    val b = col(s"`$bCol`")
+    pairs.filter(a =!= b)
+      .select(least(a, b).as("a"), greatest(a, b).as("b"))
+      .distinct()
+  }
+
+  private def ordLess(d1: Column, v1: Column, d2: Column, v2: Column): Column =
+    d1 < d2 || (d1 === d2 && v1 < v2)
+
+  /** One row `(n_nodes, n_edges, n_triangles)` for a canonical edge set
+    * (as produced by [[canonicalEdges]]). The edge list is persisted —
+    * it feeds the degree aggregate, both wedge sides, and the closure
+    * probe. */
+  def count(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select(col("a"), col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(F.count(lit(1)).as("deg"))
+
+    // Orient a—b toward the (deg, id)-larger endpoint. The degree table
+    // has one row per node — broadcast-able far beyond any realistic
+    // node count's dimension-table threshold; at web scale it still
+    // hash-joins on the node key, never a product.
+    val withDeg = edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val directed = withDeg.select(
+      when(ordLess(col("da"), col("a"), col("db"), col("b")), col("a")).otherwise(col("b")).as("src"),
+      when(ordLess(col("da"), col("a"), col("db"), col("b")), col("b")).otherwise(col("a")).as("dst"),
+      when(ordLess(col("da"), col("a"), col("db"), col("b")), col("db")).otherwise(col("da")).as("ddst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Wedge at src: unordered out-neighbor pairs, emitted once with
+    // ord(v) < ord(w) — the same total order, so the closing edge is
+    // exactly the directed edge v→w.
+    val e1 = directed.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
+    val e2 = directed.select(col("src"), col("dst").as("w"), col("ddst").as("dw"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(ordLess(col("dv"), col("v"), col("dw"), col("w")))
+    val closed = wedges.join(
+      directed.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+
+    val nNodes = deg.agg(F.count(lit(1)).as("n_nodes"))
+    val nEdges = edges.agg(F.count(lit(1)).as("n_edges"))
+    val nTris = closed.agg(F.count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nTris)
+  }
+}
