@@ -35,5 +35,7 @@ object GraftExtensions {
       graft.functions.Functions.dotBuilder),
     (graft.functions.PqEncode.Name, classOf[graft.functions.PqEncode],
       graft.functions.PqEncode.builder),
+    (graft.functions.NfcNormalize.Name, classOf[graft.functions.NfcNormalize],
+      graft.functions.NfcNormalize.builder),
   )
 }

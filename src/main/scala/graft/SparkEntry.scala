@@ -745,6 +745,13 @@ object SparkEntry {
     // α=0.5 temperature mixing over the (skewed) language distribution
     "sample_temperature" -> ((s, dir) =>
       graft.pipeline.Sampling.temperatureMix(table(s, dir, "documents"), "doc_id", "lang")),
+    // Unicode NFC normalization via the native codegen'd expression —
+    // stays inside whole-stage codegen (a UDF would break the stage)
+    "text_normalize_nfc" -> ((s, dir) => {
+      val t = table(s, dir, "documents")
+      val n = graft.functions.Functions.nfc(s, col("text"))
+      t.select(col("doc_id"), n.as("nfc_text"), (n =!= col("text")).as("changed"))
+    }),
     // quality-weighted Bernoulli keep (p ∝ n_chars), integer-exact gate
     "sample_weighted" -> ((s, dir) =>
       graft.pipeline.Sampling.weightedBernoulli(
@@ -1070,6 +1077,9 @@ object SparkEntry {
       graft.pipeline.Dedup.DupSpanN, graft.pipeline.Dedup.DupSpanTopK),
     "sample_weighted" ->
       graft.pipeline.Oracles.sampleWeighted(graft.pipeline.Sampling.DefaultSalt),
+    "text_normalize_nfc" ->
+      ("SELECT doc_id, nfc_normalize(text) AS nfc_text, " +
+        "nfc_normalize(text) <> text AS changed FROM documents"),
     "sample_temperature" -> graft.pipeline.Oracles.sampleTemperatureMix(
       graft.pipeline.Sampling.DefaultSalt),
     "split_shuffle_order" -> graft.pipeline.Oracles.splitShuffleOrder(

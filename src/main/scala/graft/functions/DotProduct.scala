@@ -44,7 +44,7 @@ final case class DotProduct(left: Expression, right: Expression) extends BinaryE
       case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         s"graft_dot expects two array<float|double> arguments, got " +
-          s"${left.dataType.simpleString(10)} and ${right.dataType.simpleString(10)}")
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
     }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -125,5 +125,14 @@ object Functions {
   def pqEncode(spark: SparkSession, sub: Column, books: Column, cids: Column): Column = {
     PqEncode.register(spark)
     call_function(PqEncode.Name, sub, books, cids)
+  }
+
+  /** Unicode NFC normalization as a Column ([[NfcNormalize]]). */
+  def nfc(spark: SparkSession, s: Column): Column = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(NfcNormalize.Name),
+      new ExpressionInfo(classOf[NfcNormalize].getName, NfcNormalize.Name),
+      NfcNormalize.builder)
+    call_function(NfcNormalize.Name, s)
   }
 }

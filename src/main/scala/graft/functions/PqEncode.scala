@@ -41,7 +41,7 @@ final case class PqEncode(first: Expression, second: Expression, third: Expressi
           ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
     case (a, b, c) => TypeCheckResult.TypeCheckFailure(
       s"graft_pq_encode expects (array<float|double>, array<array<double>>, array<int>), " +
-        s"got (${a.simpleString(10)}, ${b.simpleString(10)}, ${c.simpleString(10)})")
+        s"got (${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
   }
 
   override protected def nullSafeEval(subAny: Any, booksAny: Any, cidsAny: Any): Any = {
