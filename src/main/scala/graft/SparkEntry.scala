@@ -598,6 +598,9 @@ object SparkEntry {
       graft.pipeline.Dedup.nearDupPairs(table(s, dir, "documents"), "doc_id", "text")),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       graft.pipeline.Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text")),
+    // asymmetric containment (partial-copy detection Jaccard misses)
+    "dedup_containment_pairs" -> ((s, dir) =>
+      graft.pipeline.Dedup.containmentPairs(table(s, dir, "documents"), "doc_id", "text")),
     "dedup_clusters" -> ((s, dir) =>
       graft.pipeline.Dedup.nearDupClusters(table(s, dir, "documents"), "doc_id", "text")),
     // keeper selection per cluster: highest quality wins, ties by id
@@ -998,6 +1001,7 @@ object SparkEntry {
     "dedup_minhash_sig" -> graft.pipeline.Oracles.dedupMinhashSig,
     "dedup_minhash_pairs" -> graft.pipeline.Oracles.dedupMinhashPairs,
     "dedup_jaccard_pairs" -> graft.pipeline.Oracles.dedupJaccardPairs(0.2),
+    "dedup_containment_pairs" -> graft.pipeline.Oracles.dedupContainmentPairs(0.8),
     "dedup_clusters" -> graft.pipeline.Oracles.dedupClusters,
     "dedup_canonical" -> graft.pipeline.Oracles.dedupCanonical,
     "text_redact" -> graft.pipeline.Oracles.textRedact,

@@ -438,6 +438,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric containment pairs: max(|A∩B|/|A|, |A∩B|/|B|) =
+    * inter / min(|A|, |B|) over the shingle sets — the partial-copy
+    * detector. Symmetric Jaccard structurally misses quotation: a
+    * 100-token document fully embedded in a 10,000-token one scores
+    * J ≈ 0.01 but containment 1.0, and it's exactly such engulfed
+    * copies (boilerplate wrappers, aggregator pages, benchmark text
+    * pasted into a long page) that leak through Jaccard-thresholded
+    * dedup. Same inverted-index equi-join shape as [[jaccardPairs]] —
+    * candidate generation is shared-shingle co-occurrence, never
+    * all-pairs — with the same optional hot-shingle posting cap.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, maxShingleFreq: Option[Int] = None,
+      shingleN: Int = ShingleN): DataFrame = {
+    val inv = shingleRows(df, idCol, textCol, shingleN)
+    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val postings = maxShingleFreq match {
+      case None => inv
+      case Some(cap) =>
+        val freq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("__f"))
+        inv.join(freq.filter(col("__f") <= cap).select(col("shingle")), Seq("shingle"), "left_semi")
+    }
+    val a = postings.alias("a")
+    val b = postings.alias("b")
+    val co = a.join(b, col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("containment", round(col("inter").cast("double") / least(col("na"), col("nb")), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("containment"))
+  }
+
   /** Incremental-ingest dedup: the rows of `batch` that are genuinely
     * NEW — first occurrence of their content digest within the batch
     * (min id wins, with the dropped-copy count surfaced) and digest

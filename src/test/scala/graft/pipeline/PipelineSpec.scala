@@ -61,6 +61,31 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("containment flags an engulfed copy that jaccard misses") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " " + (1 to 60).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, short), (2L, long), (3L, "unrelated words entirely here now"))
+      .toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // every shingle of doc 1 appears in doc 2 → containment 1.0
+    assert(c.toSeq === Seq((1L, 2L, 1.0)))
+    // symmetric jaccard on the same pair is far below any dedup threshold
+    val j = Dedup.jaccardPairs(df, "doc_id", "text", threshold = 0.0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) < 0.06, j.toString)
+  }
+
+  test("containment respects the hot-shingle cap and the a<b canon") {
+    val df = Seq((10L, "x y z x y z"), (20L, "x y z w q r"), (30L, "p d q w e r"))
+      .toDF("doc_id", "text")
+    val all = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.0001).collect()
+    all.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+    // a cap of 1 removes every shared shingle → no candidate pairs at all
+    assert(Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.0001,
+      maxShingleFreq = Some(1)).count() === 0)
+  }
+
   test("exact jaccard pairs agree with minhash-verified pairs on shared support") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
