@@ -527,6 +527,21 @@ object SparkEntry {
           max(col("l_extendedprice")).as("max_price"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
+    // trailing 30-day spend per customer: the RANGE window frame (peers
+    // by VALUE distance, not row count) — frame membership is a pure
+    // function of the integer day, so ties need no ordering tiebreak and
+    // the result is deterministic under any shuffle. One hash exchange
+    // on o_custkey, in-partition sort, single window pass
+    "agg_trailing_30d" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val day = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).cast("long")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day")).rangeBetween(-29, 0)
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), day.as("day"), col("o_totalprice"))
+        .select(col("o_orderkey"), col("o_custkey"), col("day"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double").as("trail_total"),
+          count(lit(1)).over(w).as("trail_n"))
+    }),
     // triangle count over the part-co-order graph (parts linked when one
     // order contains both): degree-ordered wedge generation bounds the
     // explosion at O(m^1.5) regardless of hub skew — see Triangles
@@ -953,6 +968,13 @@ object SparkEntry {
         "min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
         "FROM lineitem GROUP BY 1"),
+    "agg_trailing_30d" ->
+      ("""SELECT o_orderkey, o_custkey, (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS day,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_total,
+         |  COUNT(*) OVER w AS trail_n
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY (o_orderdate::DATE - DATE '1970-01-01')::BIGINT
+         |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin),
     // id-ordered closure (a < b < c) counts each triangle once — the same
     // multiset the degree-ordered Spark orientation produces
     "graph_triangles" ->
