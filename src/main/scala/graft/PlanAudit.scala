@@ -92,11 +92,32 @@ object PlanAudit {
     audit("agg_small_quantity_revenue", SparkEntry.queries("agg_small_quantity_revenue")(spark, dir))
     audit("split_curriculum", SparkEntry.queries("split_curriculum")(spark, dir))
     audit("text_token_ids", SparkEntry.queries("text_token_ids")(spark, dir))
+    audit("agg_cube", SparkEntry.queries("agg_cube")(spark, dir))
+    audit("agg_histogram", SparkEntry.queries("agg_histogram")(spark, dir))
+    audit("agg_trailing_30d", SparkEntry.queries("agg_trailing_30d")(spark, dir))
+    audit("sample_weighted", SparkEntry.queries("sample_weighted")(spark, dir))
+    audit("graph_triangles", SparkEntry.queries("graph_triangles")(spark, dir))
+    audit("text_normalize_nfc", SparkEntry.queries("text_normalize_nfc")(spark, dir))
+    audit("dedup_containment_pairs", SparkEntry.queries("dedup_containment_pairs")(spark, dir))
     audit("text_redact", {
       import spark.implicits._
       graft.pipeline.TextPipeline.redact(
         graft.pipeline.TextPipeline.RedactionFixture.toDF("doc_id", "text"), "doc_id", "text")
     })
+    // persisted-edge plan strings overcount (InMemoryTableScan prints its
+    // build plan per consumer) — count stages actually run instead
+    val triStages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val triListener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        triStages.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(triListener)
+    SparkEntry.queries("graph_triangles")(spark, dir).count()
+    Thread.sleep(500)
+    spark.sparkContext.removeSparkListener(triListener)
+    println(s"AUDIT graph_triangles stagesRun=${triStages.get}")
     // faithful to clustersFromPairs: edges persisted, labels checkpointed
     val pairs = graft.pipeline.Dedup.nearDupPairs(docs, "doc_id", "text")
     val edges = pairs.select(col("doc_a").as("__src"), col("doc_b").as("__dst"))
