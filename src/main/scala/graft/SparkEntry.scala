@@ -527,6 +527,41 @@ object SparkEntry {
           max(col("l_extendedprice")).as("max_price"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
+    // staged conversion funnel signup → click → purchase: each stage is
+    // min-ts-after-previous-stage — two key-partitioned joins + three
+    // map-side-combinable min aggregates, no window, no ordering
+    // sensitivity (min over µs-truncated ts is order-free)
+    "agg_funnel" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t1"))
+      val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("tus") >= col("t1"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("tus") >= col("t2"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t3"))
+      val total = e.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      total
+        .crossJoin(s1.agg(count(lit(1)).as("n_signup")))
+        .crossJoin(s2.agg(count(lit(1)).as("n_signup_click")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_signup_click_purchase")))
+    }),
+    // per-key group-size skew profile (the shuffle-planning diagnostic):
+    // sizes are one map-side-combinable count; the stats pass aggregates
+    // ~|keys| rows. Percentiles at binary fractions (.5/.75) keep the
+    // interpolation IEEE-exact cross-engine
+    "agg_key_skew" -> ((s, dir) => {
+      val sizes = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("sz"))
+      sizes.agg(count(lit(1)).as("n_keys"),
+        max(col("sz")).as("max_sz"),
+        expr("percentile(sz, 0.5)").as("p50_sz"),
+        expr("percentile(sz, 0.75)").as("p75_sz"),
+        (sum(col("sz")).cast("double") / count(lit(1))).as("avg_sz"))
+    }),
     // trailing 30-day spend per customer: the RANGE window frame (peers
     // by VALUE distance, not row count) — frame membership is a pure
     // function of the integer day, so ties need no ordering tiebreak and
@@ -968,6 +1003,22 @@ object SparkEntry {
         "min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
         "FROM lineitem GROUP BY 1"),
+    "agg_funnel" ->
+      ("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+         |s1 AS (SELECT user_id, min(tus) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(tus) AS t2 FROM e JOIN s1 USING (user_id)
+         |       WHERE event_type = 'click' AND tus >= t1 GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(tus) AS t3 FROM e JOIN s2 USING (user_id)
+         |       WHERE event_type = 'purchase' AND tus >= t2 GROUP BY 1)
+         |SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+         |  (SELECT count(*) FROM s1) AS n_signup,
+         |  (SELECT count(*) FROM s2) AS n_signup_click,
+         |  (SELECT count(*) FROM s3) AS n_signup_click_purchase""".stripMargin),
+    "agg_key_skew" ->
+      ("""WITH sz AS (SELECT l_orderkey, count(*) AS sz FROM lineitem GROUP BY 1)
+         |SELECT count(*) AS n_keys, max(sz) AS max_sz,
+         |  quantile_cont(sz, 0.5) AS p50_sz, quantile_cont(sz, 0.75) AS p75_sz,
+         |  sum(sz)::DOUBLE / count(*) AS avg_sz FROM sz""".stripMargin),
     "agg_trailing_30d" ->
       ("""SELECT o_orderkey, o_custkey, (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS day,
          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_total,
