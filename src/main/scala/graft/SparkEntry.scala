@@ -527,6 +527,20 @@ object SparkEntry {
           max(col("l_extendedprice")).as("max_price"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
+    // semi-structured extraction: JSON props parsed in-plan
+    // (get_json_object is codegen'd — no UDF, no schema inference pass)
+    // and aggregated per event type; integer-exact stats
+    "events_props_agg" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      table(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+    }),
     // staged conversion funnel signup → click → purchase: each stage is
     // min-ts-after-previous-stage — two key-partitioned joins + three
     // map-side-combinable min aggregates, no window, no ordering
@@ -1003,6 +1017,13 @@ object SparkEntry {
         "min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
         "FROM lineitem GROUP BY 1"),
+    "events_props_agg" ->
+      ("""SELECT event_type, count(*) AS n_events,
+         |  count(json_extract_string(props, '$.k')) AS n_with_k,
+         |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+         |  min(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
+         |  max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k
+         |FROM events GROUP BY event_type""".stripMargin),
     "agg_funnel" ->
       ("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
          |s1 AS (SELECT user_id, min(tus) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
