@@ -597,8 +597,10 @@ object SparkEntry {
     "graph_triangles" -> ((s, dir) => {
       val lp = table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      val pairs = lp.select(col("ok"), col("p").as("s1"))
-        .join(lp.select(col("ok"), col("p").as("s2")), "ok")
+      val l1 = lp.select(col("ok"), col("p").as("s1"))
+      val l2 = lp.select(col("ok").as("ok2"), col("p").as("s2"))
+      // emit each unordered pair once (s1 < s2): halves the distinct's input
+      val pairs = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
       graft.operators.Triangles.count(
         graft.operators.Triangles.canonicalEdges(pairs, "s1", "s2"))
     }),

@@ -64,12 +64,19 @@ object Triangles {
     // Wedge at src: unordered out-neighbor pairs, emitted once with
     // ord(v) < ord(w) — the same total order, so the closing edge is
     // exactly the directed edge v→w.
+    // Both joins are hinted shuffled-hash: the wedge stream is |E|·√m
+    // rows, and sort-merge would SORT it before the closure probe. The
+    // build sides (the directed edge list, ~m rows per 32-byte pair)
+    // hash-partition and fit executor memory at any m that fits the
+    // cluster's shuffle capacity, so SHJ drops the O(wedges·log) sort
+    // while keeping the same one-shuffle-per-join plan shape.
     val e1 = directed.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
     val e2 = directed.select(col("src"), col("dst").as("w"), col("ddst").as("dw"))
-    val wedges = e1.join(e2, Seq("src"))
+    val wedges = e1.join(e2.hint("shuffle_hash"), Seq("src"))
       .filter(ordLess(col("dv"), col("v"), col("dw"), col("w")))
     val closed = wedges.join(
-      directed.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      directed.select(col("src").as("v"), col("dst").as("w")).hint("shuffle_hash"),
+      Seq("v", "w"))
 
     val nNodes = deg.agg(F.count(lit(1)).as("n_nodes"))
     val nEdges = edges.agg(F.count(lit(1)).as("n_edges"))
