@@ -72,6 +72,20 @@ object SparkEntry {
   /** One day in epoch micros (the µs-truncated ts the query joins on). */
   val RangeJoinDayUs: Long = 86400L * 1000 * 1000
 
+  /** Fixed-point PageRank geometry (iters / scale / teleport mass per
+    * round = 15% of scale), shared with the oracle's unrolled recurrence. */
+  val PageRankIters: Int = 3
+  val PageRankScale: Long = 1000000000L
+  val PageRankBase: Long = PageRankScale * 15 / 100
+
+  /** Levenshtein bound for `er_fuzzy_pairs`. */
+  val FuzzyMaxDist: Int = 3
+
+  /** `join_full_outer` gates: big-spender spend floor, active-user
+    * event-count floor — chosen so both orphan sides are non-empty. */
+  val SpendBar: Double = 3000000.0
+  val ActiveBar: Long = 70L
+
   /** Quality-score gate for `pipeline_curate` (keeps ~half the testdata
     * corpus); shared with the oracle SQL. */
   val CurateMinScore: Double = 0.4
@@ -604,6 +618,53 @@ object SparkEntry {
       graft.operators.Triangles.count(
         graft.operators.Triangles.canonicalEdges(pairs, "s1", "s2"))
     }),
+    // deterministic integer fixed-point PageRank over the same part
+    // co-order graph: fixed rounds, damping 85/100, scale 10^9 — the
+    // arithmetic is integer end-to-end, so the oracle replays the exact
+    // recurrence (a float PageRank could never be hash-compared: the
+    // summation order would leak into the result)
+    "graph_pagerank" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val l1 = lp.select(col("ok"), col("p").as("s1"))
+      val l2 = lp.select(col("ok").as("ok2"), col("p").as("s2"))
+      val pairs = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
+      graft.operators.PageRank.ranks(
+        graft.operators.Triangles.canonicalEdges(pairs, "s1", "s2"),
+        iters = PageRankIters)
+        .select(col("v").as("part"), col("rank").as("rank_scaled"))
+    }),
+    // time-series densification: per-user daily value series with every
+    // silent day synthesized and the last observed value carried forward
+    "ts_gapfill" -> ((s, dir) => {
+      val obs = table(s, dir, "events")
+        .select(col("user_id"),
+          expr(s"(ts div 1000) div $RangeJoinDayUs").as("day"), col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("day_value"))
+      graft.operators.GapFill.locf(obs, "user_id", "day", Seq("day_value"))
+    }),
+    // fuzzy duplicate part names: block on the noun token, verify with
+    // Levenshtein ≤ 3 — blocking-key equi-join, never all-pairs
+    "er_fuzzy_pairs" -> ((s, dir) =>
+      graft.pipeline.Fuzzy.blockedPairs(
+        table(s, dir, "part"), "p_name",
+        nm => split(nm, " ").getItem(1), maxDist = FuzzyMaxDist)
+        .select(col("left").as("name_a"), col("right").as("name_b"), col("dist"))),
+    // big spenders FULL OUTER active users — the reconcile shape (ledger
+    // vs telemetry) where either side may be missing; both aggregates
+    // shuffle once on their key, the outer join on the shared id
+    "join_full_outer" -> ((s, dir) => {
+      val spend = table(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("spend"))
+        .where(col("spend") > SpendBar)
+      val active = table(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .where(col("n_events") >= ActiveBar)
+      spend.join(active, col("o_custkey") === col("user_id"), "full_outer")
+        .select(coalesce(col("o_custkey"), col("user_id")).as("id"),
+          col("spend"), col("n_events"))
+    }),
     // curriculum binning: quality-score quartile bins over the corpus —
     // the difficulty-staged training order, composed from the quality
     // scorer and the scalable GlobalRank NTILE (no single-task window).
@@ -1059,6 +1120,45 @@ object SparkEntry {
          |t AS (SELECT count(*) AS n_triangles FROM e e1
          |      JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
          |SELECT n_nodes, n_edges, n_triangles FROM n, ne, t""".stripMargin),
+    "graph_pagerank" -> {
+      def round(prev: String): String =
+        s"""SELECT d.dst AS v, CAST($PageRankBase + (85 * sum($prev.r // deg.od)) // 100 AS BIGINT) AS r
+           |      FROM d JOIN deg USING (src) JOIN $prev ON $prev.v = d.src GROUP BY d.dst""".stripMargin
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+         |d AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT src, count(*) AS od FROM d GROUP BY src),
+         |r0 AS (SELECT src AS v, CAST($PageRankScale AS BIGINT) AS r FROM deg),
+         |r1 AS (${round("r0")}),
+         |r2 AS (${round("r1")}),
+         |r3 AS (${round("r2")})
+         |SELECT v AS part, r AS rank_scaled FROM r3""".stripMargin
+    },
+    "ts_gapfill" ->
+      s"""WITH obs AS (SELECT user_id, epoch_us(ts) // $RangeJoinDayUs AS day,
+         |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+         |      FROM events GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM obs GROUP BY 1),
+         |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM span),
+         |j AS (SELECT g.user_id, g.day, o.day_value, o.day IS NOT NULL AS obs_row
+         |      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day)
+         |SELECT user_id, day,
+         |  last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value,
+         |  NOT obs_row AS is_gap
+         |FROM j""".stripMargin,
+    "er_fuzzy_pairs" ->
+      s"""WITH n AS (SELECT DISTINCT p_name AS s, split_part(p_name, ' ', 2) AS k FROM part)
+         |SELECT a.s AS name_a, b.s AS name_b, CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         |FROM n a JOIN n b ON a.k = b.k AND a.s < b.s
+         |WHERE levenshtein(a.s, b.s) <= $FuzzyMaxDist""".stripMargin,
+    "join_full_outer" ->
+      s"""WITH s AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+         |      FROM orders GROUP BY 1
+         |      HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > $SpendBar),
+         |a AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1 HAVING count(*) >= $ActiveBar)
+         |SELECT coalesce(o_custkey, user_id) AS id, spend, n_events
+         |FROM s FULL JOIN a ON o_custkey = user_id""".stripMargin,
     "split_curriculum" ->
       (s"""WITH qual AS (${graft.pipeline.Oracles.textQuality}),
           |d AS (SELECT doc_id, n_tokens, COALESCE(score, -1.0) AS sort_score,

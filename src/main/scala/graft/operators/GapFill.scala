@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular time-grid densification with last-observation-carried-forward
+  * — the time-series resampling primitive (sensor/metric streams into
+  * fixed ticks, feature snapshots for sequence models, SLA dashboards
+  * that must show the silent days).
+  *
+  * Input: at most one row per (key, tick) — pre-aggregate first. Output:
+  * exactly one row per key per integer tick in the key's observed
+  * [min, max] span, with each value column carried forward across the
+  * introduced gap rows and an `is_gap` flag marking synthesized rows.
+  *
+  * Scale shape: the span aggregate is one map-side-combinable shuffle
+  * producing ONE row per key; the grid is a narrow per-row `sequence`
+  * explode of that row (rows emitted = span length — bounded by
+  * span/tick-width per key, never by the observation count); the
+  * observations re-join on (key, tick) and the LOCF window partitions by
+  * key. No step is all-pairs and no state exceeds one key's span on one
+  * executor. Callers pick the tick width by pre-dividing the clock —
+  * integer division, so a 100 TB event table densified to days moves one
+  * row per (key, day), not per event.
+  */
+object GapFill {
+
+  /** Fill `df` (one row per (`keyCol`, `tickCol`), integer ticks) to the
+    * full per-key tick range, carrying `valueCols` forward. */
+  def locf(df: DataFrame, keyCol: String, tickCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "no value columns to carry")
+    def q(c: String): Column = col(s"`$c`")
+
+    val span = df.groupBy(q(keyCol))
+      .agg(min(q(tickCol)).as("__lo"), max(q(tickCol)).as("__hi"))
+    val grid = span.select(q(keyCol),
+      explode(sequence(col("__lo"), col("__hi"))).as(tickCol))
+    // explicit presence marker so an observed-but-NULL value is still
+    // "observed" — is_gap means the ROW was synthesized, not the value
+    val joined = grid.join(df.withColumn("__obs", lit(true)),
+      Seq(keyCol, tickCol), "left")
+
+    val w = Window.partitionBy(q(keyCol)).orderBy(q(tickCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isGap = col("__obs").isNull.as("is_gap")
+    val carried = valueCols.map(c => last(q(c), ignoreNulls = true).over(w).as(c))
+    joined.select(q(keyCol) +: q(tickCol) +: carried :+ isGap: _*)
+  }
+}

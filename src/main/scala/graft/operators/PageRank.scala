@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.storage.StorageLevel
+
+/** Deterministic fixed-point PageRank over an undirected graph — the
+  * link-quality / centrality primitive (authority scoring for web-corpus
+  * curation, seed selection for crawl frontiers, influence profiling).
+  *
+  * All arithmetic is INTEGER fixed-point: ranks are longs scaled by
+  * `scale`, per-edge contributions use floor division (`div`), and the
+  * damping step is `base + (dampNum · Σcontrib) div dampDen`. Floating
+  * point never appears, so the result is bit-identical on any engine
+  * and any partitioning — an external oracle can replay the same
+  * recurrence in SQL and hash-compare the ranks themselves, which no
+  * float formulation permits (summation order would leak in).
+  *
+  * Scale shape: the adjacency (edge + out-degree) is built once and
+  * persisted; each iteration is ONE hash join (ranks ⋈ adjacency on the
+  * source, shuffled-hash — the rank table is one row per node) and ONE
+  * aggregation (sum of contributions keyed on the destination) — no
+  * all-pairs step, no driver-side state beyond the loop counter.
+  * Iterations are fixed (not convergence-tested) so lineage depth is
+  * statically bounded; each iteration's rank table is persisted and the
+  * previous one released.
+  *
+  * Overflow headroom: Σ ranks ≈ n·scale is invariant under the update
+  * (floor loss only shrinks it), so any single rank is ≤ n·scale and
+  * the `dampNum ·` step needs n·scale·dampNum < 2^63 — at scale = 10^9
+  * that allows ~10^8 nodes; callers beyond that drop `scale` a digit.
+  */
+object PageRank {
+
+  /** Ranks after `iters` rounds over a canonical undirected edge set
+    * (distinct `(a, b)`, `a < b`, as produced by
+    * [[Triangles.canonicalEdges]]); each edge carries rank both ways.
+    * Output: one row `(v, rank)` per node, rank fixed-point in `scale`.
+    */
+  def ranks(edges0: DataFrame, iters: Int, scale: Long = 1000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 0, s"negative iterations: $iters")
+    val base = (dampDen - dampNum) * scale / dampDen
+
+    // Symmetrize, then attach the out-degree to every directed edge —
+    // the per-iteration join probe. Built once, persisted across rounds.
+    val directed = edges0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges0.select(col("b").as("src"), col("a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = directed.groupBy(col("src")).agg(F.count(lit(1)).as("outdeg"))
+    val adj = directed.join(deg.hint("shuffle_hash"), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = deg.select(col("src").as("v"), lit(scale).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count() // materialize before the loop rewrites the variable
+    for (_ <- 1 to iters) {
+      val prev = ranks
+      // one join + one agg per round; `div` keeps everything in longs
+      val contribs = adj.join(prev.withColumnRenamed("v", "src").hint("shuffle_hash"), "src")
+        .select(col("dst").as("v"), expr("rank div outdeg").as("c"))
+      ranks = contribs.groupBy(col("v"))
+        .agg((lit(base) + expr(s"(${dampNum}L * sum(c)) div ${dampDen}L")).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ranks.count()
+      prev.unpersist()
+    }
+    ranks
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class GapFillSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Option[Double], Boolean)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3))).toSeq.sorted
+
+  test("holes are synthesized, flagged, and carry the last observation") {
+    val obs = Seq((1L, 1L, 10.0), (1L, 4L, 40.0)).toDF("k", "t", "v")
+    assert(rows(GapFill.locf(obs, "k", "t", Seq("v"))) === Seq(
+      (1L, 1L, Some(10.0), false),
+      (1L, 2L, Some(10.0), true),
+      (1L, 3L, Some(10.0), true),
+      (1L, 4L, Some(40.0), false)))
+  }
+
+  test("keys keep independent spans; a single-tick key emits one row") {
+    val obs = Seq((1L, 5L, 1.0), (1L, 7L, 2.0), (2L, 100L, 9.0)).toDF("k", "t", "v")
+    assert(rows(GapFill.locf(obs, "k", "t", Seq("v"))) === Seq(
+      (1L, 5L, Some(1.0), false),
+      (1L, 6L, Some(1.0), true),
+      (1L, 7L, Some(2.0), false),
+      (2L, 100L, Some(9.0), false)))
+  }
+
+  test("an observed NULL is not a gap; the carry skips it") {
+    val obs = Seq((1L, 1L, Some(5.0)), (1L, 2L, None), (1L, 3L, Some(7.0)))
+      .toDF("k", "t", "v")
+    assert(rows(GapFill.locf(obs, "k", "t", Seq("v"))) === Seq(
+      (1L, 1L, Some(5.0), false),
+      (1L, 2L, Some(5.0), false), // observed row: not a gap, value carried
+      (1L, 3L, Some(7.0), false)))
+  }
+
+  test("multiple value columns carry independently") {
+    val obs = Seq((1L, 1L, Some(1.0), None: Option[Double]),
+      (1L, 3L, None: Option[Double], Some(9.0))).toDF("k", "t", "v1", "v2")
+    val out = GapFill.locf(obs, "k", "t", Seq("v1", "v2")).collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq.sortBy(_._1)
+    assert(out === Seq(
+      (1L, Some(1.0), None),        // v2 has nothing to carry yet
+      (2L, Some(1.0), None),
+      (3L, Some(1.0), Some(9.0)))) // v1 carried across the observed row
+  }
+
+  test("plan: no cartesian — grid join and carry stay keyed") {
+    val obs = Seq((1L, 1L, 1.0)).toDF("k", "t", "v")
+    val plan = GapFill.locf(obs, "k", "t", Seq("v")).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
