@@ -86,6 +86,13 @@ object SparkEntry {
   val SpendBar: Double = 3000000.0
   val ActiveBar: Long = 70L
 
+  /** `interval_overlap_orders` bin width (days): ≥ the longest order
+    * window (50 days), so every interval covers ≤ 2 bins. */
+  val OrderWindowBinDays: Long = 64L
+
+  /** Minimum co-occurrence count for `basket_frequent_pairs`. */
+  val MinSupport: Long = 3L
+
   /** Quality-score gate for `pipeline_curate` (keeps ~half the testdata
     * corpus); shared with the oracle SQL. */
   val CurateMinScore: Double = 0.4
@@ -665,6 +672,48 @@ object SparkEntry {
         .select(coalesce(col("o_custkey"), col("user_id")).as("id"),
           col("spend"), col("n_events"))
     }),
+    // variable-length interval intersection: per-customer order windows
+    // (duration scales with priority) that collide in time — binned
+    // equi-join on (customer, time-bin), never a per-key product
+    "interval_overlap_orders" -> ((s, dir) => {
+      val day = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      val sp = table(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey").as("ok"), day.as("lo"),
+        (day + lit(10L) * substring(col("o_orderpriority"), 1, 1).cast("long")).as("hi"))
+      graft.operators.IntervalJoin.selfOverlaps(
+        sp, Seq("o_custkey"), "ok", "lo", "hi", binWidth = OrderWindowBinDays)
+        .select(col("o_custkey"), col("id_a").as("o_a"), col("id_b").as("o_b"),
+          col("overlap").as("overlap_days"))
+    }),
+    // cohort retention: users bucketed by first-active day, activity
+    // counted per day offset — the product-analytics staple; (user, day)
+    // is distinct first, so the count needs no distinct aggregate
+    "agg_cohort_retention" -> ((s, dir) => {
+      val d = table(s, dir, "events")
+        .select(col("user_id"),
+          expr(s"(ts div 1000) div $RangeJoinDayUs").as("day")).distinct()
+      val f = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      d.join(f, "user_id")
+        .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+    }),
+    // market-basket frequent pairs: parts co-ordered ≥ MinSupport times —
+    // support counting over the same once-emitted pair stream as the
+    // graph queries; one shuffle to count, the HAVING prunes the tail
+    "basket_frequent_pairs" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      lp.select(col("ok"), col("p").as("p_a"))
+        .join(lp.select(col("ok").as("ok2"), col("p").as("p_b")),
+          col("ok") === col("ok2") && col("p_a") < col("p_b"))
+        .groupBy(col("p_a"), col("p_b")).agg(count(lit(1)).as("support"))
+        .where(col("support") >= MinSupport)
+    }),
+    // one-pass column profile of the events table: per-column null and
+    // exact distinct counts via a melt + single hash aggregation
+    "profile_columns" -> ((s, dir) =>
+      graft.pipeline.Profile.columns(table(s, dir, "events"))),
     // curriculum binning: quality-score quartile bins over the corpus —
     // the difficulty-staged training order, composed from the quality
     // scorer and the scalable GlobalRank NTILE (no single-task window).
@@ -1159,6 +1208,33 @@ object SparkEntry {
          |a AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1 HAVING count(*) >= $ActiveBar)
          |SELECT coalesce(o_custkey, user_id) AS id, spend, n_events
          |FROM s FULL JOIN a ON o_custkey = user_id""".stripMargin,
+    "interval_overlap_orders" ->
+      """WITH sp AS (SELECT o_custkey, o_orderkey AS ok,
+        |  (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS lo,
+        |  (o_orderdate::DATE - DATE '1970-01-01')::BIGINT
+        |    + 10 * CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS hi
+        |  FROM orders)
+        |SELECT a.o_custkey, a.ok AS o_a, b.ok AS o_b,
+        |  least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_days
+        |FROM sp a JOIN sp b ON a.o_custkey = b.o_custkey AND a.ok < b.ok
+        |  AND a.lo <= b.hi AND b.lo <= a.hi""".stripMargin,
+    "agg_cohort_retention" ->
+      s"""WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // $RangeJoinDayUs AS day FROM events),
+         |f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)
+         |SELECT f.cohort, d.day - f.cohort AS day_offset, count(*) AS n_active
+         |FROM d JOIN f ON d.user_id = f.user_id GROUP BY 1, 2""".stripMargin,
+    "basket_frequent_pairs" ->
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem)
+         |SELECT a.p AS p_a, b.p AS p_b, count(*) AS support
+         |FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+         |GROUP BY 1, 2 HAVING count(*) >= $MinSupport""".stripMargin,
+    "profile_columns" ->
+      """SELECT 'event_id' AS col_name, count(*) - count(event_id) AS n_nulls, count(DISTINCT event_id) AS n_distinct FROM events
+        |UNION ALL SELECT 'ts', count(*) - count(ts), count(DISTINCT ts) FROM events
+        |UNION ALL SELECT 'user_id', count(*) - count(user_id), count(DISTINCT user_id) FROM events
+        |UNION ALL SELECT 'event_type', count(*) - count(event_type), count(DISTINCT event_type) FROM events
+        |UNION ALL SELECT 'value', count(*) - count(value), count(DISTINCT value) FROM events
+        |UNION ALL SELECT 'props', count(*) - count(props), count(DISTINCT props) FROM events""".stripMargin,
     "split_curriculum" ->
       (s"""WITH qual AS (${graft.pipeline.Oracles.textQuality}),
           |d AS (SELECT doc_id, n_tokens, COALESCE(score, -1.0) AS sort_score,
