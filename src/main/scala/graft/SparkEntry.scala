@@ -93,6 +93,9 @@ object SparkEntry {
   /** Minimum co-occurrence count for `basket_frequent_pairs`. */
   val MinSupport: Long = 3L
 
+  /** Query terms for `search_topk` (high-df corpus tokens). */
+  val SearchTerms: Seq[String] = Seq("hash", "join", "vector")
+
   /** Quality-score gate for `pipeline_curate` (keeps ~half the testdata
     * corpus); shared with the oracle SQL. */
   val CurateMinScore: Double = 0.4
@@ -714,6 +717,53 @@ object SparkEntry {
     // exact distinct counts via a melt + single hash aggregation
     "profile_columns" -> ((s, dir) =>
       graft.pipeline.Profile.columns(table(s, dir, "events"))),
+    // keyword search: top-10 documents by total matched-term frequency —
+    // the lexical-retrieval path (integer scoring, so the oracle can
+    // hash-check the ranking itself). The term set is a literal IN
+    // filter evaluated scan-side; the explosion never leaves the map
+    // stage and the top-k is one TakeOrdered, not a global sort
+    "search_topk" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.pipeline.TextPipeline.tokens(col("text"))).as("token"))
+      toks.where(col("token").isin(SearchTerms: _*))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("score"), countDistinct(col("token")).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+    }),
+    // sequential pattern mining: event-type transition counts (first-order
+    // Markov edges) per user timeline — one window pass on the µs-truncated
+    // (ts, event_id) order both engines agree on, then one count shuffle
+    "seq_transition_counts" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type").as("next"),
+          expr("ts div 1000").as("tus"))
+        .withColumn("prev", lag(col("next"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("n"))
+    }),
+    // Pearson correlation of quantity vs price per return flag, in
+    // deterministic arithmetic: the five moment sums accumulate in exact
+    // DECIMAL (order-insensitive), then ONE fixed IEEE expression over
+    // their double casts — identical on any engine, so the oracle
+    // hash-checks the correlation itself (a float-accumulated corr()
+    // could never be)
+    "agg_corr_pricing" -> ((s, dir) => {
+      val x = col("l_quantity").cast(DecimalType(18, 2))
+      val y = col("l_extendedprice").cast(DecimalType(18, 2))
+      table(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"))
+        .select(col("l_returnflag"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"))
+    }),
     // curriculum binning: quality-score quartile bins over the corpus —
     // the difficulty-staged training order, composed from the quality
     // scorer and the scalable GlobalRank NTILE (no single-task window).
@@ -1235,6 +1285,29 @@ object SparkEntry {
         |UNION ALL SELECT 'event_type', count(*) - count(event_type), count(DISTINCT event_type) FROM events
         |UNION ALL SELECT 'value', count(*) - count(value), count(DISTINCT value) FROM events
         |UNION ALL SELECT 'props', count(*) - count(props), count(DISTINCT props) FROM events""".stripMargin,
+    "search_topk" -> {
+      val terms = SearchTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents)
+         |SELECT doc_id, count(*) AS score, count(DISTINCT token) AS n_terms
+         |FROM t WHERE token IN ($terms)
+         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
+    "seq_transition_counts" ->
+      """WITH e AS (SELECT user_id, event_id, event_type AS next, epoch_us(ts) AS tus FROM events),
+        |l AS (SELECT next, lag(next) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e)
+        |SELECT prev, next, count(*) AS n FROM l WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "agg_corr_pricing" ->
+      """WITH m AS (SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  ((n * sxy) - (sx * sy)) / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))) AS corr_qty_price
+        |FROM m""".stripMargin,
     "split_curriculum" ->
       (s"""WITH qual AS (${graft.pipeline.Oracles.textQuality}),
           |d AS (SELECT doc_id, n_tokens, COALESCE(score, -1.0) AS sort_score,

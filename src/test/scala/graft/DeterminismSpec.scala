@@ -30,6 +30,10 @@ class DeterminismSpec extends SparkTestBase {
     "text_bpe_pairs",       // combinable pair count + heap top-k
     "sketch_kmv_distinct",  // distinct-bounded shuffle + k-minima heaps
     "agg_decile_profile",   // two-phase global rank over range partitions
+    "graph_pagerank",       // iterative integer fixed-point recurrence
+    "agg_corr_pricing",     // decimal moment sums + one IEEE expression
+    "ts_gapfill",           // grid explode + LOCF window carry
+    "profile_columns",      // melt + exact distinct per column
   )
 
   private def canonical(name: String): String = {
