@@ -99,6 +99,17 @@ object PlanAudit {
     audit("graph_triangles", SparkEntry.queries("graph_triangles")(spark, dir))
     audit("text_normalize_nfc", SparkEntry.queries("text_normalize_nfc")(spark, dir))
     audit("dedup_containment_pairs", SparkEntry.queries("dedup_containment_pairs")(spark, dir))
+    audit("graph_pagerank", SparkEntry.queries("graph_pagerank")(spark, dir))
+    audit("ts_gapfill", SparkEntry.queries("ts_gapfill")(spark, dir))
+    audit("er_fuzzy_pairs", SparkEntry.queries("er_fuzzy_pairs")(spark, dir))
+    audit("join_full_outer", SparkEntry.queries("join_full_outer")(spark, dir))
+    audit("interval_overlap_orders", SparkEntry.queries("interval_overlap_orders")(spark, dir))
+    audit("agg_cohort_retention", SparkEntry.queries("agg_cohort_retention")(spark, dir))
+    audit("basket_frequent_pairs", SparkEntry.queries("basket_frequent_pairs")(spark, dir))
+    audit("profile_columns", SparkEntry.queries("profile_columns")(spark, dir))
+    audit("search_topk", SparkEntry.queries("search_topk")(spark, dir))
+    audit("seq_transition_counts", SparkEntry.queries("seq_transition_counts")(spark, dir))
+    audit("agg_corr_pricing", SparkEntry.queries("agg_corr_pricing")(spark, dir))
     audit("text_redact", {
       import spark.implicits._
       graft.pipeline.TextPipeline.redact(
