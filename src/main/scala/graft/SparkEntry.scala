@@ -96,6 +96,9 @@ object SparkEntry {
   /** Query terms for `search_topk` (high-df corpus tokens). */
   val SearchTerms: Seq[String] = Seq("hash", "join", "vector")
 
+  /** Bernoulli rate for `sketch_quantile_sample`. */
+  val QuantileSampleRate: Double = 0.05
+
   /** Quality-score gate for `pipeline_curate` (keeps ~half the testdata
     * corpus); shared with the oracle SQL. */
   val CurateMinScore: Double = 0.4
@@ -744,6 +747,37 @@ object SparkEntry {
         .where(col("prev").isNotNull)
         .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("n"))
     }),
+    // Z-order layout key: Morton-interleave (custkey, order-day) — the
+    // multi-dimensional clustering key whose range-sort gives tight
+    // per-file min/max in BOTH dimensions (scan pruning at 100 TB);
+    // pure integer bit ops, bit-identical on any engine
+    "layout_zorder" -> ((s, dir) => {
+      val day = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      table(s, dir, "orders").select(col("o_orderkey"),
+        graft.operators.Layout.zkey(col("o_custkey"), day).as("zkey"))
+    }),
+    // deterministic sampled quantile: salted-hash 5% sample + exact
+    // percentile over integral cents — approximate median with no
+    // global sort and a hash-checkable estimate
+    "sketch_quantile_sample" -> ((s, dir) =>
+      graft.pipeline.Sketches.sampledQuantile(
+        table(s, dir, "lineitem"),
+        concat_ws("#", col("l_orderkey"), col("l_linenumber")),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long"),
+        q = 0.5, rate = QuantileSampleRate)),
+    // argmax-by-count: each user's dominant event type (ties break
+    // lexicographically) — two-level aggregate + one per-key window
+    "agg_mode_event_type" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = table(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+    }),
     // Pearson correlation of quantity vs price per return flag, in
     // deterministic arithmetic: the five moment sums accumulate in exact
     // DECIMAL (order-insensitive), then ONE fixed IEEE expression over
@@ -1296,6 +1330,21 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, event_id, event_type AS next, epoch_us(ts) AS tus FROM events),
         |l AS (SELECT next, lag(next) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e)
         |SELECT prev, next, count(*) AS n FROM l WHERE prev IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "layout_zorder" ->
+      s"""SELECT o_orderkey, ${graft.operators.Layout.zkeySql("o_custkey",
+            "(o_orderdate::DATE - DATE '1970-01-01')::BIGINT")} AS zkey
+         |FROM orders""".stripMargin,
+    "sketch_quantile_sample" ->
+      graft.pipeline.Sketches.sampledQuantileOracle("lineitem",
+        "l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        q = 0.5, rate = QuantileSampleRate),
+    "agg_mode_event_type" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+        |      FROM c)
+        |SELECT user_id, event_type AS mode_type, n FROM r WHERE rn = 1""".stripMargin,
     "agg_corr_pricing" ->
       """WITH m AS (SELECT l_returnflag,
         |    CAST(count(*) AS DOUBLE) AS n,

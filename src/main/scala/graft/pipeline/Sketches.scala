@@ -58,4 +58,39 @@ object Sketches {
        |SELECT k, kth, CASE WHEN k < $k THEN k::DOUBLE
        |  ELSE (k - 1)::DOUBLE * $KmvHashSpace / kth::DOUBLE END AS est_distinct
        |FROM m""".stripMargin
+
+  val QuantileSalt = "graft-qsk"
+
+  /** Deterministic sampled quantile: a salted-hash Bernoulli sample
+    * (same 4-hex gate as [[Sampling]] — the sample is a pure function of
+    * row identity, not of rand() or partitioning) and ONE exact
+    * percentile over the sample. Estimate quality is the classic
+    * order-statistic bound (±O(1/√(n·rate)) quantile error); determinism
+    * comes from integral `valueCol` values at a binary-fraction `q`
+    * (interpolation is then IEEE-exact — the `agg_quartiles` contract).
+    *
+    * Scale shape: the gate filters AT THE SCAN (zero wide exchange over
+    * the corpus); the percentile is a single aggregate over the
+    * rate-shrunken sample — the answer to "approximate median of 100 TB"
+    * without a global sort or a mergeable-histogram library. */
+  def sampledQuantile(df: DataFrame, idCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column, q: Double, rate: Double,
+      salt: String = QuantileSalt): DataFrame = {
+    val bound = math.min((rate * 65536).toLong, 65535L)
+    val gate = conv(substring(sha2(concat(idCol.cast("string"), lit("|" + salt)), 256), 1, 4), 16, 10)
+      .cast("long")
+    df.where(gate < bound)
+      .agg(percentile(valueCol, lit(q)).as("estimate"),
+        count(lit(1)).as("n_sampled"))
+  }
+
+  /** DuckDB half of [[sampledQuantile]] (quantile_cont shares Spark
+    * percentile's (n−1)·q interpolation). */
+  def sampledQuantileOracle(table: String, idExpr: String, valueExpr: String,
+      q: Double, rate: Double, salt: String = QuantileSalt): String = {
+    val bound = math.min((rate * 65536).toLong, 65535L)
+    s"""SELECT quantile_cont($valueExpr, $q) AS estimate, count(*) AS n_sampled
+       |FROM $table
+       |WHERE ('0x' || substr(sha256(($idExpr) || '|$salt'), 1, 4))::BIGINT < $bound""".stripMargin
+  }
 }
