@@ -126,7 +126,16 @@ object PlanAudit {
     }
     spark.sparkContext.addSparkListener(triListener)
     SparkEntry.queries("graph_triangles")(spark, dir).count()
-    Thread.sleep(500)
+    // Drain the listener bus before reading the counter — a fixed sleep
+    // is racy on a loaded machine. waitUntilEmpty is private[spark]
+    // (public at the JVM level), so go through reflection.
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      val wait = bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1).get
+      wait.invoke(bus, java.lang.Long.valueOf(10000L))
+    } catch { case _: Throwable => Thread.sleep(500) }
     spark.sparkContext.removeSparkListener(triListener)
     println(s"AUDIT graph_triangles stagesRun=${triStages.get}")
     // faithful to clustersFromPairs: edges persisted, labels checkpointed

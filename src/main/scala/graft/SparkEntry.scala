@@ -78,8 +78,12 @@ object SparkEntry {
   val PageRankScale: Long = 1000000000L
   val PageRankBase: Long = PageRankScale * 15 / 100
 
-  /** Levenshtein bound for `er_fuzzy_pairs`. */
+  /** Levenshtein bound for `er_fuzzy_pairs`, and the block-size cap
+    * (blocks with more distinct names than this are dropped whole —
+    * mirrored by the oracle's `keep` CTE so the contracts agree at any
+    * data shape, not just where the cap never fires). */
   val FuzzyMaxDist: Int = 3
+  val FuzzyMaxBlock: Long = 10000L
 
   /** `join_full_outer` gates: big-spender spend floor, active-user
     * event-count floor — chosen so both orphan sides are non-empty. */
@@ -420,6 +424,83 @@ object SparkEntry {
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
           count(lit(1)).as("n_lineitems"))
     }),
+    // TPC-H Q3 (shipping priority): revenue of not-yet-shipped order
+    // segments — both fact-side filters sit ON THE SCANS (pushed-down
+    // date predicates prune row groups before any join), the dimension
+    // filter semi-reduces orders via the key join, and the top-10 is a
+    // TakeOrdered (never a global sort). Ties on revenue break on the
+    // order key so the row SET is deterministic.
+    "agg_q3_shipping" -> ((s, dir) => {
+      val cut = lit("1998-06-30").cast("timestamp")
+      val c = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = table(s, dir, "orders").filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = table(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2)))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    // TPC-H Q5 (local supplier volume): the 6-way star with the extra
+    // c_nationkey = s_nationkey co-membership condition — supplier and
+    // customer must sit in the SAME nation, which rides the supplier
+    // join as a second equality (one hash join, no post-filter product).
+    // region/nation broadcast; the fact chain shuffles on its keys.
+    "agg_q5_local_supplier" -> ((s, dir) => {
+      val l = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = table(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val sup = table(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n = table(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = table(s, dir, "region").filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2)))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    // TPC-H Q10 (returned-item customers): one quarter of orders joined
+    // to only the RETURNED lineitems (both filters on the scans), rolled
+    // up per customer, top-20 by lost revenue (TakeOrdered; key-ordered
+    // tie-break keeps the set deterministic).
+    "agg_q10_returns" -> ((s, dir) => {
+      val l = table(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      val n = table(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2)))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
     // TPC-H Q7-like: shipping volume between nation pairs by order
     // year — a two-dimension join-aggregate with integer-exact volume
     // (quantity sum) so the oracle hash cannot drift
@@ -662,7 +743,8 @@ object SparkEntry {
     "er_fuzzy_pairs" -> ((s, dir) =>
       graft.pipeline.Fuzzy.blockedPairs(
         table(s, dir, "part"), "p_name",
-        nm => split(nm, " ").getItem(1), maxDist = FuzzyMaxDist)
+        nm => split(nm, " ").getItem(1), maxDist = FuzzyMaxDist,
+        maxBlock = FuzzyMaxBlock)
         .select(col("left").as("name_a"), col("right").as("name_b"), col("dist"))),
     // big spenders FULL OUTER active users — the reconcile shape (ledger
     // vs telemetry) where either side may be missing; both aggregates
@@ -1023,9 +1105,14 @@ object SparkEntry {
     // deterministic sharded training order (the scalable global shuffle)
     "split_shuffle_order" -> ((s, dir) =>
       graft.pipeline.Splits.shuffleOrder(table(s, dir, "documents"), "doc_id")),
-    // int8 symmetric quantization of the embedding column
+    // int8 symmetric quantization of the embedding column; the code
+    // vector is rendered as a CSV string for the harness (the oracle
+    // comparator sorts output columns — a raw array column is not
+    // sortable there), pinning every code exactly, not just the L1
     "emb_quantize" -> ((s, dir) =>
-      graft.pipeline.Embeddings.quantizeInt8(table(s, dir, "embeddings"))),
+      graft.pipeline.Embeddings.quantizeInt8(table(s, dir, "embeddings"))
+        .withColumn("codes",
+          array_join(transform(col("codes"), c => c.cast("string")), ","))),
     // RAG-style retrieval: exact ANN top-k joined back to the document
     // payloads (vec_id ↔ doc_id) — the cross-modal fetch step of a
     // retrieval pipeline; at scale the payload join is the cheap part
@@ -1155,6 +1242,43 @@ object SparkEntry {
       ("SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt, " +
         "COUNT(*) AS n_lineitems FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "GROUP BY p_brand, p_type"),
+    "agg_q3_shipping" ->
+      ("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-30'
+         |  AND l_shipdate > TIMESTAMP '1998-06-30'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+    "agg_q5_local_supplier" ->
+      ("""SELECT n_name,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name""".stripMargin),
+    "agg_q10_returns" ->
+      ("""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-07-01'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
     "agg_nation_traffic" ->
       ("SELECT s_nationkey AS supp_nation, c_nationkey AS cust_nation, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS volume, " +
@@ -1280,10 +1404,19 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value,
          |  NOT obs_row AS is_gap
          |FROM j""".stripMargin,
+    // Key semantics mirror Spark's split(s,' ')[1]: a name with no
+    // space has NO second token (NULL key, row dropped by the equi-
+    // join) — distinct from a name whose second token is '' (kept).
+    // The `keep` CTE mirrors Fuzzy.blockedPairs' maxBlock cap.
     "er_fuzzy_pairs" ->
-      s"""WITH n AS (SELECT DISTINCT p_name AS s, split_part(p_name, ' ', 2) AS k FROM part)
+      s"""WITH n AS (SELECT DISTINCT p_name AS s,
+         |         CASE WHEN p_name LIKE '% %' THEN split_part(p_name, ' ', 2) END AS k
+         |       FROM part),
+         |f AS (SELECT s, k FROM n WHERE k IS NOT NULL),
+         |keep AS (SELECT k FROM f GROUP BY k HAVING count(*) <= $FuzzyMaxBlock),
+         |blk AS (SELECT f.s, f.k FROM f JOIN keep USING (k))
          |SELECT a.s AS name_a, b.s AS name_b, CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
-         |FROM n a JOIN n b ON a.k = b.k AND a.s < b.s
+         |FROM blk a JOIN blk b ON a.k = b.k AND a.s < b.s
          |WHERE levenshtein(a.s, b.s) <= $FuzzyMaxDist""".stripMargin,
     "join_full_outer" ->
       s"""WITH s AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend

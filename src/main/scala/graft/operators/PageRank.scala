@@ -37,6 +37,11 @@ object PageRank {
     * (distinct `(a, b)`, `a < b`, as produced by
     * [[Triangles.canonicalEdges]]); each edge carries rank both ways.
     * Output: one row `(v, rank)` per node, rank fixed-point in `scale`.
+    *
+    * The returned DataFrame is persisted (it was materialized to drive
+    * the loop) and OWNED BY THE CALLER — unpersist it when done. All
+    * intermediate caches (adjacency, degree-joined edges, prior rank
+    * tables) are released before returning.
     */
   def ranks(edges0: DataFrame, iters: Int, scale: Long = 1000000000L,
       dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
@@ -66,6 +71,11 @@ object PageRank {
       ranks.count()
       prev.unpersist()
     }
+    // The loop is done and `ranks` is materialized — the build-side
+    // caches must not outlive the call (Verify/Bench run hundreds of
+    // queries in one session; leaked blocks pile up until LRU eviction).
+    adj.unpersist()
+    directed.unpersist()
     ranks
   }
 }

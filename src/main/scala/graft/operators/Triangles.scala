@@ -81,6 +81,14 @@ object Triangles {
     val nNodes = deg.agg(F.count(lit(1)).as("n_nodes"))
     val nEdges = edges.agg(F.count(lit(1)).as("n_edges"))
     val nTris = closed.agg(F.count(lit(1)).as("n_triangles"))
-    nNodes.crossJoin(nEdges).crossJoin(nTris)
+    // The result is one row — compute it now so both persisted builds
+    // can be released before returning (long sessions run this among
+    // hundreds of queries; leaked cache blocks otherwise accumulate).
+    val out = nNodes.crossJoin(nEdges).crossJoin(nTris)
+    val rows = out.collect().toSeq
+    edges.unpersist()
+    directed.unpersist()
+    edges0.sparkSession.createDataFrame(
+      edges0.sparkSession.sparkContext.parallelize(rows, 1), out.schema)
   }
 }

@@ -18,15 +18,26 @@ import org.apache.spark.sql.{functions => F}
   *
   * String casting is round-trip (injective) for every atomic Spark type,
   * so distinct-on-rendering equals distinct-on-value; NULL survives the
-  * cast, so null counts are unaffected.
+  * cast, so null counts are unaffected. The one IEEE wrinkle — -0.0 and
+  * 0.0 render as distinct strings but compare equal as values — is
+  * closed by adding +0.0 to float/double columns before the cast
+  * (-0.0 + 0.0 = 0.0; every other value, including NaN and ±Inf, is
+  * unchanged).
   */
 object Profile {
 
   /** One row per column of `df`: `(col_name, n_nulls, n_distinct)`
     * (distinct excludes NULL, per SQL convention). */
   def columns(df: DataFrame): DataFrame = {
-    val entries = df.schema.fields.flatMap(f =>
-      Seq(lit(f.name), col(s"`${f.name}`").cast("string")))
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val entries = df.schema.fields.flatMap { f =>
+      val raw = col(s"`${f.name}`")
+      val v = f.dataType match {
+        case FloatType | DoubleType => raw + lit(0.0) // collapse -0.0
+        case _ => raw
+      }
+      Seq(lit(f.name), v.cast("string"))
+    }
     df.select(explode(map(entries: _*)).as(Seq("col_name", "v")))
       .groupBy(col("col_name"))
       .agg((F.count(lit(1)) - F.count(col("v"))).as("n_nulls"),
