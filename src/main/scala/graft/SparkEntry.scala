@@ -728,6 +728,38 @@ object SparkEntry {
         iters = PageRankIters)
         .select(col("v").as("part"), col("rank").as("rank_scaled"))
     }),
+    // connected components over the SPARSE co-order subgraph (parts
+    // linked when one order ships both in bulk) — large-star/small-star
+    // alternation via Components, O(log²) rounds on any topology where
+    // min-label propagation would pay one round per diameter unit (this
+    // subgraph needs 59 propagation rounds at sf0.1). localThreshold=0
+    // forces the distributed path: the named operator must exercise the
+    // scale algorithm, not the driver union-find shortcut.
+    "graph_components" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val l1 = lp.select(col("ok"), col("p").as("s1"))
+      val l2 = lp.select(col("ok").as("ok2"), col("p").as("s2"))
+      val pairs = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
+        .select(col("s1").as("doc_a"), col("s2").as("doc_b"))
+      graft.operators.Components.labels(
+        lp.select(col("p").as("part")), pairs, "part")
+        .select(col("part"), col("cluster_id").as("component"))
+    }),
+    // degree distribution of the part co-order graph — the graph-shape
+    // profile (hub detection, skew diagnosis before any wedge-generating
+    // algorithm): two keyed aggregations, no joins beyond the edge build
+    "graph_degree_hist" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val l1 = lp.select(col("ok"), col("p").as("s1"))
+      val l2 = lp.select(col("ok").as("ok2"), col("p").as("s2"))
+      val edges = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
+        .select(col("s1"), col("s2")).distinct()
+      edges.select(col("s1").as("v")).unionAll(edges.select(col("s2").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    }),
     // time-series densification: per-user daily value series with every
     // silent day synthesized and the last observed value carried forward
     "ts_gapfill" -> ((s, dir) => {
@@ -1391,6 +1423,26 @@ object SparkEntry {
          |r3 AS (${round("r2")})
          |SELECT v AS part, r AS rank_scaled FROM r3""".stripMargin
     },
+    // min-reachable-id closure: the oracle replays connectivity by
+    // recursive transitive reachability (fine at oracle scale; the
+    // Spark side is the O(log²)-round star alternation)
+    "graph_components" ->
+      """WITH RECURSIVE
+        |lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        |       WHERE l_quantity > 45),
+        |e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+        |sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+        |reach(s, t) AS (
+        |  SELECT p, p FROM (SELECT DISTINCT p FROM lp)
+        |  UNION
+        |  SELECT reach.s, sym.v FROM reach JOIN sym ON reach.t = sym.u)
+        |SELECT s AS part, min(t) AS component FROM reach GROUP BY s""".stripMargin,
+    "graph_degree_hist" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+        |deg AS (SELECT v, count(*) AS degree
+        |        FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v)
+        |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree""".stripMargin,
     "ts_gapfill" ->
       s"""WITH obs AS (SELECT user_id, epoch_us(ts) // $RangeJoinDayUs AS day,
          |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value

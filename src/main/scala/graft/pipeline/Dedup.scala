@@ -315,24 +315,12 @@ object Dedup {
         col("n_members"), (-col("__m.ns")).as("keeper_score"))
   }
 
-  /** Connected components by Pregel-style min-label propagation over the
-    * pair-TOUCHED subgraph only: nodes with no near-dup edge (the vast
-    * majority of a real corpus) never enter the loop and are joined back
-    * as their own singleton clusters at the end. Each round, every
-    * touched node takes the minimum of its own label and its neighbors'
-    * across the symmetrized edge list — one equi-join + groupBy shuffle
-    * keyed on doc id per round, converging in O(component diameter)
-    * rounds. Labels are localCheckpoint-ed every round so the iterative
-    * plan lineage stays one round deep (the same bounding discipline as
-    * Engine.boundedDist), and convergence is detected by the label SUM
-    * going flat — labels only ever decrease, so an unchanged sum is a
-    * fixpoint, and the probe is a scalar aggregate on the checkpointed
-    * round rather than a join. Near-dup components are short-diameter in
-    * practice (dup clusters are near-cliques); a deep-chain graph at
-    * scale would swap in the large-star/small-star alternation (Kiveris
-    * et al., COSN'14) — same join primitives, O(log²) rounds. Throws if
-    * `maxIter` rounds don't reach fixpoint: a truncated propagation
-    * silently mislabels.
+  /** Connected components over the pair graph. Distributed path:
+    * [[graft.operators.Components]] — large-star/small-star alternation
+    * (O(log² n) rounds on ANY topology, where plain min-label
+    * propagation pays one round per unit of component diameter).
+    * Throws if `maxIter` rounds don't reach fixpoint: a truncated
+    * contraction silently mislabels.
     *
     * Hybrid regime: a pair set with long ids that fits under
     * `localThreshold` resolves by exact driver union-find instead
@@ -374,37 +362,7 @@ object Dedup {
         .join(org.apache.spark.sql.functions.broadcast(labelDf), Seq(idCol), "left_outer")
         .select(col(idCol), coalesce(col("__cc"), col(idCol)).as("cluster_id"))
     }
-    val edges = pairs.select(col("doc_a").as("__src"), col("doc_b").as("__dst"))
-      .unionAll(pairs.select(col("doc_b").as("__src"), col("doc_a").as("__dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("__src").as(idCol)).distinct()
-      .withColumn("cluster_id", col(idCol)).localCheckpoint()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
-    var iter = 0
-    var converged = labels.isEmpty // no touched nodes: nothing to propagate
-    while (!converged && iter < maxIter) {
-      val nbMin = edges
-        .join(labels.select(col(idCol).as("__dst"), col("cluster_id")), "__dst")
-        .groupBy(col("__src").as(idCol)).agg(min(col("cluster_id")).as("__nb"))
-      val next = labels.join(nbMin, Seq(idCol), "left_outer")
-        .select(col(idCol),
-          least(col("cluster_id"), coalesce(col("__nb"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
-      val curSum = labelSum(next)
-      converged = curSum.compareTo(prevSum) == 0
-      prevSum = curSum
-      labels = next
-      iter += 1
-    }
-    edges.unpersist()
-    if (!converged)
-      throw new IllegalStateException(s"connected components did not converge in $maxIter rounds")
-    nodes.select(col(idCol)).distinct()
-      .join(labels, Seq(idCol), "left_outer")
-      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    graft.operators.Components.labels(nodes, pairs, idCol, maxIter = maxIter)
   }
 
   /** Exact n-gram Jaccard pairs via the inverted index: explode shingles,
