@@ -1076,6 +1076,52 @@ object SparkEntry {
         Seq("event_id", "value"), "event_id")
         .select(col("event_id"), col("user_id"), col("asof_event_id"), col("asof_value"))
     }),
+    // forward as-of: each click's NEXT purchase at-or-after it (same
+    // union-scan single-window formulation as the backward join, order
+    // reversed) — the "time-to-conversion" primitive
+    "asof_next_purchase" -> ((s, dir) => {
+      val ev = table(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.operators.AsofJoin.forward(clicks, purchases, Seq("user_id"), "ts",
+        Seq("event_id", "value"), "event_id")
+        .select(col("event_id"), col("user_id"), col("asof_event_id"), col("asof_value"))
+    }),
+    // per-user daily OHLC bars: open/close picked by min/max(struct) —
+    // ONE hash aggregate with map-side partials, no window sort; ties
+    // on ts break on the unique event id so the bar is deterministic
+    "ts_ohlc_daily" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+          col("event_id"), col("value"))
+        .withColumn("day", expr(s"tsu div $RangeJoinDayUs"))
+      e.groupBy(col("user_id"), col("day"))
+        .agg(
+          min(struct(col("tsu"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max(struct(col("tsu"), col("event_id"), col("value")))
+            .getField("value").as("close"),
+          min(col("value")).as("low"),
+          max(col("value")).as("high"),
+          count(lit(1)).as("n_events"))
+    }),
+    // per-user inter-event gap profile: one window lag (partition-local
+    // sort) + one hash aggregate; ties on ts are ordered by the unique
+    // event id so every gap — and the max — is deterministic
+    "win_event_gaps" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+      table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tsu"), col("event_id"))
+        .withColumn("gap", col("tsu") - lag(col("tsu"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("gap")).as("max_gap_us"),
+          // exact long sum ÷ count, one IEEE division — deterministic
+          avg(col("gap")).as("mean_gap_us"))
+    }),
     // banded range join: every non-signup event within a day after a
     // signup by the same user (bucketed equi-join, never a cross
     // product). µs-truncated time on both sides — see SessionGapUs note.
@@ -1634,6 +1680,47 @@ object SparkEntry {
          |)
          |SELECT event_id, user_id, pay.e AS asof_event_id, pay.v AS asof_value
          |FROM f WHERE side = 1""".stripMargin),
+    // mirror of the forward as-of: ts DESC, rights before lefts at the
+    // same ts, smallest event id winning ties (tie DESC under last_value)
+    "asof_next_purchase" ->
+      ("""WITH u AS (
+         |  SELECT user_id, ts, 1 AS side, NULL::BIGINT AS tie, event_id,
+         |         NULL::STRUCT(e BIGINT, v DOUBLE) AS pay
+         |  FROM events WHERE event_type = 'click'
+         |  UNION ALL
+         |  SELECT user_id, ts, 0, event_id, NULL,
+         |         struct_pack(e := event_id, v := value)
+         |  FROM events WHERE event_type = 'purchase'
+         |), f AS (
+         |  SELECT side, event_id, user_id,
+         |    last_value(pay IGNORE NULLS) OVER win AS pay
+         |  FROM u
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts DESC, side, tie DESC
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT event_id, user_id, pay.e AS asof_event_id, pay.v AS asof_value
+         |FROM f WHERE side = 1""".stripMargin),
+    "ts_ohlc_daily" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu,
+         |        epoch_us(ts) // $RangeJoinDayUs AS day, event_id, value FROM events),
+         |w AS (SELECT user_id, day, value,
+         |        first_value(value) OVER
+         |          (PARTITION BY user_id, day ORDER BY tsu, event_id) AS open,
+         |        last_value(value) OVER
+         |          (PARTITION BY user_id, day ORDER BY tsu, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+         |      FROM e)
+         |SELECT user_id, day, min(open) AS open, min(close) AS close,
+         |       min(value) AS low, max(value) AS high, count(*) AS n_events
+         |FROM w GROUP BY 1, 2""".stripMargin,
+    "win_event_gaps" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
+        |g AS (SELECT user_id,
+        |        tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS gap
+        |      FROM e)
+        |SELECT user_id, count(*) AS n_events, max(gap) AS max_gap_us,
+        |       avg(gap) AS mean_gap_us
+        |FROM g GROUP BY 1""".stripMargin,
     // the band is [1 µs, 1 day] after the signup, on µs-truncated time
     // (identical on both engines — see the SessionGapUs note)
     "range_join_events" ->

@@ -77,4 +77,53 @@ object AsofJoin {
       .select((keys.map(q) :+ q(tsCol)) ++ leftOnly.map(q) ++
         rightPayload.map(c => col("__pay").getField(c).as(s"$outPrefix$c")): _*)
   }
+
+  /** Forward as-of join: for each left row, the single EARLIEST right
+    * row with `right.ts >= left.ts` in the same key group — the "next
+    * event at/after" primitive (next restock after a stock-out, next
+    * purchase after a click). Same union-scan formulation as
+    * [[backward]], with the window order reversed:
+    *  - inclusive match: a right row at exactly left.ts is visible;
+    *  - among right rows tied on ts, the SMALLEST `rightTieBreak` wins
+    *    (the mirror of backward's greatest-wins);
+    *  - left rows with no later right row keep NULL payloads;
+    *  - the payload travels as one struct, never mixed across rows. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      rightPayload: Seq[String], rightTieBreak: String,
+      outPrefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one equality key")
+    val lTs = left.schema(tsCol).dataType
+    val rTs = right.schema(tsCol).dataType
+    require(lTs == rTs, s"ts column type mismatch: left $lTs vs right $rTs")
+
+    val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val tieType = right.schema(rightTieBreak).dataType
+    val payType = StructType(rightPayload.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
+    def q(c: String): Column = col(s"`$c`")
+
+    val lSide = left.select(
+      (keys.map(q) :+ q(tsCol) :+ lit(1).as("__side") :+
+        lit(null).cast(tieType).as("__tie")) ++
+        leftOnly.map(q) :+
+        lit(null).cast(payType).as("__pay"): _*)
+    val rSide = right.select(
+      (keys.map(q) :+ q(tsCol) :+ lit(0).as("__side") :+
+        q(rightTieBreak).as("__tie")) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightPayload.map(c => q(c).as(c)): _*).as("__pay"): _*)
+
+    // ts DESC: later rows come first, so last() over the preceding
+    // frame carries the NEAREST ts >= left.ts. Rights precede lefts at
+    // equal ts (inclusive); __tie DESC makes the smallest tiebreak the
+    // LAST right seen at its ts, i.e. the winner.
+    val w = Window.partitionBy(keys.map(q): _*)
+      .orderBy(q(tsCol).desc, col("__side").asc, col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lSide.unionAll(rSide)
+      .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((keys.map(q) :+ q(tsCol)) ++ leftOnly.map(q) ++
+        rightPayload.map(c => col("__pay").getField(c).as(s"$outPrefix$c")): _*)
+  }
 }

@@ -61,6 +61,54 @@ class AsofJoinSpec extends SparkTestBase {
     assert(got === Set((1L, Some(10L), Some(1.0)), (2L, None, None)))
   }
 
+  private def runFwd(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long, Double)]) = {
+    val l = left.toDF("event_id", "user_id", "ts")
+    val r = right.toDF("user_id", "ts", "event_id", "value")
+    AsofJoin.forward(l, r, Seq("user_id"), "ts", Seq("event_id", "value"), "event_id")
+      .select("event_id", "asof_event_id", "asof_value")
+      .collect().map(row => (row.getLong(0),
+        if (row.isNullAt(1)) None else Some(row.getLong(1)),
+        if (row.isNullAt(2)) None else Some(row.getDouble(2)))).toSet
+  }
+
+  test("forward as-of picks the earliest right row at-or-after each left ts") {
+    val got = runFwd(
+      left = Seq((1L, 7L, 100L), (2L, 7L, 200L), (3L, 7L, 300L)),
+      right = Seq((7L, 150L, 10L, 1.5), (7L, 250L, 11L, 2.5)))
+    assert(got === Set(
+      (1L, Some(10L), Some(1.5)), // ts=100 → next purchase at 150
+      (2L, Some(11L), Some(2.5)), // ts=200 → next purchase at 250
+      (3L, None, None)))          // ts=300 follows every purchase
+  }
+
+  test("forward: a right row at exactly the left ts is visible (inclusive)") {
+    val got = runFwd(left = Seq((1L, 7L, 100L)), right = Seq((7L, 100L, 10L, 9.0)))
+    assert(got === Set((1L, Some(10L), Some(9.0))))
+  }
+
+  test("forward: ties on right ts break by the SMALLEST tiebreak column") {
+    val got = runFwd(
+      left = Seq((1L, 7L, 100L)),
+      right = Seq((7L, 110L, 12L, 2.0), (7L, 110L, 10L, 1.0), (7L, 110L, 11L, 3.0)))
+    assert(got === Set((1L, Some(10L), Some(1.0))))
+  }
+
+  test("forward: keys partition the timeline") {
+    val got = runFwd(
+      left = Seq((1L, 7L, 100L), (2L, 8L, 100L)),
+      right = Seq((7L, 150L, 10L, 1.0)))
+    assert(got === Set((1L, Some(10L), Some(1.0)), (2L, None, None)))
+  }
+
+  test("forward plan has no join node — one window over the union") {
+    val l = Seq((1L, 7L, 100L)).toDF("event_id", "user_id", "ts")
+    val r = Seq((7L, 150L, 10L, 1.0)).toDF("user_id", "ts", "event_id", "value")
+    val plan = AsofJoin.forward(l, r, Seq("user_id"), "ts", Seq("event_id", "value"), "event_id")
+      .queryExecution.optimizedPlan
+    val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, s"expected a join-free plan, got:\n$plan")
+  }
+
   test("plan has no join node — one window over the union") {
     val l = Seq((1L, 7L, 100L)).toDF("event_id", "user_id", "ts")
     val r = Seq((7L, 50L, 10L, 1.0)).toDF("user_id", "ts", "event_id", "value")
