@@ -501,6 +501,15 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
+    // 2-D Pareto front of parts (minimize price, maximize size) — the
+    // distributed sort-sweep skyline: one hash collapse to distinct
+    // costs, a two-phase prefix-max (never a single-task global
+    // window), and a keyed join back. See operators/Skyline.
+    "agg_pareto_front" -> ((s, dir) =>
+      graft.operators.Skyline.front2d(
+        table(s, dir, "part")
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+        "p_retailprice", "p_size")),
     // TPC-H Q7-like: shipping volume between nation pairs by order
     // year — a two-dimension join-aggregate with integer-exact volume
     // (quantity sum) so the oracle hash cannot drift
@@ -1032,6 +1041,31 @@ object SparkEntry {
     // one BPE merge round: adjacent-token-pair frequencies, top-100
     "text_bpe_pairs" -> ((s, dir) =>
       graft.pipeline.TextPipeline.bpePairs(table(s, dir, "documents"), "doc_id", "text")),
+    // Zipf profile: EVERY corpus term with its global frequency rank —
+    // rank via the two-phase range-partitioned prefix sum (GlobalRank),
+    // never Spark's single-task no-partition window; ties (tf, token)
+    // make the order total so the rank column itself hash-checks
+    "text_zipf_rank" -> ((s, dir) => {
+      val tf = table(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      graft.operators.GlobalRank.withRank(
+        tf.withColumn("neg_tf", -col("tf")), Seq("neg_tf", "token"), "zipf_rank")
+        .select(col("token"), col("tf"), col("zipf_rank"))
+    }),
+    // hapax-legomena share per language — the vocabulary-freshness /
+    // noise signal (a high hapax share flags OCR garbage or boilerplate
+    // explosion): two map-side-combinable aggregations, one division
+    "text_hapax_ratio" -> ((s, dir) => {
+      val tf = table(s, dir, "documents")
+        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_terms"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("hapax_ratio",
+          col("n_hapax").cast("double") / col("n_terms").cast("double"))
+    }),
     // dictionary encode: corpus tokens → vocab ids (rank in the top-100
     // vocab; 0 = OOV). The id table is vocab-sized → broadcast join; the
     // token explosion is scan-side; at 1000× only the explosion grows.
@@ -1320,6 +1354,25 @@ object SparkEntry {
       ("SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt, " +
         "COUNT(*) AS n_lineitems FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "GROUP BY p_brand, p_type"),
+    // quadratic NOT-EXISTS dominance — fine at oracle scale; the Spark
+    // side is the distributed sort-sweep
+    "agg_pareto_front" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))""".stripMargin,
+    "text_zipf_rank" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |f AS (SELECT token, count(*) AS tf FROM t GROUP BY 1)
+        |SELECT token, tf, row_number() OVER (ORDER BY tf DESC, token) AS zipf_rank FROM f""".stripMargin,
+    "text_hapax_ratio" ->
+      """WITH t AS (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |f AS (SELECT lang, token, count(*) AS tf FROM t GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_terms,
+        |  sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+        |  (sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE) AS hapax_ratio
+        |FROM f GROUP BY lang""".stripMargin,
     "agg_q3_shipping" ->
       ("""SELECT l_orderkey, o_orderdate, o_orderpriority,
          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
