@@ -35,8 +35,6 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is TIMESTAMP(NANOS) parquet; read as Long nanoseconds.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -77,7 +75,19 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":1,"iterations":$iters,"queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","warmup":1,"iterations":$iters,"queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+    println(line)
+    // full-fidelity copy in the repo: the driver's artifact keeps only a
+    // log tail, which clips the alphabetically-early half of the
+    // per-query map — this file is the durable record (VERDICT r6 item 4)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"bench_local.json write failed: $e") }
     spark.stop()
+    // a failing query must fail the run visibly (ADVICE r7): rc=1 tells
+    // the driver the numbers are incomplete even if the tail looks fine
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

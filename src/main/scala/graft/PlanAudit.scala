@@ -9,7 +9,7 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -25,7 +25,7 @@ object PlanAudit {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val events = spark.read.parquet(s"$dir/events.parquet")
     audit("asof_click_purchase", {
-      val ev = events.withColumn("ts", expr("ts div 1000"))
+      val ev = events.withColumn("ts", expr("unix_micros(cast(ts as timestamp))"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -34,7 +34,7 @@ object PlanAudit {
         Seq("event_id", "value"), "event_id")
     })
     audit("range_join_events", {
-      val ev = events.withColumn("ts", expr("ts div 1000"))
+      val ev = events.withColumn("ts", expr("unix_micros(cast(ts as timestamp))"))
       val signups = ev.filter(col("event_type") === "signup")
         .select(col("event_id").as("signup_event"), col("user_id"), col("ts"))
       val acts = ev.filter(col("event_type") =!= "signup")
@@ -43,7 +43,7 @@ object PlanAudit {
         1L, SparkEntry.RangeJoinDayUs, Seq("event_id", "event_type"))
     })
     audit("agg_sessionize", graft.operators.Sessionize.byGap(
-      events.withColumn("ts", expr("ts div 1000")), "user_id", "ts",
+      events.withColumn("ts", expr("unix_micros(cast(ts as timestamp))")), "user_id", "ts",
       SparkEntry.SessionGapUs, "value"))
     audit("join_salted_agg", {
       val li = spark.read.parquet(s"$dir/lineitem.parquet")

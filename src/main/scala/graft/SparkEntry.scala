@@ -27,6 +27,13 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events.ts` as epoch MICROS (Long). The driver's parquet stores
+    * `timestamp[us]`, which Spark reads as TIMESTAMP_NTZ; with the
+    * session zone pinned to UTC (every entry point does) the NTZ →
+    * timestamp cast reads the wall-clock as a UTC instant, so this
+    * equals DuckDB's `epoch_us(ts)` bit-for-bit. */
+  private val TsUsSql = "unix_micros(cast(ts as timestamp))"
+
   /** Run a script of DDL/DML/ICL/DCL sexp statements through an
     * EngineSession (the listener-equivalent dispatcher), then evaluate a
     * final DRL query against the resulting state — the engine's full
@@ -664,7 +671,7 @@ object SparkEntry {
     // sensitivity (min over µs-truncated ts is order-free)
     "agg_funnel" -> ((s, dir) => {
       val e = table(s, dir, "events")
-        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+        .select(col("user_id"), col("event_type"), expr(TsUsSql).as("tus"))
       val s1 = e.filter(col("event_type") === "signup")
         .groupBy(col("user_id")).agg(min(col("tus")).as("t1"))
       val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
@@ -774,7 +781,7 @@ object SparkEntry {
     "ts_gapfill" -> ((s, dir) => {
       val obs = table(s, dir, "events")
         .select(col("user_id"),
-          expr(s"(ts div 1000) div $RangeJoinDayUs").as("day"), col("value"))
+          expr(s"($TsUsSql) div $RangeJoinDayUs").as("day"), col("value"))
         .groupBy(col("user_id"), col("day"))
         .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("day_value"))
       graft.operators.GapFill.locf(obs, "user_id", "day", Seq("day_value"))
@@ -821,7 +828,7 @@ object SparkEntry {
     "agg_cohort_retention" -> ((s, dir) => {
       val d = table(s, dir, "events")
         .select(col("user_id"),
-          expr(s"(ts div 1000) div $RangeJoinDayUs").as("day")).distinct()
+          expr(s"($TsUsSql) div $RangeJoinDayUs").as("day")).distinct()
       val f = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
       d.join(f, "user_id")
         .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
@@ -865,7 +872,7 @@ object SparkEntry {
       val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
       table(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type").as("next"),
-          expr("ts div 1000").as("tus"))
+          expr(TsUsSql).as("tus"))
         .withColumn("prev", lag(col("next"), 1).over(w))
         .where(col("prev").isNotNull)
         .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("n"))
@@ -958,7 +965,7 @@ object SparkEntry {
     // batch sessionization: per-user sessions split on >30 min gaps
     "agg_sessionize" -> ((s, dir) =>
       graft.operators.Sessionize.byGap(
-        table(s, dir, "events").withColumn("ts", expr("ts div 1000")),
+        table(s, dir, "events").withColumn("ts", expr(TsUsSql)),
         "user_id", "ts", SessionGapUs, "value")),
     "agg_latest_event_per_user" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1099,9 +1106,8 @@ object SparkEntry {
     // as-of join: each click attributed to the user's most recent
     // purchase at-or-before it (union + one window pass — no join)
     "asof_click_purchase" -> ((s, dir) => {
-      // µs-truncated ordering time, matching the oracle's µs timestamps
-      // exactly even where testdata carries sub-µs nano components
-      val ev = table(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+      // epoch-µs ordering time — the grid both engines share (see TsUsSql)
+      val ev = table(s, dir, "events").withColumn("ts", expr(TsUsSql))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -1114,7 +1120,7 @@ object SparkEntry {
     // union-scan single-window formulation as the backward join, order
     // reversed) — the "time-to-conversion" primitive
     "asof_next_purchase" -> ((s, dir) => {
-      val ev = table(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+      val ev = table(s, dir, "events").withColumn("ts", expr(TsUsSql))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -1128,7 +1134,7 @@ object SparkEntry {
     // on ts break on the unique event id so the bar is deterministic
     "ts_ohlc_daily" -> ((s, dir) => {
       val e = table(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+        .select(col("user_id"), expr(TsUsSql).as("tsu"),
           col("event_id"), col("value"))
         .withColumn("day", expr(s"tsu div $RangeJoinDayUs"))
       e.groupBy(col("user_id"), col("day"))
@@ -1148,7 +1154,7 @@ object SparkEntry {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
       table(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("tsu"), col("event_id"))
+        .select(col("user_id"), expr(TsUsSql).as("tsu"), col("event_id"))
         .withColumn("gap", col("tsu") - lag(col("tsu"), 1).over(w))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
@@ -1160,7 +1166,7 @@ object SparkEntry {
     // signup by the same user (bucketed equi-join, never a cross
     // product). µs-truncated time on both sides — see SessionGapUs note.
     "range_join_events" -> ((s, dir) => {
-      val ev = table(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+      val ev = table(s, dir, "events").withColumn("ts", expr(TsUsSql))
       val signups = ev.filter(col("event_type") === "signup")
         .select(col("event_id").as("signup_event"), col("user_id"), col("ts"))
       val acts = ev.filter(col("event_type") =!= "signup")
@@ -1173,6 +1179,12 @@ object SparkEntry {
       graft.pipeline.MultiModal.payloadStats(table(s, dir, "documents"))),
     "mm_chunks" -> ((s, dir) =>
       graft.pipeline.MultiModal.chunkPayloads(table(s, dir, "documents"))),
+    // PNG IHDR / JPEG SOF dimensions by pure header byte-parse (no
+    // codec): payloads synthesized in-plan with data-dependent segment
+    // lengths, so the SOF walk is what recovers (width, height) — the
+    // oracle re-derives both arithmetically from the generator inputs
+    "mm_dimensions" -> ((s, dir) =>
+      graft.pipeline.MultiModal.dimensions(table(s, dir, "documents"))),
     "ann_cosine_topk" -> ((s, dir) =>
       graft.pipeline.Ann.cosineTopK(table(s, dir, "embeddings"))),
     "ann_lsh_buckets" -> ((s, dir) =>
@@ -1784,6 +1796,21 @@ object SparkEntry {
           |WHERE l.event_type = 'signup' AND r.event_type <> 'signup'""".stripMargin),
     "mm_payload_stats" -> graft.pipeline.Oracles.mmPayloadStats,
     "mm_chunks" -> graft.pipeline.Oracles.mmChunks(64),
+    // re-derive the synthesized dimensions from the generator arithmetic
+    // (64 + n_chars % 1901, 64 + doc_id*31 % 1013, kind = doc_id % 4) —
+    // Spark must recover the same numbers by parsing the bytes
+    "mm_dimensions" ->
+      """WITH d AS (SELECT doc_id, 64 + (n_chars % 1901) AS w,
+        |  64 + ((doc_id * 31) % 1013) AS h, doc_id % 4 AS kind FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN kind = 0 THEN 'png' WHEN kind IN (1,2) THEN 'jpeg'
+        |       ELSE 'opaque' END AS format,
+        |  CASE WHEN kind IN (0,1,2) THEN w END AS width,
+        |  CASE WHEN kind IN (0,1,2) THEN h END AS height,
+        |  CASE WHEN kind IN (0,1,2)
+        |       THEN (w >= 200 AND h >= 200 AND w <= 2*h AND h <= 2*w)
+        |       ELSE FALSE END AS keep
+        |FROM d""".stripMargin,
     "ann_cosine_topk" -> graft.pipeline.Oracles.annCosineTopK,
     "ann_lsh_buckets" -> graft.pipeline.Oracles.annLshBuckets,
     "ann_lsh_topk" -> graft.pipeline.Oracles.annLshTopK,

@@ -47,7 +47,7 @@ object StreamDemo {
     val in = Paths.get(workDir, "stream_in")
     Files.createDirectories(in)
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("ts"),
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
     val (lo, hi) = {
       val r = ev.agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts")))).head()
@@ -206,7 +206,6 @@ object StreamDemo {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads travel as
@@ -75,6 +75,129 @@ object MultiModal {
           .cast("long").as("chunk_bytes"),
         expr(s"md5(substr(payload, cast(chunk_idx * $chunkBytes + 1 as int), $chunkBytes))")
           .as("chunk_md5"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Real header decode: PNG IHDR / JPEG SOF dimensions by pure byte-parse
+  // (no codec dependency — a resolution/aspect gate only needs the
+  // header, never the pixels). Everything below is Spark SQL byte
+  // arithmetic (substr-on-binary + hex + conv), so the parse stays inside
+  // WholeStageCodegen and distributes as a narrow map.
+  // ---------------------------------------------------------------------
+
+  /** Big-endian unsigned int read: `len` bytes of `payload` at 1-based
+    * offset `pos` (a Column, so data-dependent offsets work). Returns
+    * null past end-of-payload (substr comes back short → conv of a
+    * truncated hex string would misparse, so the length is checked). */
+  private def beUInt(payload: Column, pos: Column, len: Int): Column =
+    when(octet_length(payload.substr(pos, lit(len))) === len,
+      conv(hex(payload.substr(pos, lit(len))), 16, 10).cast("long"))
+
+  /** PNG signature (8 bytes) — the IHDR chunk that MUST follow it puts
+    * width at byte 17 and height at byte 21, both u32 BE. */
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+  private val JpegSoi: Array[Byte] = Array(0xff.toByte, 0xd8.toByte)
+
+  /** 1-based offset of the first JPEG SOF0/1/2 marker, walking the
+    * segment chain from just after SOI. Each step reads the marker pair
+    * and the u16 segment length and hops `2 + len`; the walk is unrolled
+    * `maxSegments` deep (headers put SOF within a handful of APPn/COM
+    * segments — a bound, not a scan of the pixel stream). Null when no
+    * SOF is found in range or the chain is malformed. */
+  private def jpegSofOffset(payload: Column, maxSegments: Int): Column = {
+    def walk(off: Column, remaining: Int): Column =
+      if (remaining == 0) lit(null).cast("long")
+      else {
+        val ff = beUInt(payload, off, 1)
+        val code = beUInt(payload, off + 1, 1)
+        val segLen = beUInt(payload, off + 2, 2)
+        when(ff.isNull || code.isNull || ff =!= 255, lit(null).cast("long"))
+          .when(code === 192 || code === 193 || code === 194, off)
+          .otherwise(if (remaining == 1) lit(null).cast("long")
+            else when(segLen.isNull, lit(null).cast("long"))
+              .otherwise(walk(off + 2 + segLen, remaining - 1)))
+      }
+    walk(lit(3L), maxSegments)
+  }
+
+  /** (format, width, height) columns parsed from a binary payload:
+    * `png` via fixed IHDR offsets, `jpeg` via the SOF segment walk
+    * (SOF frame: marker, u16 len, u8 precision, u16 height, u16 width),
+    * anything else `opaque` with null dimensions.
+    *
+    * `maxJpegSegments` trades header coverage for plan size: the unrolled
+    * walk grows ~3× per level (each offset embeds the previous offset and
+    * its segment-length read), so depth 4 keeps the projection small
+    * while covering JFIF/EXIF headers with a couple of APPn/COM segments
+    * before the frame. Headers buried deeper parse as `opaque` — raise
+    * the bound for exotic corpora. */
+  def withImageDims(df: DataFrame, payloadCol: String,
+      maxJpegSegments: Int = 4): DataFrame = {
+    val p = col(payloadCol)
+    val isPng = p.substr(lit(1), lit(8)) === lit(PngSig)
+    val isJpeg = p.substr(lit(1), lit(2)) === lit(JpegSoi)
+    val sof = jpegSofOffset(p, maxJpegSegments)
+    val fmt = when(isPng, "png").when(isJpeg && sof.isNotNull, "jpeg")
+      .otherwise("opaque")
+    df.withColumn("format", fmt)
+      .withColumn("width",
+        when(isPng, beUInt(p, lit(17L), 4))
+          .when(isJpeg, beUInt(p, sof + 7, 2)))
+      .withColumn("height",
+        when(isPng, beUInt(p, lit(21L), 4))
+          .when(isJpeg, beUInt(p, sof + 5, 2)))
+  }
+
+  /** Resolution/aspect admission gate over parsed dimensions — the
+    * filter a multimodal curation pipeline runs BEFORE any decode (drop
+    * thumbnails and degenerate aspect ratios header-only). */
+  def resolutionKeep(width: Column, height: Column,
+      minW: Long = 200, minH: Long = 200, maxAspect: Long = 2): Column =
+    coalesce(width >= minW && height >= minH &&
+      width <= height * maxAspect && height <= width * maxAspect, lit(false))
+
+  /** Deterministic in-plan image payloads over the documents table:
+    * doc_id%4 picks PNG / baseline JPEG (APP0+COM then SOF0) /
+    * progressive JPEG (variable APP1 then SOF2) / opaque text bytes, with
+    * dimensions derived from (n_chars, doc_id) so an oracle re-derives
+    * them arithmetically while Spark must recover them by PARSING. The
+    * variable-length COM/APP1 segments make the SOF walk load-bearing —
+    * a fixed-offset "parser" fails on them. Pure codegen'd byte assembly
+    * (to_binary/concat), no UDF. */
+  def syntheticImagePayloads(docs: DataFrame): DataFrame = {
+    val w = expr("64 + pmod(n_chars, 1901)")
+    val h = expr("64 + pmod(doc_id * 31, 1013)")
+    def u16(c: Column): Column = to_binary(lpad(hex(c), 4, "0"), lit("hex"))
+    def u32(c: Column): Column = to_binary(lpad(hex(c), 8, "0"), lit("hex"))
+    val png = concat(lit(PngSig), expr("X'0000000D'"), lit("IHDR".getBytes("UTF-8")),
+      u32(w), u32(h), expr("X'0802000000'"))
+    // baseline: SOI, APP0 (JFIF, fixed 16), COM (2 + doc_id%37 + 2), SOF0
+    val comBody = expr("pmod(doc_id, 37) + 2")
+    val jpeg0 = concat(lit(JpegSoi), expr("X'FFE00010'"),
+      encode(rpad(lit("JFIF"), 14, "."), "UTF-8"),
+      expr("X'FFFE'"), u16(comBody + 2), encode(expr("repeat('x', pmod(doc_id, 37) + 2)"), "UTF-8"),
+      expr("X'FFC00011'"), expr("X'08'"), u16(h), u16(w),
+      expr("X'03011100021101031101'"), expr("X'FFD9'"))
+    // progressive: SOI, APP1 of data-dependent length, SOF2
+    val app1Body = expr("pmod(n_chars, 29) + 4")
+    val jpeg2 = concat(lit(JpegSoi), expr("X'FFE1'"), u16(app1Body + 2),
+      encode(expr("repeat('e', pmod(n_chars, 29) + 4)"), "UTF-8"),
+      expr("X'FFC20011'"), expr("X'08'"), u16(h), u16(w),
+      expr("X'03011100021101031101'"), expr("X'FFD9'"))
+    docs.select(col("doc_id"), col("n_chars"),
+      when(pmod(col("doc_id"), lit(4)) === 0, png)
+        .when(pmod(col("doc_id"), lit(4)) === 1, jpeg0)
+        .when(pmod(col("doc_id"), lit(4)) === 2, jpeg2)
+        .otherwise(encode(col("text"), "UTF-8")).as("payload"))
+  }
+
+  /** The `mm_dimensions` query body: synthesize payloads, parse the
+    * headers back, apply the resolution gate. */
+  def dimensions(docs: DataFrame): DataFrame = {
+    val parsed = withImageDims(syntheticImagePayloads(docs), "payload")
+    parsed.select(col("doc_id"), col("format"), col("width"), col("height"),
+      resolutionKeep(col("width"), col("height")).as("keep"))
   }
 
   /** Documents → binary payload column + typed metadata, exercising the

@@ -1,0 +1,117 @@
+package graft.icl
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.{LocalTableScanExec, QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Plan-regression net for the constraint compiler (VERDICT r6 item 5):
+  * runs every shipped `icl_*` pipeline end-to-end (the same scripts
+  * `SparkEntry.queries` ships) while recording EVERY physical plan the
+  * engine executes — insert-time validation DAGs included — and asserts
+  * the structural invariants PLANS.md claims:
+  *
+  *   1. no `CartesianProduct`, and no `BroadcastNestedLoopJoin` except
+  *      the documented benign shape — a broadcast of LITERAL rows (a
+  *      `Const` relation / 1-row stat frame, `LocalTableScanExec`
+  *      leaves only). The Compile quantifier fallback joining two real
+  *      relations must stay unreachable from shipped constraint shapes.
+  *   2. the total SHUFFLE exchange count per pipeline stays within a
+  *      pinned budget — a silent extra shuffle in the validation path
+  *      (a lost broadcast, a new distribution requirement) fails here
+  *      instead of surfacing as an unexplained bench regression three
+  *      rounds later. Broadcast exchanges are not counted: broadcasting
+  *      a dim is the plan IMPROVING, not regressing.
+  *
+  * Budgets are pinned from the round-8 plans (sf0.001, AQE on); if an
+  * intentional plan change moves a number, re-pin HERE in the same
+  * commit with the reason.
+  */
+class PlanRegressionSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** (pipeline, max shuffle-exchange nodes, max non-literal BNLJ nodes)
+    * across every plan the pipeline executes. The BNLJ allowance is
+    * exactly the DRL `Cartesian` the fk_bulk SOURCE query requests
+    * (region × nation × customer fact build) — the VALIDATION side of
+    * every pipeline is pinned at zero. */
+  private val Budgets: Seq[(String, Int, Int)] = Seq(
+    ("icl_fk_pipeline", 1, 0),
+    ("icl_quantifier_pipeline", 1, 0),
+    ("icl_exclusion_pipeline", 1, 0),
+    ("icl_nway_pipeline", 1, 0),
+    ("icl_conjunction_pipeline", 1, 0),
+    ("icl_fk_bulk", 4, 2),
+  )
+
+  /** Tree walk that descends through AQE wrappers and query stages
+    * (plain `collect` stops at QueryStageExec boundaries). */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+    case q: QueryStageExec => flatten(q.plan)
+    case r: ReusedExchangeExec => flatten(r.child)
+    case other => other.children.flatMap(flatten)
+  })
+
+  private def runCapturing(body: => Unit): Seq[SparkPlan] = {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        plans.add(qe.executedPlan)
+    }
+    spark.listenerManager.register(listener)
+    try body
+    finally {
+      // listener events ride the async bus — drain before reading
+      // (waitUntilEmpty is private[spark]; call through reflection as
+      // PlanAudit does)
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        val wait = bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1).get
+        wait.invoke(bus, java.lang.Long.valueOf(10000L))
+      } catch { case _: Throwable => Thread.sleep(1000) }
+      spark.listenerManager.unregister(listener)
+    }
+    import scala.jdk.CollectionConverters._
+    plans.asScala.toSeq
+  }
+
+  private def literalOnly(p: SparkPlan): Boolean =
+    flatten(p).filter(n => n.children.isEmpty && !n.isInstanceOf[AdaptiveSparkPlanExec] &&
+        !n.isInstanceOf[QueryStageExec] && !n.isInstanceOf[ReusedExchangeExec])
+      .forall(_.isInstanceOf[LocalTableScanExec])
+
+  for ((name, maxShuffles, maxBnlj) <- Budgets)
+    test(s"$name: no cartesian, ≤$maxShuffles shuffles, ≤$maxBnlj non-literal BNLJ") {
+      val roots = runCapturing {
+        graft.SparkEntry.queries(name)(spark, sfDir).count(); ()
+      }
+      assert(roots.nonEmpty, "listener captured no executions")
+      val nodes = roots.flatMap(flatten)
+      val cartesians = nodes.collect { case c: CartesianProductExec => c }
+      assert(cartesians.isEmpty,
+        s"CartesianProduct in $name:\n${cartesians.headOption.getOrElse("")}")
+      val badBnlj = nodes.collect {
+        case b: BroadcastNestedLoopJoinExec
+            if !literalOnly(b.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+              case _ => b.right
+            }) => b
+      }
+      assert(badBnlj.size <= maxBnlj,
+        s"${badBnlj.size} non-literal BroadcastNestedLoopJoin in $name (pinned " +
+          s"max $maxBnlj — the allowance is the DRL Cartesian the source " +
+          s"query itself requests):\n${badBnlj.headOption.getOrElse("")}")
+      val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+      assert(shuffles <= maxShuffles,
+        s"$name executed $shuffles shuffle exchanges (pinned max $maxShuffles) over " +
+          s"${roots.size} plans — a new shuffle crept into the validation DAG")
+    }
+}

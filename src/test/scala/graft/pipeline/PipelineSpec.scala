@@ -281,6 +281,57 @@ class PipelineSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"chunking shuffled:\n$plan")
   }
 
+  test("multimodal: PNG/JPEG header dimensions by byte-parse") {
+    // hand-assembled headers with the real layouts: PNG sig + IHDR;
+    // JPEG SOI + APP0(JFIF) + COM + SOF0 (dims big-endian u16)
+    def u16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(v: Int) = Array((v >> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      u32(13) ++ "IHDR".getBytes ++ u32(1920) ++ u32(1080) ++
+      Array[Byte](8, 2, 0, 0, 0)
+    val app0 = Array(0xff, 0xe0).map(_.toByte) ++ u16(16) ++
+      ("JFIF" + " ").getBytes ++ Array.fill[Byte](9)(0)
+    val com = Array(0xff, 0xfe).map(_.toByte) ++ u16(7) ++ "hello".getBytes
+    val sof0 = Array(0xff, 0xc0).map(_.toByte) ++ u16(17) ++ Array[Byte](8) ++
+      u16(480) ++ u16(640) ++ Array.fill[Byte](10)(1)
+    val jpeg = Array(0xff, 0xd8).map(_.toByte) ++ app0 ++ com ++ sof0 ++
+      Array(0xff, 0xd9).map(_.toByte)
+    val truncated = jpeg.take(10) // dies mid-APP0: must parse as opaque
+    val rows = MultiModal.withImageDims(
+      Seq((1L, png), (2L, jpeg), (3L, "plain text".getBytes), (4L, truncated))
+        .toDF("id", "payload"), "payload")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.get(3), r.get(4)))).toMap
+    assert(rows(1L) == (("png", 1920L, 1080L)))
+    assert(rows(2L) == (("jpeg", 640L, 480L)))
+    assert(rows(3L)._1 == "opaque" && rows(3L)._2 == null)
+    assert(rows(4L)._1 == "opaque" && rows(4L)._2 == null)
+
+    // generator → parser round-trip recovers exactly the seeded dims
+    val dims = MultiModal.dimensions(docs.withColumn("n_chars", length(col("text"))))
+      .collect()
+    assert(dims.length == docs.count())
+    dims.foreach { r =>
+      val id = r.getLong(0)
+      val kind = (id % 4).toInt
+      val fmt = r.getString(1)
+      if (kind == 3) assert(fmt == "opaque" && r.get(2) == null)
+      else {
+        assert(fmt == (if (kind == 0) "png" else "jpeg"), s"doc $id")
+        assert(r.getLong(3) == 64 + (id * 31) % 1013, s"height of doc $id")
+      }
+    }
+    // the resolution gate: null dims never keep (coalesce to false)
+    val keeps = Seq((null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(500L)),
+        (java.lang.Long.valueOf(500L), java.lang.Long.valueOf(500L)),
+        (java.lang.Long.valueOf(500L), java.lang.Long.valueOf(100L)))
+      .toDF("w", "h")
+      .select(MultiModal.resolutionKeep(col("w"), col("h")).as("keep"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(keeps == Seq(false, true, false))
+  }
+
   test("band signatures are deterministic across invocations") {
     val a = Dedup.bandSignatures(docs, "doc_id", "text").collect().map(_.toSeq).toSet
     val b = Dedup.bandSignatures(docs, "doc_id", "text").collect().map(_.toSeq).toSet
