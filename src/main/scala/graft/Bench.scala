@@ -79,9 +79,12 @@ object Bench {
     println(line)
     // full-fidelity copy in the repo: the driver's artifact keeps only a
     // log tail, which clips the alphabetically-early half of the
-    // per-query map — this file is the durable record (VERDICT r6 item 4)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"), line + "\n")
-    catch { case e: Throwable => System.err.println(s"bench_local.json write failed: $e") }
+    // per-query map — this file is the durable record (VERDICT r6 item
+    // 4). Full-suite runs only: an SPARK_GRAFT_ONLY triage run must not
+    // clobber the complete record with a 3-query subset.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_local.json"), line + "\n")
+      catch { case e: Throwable => System.err.println(s"bench_local.json write failed: $e") }
     spark.stop()
     // a failing query must fail the run visibly (ADVICE r7): rc=1 tells
     // the driver the numbers are incomplete even if the tail looks fine

@@ -188,6 +188,18 @@ object SparkEntry {
       """(ThetaJoin ((lt s_suppkey n_nationkey) (neq s_nationkey n_regionkey))
         |  (Project (s_suppkey s_nationkey) (Base supplier))
         |  (Project (n_nationkey n_regionkey) (Base nation)))""".stripMargin),
+    // the third extension shape (§7.2 step 7): per-partition window
+    // numbering through the sexp surface — (acctbal Desc, custkey Asc)
+    // is a total order, so the rank column itself hash-checks
+    "drl_window" -> drl(
+      """(Window (partition (c_nationkey)) (order ((c_acctbal Desc) (c_custkey Asc)))
+        |  (fn (row_number)) (as rn)
+        |  (Project (c_custkey c_nationkey c_acctbal) (Base customer)))""".stripMargin),
+    // previous-row delta shape: Lag moves a VALUE (no arithmetic), so
+    // doubles stay bit-identical cross-engine
+    "drl_window_lag" -> drl(
+      """(Window (partition (n_regionkey)) (order ((n_nationkey Asc)))
+        |  (fn (lag n_name)) (as prev_name) (Base nation))""".stripMargin),
 
     // ---- DML/DDL: full mutation pipeline over the engine ----
     "dml_pipeline" -> script(Seq(
@@ -403,6 +415,38 @@ object SparkEntry {
         rows = rows ++ batch.rows
       }
       s.createDataFrame(java.util.Arrays.asList(rows: _*), table(s, dir, "nation").schema)
+    }),
+    // cursor snapshot pinning under concurrent mutation (reference
+    // lib/session.ml:11): rows fetched AFTER an insert+delete on the
+    // underlying relation still reflect the state the cursor was begun
+    // on — the oracle is the PRE-mutation contents, so any leak of the
+    // new row (777) or loss of the deleted row (0) hash-fails
+    "scl_cursor_snapshot" -> ((s, dir) => {
+      val session = new graft.server.EngineSession(s, Some(new ParquetCatalog(s, dir)))
+      def run(stmt: String): Unit = session.execute(stmt)
+        .fold(e => throw new IllegalArgumentException(s"$stmt -> $e"), _ => ())
+      def batchOf(r: Either[String, graft.server.Response]): graft.scl.Batch = r match {
+        case Right(graft.server.CursorBatch(b)) => b
+        case other => throw new IllegalArgumentException(s"unexpected: $other")
+      }
+      run("(CreateDatabase g)")
+      run("(CreateRelation (name snap) (schema ((r_regionkey integer) (r_name string))))")
+      run("(InsertFrom (target snap) (source (Project (r_regionkey r_name) (Base region))))")
+      var batch = batchOf(session.execute("(scl (Begin (query (Base snap)) (limit 2)))"))
+      var rows = batch.rows
+      // mutate after the cursor pinned its snapshot
+      run("(InsertTuple (relation snap) (attributes ((r_regionkey (Int 777)) (r_name (Str FUTURE)))))")
+      run("(DeleteWhere (target snap) (predicate (Const ((r_regionkey (Int 0))))))")
+      while (batch.hasMore) {
+        batch = batchOf(session.execute(s"(scl (Fetch (cursor ${batch.cursorId}) (limit 2)))"))
+        rows = rows ++ batch.rows
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("r_regionkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("r_name",
+          org.apache.spark.sql.types.StringType)))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }),
 
     // ---- Beyond-reference analytics (SURVEY.md §7.2 step 7) ----
@@ -1297,6 +1341,14 @@ object SparkEntry {
     "drl_theta_join" ->
       ("SELECT s.s_suppkey, s.s_nationkey, n.n_nationkey, n.n_regionkey " +
         "FROM supplier s JOIN nation n ON s.s_suppkey < n.n_nationkey AND s.s_nationkey <> n.n_regionkey"),
+    "drl_window" ->
+      ("SELECT c_custkey, c_nationkey, c_acctbal, " +
+        "ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn " +
+        "FROM customer"),
+    "drl_window_lag" ->
+      ("SELECT n_nationkey, n_name, n_regionkey, " +
+        "LAG(n_name) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS prev_name " +
+        "FROM nation"),
     "dml_pipeline" ->
       ("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region WHERE r_regionkey <> 0 " +
         "UNION ALL SELECT 99, 'LAPUTA'"),
@@ -1348,6 +1400,10 @@ object SparkEntry {
       ("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region " +
         "UNION ALL SELECT 88, 'MAIN' UNION ALL SELECT 77, 'FEATURE'"),
     "scl_cursor_stream" -> "SELECT * FROM nation",
+    // pre-mutation contents: the 777 insert and the key-0 delete landed
+    // after Begin, so the cursor must stream exactly the original rows
+    "scl_cursor_snapshot" ->
+      "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
     "agg_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +

@@ -59,6 +59,25 @@ object Query {
   final case class Aggregate(groupBy: List[String], aggs: List[(AggFn, String)],
       source: Query) extends Query
 
+  /** Window function surface: per-partition analytics over a total
+    * order — the third reused query shape (top-k-per-group numbering,
+    * running totals, previous-row deltas) promoted to a named node. */
+  sealed trait WinFn
+  object WinFn {
+    case object RowNumber extends WinFn
+    /** Cumulative sum of `attr` over rows unbounded-preceding..current. */
+    final case class RunningSum(attr: String) extends WinFn
+    /** Previous row's `attr` within the partition (null at the head). */
+    final case class Lag(attr: String) extends WinFn
+  }
+  /** Append column `as` = `fn` over the window (partitionBy, orderBy).
+    * `partitionBy` must be non-empty: an unpartitioned window is a
+    * single-task global sort — at engine scale that is GlobalRank's
+    * two-phase job, not a window node (enforced at compile). */
+  final case class Window(partitionBy: List[String],
+      orderBy: List[(String, Direction)], fn: WinFn, as: String,
+      source: Query) extends Query
+
   /** Comparison operators for theta-join predicates — the six
     * comparison relations of the prelude (§1.5), applied as join
     * conditions instead of membership filters. */

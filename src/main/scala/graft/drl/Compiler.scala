@@ -124,6 +124,28 @@ object Compiler {
           (opFn(op), a, b)
         }, lf, rf)
 
+    case Window(parts, order, fn, alias, src) =>
+      if (parts.isEmpty)
+        Left("Window needs a non-empty partition: an unpartitioned window " +
+          "is a single-task global sort — use GlobalRank for whole-relation " +
+          "ranking")
+      else compile(spark, cat, src).map { df =>
+        import org.apache.spark.sql.expressions.{Window => W}
+        import org.apache.spark.sql.functions.{lag, row_number, sum}
+        val ord = order.map {
+          case (a, Asc)  => col(s"`$a`").asc
+          case (a, Desc) => col(s"`$a`").desc
+        }
+        val w = W.partitionBy(parts.map(a => col(s"`$a`")): _*).orderBy(ord: _*)
+        val c = fn match {
+          case WinFn.RowNumber => row_number().over(w)
+          case WinFn.RunningSum(a) => sum(col(s"`$a`"))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+          case WinFn.Lag(a) => lag(col(s"`$a`"), 1).over(w)
+        }
+        df.withColumn(alias, c)
+      }
+
     case Take(n, src) =>
       virtualScanBase(src) match {
         // Take over a (possibly renamed/projected) virtual base: bounded

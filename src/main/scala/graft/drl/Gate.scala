@@ -42,6 +42,8 @@ object Gate {
     case Sort(_, src)          => cardinality(cat, src)
     case Aggregate(_, _, src)  => cardinality(cat, src)
     case ThetaJoin(_, l, r)    => both(cat, l, r)
+    // Window appends a column to each input row — cardinality-preserving
+    case Window(_, _, _, _, src) => cardinality(cat, src)
   }
 
   private def both(cat: Catalog, l: Query, r: Query): Either[String, Cardinality] =

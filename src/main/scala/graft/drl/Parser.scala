@@ -113,6 +113,27 @@ object Parser {
         lq <- ofSexp(l); rq <- ofSexp(r)
       } yield ThetaJoin(ps, lq, rq)
 
+    // (Window (partition (a b)) (order ((x Asc))) (fn (row_number)) (as rn) <q>)
+    case SList(List(Atom("Window"), SList(List(Atom("partition"), SList(parts))),
+        SList(List(Atom("order"), SList(ord))),
+        SList(List(Atom("fn"), fnS)), SList(List(Atom("as"), Atom(alias))), src)) =>
+      for {
+        ps <- traverse(parts) { case Atom(a) => Right(a); case o => Left(s"bad partition attr: ${o.render}") }
+        os <- traverse(ord) {
+          case SList(List(Atom(a), Atom("Asc")))  => Right(a -> (Asc: Direction))
+          case SList(List(Atom(a), Atom("Desc"))) => Right(a -> (Desc: Direction))
+          case other => Left(s"bad Window order key: ${other.render}")
+        }
+        fn <- fnS match {
+          case SList(List(Atom("row_number")))          => Right(WinFn.RowNumber: WinFn)
+          case SList(List(Atom("running_sum"), Atom(a))) => Right(WinFn.RunningSum(a): WinFn)
+          case SList(List(Atom("lag"), Atom(a)))         => Right(WinFn.Lag(a): WinFn)
+          case other => Left(s"bad Window fn: ${other.render}")
+        }
+        _ <- if (os.isEmpty) Left("Window needs at least one order key") else Right(())
+        sq <- ofSexp(src)
+      } yield Window(ps, os, fn, alias, sq)
+
     case other => Left(s"unrecognized DRL form: ${other.render}")
   }
 
@@ -156,6 +177,16 @@ object Parser {
     case ThetaJoin(ps, l, r) => Sexp.list(Atom("ThetaJoin"),
       SList(ps.map { case (op, a, b) => Sexp.list(Atom(cmpName(op)), Atom(a), Atom(b)) }),
       toSexp(l), toSexp(r))
+    case Window(ps, os, fn, alias, s) => Sexp.list(Atom("Window"),
+      Sexp.list(Atom("partition"), SList(ps.map(Atom(_)))),
+      Sexp.list(Atom("order"), SList(os.map { case (a, d) =>
+        Sexp.list(Atom(a), Atom(d.toString)) })),
+      Sexp.list(Atom("fn"), fn match {
+        case WinFn.RowNumber      => Sexp.list(Atom("row_number"))
+        case WinFn.RunningSum(a)  => Sexp.list(Atom("running_sum"), Atom(a))
+        case WinFn.Lag(a)         => Sexp.list(Atom("lag"), Atom(a))
+      }),
+      Sexp.list(Atom("as"), Atom(alias)), toSexp(s))
   }
 
   private def valueSexp(v: Value): Sexp = v match {

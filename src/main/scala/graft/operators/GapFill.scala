@@ -27,14 +27,23 @@ import org.apache.spark.sql.functions._
 object GapFill {
 
   /** Fill `df` (one row per (`keyCol`, `tickCol`), integer ticks) to the
-    * full per-key tick range, carrying `valueCols` forward. */
+    * full per-key tick range, carrying `valueCols` forward.
+    *
+    * `maxSpan` guards the grid explode: a key whose observed span
+    * exceeds it (one sensor with a 1970 timestamp glitch next to
+    * today's data would synthesize half a century of ticks) is dropped
+    * WHOLE from the output rather than detonating the stage — the
+    * filter runs on the one-row-per-key span aggregate, so the guard is
+    * free. Pick a coarser tick for legitimately long spans. */
   def locf(df: DataFrame, keyCol: String, tickCol: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String], maxSpan: Long = Long.MaxValue): DataFrame = {
     require(valueCols.nonEmpty, "no value columns to carry")
+    require(maxSpan > 0, s"non-positive maxSpan: $maxSpan")
     def q(c: String): Column = col(s"`$c`")
 
     val span = df.groupBy(q(keyCol))
       .agg(min(q(tickCol)).as("__lo"), max(q(tickCol)).as("__hi"))
+      .where(col("__hi") - col("__lo") < maxSpan)
     val grid = span.select(q(keyCol),
       explode(sequence(col("__lo"), col("__hi"))).as(tickCol))
     // explicit presence marker so an observed-but-NULL value is still

@@ -55,6 +55,9 @@ class DrlSpec extends SparkTestBase {
       "(Sort ((x Asc) (y Desc)) (Base a))",
       "(Aggregate (group (x)) (aggs ((count n) (sum y total) (min y lo) (max y hi) (avg y mean))) (Base a))",
       "(ThetaJoin ((lt x y) (neq a b)) (Base l) (Base r))",
+      "(Window (partition (k)) (order ((x Asc) (y Desc))) (fn (row_number)) (as rn) (Base a))",
+      "(Window (partition (k j)) (order ((x Asc))) (fn (running_sum v)) (as rs) (Base a))",
+      "(Window (partition (k)) (order ((x Desc))) (fn (lag v)) (as prev) (Base a))",
     )
     qs.foreach { s =>
       val q = Parser.parse(s).fold(e => fail(s"$s: $e"), identity)
@@ -133,6 +136,33 @@ class DrlSpec extends SparkTestBase {
       Left(Gate.rejection))
     assert(Gate.admit(cat,
       Parser.parse("(ThetaJoin ((lt a left)) (Base users) (Base natural_natural_less_than))").toOption.get) ==
+      Left(Gate.rejection))
+  }
+
+  test("extension node Window: row_number, running_sum, lag; empty partition rejected") {
+    val c = new TestCatalog(Map(
+      "m" -> Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 5L), (2L, 1L, 7L))
+        .toDF("k", "t", "v")))
+    def runC(s: String): Seq[Row] =
+      Compiler.run(spark, c, s).fold(e => fail(e), _.collect().toSeq)
+    val rn = runC("(Window (partition (k)) (order ((t Asc))) (fn (row_number)) (as rn) (Base m))")
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(rn == Set((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3), (2L, 1L, 1)))
+    val rs = runC("(Window (partition (k)) (order ((t Asc))) (fn (running_sum v)) (as rs) (Base m))")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(rs == Set((1L, 1L, 10L), (1L, 2L, 30L), (1L, 3L, 35L), (2L, 1L, 7L)))
+    val lg = runC("(Window (partition (k)) (order ((t Asc))) (fn (lag v)) (as prev) (Base m))")
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(lg == Set((1L, 1L, -1L), (1L, 2L, 10L), (1L, 3L, 20L), (2L, 1L, -1L)))
+    // scale guard: the unpartitioned window is refused at compile
+    val bad = Compiler.run(spark, c,
+      "(Window (partition ()) (order ((t Asc))) (fn (row_number)) (as rn) (Base m))")
+    assert(bad.isLeft && bad.swap.exists(_.contains("GlobalRank")))
+    // gate: cardinality passes through; infinite source still rejected
+    assert(Gate.admit(cat, Parser.parse(
+      "(Window (partition (name)) (order ((age Asc))) (fn (row_number)) (as rn) (Base users))").toOption.get).isRight)
+    assert(Gate.admit(cat, Parser.parse(
+      "(Window (partition (a)) (order ((b Asc))) (fn (row_number)) (as rn) (Base natural_plus))").toOption.get) ==
       Left(Gate.rejection))
   }
 

@@ -54,4 +54,15 @@ class GapFillSpec extends SparkTestBase {
     val plan = GapFill.locf(obs, "k", "t", Seq("v")).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("maxSpan: a glitch key spanning an epoch is dropped whole, others fill normally") {
+    // key 1: sane 3-tick span; key 2: one 1970-glitch observation makes
+    // the span ~10^9 ticks -- uncapped this would explode a billion rows
+    val obs = Seq((1L, 1L, 1.0), (1L, 3L, 3.0),
+      (2L, 0L, 9.0), (2L, 1000000000L, 9.9)).toDF("k", "t", "v")
+    val out = GapFill.locf(obs, "k", "t", Seq("v"), maxSpan = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.map(_._1).toSet === Set(1L))        // glitch key excluded whole
+    assert(out.map(_._2).sorted === Seq(1L, 2L, 3L)) // sane key fully densified
+  }
 }

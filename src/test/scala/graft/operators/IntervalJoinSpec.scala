@@ -58,4 +58,21 @@ class IntervalJoinSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("maxPerBin: an adversarial hot (key, bin) bucket is dropped whole, bounded output") {
+    // hot key: 500 identical intervals in one bin -> 124,750 pairs uncapped;
+    // cold keys: normal pairs that MUST survive the cap untouched
+    val hot = Seq.tabulate(500)(i => (9L, i.toLong, 0L, 3L))
+    val cold = Seq((1L, 1000L, 0L, 10L), (1L, 1001L, 5L, 15L), (2L, 1002L, 0L, 2L))
+    val df = (hot ++ cold).toDF("k", "id", "lo", "hi")
+    val capped = IntervalJoin.selfOverlaps(df, Seq("k"), "id", "lo", "hi",
+      binWidth = 16L, maxPerBin = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the hot bucket vanished whole; the cold pair is exact
+    assert(capped === Set((1L, 1000L, 1001L, 5L)))
+    // and an uncapped run on the cold keys alone agrees (cap is a no-op there)
+    val uncapped = IntervalJoin.selfOverlaps(cold.toDF("k", "id", "lo", "hi"),
+      Seq("k"), "id", "lo", "hi", 16L, maxPerBin = 100L).count()
+    assert(uncapped === 1L)
+  }
 }
