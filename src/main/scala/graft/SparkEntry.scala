@@ -993,6 +993,29 @@ object SparkEntry {
     // only a k-minimum-values sketch can be oracle-checked exactly)
     "sketch_kmv_distinct" -> ((s, dir) =>
       graft.pipeline.Sketches.kmvDistinct(table(s, dir, "lineitem"), "l_orderkey")),
+    // per-group sketch: distinct props payloads per event type — the
+    // "distinct per segment" profile at O(k·groups) driver cost
+    "sketch_kmv_groups" -> ((s, dir) =>
+      graft.pipeline.Sketches.kmvDistinctByGroup(
+        table(s, dir, "events"), "event_type", "props")),
+    // ingest-monitoring anomaly flags: per-type daily event counts
+    // scored by |n − median| > 3·MAD — medians at the .5 binary fraction
+    // over integer counts interpolate IEEE-exactly on both engines, so
+    // even the float comparisons are deterministic. Two tiny keyed
+    // aggregates + broadcast joins back onto the day grain; at 100 TB
+    // the moving rows are (type, day) pairs, never events
+    "agg_daily_anomaly" -> ((s, dir) => {
+      val d = table(s, dir, "events")
+        .select(col("event_type"), expr(s"($TsUsSql) div $RangeJoinDayUs").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      val med = d.groupBy(col("event_type")).agg(expr("percentile(n, 0.5)").as("med"))
+      val dev = d.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("n") - col("med")))
+      val mad = dev.groupBy(col("event_type")).agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .select(col("event_type"), col("day"), col("n"), col("med"), col("mad"),
+          (col("dev") > col("mad") * 3).as("is_anomaly"))
+    }),
     // lineitem ⋈ orders with the probe side salted 8 ways — the skew
     // tool; the salt is invisible in the result, so the oracle is the
     // PLAIN join (multiset equality is exactly the operator's contract)
@@ -1718,6 +1741,18 @@ object SparkEntry {
           |FROM d GROUP BY bin""".stripMargin),
     "sketch_kmv_distinct" ->
       graft.pipeline.Sketches.kmvDistinctOracle("lineitem", "l_orderkey"),
+    "sketch_kmv_groups" ->
+      graft.pipeline.Sketches.kmvDistinctByGroupOracle("events", "event_type", "props"),
+    "agg_daily_anomaly" ->
+      s"""WITH d AS (SELECT event_type, epoch_us(ts) // $RangeJoinDayUs AS day,
+         |        count(*) AS n FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM d GROUP BY 1),
+         |dev AS (SELECT d.event_type, d.day, d.n, m.med, abs(d.n - m.med) AS dev
+         |        FROM d JOIN m USING (event_type)),
+         |s AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1)
+         |SELECT dev.event_type, dev.day, dev.n, dev.med, s.mad,
+         |       dev.dev > s.mad * 3 AS is_anomaly
+         |FROM dev JOIN s USING (event_type)""".stripMargin,
     "agg_sessionize" ->
       (s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),
           |b AS (SELECT user_id, tus, value,

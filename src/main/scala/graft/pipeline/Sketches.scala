@@ -59,6 +59,45 @@ object Sketches {
        |  ELSE (k - 1)::DOUBLE * $KmvHashSpace / kth::DOUBLE END AS est_distinct
        |FROM m""".stripMargin
 
+  /** Per-group KMV: [[kmvDistinct]] partitioned by a group column — the
+    * "distinct users per segment / distinct tokens per language" profile
+    * at sketch cost. Same determinism contract (md5-prefix hash, k
+    * smallest per group, (k−1)/U estimate).
+    *
+    * Scale shape: the (group, hash) distinct is one map-side-combined
+    * aggregate shipping each group's UNIQUE hashes once; the k-minima
+    * ranking is a per-group window over those distinct hashes (partition
+    * size = group's distinct count, never its row count). Groups with
+    * fewer than k distinct values report the exact count. */
+  def kmvDistinctByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val hv = df.select(col(groupCol), h.as("hv")).distinct()
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("hv"))
+    hv.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("k"), max(col("hv")).as("kth"))
+      .select(col(groupCol), col("k"), col("kth"),
+        when(col("k") < k, col("k").cast("double"))
+          .otherwise((col("k") - 1).cast("double") * lit(KmvHashSpace) /
+            col("kth").cast("double"))
+          .as("est_distinct"))
+  }
+
+  /** The DuckDB re-derivation of [[kmvDistinctByGroup]] (single-sourced
+    * with the Spark side so the two contracts cannot drift). */
+  def kmvDistinctByGroupOracle(table: String, groupCol: String,
+      valueExpr: String, k: Int = 256): String =
+    s"""WITH h AS (SELECT DISTINCT $groupCol, ('0x' || substr(md5(($valueExpr)::VARCHAR), 1, 15))::BIGINT AS hv FROM $table),
+       |r AS (SELECT $groupCol, hv, row_number() OVER (PARTITION BY $groupCol ORDER BY hv) AS rn FROM h),
+       |m AS (SELECT $groupCol, count(*) AS k, max(hv) AS kth FROM r WHERE rn <= $k GROUP BY 1)
+       |SELECT $groupCol, k, kth, CASE WHEN k < $k THEN k::DOUBLE
+       |  ELSE (k - 1)::DOUBLE * $KmvHashSpace / kth::DOUBLE END AS est_distinct
+       |FROM m""".stripMargin
+
   val QuantileSalt = "graft-qsk"
 
   /** Deterministic sampled quantile: a salted-hash Bernoulli sample

@@ -30,4 +30,18 @@ class SketchesSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("SortExec"), plan)
   }
+
+  test("per-group KMV: exact below k, estimated above, deterministic") {
+    // group a: 30 distinct (below k=16? no -- above); group b: 5 distinct (below k)
+    val df = ((1 to 500).map(i => ("a", s"av$i")) ++ (1 to 5).map(i => ("b", s"bv$i")))
+      .toDF("g", "v")
+    val rows = Sketches.kmvDistinctByGroup(df, "g", "v", k = 64).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(rows("b") === ((5L, 5.0)))                     // exact: fewer than k
+    assert(rows("a")._1 === 64L)
+    assert(math.abs(rows("a")._2 - 500.0) / 500.0 < 0.30) // (k-1)/U estimate
+    val again = Sketches.kmvDistinctByGroup(df, "g", "v", k = 64).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(again("a") === rows("a")._2 && again("b") === rows("b")._2)
+  }
 }
