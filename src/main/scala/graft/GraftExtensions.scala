@@ -37,5 +37,7 @@ object GraftExtensions {
       graft.functions.PqEncode.builder),
     (graft.functions.NfcNormalize.Name, classOf[graft.functions.NfcNormalize],
       graft.functions.NfcNormalize.builder),
+    (graft.functions.JpegSofOffset.Name, classOf[graft.functions.JpegSofOffset],
+      graft.functions.JpegSofOffset.builder),
   )
 }

@@ -99,45 +99,25 @@ object MultiModal {
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
   private val JpegSoi: Array[Byte] = Array(0xff.toByte, 0xd8.toByte)
 
-  /** 1-based offset of the first JPEG SOF0/1/2 marker, walking the
-    * segment chain from just after SOI. Each step reads the marker pair
-    * and the u16 segment length and hops `2 + len`; the walk is unrolled
-    * `maxSegments` deep (headers put SOF within a handful of APPn/COM
-    * segments — a bound, not a scan of the pixel stream). Null when no
-    * SOF is found in range or the chain is malformed. */
-  private def jpegSofOffset(payload: Column, maxSegments: Int): Column = {
-    def walk(off: Column, remaining: Int): Column =
-      if (remaining == 0) lit(null).cast("long")
-      else {
-        val ff = beUInt(payload, off, 1)
-        val code = beUInt(payload, off + 1, 1)
-        val segLen = beUInt(payload, off + 2, 2)
-        when(ff.isNull || code.isNull || ff =!= 255, lit(null).cast("long"))
-          .when(code === 192 || code === 193 || code === 194, off)
-          .otherwise(if (remaining == 1) lit(null).cast("long")
-            else when(segLen.isNull, lit(null).cast("long"))
-              .otherwise(walk(off + 2 + segLen, remaining - 1)))
-      }
-    walk(lit(3L), maxSegments)
-  }
-
   /** (format, width, height) columns parsed from a binary payload:
-    * `png` via fixed IHDR offsets, `jpeg` via the SOF segment walk
-    * (SOF frame: marker, u16 len, u8 precision, u16 height, u16 width),
-    * anything else `opaque` with null dimensions.
+    * `png` via fixed IHDR offsets, `jpeg` via the native
+    * [[graft.functions.JpegSofOffset]] segment walk (SOF frame: marker,
+    * u16 len, u8 precision, u16 height, u16 width), anything else
+    * `opaque` with null dimensions.
     *
-    * `maxJpegSegments` trades header coverage for plan size: the unrolled
-    * walk grows ~3× per level (each offset embeds the previous offset and
-    * its segment-length read), so depth 4 keeps the projection small
-    * while covering JFIF/EXIF headers with a couple of APPn/COM segments
-    * before the frame. Headers buried deeper parse as `opaque` — raise
-    * the bound for exotic corpora. */
+    * The walk was originally an UNROLLED when-chain (data-dependent SQL
+    * offsets force it): ~3× tree growth per level, ~1.5 s of driver-side
+    * analysis per plan build at depth 4. The fused native expression is
+    * one loop, so `maxJpegSegments` is a cheap safety bound, not a plan
+    * size trade — 16 covers EXIF/XMP-heavy real headers. */
   def withImageDims(df: DataFrame, payloadCol: String,
-      maxJpegSegments: Int = 4): DataFrame = {
+      maxJpegSegments: Int = 16): DataFrame = {
     val p = col(payloadCol)
     val isPng = p.substr(lit(1), lit(8)) === lit(PngSig)
     val isJpeg = p.substr(lit(1), lit(2)) === lit(JpegSoi)
-    val sof = jpegSofOffset(p, maxJpegSegments)
+    graft.functions.JpegSofOffset.register(df.sparkSession)
+    val sof = call_function(graft.functions.JpegSofOffset.Name,
+      p, lit(maxJpegSegments))
     val fmt = when(isPng, "png").when(isJpeg && sof.isNotNull, "jpeg")
       .otherwise("opaque")
     df.withColumn("format", fmt)

@@ -35,6 +35,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  array(array(1.0D, 0.0D), array(0.0D, 1.0D)), array(7, 3)) AS c""".stripMargin)
         .collect().head.getInt(0)
       assert(code == 7)
+      // SOI + APP0(len 4) + SOF0 at 1-based offset 9
+      val sof = fresh.sql(
+        "SELECT graft_jpeg_sof(X'FFD8FFE00004AAAAFFC0', 8) AS s")
+        .collect().head.getLong(0)
+      assert(sof == 9L)
       // the shared session (no extensions, no prior runtime registration
       // in THIS suite) must not see the injected function spuriously —
       // unless another suite already registered it at runtime, which is

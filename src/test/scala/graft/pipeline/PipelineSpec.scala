@@ -332,6 +332,26 @@ class PipelineSpec extends SparkTestBase {
     assert(keeps == Seq(false, true, false))
   }
 
+  test("image header parse never throws on arbitrary bytes (fuzz)") {
+    val rnd = new scala.util.Random(7)
+    val payloads = Seq.tabulate(300) { i =>
+      val n = rnd.nextInt(64)
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      // bias some toward magic prefixes so the walk paths get fuzzed too
+      if (i % 3 == 0 && n >= 2) { b(0) = 0xff.toByte; b(1) = 0xd8.toByte }
+      if (i % 7 == 0 && n >= 8)
+        Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+          .map(_.toByte).copyToArray(b)
+      (i.toLong, b)
+    }
+    val out = MultiModal.withImageDims(payloads.toDF("id", "payload"), "payload")
+      .collect()
+    assert(out.length == 300)
+    out.foreach { r =>
+      assert(Set("png", "jpeg", "opaque")(r.getString(2)), r.toString)
+    }
+  }
+
   test("band signatures are deterministic across invocations") {
     val a = Dedup.bandSignatures(docs, "doc_id", "text").collect().map(_.toSeq).toSet
     val b = Dedup.bandSignatures(docs, "doc_id", "text").collect().map(_.toSeq).toSet
