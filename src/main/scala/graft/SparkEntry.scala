@@ -1016,6 +1016,25 @@ object SparkEntry {
         .select(col("event_type"), col("day"), col("n"), col("med"), col("mad"),
           (col("dev") > col("mad") * 3).as("is_anomaly"))
     }),
+    // the warehouse layout path end-to-end: both sides bucketed on the
+    // join key into scratch tables, then joined-aggregated THROUGH the
+    // bucketed scans (zero-exchange join — the WarehouseSpec invariant).
+    // Layout is invisible in the result, so the oracle is the plain join
+    // — same contract as join_salted_agg
+    "warehouse_bucketed_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-wh-q").toString
+      graft.sources.Warehouse.writeBucketed(
+        table(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+        "wh_q_orders", "o_orderkey", 8, Some(s"$tmp/orders"))
+      graft.sources.Warehouse.writeBucketed(
+        table(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        "wh_q_lineitem", "l_orderkey", 8, Some(s"$tmp/lineitem"))
+      s.table("wh_q_lineitem")
+        .join(s.table("wh_q_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+    }),
     // lineitem ⋈ orders with the probe side salted 8 ways — the skew
     // tool; the salt is invisible in the result, so the oracle is the
     // PLAIN join (multiset equality is exactly the operator's contract)
@@ -1766,6 +1785,11 @@ object SparkEntry {
           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
           |FROM s GROUP BY 1, 2""".stripMargin),
     "join_salted_agg" ->
+      ("SELECT o_orderstatus, COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus"),
+    // layout-invisible: the plain join IS the bucketed join's contract
+    "warehouse_bucketed_join" ->
       ("SELECT o_orderstatus, COUNT(*) AS n_items, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus"),

@@ -18,11 +18,14 @@ object Warehouse {
     * reports the hash distribution Catalyst needs (and the in-bucket
     * sort feeds sort-merge join without a re-sort). At 100 TB this turns
     * the recurring fact⋈fact shuffle into a write-once cost. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      path: Option[String] = None): Unit = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
-    df.write.mode("overwrite").format("parquet")
+    val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
-      .saveAsTable(table)
+    // explicit data location (external table) — lets callers bucket into
+    // scratch space on sessions whose warehouse dir is unset/shared
+    path.fold(w.saveAsTable(table))(p => w.option("path", p).saveAsTable(table))
   }
 
   /** Write `df` as parquet partitioned by `cols`: each distinct value
