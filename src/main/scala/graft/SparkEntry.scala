@@ -1016,6 +1016,48 @@ object SparkEntry {
         .select(col("event_type"), col("day"), col("n"), col("med"), col("mad"),
           (col("dev") > col("mad") * 3).as("is_anomaly"))
     }),
+    // TPC-H Q21 SHAPE (multi-supplier blame assignment): late lines on
+    // finished multi-supplier orders where NO other supplier was also
+    // late — one correlated EXISTS and one correlated NOT EXISTS, both
+    // ALSO correlated on the outer join's orders row. The Spark side is
+    // real SQL so CATALYST does the decorrelation (EXISTS → left-semi,
+    // NOT EXISTS → left-anti on the order key) — the declarative form a
+    // reference user would actually write
+    "agg_q21_blame" -> ((s, dir) => {
+      table(s, dir, "supplier").createOrReplaceTempView("supplier")
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      table(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        |SELECT sp.s_suppkey, sp.s_name, count(*) AS numwait
+        |FROM supplier sp
+        |JOIN lineitem l1 ON sp.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL '60' DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND CAST(l3.l_shipdate AS DATE) >
+        |                        CAST(o.o_orderdate AS DATE) + INTERVAL '60' DAY)
+        |GROUP BY sp.s_suppkey, sp.s_name""".stripMargin)
+    }),
+    // TPC-H Q2 SHAPE: rows achieving a correlated scalar-subquery
+    // minimum (cheapest line per part, ties kept) — Catalyst rewrites
+    // the scalar subquery to an aggregate + join; equality on the
+    // UNMODIFIED double is exact (same parquet value both engines)
+    "agg_q2_min_price" -> ((s, dir) => {
+      table(s, dir, "part").createOrReplaceTempView("part")
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        |SELECT p.p_partkey, p.p_name, l.l_suppkey, l.l_extendedprice
+        |FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |WHERE l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                           FROM lineitem l2
+        |                           WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+    }),
     // the warehouse layout path end-to-end: both sides bucketed on the
     // join key into scratch tables, then joined-aggregated THROUGH the
     // bucketed scans (zero-exchange join — the WarehouseSpec invariant).
@@ -1788,6 +1830,27 @@ object SparkEntry {
       ("SELECT o_orderstatus, COUNT(*) AS n_items, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus"),
+    "agg_q21_blame" ->
+      """SELECT sp.s_suppkey, sp.s_name, count(*) AS numwait
+        |FROM supplier sp
+        |JOIN lineitem l1 ON sp.s_suppkey = l1.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate::DATE > o.o_orderdate::DATE + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate::DATE > o.o_orderdate::DATE + INTERVAL 60 DAY)
+        |GROUP BY sp.s_suppkey, sp.s_name""".stripMargin,
+    "agg_q2_min_price" ->
+      """SELECT p.p_partkey, p.p_name, l.l_suppkey, l.l_extendedprice
+        |FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |WHERE l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                           FROM lineitem l2
+        |                           WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
     // layout-invisible: the plain join IS the bucketed join's contract
     "warehouse_bucketed_join" ->
       ("SELECT o_orderstatus, COUNT(*) AS n_items, " +
