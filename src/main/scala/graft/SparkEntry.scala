@@ -1336,6 +1336,23 @@ object SparkEntry {
     // cross-document duplicated 6-gram spans (substring-dup detection)
     "dedup_dup_spans" -> ((s, dir) =>
       graft.pipeline.Dedup.dupNgramSpans(table(s, dir, "documents"), "doc_id", "text")),
+    // source-overlap matrix: how many content keys each PAIR of sources
+    // shares — the crawl-dedup planning diagnostic (which feeds
+    // overlap-aware source weighting). The key is the md5 of the
+    // IncrementalPrefixLen-char prefix (the dedup_incremental content
+    // identity — collision-rich on template corpora). One distinct on
+    // (key, source), one self-equi-join on the digest (never all-pairs:
+    // candidates only from shared keys), one count
+    "dedup_source_overlap" -> ((s, dir) => {
+      val fp = table(s, dir, "documents")
+        .select(md5(substring(col("text"), 1, IncrementalPrefixLen)).as("k"),
+          col("source")).distinct()
+      fp.select(col("k"), col("source").as("source_a"))
+        .join(fp.select(col("k").as("k_b"), col("source").as("source_b")),
+          col("k") === col("k_b") && col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    }),
     // ...and the matching fix: excise every globally-duplicated span
     "dedup_excise_spans" -> ((s, dir) =>
       graft.pipeline.Dedup.exciseDupSpans(table(s, dir, "documents"), "doc_id", "text")),
@@ -2003,6 +2020,13 @@ object SparkEntry {
       graft.pipeline.TextPipeline.Tokenizer.Whitespace),
     "dedup_dup_spans" -> graft.pipeline.Oracles.dedupDupNgramSpans(
       graft.pipeline.Dedup.DupSpanN, graft.pipeline.Dedup.DupSpanTopK),
+    "dedup_source_overlap" ->
+      s"""WITH fp AS (SELECT DISTINCT
+         |    md5(substr(text, 1, $IncrementalPrefixLen)) AS k, source
+         |  FROM documents)
+         |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+         |FROM fp a JOIN fp b ON a.k = b.k AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
     "sample_weighted" ->
       graft.pipeline.Oracles.sampleWeighted(graft.pipeline.Sampling.DefaultSalt),
     "text_normalize_nfc" ->

@@ -50,11 +50,18 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    try:
+        verify_errors = json.load(open(f"{out_dir}/verify_errors.json"))
+    except Exception:
+        verify_errors = {}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output")
+            # surface Verify's own error record instead of a bare
+            # "no output" — the r7 failures were invisible without this
+            err = verify_errors.get(name, "no spark output")
+            print(f"FAIL {name}: {err}")
             n_fail += 1
             continue
         try:
