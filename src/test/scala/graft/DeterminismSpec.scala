@@ -34,6 +34,11 @@ class DeterminismSpec extends SparkTestBase {
     "agg_corr_pricing",     // decimal moment sums + one IEEE expression
     "ts_gapfill",           // grid explode + LOCF window carry
     "profile_columns",      // melt + exact distinct per column
+    "mm_dimensions",        // in-plan byte assembly + native SOF walk
+    "agg_daily_anomaly",    // exact .5-fraction medians + float compares
+    "sketch_kmv_groups",    // per-group k-minima over distinct hashes
+    "agg_q21_blame",        // Catalyst-decorrelated EXISTS/NOT EXISTS
+    "dedup_source_overlap", // digest-keyed self-join + pair counts
   )
 
   private def canonical(name: String): String = {
