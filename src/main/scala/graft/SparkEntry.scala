@@ -1044,6 +1044,39 @@ object SparkEntry {
         |                        CAST(o.o_orderdate AS DATE) + INTERVAL '60' DAY)
         |GROUP BY sp.s_suppkey, sp.s_name""".stripMargin)
     }),
+    // TPC-H Q4 SHAPE (priority ordering health): orders counted per
+    // priority when at least one line shipped > 30 days after the order
+    // date — correlated EXISTS again correlated on the OUTER's date
+    // column, decorrelated by Catalyst to a left-semi on the order key
+    "agg_q4_priority" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders")
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        |SELECT o.o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND CAST(l.l_shipdate AS DATE) >
+        |                    CAST(o.o_orderdate AS DATE) + INTERVAL '30' DAY)
+        |GROUP BY o.o_orderpriority""".stripMargin)
+    }),
+    // TPC-H Q14 SHAPE (promo revenue share): conditional aggregation —
+    // one decimal-exact sum gated by the part-type predicate over the
+    // same single join pass, the ratio one IEEE division at the end
+    "agg_q14_promo_share" -> ((s, dir) => {
+      val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) -
+          col("l_discount").cast(DecimalType(18, 2))))
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type").startsWith("PROMO"), rev)
+            .otherwise(lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))))
+            .cast("double").as("promo_revenue"),
+          sum(rev).cast("double").as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          (col("promo_revenue") / col("total_revenue")).as("promo_share"))
+    }),
     // TPC-H Q2 SHAPE: rows achieving a correlated scalar-subquery
     // minimum (cheapest line per part, ties kept) — Catalyst rewrites
     // the scalar subquery to an aggregate + join; equality on the
@@ -1868,6 +1901,24 @@ object SparkEntry {
         |WHERE l.l_extendedprice = (SELECT min(l2.l_extendedprice)
         |                           FROM lineitem l2
         |                           WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+    "agg_q4_priority" ->
+      """SELECT o.o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate::DATE > o.o_orderdate::DATE + INTERVAL 30 DAY)
+        |GROUP BY o.o_orderpriority""".stripMargin,
+    "agg_q14_promo_share" ->
+      ("""WITH r AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+         |    p_type
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |s AS (SELECT
+         |    CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+         |    CAST(SUM(rev) AS DOUBLE) AS total_revenue
+         |  FROM r)
+         |SELECT promo_revenue, total_revenue,
+         |       promo_revenue / total_revenue AS promo_share FROM s""".stripMargin),
     // layout-invisible: the plain join IS the bucketed join's contract
     "warehouse_bucketed_join" ->
       ("SELECT o_orderstatus, COUNT(*) AS n_items, " +
