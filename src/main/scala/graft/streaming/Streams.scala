@@ -125,4 +125,35 @@ object Streams {
           }
       }
   }
+
+  /** Per-key quota admission for a streaming ingest: pass through at
+    * most `quota` events per user (first-arrived in event-time order
+    * within each micro-batch), drop the rest — the contribution cap a
+    * training-data stream applies so no single user/source floods the
+    * corpus (the streaming counterpart of
+    * [[graft.pipeline.Sampling.capPerStratum]], admission-by-arrival
+    * instead of rank-by-size).
+    *
+    * State is ONE long per user (the admitted count) — mapGroupsWithState
+    * bounded-state at its smallest; no timeout, because the whole point
+    * is remembering a user's lifetime admission across the run. Batch
+    * iterators carry no order guarantee, so each batch is ordered by
+    * (ts, event_id) before admitting — replays of the same chunked input
+    * admit the same events. */
+  def perKeyQuota(events: Dataset[Event], quota: Long): Dataset[Event] = {
+    require(quota > 0, s"non-positive quota: $quota")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Event](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, batch: Iterator[Event], state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val take = (quota - admitted).max(0L)
+          val out = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .take(take.toInt)
+          state.update(admitted + out.length)
+          out.iterator
+      }
+  }
 }

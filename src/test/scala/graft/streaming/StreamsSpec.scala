@@ -173,4 +173,24 @@ class StreamsSpec extends SparkTestBase {
       assert(rows.contains((1L, "alpha"))) // the FIRST alpha survives
     } finally q.stop()
   }
+
+  test("per-key quota admits at most N events per user across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = Streams.perKeyQuota(source.toDS(), quota = 2)
+      .writeStream.format("memory").queryName("quota_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 sends 3 (only first 2 by event time pass), user 2 sends 1
+      source.addData(
+        ev(3, 30, 1, "c", 1.0), ev(1, 10, 1, "c", 1.0), ev(2, 20, 1, "c", 1.0),
+        ev(10, 15, 2, "c", 1.0))
+      q.processAllAvailable()
+      // batch 2: user 1 is over quota (all dropped); user 2 admits 1 more then drops
+      source.addData(ev(4, 40, 1, "c", 1.0), ev(11, 25, 2, "c", 1.0), ev(12, 35, 2, "c", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("quota_out").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 10L, 11L))
+    } finally q.stop()
+  }
 }
