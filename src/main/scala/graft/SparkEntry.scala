@@ -1077,6 +1077,24 @@ object SparkEntry {
         .select(col("promo_revenue"), col("total_revenue"),
           (col("promo_revenue") / col("total_revenue")).as("promo_share"))
     }),
+    // TPC-H Q22 SHAPE (idle rich customers): above-average balance with
+    // no URGENT orders — an uncorrelated scalar aggregate subquery (one-row
+    // broadcast) gating the scan plus a NOT EXISTS anti-join. The
+    // average is an exact decimal sum with ONE IEEE division, so the
+    // float threshold compare is deterministic cross-engine
+    "agg_q22_idle_rich" -> ((s, dir) => {
+      table(s, dir, "customer").createOrReplaceTempView("customer")
+      table(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        |SELECT c.c_custkey, c.c_acctbal
+        |FROM customer c
+        |WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |                            / COUNT(*)
+        |                     FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin)
+    }),
     // TPC-H Q2 SHAPE: rows achieving a correlated scalar-subquery
     // minimum (cheapest line per part, ties kept) — Catalyst rewrites
     // the scalar subquery to an aggregate + join; equality on the
@@ -1901,6 +1919,15 @@ object SparkEntry {
         |WHERE l.l_extendedprice = (SELECT min(l2.l_extendedprice)
         |                           FROM lineitem l2
         |                           WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+    "agg_q22_idle_rich" ->
+      """SELECT c.c_custkey, c.c_acctbal
+        |FROM customer c
+        |WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |                            / COUNT(*)
+        |                     FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin,
     "agg_q4_priority" ->
       """SELECT o.o_orderpriority, count(*) AS order_count
         |FROM orders o
