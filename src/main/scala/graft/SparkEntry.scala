@@ -416,6 +416,32 @@ object SparkEntry {
       }
       s.createDataFrame(java.util.Arrays.asList(rows: _*), table(s, dir, "nation").schema)
     }),
+    // the FULL wire path as an oracle row: a real TCP listener on an
+    // ephemeral loopback port, a real socket client, the SCL cursor
+    // protocol paging the whole relation across round-trips, tagged-sexp
+    // responses decoded back to typed rows (WireClient = the inverse of
+    // the listener's renderer). Covers framing, dispatch, cursor
+    // registry, response rendering, and value tagging end-to-end —
+    // reference lib/listener.ml:95-187
+    "tcp_roundtrip" -> ((s, dir) => {
+      val listener = new graft.server.Listener(
+        s, Some(new ParquetCatalog(s, dir))).start()
+      try {
+        val conn = new graft.server.WireClient.Conn(listener.localPort)
+        try {
+          val rows = graft.server.WireClient.streamQuery(conn, "(Base nation)", pageSize = 7)
+            .map(cells => org.apache.spark.sql.Row(cells: _*))
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("n_nationkey",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_name",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_regionkey",
+              org.apache.spark.sql.types.LongType)))
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        } finally conn.close()
+      } finally listener.close()
+    }),
     // cursor snapshot pinning under concurrent mutation (reference
     // lib/session.ml:11): rows fetched AFTER an insert+delete on the
     // underlying relation still reflect the state the cursor was begun
@@ -1552,6 +1578,10 @@ object SparkEntry {
       ("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region " +
         "UNION ALL SELECT 88, 'MAIN' UNION ALL SELECT 77, 'FEATURE'"),
     "scl_cursor_stream" -> "SELECT * FROM nation",
+    // every nation row must survive the socket + sexp round-trip intact
+    "tcp_roundtrip" ->
+      ("SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation"),
     // pre-mutation contents: the 777 insert and the key-0 delete landed
     // after Begin, so the cursor must stream exactly the original rows
     "scl_cursor_snapshot" ->
