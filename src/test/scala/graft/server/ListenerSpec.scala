@@ -147,4 +147,36 @@ class ListenerSpec extends SparkTestBase {
       assert(field(q, "row_count").contains(Atom("1")))
     } finally { s1.close(); s2.close(); listener.close() }
   }
+
+  test("malformed wire input gets an error response and never kills the connection") {
+    withServer { (out, in) =>
+      val garbage = Seq(
+        "((((",                            // unbalanced
+        ")",                               // stray close
+        "hello world",                     // bare atoms, not a form
+        "(unknown_language (Base nums))",  // bad dispatch tag
+        "(drl)",                           // arity error
+        "(\u0001\u0002\u0003)",            // control bytes inside a form
+        "(" + "a " * 2000 + ")",           // long line
+      )
+      for (g <- garbage) {
+        val resp = request(out, in, g)
+        assert(tag(resp) == "error", s"input ${g.take(30)} -> ${resp.render.take(80)}")
+      }
+      // the SAME connection still serves a real query afterwards
+      val ok = request(out, in, "(drl (Take 3 (Base nums)))")
+      assert(tag(ok) == "relation")
+    }
+  }
+
+  test("WireClient round-trips a full relation through the cursor protocol") {
+    val listener = newListener()
+    val conn = new WireClient.Conn(listener.localPort)
+    try {
+      val rows = WireClient.streamQuery(conn, "(Base nums)", pageSize = 4)
+      assert(rows.length == 25)
+      assert(rows.map(_.head.asInstanceOf[Long]).sorted == (1L to 25L))
+      assert(rows.forall(r => r(1).asInstanceOf[String].startsWith("row")))
+    } finally { conn.close(); listener.close() }
+  }
 }
