@@ -200,6 +200,12 @@ object SparkEntry {
     "drl_window_lag" -> drl(
       """(Window (partition (n_regionkey)) (order ((n_nationkey Asc)))
         |  (fn (lag n_name)) (as prev_name) (Base nation))""".stripMargin),
+    // cumulative shape: integer running sum along the unique in-order
+    // line number — exact on any engine
+    "drl_window_runsum" -> drl(
+      """(Window (partition (l_orderkey)) (order ((l_linenumber Asc)))
+        |  (fn (running_sum l_linenumber)) (as rs)
+        |  (Project (l_orderkey l_linenumber) (Base lineitem)))""".stripMargin),
 
     // ---- DML/DDL: full mutation pipeline over the engine ----
     "dml_pipeline" -> script(Seq(
@@ -1527,6 +1533,10 @@ object SparkEntry {
       ("SELECT n_nationkey, n_name, n_regionkey, " +
         "LAG(n_name) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS prev_name " +
         "FROM nation"),
+    "drl_window_runsum" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "SUM(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber " +
+        "ROWS UNBOUNDED PRECEDING)::BIGINT AS rs FROM lineitem"),
     "dml_pipeline" ->
       ("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region WHERE r_regionkey <> 0 " +
         "UNION ALL SELECT 99, 'LAPUTA'"),
