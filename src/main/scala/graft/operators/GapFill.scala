@@ -41,9 +41,15 @@ object GapFill {
     require(maxSpan > 0, s"non-positive maxSpan: $maxSpan")
     def q(c: String): Column = col(s"`$c`")
 
+    // try_subtract: a key mixing extreme negative and positive ticks
+    // would wrap __hi - __lo negative and sneak past the guard; the
+    // try_ variant yields null on overflow, and null <= maxSpan is
+    // null, so the pathological key is dropped like any oversized one.
+    // Boundary: span == maxSpan is KEPT — only spans EXCEEDING the cap
+    // are dropped (matching the scaladoc above).
     val span = df.groupBy(q(keyCol))
       .agg(min(q(tickCol)).as("__lo"), max(q(tickCol)).as("__hi"))
-      .where(col("__hi") - col("__lo") < maxSpan)
+      .where(call_function("try_subtract", col("__hi"), col("__lo")) <= maxSpan)
     val grid = span.select(q(keyCol),
       explode(sequence(col("__lo"), col("__hi"))).as(tickCol))
     // explicit presence marker so an observed-but-NULL value is still

@@ -39,7 +39,11 @@ object Sketches {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
-    df.select(h.as("hv")).distinct()
+    // null values hash to a null hv; drop them EXPLICITLY on both engine
+    // sides — Spark windows sort NULLS FIRST while DuckDB sorts NULLS
+    // LAST, so an unfiltered null would silently skew the k-minima set
+    // on exactly one side (count(DISTINCT x) ignores nulls anyway)
+    df.select(h.as("hv")).where(col("hv").isNotNull).distinct()
       .orderBy(col("hv")).limit(k)
       .agg(count(lit(1)).as("k"), max(col("hv")).as("kth"))
       .select(col("k"), col("kth"),
@@ -52,7 +56,7 @@ object Sketches {
   /** The DuckDB re-derivation of [[kmvDistinct]] over `table.valueExpr`
     * (single-sourced so the two sides cannot drift). */
   def kmvDistinctOracle(table: String, valueExpr: String, k: Int = 1024): String =
-    s"""WITH h AS (SELECT DISTINCT ('0x' || substr(md5(($valueExpr)::VARCHAR), 1, 15))::BIGINT AS hv FROM $table),
+    s"""WITH h AS (SELECT DISTINCT ('0x' || substr(md5(($valueExpr)::VARCHAR), 1, 15))::BIGINT AS hv FROM $table WHERE ($valueExpr) IS NOT NULL),
        |mins AS (SELECT hv FROM h ORDER BY hv LIMIT $k),
        |m AS (SELECT count(*) AS k, max(hv) AS kth FROM mins)
        |SELECT k, kth, CASE WHEN k < $k THEN k::DOUBLE
@@ -75,7 +79,10 @@ object Sketches {
     import org.apache.spark.sql.expressions.Window
     val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
-    val hv = df.select(col(groupCol), h.as("hv")).distinct()
+    // null-hash filter mirrors [[kmvDistinct]]: without it the two
+    // engines' divergent null ordering would pick different k-minima
+    val hv = df.select(col(groupCol), h.as("hv"))
+      .where(col("hv").isNotNull).distinct()
     val w = Window.partitionBy(col(groupCol)).orderBy(col("hv"))
     hv.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
       .groupBy(col(groupCol))
@@ -91,7 +98,7 @@ object Sketches {
     * with the Spark side so the two contracts cannot drift). */
   def kmvDistinctByGroupOracle(table: String, groupCol: String,
       valueExpr: String, k: Int = 256): String =
-    s"""WITH h AS (SELECT DISTINCT $groupCol, ('0x' || substr(md5(($valueExpr)::VARCHAR), 1, 15))::BIGINT AS hv FROM $table),
+    s"""WITH h AS (SELECT DISTINCT $groupCol, ('0x' || substr(md5(($valueExpr)::VARCHAR), 1, 15))::BIGINT AS hv FROM $table WHERE ($valueExpr) IS NOT NULL),
        |r AS (SELECT $groupCol, hv, row_number() OVER (PARTITION BY $groupCol ORDER BY hv) AS rn FROM h),
        |m AS (SELECT $groupCol, count(*) AS k, max(hv) AS kth FROM r WHERE rn <= $k GROUP BY 1)
        |SELECT $groupCol, k, kth, CASE WHEN k < $k THEN k::DOUBLE

@@ -21,8 +21,17 @@ object WireClient {
     private val out = new PrintWriter(sock.getOutputStream, true, StandardCharsets.UTF_8)
     private val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
-    /** One request, one response line (the framing contract). */
-    def request(text: String): String = { out.println(text); in.readLine() }
+    /** One request, one response line (the framing contract). A null
+      * readLine means the server closed the socket — surface that as its
+      * own failure instead of letting Sexp.parse(null) NPE downstream;
+      * checkError flushes and reports a swallowed write failure too. */
+    def request(text: String): String = {
+      out.println(text)
+      if (out.checkError()) fail("write failed: connection closed by server")
+      val line = in.readLine()
+      if (line == null) fail("connection closed by server (EOF before response)")
+      line
+    }
     override def close(): Unit = sock.close()
   }
 

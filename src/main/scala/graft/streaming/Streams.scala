@@ -149,7 +149,9 @@ object Streams {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: Long, batch: Iterator[Event], state: GroupState[Long]) =>
           val admitted = state.getOption.getOrElse(0L)
-          val take = (quota - admitted).max(0L)
+          // clamp before toInt: a Long-scale quota must admit the whole
+          // batch, not overflow to a negative take and admit nothing
+          val take = math.min((quota - admitted).max(0L), Int.MaxValue.toLong)
           val out = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             .take(take.toInt)
           state.update(admitted + out.length)

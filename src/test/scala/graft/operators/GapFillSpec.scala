@@ -65,4 +65,20 @@ class GapFillSpec extends SparkTestBase {
     assert(out.map(_._1).toSet === Set(1L))        // glitch key excluded whole
     assert(out.map(_._2).sorted === Seq(1L, 2L, 3L)) // sane key fully densified
   }
+
+  test("maxSpan boundary: span == maxSpan is kept, span == maxSpan + 1 dropped") {
+    val obs = Seq((1L, 0L, 1.0), (1L, 10L, 2.0),   // span exactly 10
+      (2L, 0L, 3.0), (2L, 11L, 4.0)).toDF("k", "t", "v") // span 11
+    val out = GapFill.locf(obs, "k", "t", Seq("v"), maxSpan = 10L)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L))
+  }
+
+  test("maxSpan: Long-overflow span (min near Long.Min, max near Long.Max) is dropped, not wrapped past the guard") {
+    val obs = Seq((1L, Long.MinValue + 5, 1.0), (1L, Long.MaxValue - 5, 2.0),
+      (2L, 1L, 3.0), (2L, 3L, 4.0)).toDF("k", "t", "v")
+    val out = GapFill.locf(obs, "k", "t", Seq("v"), maxSpan = 1000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(2L)) // the wrapping key must NOT explode the grid
+  }
 }

@@ -193,4 +193,17 @@ class StreamsSpec extends SparkTestBase {
       assert(ids === Seq(1L, 2L, 10L, 11L))
     } finally q.stop()
   }
+
+  test("per-key quota: a Long-scale quota admits everything (no toInt wrap to negative)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = Streams.perKeyQuota(source.toDS(), quota = Long.MaxValue)
+      .writeStream.format("memory").queryName("quota_big")
+      .outputMode("append").start()
+    try {
+      source.addData(ev(1, 10, 1, "c", 1.0), ev(2, 20, 1, "c", 1.0), ev(3, 30, 1, "c", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("quota_big").count() === 3L)
+    } finally q.stop()
+  }
 }
