@@ -38,11 +38,21 @@ object SparkEntry {
     * EngineSession (the listener-equivalent dispatcher), then evaluate a
     * final DRL query against the resulting state — the engine's full
     * request path, with the driver's parquet tables as external sources. */
+  /** Statements prefixed with `!` are EXPECTED to fail (the error is part
+    * of the pinned scenario — e.g. a commit over a violated deferred
+    * constraint); the session state must be left unchanged by them, which
+    * the rest of the script then observes. */
   private def script(stmts: Seq[String], finalQuery: String): (SparkSession, String) => DataFrame =
     (spark, dir) => {
       val session = new graft.server.EngineSession(spark, Some(new ParquetCatalog(spark, dir)))
       def fail(e: String): Nothing = throw new IllegalArgumentException(e)
-      stmts.foreach(s => session.execute(s).fold(e => fail(s"$s -> $e"), identity))
+      stmts.foreach {
+        case s if s.startsWith("!") =>
+          val stmt = s.substring(1)
+          session.execute(stmt).fold(_ => (),
+            r => fail(s"$stmt -> expected failure, but succeeded with $r"))
+        case s => session.execute(s).fold(e => fail(s"$s -> $e"), identity)
+      }
       session.execute(s"(drl $finalQuery)") match {
         case Right(graft.server.QueryResult(df)) => df
         case Right(other) => fail(s"expected query result, got $other")
@@ -381,6 +391,41 @@ object SparkEntry {
       "(InsertTuple (relation scores) (attributes ((student_id (Int 7)) (score (Int 85)))))",
       "(Commit)",
     ), "(Base sakura:constraint)"),
+    // Deferred-constraint commit end-to-end (reference attach_constraint
+    // ~timing:Deferred + commit, lib/manipulation.ml:965-1027; scenario
+    // shape from test_relational_engine.ml:4410-4548). The deferral
+    // window governs the CASCADE only: deleting a referenced parent
+    // succeeds (check_one_constraint skips deferred entries,
+    // lib/manipulation.ml:481) and commit catches the orphan — while a
+    // DIRECT violating insert is still rejected at mutation time
+    // (validate_tuple_constraints, lib/manipulation.ml:395-415, has no
+    // is_deferred skip). A failed commit leaves the database unchanged,
+    // deferred list included (an unrepaired re-commit fails again); a
+    // successful commit CLEARS the window, after which the cascade
+    // enforces immediately (is_deferred is membership in db.deferred).
+    "icl_deferred_commit" -> script(Seq(
+      "(CreateDatabase g)",
+      "(CreateRelation (name Department) (schema ((dept_id integer))))",
+      "(InsertFrom (target Department) (source (Rename ((r_regionkey dept_id)) (Project (r_regionkey) (Base region)))))",
+      "(CreateRelation (name Employee) (schema ((emp_id integer) (dept_id integer))))",
+      "(RegisterConstraint (constraint_name fk_dept) (relation_name Employee) " +
+        "(body (MemberOf (target Department) (binding ((dept_id (Var dept_id)))))) (timing Deferred))",
+      "(InsertFrom (target Employee) (source (Project (emp_id dept_id) " +
+        "(Rename ((n_nationkey emp_id) (n_regionkey dept_id)) (Base nation)))))",
+      // deferred timing does NOT relax direct insert validation
+      "!(InsertTuple (relation Employee) (attributes ((emp_id (Int 999)) (dept_id (Int 99)))))",
+      // ...but the delete-cascade skips deferred: orphaning succeeds
+      "(DeleteWhere (target Department) (predicate (Const ((dept_id (Int 0))))))",
+      // the window is violated (region-0 employees orphaned): commit FAILS...
+      "!(Commit)",
+      // ...and must NOT have consumed the deferred list in failing
+      "!(Commit)",
+      // repair the orphans, then the same window commits clean
+      "(InsertTuple (relation Department) (attributes ((dept_id (Int 0)))))",
+      "(Commit)",
+      // window cleared -> the cascade now enforces at mutation time
+      "!(DeleteWhere (target Department) (predicate (Const ((dept_id (Int 1))))))",
+    ), "(Join (dept_id) (Base Employee) (Base Department))"),
 
     // ---- DCL: branch / checkout / merge ----
     "dcl_branch_merge" -> script(Seq(
@@ -1584,6 +1629,11 @@ object SparkEntry {
     "icl_constraint_catalog" ->
       ("SELECT * FROM (VALUES ('score_range','scores'),('student_known','scores')) " +
         "t(name, relation_name)"),
+    // the orphan-and-repair window nets out to the original FK-closed
+    // state: every nation-derived employee joins its restored department
+    "icl_deferred_commit" ->
+      ("SELECT CAST(n_nationkey AS BIGINT) AS emp_id, CAST(n_regionkey AS BIGINT) AS dept_id " +
+        "FROM nation"),
     "dcl_branch_merge" ->
       ("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region " +
         "UNION ALL SELECT 88, 'MAIN' UNION ALL SELECT 77, 'FEATURE'"),
