@@ -441,6 +441,58 @@ object SparkEntry {
       "(InsertTuple (relation scores) (attributes ((r_regionkey (Int 88)) (r_name (Str MAIN)))))",
       "(Merge (left main) (right feature) (strategy PreferLeft))",
     ), "(Base scores)"),
+    // The strategy-DIVERGENT conflict (reference merge.ml:184-287): both
+    // branches retract + recreate `scores` with a CHANGED schema (same-schema
+    // recreation would diff as plain row edits and merge cleanly), so the
+    // merge must pick a WHOLESALE winner per strategy (the reference's
+    // both-schema-changed case). Marker relations keep each branch's
+    // intermediate states unique — otherwise content addressing would
+    // resolve the LCA past the shared no-scores state and turn the
+    // recreation into a plain RelationAdded. PreferRight takes the right
+    // branch's relation; the same script under PreferLeft/RevertToAncestor
+    // yields {(88 MAIN)} (spec-pinned) / the region ancestor — three divergent winners
+    // from one scenario (DclSpec pins all three; this row and
+    // dcl_merge_revert pin the two the oracle could not see before).
+    "dcl_merge_right" -> script(Seq(
+      "(CreateDatabase g)",
+      "(CreateRelation (name scores) (schema ((r_regionkey integer) (r_name string))))",
+      "(InsertFrom (target scores) (source (Base region)))",
+      "(CreateBranch (name main))",
+      "(Checkout main)",
+      "(CreateBranch (name feature))",
+      "(Checkout feature)",
+      "(CreateRelation (name rmark) (schema ((x integer))))",
+      "(RetractRelation scores)",
+      "(CreateRelation (name scores) (schema ((k integer) (who string))))",
+      "(InsertTuple (relation scores) (attributes ((k (Int 77)) (who (Str FEATURE)))))",
+      "(Checkout main)",
+      "(CreateRelation (name lmark) (schema ((y integer))))",
+      "(RetractRelation scores)",
+      "(CreateRelation (name scores) (schema ((k integer) (who string))))",
+      "(InsertTuple (relation scores) (attributes ((k (Int 88)) (who (Str MAIN)))))",
+      "(Merge (left main) (right feature) (strategy PreferRight))",
+    ), "(Base scores)"),
+    // Same conflict, RevertToAncestor: neither branch wins — the merged
+    // relation is the LCA's extension (the original region rows).
+    "dcl_merge_revert" -> script(Seq(
+      "(CreateDatabase g)",
+      "(CreateRelation (name scores) (schema ((r_regionkey integer) (r_name string))))",
+      "(InsertFrom (target scores) (source (Base region)))",
+      "(CreateBranch (name main))",
+      "(Checkout main)",
+      "(CreateBranch (name feature))",
+      "(Checkout feature)",
+      "(CreateRelation (name rmark) (schema ((x integer))))",
+      "(RetractRelation scores)",
+      "(CreateRelation (name scores) (schema ((k integer) (who string))))",
+      "(InsertTuple (relation scores) (attributes ((k (Int 77)) (who (Str FEATURE)))))",
+      "(Checkout main)",
+      "(CreateRelation (name lmark) (schema ((y integer))))",
+      "(RetractRelation scores)",
+      "(CreateRelation (name scores) (schema ((k integer) (who string))))",
+      "(InsertTuple (relation scores) (attributes ((k (Int 88)) (who (Str MAIN)))))",
+      "(Merge (left main) (right feature) (strategy RevertToAncestor))",
+    ), "(Base scores)"),
 
     // Branch registry as queryable catalog relations (sakura:branch /
     // sakura:head, reference lib/management/branch.ml:74-132); names
@@ -1637,6 +1689,12 @@ object SparkEntry {
     "dcl_branch_merge" ->
       ("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region " +
         "UNION ALL SELECT 88, 'MAIN' UNION ALL SELECT 77, 'FEATURE'"),
+    // schema-conflict wholesale winner: the right branch's recreation
+    "dcl_merge_right" ->
+      "SELECT * FROM (VALUES (CAST(77 AS BIGINT), 'FEATURE')) t(k, who)",
+    // schema-conflict, neither side wins: the LCA's original extension
+    "dcl_merge_revert" ->
+      "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
     "scl_cursor_stream" -> "SELECT * FROM nation",
     // every nation row must survive the socket + sexp round-trip intact
     "tcp_roundtrip" ->
