@@ -577,6 +577,42 @@ object SparkEntry {
           org.apache.spark.sql.types.StringType)))
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }),
+    // Cursor pinning across a BRANCH CHECKOUT (reference lib/session.ml:11
+    // pins db_snapshot — the database VALUE, not the branch): a cursor
+    // opened on main keeps streaming main's pinned state even after the
+    // session checks out a branch whose relation was gutted and repointed.
+    "scl_cursor_branch" -> ((s, dir) => {
+      val session = new graft.server.EngineSession(s, Some(new ParquetCatalog(s, dir)))
+      def run(stmt: String): Unit = session.execute(stmt)
+        .fold(e => throw new IllegalArgumentException(s"$stmt -> $e"), _ => ())
+      def batchOf(r: Either[String, graft.server.Response]): graft.scl.Batch = r match {
+        case Right(graft.server.CursorBatch(b)) => b
+        case other => throw new IllegalArgumentException(s"unexpected: $other")
+      }
+      run("(CreateDatabase g)")
+      run("(CreateRelation (name snap) (schema ((r_regionkey integer) (r_name string))))")
+      run("(InsertFrom (target snap) (source (Project (r_regionkey r_name) (Base region))))")
+      run("(CreateBranch (name main))")
+      run("(Checkout main)")
+      run("(CreateBranch (name feature))")
+      var batch = batchOf(session.execute("(scl (Begin (query (Base snap)) (limit 2)))"))
+      var rows = batch.rows
+      // switch branches and divergently rewrite snap AFTER Begin: the
+      // pinned snapshot must keep streaming main's original rows
+      run("(Checkout feature)")
+      run("(DeleteWhere (target snap) (predicate (Base snap)))")
+      run("(InsertTuple (relation snap) (attributes ((r_regionkey (Int 500)) (r_name (Str ELSEWHERE)))))")
+      while (batch.hasMore) {
+        batch = batchOf(session.execute(s"(scl (Fetch (cursor ${batch.cursorId}) (limit 2)))"))
+        rows = rows ++ batch.rows
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("r_regionkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("r_name",
+          org.apache.spark.sql.types.StringType)))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }),
 
     // ---- Beyond-reference analytics (SURVEY.md §7.2 step 7) ----
     "agg_pricing_summary" -> ((s, dir) => {
@@ -1703,6 +1739,9 @@ object SparkEntry {
     // pre-mutation contents: the 777 insert and the key-0 delete landed
     // after Begin, so the cursor must stream exactly the original rows
     "scl_cursor_snapshot" ->
+      "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
+    // the cursor pinned main's state before the checkout+rewrite
+    "scl_cursor_branch" ->
       "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
     "agg_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
