@@ -1529,6 +1529,12 @@ object SparkEntry {
     // oracle re-derives both arithmetically from the generator inputs
     "mm_dimensions" -> ((s, dir) =>
       graft.pipeline.MultiModal.dimensions(table(s, dir, "documents"))),
+    // WAV/RIFF fmt+data chunk metadata by pure header byte-parse: the
+    // chunk walk (native graft_riff_chunk) must hop variable-length
+    // LIST/JUNK chunks — including odd-size word-alignment pads — to
+    // find the fields; the oracle re-derives them arithmetically
+    "mm_audio_meta" -> ((s, dir) =>
+      graft.pipeline.MultiModal.audioMeta(table(s, dir, "documents"))),
     "ann_cosine_topk" -> ((s, dir) =>
       graft.pipeline.Ann.cosineTopK(table(s, dir, "embeddings"))),
     "ann_lsh_buckets" -> ((s, dir) =>
@@ -2270,6 +2276,24 @@ object SparkEntry {
         |  CASE WHEN kind IN (0,1,2)
         |       THEN (w >= 200 AND h >= 200 AND w <= 2*h AND h <= 2*w)
         |       ELSE FALSE END AS keep
+        |FROM d""".stripMargin,
+    // arithmetic re-derivation of the WAV generator inputs; Spark must
+    // recover the same values by walking the RIFF chunks
+    "mm_audio_meta" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(8000 + (n_chars % 37) * 100 AS BIGINT) AS sr,
+        |  CAST(1 + (doc_id % 2) AS BIGINT) AS ch,
+        |  CAST(1 + ((doc_id // 3) % 3) AS BIGINT) AS depth,
+        |  CAST(100 + ((n_chars * 7) % 9973) AS BIGINT) AS db,
+        |  doc_id % 3 AS k FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN k = 0 THEN 'wav' ELSE 'opaque' END AS kind,
+        |  CASE WHEN k = 0 THEN sr END AS sample_rate,
+        |  CASE WHEN k = 0 THEN ch END AS channels,
+        |  CASE WHEN k = 0 THEN 8 * depth END AS bits_per_sample,
+        |  CASE WHEN k = 0 THEN sr * ch * depth END AS byte_rate,
+        |  CASE WHEN k = 0 THEN db END AS data_bytes,
+        |  CASE WHEN k = 0 THEN (db * 1000) // (sr * ch * depth) END AS duration_ms
         |FROM d""".stripMargin,
     "ann_cosine_topk" -> graft.pipeline.Oracles.annCosineTopK,
     "ann_lsh_buckets" -> graft.pipeline.Oracles.annLshBuckets,

@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is the real thing — binary columns, a typed
   * metadata struct, partition-batched processing via mapPartitions on a
   * typed Dataset (the JVM analogue of mapInPandas' iterator-of-batches
-  * contract), schema declared up front. The DECODE ITSELF IS A STUB: the
-  * container ships no image/audio codecs, so [[decodeStub]] parses a
-  * deterministic fake header instead of real JPEG/WAV bytes. Swapping in
-  * a real codec changes only the function body — the schema,
-  * partitioning, and batch shape stay.
+  * contract), schema declared up front. HEADER decode is real: PNG IHDR
+  * / JPEG SOF ([[withImageDims]]) and WAV/RIFF fmt+data
+  * ([[withAudioMeta]]) are parsed from the actual bytes. Only full-frame
+  * PIXEL/SAMPLE decode is stubbed ([[decodeStub]], clearly-marked test
+  * scaffolding — the container ships no codecs); swapping in a real
+  * codec changes only that function body — the schema, partitioning,
+  * and batch shape stay.
   */
 object MultiModal {
 
@@ -179,6 +181,120 @@ object MultiModal {
     parsed.select(col("doc_id"), col("format"), col("width"), col("height"),
       resolutionKeep(col("width"), col("height")).as("keep"))
   }
+
+  // ---------------------------------------------------------------------
+  // Audio header decode: WAV/RIFF `fmt `/`data` chunk metadata by pure
+  // byte-parse (sample rate, channels, bit depth; duration from the
+  // data-chunk length — a sample-rate/duration admission gate needs the
+  // header, never the samples). The chunk WALK is the native
+  // graft_riff_chunk loop (data-dependent offsets, see RiffChunkOffset);
+  // the FIELD reads are codegen'd little-endian SQL byte arithmetic at
+  // fixed offsets from the returned chunk position.
+  // ---------------------------------------------------------------------
+
+  /** Little-endian unsigned int read: `len` bytes of `payload` at
+    * 1-based offset `pos` (a Column — data-dependent offsets work).
+    * Byte-reversed hex concat; null past end-of-payload (the truncation
+    * guard [[beUInt]] uses). */
+  private def leUInt(payload: Column, pos: Column, len: Int): Column = {
+    val leHex = concat((len to 1 by -1).map(i =>
+      hex(payload.substr(pos + (i - 1), lit(1)))): _*)
+    when(octet_length(payload.substr(pos, lit(len))) === len,
+      conv(leHex, 16, 10).cast("long"))
+  }
+
+  /** (kind, sample_rate, channels, bits_per_sample, byte_rate,
+    * data_bytes, duration_ms) parsed from a binary payload. `wav` needs
+    * the RIFF/WAVE preamble AND both `fmt ` and `data` chunks within
+    * `maxChunks` hops; anything else is `opaque` with null fields.
+    * Duration is integer arithmetic (data_bytes · 1000 div byte_rate) so
+    * the oracle can re-derive it exactly. */
+  def withAudioMeta(df: DataFrame, payloadCol: String,
+      maxChunks: Int = 16): DataFrame = {
+    val p = col(payloadCol)
+    graft.functions.RiffChunkOffset.register(df.sparkSession)
+    def chunk(fourcc: Int): Column = call_function(
+      graft.functions.RiffChunkOffset.Name, p, lit(fourcc), lit(maxChunks))
+    val fmtOff = chunk(graft.functions.RiffChunkOffset.FmtFourcc)
+    val dataOff = chunk(graft.functions.RiffChunkOffset.DataFourcc)
+    val isWav = fmtOff.isNotNull && dataOff.isNotNull
+    val sr = when(isWav, leUInt(p, fmtOff + 12, 4))
+    val byteRate = when(isWav, leUInt(p, fmtOff + 16, 4))
+    val dataBytes = when(isWav, leUInt(p, dataOff + 4, 4))
+    df.withColumn("kind", when(isWav, "wav").otherwise("opaque"))
+      .withColumn("sample_rate", sr)
+      .withColumn("channels", when(isWav, leUInt(p, fmtOff + 10, 2)))
+      .withColumn("bits_per_sample", when(isWav, leUInt(p, fmtOff + 22, 2)))
+      .withColumn("byte_rate", byteRate)
+      .withColumn("data_bytes", dataBytes)
+      .withColumn("duration_ms",
+        when(isWav && byteRate > 0, expr("data_bytes * 1000 div byte_rate")))
+  }
+
+  /** Deterministic in-plan WAV payloads over the documents table:
+    * doc_id%3 picks a well-formed WAV with DATA-DEPENDENT chunk layout /
+    * a malformed RIFF (preamble intact, first chunk's declared size
+    * overruns the payload, so the walk dies truncated) / opaque text
+    * bytes. The well-formed case interposes a variable-length LIST chunk
+    * (odd sizes included — the word-alignment pad byte is load-bearing)
+    * before `fmt ` and a variable JUNK chunk before `data`, so a
+    * fixed-offset "parser" fails on it; fmt fields derive from
+    * (doc_id, n_chars) so the oracle re-derives them arithmetically
+    * while Spark must recover them by PARSING. The data chunk declares
+    * its length but ships no samples — header-scan reality, where only
+    * the first KB of a media file is ever fetched. Pure codegen'd byte
+    * assembly (to_binary/concat), no UDF. */
+  def syntheticWavPayloads(docs: DataFrame): DataFrame = {
+    def u16le(c: Column): Column = {
+      val h = lpad(hex(c), 4, "0")
+      to_binary(concat(substring(h, 3, 2), substring(h, 1, 2)), lit("hex"))
+    }
+    def u32le(c: Column): Column = {
+      val h = lpad(hex(c), 8, "0")
+      to_binary(concat(substring(h, 7, 2), substring(h, 5, 2),
+        substring(h, 3, 2), substring(h, 1, 2)), lit("hex"))
+    }
+    val sr = expr("8000 + pmod(n_chars, 37) * 100")
+    val ch = expr("1 + pmod(doc_id, 2)")
+    // bits must vary on a modulus independent of the doc_id%3 kind
+    // selector (all wav rows share doc_id%3==0, which would pin a
+    // doc_id%3-derived depth to a constant and un-load-bear the read)
+    val bits = expr("8 * (1 + pmod(doc_id div 3, 3))")
+    val byteRate = expr("(8000 + pmod(n_chars, 37) * 100) * (1 + pmod(doc_id, 2)) * (1 + pmod(doc_id div 3, 3))")
+    val blockAlign = expr("(1 + pmod(doc_id, 2)) * (1 + pmod(doc_id div 3, 3))")
+    val dataBytes = expr("100 + pmod(n_chars * 7, 9973)")
+    val listLen = expr("pmod(doc_id, 23) + 4") // odd sizes exercise the pad
+    val junkLen = expr("pmod(n_chars, 17) + 3")
+    def chunkOf(id: String, size: Column, body: Column): Column =
+      concat(lit(id.getBytes("US-ASCII")), u32le(size), body,
+        when(size % 2 === 1, expr("X'00'")).otherwise(expr("X''")))
+    val fmtBody = concat(u16le(lit(1)), u16le(ch), u32le(sr), u32le(byteRate),
+      u16le(blockAlign), u16le(bits))
+    val wav = concat(lit("RIFF".getBytes("US-ASCII")), u32le(lit(0)),
+      lit("WAVE".getBytes("US-ASCII")),
+      chunkOf("LIST", listLen, encode(expr("repeat('l', pmod(doc_id, 23) + 4)"), "UTF-8")),
+      chunkOf("fmt ", lit(16), fmtBody),
+      chunkOf("JUNK", junkLen, encode(expr("repeat('j', pmod(n_chars, 17) + 3)"), "UTF-8")),
+      lit("data".getBytes("US-ASCII")), u32le(dataBytes))
+    // preamble says WAVE, first chunk claims more bytes than exist: the
+    // walk must die truncated instead of looping or misreading
+    val overrun = concat(lit("RIFF".getBytes("US-ASCII")), u32le(lit(0)),
+      lit("WAVE".getBytes("US-ASCII")),
+      lit("LIST".getBytes("US-ASCII")), u32le(lit(1000000)),
+      lit("x".getBytes("US-ASCII")))
+    docs.select(col("doc_id"), col("n_chars"),
+      when(pmod(col("doc_id"), lit(3)) === 0, wav)
+        .when(pmod(col("doc_id"), lit(3)) === 1, overrun)
+        .otherwise(encode(col("text"), "UTF-8")).as("payload"))
+  }
+
+  /** The `mm_audio_meta` query body: synthesize payloads, parse the
+    * headers back. */
+  def audioMeta(docs: DataFrame): DataFrame =
+    withAudioMeta(syntheticWavPayloads(docs), "payload")
+      .select(col("doc_id"), col("kind"), col("sample_rate"), col("channels"),
+        col("bits_per_sample"), col("byte_rate"), col("data_bytes"),
+        col("duration_ms"))
 
   /** Documents → binary payload column + typed metadata, exercising the
     * binary path end-to-end on the real testdata (text bytes stand in for

@@ -352,6 +352,62 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("WAV header parse: chunk walk hops LIST/JUNK (odd sizes padded), rejects malformed") {
+    def u16le(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def u32le(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]) =
+      id.getBytes ++ u32le(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val fmtBody = u16le(1) ++ u16le(2) ++ u32le(44100) ++ u32le(176400) ++
+      u16le(4) ++ u16le(16)
+    // an ODD-length LIST before fmt: the pad byte must be skipped or
+    // every later offset is off by one
+    val wav = "RIFF".getBytes ++ u32le(0) ++ "WAVE".getBytes ++
+      chunk("LIST", Array.fill[Byte](7)('l')) ++
+      chunk("fmt ", fmtBody) ++
+      chunk("JUNK", Array.fill[Byte](4)('j')) ++
+      "data".getBytes ++ u32le(882000)
+    // declared chunk size overruns the payload: must die, not loop
+    val overrun = "RIFF".getBytes ++ u32le(0) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ u32le(1000000) ++ "x".getBytes
+    // fmt present but data absent: not a usable wav
+    val noData = "RIFF".getBytes ++ u32le(0) ++ "WAVE".getBytes ++
+      chunk("fmt ", fmtBody)
+    val rows = MultiModal.withAudioMeta(
+      Seq((1L, wav), (2L, overrun), (3L, noData), (4L, "words".getBytes))
+        .toDF("id", "payload"), "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getString(2) == "wav")
+    assert(rows(1L).getLong(3) == 44100L) // sample_rate
+    assert(rows(1L).getLong(4) == 2L)     // channels
+    assert(rows(1L).getLong(5) == 16L)    // bits_per_sample
+    assert(rows(1L).getLong(6) == 176400L) // byte_rate
+    assert(rows(1L).getLong(7) == 882000L) // data_bytes
+    assert(rows(1L).getLong(8) == 5000L)   // duration_ms
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(rows(id).getString(2) == "opaque", s"payload $id")
+      assert(rows(id).get(3) == null, s"payload $id fields must be null")
+    }
+  }
+
+  test("audio header parse never throws on arbitrary bytes (fuzz)") {
+    val rnd = new scala.util.Random(11)
+    val payloads = Seq.tabulate(300) { i =>
+      val n = rnd.nextInt(64)
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      if (i % 3 == 0 && n >= 12) {
+        "RIFF".getBytes.copyToArray(b)
+        "WAVE".getBytes.copyToArray(b, 8)
+      }
+      (i.toLong, b)
+    }
+    val out = MultiModal.withAudioMeta(payloads.toDF("id", "payload"), "payload")
+      .collect()
+    assert(out.length == 300)
+    out.foreach(r => assert(Set("wav", "opaque")(r.getString(2)), r.toString))
+  }
+
   test("band signatures are deterministic across invocations") {
     val a = Dedup.bandSignatures(docs, "doc_id", "text").collect().map(_.toSeq).toSet
     val b = Dedup.bandSignatures(docs, "doc_id", "text").collect().map(_.toSeq).toSet
