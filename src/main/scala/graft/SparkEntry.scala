@@ -1332,6 +1332,18 @@ object SparkEntry {
       graft.pipeline.Dedup.nearDupPairs(table(s, dir, "documents"), "doc_id", "text")),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       graft.pipeline.Dedup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text")),
+    // the CAPPED path under adversarial skew: a corpus-wide boilerplate
+    // block is appended to every doc in-plan (every boiler shingle hits
+    // document frequency = corpus size, so uncapped candidate generation
+    // degrades to all-pairs); maxShingleFreq drops those postings and
+    // the bench row prices the guard instead of asserting it
+    "dedup_skew_capped" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val synth = docs.select(col("doc_id"),
+        concat(col("text"), lit(" " + graft.pipeline.Dedup.SkewBoiler)).as("text"))
+      graft.pipeline.Dedup.jaccardPairs(synth, "doc_id", "text",
+        threshold = 0.2, maxShingleFreq = Some(graft.pipeline.Dedup.SkewCapFreq))
+    }),
     // asymmetric containment (partial-copy detection Jaccard misses)
     "dedup_containment_pairs" -> ((s, dir) =>
       graft.pipeline.Dedup.containmentPairs(table(s, dir, "documents"), "doc_id", "text")),
@@ -2161,6 +2173,8 @@ object SparkEntry {
     "dedup_minhash_sig" -> graft.pipeline.Oracles.dedupMinhashSig,
     "dedup_minhash_pairs" -> graft.pipeline.Oracles.dedupMinhashPairs,
     "dedup_jaccard_pairs" -> graft.pipeline.Oracles.dedupJaccardPairs(0.2),
+    "dedup_skew_capped" -> graft.pipeline.Oracles.dedupSkewCapped(0.2,
+      graft.pipeline.Dedup.SkewCapFreq),
     "dedup_containment_pairs" -> graft.pipeline.Oracles.dedupContainmentPairs(0.8),
     "dedup_clusters" -> graft.pipeline.Oracles.dedupClusters,
     "dedup_canonical" -> graft.pipeline.Oracles.dedupCanonical,

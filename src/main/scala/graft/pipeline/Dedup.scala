@@ -365,19 +365,33 @@ object Dedup {
     graft.operators.Components.labels(nodes, pairs, idCol, maxIter = maxIter)
   }
 
-  /** Exact n-gram Jaccard pairs via the inverted index: explode shingles,
-    * self-join on the shingle, count shared shingles per pair, then
-    * J = |∩| / (|A| + |B| − |∩|). Reports pairs with J ≥ `threshold`. */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.2, maxShingleFreq: Option[Int] = None,
-      shingleN: Int = ShingleN): DataFrame = {
-    val inv = shingleRows(df, idCol, textCol, shingleN)
-    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    // hot-shingle cap: a stop-shingle shared by k docs contributes k²
-    // join rows — at real scale cap the inverted-index posting length
-    // (the standard prefix-filter trade: slightly underestimates J for
-    // pairs whose only overlap was capped shingles). None = exact, the
-    // oracle regime.
+  /** Boilerplate block for the `dedup_skew_capped` scenario: appended to
+    * EVERY document in-plan, it turns each of its word 3-grams into a
+    * stop-shingle with corpus-wide document frequency — the adversarial
+    * skew (license footers, nav bars, cookie banners) the posting cap
+    * exists for. Single-sourced with the oracle SQL. Keep it
+    * single-quote-free (it is spliced into DuckDB string literals). */
+  val SkewBoiler: String =
+    "all rights reserved terms of service apply contact support for assistance unsubscribe at any time"
+
+  /** Posting cap for `dedup_skew_capped` — far below the corpus size, so
+    * every boilerplate shingle drops while genuine near-dup overlap
+    * (document frequency ~2) survives. */
+  val SkewCapFreq = 16
+
+  /** Shared candidate generation for [[jaccardPairs]] /
+    * [[containmentPairs]]: inverted-index co-occurrence counts
+    * (doc_a, doc_b, inter) over shared shingles, a < b canon — never
+    * all-pairs. `maxShingleFreq` is the hot-shingle cap: a stop-shingle
+    * (boilerplate, markup) shared by k docs contributes k² join rows, so
+    * at real scale cap the inverted-index posting length (the standard
+    * prefix-filter trade: slightly underestimates overlap for pairs
+    * whose only shared shingles were capped). None = exact, the default
+    * oracle regime; `dedup_skew_capped` oracles the capped path.
+    * Public so the skew-guard spec can assert candidate-count bounds
+    * directly. */
+  def shingleCandidates(inv: DataFrame, idCol: String,
+      maxShingleFreq: Option[Int]): DataFrame = {
     val postings = maxShingleFreq match {
       case None => inv
       case Some(cap) =>
@@ -386,9 +400,20 @@ object Dedup {
     }
     val a = postings.alias("a")
     val b = postings.alias("b")
-    val co = a.join(b, col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
+    a.join(b, col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  /** Exact n-gram Jaccard pairs via the inverted index: explode shingles,
+    * self-join on the shingle, count shared shingles per pair, then
+    * J = |∩| / (|A| + |B| − |∩|). Reports pairs with J ≥ `threshold`. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.2, maxShingleFreq: Option[Int] = None,
+      shingleN: Int = ShingleN): DataFrame = {
+    val inv = shingleRows(df, idCol, textCol, shingleN)
+    val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val co = shingleCandidates(inv, idCol, maxShingleFreq)
     co.join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
@@ -412,17 +437,7 @@ object Dedup {
       shingleN: Int = ShingleN): DataFrame = {
     val inv = shingleRows(df, idCol, textCol, shingleN)
     val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val postings = maxShingleFreq match {
-      case None => inv
-      case Some(cap) =>
-        val freq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("__f"))
-        inv.join(freq.filter(col("__f") <= cap).select(col("shingle")), Seq("shingle"), "left_semi")
-    }
-    val a = postings.alias("a")
-    val b = postings.alias("b")
-    val co = a.join(b, col("a.shingle") === col("b.shingle") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    val co = shingleCandidates(inv, idCol, maxShingleFreq)
     co.join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("containment", round(col("inter").cast("double") / least(col("na"), col("nb")), 4))

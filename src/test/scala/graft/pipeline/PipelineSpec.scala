@@ -408,6 +408,31 @@ class PipelineSpec extends SparkTestBase {
     out.foreach(r => assert(Set("wav", "opaque")(r.getString(2)), r.toString))
   }
 
+  test("hot-shingle cap bounds candidate pairs under corpus-wide boilerplate") {
+    // 60 docs, each: a unique body + the SAME boilerplate block. The
+    // boilerplate shingles co-occur in all 60 docs, so uncapped
+    // candidate generation degenerates to ~all-pairs; capped, only the
+    // planted near-dup pair (shared body) survives as a candidate.
+    val boiler = Dedup.SkewBoiler
+    val docs = ((0 until 58).map(i =>
+      (i.toLong, s"unique body words alpha$i beta$i gamma$i delta$i epsilon$i $boiler")) ++ Seq(
+      // shared body long enough that capped J = 14/(31+31-14) ≈ 0.29
+      // clears the 0.2 threshold even with the boiler inflating sizes
+      (100L, s"the quick brown fox jumps over the lazy dog while the calm river flows gently north tonight $boiler"),
+      (101L, s"the quick brown fox jumps over the lazy dog while the calm river flows gently north today $boiler")))
+      .toDF("doc_id", "text")
+    val inv = Dedup.shingleRows(docs, "doc_id", "text")
+    val uncapped = Dedup.shingleCandidates(inv, "doc_id", None).count()
+    val capped = Dedup.shingleCandidates(inv, "doc_id", Some(Dedup.SkewCapFreq)).count()
+    val allPairs = 60L * 59 / 2
+    assert(uncapped == allPairs, s"boilerplate must force all-pairs uncapped, got $uncapped")
+    assert(capped <= 5L, s"cap must reduce candidates to genuine overlap, got $capped")
+    // and the scored output still finds the planted near-dup pair
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      threshold = 0.2, maxShingleFreq = Some(Dedup.SkewCapFreq)).collect()
+    assert(pairs.exists(r => r.getLong(0) == 100L && r.getLong(1) == 101L))
+  }
+
   test("band signatures are deterministic across invocations") {
     val a = Dedup.bandSignatures(docs, "doc_id", "text").collect().map(_.toSeq).toSet
     val b = Dedup.bandSignatures(docs, "doc_id", "text").collect().map(_.toSeq).toSet
