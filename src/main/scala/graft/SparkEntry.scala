@@ -1547,6 +1547,12 @@ object SparkEntry {
     // find the fields; the oracle re-derives them arithmetically
     "mm_audio_meta" -> ((s, dir) =>
       graft.pipeline.MultiModal.audioMeta(table(s, dir, "documents"))),
+    // ISO BMFF (MP4) box metadata by pure header byte-parse: the box
+    // walk (native graft_bmff_box) hops variable-length free/udta boxes
+    // at BOTH nesting levels (mvhd inside moov composes via binary
+    // substr); the oracle re-derives the fields arithmetically
+    "mm_video_meta" -> ((s, dir) =>
+      graft.pipeline.MultiModal.videoMeta(table(s, dir, "documents"))),
     "ann_cosine_topk" -> ((s, dir) =>
       graft.pipeline.Ann.cosineTopK(table(s, dir, "embeddings"))),
     "ann_lsh_buckets" -> ((s, dir) =>
@@ -2312,6 +2318,20 @@ object SparkEntry {
         |  CASE WHEN k = 0 THEN sr * ch * depth END AS byte_rate,
         |  CASE WHEN k = 0 THEN db END AS data_bytes,
         |  CASE WHEN k = 0 THEN (db * 1000) // (sr * ch * depth) END AS duration_ms
+        |FROM d""".stripMargin,
+    // arithmetic re-derivation of the MP4 generator inputs; Spark must
+    // recover the same values by walking the boxes at both levels
+    "mm_video_meta" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(600 + (n_chars % 11) * 100 AS BIGINT) AS ts,
+        |  CAST(((doc_id * 13) % 99991) + 1 AS BIGINT) AS dur,
+        |  doc_id % 3 AS k, doc_id % 2 AS br FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN k = 0 THEN 'mp4' ELSE 'opaque' END AS kind,
+        |  CASE WHEN k = 0 THEN (CASE WHEN br = 0 THEN 'isom' ELSE 'mp42' END) END AS major_brand,
+        |  CASE WHEN k = 0 THEN ts END AS timescale,
+        |  CASE WHEN k = 0 THEN dur END AS duration,
+        |  CASE WHEN k = 0 THEN (dur * 1000) // ts END AS duration_ms
         |FROM d""".stripMargin,
     "ann_cosine_topk" -> graft.pipeline.Oracles.annCosineTopK,
     "ann_lsh_buckets" -> graft.pipeline.Oracles.annLshBuckets,

@@ -296,6 +296,90 @@ object MultiModal {
         col("bits_per_sample"), col("byte_rate"), col("data_bytes"),
         col("duration_ms"))
 
+  // ---------------------------------------------------------------------
+  // Video header decode: ISO BMFF (MP4) box metadata by pure byte-parse
+  // (major brand from ftyp; timescale/duration from moov→mvhd — a
+  // duration/brand admission gate needs the boxes, never the samples).
+  // The box WALK is the native graft_bmff_box loop; NESTING composes via
+  // codegen'd substr-on-binary (slice moov's body, walk the slice); the
+  // FIELD reads are the same big-endian SQL byte arithmetic as PNG.
+  // ---------------------------------------------------------------------
+
+  /** (kind, major_brand, timescale, duration, duration_ms) parsed from a
+    * binary payload. `mp4` needs a top-level `ftyp` AND an `mvhd` inside
+    * `moov` within `maxBoxes` hops at each level; anything else is
+    * `opaque` with null fields. Duration is integer arithmetic
+    * (duration · 1000 div timescale) so the oracle re-derives it
+    * exactly. mvhd is read as version 0 (u32 timescale at box+20,
+    * u32 duration at box+24 — ISO 14496-12 §8.2.2). */
+  def withVideoMeta(df: DataFrame, payloadCol: String,
+      maxBoxes: Int = 16): DataFrame = {
+    val p = col(payloadCol)
+    graft.functions.BmffBoxOffset.register(df.sparkSession)
+    def box(c: Column, fourcc: Int): Column = call_function(
+      graft.functions.BmffBoxOffset.Name, c, lit(fourcc), lit(maxBoxes))
+    val ftyp = box(p, graft.functions.BmffBoxOffset.FtypFourcc)
+    val moov = box(p, graft.functions.BmffBoxOffset.MoovFourcc)
+    val moovSize = beUInt(p, moov, 4)
+    // moov's BODY as its own payload: nested walks need no start-offset
+    // argument — binary substr is the composition operator
+    val inner = p.substr((moov + 8).cast("int"), (moovSize - 8).cast("int"))
+    val mvhd = box(inner, graft.functions.BmffBoxOffset.MvhdFourcc)
+    val isMp4 = ftyp.isNotNull && mvhd.isNotNull
+    val timescale = when(isMp4, beUInt(inner, mvhd + 20, 4))
+    val duration = when(isMp4, beUInt(inner, mvhd + 24, 4))
+    df.withColumn("kind", when(isMp4, "mp4").otherwise("opaque"))
+      .withColumn("major_brand",
+        when(isMp4, decode(p.substr((ftyp + 8).cast("int"), lit(4)), "US-ASCII")))
+      .withColumn("timescale", timescale)
+      .withColumn("duration", duration)
+      .withColumn("duration_ms",
+        when(isMp4 && timescale > 0, expr("duration * 1000 div timescale")))
+  }
+
+  /** Deterministic in-plan MP4 payloads over the documents table:
+    * doc_id%3 picks a well-formed MP4 with DATA-DEPENDENT box layout
+    * (variable `free` box before `moov`, variable `udta` box before
+    * `mvhd` inside it — a fixed-offset "parser" fails on both levels) /
+    * a malformed chain (valid ftyp, then a box whose size field is
+    * smaller than its own header — the walk must die, not loop) /
+    * opaque text bytes. mvhd declares its full v0 size but ships only
+    * through the duration field — header-scan reality. Fields derive
+    * from (doc_id, n_chars) so the oracle re-derives them arithmetically
+    * while Spark must recover them by PARSING. */
+  def syntheticMp4Payloads(docs: DataFrame): DataFrame = {
+    def u32be(c: Column): Column = to_binary(lpad(hex(c), 8, "0"), lit("hex"))
+    val freeLen = expr("pmod(doc_id, 19) + 1")
+    val udtaLen = expr("pmod(n_chars, 13) + 2")
+    val timescale = expr("600 + pmod(n_chars, 11) * 100")
+    val duration = expr("pmod(doc_id * 13, 99991) + 1")
+    val brand = when(pmod(col("doc_id"), lit(2)) === 0, "isom").otherwise("mp42")
+    val ftyp = concat(u32be(lit(16)), lit("ftyp".getBytes("US-ASCII")),
+      encode(brand, "US-ASCII"), u32be(lit(0)))
+    val free = concat(u32be(freeLen + 8), lit("free".getBytes("US-ASCII")),
+      encode(expr("repeat('f', pmod(doc_id, 19) + 1)"), "UTF-8"))
+    val udta = concat(u32be(udtaLen + 8), lit("udta".getBytes("US-ASCII")),
+      encode(expr("repeat('u', pmod(n_chars, 13) + 2)"), "UTF-8"))
+    // v0 mvhd: declared size 108, shipped through duration (28 bytes)
+    val mvhd = concat(u32be(lit(108)), lit("mvhd".getBytes("US-ASCII")),
+      u32be(lit(0)), u32be(lit(0)), u32be(lit(0)), u32be(timescale), u32be(duration))
+    val moov = concat(u32be(udtaLen + 8 + lit(108) + 8), lit("moov".getBytes("US-ASCII")),
+      udta, mvhd)
+    val mp4 = concat(ftyp, free, moov)
+    val badChain = concat(ftyp, u32be(lit(4)), lit("junk".getBytes("US-ASCII")))
+    docs.select(col("doc_id"), col("n_chars"),
+      when(pmod(col("doc_id"), lit(3)) === 0, mp4)
+        .when(pmod(col("doc_id"), lit(3)) === 1, badChain)
+        .otherwise(encode(col("text"), "UTF-8")).as("payload"))
+  }
+
+  /** The `mm_video_meta` query body: synthesize payloads, parse the
+    * boxes back. */
+  def videoMeta(docs: DataFrame): DataFrame =
+    withVideoMeta(syntheticMp4Payloads(docs), "payload")
+      .select(col("doc_id"), col("kind"), col("major_brand"),
+        col("timescale"), col("duration"), col("duration_ms"))
+
   /** Documents → binary payload column + typed metadata, exercising the
     * binary path end-to-end on the real testdata (text bytes stand in for
     * media bytes; the plumbing — binary column, octet accounting,

@@ -391,6 +391,48 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("MP4 box parse: nested walk hops free/udta, handles largesize, rejects malformed") {
+    def u32be(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def u64be(v: Long) = u32be(v >> 32) ++ u32be(v & 0xffffffffL)
+    def boxOf(id: String, body: Array[Byte]) = u32be(body.length + 8L) ++ id.getBytes ++ body
+    val ftyp = boxOf("ftyp", "isom".getBytes ++ u32be(0))
+    val mvhd = boxOf("mvhd", u32be(0) ++ u32be(0) ++ u32be(0) ++ u32be(90000) ++ u32be(450000))
+    val moov = boxOf("moov", boxOf("udta", Array.fill[Byte](5)('u')) ++ mvhd)
+    // a LARGESIZE free box (size==1 + u64) between ftyp and moov: the
+    // 64-bit hop must be taken or every later offset is wrong
+    val bigFree = u32be(1) ++ "free".getBytes ++ u64be(16 + 6) ++ Array.fill[Byte](6)('F')
+    val mp4 = ftyp ++ bigFree ++ moov
+    val badSize = ftyp ++ u32be(4) ++ "junk".getBytes // size < header
+    val truncated = mp4.take(ftyp.length + 10)        // dies mid-largesize
+    val rows = MultiModal.withVideoMeta(
+      Seq((1L, mp4), (2L, badSize), (3L, truncated), (4L, "words".getBytes))
+        .toDF("id", "payload"), "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getString(2) == "mp4")
+    assert(rows(1L).getString(3) == "isom")
+    assert(rows(1L).getLong(4) == 90000L)  // timescale
+    assert(rows(1L).getLong(5) == 450000L) // duration
+    assert(rows(1L).getLong(6) == 5000L)   // duration_ms
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(rows(id).getString(2) == "opaque", s"payload $id")
+      assert(rows(id).get(3) == null, s"payload $id fields must be null")
+    }
+  }
+
+  test("video box parse never throws on arbitrary bytes (fuzz)") {
+    val rnd = new scala.util.Random(13)
+    val payloads = Seq.tabulate(300) { i =>
+      val n = rnd.nextInt(64)
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      if (i % 3 == 0 && n >= 8) "ftyp".getBytes.copyToArray(b, 4)
+      (i.toLong, b)
+    }
+    val out = MultiModal.withVideoMeta(payloads.toDF("id", "payload"), "payload")
+      .collect()
+    assert(out.length == 300)
+    out.foreach(r => assert(Set("mp4", "opaque")(r.getString(2)), r.toString))
+  }
+
   test("audio header parse never throws on arbitrary bytes (fuzz)") {
     val rnd = new scala.util.Random(11)
     val payloads = Seq.tabulate(300) { i =>
