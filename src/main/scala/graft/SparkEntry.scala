@@ -613,6 +613,84 @@ object SparkEntry {
           org.apache.spark.sql.types.StringType)))
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }),
+    // Durable storage end-to-end (reference `(storage (disk ...))`,
+    // lib/storable.ml:25-36 + bin/server.ml:3-12 boot-from-config):
+    // session 1 write-throughs every transition to a disk root; every
+    // in-memory handle is then DISCARDED and a brand-new EngineSession
+    // restores from that root alone — and keeps MUTATING, which proves
+    // the restored state is a full working engine (content addressing,
+    // constraint enforcement, catalog) rather than merely readable
+    // bytes: the restored constraint must still REJECT a violating
+    // insert, and ordinary mutations must land on the restored rows.
+    "persist_restart" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-persist").toString
+      val cat = new ParquetCatalog(s, dir)
+      def run(session: graft.server.EngineSession, stmt: String): Unit =
+        if (stmt.startsWith("!"))
+          session.execute(stmt.substring(1)).fold(_ => (),
+            r => throw new IllegalArgumentException(s"$stmt -> expected failure, got $r"))
+        else session.execute(stmt)
+          .fold(e => throw new IllegalArgumentException(s"$stmt -> $e"), _ => ())
+      val s1 = new graft.server.EngineSession(s, Some(cat), Some(root))
+      Seq(
+        "(CreateDatabase g)",
+        "(CreateRelation (name kv) (schema ((k integer) (v string))))",
+        "(RegisterConstraint (constraint_name k_small) (relation_name kv) " +
+          "(body (MemberOf (target natural_natural_less_than) " +
+          "(binding ((left (Var k)) (right (Const (Int 1000))))))))",
+        "(InsertFrom (target kv) (source (Rename ((r_regionkey k) (r_name v)) (Base region))))",
+        "(InsertTuple (relation kv) (attributes ((k (Int 600)) (v (Str BEFORE_RESTART)))))",
+      ).foreach(run(s1, _))
+      // JVM-restart equivalence: the disk root is all that survives
+      val s2 = new graft.server.EngineSession(s, Some(cat), Some(root))
+      Seq(
+        // the restored engine still enforces the persisted constraint...
+        "!(InsertTuple (relation kv) (attributes ((k (Int 5000)) (v (Str TOO_BIG)))))",
+        // ...and keeps taking ordinary mutations on the restored rows
+        "(DeleteWhere (target kv) (predicate (Const ((k (Int 0))))))",
+        "(InsertTuple (relation kv) (attributes ((k (Int 700)) (v (Str AFTER_RESTART)))))",
+      ).foreach(run(s2, _))
+      s2.execute("(drl (Base kv))") match {
+        case Right(graft.server.QueryResult(df)) => df
+        case other => throw new IllegalArgumentException(s"unexpected: $other")
+      }
+    }),
+    // Whole-process shared head over the wire (the reference holds ONE
+    // process-global Atomic head across all connections and CASes it per
+    // mutation, lib/listener.ml:53-59,174-181): two SEPARATE sockets
+    // mutate and observe the SAME database — B's first statement lands on
+    // A's state (per-connection state would fail it with NoDatabase), A
+    // then reads back B's writes. Requests are serialized by the session
+    // lock exactly as the reference's single-writer CAS loop.
+    "tcp_shared_head" -> ((s, dir) => {
+      val listener = new graft.server.Listener(
+        s, Some(new ParquetCatalog(s, dir))).start()
+      try {
+        val a = new graft.server.WireClient.Conn(listener.localPort)
+        val b = new graft.server.WireClient.Conn(listener.localPort)
+        try {
+          def ok(conn: graft.server.WireClient.Conn, stmt: String): Unit = {
+            val resp = conn.request(stmt)
+            if (!resp.startsWith("(ok"))
+              throw new IllegalArgumentException(s"$stmt -> $resp")
+          }
+          ok(a, "(CreateDatabase g)")
+          ok(a, "(CreateRelation (name kv) (schema ((k integer) (v string))))")
+          ok(a, "(InsertFrom (target kv) (source (Rename ((r_regionkey k) (r_name v)) (Base region))))")
+          ok(b, "(InsertTuple (relation kv) (attributes ((k (Int 600)) (v (Str FROM_B)))))")
+          ok(b, "(DeleteWhere (target kv) (predicate (Const ((k (Int 2))))))")
+          ok(a, "(InsertTuple (relation kv) (attributes ((k (Int 700)) (v (Str FROM_A)))))")
+          val rows = graft.server.WireClient.streamQuery(a, "(Base kv)", pageSize = 3)
+            .map(cells => org.apache.spark.sql.Row(cells: _*))
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.StringType)))
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        } finally { a.close(); b.close() }
+      } finally listener.close()
+    }),
 
     // ---- Beyond-reference analytics (SURVEY.md §7.2 step 7) ----
     "agg_pricing_summary" -> ((s, dir) => {
@@ -1771,6 +1849,16 @@ object SparkEntry {
     // the cursor pinned main's state before the checkout+rewrite
     "scl_cursor_branch" ->
       "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
+    // survives the restart: region rows (minus the k=0 delete) + both
+    // singleton inserts; the rejected k=5000 insert must NOT appear
+    "persist_restart" ->
+      ("SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS v FROM region WHERE r_regionkey <> 0 " +
+        "UNION ALL SELECT 600, 'BEFORE_RESTART' UNION ALL SELECT 700, 'AFTER_RESTART'"),
+    // one shared head across two sockets: region minus B's delete, plus
+    // both connections' inserts
+    "tcp_shared_head" ->
+      ("SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS v FROM region WHERE r_regionkey <> 2 " +
+        "UNION ALL SELECT 600, 'FROM_B' UNION ALL SELECT 700, 'FROM_A'"),
     "agg_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
