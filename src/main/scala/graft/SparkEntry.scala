@@ -1479,6 +1479,10 @@ object SparkEntry {
     }),
     "text_vocab" -> ((s, dir) =>
       graft.pipeline.TextPipeline.vocab(table(s, dir, "documents"), "doc_id", "text")),
+    // corpus-bigram-LM quality score (CCNet-style perplexity filter,
+    // fixed-point rational variant): mean transition probability per doc
+    "text_lm_score" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.lmScore(table(s, dir, "documents"), "doc_id", "text")),
     // one BPE merge round: adjacent-token-pair frequencies, top-100
     "text_bpe_pairs" -> ((s, dir) =>
       graft.pipeline.TextPipeline.bpePairs(table(s, dir, "documents"), "doc_id", "text")),
@@ -1647,6 +1651,15 @@ object SparkEntry {
     // codes scores within it — the production ANN shape at corpus scale
     "ann_ivfpq_topk" -> ((s, dir) =>
       graft.pipeline.Ann.ivfPqTopK(table(s, dir, "embeddings"))),
+    // filtered vector search: exact top-k over the label=3 corpus slice,
+    // predicate pushed into the scan (pre-filter, never post-filter)
+    "ann_filtered_topk" -> ((s, dir) =>
+      graft.pipeline.Ann.filteredCosineTopK(table(s, dir, "embeddings"),
+        col("label") === graft.pipeline.Ann.FilterLabel)),
+    // per-label centroid outliers in exact fixed-point arithmetic — the
+    // embedding-space QA sweep (mislabeled/corrupted cluster members)
+    "emb_centroid_outliers" -> ((s, dir) =>
+      graft.pipeline.Embeddings.centroidOutliers(table(s, dir, "embeddings"))),
     "dedup_embedding_pairs" -> ((s, dir) =>
       graft.pipeline.Ann.embeddingPairs(table(s, dir, "embeddings"))),
     // per-document top terms by log-free tf-idf (term extraction)
@@ -2287,6 +2300,7 @@ object SparkEntry {
     "pipeline_curate" ->
       graft.pipeline.Oracles.pipelineCurate(CurateMinScore, graft.pipeline.Packing.Capacity),
     "text_vocab" -> graft.pipeline.Oracles.textVocab(100),
+    "text_lm_score" -> graft.pipeline.Oracles.textLmScore(),
     "text_bpe_pairs" -> graft.pipeline.Oracles.bpePairs(100),
     "text_token_ids" ->
       (s"""WITH v AS (${graft.pipeline.Oracles.textVocab(100)}),
@@ -2427,6 +2441,10 @@ object SparkEntry {
     "ann_ivf_topk" -> graft.pipeline.Oracles.annIvfTopK,
     "ann_pq_topk" -> graft.pipeline.Oracles.annPqTopK,
     "ann_ivfpq_topk" -> graft.pipeline.Oracles.annIvfPqTopK,
+    "ann_filtered_topk" ->
+      graft.pipeline.Oracles.annFilteredTopK(graft.pipeline.Ann.FilterLabel),
+    "emb_centroid_outliers" -> graft.pipeline.Oracles.embCentroidOutliers(
+      graft.pipeline.Embeddings.OutlierTopK),
     "dedup_embedding_pairs" -> graft.pipeline.Oracles.dedupEmbeddingPairs,
     "text_tfidf" -> graft.pipeline.Oracles.textTfidfTopK(
       graft.pipeline.TextPipeline.TfidfTopK,

@@ -45,6 +45,8 @@ object Ann {
   val CentroidQuant = 1048576.0d
   /** Within-bucket cosine threshold for embedding near-dup pairs. */
   val CosineDupThreshold = 0.4
+  /** Corpus-slice label for the filtered-search oracle row. */
+  val FilterLabel = 3
   /** Product-quantization geometry: [[PqSubspaces]] blocks of
     * [[PqSubDim]] dims, each coded against [[PqCentroids]] centroids
     * refined by [[PqIters]] Lloyd rounds — 64 float32 dims compress to
@@ -375,6 +377,31 @@ object Ann {
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
       .select(col("query_id"), col("vec_id"), col("adc"))
+  }
+
+  /** Filtered vector search — exact cosine top-k restricted to corpus
+    * rows satisfying a metadata predicate (the production "ANN + WHERE
+    * label = X" shape: RAG over a tenant/language/source slice). The
+    * predicate is applied BEFORE scoring, so Catalyst pushes it into the
+    * parquet scan (pre-filtering, not post-filtering — post-filtering
+    * top-k can return < k rows and wastes score work at 100 TB). Same
+    * broadcast-queries / corpus-scan / top-k-window shape and determinism
+    * contract as [[cosineTopK]]; queries themselves are NOT subject to
+    * the predicate (you search a slice on behalf of any query). */
+  def filteredCosineTopK(embeddings: DataFrame, predicate: Column,
+      k: Int = TopK, numQueries: Int = NumQueries): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = embeddings.sparkSession
+    val q = broadcast(withNorm(embeddings.select(col("vec_id"), col("embedding")))
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn")))
+    val corpus = withNorm(embeddings.filter(predicate)
+      .select(col("vec_id"), col("embedding")))
+    val pairs = corpus.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dot(ss, col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"))
   }
 
   /** Left-associated driver-side dot — bit-identical to the fused

@@ -49,4 +49,53 @@ object Embeddings {
         aggregate(col("codes"), lit(0L), (acc, c) => acc + abs(c).cast("long")))
       .select(col(s"`$idCol`"), col("amax"), col("scale"), col("codes"), col("code_l1"))
   }
+
+  /** Offset for [[centroidOutliers]] fixed-point quantization: element
+    * values must lie in (−Shift, Shift) so the shifted quantized values
+    * are non-negative — where truncating (Spark `div`) and flooring
+    * (DuckDB `//`) integer division agree. Distances are shift-invariant
+    * up to the deterministic per-element floor. */
+  val CentroidShift = 4.0d
+
+  /** Outliers reported per group (oracle-pinned default). */
+  val OutlierTopK = 3
+
+  /** Per-group outliers: retrieve the `topK` vectors FARTHEST from their
+    * group's centroid — the embedding-space QA sweep (mislabeled /
+    * corrupted / off-manifold members of a cluster or source).
+    *
+    * All arithmetic is exact-integer: qᵢ = floor((xᵢ + Shift) · 2²⁰) is a
+    * long, the group sums are order-independent long adds, the centroid
+    * is the integer mean sᵢ div n, and dist² = Σ (qᵢ − cᵢ)² stays within
+    * long range (≤ 64 · 2⁴⁶ at Shift 4). A float mean or a float
+    * distance sum would be partial-aggregation-order dependent — this is
+    * the [[Ann.CentroidQuant]] move applied to the whole metric.
+    *
+    * Scale shape: one groupBy over fixed-width quantized columns (64
+    * longs per row, map-side combinable; group count = label
+    * cardinality), the centroid table broadcast back onto the scan, and
+    * a per-group top-k window — no shuffle carries raw vectors beyond
+    * the first aggregation. */
+  def centroidOutliers(df: DataFrame, labelCol: String = "label",
+      idCol: String = "vec_id", embCol: String = "embedding",
+      dim: Int = Ann.Dim, topK: Int = OutlierTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = (1 to dim).map(i =>
+      floor((element_at(col(embCol), i).cast("double") + lit(CentroidShift))
+        * lit(Ann.CentroidQuant)).cast("long").as(s"q$i"))
+    val base = df.select(
+      col(s"`$labelCol`").cast("long").as("label") +: col(s"`$idCol`").as("vec_id") +: q: _*)
+    val aggs = (1 to dim).map(i => sum(col(s"q$i")).as(s"s$i")) :+ count(lit(1)).as("n")
+    val cents = base.groupBy(col("label")).agg(aggs.head, aggs.tail: _*)
+    val dist2 = (1 to dim).map { i =>
+      val d = col(s"q$i") - expr(s"s$i div n")
+      d * d
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("label")).orderBy(col("dist2").desc, col("vec_id"))
+    base.join(broadcast(cents), "label")
+      .withColumn("dist2", dist2)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col("label"), col("vec_id"), col("dist2"), col("n").as("n_members"))
+  }
 }

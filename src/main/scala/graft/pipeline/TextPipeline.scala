@@ -352,6 +352,53 @@ object TextPipeline {
         md5(concat_ws(" ", slice(col("__ws"), col("start_tok"), lit(window)))).as("chunk_hash"))
   }
 
+  /** Fixed-point scale for [[lmScore]] transition probabilities: a
+    * bigram's conditional probability c2/c1 is carried as the exact
+    * integer (c2 · LmScale) div c1, so per-document sums are
+    * order-independent longs (a float log-prob sum would be
+    * partial-aggregation-order dependent and unverifiable cross-engine —
+    * the same move as the fixed-point PageRank). */
+  val LmScale = 1000000L
+
+  /** Corpus-LM quality scoring (the CCNet-style perplexity filter of
+    * Wenzek et al. '20, rational-arithmetic variant): train bigram and
+    * prefix counts on the corpus itself, score each document by its MEAN
+    * TRANSITION PROBABILITY — the average over its bigram occurrences of
+    * p(w2|w1) = c2(w1,w2)/c1(w1·). Documents gluing common words in rare
+    * orders score low (the boilerplate/gibberish signal); perplexity's
+    * log is banned by this file's determinism contract, and the mean
+    * probability is the monotone rational stand-in.
+    *
+    * Scale shape: one bigram explode feeds BOTH count aggregations
+    * (map-side combinable, keyed on vocab-sized bigram/prefix strings,
+    * never doc ids) and the score join (bigram-vocab-sized right sides —
+    * AQE broadcasts when they fit); the per-document reduce sums exact
+    * longs. Documents under 2 tokens surface with n_bigrams = 0 and a
+    * NULL score (x/0 parity with the oracle). */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val ws = tokens(col(textCol), tokenizer)
+    val pairs = when(size(ws) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - 1), i =>
+        struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+    val src = Dedup.balanced(df.select(col(idCol), col(textCol)))
+    val docBigrams = src.select(col(idCol), explode(pairs).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = docBigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val scored = docBigrams.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      // exact fixed-point conditional probability; non-negative operands,
+      // so truncating and flooring integer division agree cross-engine
+      .withColumn("q", expr(s"(c2 * $LmScale) div c1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("qsum"))
+    src.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("qsum").cast("double") / (col("n_bigrams") * LmScale), 4).as("lm_score"))
+  }
+
   /** Document fingerprinting: full-content md5 over the normalized text
     * (lowercase, whitespace collapsed) plus a winnowing-style min-shingle
     * hash — the rolling-hash minimum used by near-dup sketchers. */

@@ -765,4 +765,87 @@ class PipelineSpec extends SparkTestBase {
     val topk = Ann.cosineTopK(vecs, k = 5, numQueries = 2)
     assert(topk.groupBy(col("query_id")).count().collect().forall(_.getLong(1) == 5L))
   }
+
+  test("lmScore: mean transition probability in exact fixed-point") {
+    // corpus bigrams: "a b" x3 (docs 0,1), "b a" x1, "b c" x1 (doc 1)
+    // c1: a->4? no: prefixes: a appears as w1 in "a b"(3x) => c1(a)=3... recompute in assertions
+    val tiny = Seq(
+      (0L, "a b"),
+      (1L, "a b a b c"),
+      (2L, "z"), // single token -> 0 bigrams, NULL score
+    ).toDF("doc_id", "text")
+    val out = TextPipeline.lmScore(tiny, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // bigram counts: (a,b)=3, (b,a)=1, (b,c)=1 ; prefix counts: a=3, b=2
+    // doc 0: one bigram (a,b): q = 3_000_000 div 3 = 1_000_000 -> score 1.0
+    assert(out(0L).getLong(1) == 1L)
+    assert(out(0L).getDouble(2) == 1.0)
+    // doc 1: bigrams (a,b),(b,a),(a,b),(b,c) -> q = 1e6, 5e5, 1e6, 5e5
+    // sum = 3_000_000 over 4*1e6 -> 0.75
+    assert(out(1L).getLong(1) == 4L)
+    assert(out(1L).getDouble(2) == 0.75)
+    // sub-2-token doc: zero bigrams, NULL score
+    assert(out(2L).getLong(1) == 0L)
+    assert(out(2L).isNullAt(2))
+  }
+
+  test("centroidOutliers: planted off-centroid member wins its group; exact arithmetic") {
+    val dim = Ann.Dim
+    // group 0: 4 near-identical vectors + 1 planted far outlier;
+    // group 1: 3 identical vectors (all dist2 tie -> vec_id order)
+    val mk = (base: Float) => Array.fill(dim)(base)
+    val rows = Seq(
+      (0, 10L, mk(0.1f)), (0, 11L, mk(0.1f)), (0, 12L, mk(0.11f)),
+      (0, 13L, mk(0.09f)), (0, 14L, mk(3.0f)), // outlier
+      (1, 20L, mk(-0.5f)), (1, 21L, mk(-0.5f)), (1, 22L, mk(-0.5f)),
+    ).toDF("label", "vec_id", "embedding")
+    val out = Embeddings.centroidOutliers(rows, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val g0 = out.filter(_._1 == 0L).sortBy(_._2)
+    // the planted outlier must rank first in group 0
+    assert(out.filter(_._1 == 0L).maxBy(_._3)._2 == 14L)
+    assert(g0.length == 2)
+    // group 1: identical members -> dist2 0, tie broken by vec_id asc
+    val g1 = out.filter(_._1 == 1L).map(x => (x._2, x._3)).sortBy(_._1)
+    assert(g1.toSeq == Seq((20L, 0L), (21L, 0L)))
+    assert(out.forall(_._4 > 0)) // n_members rides along
+    // deterministic across runs (exact integer arithmetic end-to-end)
+    val again = Embeddings.centroidOutliers(rows, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == again.toSet)
+  }
+
+  test("filteredCosineTopK: predicate restricts the corpus side only") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Ann.filteredCosineTopK(vecs, col("label") === Ann.FilterLabel)
+    val labels = vecs.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every returned neighbor satisfies the predicate...
+    rows.foreach(r => assert(labels(r.getLong(1)) == Ann.FilterLabel))
+    // ...queries are NOT restricted (some query must be off-slice)
+    assert(rows.map(_.getLong(0)).distinct.exists(q => labels(q) != Ann.FilterLabel))
+    // equivalent to exact top-k over the pre-filtered corpus + all queries
+    val expected = {
+      import org.apache.spark.sql.expressions.Window
+      val n = vecs.select(col("vec_id"), col("embedding"), col("label"))
+      val q = n.filter(col("vec_id") < Ann.NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val dot = graft.functions.Functions.dot(spark, col("qe"), col("embedding"))
+      val qn = org.apache.spark.sql.functions.sqrt(
+        graft.functions.Functions.dot(spark, col("qe"), col("qe")))
+      val cn = org.apache.spark.sql.functions.sqrt(
+        graft.functions.Functions.dot(spark, col("embedding"), col("embedding")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+      n.filter(col("label") === Ann.FilterLabel)
+        .join(q, col("vec_id") =!= col("qid"))
+        .withColumn("sim", org.apache.spark.sql.functions.round(dot / (qn * cn), 4))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") <= Ann.TopK)
+        .select(col("qid"), col("vec_id"), col("sim"))
+        .collect().map(_.toSeq).toSet
+    }
+    assert(rows.map(_.toSeq).toSet == expected)
+  }
 }
