@@ -161,6 +161,14 @@ object PlanAudit {
     round.count()
     Thread.sleep(500)
     println(s"AUDIT clusters_one_round stagesRun=${stages.get}")
+
+    // round-9 additions
+    audit("text_lm_score",
+      graft.pipeline.TextPipeline.lmScore(docs, "doc_id", "text"))
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    audit("emb_centroid_outliers", graft.pipeline.Embeddings.centroidOutliers(embs))
+    audit("ann_filtered_topk", graft.pipeline.Ann.filteredCosineTopK(
+      embs, col("label") === graft.pipeline.Ann.FilterLabel))
     spark.stop()
   }
 }

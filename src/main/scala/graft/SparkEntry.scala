@@ -1651,6 +1651,11 @@ object SparkEntry {
     // codes scores within it — the production ANN shape at corpus scale
     "ann_ivfpq_topk" -> ((s, dir) =>
       graft.pipeline.Ann.ivfPqTopK(table(s, dir, "embeddings"))),
+    // ANN quality eval: bucketed-LSH top-1 recall against the exact
+    // top-k — the harness a production deployment runs before trusting
+    // an approximate path
+    "ann_lsh_recall" -> ((s, dir) =>
+      graft.pipeline.Ann.lshRecall(table(s, dir, "embeddings"))),
     // filtered vector search: exact top-k over the label=3 corpus slice,
     // predicate pushed into the scan (pre-filter, never post-filter)
     "ann_filtered_topk" -> ((s, dir) =>
@@ -2443,6 +2448,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> graft.pipeline.Oracles.annIvfPqTopK,
     "ann_filtered_topk" ->
       graft.pipeline.Oracles.annFilteredTopK(graft.pipeline.Ann.FilterLabel),
+    "ann_lsh_recall" -> graft.pipeline.Oracles.annLshRecall,
     "emb_centroid_outliers" -> graft.pipeline.Oracles.embCentroidOutliers(
       graft.pipeline.Embeddings.OutlierTopK),
     "dedup_embedding_pairs" -> graft.pipeline.Oracles.dedupEmbeddingPairs,

@@ -404,6 +404,36 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("sim"))
   }
 
+  /** ANN quality evaluation — the recall harness every production
+    * vector-search deployment runs before trusting an approximate path:
+    * score the bucketed-LSH top-1 ([[lshTopK]]) against the exact cosine
+    * top-k ([[cosineTopK]]) and report, in ONE row, how many queries the
+    * approximate path answered and how many answers land in the exact
+    * top-k. recall = n_hits / n_queries (missing-bucket no-answers count
+    * as misses — the honest denominator).
+    *
+    * Scale shape: both sides inherit their operators' audited plans
+    * (broadcast queries, bucket equi-join / corpus scan + top-k window);
+    * the comparison is a semi-join on (query_id, vec_id) over ≤
+    * numQueries·k rows and the final aggregate is a 1-row reduce —
+    * evaluation cost is dominated by the exact baseline, which is the
+    * point of sampling numQueries queries rather than all of them. */
+  def lshRecall(embeddings: DataFrame, planes: Int = Planes,
+      k: Int = TopK, numQueries: Int = NumQueries): DataFrame = {
+    val approx = lshTopK(embeddings, planes, numQueries)
+      .select(col("query_id"), col("vec_id"))
+    val exact = cosineTopK(embeddings, k, numQueries)
+      .select(col("query_id"), col("vec_id"))
+    val hits = approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
+    approx.agg(count(lit(1)).as("n_answered"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(
+        lit(numQueries.toLong).as("n_queries"),
+        col("n_answered"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / numQueries, 4).as("recall"))
+  }
+
   /** Left-associated driver-side dot — bit-identical to the fused
     * [[graft.functions.DotProduct]] loop and the oracle's SQL chains. */
   private def leftDot(a: Array[Double], b: Array[Double]): Double = {

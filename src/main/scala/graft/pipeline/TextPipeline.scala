@@ -369,12 +369,17 @@ object TextPipeline {
     * log is banned by this file's determinism contract, and the mean
     * probability is the monotone rational stand-in.
     *
-    * Scale shape: one bigram explode feeds BOTH count aggregations
-    * (map-side combinable, keyed on vocab-sized bigram/prefix strings,
-    * never doc ids) and the score join (bigram-vocab-sized right sides —
-    * AQE broadcasts when they fit); the per-document reduce sums exact
-    * longs. Documents under 2 tokens surface with n_bigrams = 0 and a
-    * NULL score (x/0 parity with the oracle). */
+    * Scale shape: the per-(doc, bigram) pre-aggregation collapses
+    * within-document repetitions BEFORE anything wide (a doc looping one
+    * phrase 10⁴ times contributes one row per distinct bigram), both
+    * count tables derive from that pre-agg by map-side-combinable sums,
+    * the c2⋈c1 probability table is a VOCAB-sized join (never touches
+    * doc ids), and the score join multiplies each distinct bigram's q by
+    * its in-doc multiplicity — so the Zipf-hot join keys ("the …"
+    * bigrams) carry per-doc-distinct rows, not per-occurrence rows.
+    * Per-document reduce sums exact longs. Documents under 2 tokens
+    * surface with n_bigrams = 0 and a NULL score (x/0 parity with the
+    * oracle). */
   def lmScore(df: DataFrame, idCol: String, textCol: String,
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val ws = tokens(col(textCol), tokenizer)
@@ -382,16 +387,18 @@ object TextPipeline {
       .otherwise(transform(sequence(lit(1), size(ws) - 1), i =>
         struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
     val src = Dedup.balanced(df.select(col(idCol), col(textCol)))
-    val docBigrams = src.select(col(idCol), explode(pairs).as("bg"))
+    val perDocBg = src.select(col(idCol), explode(pairs).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c2 = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = docBigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val scored = docBigrams.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-      // exact fixed-point conditional probability; non-negative operands,
-      // so truncating and flooring integer division agree cross-engine
-      .withColumn("q", expr(s"(c2 * $LmScale) div c1"))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+    val c2 = perDocBg.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+    val c1 = perDocBg.groupBy(col("w1")).agg(sum(col("tf")).as("c1"))
+    // exact fixed-point conditional probability; non-negative operands,
+    // so truncating and flooring integer division agree cross-engine
+    val qtab = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"), expr(s"(c2 * $LmScale) div c1").as("q"))
+    val scored = perDocBg.join(qtab, Seq("w1", "w2"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("qsum"))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("q") * col("tf")).as("qsum"))
     src.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(
         col(idCol),

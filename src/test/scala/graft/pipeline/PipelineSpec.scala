@@ -848,4 +848,24 @@ class PipelineSpec extends SparkTestBase {
     }
     assert(rows.map(_.toSeq).toSet == expected)
   }
+
+  test("lshRecall: one-row eval consistent with its two component queries") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val row = Ann.lshRecall(vecs).collect() match {
+      case Array(r) => r
+      case other => fail(s"expected 1 row, got ${other.length}")
+    }
+    val nQueries = row.getLong(0)
+    val nAnswered = row.getLong(1)
+    val nHits = row.getLong(2)
+    val recall = row.getDouble(3)
+    assert(nQueries == Ann.NumQueries.toLong)
+    assert(nAnswered <= nQueries && nHits <= nAnswered)
+    assert(recall == math.round(nHits.toDouble / Ann.NumQueries * 10000) / 10000.0)
+    // cross-check against the component queries composed by hand
+    val approx = Ann.lshTopK(vecs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Ann.cosineTopK(vecs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nAnswered == approx.size.toLong)
+    assert(nHits == approx.count(exact.contains).toLong)
+  }
 }
