@@ -163,7 +163,21 @@ object PlanAudit {
     println(s"AUDIT clusters_one_round stagesRun=${stages.get}")
 
     // round-9 additions
-    audit("text_lm_score",
+    spark.catalog.clearCache()
+    val lmStages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lmListener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        lmStages.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(lmListener)
+    graft.pipeline.TextPipeline.lmScore(docs, "doc_id", "text").count()
+    Thread.sleep(500)
+    spark.sparkContext.removeSparkListener(lmListener)
+    println(s"AUDIT text_lm_score stagesRun=${lmStages.get} " +
+      "(plan-string Exchange counts overcount the cached pre-agg subtree)")
+    audit("text_lm_score_plan",
       graft.pipeline.TextPipeline.lmScore(docs, "doc_id", "text"))
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
     audit("emb_centroid_outliers", graft.pipeline.Embeddings.centroidOutliers(embs))

@@ -387,9 +387,13 @@ object TextPipeline {
       .otherwise(transform(sequence(lit(1), size(ws) - 1), i =>
         struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
     val src = Dedup.balanced(df.select(col(idCol), col(textCol)))
+    // the pre-agg feeds c2, c1 AND the score join — persist so the
+    // corpus is tokenized and exploded once, not three times (same
+    // shared-scan cache contract as [[tfidfTopTerms]])
     val perDocBg = src.select(col(idCol), explode(pairs).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c2 = perDocBg.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
     val c1 = perDocBg.groupBy(col("w1")).agg(sum(col("tf")).as("c1"))
     // exact fixed-point conditional probability; non-negative operands,
