@@ -39,6 +39,10 @@ class DeterminismSpec extends SparkTestBase {
     "sketch_kmv_groups",    // per-group k-minima over distinct hashes
     "agg_q21_blame",        // Catalyst-decorrelated EXISTS/NOT EXISTS
     "dedup_source_overlap", // digest-keyed self-join + pair counts
+    "text_lm_score",        // fixed-point probability sums over a cached pre-agg
+    "emb_centroid_outliers",// exact-integer group centroids + dist² window
+    "ann_filtered_topk",    // scan-pushed predicate + broadcast-query top-k
+    "ann_lsh_recall",       // composed approx-vs-exact semi-join eval
   )
 
   private def canonical(name: String): String = {
