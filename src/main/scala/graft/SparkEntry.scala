@@ -86,6 +86,14 @@ object SparkEntry {
     * listed keep everything); shared with the oracle SQL. */
   val SampleRates: Seq[(String, Double)] = Seq("en" -> 0.5, "zh" -> 0.25, "fr" -> 0.1)
 
+  /** `sample_mix_budget` geometry: integer source weights (src2's zero
+    * exercises outright exclusion), default weight for unlisted sources,
+    * and the global token budget — sized so upweighted sources admit
+    * everything while default-weight sources genuinely truncate. */
+  val MixWeights: Seq[(String, Long)] = Seq("src0" -> 4L, "src1" -> 2L, "src2" -> 0L)
+  val MixDefaultWeight = 1L
+  val MixBudget = 40000L
+
   /** One day in epoch micros (the µs-truncated ts the query joins on). */
   val RangeJoinDayUs: Long = 86400L * 1000 * 1000
 
@@ -1536,6 +1544,12 @@ object SparkEntry {
     "sample_uniform_k" -> ((s, dir) =>
       graft.pipeline.Sampling.uniformPerStratum(table(s, dir, "documents"),
         "doc_id", "lang", 20)),
+    // token-budgeted mixture: integer-weighted per-source token budgets
+    // (src0 upweighted 4x, src1 2x, src2 excluded, rest 1x), admission
+    // in salted-hash order until each budget fills
+    "sample_mix_budget" -> ((s, dir) =>
+      graft.pipeline.Sampling.mixTokenBudget(table(s, dir, "documents"),
+        "doc_id", "source", "text", MixWeights, MixDefaultWeight, MixBudget)),
     "pack_sequences" -> ((s, dir) =>
       graft.pipeline.Packing.pack(table(s, dir, "documents"), "doc_id", "text")),
     "sample_stratified" -> ((s, dir) =>
@@ -2316,6 +2330,8 @@ object SparkEntry {
           |SELECT p.doc_id, p.pos, COALESCE(ids.token_id, 0) AS token_id
           |FROM p LEFT JOIN ids ON p.token = ids.token""".stripMargin),
     "sample_source_cap" -> graft.pipeline.Oracles.sampleSourceCap(10),
+    "sample_mix_budget" -> graft.pipeline.Oracles.sampleMixBudget(
+      MixWeights, MixDefaultWeight, MixBudget, graft.pipeline.Sampling.DefaultSalt),
     "sample_uniform_k" ->
       graft.pipeline.Oracles.sampleUniformK(20, graft.pipeline.Sampling.DefaultSalt),
     "pack_sequences" -> graft.pipeline.Oracles.packSequences(graft.pipeline.Packing.Capacity),

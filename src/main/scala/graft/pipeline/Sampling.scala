@@ -72,6 +72,61 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Token-budgeted mixture sampling (the data-mixture step of
+    * Dolma/DataComp-style recipes: "X% of the training tokens from each
+    * source"): integer source weights allocate a global token budget
+    * proportionally — budget_s = (budget · w_s) div W, all exact longs —
+    * and each source admits its documents in salted-hash order (the
+    * reproducible uniform shuffle of [[uniformPerStratum]]) until the
+    * budget is consumed. A document is admitted iff the tokens admitted
+    * BEFORE it are still under budget, so the straddling document lands
+    * (a source always contributes ≥ 1 document; the overshoot is one
+    * document — packing's "last window runs short" pragmatism). Emits
+    * the full decision table (per-doc token count, cumulative-before,
+    * budget, verdict), not just survivors — the audit artifact a mixture
+    * pipeline keeps.
+    *
+    * Scale shape: the weight/budget table is source-cardinality-sized
+    * (distinct + broadcast); the corpus pass is one window per source
+    * partition with a running long sum — one shuffle on the source key.
+    * Same mega-stratum caveat as [[capPerStratum]]; the two-phase
+    * [[graft.operators.PrefixSum]] is the remedy if one source dominates.
+    * Weights are INTEGERS so W sums exactly in any order (a float weight
+    * sum would be partial-aggregation-order dependent). */
+  def mixTokenBudget(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, weights: Seq[(String, Long)], defaultWeight: Long,
+      budget: Long, salt: String = DefaultSalt): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(defaultWeight >= 0 && weights.forall(_._2 >= 0), "negative weight")
+    val wexpr = weights.foldRight(lit(defaultWeight): Column) {
+      case ((s, w), els) => when(col(s"`$sourceCol`") === s, lit(w)).otherwise(els)
+    }
+    // W via an unpartitioned window over the SOURCE CENSUS — a
+    // source-cardinality frame (distinct output), never the corpus, so
+    // the single task holds rows = number of sources, not documents.
+    // (Names must differ by more than case: default case-insensitive
+    // resolution folds `__w`/`__W` into one column.)
+    val budgets = df.select(col(s"`$sourceCol`")).distinct()
+      .withColumn("__w", wexpr)
+      .withColumn("__wtot", sum(col("__w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("budget", expr(s"($budget * __w) div __wtot"))
+      .select(col(s"`$sourceCol`"), col("budget"))
+    val toks = df.select(
+      col(s"`$idCol`"), col(s"`$sourceCol`"),
+      size(TextPipeline.tokens(col(s"`$textCol`"))).cast("long").as("n_tokens"),
+      gateCol(idCol, salt).as("__gate"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"`$sourceCol`"))
+      .orderBy(col("__gate").asc, col(s"`$idCol`").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    toks.join(broadcast(budgets), sourceCol)
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("admitted", col("cum_before") < col("budget"))
+      .select(col(s"`$idCol`"), col(s"`$sourceCol`"), col("n_tokens"),
+        col("cum_before"), col("budget"), col("admitted"))
+  }
+
   /** Temperature-flattened corpus mixing (the multilingual-corpus
     * resampling of mBERT/XLM-R style pipelines at α = 0.5): keep each
     * stratum with rate √(n_min / n_s), so a stratum's expected surviving

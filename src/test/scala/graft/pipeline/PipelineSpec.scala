@@ -868,4 +868,35 @@ class PipelineSpec extends SparkTestBase {
     assert(nAnswered == approx.size.toLong)
     assert(nHits == approx.count(exact.contains).toLong)
   }
+
+  test("mixTokenBudget: proportional integer budgets, straddling doc admitted, zero weight excludes") {
+    // sA: 3 docs x 4 tokens; sB: 2 docs x 4 tokens; weights A=3, B=0,
+    // default 1 (unused), budget 16 -> W=3, A budget=(16*3) div 3=16? no:
+    // sources present: A(3), B(0) -> W=3; A: 16, B: 0
+    val docs = Seq(
+      (1L, "a b c d", "sA"), (2L, "e f g h", "sA"), (3L, "i j k l", "sA"),
+      (4L, "m n o p", "sB"), (5L, "q r s t", "sB"),
+    ).toDF("doc_id", "text", "source")
+    val out = Sampling.mixTokenBudget(docs, "doc_id", "source", "text",
+      Seq("sA" -> 3L, "sB" -> 0L), 1L, 16L).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    // every sB doc rejected outright (budget 0)
+    assert(Seq(4L, 5L).forall(id => out(id)._4 == 0L && !out(id)._5))
+    // sA budget 16 >= 12 total tokens: all three admitted
+    assert(Seq(1L, 2L, 3L).forall(id => out(id)._4 == 16L && out(id)._5))
+    // tighter budget: 5 tokens -> first doc (hash order) admitted at
+    // cum_before=0 (straddling), second at cum_before=4 admitted
+    // (4 < 5, straddles), third at cum_before=8 rejected
+    val tight = Sampling.mixTokenBudget(docs, "doc_id", "source", "text",
+      Seq("sA" -> 1L, "sB" -> 0L), 1L, 5L).collect()
+      .filter(_.getString(1) == "sA")
+      .map(r => (r.getLong(3), r.getBoolean(5))).sortBy(_._1)
+    assert(tight.map(_._1).toSeq == Seq(0L, 4L, 8L))
+    assert(tight.map(_._2).toSeq == Seq(true, true, false))
+    // deterministic admission order across runs (salted hash, no rand())
+    val again = Sampling.mixTokenBudget(docs, "doc_id", "source", "text",
+      Seq("sA" -> 3L, "sB" -> 0L), 1L, 16L).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(out == again)
+  }
 }
