@@ -663,6 +663,42 @@ object SparkEntry {
         case other => throw new IllegalArgumentException(s"unexpected: $other")
       }
     }),
+    // Storage maintenance end-to-end: a write-through session builds
+    // mutation history (every transition = a snapshot + new relation
+    // versions on disk), then an OFFLINE prune retires all history but
+    // the live tips and gc deletes the orphaned objects (grace 0 on the
+    // quiesced store) — and a fresh session must still restore and
+    // mutate. Pins the collector's one inviolable contract: gc can eat
+    // only what no manifest references, never live state. The prune must
+    // actually DELETE something (asserted), so the surviving restore is
+    // load-bearing evidence, not a no-op pass.
+    "persist_gc" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-gc").toString
+      val cat = new ParquetCatalog(s, dir)
+      def run(session: graft.server.EngineSession, stmt: String): Unit =
+        session.execute(stmt)
+          .fold(e => throw new IllegalArgumentException(s"$stmt -> $e"), _ => ())
+      val s1 = new graft.server.EngineSession(s, Some(cat), Some(root))
+      Seq(
+        "(CreateDatabase g)",
+        "(CreateRelation (name kv) (schema ((k integer) (v string))))",
+        "(InsertFrom (target kv) (source (Rename ((r_regionkey k) (r_name v)) (Base region))))",
+        // three more transitions: each retires a snapshot into history
+        "(InsertTuple (relation kv) (attributes ((k (Int 100)) (v (Str STEP1)))))",
+        "(DeleteWhere (target kv) (predicate (Const ((k (Int 100))))))",
+        "(InsertTuple (relation kv) (attributes ((k (Int 200)) (v (Str STEP3)))))",
+      ).foreach(run(s1, _))
+      val deleted = graft.engine.Persist.prune(s, root, graceMs = 0L)
+        .fold(e => throw new IllegalStateException(s"prune failed: $e"), identity)
+      if (deleted.isEmpty)
+        throw new IllegalStateException("prune deleted nothing — the gc path was not exercised")
+      val s2 = new graft.server.EngineSession(s, Some(cat), Some(root))
+      run(s2, "(InsertTuple (relation kv) (attributes ((k (Int 300)) (v (Str AFTER_GC)))))")
+      s2.execute("(drl (Base kv))") match {
+        case Right(graft.server.QueryResult(df)) => df
+        case other => throw new IllegalArgumentException(s"unexpected: $other")
+      }
+    }),
     // Whole-process shared head over the wire (the reference holds ONE
     // process-global Atomic head across all connections and CASes it per
     // mutation, lib/listener.ml:53-59,174-181): two SEPARATE sockets
@@ -1886,6 +1922,12 @@ object SparkEntry {
     "persist_restart" ->
       ("SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS v FROM region WHERE r_regionkey <> 0 " +
         "UNION ALL SELECT 600, 'BEFORE_RESTART' UNION ALL SELECT 700, 'AFTER_RESTART'"),
+    // history pruned, live state intact: region rows + the surviving
+    // step-3 insert + the post-gc insert (step-1's insert/delete pair
+    // nets out; its snapshots are the pruned garbage)
+    "persist_gc" ->
+      ("SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS v FROM region " +
+        "UNION ALL SELECT 200, 'STEP3' UNION ALL SELECT 300, 'AFTER_GC'"),
     // one shared head across two sockets: region minus B's delete, plus
     // both connections' inserts
     "tcp_shared_head" ->
