@@ -94,6 +94,10 @@ object SparkEntry {
   val MixDefaultWeight = 1L
   val MixBudget = 40000L
 
+  /** `pipeline_curate_lm` quality floor: the sf0.01 corpus median LM
+    * score, so the gate keeps roughly half the docs. */
+  val LmScoreMin = 0.0345
+
   /** One day in epoch micros (the µs-truncated ts the query joins on). */
   val RangeJoinDayUs: Long = 86400L * 1000 * 1000
 
@@ -1508,6 +1512,23 @@ object SparkEntry {
         d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
         "doc_id", "text")
     }),
+    // second curation composition, through the round-9 operators: LM
+    // quality gate (corpus-bigram mean transition probability ≥ the
+    // median) → token-budgeted source mixture over the survivors — the
+    // census, weight total, and budgets all derive from the GATED set,
+    // verified as ONE oracle query
+    "pipeline_curate_lm" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val lm = graft.pipeline.TextPipeline.lmScore(docs, "doc_id", "text")
+        .filter(col("lm_score") >= LmScoreMin)
+        .select(col("doc_id"), col("lm_score"))
+      val kept = docs.join(lm, "doc_id")
+      graft.pipeline.Sampling.mixTokenBudget(kept, "doc_id", "source", "text",
+          MixWeights, MixDefaultWeight, MixBudget)
+        .filter(col("admitted"))
+        .join(lm, "doc_id")
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("lm_score"))
+    }),
     // end-to-end curation: quality gate → near-dup cluster dedup (keep
     // each cluster's representative) → concat-and-chunk packing — the
     // composed training-data pipeline, verified as ONE oracle query
@@ -2360,6 +2381,9 @@ object SparkEntry {
     "text_contamination" -> graft.pipeline.Oracles.textContamination(2),
     "pipeline_curate" ->
       graft.pipeline.Oracles.pipelineCurate(CurateMinScore, graft.pipeline.Packing.Capacity),
+    "pipeline_curate_lm" -> graft.pipeline.Oracles.pipelineCurateLm(
+      LmScoreMin, MixWeights, MixDefaultWeight, MixBudget,
+      graft.pipeline.Sampling.DefaultSalt),
     "text_vocab" -> graft.pipeline.Oracles.textVocab(100),
     "text_lm_score" -> graft.pipeline.Oracles.textLmScore(),
     "text_bpe_pairs" -> graft.pipeline.Oracles.bpePairs(100),
