@@ -183,6 +183,9 @@ object PlanAudit {
     audit("emb_centroid_outliers", graft.pipeline.Embeddings.centroidOutliers(embs))
     audit("ann_filtered_topk", graft.pipeline.Ann.filteredCosineTopK(
       embs, col("label") === graft.pipeline.Ann.FilterLabel))
+    audit("sample_mix_budget", graft.pipeline.Sampling.mixTokenBudget(
+      docs, "doc_id", "source", "text", SparkEntry.MixWeights,
+      SparkEntry.MixDefaultWeight, SparkEntry.MixBudget))
     spark.stop()
   }
 }
