@@ -98,6 +98,11 @@ object Sampling {
       budget: Long, salt: String = DefaultSalt): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(defaultWeight >= 0 && weights.forall(_._2 >= 0), "negative weight")
+    // W = 0 divides by zero (null budgets in Spark, an ERROR in the
+    // oracle engine): with a positive default every census row weighs
+    // ≥ 1; an all-zero config is rejected here rather than diverging
+    require(defaultWeight > 0 || weights.exists(_._2 > 0),
+      "all weights zero: the weight total must be positive")
     val wexpr = weights.foldRight(lit(defaultWeight): Column) {
       case ((s, w), els) => when(col(s"`$sourceCol`") === s, lit(w)).otherwise(els)
     }

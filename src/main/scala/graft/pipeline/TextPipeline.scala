@@ -379,7 +379,12 @@ object TextPipeline {
     * bigrams) carry per-doc-distinct rows, not per-occurrence rows.
     * Per-document reduce sums exact longs. Documents under 2 tokens
     * surface with n_bigrams = 0 and a NULL score (x/0 parity with the
-    * oracle). */
+    * oracle).
+    *
+    * Integer-range bound: c2 · LmScale must stay under 2⁶³ — valid
+    * while no single bigram exceeds ~9.2·10¹² occurrences (a ~2·10¹³-
+    * token corpus's hottest bigram sits orders of magnitude below);
+    * beyond that, pre-scale the counts. */
   def lmScore(df: DataFrame, idCol: String, textCol: String,
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val ws = tokens(col(textCol), tokenizer)
