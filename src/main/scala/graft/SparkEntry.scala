@@ -1063,6 +1063,17 @@ object SparkEntry {
       graft.operators.Triangles.count(
         graft.operators.Triangles.canonicalEdges(pairs, "s1", "s2"))
     }),
+    // common-neighbor link prediction over the same co-purchase graph:
+    // top-20 NON-adjacent part pairs by shared-neighbor count
+    "graph_common_neighbors" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val l1 = lp.select(col("ok"), col("p").as("s1"))
+      val l2 = lp.select(col("ok").as("ok2"), col("p").as("s2"))
+      val pairs = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
+      graft.operators.Triangles.commonNeighbors(
+        graft.operators.Triangles.canonicalEdges(pairs, "s1", "s2"), topK = 20)
+    }),
     // deterministic integer fixed-point PageRank over the same part
     // co-order graph: fixed rounds, damping 85/100, scale 10^9 — the
     // arithmetic is integer end-to-end, so the oracle replays the exact
@@ -1548,6 +1559,10 @@ object SparkEntry {
     // fixed-point rational variant): mean transition probability per doc
     "text_lm_score" -> ((s, dir) =>
       graft.pipeline.TextPipeline.lmScore(table(s, dir, "documents"), "doc_id", "text")),
+    // windowed co-occurrence top-100 (word2vec/GloVe prep): log-free
+    // PMI fraction rides along per pair
+    "text_cooccurrence" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.cooccurrence(table(s, dir, "documents"), "doc_id", "text")),
     // one BPE merge round: adjacent-token-pair frequencies, top-100
     "text_bpe_pairs" -> ((s, dir) =>
       graft.pipeline.TextPipeline.bpePairs(table(s, dir, "documents"), "doc_id", "text")),
@@ -2126,6 +2141,17 @@ object SparkEntry {
          |t AS (SELECT count(*) AS n_triangles FROM e e1
          |      JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
          |SELECT n_nodes, n_edges, n_triangles FROM n, ne, t""".stripMargin),
+    // same co-purchase edge CTEs; every wedge via the symmetric
+    // adjacency, already-linked pairs anti-joined out
+    "graph_common_neighbors" ->
+      ("""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+         |sym AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e),
+         |w AS (SELECT s1.u AS a, s2.u AS b FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u),
+         |c AS (SELECT a, b, count(*) AS common FROM w GROUP BY 1, 2),
+         |nc AS (SELECT c.a, c.b, c.common FROM c LEFT JOIN e ON c.a = e.a AND c.b = e.b
+         |       WHERE e.a IS NULL)
+         |SELECT a, b, common FROM nc ORDER BY common DESC, a, b LIMIT 20""".stripMargin),
     "graph_pagerank" -> {
       def round(prev: String): String =
         s"""SELECT d.dst AS v, CAST($PageRankBase + (85 * sum($prev.r // deg.od)) // 100 AS BIGINT) AS r
@@ -2386,6 +2412,7 @@ object SparkEntry {
       graft.pipeline.Sampling.DefaultSalt),
     "text_vocab" -> graft.pipeline.Oracles.textVocab(100),
     "text_lm_score" -> graft.pipeline.Oracles.textLmScore(),
+    "text_cooccurrence" -> graft.pipeline.Oracles.textCooccurrence(window = 4, topK = 100),
     "text_bpe_pairs" -> graft.pipeline.Oracles.bpePairs(100),
     "text_token_ids" ->
       (s"""WITH v AS (${graft.pipeline.Oracles.textVocab(100)}),

@@ -91,4 +91,48 @@ object Triangles {
     edges0.sparkSession.createDataFrame(
       edges0.sparkSession.sparkContext.parallelize(rows, 1), out.schema)
   }
+
+  /** Common-neighbor link prediction over a canonical edge set: the
+    * top-`topK` NON-adjacent pairs by shared-neighbor count (count desc,
+    * then (a, b) — a total order, so the whole result hash-checks).
+    * The classic first-order recommender / missing-link score.
+    *
+    * Scale shape: unlike the triangle count, every wedge must be
+    * enumerated regardless of orientation (each shared neighbor IS one
+    * wedge at its center), so wedge volume is Σ C(deg, 2) — quadratic in
+    * hub degree. `maxDegree` is the standard guard: centers above the
+    * cap drop WHOLE (hub-mediated common neighbors carry ~no signal
+    * and all the cost — the [[graft.pipeline.Fuzzy]] oversized-block
+    * contract). None = exact, the oracle-checked default at testdata
+    * scale. The pair count aggregation is map-side combinable; the
+    * already-linked filter is a LEFT ANTI on the canonical pair; top-k
+    * is TakeOrderedAndProject, never a global sort. */
+  def commonNeighbors(edges0: DataFrame, topK: Int,
+      maxDegree: Option[Long] = None): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val edges = edges0.select(col("a"), col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = edges.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("u")))
+    val centers = maxDegree match {
+      case None => sym
+      case Some(cap) =>
+        val keep = sym.groupBy(col("v")).agg(F.count(lit(1)).as("__d"))
+          .filter(col("__d") <= cap).select(col("v"))
+        sym.join(keep.hint("broadcast"), Seq("v"), "left_semi")
+    }
+    // each unordered pair once per shared center (x < y)
+    val w1 = centers.select(col("v"), col("u").as("x"))
+    val w2 = centers.select(col("v").as("v2"), col("u").as("y"))
+    val counts = w1.join(w2.hint("shuffle_hash"),
+        col("v") === col("v2") && col("x") < col("y"))
+      .groupBy(col("x").as("a"), col("y").as("b"))
+      .agg(F.count(lit(1)).as("common"))
+    val nonAdjacent = counts.join(edges, Seq("a", "b"), "left_anti")
+    val out = nonAdjacent.orderBy(col("common").desc, col("a"), col("b")).limit(topK)
+    val rows = out.collect().toSeq
+    edges.unpersist()
+    edges0.sparkSession.createDataFrame(
+      edges0.sparkSession.sparkContext.parallelize(rows, 1), out.schema)
+  }
 }

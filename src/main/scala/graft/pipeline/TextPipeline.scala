@@ -415,6 +415,57 @@ object TextPipeline {
         round(col("qsum").cast("double") / (col("n_bigrams") * LmScale), 4).as("lm_score"))
   }
 
+  /** Windowed co-occurrence counts — the corpus statistic behind
+    * word2vec/GloVe-style embedding training and PMI collocation
+    * mining: for every token position, pair it with the next `window`
+    * tokens, count each unordered pair corpus-wide, and surface the
+    * top-`topK` with unigram counts and an affinity ratio.
+    *
+    * `affinity` = (n_pairs · N) / (c1 · c2) — the PMI fraction without
+    * the log (banned by this file's determinism contract; the ratio is
+    * order-equivalent). Evaluated as two double products and one
+    * division — deterministic IEEE in both engines, no accumulation.
+    *
+    * Scale shape: pair generation is a scan-side nested-sequence
+    * explode (bounded by n·window per doc, no shuffle); the pair count
+    * is ONE map-side-combinable aggregation keyed on the pair (Zipf-hot
+    * pairs collapse in the combiner); unigram counts and the corpus
+    * total are vocab-sized / 1-row broadcasts; top-k is per-partition
+    * heaps. */
+  def cooccurrence(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, topK: Int = 100,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val ws = tokens(col(textCol), tokenizer)
+    // i runs to size-1, j over (i, min(i+window, size)] — both sequences
+    // are always ascending and non-empty by construction (a descending
+    // Spark sequence() would silently reverse, never happen here)
+    val pairs = when(size(ws) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(flatten(transform(sequence(lit(1), size(ws) - 1), i =>
+        transform(sequence(i + 1, least(i + window, size(ws))), j => {
+          val a = element_at(ws, i)
+          val b = element_at(ws, j)
+          when(a <= b, struct(a.as("w1"), b.as("w2")))
+            .otherwise(struct(b.as("w1"), a.as("w2")))
+        }))))
+    val src = Dedup.balanced(df.select(col(idCol), col(textCol)))
+    val pc = src.select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pairs"))
+    val uni = src.select(explode(tokens(col(textCol), tokenizer)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = src.select(sum(size(tokens(col(textCol), tokenizer))).cast("long").as("__n"))
+    pc.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("n_pairs"), col("c1"), col("c2"),
+        round((col("n_pairs").cast("double") * col("__n")) /
+          (col("c1").cast("double") * col("c2")), 4).as("affinity"))
+      .orderBy(col("n_pairs").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Document fingerprinting: full-content md5 over the normalized text
     * (lowercase, whitespace collapsed) plus a winnowing-style min-shingle
     * hash — the rolling-hash minimum used by near-dup sketchers. */

@@ -899,4 +899,39 @@ class PipelineSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
     assert(out == again)
   }
+
+  test("cooccurrence: windowed pairs, lexical normalization, log-free PMI fraction") {
+    // doc: "b a b" window 2 -> positional pairs (b,a),(b,b),(a,b)
+    // normalized: (a,b) x2, (b,b) x1 ; unigrams a=1, b=2, N=3
+    val tiny = Seq((1L, "b a b")).toDF("doc_id", "text")
+    val out = TextPipeline.cooccurrence(tiny, "doc_id", "text", window = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out(("a", "b")) == ((2L, 1L, 2L, 3.0)))  // 2*3/(1*2)
+    assert(out(("b", "b")) == ((1L, 2L, 2L, 0.75))) // 1*3/(2*2)
+    assert(out.size == 2)
+    // window 1 sees only adjacent pairs: (b,a),(a,b) -> (a,b) x2
+    val w1 = TextPipeline.cooccurrence(tiny, "doc_id", "text", window = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(w1 == Map(("a", "b") -> 2L))
+  }
+
+  test("commonNeighbors: non-adjacent pairs ranked by shared neighbors; hub cap drops centers") {
+    import graft.operators.Triangles
+    // star center 9 over {1,2,3} plus edge 1-2: pairs (1,3),(2,3) share
+    // only 9; (1,2) is adjacent -> excluded despite sharing 9
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L), (1L, 2L)).toDF("x", "y")
+    val canon = Triangles.canonicalEdges(edges, "x", "y")
+    val out = Triangles.commonNeighbors(canon, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // adjacency {1-9, 2-9, 3-9, 1-2}: (1,3) and (2,3) share center 9 and
+    // are non-adjacent; every other sharing pair ((1,2), (1,9), (2,9))
+    // is an existing edge and must be anti-joined out
+    assert(out == Map((1L, 3L) -> 1L, (2L, 3L) -> 1L))
+    // capping degree at 2 drops center 9 (degree 3): no wedges survive
+    // except via centers 1 and 2, whose pairs are all adjacent
+    val capped = Triangles.commonNeighbors(canon, topK = 10, maxDegree = Some(2L))
+      .collect()
+    assert(capped.isEmpty)
+  }
 }
