@@ -186,6 +186,8 @@ object PlanAudit {
     audit("sample_mix_budget", graft.pipeline.Sampling.mixTokenBudget(
       docs, "doc_id", "source", "text", SparkEntry.MixWeights,
       SparkEntry.MixDefaultWeight, SparkEntry.MixBudget))
+    audit("text_cooccurrence",
+      graft.pipeline.TextPipeline.cooccurrence(docs, "doc_id", "text"))
     spark.stop()
   }
 }

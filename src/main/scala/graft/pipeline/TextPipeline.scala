@@ -437,7 +437,13 @@ object TextPipeline {
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(topK > 0, s"topK must be positive, got $topK")
-    val ws = tokens(col(textCol), tokenizer)
+    // tokenize ONCE and share the token-array frame across all three
+    // consumers (pair counts, unigram counts, N) — the tfidf shared-scan
+    // move; without it the corpus is scanned and tokenized three times
+    val toksF = Dedup.balanced(df.select(col(idCol), col(textCol)))
+      .select(tokens(col(textCol), tokenizer).as("__ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ws = col("__ws")
     // i runs to size-1, j over (i, min(i+window, size)] — both sequences
     // are always ascending and non-empty by construction (a descending
     // Spark sequence() would silently reverse, never happen here)
@@ -449,13 +455,12 @@ object TextPipeline {
           when(a <= b, struct(a.as("w1"), b.as("w2")))
             .otherwise(struct(b.as("w1"), a.as("w2")))
         }))))
-    val src = Dedup.balanced(df.select(col(idCol), col(textCol)))
-    val pc = src.select(explode(pairs).as("p"))
+    val pc = toksF.select(explode(pairs).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pairs"))
-    val uni = src.select(explode(tokens(col(textCol), tokenizer)).as("w"))
+    val uni = toksF.select(explode(ws).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val n = src.select(sum(size(tokens(col(textCol), tokenizer))).cast("long").as("__n"))
+    val n = toksF.select(sum(size(ws)).cast("long").as("__n"))
     pc.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
       .crossJoin(broadcast(n))
