@@ -1742,6 +1742,9 @@ object SparkEntry {
     // an approximate path
     "ann_lsh_recall" -> ((s, dir) =>
       graft.pipeline.Ann.lshRecall(table(s, dir, "embeddings"))),
+    // the same harness over the composed IVF x PQ production path
+    "ann_ivfpq_recall" -> ((s, dir) =>
+      graft.pipeline.Ann.ivfPqRecall(table(s, dir, "embeddings"))),
     // filtered vector search: exact top-k over the label=3 corpus slice,
     // predicate pushed into the scan (pre-filter, never post-filter)
     "ann_filtered_topk" -> ((s, dir) =>
@@ -2558,6 +2561,7 @@ object SparkEntry {
     "ann_filtered_topk" ->
       graft.pipeline.Oracles.annFilteredTopK(graft.pipeline.Ann.FilterLabel),
     "ann_lsh_recall" -> graft.pipeline.Oracles.annLshRecall,
+    "ann_ivfpq_recall" -> graft.pipeline.Oracles.annIvfPqRecall,
     "emb_centroid_outliers" -> graft.pipeline.Oracles.embCentroidOutliers(
       graft.pipeline.Embeddings.OutlierTopK),
     "dedup_embedding_pairs" -> graft.pipeline.Oracles.dedupEmbeddingPairs,

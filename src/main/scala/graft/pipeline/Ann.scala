@@ -419,9 +419,24 @@ object Ann {
     * evaluation cost is dominated by the exact baseline, which is the
     * point of sampling numQueries queries rather than all of them. */
   def lshRecall(embeddings: DataFrame, planes: Int = Planes,
-      k: Int = TopK, numQueries: Int = NumQueries): DataFrame = {
-    val approx = lshTopK(embeddings, planes, numQueries)
-      .select(col("query_id"), col("vec_id"))
+      k: Int = TopK, numQueries: Int = NumQueries): DataFrame =
+    recallAgainstExact(embeddings,
+      lshTopK(embeddings, planes, numQueries), k, numQueries)
+
+  /** The same recall harness over the composed IVF×PQ production path:
+    * how often does the cell-restricted ADC winner land in the exact
+    * top-k? The eval run that justifies (or vetoes) shipping the
+    * approximate index. */
+  def ivfPqRecall(embeddings: DataFrame, k: Int = TopK,
+      numQueries: Int = NumQueries): DataFrame =
+    recallAgainstExact(embeddings, ivfPqTopK(embeddings), k, numQueries)
+
+  /** Shared recall evaluator: any approximate (query_id, vec_id) answer
+    * set scored against the exact cosine top-k (see [[lshRecall]] for
+    * the contract — no-answers count as misses). */
+  private def recallAgainstExact(embeddings: DataFrame, approxAnswers: DataFrame,
+      k: Int, numQueries: Int): DataFrame = {
+    val approx = approxAnswers.select(col("query_id"), col("vec_id"))
     val exact = cosineTopK(embeddings, k, numQueries)
       .select(col("query_id"), col("vec_id"))
     val hits = approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
