@@ -2150,11 +2150,15 @@ object SparkEntry {
       ("""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
          |e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
          |sym AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e),
-         |w AS (SELECT s1.u AS a, s2.u AS b FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u),
-         |c AS (SELECT a, b, count(*) AS common FROM w GROUP BY 1, 2),
-         |nc AS (SELECT c.a, c.b, c.common FROM c LEFT JOIN e ON c.a = e.a AND c.b = e.b
+         |deg AS (SELECT v, count(*) AS d FROM sym GROUP BY 1),
+         |w AS (SELECT s1.u AS a, s2.u AS b, (1000000 // deg.d) AS ra
+         |      FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+         |      JOIN deg ON deg.v = s1.v),
+         |c AS (SELECT a, b, count(*) AS common, sum(ra)::BIGINT AS ra_score FROM w GROUP BY 1, 2),
+         |nc AS (SELECT c.a, c.b, c.common, c.ra_score FROM c LEFT JOIN e ON c.a = e.a AND c.b = e.b
          |       WHERE e.a IS NULL)
-         |SELECT a, b, common FROM nc ORDER BY common DESC, a, b LIMIT 20""".stripMargin),
+         |SELECT a, b, common, ra_score FROM nc
+         |ORDER BY common DESC, ra_score DESC, a, b LIMIT 20""".stripMargin),
     "graph_pagerank" -> {
       def round(prev: String): String =
         s"""SELECT d.dst AS v, CAST($PageRankBase + (85 * sum($prev.r // deg.od)) // 100 AS BIGINT) AS r

@@ -107,6 +107,14 @@ object Triangles {
     * scale. The pair count aggregation is map-side combinable; the
     * already-linked filter is a LEFT ANTI on the canonical pair; top-k
     * is TakeOrderedAndProject, never a global sort. */
+  /** Fixed-point scale for the Resource-Allocation score: each shared
+    * neighbor v contributes RaScale div deg(v) — exact longs, so the
+    * per-pair sum is order-independent and the score hash-checks (the
+    * float 1/deg sum of the textbook formula would not; the PageRank
+    * move again). Adamic–Adar's 1/log(deg) is banned by the determinism
+    * contract; RA discounts hubs harder anyway (Zhou et al. '09). */
+  val RaScale = 1000000L
+
   def commonNeighbors(edges0: DataFrame, topK: Int,
       maxDegree: Option[Long] = None): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
@@ -114,22 +122,25 @@ object Triangles {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sym = edges.select(col("a").as("v"), col("b").as("u"))
       .unionAll(edges.select(col("b").as("v"), col("a").as("u")))
+    val deg = sym.groupBy(col("v")).agg(F.count(lit(1)).as("__d"))
+    val centers0 = sym.join(deg.hint("broadcast"), Seq("v"))
     val centers = maxDegree match {
-      case None => sym
-      case Some(cap) =>
-        val keep = sym.groupBy(col("v")).agg(F.count(lit(1)).as("__d"))
-          .filter(col("__d") <= cap).select(col("v"))
-        sym.join(keep.hint("broadcast"), Seq("v"), "left_semi")
+      case None => centers0
+      case Some(cap) => centers0.filter(col("__d") <= cap)
     }
-    // each unordered pair once per shared center (x < y)
-    val w1 = centers.select(col("v"), col("u").as("x"))
+    // each unordered pair once per shared center (x < y); the center's
+    // hub discount rides along as an exact fixed-point long
+    val w1 = centers.select(col("v"), col("u").as("x"),
+      expr(s"$RaScale div __d").as("__ra"))
     val w2 = centers.select(col("v").as("v2"), col("u").as("y"))
     val counts = w1.join(w2.hint("shuffle_hash"),
         col("v") === col("v2") && col("x") < col("y"))
       .groupBy(col("x").as("a"), col("y").as("b"))
-      .agg(F.count(lit(1)).as("common"))
+      .agg(F.count(lit(1)).as("common"), F.sum(col("__ra")).as("ra_score"))
     val nonAdjacent = counts.join(edges, Seq("a", "b"), "left_anti")
-    val out = nonAdjacent.orderBy(col("common").desc, col("a"), col("b")).limit(topK)
+    val out = nonAdjacent
+      .orderBy(col("common").desc, col("ra_score").desc, col("a"), col("b"))
+      .limit(topK)
     val rows = out.collect().toSeq
     edges.unpersist()
     edges0.sparkSession.createDataFrame(
