@@ -1140,6 +1140,23 @@ object SparkEntry {
         nm => split(nm, " ").getItem(1), maxDist = FuzzyMaxDist,
         maxBlock = FuzzyMaxBlock)
         .select(col("left").as("name_a"), col("right").as("name_b"), col("dist"))),
+    // entity RESOLUTION end-to-end (the step after pair finding): fuzzy
+    // match pairs become edges, connected components merge transitive
+    // matches ("acme corp" ~ "acme co" ~ "acme inc" = one entity), each
+    // multi-record entity surfaces under its min-name canonical id —
+    // the composed record-linkage pipeline as ONE oracle query
+    "er_entities" -> ((s, dir) => {
+      val pairs = graft.pipeline.Fuzzy.blockedPairs(
+          table(s, dir, "part"), "p_name",
+          nm => split(nm, " ").getItem(1), maxDist = FuzzyMaxDist,
+          maxBlock = FuzzyMaxBlock)
+        .select(col("left").as("doc_a"), col("right").as("doc_b"))
+      val names = table(s, dir, "part").select(col("p_name").as("name")).distinct()
+      graft.pipeline.Dedup.clustersFromPairs(names, pairs, "name")
+        .groupBy(col("cluster_id").as("canonical"))
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") > 1)
+    }),
     // big spenders FULL OUTER active users — the reconcile shape (ledger
     // vs telemetry) where either side may be missing; both aggregates
     // shuffle once on their key, the outer join on the shared id
@@ -2220,6 +2237,24 @@ object SparkEntry {
          |SELECT a.s AS name_a, b.s AS name_b, CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
          |FROM blk a JOIN blk b ON a.k = b.k AND a.s < b.s
          |WHERE levenshtein(a.s, b.s) <= $FuzzyMaxDist""".stripMargin,
+    // transitive closure over the fuzzy-pair edges, min-name canonical
+    "er_entities" ->
+      s"""WITH RECURSIVE n AS (SELECT DISTINCT p_name AS s,
+         |         CASE WHEN p_name LIKE '% %' THEN split_part(p_name, ' ', 2) END AS k
+         |       FROM part),
+         |f AS (SELECT s, k FROM n WHERE k IS NOT NULL),
+         |keep AS (SELECT k FROM f GROUP BY k HAVING count(*) <= $FuzzyMaxBlock),
+         |blk AS (SELECT f.s, f.k FROM f JOIN keep USING (k)),
+         |p AS (SELECT a.s AS da, b.s AS db FROM blk a JOIN blk b ON a.k = b.k AND a.s < b.s
+         |      WHERE levenshtein(a.s, b.s) <= $FuzzyMaxDist),
+         |e AS (SELECT da AS src, db AS dst FROM p UNION ALL SELECT db, da FROM p),
+         |an AS (SELECT DISTINCT p_name AS s FROM part),
+         |reach AS (SELECT s AS id, s AS rid FROM an
+         |          UNION
+         |          SELECT r.id, e.dst AS rid FROM reach r JOIN e ON e.src = r.rid),
+         |clus AS (SELECT id, min(rid) AS cluster_id FROM reach GROUP BY id)
+         |SELECT cluster_id AS canonical, count(*) AS n_members FROM clus
+         |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "join_full_outer" ->
       s"""WITH s AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
          |      FROM orders GROUP BY 1
