@@ -43,6 +43,11 @@ class DeterminismSpec extends SparkTestBase {
     "emb_centroid_outliers",// exact-integer group centroids + dist² window
     "ann_filtered_topk",    // scan-pushed predicate + broadcast-query top-k
     "ann_lsh_recall",       // composed approx-vs-exact semi-join eval
+    "text_cooccurrence",    // shared-scan pair/unigram counts + double ratio
+    "graph_common_neighbors",// wedge self-join + fixed-point RA discount
+    "sample_mix_budget",    // census-window budgets + running admission sum
+    "pipeline_curate_lm",   // LM gate composed with budget admission
+    "er_entities",          // fuzzy edges -> components -> canonical agg
   )
 
   private def canonical(name: String): String = {
