@@ -98,6 +98,12 @@ object SparkEntry {
     * score, so the gate keeps roughly half the docs. */
   val LmScoreMin = 0.0345
 
+  /** `graph_common_neighbors` edge-evidence floor: a co-purchase edge
+    * needs this many shared orders (support threshold — see the query's
+    * comment; 1-incidental-order edges make the graph uniformly dense
+    * and the wedge volume quadratic for no signal). */
+  val CoPurchaseMinSupport = 2L
+
   /** One day in epoch micros (the µs-truncated ts the query joins on). */
   val RangeJoinDayUs: Long = 86400L * 1000 * 1000
 
@@ -1063,16 +1069,25 @@ object SparkEntry {
       graft.operators.Triangles.count(
         graft.operators.Triangles.canonicalEdges(pairs, "s1", "s2"))
     }),
-    // common-neighbor link prediction over the same co-purchase graph:
-    // top-20 NON-adjacent part pairs by shared-neighbor count
+    // common-neighbor link prediction over the EVIDENCE-THRESHOLDED
+    // co-purchase graph: an edge needs >= CoPurchaseMinSupport shared
+    // orders (the basket_frequent_pairs support philosophy). The raw
+    // 1-incidental-order graph is uniformly dense (sf0.1: avg degree
+    // 120, 148M wedges — and wedge volume is the STATISTIC's cost, no
+    // orientation trick applies); thresholding is how production
+    // co-purchase graphs are built, and keeps wedge volume proportional
+    // to genuine repeat behavior at any corpus size
     "graph_common_neighbors" -> ((s, dir) => {
       val lp = table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
       val l1 = lp.select(col("ok"), col("p").as("s1"))
       val l2 = lp.select(col("ok").as("ok2"), col("p").as("s2"))
-      val pairs = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
-      graft.operators.Triangles.commonNeighbors(
-        graft.operators.Triangles.canonicalEdges(pairs, "s1", "s2"), topK = 20)
+      val edges = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
+        .groupBy(col("s1").as("a"), col("s2").as("b"))
+        .agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") >= CoPurchaseMinSupport)
+        .select(col("a"), col("b"))
+      graft.operators.Triangles.commonNeighbors(edges, topK = 20)
     }),
     // deterministic integer fixed-point PageRank over the same part
     // co-order graph: fixed rounds, damping 85/100, scale 10^9 — the
@@ -2161,11 +2176,12 @@ object SparkEntry {
          |t AS (SELECT count(*) AS n_triangles FROM e e1
          |      JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
          |SELECT n_nodes, n_edges, n_triangles FROM n, ne, t""".stripMargin),
-    // same co-purchase edge CTEs; every wedge via the symmetric
+    // evidence-thresholded edges; every wedge via the symmetric
     // adjacency, already-linked pairs anti-joined out
     "graph_common_neighbors" ->
-      ("""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
-         |e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+      (s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e AS (SELECT a.p AS a, b.p AS b FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+         |      GROUP BY 1, 2 HAVING count(*) >= $CoPurchaseMinSupport),
          |sym AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e),
          |deg AS (SELECT v, count(*) AS d FROM sym GROUP BY 1),
          |w AS (SELECT s1.u AS a, s2.u AS b, (1000000 // deg.d) AS ra
