@@ -1543,6 +1543,16 @@ object SparkEntry {
         graft.pipeline.TextPipeline.Tokenizer.UnicodeWords)),
     "text_quality" -> ((s, dir) =>
       graft.pipeline.TextPipeline.quality(table(s, dir, "documents"), "doc_id", "text")),
+    // lang-ID evaluation: the heuristic's confusion matrix against the
+    // corpus's labeled lang column — the accuracy artifact that decides
+    // whether the n-gram ID is good enough to gate on
+    "text_langid_confusion" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.pipeline.TextPipeline.langId(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang").as("labeled")), "doc_id")
+        .groupBy(col("labeled"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
     "text_langid" -> ((s, dir) =>
       graft.pipeline.TextPipeline.langId(table(s, dir, "documents"), "doc_id", "text")),
     "text_fingerprint" -> ((s, dir) =>
@@ -2460,6 +2470,7 @@ object SparkEntry {
       graft.pipeline.TextPipeline.Tokenizer.UnicodeWords),
     "text_quality" -> graft.pipeline.Oracles.textQuality,
     "text_langid" -> graft.pipeline.Oracles.textLangId,
+    "text_langid_confusion" -> graft.pipeline.Oracles.textLangIdConfusion,
     "text_fingerprint" -> graft.pipeline.Oracles.textFingerprint,
     "text_repetition" -> graft.pipeline.Oracles.textRepetition,
     "text_contamination" -> graft.pipeline.Oracles.textContamination(2),
