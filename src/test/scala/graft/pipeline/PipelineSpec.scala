@@ -934,4 +934,28 @@ class PipelineSpec extends SparkTestBase {
       .collect()
     assert(capped.isEmpty)
   }
+
+  test("mixTokenBudget: admission is monotone in the budget (scalacheck)") {
+    import org.scalacheck.{Gen, Prop}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60).cache()
+    docs.count()
+    def admitted(budget: Long): Set[Long] =
+      Sampling.mixTokenBudget(docs, "doc_id", "source", "text",
+          Seq("src0" -> 2L), 1L, budget)
+        .filter(col("admitted")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val budgets = Gen.choose(1L, 8000L)
+    // a bigger global budget can only grow every source's budget
+    // (integer division is monotone in the numerator), and a bigger
+    // source budget admits a superset under the same hash order
+    val prop = Prop.forAll(budgets, budgets) { (b1raw: Long, b2raw: Long) =>
+      val (b1, b2) = (math.min(b1raw, b2raw), math.max(b1raw, b2raw))
+      admitted(b1).subsetOf(admitted(b2))
+    }
+    val params = org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(6)
+    val result = org.scalacheck.Test.check(params, prop)
+    docs.unpersist()
+    assert(result.passed, result.status.toString)
+  }
 }
