@@ -1553,6 +1553,19 @@ object SparkEntry {
         .groupBy(col("labeled"), col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
     }),
+    // per-language tokenizer fertility (unicode-word tokens per
+    // whitespace token) — the multilingual tokenizer-choice statistic
+    "text_fertility" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      import graft.pipeline.TextPipeline.Tokenizer
+      d.select(col("lang"),
+          size(Tokenizer.Whitespace.of(col("text"))).cast("long").as("n_ws"),
+          size(Tokenizer.UnicodeWords.of(col("text"))).cast("long").as("n_uni"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_ws")).as("ws_tokens"), sum(col("n_uni")).as("uni_tokens"))
+        .select(col("lang"), col("ws_tokens"), col("uni_tokens"),
+          round(col("uni_tokens").cast("double") / col("ws_tokens"), 4).as("fertility"))
+    }),
     "text_langid" -> ((s, dir) =>
       graft.pipeline.TextPipeline.langId(table(s, dir, "documents"), "doc_id", "text")),
     "text_fingerprint" -> ((s, dir) =>
@@ -1745,6 +1758,10 @@ object SparkEntry {
       graft.pipeline.MultiModal.payloadStats(table(s, dir, "documents"))),
     "mm_chunks" -> ((s, dir) =>
       graft.pipeline.MultiModal.chunkPayloads(table(s, dir, "documents"))),
+    // frame-sample stub: every 4th 64-byte frame, indices GENERATED by a
+    // stepped sequence (skipped frames never materialize)
+    "mm_frame_sample" -> ((s, dir) =>
+      graft.pipeline.MultiModal.sampleFrames(table(s, dir, "documents"))),
     // PNG IHDR / JPEG SOF dimensions by pure header byte-parse (no
     // codec): payloads synthesized in-plan with data-dependent segment
     // lengths, so the SOF walk is what recovers (width, height) — the
@@ -2470,6 +2487,7 @@ object SparkEntry {
       graft.pipeline.TextPipeline.Tokenizer.UnicodeWords),
     "text_quality" -> graft.pipeline.Oracles.textQuality,
     "text_langid" -> graft.pipeline.Oracles.textLangId,
+    "text_fertility" -> graft.pipeline.Oracles.textFertility,
     "text_langid_confusion" -> graft.pipeline.Oracles.textLangIdConfusion,
     "text_fingerprint" -> graft.pipeline.Oracles.textFingerprint,
     "text_repetition" -> graft.pipeline.Oracles.textRepetition,
@@ -2571,6 +2589,7 @@ object SparkEntry {
           |WHERE l.event_type = 'signup' AND r.event_type <> 'signup'""".stripMargin),
     "mm_payload_stats" -> graft.pipeline.Oracles.mmPayloadStats,
     "mm_chunks" -> graft.pipeline.Oracles.mmChunks(64),
+    "mm_frame_sample" -> graft.pipeline.Oracles.mmFrameSample(64, 4),
     // re-derive the synthesized dimensions from the generator arithmetic
     // (64 + n_chars % 1901, 64 + doc_id*31 % 1013, kind = doc_id % 4) —
     // Spark must recover the same numbers by parsing the bytes

@@ -79,6 +79,31 @@ object MultiModal {
           .as("chunk_md5"))
   }
 
+  /** Frame sampling over binary payloads — the video-pipeline stub the
+    * multimodal surface needs (decode-free, like [[decodeStub]]): treat
+    * the payload as fixed-size frames and keep every `stride`-th one,
+    * the representative-frame selection a feature extractor downstream
+    * consumes. The sampled indices are GENERATED (stepped sequence), not
+    * filtered — the explode never materializes skipped frames, so the
+    * row multiplier is n_frames/stride, which is the whole point at
+    * petabyte video scale. Pure narrow map, no shuffle. */
+  def sampleFrames(docs: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .filter(col("n_bytes") > 0)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), expr(s"(n_bytes - 1) div $frameBytes"), lit(stride.toLong))))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        expr(s"octet_length(substr(payload, cast(frame_idx * $frameBytes + 1 as int), $frameBytes))")
+          .cast("long").as("frame_bytes"),
+        expr(s"md5(substr(payload, cast(frame_idx * $frameBytes + 1 as int), $frameBytes))")
+          .as("frame_md5"))
+  }
+
   // ---------------------------------------------------------------------
   // Real header decode: PNG IHDR / JPEG SOF dimensions by pure byte-parse
   // (no codec dependency — a resolution/aspect gate only needs the
