@@ -958,4 +958,41 @@ class PipelineSpec extends SparkTestBase {
     docs.unpersist()
     assert(result.passed, result.status.toString)
   }
+
+  test("sampleFrames: stepped generation, tail frame short, stride 1 = full chunking") {
+    val d = Seq((1L, "a" * 200)).toDF("doc_id", "text") // 200 bytes -> frames 0..3 at 64B
+    val s4 = MultiModal.sampleFrames(d, frameBytes = 64, stride = 4).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(s4.toSeq == Seq((0L, 64L))) // only frame 0 at stride 4
+    val s2 = MultiModal.sampleFrames(d, frameBytes = 64, stride = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(s2.toSeq == Seq((0L, 64L), (2L, 64L)))
+    // stride 1 reproduces the full chunk grid (incl. the 8-byte tail)
+    val s1 = MultiModal.sampleFrames(d, frameBytes = 64, stride = 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(s1.toSeq == Seq((0L, 64L), (1L, 64L), (2L, 64L), (3L, 8L)))
+    val chunks = MultiModal.chunkPayloads(d, chunkBytes = 64).collect()
+      .map(r => (r.getLong(1), r.getString(3))).toMap
+    MultiModal.sampleFrames(d, frameBytes = 64, stride = 1).collect().foreach { r =>
+      assert(chunks(r.getLong(1)) == r.getString(3)) // same frame digests
+    }
+  }
+
+  test("fertility and confusion derive from the shared tokenizer/langid maps") {
+    val d = Seq(
+      (1L, "the cat, and the dog!", "en"),   // ws 5, unicode 5
+      (2L, "der hund und die katze", "de"),  // ws 5, unicode 5
+    ).toDF("doc_id", "text", "lang")
+    val fert = d.select(col("lang"),
+        size(TextPipeline.Tokenizer.Whitespace.of(col("text"))).as("ws"),
+        size(TextPipeline.Tokenizer.UnicodeWords.of(col("text"))).as("uni"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(fert("en") == ((5, 5)))
+    assert(fert("de") == ((5, 5)))
+    val conf = TextPipeline.langId(d, "doc_id", "text")
+      .join(d.select(col("doc_id"), col("lang").as("labeled")), "doc_id")
+      .groupBy(col("labeled"), col("pred_lang")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf == Map(("en", "en") -> 1L, ("de", "de") -> 1L))
+  }
 }
