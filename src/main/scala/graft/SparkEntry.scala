@@ -1815,6 +1815,11 @@ object SparkEntry {
       graft.pipeline.Embeddings.centroidOutliers(table(s, dir, "embeddings"))),
     "dedup_embedding_pairs" -> ((s, dir) =>
       graft.pipeline.Ann.embeddingPairs(table(s, dir, "embeddings"))),
+    // SemDeDup-shaped semantic dedup: trained k-means cells restrict
+    // candidate generation; within a cell the EARLIEST eps-cosine
+    // neighbor supersedes (keeper_id = vec_id marks the kept rows)
+    "dedup_semantic" -> ((s, dir) =>
+      graft.pipeline.Ann.semanticDedup(table(s, dir, "embeddings"))),
     // per-document top terms by log-free tf-idf (term extraction)
     "text_tfidf" -> ((s, dir) =>
       graft.pipeline.TextPipeline.tfidfTopTerms(table(s, dir, "documents"), "doc_id", "text")),
@@ -2650,6 +2655,7 @@ object SparkEntry {
     "emb_centroid_outliers" -> graft.pipeline.Oracles.embCentroidOutliers(
       graft.pipeline.Embeddings.OutlierTopK),
     "dedup_embedding_pairs" -> graft.pipeline.Oracles.dedupEmbeddingPairs,
+    "dedup_semantic" -> graft.pipeline.Oracles.dedupSemantic,
     "text_tfidf" -> graft.pipeline.Oracles.textTfidfTopK(
       graft.pipeline.TextPipeline.TfidfTopK,
       graft.pipeline.TextPipeline.Tokenizer.Whitespace),

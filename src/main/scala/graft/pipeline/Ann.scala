@@ -127,6 +127,56 @@ object Ann {
       .select(col("vec_a"), col("vec_b"), col("sim"))
   }
 
+  /** Within-cell cosine threshold for semantic dedup ([[semanticDedup]]). */
+  val SemanticEps = 0.4
+
+  /** Semantic dedup in the SemDeDup shape (Abbas et al. '23,
+    * arXiv:2303.09540): coarse k-means cells (the trained IVF quantizer,
+    * [[ivfCentroids]]) restrict candidate generation, and within a cell a
+    * vector is superseded by its EARLIEST (lowest-id) neighbor at cosine
+    * ≥ `eps`. Output is one row per vector: (vec_id, cell, keeper_id)
+    * where keeper_id is that dominator, or the vector itself when no
+    * earlier in-cell neighbor clears the bar — downstream keeps the rows
+    * with keeper_id = vec_id.
+    *
+    * Contract note: the earliest-eps-neighbor rule replaces the paper's
+    * per-group random keeper. It is deterministic and embarrassingly
+    * parallel — no sequential admission scan, no transitive closure —
+    * so the whole operator is one within-cell self-join plus a min
+    * aggregate. (For transitive duplicate CLUSTERS over embedding pairs,
+    * compose [[embeddingPairs]] with [[Dedup.clustersFromPairs]].)
+    *
+    * Scale shape: cell assignment is a narrow map against the literal
+    * trained book; the self-join is an equi-join on the cell id — never
+    * all-pairs — and the shuffle after it carries (vec_b, keeper)
+    * pairs, not vectors. At 100 TB the candidate volume is Σ cells k²
+    * with k bounded by cell size; raise [[NumCentroids]] to keep cells
+    * small (the SemDeDup paper runs 50k clusters for web scale). */
+  def semanticDedup(embeddings: DataFrame, eps: Double = SemanticEps,
+      numCentroids: Int = NumCentroids, iters: Int = KMeansIters): DataFrame = {
+    val ss = embeddings.sparkSession
+    val book = ivfCentroids(embeddings, numCentroids, iters)
+    val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    // persisted: the celled frame feeds both sides of the self-join and
+    // the final verdict join (independently-built subtrees cannot share
+    // an exchange otherwise)
+    val assigned = n
+      .withColumn("cell", pqEncodeCol(ss, col("embedding"), book).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val doms = a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim",
+        round(dot(ss, col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .filter(col("sim") >= eps)
+      .groupBy(col("vec_b")).agg(min(col("vec_a")).as("__keeper"))
+    assigned.join(doms, col("vec_id") === col("vec_b"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("__keeper"), col("vec_id")).as("keeper_id"))
+  }
+
   /** Train the IVF coarse quantizer: cells seeded from the first `k`
     * vectors, refined by `iters` quantized-mean Lloyd rounds. ONE Spark
     * job per round (the fused [[graft.functions.PqEncode]] literal

@@ -995,4 +995,31 @@ class PipelineSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(conf == Map(("en", "en") -> 1L, ("de", "de") -> 1L))
   }
+
+  test("semanticDedup: earliest in-cell eps-neighbor supersedes; low-cos rows kept") {
+    def v(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(Ann.Dim)(0.0f); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    val vecs = Seq(
+      (0L, v(0 -> 1.0f)),              // centroid seed / cell A anchor
+      (1L, v(1 -> 1.0f)),              // centroid seed / cell B anchor
+      (10L, v(0 -> 0.99f, 1 -> 0.01f)), // ~x: superseded by 0
+      (11L, v(0 -> 0.98f, 1 -> 0.02f)), // ~x: superseded by 0 (EARLIEST, not 10)
+      (12L, v(0 -> 0.1f, 2 -> 1.0f)),   // cos ~0.1 to both anchors: kept
+      (13L, v(1 -> 0.97f, 0 -> 0.03f)), // ~y: superseded by 1
+    ).toDF("vec_id", "embedding")
+    val out = Ann.semanticDedup(vecs, numCentroids = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size == 6)
+    assert(out(0L)._2 == 0L && out(1L)._2 == 1L && out(12L)._2 == 12L) // self-kept
+    assert(out(10L)._2 == 0L)
+    assert(out(11L)._2 == 0L) // min over BOTH eps-neighbors {0, 10} = 0
+    assert(out(13L)._2 == 1L)
+    // keeper is never later than the vector, and shares its cell when
+    // it is a real dominator
+    out.foreach { case (id, (cell, keeper)) =>
+      assert(keeper <= id)
+      if (keeper != id) assert(out(keeper)._1 == cell)
+    }
+  }
 }
