@@ -1885,6 +1885,20 @@ object SparkEntry {
     // keyed on the leading-60-char content prefix (collides on testdata)
     "dedup_incremental" -> ((s, dir) =>
       incrementalNewDocs(table(s, dir, "documents"))),
+    // incremental NEAR-dup admission: new batch (doc_id % 5 = 0) vs the
+    // index side's MinHash band table — any band collision flags the doc
+    "dedup_incremental_near" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      graft.pipeline.Dedup.incrementalNearDup(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+    }),
+    // LSH geometry eval: band-collision candidates vs exact-Jaccard
+    // ground truth (recall/precision of the 8x3 banding at the shared
+    // threshold) — run on a slice before gating a corpus on it
+    "dedup_minhash_recall" -> ((s, dir) =>
+      graft.pipeline.Dedup.minhashRecall(table(s, dir, "documents"),
+        "doc_id", "text")),
     // leakage-safe split: the split gate hashes the near-dup CLUSTER
     // label, not the doc id — a near-duplicate of a training document
     // can never land in val/test (the contamination channel a plain
@@ -2682,6 +2696,9 @@ object SparkEntry {
       graft.pipeline.Splits.NumShards, graft.pipeline.Splits.DefaultSalt),
     "emb_quantize" -> graft.pipeline.Oracles.embQuantizeInt8,
     "dedup_incremental" -> graft.pipeline.Oracles.dedupIncremental(IncrementalPrefixLen),
+    "dedup_incremental_near" -> graft.pipeline.Oracles.dedupIncrementalNear,
+    "dedup_minhash_recall" -> graft.pipeline.Oracles.dedupMinhashRecall(
+      graft.pipeline.Dedup.JaccardThreshold),
     "split_leakage_safe" -> graft.pipeline.Oracles.splitLeakageSafe,
     "dedup_excise_spans" -> graft.pipeline.Oracles.dedupExciseSpans(
       graft.pipeline.Dedup.DupSpanN),

@@ -465,6 +465,78 @@ object Dedup {
     batchFirst.join(corpusIdx, Seq("content_hash"), "left_anti")
   }
 
+  /** Incremental NEAR-dup admission — [[incrementalNew]]'s fuzzy
+    * complement: a new-batch document is flagged when ANY of its MinHash
+    * LSH bands collides with an index document's band (the same
+    * candidate test [[minhashCandidates]] applies corpus-internally,
+    * pointed at an external index). Output is one verdict row per
+    * new-batch document: `n_hits` = distinct index documents sharing at
+    * least one band, `admitted` = 1 iff n_hits is 0.
+    *
+    * At 100 TB the corpus side is the PRECOMPUTED band index you
+    * maintain (store [[bandSignatures]]' output and pass it through —
+    * the ingest never re-shingles the corpus); the batch signs fresh and
+    * equi-joins on (band, hash) — 16-byte keys, never documents.
+    *
+    * Precondition (inherited from [[bandSignatures]]): documents with
+    * fewer than `shingleN` tokens produce no bands and no verdict row. */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, cfg: LshConfig = LshConfig()): DataFrame = {
+    def bandRows(df: DataFrame): DataFrame = {
+      val stackExpr = (0 until cfg.numBands)
+        .map(b => s"$b, b$b").mkString(s"stack(${cfg.numBands}, ", ", ", ") AS (band, bh)")
+      bandSignatures(df, idCol, textCol, cfg).select(col(idCol), expr(stackExpr))
+    }
+    val newBands = bandRows(batch)
+    val idxBands = bandRows(corpus)
+      .select(col("band"), col("bh"), col(idCol).as("__idx"))
+    val hits = newBands.join(idxBands, Seq("band", "bh"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__idx")).as("n_hits"))
+    newBands.select(col(idCol)).distinct()
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("n_hits").isNull, lit(1)).otherwise(lit(0)).as("admitted"))
+  }
+
+  /** LSH quality evaluation: band-collision candidate pairs scored
+    * against the exact-Jaccard ground truth at the shared threshold —
+    * the recall/precision run that justifies (or vetoes) the banding
+    * geometry before it gates a corpus. One summary row:
+    * n_truth (exact pairs ≥ threshold), n_cand (band collisions),
+    * n_hits (their intersection), recall = hits/truth,
+    * prec = hits/candidates. The (doc, shingle) row set is computed
+    * once and persisted — it feeds the signature arm and the
+    * inverted-index truth arm. Evaluation cost ≡ the exact
+    * inverted-index baseline, which is the sampling point: run it on a
+    * slice, ship the geometry corpus-wide. */
+  def minhashRecall(df: DataFrame, idCol: String, textCol: String,
+      cfg: LshConfig = LshConfig()): DataFrame = {
+    val rows = shingleRows(df, idCol, textCol, cfg.shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val truth = shingleCandidates(rows, idCol, None)
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= cfg.jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val cand = minhashCandidates(bandSignaturesFromRows(rows, idCol, cfg),
+      idCol, cfg.numBands)
+    val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    def ratio(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(num.cast("double") / when(den === 0, lit(null)).otherwise(den), 4)
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_truth"), col("n_cand"), col("n_hits"),
+        ratio(col("n_hits"), col("n_truth")).as("recall"),
+        ratio(col("n_hits"), col("n_cand")).as("prec"))
+  }
+
   /** Span EXCISION — the fix step behind [[dupNgramSpans]]'s detector
     * (Lee et al. '21 remove duplicated spans rather than whole
     * documents): every token covered by an n-gram occurring in ≥2

@@ -1022,4 +1022,29 @@ class PipelineSpec extends SparkTestBase {
       if (keeper != id) assert(out(keeper)._1 == cell)
     }
   }
+
+  test("incrementalNearDup flags batch docs colliding with the index; banded-only verdicts") {
+    val corpus = docs.filter(col("doc_id").isin(0L, 1L, 2L)) // index side
+    val batch = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog", "en"), // exact dup of idx 0
+      (5L, "entirely novel content with no overlap whatsoever today", "en"),
+      (4L, "tiny doc", "en"), // < ShingleN tokens: no bands, no verdict
+    ).toDF("doc_id", "text", "lang")
+    val r = Dedup.incrementalNearDup(corpus, batch, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getInt(2)))).toMap
+    assert(r.keySet == Set(3L, 5L)) // tiny doc produces no verdict row
+    assert(r(3L)._1 >= 1L && r(3L)._2 == 0) // identical doc shares every band
+    assert(r(5L) == ((0L, 1)))
+  }
+
+  test("minhashRecall scores band candidates against exact-Jaccard truth") {
+    val r = Dedup.minhashRecall(docs, "doc_id", "text").collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nTruth, nCand, nHits) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // truth at 0.5: (0,3) J=1.0, (0,1) and (1,3) at J=0.75
+    assert(nTruth == 3L)
+    assert(nHits == 3L && row.getDouble(3) == 1.0) // all truth pairs banded
+    assert(nHits <= nCand && row.getDouble(4) <= 1.0)
+  }
 }
