@@ -1885,6 +1885,14 @@ object SparkEntry {
     // keyed on the leading-60-char content prefix (collides on testdata)
     "dedup_incremental" -> ((s, dir) =>
       incrementalNewDocs(table(s, dir, "documents"))),
+    // deterministic Bloom runtime filter: urgent-order keys build an
+    // 8 KB literal bitset that pre-filters the lineitem scan (no join,
+    // no shuffle); the row reports admitted vs exact vs false positives
+    "join_bloom_filter" -> ((s, dir) =>
+      graft.operators.BloomFilter.semiJoinStats(
+        table(s, dir, "lineitem"), "l_orderkey",
+        table(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        "o_orderkey")),
     // incremental NEAR-dup admission: new batch (doc_id % 5 = 0) vs the
     // index side's MinHash band table — any band collision flags the doc
     "dedup_incremental_near" -> ((s, dir) => {
@@ -2697,6 +2705,9 @@ object SparkEntry {
     "emb_quantize" -> graft.pipeline.Oracles.embQuantizeInt8,
     "dedup_incremental" -> graft.pipeline.Oracles.dedupIncremental(IncrementalPrefixLen),
     "dedup_incremental_near" -> graft.pipeline.Oracles.dedupIncrementalNear,
+    "join_bloom_filter" -> graft.pipeline.Oracles.joinBloomFilter(
+      graft.operators.BloomFilter.DefaultBits,
+      graft.operators.BloomFilter.DefaultHashes),
     "dedup_minhash_recall" -> graft.pipeline.Oracles.dedupMinhashRecall(
       graft.pipeline.Dedup.JaccardThreshold),
     "split_leakage_safe" -> graft.pipeline.Oracles.splitLeakageSafe,
