@@ -188,6 +188,12 @@ object PlanAudit {
       SparkEntry.MixDefaultWeight, SparkEntry.MixBudget))
     audit("text_cooccurrence",
       graft.pipeline.TextPipeline.cooccurrence(docs, "doc_id", "text"))
+    // round-9 session-2 additions, via the registered query fns
+    for (n <- Seq("dedup_semantic", "dedup_incremental_near",
+        "dedup_minhash_recall", "join_bloom_filter")) {
+      spark.catalog.clearCache()
+      audit(n, SparkEntry.queries(n)(spark, dir))
+    }
     spark.stop()
   }
 }

@@ -48,6 +48,10 @@ class DeterminismSpec extends SparkTestBase {
     "sample_mix_budget",    // census-window budgets + running admission sum
     "pipeline_curate_lm",   // LM gate composed with budget admission
     "er_entities",          // fuzzy edges -> components -> canonical agg
+    "dedup_semantic",       // k-means cells + earliest-dominator min-agg
+    "dedup_incremental_near",// split band tables + collision count
+    "dedup_minhash_recall", // truth/candidate/hit count composition
+    "join_bloom_filter",    // distributed bitset build + literal probe
   )
 
   private def canonical(name: String): String = {
