@@ -1123,6 +1123,19 @@ object SparkEntry {
         lp.select(col("p").as("part")), pairs, "part")
         .select(col("part"), col("cluster_id").as("component"))
     }),
+    // synchronous label-propagation communities on the same subgraph:
+    // 3 deterministic most-frequent-label rounds (min tie-break) — the
+    // community detector that, unlike components, respects density
+    "graph_label_prop" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val l1 = lp.select(col("ok"), col("p").as("s1"))
+      val l2 = lp.select(col("ok").as("ok2"), col("p").as("s2"))
+      val pairs = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
+        .select(col("s1").as("doc_a"), col("s2").as("doc_b"))
+      graft.operators.LabelProp.labels(
+        lp.select(col("p").as("part")), pairs, "part")
+    }),
     // degree distribution of the part co-order graph — the graph-shape
     // profile (hub detection, skew diagnosis before any wedge-generating
     // algorithm): two keyed aggregations, no joins beyond the edge build
@@ -2274,6 +2287,8 @@ object SparkEntry {
         |  UNION
         |  SELECT reach.s, sym.v FROM reach JOIN sym ON reach.t = sym.u)
         |SELECT s AS part, min(t) AS component FROM reach GROUP BY s""".stripMargin,
+    "graph_label_prop" -> graft.pipeline.Oracles.graphLabelProp(
+      graft.operators.LabelProp.Rounds),
     "graph_degree_hist" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (Raghavan et al. '07, deterministic
+  * variant): every vertex starts as its own label; each round it adopts
+  * the most frequent label among its neighbors, ties broken by the
+  * SMALLEST label (the paper breaks ties randomly — the min tie-break
+  * makes the fixed round count replayable by the oracle's unrolled CTE
+  * chain). Isolated vertices keep their label. Communities emerge as
+  * label plateaus; unlike connected components, dense cores absorb
+  * their periphery while sparse bridges do not flip whole components.
+  *
+  * Scale shape per round: one hash join of the (persisted) symmetric
+  * edge list against the current label table (labels are longs — the
+  * join ships ids, never adjacency), one map-side-combinable
+  * (vertex, label) count, and one per-vertex top-1 window whose
+  * partitions are each vertex's DISTINCT neighbor-label set, never its
+  * degree. Round count is fixed (not run-to-convergence) — the
+  * bulk-synchronous contract that keeps cost linear and the answer
+  * engine-independent. Known property of the synchronous variant:
+  * bipartite structures (e.g. a bare edge) oscillate with period 2
+  * rather than converge — deterministic, spec-pinned, and the reason
+  * asynchronous LPA exists; consumers wanting a fixpoint should read
+  * labels as the round-R snapshot they are. */
+object LabelProp {
+  /** Fixed synchronous rounds (oracle-pinned default). */
+  val Rounds = 3
+
+  /** Community label per vertex after `rounds` synchronous updates.
+    * `edges` are undirected pairs (srcCol, dstCol); both orientations
+    * are derived here. */
+  def labels(vertices: DataFrame, edges: DataFrame, vertexCol: String,
+      srcCol: String = "doc_a", dstCol: String = "doc_b",
+      rounds: Int = Rounds): DataFrame = {
+    require(rounds >= 1, s"need at least one round: $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val nodes = vertices.select(col(s"`$vertexCol`").as("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = edges.select(col(s"`$srcCol`").as("u"), col(s"`$dstCol`").as("v"))
+      .union(edges.select(col(s"`$dstCol`").as("u"), col(s"`$srcCol`").as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lab = nodes.withColumn("label", col("v"))
+    for (_ <- 1 to rounds) {
+      val cnt = sym
+        .join(lab.select(col("v").as("__nv"), col("label")), col("v") === col("__nv"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("u")).orderBy(col("c").desc, col("label"))
+      val top = cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("u").as("v"), col("label").as("__new"))
+      lab = nodes.join(top, Seq("v"), "left")
+        .select(col("v"), coalesce(col("__new"), col("v")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    lab.select(col("v").as(vertexCol), col("label").as("community"))
+  }
+}
