@@ -1914,6 +1914,12 @@ object SparkEntry {
         d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
         "doc_id", "text")
     }),
+    // lossless prefix-filtered similarity join: same pairs as the full
+    // inverted index at t=0.5, from a rarest-first prefix index roughly
+    // half the size (AllPairs/SSJoin candidate reduction)
+    "dedup_prefix_pairs" -> ((s, dir) =>
+      graft.pipeline.Dedup.prefixFilterPairs(table(s, dir, "documents"),
+        "doc_id", "text")),
     // LSH geometry eval: band-collision candidates vs exact-Jaccard
     // ground truth (recall/precision of the 8x3 banding at the shared
     // threshold) — run on a slice before gating a corpus on it
@@ -2724,6 +2730,8 @@ object SparkEntry {
       graft.operators.BloomFilter.DefaultBits,
       graft.operators.BloomFilter.DefaultHashes),
     "dedup_minhash_recall" -> graft.pipeline.Oracles.dedupMinhashRecall(
+      graft.pipeline.Dedup.JaccardThreshold),
+    "dedup_prefix_pairs" -> graft.pipeline.Oracles.dedupPrefixPairs(
       graft.pipeline.Dedup.JaccardThreshold),
     "split_leakage_safe" -> graft.pipeline.Oracles.splitLeakageSafe,
     "dedup_excise_spans" -> graft.pipeline.Oracles.dedupExciseSpans(

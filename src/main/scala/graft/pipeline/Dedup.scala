@@ -465,6 +465,46 @@ object Dedup {
     batchFirst.join(corpusIdx, Seq("content_hash"), "left_anti")
   }
 
+  /** Prefix-filtered set-similarity join (Bayardo et al. WWW'07
+    * AllPairs / Chaudhuri et al. SSJoin): identical OUTPUT to
+    * [[jaccardPairs]] at the same threshold, but candidate generation
+    * indexes only each document's PREFIX — its (n − ⌈t·n⌉ + 1)
+    * rarest-first shingles under the global (document-frequency,
+    * shingle) total order — instead of all n. Lossless by the prefix
+    * lemma: J(a,b) ≥ t forces overlap ≥ ⌈t·|a|⌉ and ≥ ⌈t·|b|⌉, and the
+    * first shared shingle in the global order must then sit inside BOTH
+    * prefixes (at most |x| − o non-shared shingles can precede it).
+    *
+    * The scale win over the full inverted index: at t = 0.5 the index
+    * halves, and because the order is rarest-first the surviving
+    * postings are the LOW-frequency ones — exactly the opposite tail
+    * from the hot-shingle blowup `maxShingleFreq` caps lossily. This is
+    * the lossless half of the same fight; compose both for adversarial
+    * corpora. Verification is unchanged exact Jaccard over full sets.
+    *
+    * Determinism: the threshold must be exactly representable in binary
+    * (the default 0.5 is) so ⌈t·n⌉ agrees across engines. */
+  def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = JaccardThreshold, shingleN: Int = ShingleN): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = shingleRows(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val freq = rows.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ranked = rows.join(freq, "shingle")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))))
+      .join(sizes, idCol)
+      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col(idCol), col("shingle"))
+    val a = ranked.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = ranked.select(col(idCol).as("doc_b"), col("shingle"))
+    val cand = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sets = rows.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh"))
+    jaccardVerify(cand, sets, idCol, threshold)
+  }
+
   /** Incremental NEAR-dup admission — [[incrementalNew]]'s fuzzy
     * complement: a new-batch document is flagged when ANY of its MinHash
     * LSH bands collides with an index document's band (the same

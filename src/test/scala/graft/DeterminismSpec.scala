@@ -52,6 +52,8 @@ class DeterminismSpec extends SparkTestBase {
     "dedup_incremental_near",// split band tables + collision count
     "dedup_minhash_recall", // truth/candidate/hit count composition
     "join_bloom_filter",    // distributed bitset build + literal probe
+    "graph_label_prop",     // unrolled sync label rounds + top-1 windows
+    "dedup_prefix_pairs",   // global-frequency prefix rank + lossless join
   )
 
   private def canonical(name: String): String = {

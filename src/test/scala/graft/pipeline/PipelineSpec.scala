@@ -1047,4 +1047,25 @@ class PipelineSpec extends SparkTestBase {
     assert(nHits == 3L && row.getDouble(3) == 1.0) // all truth pairs banded
     assert(nHits <= nCand && row.getDouble(4) <= 1.0)
   }
+
+  test("prefixFilterPairs equals the full inverted-index join (lossless reduction)") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the shared fixture, plus a seeded synthetic corpus with overlap
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val synth = (0L until 30L).map { i =>
+      val base = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (100L + i, base, "en")
+    }
+    val corpus = docs.union(synth.toDF("doc_id", "text", "lang"))
+    for (t <- Seq(0.5, 0.75)) {
+      val full = pairs(Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = t))
+      val pref = pairs(Dedup.prefixFilterPairs(corpus, "doc_id", "text", threshold = t))
+      assert(pref == full, s"threshold $t diverged")
+    }
+    // the planted exact dup always survives
+    assert(pairs(Dedup.prefixFilterPairs(docs, "doc_id", "text"))
+      .contains((0L, 3L, 1.0)))
+  }
 }
