@@ -486,23 +486,47 @@ object Dedup {
     * (the default 0.5 is) so ⌈t·n⌉ agrees across engines. */
   def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = JaccardThreshold, shingleN: Int = ShingleN): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // shingles travel as 60-bit md5 keys from the first map on: every
+    // wide exchange (frequency agg, rank join, candidate join, verify
+    // join) ships longs instead of ~40-byte strings. The oracle hashes
+    // identically, so even a (cosmically unlikely) key collision agrees
+    // cross-engine.
     val rows = shingleRows(df, idCol, textCol, shingleN)
+      .select(col(idCol),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("hv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val freq = rows.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val ranked = rows.join(freq, "shingle")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))))
-      .join(sizes, idCol)
-      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col(idCol), col("shingle"))
-    val a = ranked.select(col(idCol).as("doc_a"), col("shingle"))
-    val b = ranked.select(col(idCol).as("doc_b"), col("shingle"))
-    val cand = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+    val freq = rows.groupBy(col("hv")).agg(count(lit(1)).as("df"))
+    // ONE aggregation yields both the set size and the rarest-first
+    // prefix (in-row array sort + slice — the per-doc "sort" is bounded
+    // by document size, never a wide window exchange)
+    val pre = rows.join(freq, "hv")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"),
+        expr(s"slice(array_sort(collect_list(struct(df, hv))), 1, " +
+          s"cast(count(hv) - ceil($threshold * count(hv)) + 1 AS int))").as("pref"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = pre.select(col(idCol), col("n"))
+    val ranked = pre.select(col(idCol), explode(col("pref.hv")).as("hv"))
+    val a = ranked.select(col(idCol).as("doc_a"), col("hv"))
+    val b = ranked.select(col(idCol).as("doc_b"), col("hv"))
+    val cand = a.join(b, Seq("hv")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val sets = rows.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh"))
-    jaccardVerify(cand, sets, idCol, threshold)
+    // count-based verification (no per-pair array materialization): the
+    // candidate set re-joins the full posting rows on both sides and the
+    // matched-key count IS the intersection — the same combinable
+    // aggregate shape as [[jaccardPairs]], bounded by candidates instead
+    // of all co-occurrences
+    val inter = cand
+      .join(rows.select(col(idCol).as("doc_a"), col("hv")), Seq("doc_a"))
+      .join(rows.select(col(idCol).as("doc_b"), col("hv")), Seq("doc_b", "hv"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Incremental NEAR-dup admission — [[incrementalNew]]'s fuzzy
