@@ -78,13 +78,20 @@ object BloomFilter {
       dimKey: String, mBits: Int = DefaultBits,
       kHashes: Int = DefaultHashes): DataFrame = {
     val words = build(dim, dimKey, mBits, kHashes).toSeq
-    val pass = fact.filter(mightContain(col(s"`$factKey`"), words, mBits, kHashes))
-    val exact = fact.join(
-      dim.select(col(s"`$dimKey`").as(factKey)).distinct(),
-      Seq(factKey), "left_semi")
-    fact.agg(count(lit(1)).as("n_fact"))
-      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-      .crossJoin(pass.agg(count(lit(1)).as("n_pass")))
+    // ONE pass over the fact side: the bloom verdict is a narrow column,
+    // the exact verdict a broadcast left join against the (small,
+    // already-filtered) dim key set, and the three counts conditional
+    // sums in a single aggregate — not three separate fact scans
+    val keys = broadcast(
+      dim.select(col(s"`$dimKey`").as(factKey)).distinct()
+        .withColumn("__hit", lit(1)))
+    fact
+      .withColumn("__bloom",
+        mightContain(col(s"`$factKey`"), words, mBits, kHashes))
+      .join(keys, Seq(factKey), "left")
+      .agg(count(lit(1)).as("n_fact"),
+        count(col("__hit")).as("n_exact"),
+        count(when(col("__bloom"), lit(1))).as("n_pass"))
       .select(col("n_fact"), col("n_exact"), col("n_pass"),
         (col("n_pass") - col("n_exact")).as("n_false_pos"))
   }

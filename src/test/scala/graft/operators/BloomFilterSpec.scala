@@ -27,6 +27,17 @@ class BloomFilterSpec extends SparkTestBase {
     assert(nFp <= 50L)
   }
 
+  test("bloom probe lands in the parquet scan's DataFilters, not post-scan") {
+    val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dim = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val words = BloomFilter.build(dim, "o_orderkey").toSeq
+    val plan = fact.filter(BloomFilter.mightContain(col("l_orderkey"), words))
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.split("\n").find(_.contains("DataFilters")).getOrElse("")
+    assert(scanLine.contains("shiftright"), s"probe not pushed into scan: $scanLine")
+  }
+
   test("build emits exactly m/64 words with at most k bits per key") {
     val dim = Seq(Tuple1(42L)).toDF("k")
     val words = BloomFilter.build(dim, "k", mBits = 256, kHashes = 3)
