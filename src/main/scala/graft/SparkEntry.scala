@@ -1621,6 +1621,20 @@ object SparkEntry {
         .join(good, "doc_id").join(reps, "doc_id")
       graft.pipeline.Packing.pack(keep, "doc_id", "text")
     }),
+    // cross-modal curation: quality gate AND the embedding-space
+    // semantic-keeper rule (vec_id ↔ doc_id), packed — inner-joining
+    // the embedding side restricts to the embedded slice by contract
+    "pipeline_curate_semantic" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val good = graft.pipeline.TextPipeline.quality(docs, "doc_id", "text")
+        .filter(col("score") >= CurateMinScore).select("doc_id")
+      val sem = graft.pipeline.Ann.semanticDedup(table(s, dir, "embeddings"))
+        .filter(col("keeper_id") === col("vec_id"))
+        .select(col("vec_id").as("doc_id"))
+      val keep = docs.select(col("doc_id"), col("text"))
+        .join(good, "doc_id").join(sem, "doc_id")
+      graft.pipeline.Packing.pack(keep, "doc_id", "text")
+    }),
     "text_vocab" -> ((s, dir) =>
       graft.pipeline.TextPipeline.vocab(table(s, dir, "documents"), "doc_id", "text")),
     // corpus-bigram-LM quality score (CCNet-style perplexity filter,
@@ -2542,6 +2556,8 @@ object SparkEntry {
     "text_contamination" -> graft.pipeline.Oracles.textContamination(2),
     "pipeline_curate" ->
       graft.pipeline.Oracles.pipelineCurate(CurateMinScore, graft.pipeline.Packing.Capacity),
+    "pipeline_curate_semantic" -> graft.pipeline.Oracles.pipelineCurateSemantic(
+      CurateMinScore, graft.pipeline.Packing.Capacity),
     "pipeline_curate_lm" -> graft.pipeline.Oracles.pipelineCurateLm(
       LmScoreMin, MixWeights, MixDefaultWeight, MixBudget,
       graft.pipeline.Sampling.DefaultSalt),

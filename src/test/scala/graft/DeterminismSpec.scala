@@ -54,6 +54,7 @@ class DeterminismSpec extends SparkTestBase {
     "join_bloom_filter",    // distributed bitset build + literal probe
     "graph_label_prop",     // unrolled sync label rounds + top-1 windows
     "dedup_prefix_pairs",   // global-frequency prefix rank + lossless join
+    "pipeline_curate_semantic", // cross-modal gate composition + packing
   )
 
   private def canonical(name: String): String = {
