@@ -190,7 +190,9 @@ object PlanAudit {
       graft.pipeline.TextPipeline.cooccurrence(docs, "doc_id", "text"))
     // round-9 session-2 additions, via the registered query fns
     for (n <- Seq("dedup_semantic", "dedup_incremental_near",
-        "dedup_minhash_recall", "join_bloom_filter")) {
+        "dedup_minhash_recall", "join_bloom_filter", "dedup_prefix_pairs",
+        "graph_label_prop", "pipeline_curate_semantic", "agg_q6_forecast",
+        "agg_q7_volume", "agg_q18_top_buyers", "agg_order_count_dist")) {
       spark.catalog.clearCache()
       audit(n, SparkEntry.queries(n)(spark, dir))
     }

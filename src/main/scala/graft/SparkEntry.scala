@@ -1410,6 +1410,64 @@ object SparkEntry {
     // TPC-H Q14 SHAPE (promo revenue share): conditional aggregation —
     // one decimal-exact sum gated by the part-type predicate over the
     // same single join pass, the ratio one IEEE division at the end
+    // TPC-H Q6 SHAPE (forecast revenue change): pure scan-side range
+    // predicates — every filter must reach the parquet scan; one
+    // decimal-exact product sum, no join at all
+    "agg_q6_forecast" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          col("l_discount").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))),
+    // TPC-H Q7 SHAPE (volume shipping): the 6-way join — lineitem →
+    // supplier → nation AND → orders → customer → nation — grouped by
+    // (supplier nation, customer nation, ship year); nation joins
+    // broadcast, the fact table streams once
+    "agg_q7_volume" -> ((s, dir) => {
+      val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) -
+          col("l_discount").cast(DecimalType(18, 2))))
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(table(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(table(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("sn_key") === col("s_nationkey"))
+        .join(table(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(table(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(table(s, dir, "nation")
+          .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+          col("cn_key") === col("c_nationkey"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(rev).cast("double").as("revenue"))
+    }),
+    // TPC-H Q18 SHAPE (large-volume customers): per-order quantity sums
+    // (exact — quantities are integral doubles) filtered above 250,
+    // joined back to the order and buyer
+    "agg_q18_top_buyers" -> ((s, dir) => {
+      val big = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      big.join(table(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(table(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+          col("total_qty"))
+    }),
+    // TPC-H Q13 SHAPE (customer order-count distribution): LEFT join so
+    // zero-order customers land in the 0 bucket — the shape a plain
+    // inner-join histogram silently gets wrong
+    "agg_order_count_dist" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))),
     "agg_q14_promo_share" -> ((s, dir) => {
       val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
         (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) -
@@ -2506,6 +2564,35 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate::DATE > o.o_orderdate::DATE + INTERVAL 30 DAY)
         |GROUP BY o.o_orderpriority""".stripMargin,
+    "agg_q6_forecast" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "agg_q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "agg_q18_top_buyers" ->
+      """WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        |             FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250)
+        |SELECT c_name, o_orderkey, o_totalprice, total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey""".stripMargin,
+    "agg_order_count_dist" ->
+      """WITH cc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |            FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM cc GROUP BY 1""".stripMargin,
     "agg_q14_promo_share" ->
       ("""WITH r AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) *
          |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
