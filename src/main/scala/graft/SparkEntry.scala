@@ -1410,6 +1410,51 @@ object SparkEntry {
     // TPC-H Q14 SHAPE (promo revenue share): conditional aggregation —
     // one decimal-exact sum gated by the part-type predicate over the
     // same single join pass, the ratio one IEEE division at the end
+    // TPC-H Q15 SHAPE (top supplier): per-supplier revenue over one
+    // quarter, keep the max — the equality compare runs on the EXACT
+    // decimal sums (a double-equality would be engine-dependent)
+    "agg_q15_top_supplier" -> ((s, dir) => {
+      val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) -
+          col("l_discount").cast(DecimalType(18, 2))))
+      val r = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey")).agg(sum(rev).as("total_rev"))
+      val m = r.agg(max(col("total_rev")).as("mx"))
+      r.join(broadcast(m), col("total_rev") === col("mx"))
+        .join(table(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+    }),
+    // TPC-H Q8 SHAPE (national market share): NATION_7's share of
+    // ASIA-customer revenue per ship year — two decimal sums over one
+    // 6-way join pass, one IEEE division at the very end
+    "agg_q8_market_share" -> ((s, dir) => {
+      val rev = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 2)) -
+          col("l_discount").cast(DecimalType(18, 2))))
+      val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(table(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("sn_key") === col("s_nationkey"))
+        .join(table(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(table(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(table(s, dir, "nation")
+          .join(table(s, dir, "region"), col("r_regionkey") === col("n_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .select(col("n_nationkey").as("cn_key"))),
+          col("cn_key") === col("c_nationkey"))
+        .groupBy(year(col("l_shipdate")).as("l_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_7", rev).otherwise(zero))
+            .cast("double").as("nation_revenue"),
+          sum(rev).cast("double").as("total_revenue"))
+        .select(col("l_year"), col("nation_revenue"), col("total_revenue"),
+          round(col("nation_revenue") / col("total_revenue"), 4).as("mkt_share"))
+    }),
     // TPC-H Q6 SHAPE (forecast revenue change): pure scan-side range
     // predicates — every filter must reach the parquet scan; one
     // decimal-exact product sum, no join at all
@@ -2564,6 +2609,35 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate::DATE > o.o_orderdate::DATE + INTERVAL 30 DAY)
         |GROUP BY o.o_orderpriority""".stripMargin,
+    "agg_q15_top_supplier" ->
+      """WITH r AS (SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM r JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM r)""".stripMargin,
+    "agg_q8_market_share" ->
+      """WITH rows_ AS (
+        |  SELECT year(l_shipdate) AS l_year, n1.n_name AS supp_nation,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n2.n_regionkey
+        |  WHERE r_name = 'ASIA')
+        |SELECT l_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_revenue,
+        |  CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+        |  round(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |        CAST(SUM(rev) AS DOUBLE), 4) AS mkt_share
+        |FROM rows_ GROUP BY 1""".stripMargin,
     "agg_q6_forecast" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -89,4 +89,25 @@ class CorpusPropSpec extends SparkTestBase {
       (got == expected) :| s"got $got expected $expected from $texts"
     })
   }
+
+  test("prefix-filtered join equals the full inverted-index join on random corpora") {
+    val genCorpus = for {
+      nDocs <- Gen.choose(4, 18)
+      vocabSize <- Gen.choose(6, 25)
+      seed <- Gen.choose(0L, 10000L)
+      t <- Gen.oneOf(0.5, 0.75, 0.25)
+    } yield (nDocs, vocabSize, seed, t)
+    checkProp(Prop.forAll(genCorpus) { case (nDocs, vocabSize, seed, t) =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until nDocs.toLong).map { i =>
+        val n = 5 + rnd.nextInt(12)
+        (i, Seq.fill(n)(s"w${rnd.nextInt(vocabSize)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val full = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", threshold = t))
+      val pref = pairs(Dedup.prefixFilterPairs(docs, "doc_id", "text", threshold = t))
+      (pref == full) :| s"diverged at t=$t seed=$seed: missing=${full -- pref} extra=${pref -- full}"
+    })
+  }
 }
