@@ -1956,6 +1956,11 @@ object SparkEntry {
     // RAG-style sliding token windows: 32-token chunks every 24 tokens
     "text_chunks" -> ((s, dir) =>
       graft.pipeline.TextPipeline.chunkTokens(table(s, dir, "documents"), "doc_id", "text")),
+    // winnowing fingerprints (MOSS-style): every w-gram window selects
+    // its min hash — guaranteed-coverage local-similarity sketch
+    "text_winnow" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.winnowFingerprints(
+        table(s, dir, "documents"), "doc_id", "text")),
     // cross-document duplicated 6-gram spans (substring-dup detection)
     "dedup_dup_spans" -> ((s, dir) =>
       graft.pipeline.Dedup.dupNgramSpans(table(s, dir, "documents"), "doc_id", "text")),
@@ -2713,6 +2718,8 @@ object SparkEntry {
     "text_fertility" -> graft.pipeline.Oracles.textFertility,
     "text_langid_confusion" -> graft.pipeline.Oracles.textLangIdConfusion,
     "text_fingerprint" -> graft.pipeline.Oracles.textFingerprint,
+    "text_winnow" -> graft.pipeline.Oracles.textWinnow(
+      3, graft.pipeline.TextPipeline.WinnowW),
     "text_repetition" -> graft.pipeline.Oracles.textRepetition,
     "text_contamination" -> graft.pipeline.Oracles.textContamination(2),
     "pipeline_curate" ->

@@ -55,6 +55,8 @@ class DeterminismSpec extends SparkTestBase {
     "graph_label_prop",     // unrolled sync label rounds + top-1 windows
     "dedup_prefix_pairs",   // global-frequency prefix rank + lossless join
     "pipeline_curate_semantic", // cross-modal gate composition + packing
+    "text_winnow",          // per-doc sliding-window minima + distinct
+    "agg_q8_market_share",  // 6-way join + conditional decimal sums
   )
 
   private def canonical(name: String): String = {

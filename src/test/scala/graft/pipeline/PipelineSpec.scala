@@ -1068,4 +1068,27 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs(Dedup.prefixFilterPairs(docs, "doc_id", "text"))
       .contains((0L, 3L, 1.0)))
   }
+
+  test("winnowing: brute-force parity, shared-span guarantee, short docs empty") {
+    val n = 3; val w = TextPipeline.WinnowW
+    val span = "alpha beta gamma delta epsilon zeta" // 6 tokens = w + n - 1
+    val d1 = s"one two three four five $span six seven eight nine"
+    val d2 = s"red orange yellow $span green blue indigo violet pink"
+    val d = Seq((1L, d1), (2L, d2), (3L, "too short here")).toDF("doc_id", "text")
+    val out = TextPipeline.winnowFingerprints(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // doc 3 has 1 gram (m=1 < w): no complete window, no fingerprints
+    assert(!byDoc.contains(3L))
+    // guaranteed collision: both docs embed the same w+n-1-token span
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    // brute-force parity for doc 1: same hash chain, same window minima
+    val hv = spark.sql(
+      s"SELECT transform(ws, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) AS bigint)) FROM " +
+      s"(SELECT transform(sequence(1, size(t) - ${n - 1}), i -> " +
+      s"concat_ws(' ', t[i-1], t[i], t[i+1])) AS ws FROM (SELECT split('$d1', ' ') AS t))")
+      .collect().head.getSeq[Long](0)
+    val expected = hv.sliding(w).map(_.min).toSet
+    assert(byDoc(1L) == expected)
+  }
 }
