@@ -405,13 +405,23 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
   }
 
+  /** (doc, shingle) rows re-keyed to the shingle's 60-bit md5 value:
+    * every wide exchange downstream (posting-frequency agg, candidate
+    * self-join, intersection count) ships 8-byte longs instead of
+    * ~40-byte gram strings — the [[prefixFilterPairs]] move applied to
+    * the whole inverted-index family. The oracle hashes identically, so
+    * even a (cosmically unlikely) key collision agrees cross-engine. */
+  def hashedShingleRows(rows: DataFrame, idCol: String): DataFrame =
+    rows.select(col(idCol),
+      conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shingle"))
+
   /** Exact n-gram Jaccard pairs via the inverted index: explode shingles,
-    * self-join on the shingle, count shared shingles per pair, then
+    * self-join on the shingle key, count shared shingles per pair, then
     * J = |∩| / (|A| + |B| − |∩|). Reports pairs with J ≥ `threshold`. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.2, maxShingleFreq: Option[Int] = None,
       shingleN: Int = ShingleN): DataFrame = {
-    val inv = shingleRows(df, idCol, textCol, shingleN)
+    val inv = hashedShingleRows(shingleRows(df, idCol, textCol, shingleN), idCol)
     val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val co = shingleCandidates(inv, idCol, maxShingleFreq)
     co.join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
@@ -435,7 +445,7 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, maxShingleFreq: Option[Int] = None,
       shingleN: Int = ShingleN): DataFrame = {
-    val inv = shingleRows(df, idCol, textCol, shingleN)
+    val inv = hashedShingleRows(shingleRows(df, idCol, textCol, shingleN), idCol)
     val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val co = shingleCandidates(inv, idCol, maxShingleFreq)
     co.join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
@@ -580,7 +590,7 @@ object Dedup {
     val rows = shingleRows(df, idCol, textCol, cfg.shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val truth = shingleCandidates(rows, idCol, None)
+    val truth = shingleCandidates(hashedShingleRows(rows, idCol), idCol, None)
       .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
