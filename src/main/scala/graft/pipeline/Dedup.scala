@@ -140,8 +140,16 @@ object Dedup {
     * (min-combined map-side), and each band is the md5 of its
     * '|'-delimited slot values. */
   def bandSignaturesFromRows(ex: DataFrame, idCol: String,
+      cfg: LshConfig = LshConfig()): DataFrame =
+    bandSignaturesFromHashedRows(hashedShingleRows(ex, idCol), idCol, cfg)
+
+  /** [[bandSignaturesFromRows]] over rows already keyed by the 60-bit
+    * md5 ([[hashedShingleRows]]): the signature's base hash IS that key,
+    * so callers that also verify (pairs/clusters/recall) hash each
+    * shingle exactly once and ship only longs. */
+  def bandSignaturesFromHashedRows(ex: DataFrame, idCol: String,
       cfg: LshConfig = LshConfig()): DataFrame = {
-    val x = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % MinhashP
+    val x = col("shingle") % MinhashP
     val minAggs = (0 until cfg.numHashes).map(i =>
       min((lit(minhashA(i)) * col("__x") + lit(minhashB(i))) % MinhashP).as(s"mh$i"))
     val sig = ex.withColumn("__x", x).groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
@@ -209,12 +217,12 @@ object Dedup {
     // sides of the verification join (measured 3× end-to-end without
     // it). Entries live until LRU eviction or session clearCache — the
     // standard Spark trade for a multi-consumer intermediate.
-    val rows = shingleRows(df, idCol, textCol, cfg.shingleN)
+    val rows = hashedShingleRows(shingleRows(df, idCol, textCol, cfg.shingleN), idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sets = rows.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardVerify(
-      minhashCandidates(bandSignaturesFromRows(rows, idCol, cfg), idCol,
+      minhashCandidates(bandSignaturesFromHashedRows(rows, idCol, cfg), idCol,
         cfg.numBands, cfg.maxBandBucket),
       sets, idCol, cfg.jaccardThreshold)
   }
@@ -587,17 +595,17 @@ object Dedup {
     * slice, ship the geometry corpus-wide. */
   def minhashRecall(df: DataFrame, idCol: String, textCol: String,
       cfg: LshConfig = LshConfig()): DataFrame = {
-    val rows = shingleRows(df, idCol, textCol, cfg.shingleN)
+    val rows = hashedShingleRows(shingleRows(df, idCol, textCol, cfg.shingleN), idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val truth = shingleCandidates(hashedShingleRows(rows, idCol), idCol, None)
+    val truth = shingleCandidates(rows, idCol, None)
       .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= cfg.jaccardThreshold)
       .select(col("doc_a"), col("doc_b"))
-    val cand = minhashCandidates(bandSignaturesFromRows(rows, idCol, cfg),
+    val cand = minhashCandidates(bandSignaturesFromHashedRows(rows, idCol, cfg),
       idCol, cfg.numBands)
     val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     def ratio(num: org.apache.spark.sql.Column,
