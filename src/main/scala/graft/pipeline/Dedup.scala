@@ -280,8 +280,8 @@ object Dedup {
     * count) for every flagged pair. */
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
       minOverlap: Int = 2, shingleN: Int = ShingleN): DataFrame = {
-    val c = shingleRows(corpus, idCol, textCol, shingleN)
-    val b = shingleRows(bench, idCol, textCol, shingleN)
+    val c = hashedShingleRows(shingleRows(corpus, idCol, textCol, shingleN), idCol)
+    val b = hashedShingleRows(shingleRows(bench, idCol, textCol, shingleN), idCol)
       .select(col(idCol).as("bench_id"), col("shingle"))
     c.join(b, "shingle")
       .groupBy(col(idCol), col("bench_id"))
