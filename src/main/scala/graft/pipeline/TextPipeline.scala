@@ -493,11 +493,22 @@ object TextPipeline {
       n: Int = 3, w: Int = WinnowW): DataFrame = {
     require(w >= 1, s"need positive window: $w")
     import org.apache.spark.sql.expressions.Window
-    val ws = tokens(col(textCol))
-    val grams = when(size(ws) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(ws) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
-    val g = df.select(col(idCol), posexplode(grams).as(Seq("pos", "gram")))
+    val ss = df.sparkSession
+    import ss.implicits._
+    // positioned ORDERED grams via a balanced typed flatMap — the
+    // shingleRows lesson: a JVM closure beats interpreted
+    // higher-order-function eval on the hot exploded path, and
+    // balanced() keeps a small parquet input from running the whole
+    // pipeline in one scan partition
+    val nn = n
+    val g = graft.core.Algebra.balanced(
+      df.select(col(idCol).cast("long"), col(textCol).cast("string")))
+      .as[(Long, String)]
+      .flatMap { p: (Long, String) =>
+        val ws = p._2.trim.split("\\s+")
+        if (ws.length < nn) Iterator.empty[(Long, Int, String)]
+        else ws.sliding(nn).zipWithIndex.map { case (gr, i) => (p._1, i, gr.mkString(" ")) }
+      }.toDF(idCol, "pos", "gram")
       .select(col(idCol), col("pos"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("hv"))
     val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
