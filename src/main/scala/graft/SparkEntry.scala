@@ -1943,6 +1943,10 @@ object SparkEntry {
     // embedding-space QA sweep (mislabeled/corrupted cluster members)
     "emb_centroid_outliers" -> ((s, dir) =>
       graft.pipeline.Embeddings.centroidOutliers(table(s, dir, "embeddings"))),
+    // exact-integer Gram matrix (PCA/whitening prep): order-independent
+    // quantized second moments, one combinable aggregation into Dim²/2
+    "emb_gram" -> ((s, dir) =>
+      graft.pipeline.Embeddings.gramMatrix(table(s, dir, "embeddings"))),
     "dedup_embedding_pairs" -> ((s, dir) =>
       graft.pipeline.Ann.embeddingPairs(table(s, dir, "embeddings"))),
     // SemDeDup-shaped semantic dedup: trained k-means cells restrict
@@ -2881,6 +2885,7 @@ object SparkEntry {
     "ann_ivfpq_recall" -> graft.pipeline.Oracles.annIvfPqRecall,
     "emb_centroid_outliers" -> graft.pipeline.Oracles.embCentroidOutliers(
       graft.pipeline.Embeddings.OutlierTopK),
+    "emb_gram" -> graft.pipeline.Oracles.embGramMatrix,
     "dedup_embedding_pairs" -> graft.pipeline.Oracles.dedupEmbeddingPairs,
     "dedup_semantic" -> graft.pipeline.Oracles.dedupSemantic,
     "text_tfidf" -> graft.pipeline.Oracles.textTfidfTopK(

@@ -98,4 +98,39 @@ object Embeddings {
       .filter(col("__rn") <= topK)
       .select(col("label"), col("vec_id"), col("dist2"), col("n").as("n_members"))
   }
+
+  /** Gram-matrix quantization scale (2^20 — the [[graft.pipeline.Ann.CentroidQuant]]
+    * move): elements quantize to exact integers, so every partial sum is
+    * order-independent and the oracle re-derives the matrix bit-for-bit. */
+  val GramQuant = 1048576.0d
+
+  /** Exact-integer Gram matrix over the embedding corpus — the
+    * second-moment accumulation behind PCA/whitening/ZCA pipelines.
+    * Each element quantizes to qᵢ = floor(xᵢ · 2²⁰) (a long); the output
+    * is the upper triangle (i ≤ j) of Σ_v qᵢ(v)·qᵢ(v) with the corpus
+    * count riding along — covariance is (s/n − μᵢμⱼ) downstream in
+    * whatever precision the consumer wants, but the ACCUMULATED moment
+    * itself is exact and engine-independent (a float Gram sum would be
+    * partial-aggregation-order dependent and unverifiable).
+    *
+    * Scale shape: explode to (vec, dim, q) rows (narrow), self-join on
+    * vec_id (i ≤ j) — per-vector fan-out is Dim²/2, independent of
+    * corpus size — then ONE map-side-combinable aggregation into
+    * Dim²/2 groups. Long-range bound: |x| < 4 ⟹ |q| ≤ 2²², so a
+    * product is ≤ 2⁴⁴ and 2⁰⁹ vectors fit a long; beyond that switch
+    * the sum to DECIMAL(38,0) (same contract, wider accumulator). */
+  def gramMatrix(df: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val dims = array((1 to graft.pipeline.Ann.Dim).map(i =>
+      struct(lit(i).as("i"),
+        floor(element_at(col(s"`$embCol`"), i).cast("double") * GramQuant)
+          .cast("long").as("q"))): _*)
+    val rows = df.select(col(s"`$idCol`").as("__v"), explode(dims).as("dq"))
+      .select(col("__v"), col("dq.i").as("i"), col("dq.q").as("q"))
+    val a = rows.select(col("__v"), col("i"), col("q").as("qa"))
+    val b = rows.select(col("__v"), col("i").as("j"), col("q").as("qb"))
+    a.join(b, Seq("__v")).filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("qa") * col("qb")).as("s"))
+  }
 }

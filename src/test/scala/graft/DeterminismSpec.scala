@@ -57,6 +57,7 @@ class DeterminismSpec extends SparkTestBase {
     "pipeline_curate_semantic", // cross-modal gate composition + packing
     "text_winnow",          // per-doc sliding-window minima + distinct
     "agg_q8_market_share",  // 6-way join + conditional decimal sums
+    "emb_gram",             // quantized integer second-moment aggregation
   )
 
   private def canonical(name: String): String = {

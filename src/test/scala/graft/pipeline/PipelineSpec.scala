@@ -1091,4 +1091,50 @@ class PipelineSpec extends SparkTestBase {
     val expected = hv.sliding(w).map(_.min).toSet
     assert(byDoc(1L) == expected)
   }
+
+  test("header walkers never throw on seeded random bytes (fuzz)") {
+    val rnd = new scala.util.Random(42)
+    val blobs = (0L until 300L).map { i =>
+      val len = rnd.nextInt(220)
+      val b = new Array[Byte](len); rnd.nextBytes(b)
+      // bias some prefixes to the real magics so the walkers enter the
+      // chunk/box/segment loops over random interiors, not just bail
+      if (len > 12) (i % 5) match {
+        case 0 => b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+          b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+        case 1 => b(0) = 0xff.toByte; b(1) = 0xd8.toByte
+        case 2 => b(0) = 0x89.toByte; b(1) = 'P'; b(2) = 'N'; b(3) = 'G'
+        case 3 => b(4) = 'f'; b(5) = 't'; b(6) = 'y'; b(7) = 'p'
+        case _ => ()
+      }
+      (i, b)
+    }
+    val df = blobs.toDF("id", "payload")
+    // completing the collect IS the assertion: junk must parse to
+    // opaque/null verdicts, never throw from the native walkers
+    assert(MultiModal.withImageDims(df, "payload").collect().length == 300)
+    assert(MultiModal.withAudioMeta(df, "payload").collect().length == 300)
+    assert(MultiModal.withVideoMeta(df, "payload").collect().length == 300)
+  }
+
+  test("gramMatrix: exact quantized second moments, upper triangle only") {
+    val vecs = Seq(
+      (0L, Array.tabulate(Ann.Dim)(d => ((d % 7) - 3) * 0.5f)),
+      (1L, Array.tabulate(Ann.Dim)(d => ((d * 3) % 5 - 2) * 0.25f)),
+      (2L, Array.fill(Ann.Dim)(0.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Embeddings.gramMatrix(vecs).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == Ann.Dim * (Ann.Dim + 1) / 2)
+    assert(out.keys.forall { case (i, j) => i <= j })
+    // brute force with the same floor quantization
+    val qs = Seq(
+      Array.tabulate(Ann.Dim)(d => math.floor(((d % 7) - 3) * 0.5 * Embeddings.GramQuant).toLong),
+      Array.tabulate(Ann.Dim)(d => math.floor(((d * 3) % 5 - 2) * 0.25 * Embeddings.GramQuant).toLong),
+      Array.fill(Ann.Dim)(0L))
+    for (i <- 1 to Ann.Dim; j <- i to Ann.Dim) {
+      val expect = qs.map(q => q(i - 1) * q(j - 1)).sum
+      assert(out((i, j)) == ((3L, expect)), s"cell ($i,$j)")
+    }
+  }
 }
