@@ -1960,6 +1960,16 @@ object SparkEntry {
     // RAG-style sliding token windows: 32-token chunks every 24 tokens
     "text_chunks" -> ((s, dir) =>
       graft.pipeline.TextPipeline.chunkTokens(table(s, dir, "documents"), "doc_id", "text")),
+    // the named Gopher rule set (explicit boolean verdicts, vs the
+    // blended quality score)
+    "text_gopher_rules" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.gopherRules(table(s, dir, "documents"),
+        "doc_id", "text")),
+    // soft dedup: duplicated content down-weighted (1/cluster-size)
+    // instead of dropped — the loss-scaling alternative policy
+    "dedup_weights" -> ((s, dir) =>
+      graft.pipeline.Dedup.softDedupWeights(table(s, dir, "documents"),
+        "doc_id", "text")),
     // winnowing fingerprints (MOSS-style): every w-gram window selects
     // its min hash — guaranteed-coverage local-similarity sketch
     "text_winnow" -> ((s, dir) =>
@@ -2724,6 +2734,14 @@ object SparkEntry {
     "text_fingerprint" -> graft.pipeline.Oracles.textFingerprint,
     "text_winnow" -> graft.pipeline.Oracles.textWinnow(
       3, graft.pipeline.TextPipeline.WinnowW),
+    "text_gopher_rules" -> graft.pipeline.Oracles.textGopherRules(
+      graft.pipeline.TextPipeline.GopherMinWords,
+      graft.pipeline.TextPipeline.GopherMaxWords,
+      graft.pipeline.TextPipeline.GopherMinMeanLen,
+      graft.pipeline.TextPipeline.GopherMaxMeanLen,
+      graft.pipeline.TextPipeline.GopherMinAlphaFrac,
+      graft.pipeline.TextPipeline.GopherMinStops),
+    "dedup_weights" -> graft.pipeline.Oracles.dedupWeights,
     "text_repetition" -> graft.pipeline.Oracles.textRepetition,
     "text_contamination" -> graft.pipeline.Oracles.textContamination(2),
     "pipeline_curate" ->

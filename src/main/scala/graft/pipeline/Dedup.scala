@@ -300,6 +300,23 @@ object Dedup {
     clustersFromPairs(df.select(col(idCol)), nearDupPairs(df, idCol, textCol, cfg),
       idCol, maxIter)
 
+  /** Soft dedup — the down-weighting alternative to dropping (the
+    * SoftDeDup idea: duplicated content contributes less training
+    * signal instead of none): every document carries its near-dup
+    * cluster label, the cluster size, and weight = 1/size, so a
+    * training pipeline scales each example's loss instead of excising
+    * it. Singleton docs keep weight 1. One count aggregate over the
+    * cluster labels joined back on the label — cost ≡ the clustering
+    * itself. */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String,
+      cfg: LshConfig = LshConfig()): DataFrame = {
+    val cl = nearDupClusters(df, idCol, textCol, cfg)
+    val sz = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+    cl.join(sz, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("n_members"),
+        round(lit(1.0) / col("n_members"), 4).as("weight"))
+  }
+
   /** Canonical-keeper selection — the curation step AFTER clustering: for
     * each near-dup cluster keep the highest-quality member (ties by
     * smallest id), reporting the cluster size. "Keep the best copy, drop

@@ -170,6 +170,47 @@ object TextPipeline {
           + lit(0.2) * when(col("n_tokens").between(20, 80), 1.0).otherwise(0.0), 4))
   }
 
+  /** Gopher rule-filter bounds (Rae et al. '21 §A1.1, scaled to this
+    * corpus's 10–200-token documents). */
+  val GopherMinWords = 20L
+  val GopherMaxWords = 200L
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinStops = 2L
+
+  /** Explicit Gopher rule verdicts (Rae et al. '21 §A1.1) — the
+    * named boolean filter set, as opposed to [[quality]]'s blended
+    * score: word-count bounds, mean-word-length bounds, fraction of
+    * words containing an alphabetic character, and the ≥2-stopword
+    * rule. `pass` is their conjunction. All rational arithmetic over
+    * one narrow map; ratios round before comparison so the verdicts
+    * are bit-identical cross-engine. (The repetition side of Gopher
+    * lives in [[repetition]].) */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val t = trim(col(textCol))
+    val toks = tokens(col(textCol), tokenizer)
+    df.select(
+      col(idCol),
+      size(toks).cast("long").as("n_words"),
+      round(when(size(toks) > 0,
+        length(regexp_replace(t, " ", "")).cast("double") / size(toks)), 4)
+        .as("mean_tok_len"),
+      round(when(size(toks) > 0,
+        size(filter(toks, x => x.rlike("[a-z]"))).cast("double") / size(toks)), 4)
+        .as("alpha_frac"),
+      stopwordCount(toks, LangProfiles.head._2).cast("long").as("n_stop"))
+      .withColumn("r_words",
+        col("n_words").between(GopherMinWords, GopherMaxWords))
+      .withColumn("r_mean_len",
+        col("mean_tok_len").between(GopherMinMeanLen, GopherMaxMeanLen))
+      .withColumn("r_alpha", col("alpha_frac") >= GopherMinAlphaFrac)
+      .withColumn("r_stops", col("n_stop") >= GopherMinStops)
+      .withColumn("pass",
+        col("r_words") && col("r_mean_len") && col("r_alpha") && col("r_stops"))
+  }
+
   /** Repetition statistics (the Gopher-style repetition filters of Rae
     * et al. '21 §A1.1): the fraction of repeated tokens and repeated word
     * n-grams within a document — high ratios mark boilerplate and

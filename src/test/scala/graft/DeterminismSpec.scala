@@ -58,6 +58,8 @@ class DeterminismSpec extends SparkTestBase {
     "text_winnow",          // per-doc sliding-window minima + distinct
     "agg_q8_market_share",  // 6-way join + conditional decimal sums
     "emb_gram",             // quantized integer second-moment aggregation
+    "text_gopher_rules",    // rounded rational signals + boolean verdicts
+    "dedup_weights",        // cluster closure + size join-back
   )
 
   private def canonical(name: String): String = {

@@ -1137,4 +1137,28 @@ class PipelineSpec extends SparkTestBase {
       assert(out((i, j)) == ((3L, expect)), s"cell ($i,$j)")
     }
   }
+
+  test("gopherRules: each named rule fails on its own fixture; weights down-weight clusters") {
+    val fix = Seq(
+      (1L, ("the is " + (1 to 30).map(i => s"word$i").mkString(" "))),   // passes all
+      (2L, "the is tiny"),                                                // fails r_words
+      (3L, "the is " + (1 to 30).map(_ => "a").mkString(" ")),            // mean len < 3
+      (4L, "the is " + (1 to 30).map(_ => "12345").mkString(" ")),        // alpha frac < 0.8
+      (5L, (1 to 30).map(i => s"word$i").mkString(" ")),                  // no stopwords
+    ).toDF("doc_id", "text")
+    val r = TextPipeline.gopherRules(fix, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getBoolean(5), x.getBoolean(6), x.getBoolean(7),
+        x.getBoolean(8), x.getBoolean(9)))).toMap
+    assert(r(1L) == ((true, true, true, true, true)))
+    assert(!r(2L)._1 && !r(2L)._5)
+    assert(!r(3L)._2 && !r(3L)._5)
+    assert(!r(4L)._3 && !r(4L)._5)
+    assert(!r(5L)._4 && !r(5L)._5)
+
+    // soft dedup: docs 0,1,3 cluster together (J >= 0.5); 1/3 weights
+    val w = Dedup.softDedupWeights(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getDouble(3)))).toMap
+    assert(w(0L) == ((3L, 0.3333)) && w(1L) == ((3L, 0.3333)) && w(3L) == ((3L, 0.3333)))
+    assert(w(2L) == ((1L, 1.0)) && w(4L) == ((1L, 1.0)))
+  }
 }
