@@ -1278,6 +1278,15 @@ object SparkEntry {
       table(s, dir, "orders").select(col("o_orderkey"),
         graft.operators.Layout.zkey(col("o_custkey"), day).as("zkey"))
     }),
+    // Hilbert layout key (the liquid-clustering curve): consecutive
+    // keys are ALWAYS adjacent cells, so key-range file boundaries
+    // enclose tighter min/max boxes than Morton's quadrant jumps
+    "layout_hilbert" -> ((s, dir) => {
+      val day = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      table(s, dir, "orders").select(col("o_orderkey"),
+        graft.operators.Layout.hilbertKey(s, col("o_custkey"), day).as("hkey"))
+    }),
     // deterministic sampled quantile: salted-hash 5% sample + exact
     // percentile over integral cents — approximate median with no
     // global sort and a hash-checkable estimate
@@ -2531,6 +2540,12 @@ object SparkEntry {
       s"""SELECT o_orderkey, ${graft.operators.Layout.zkeySql("o_custkey",
             "(o_orderdate::DATE - DATE '1970-01-01')::BIGINT")} AS zkey
          |FROM orders""".stripMargin,
+    "layout_hilbert" -> {
+      val levels = graft.operators.Layout.hilbertLevelsSql("orders",
+        "o_custkey", "(o_orderdate::DATE - DATE '1970-01-01')", 16,
+        Seq("o_orderkey"))
+      s"SELECT o_orderkey, hd AS hkey FROM $levels tfin"
+    },
     "sketch_quantile_sample" ->
       graft.pipeline.Sketches.sampledQuantileOracle("lineitem",
         "l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR",

@@ -49,4 +49,38 @@ object Layout {
 
   def zkeySql(a: String, b: String): String =
     s"(${spreadSql(a)} | (${spreadSql(b)} << 1))"
+
+  /** Hilbert index of two `order`-bit dimensions via the native
+    * codegen'd walk ([[graft.functions.HilbertKey]] — the rotation
+    * recurrence would be an exponential expression TREE, hence native).
+    * Better range-pruning locality than [[zkey]]: consecutive Hilbert
+    * indices are always Manhattan-adjacent cells, so key-range file
+    * boundaries enclose tighter (min, max) boxes in both dimensions. */
+  def hilbertKey(spark: org.apache.spark.sql.SparkSession, a: Column,
+      b: Column, order: Int = 16): Column =
+    graft.functions.HilbertKey.hilbert(spark, a.cast("long"), b.cast("long"), order)
+
+  /** The oracle half: the same xy→d walk as a LINEAR chain of
+    * per-level SELECT expressions (x, y, d threaded through `order`
+    * nested subqueries — each level references the previous level's
+    * columns exactly once, so the SQL stays linear where a naive
+    * expression substitution would double per level). Emits a scalar
+    * expression usable in a SELECT via DuckDB lateral-style nesting:
+    * callers wrap with `FROM (...)` chains instead; here we emit the
+    * full chained-subquery SELECT given base column expressions. */
+  def hilbertLevelsSql(tableName: String, xExpr: String, yExpr: String,
+      order: Int, carryCols: Seq[String]): String = {
+    val carry = carryCols.mkString(", ")
+    val base = s"SELECT $carry, ($xExpr)::BIGINT AS hx, ($yExpr)::BIGINT AS hy, 0::BIGINT AS hd"
+    (0 until order).foldLeft(s"($base FROM $tableName)") { (inner, l) =>
+      val s = 1L << (order - 1 - l)
+      val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""(SELECT $carry,
+         |  CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN $s - 1 - hy ELSE hy END) ELSE hx END AS hx,
+         |  CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN $s - 1 - hx ELSE hx END) ELSE hy END AS hy,
+         |  hd + $s * $s * xor(3 * $rx, $ry) AS hd
+         | FROM $inner t$l)""".stripMargin
+    }
+  }
 }

@@ -60,6 +60,7 @@ class DeterminismSpec extends SparkTestBase {
     "emb_gram",             // quantized integer second-moment aggregation
     "text_gopher_rules",    // rounded rational signals + boolean verdicts
     "dedup_weights",        // cluster closure + size join-back
+    "layout_hilbert",       // native per-row integer walk (order 16)
   )
 
   private def canonical(name: String): String = {
