@@ -46,4 +46,12 @@ class BloomFilterSpec extends SparkTestBase {
     // determinism: same input, same bitset
     assert(BloomFilter.build(dim, "k", mBits = 256, kHashes = 3).toSeq == words.toSeq)
   }
+
+  test("empty dimension set: all-zero bitset admits nothing") {
+    val dim = Seq.empty[Tuple1[Long]].toDF("k")
+    val words = BloomFilter.build(dim, "k")
+    assert(words.forall(_ == 0L))
+    val fact = (1L to 50L).map(Tuple1(_)).toDF("k")
+    assert(fact.filter(BloomFilter.mightContain(col("k"), words)).count() == 0L)
+  }
 }

@@ -36,4 +36,13 @@ class LabelPropSpec extends SparkTestBase {
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(again == r)
   }
+
+  test("rounds parameter: one round adopts the min neighbor label directly") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val verts = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("part")
+    val r1 = LabelProp.labels(verts, edges, "part", rounds = 1).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // round 1: all neighbor-label counts are 1 -> min neighbor label wins
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
 }
