@@ -1919,6 +1919,12 @@ object SparkEntry {
     // substr); the oracle re-derives the fields arithmetically
     "mm_video_meta" -> ((s, dir) =>
       graft.pipeline.MultiModal.videoMeta(table(s, dir, "documents"))),
+    // TIFF/EXIF IFD metadata by pure byte-parse: the OFFSET-TABLE format
+    // (native graft_tiff_tag walks the entry directory behind a
+    // data-dependent junk gap, under BOTH byte orders); the oracle
+    // re-derives the fields arithmetically
+    "mm_tiff_meta" -> ((s, dir) =>
+      graft.pipeline.MultiModal.tiffMeta(table(s, dir, "documents"))),
     "ann_cosine_topk" -> ((s, dir) =>
       graft.pipeline.Ann.cosineTopK(table(s, dir, "embeddings"))),
     "ann_lsh_buckets" -> ((s, dir) =>
@@ -2894,6 +2900,16 @@ object SparkEntry {
         |FROM d""".stripMargin,
     // arithmetic re-derivation of the MP4 generator inputs; Spark must
     // recover the same values by walking the boxes at both levels
+    "mm_tiff_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 4 THEN 'opaque' ELSE 'tiff' END AS format,
+        |  CASE WHEN doc_id % 5 = 4 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CASE WHEN doc_id % 5 = 4 THEN NULL
+        |       ELSE CAST(64 + (n_chars % 1901) AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 5 = 4 THEN NULL
+        |       ELSE CAST(64 + ((doc_id * 31) % 1013) AS BIGINT) END AS height
+        |FROM documents""".stripMargin,
     "mm_video_meta" ->
       """WITH d AS (SELECT doc_id,
         |  CAST(600 + (n_chars % 11) * 100 AS BIGINT) AS ts,

@@ -419,4 +419,81 @@ object MultiModal {
         octet_length(col("payload")).cast("long").as("n_bytes"),
         md5(col("payload")).as("checksum"),
         col("source"))
+
+  // ---------------------------------------------------------------------
+  // TIFF/EXIF metadata: the offset-table format (header points at an
+  // entry directory elsewhere; every multi-byte read switches on the
+  // II/MM byte-order mark). The directory lookup is the native
+  // graft_tiff_tag loop; see functions/TiffTag.scala.
+  // ---------------------------------------------------------------------
+
+  /** (format, byte_order, width, height) from a binary payload: `tiff`
+    * needs a valid BOM + magic + IFD with ImageWidth(256) and
+    * ImageLength(257) entries within `maxEntries`; anything else is
+    * `opaque` with null fields. */
+  def withTiffMeta(df: DataFrame, payloadCol: String,
+      maxEntries: Int = 16): DataFrame = {
+    graft.functions.TiffTag.register(df.sparkSession)
+    val p = col(payloadCol)
+    def tag(t: Int): Column = call_function(graft.functions.TiffTag.Name,
+      p, lit(t), lit(maxEntries))
+    val w = tag(graft.functions.TiffTag.ImageWidth)
+    val h = tag(graft.functions.TiffTag.ImageLength)
+    val isTiff = w.isNotNull && h.isNotNull
+    df.withColumn("format", when(isTiff, "tiff").otherwise("opaque"))
+      .withColumn("byte_order",
+        when(isTiff, p.substr(lit(1), lit(2)).cast("string")))
+      .withColumn("width", when(isTiff, w))
+      .withColumn("height", when(isTiff, h))
+  }
+
+  /** Deterministic in-plan TIFF payloads: doc_id%2 picks the byte order
+    * (II/MM — BOTH code paths of every multi-byte read), the IFD sits
+    * behind pmod(n_chars, 23) junk bytes (the offset indirection is
+    * load-bearing), and pmod(doc_id, 3)+1 dummy low-tag entries precede
+    * the width/height tags (the entry scan is load-bearing). doc_id%5=4
+    * docs are opaque text. Pure codegen'd byte assembly, no UDF. */
+  def syntheticTiffPayloads(docs: DataFrame): DataFrame = {
+    val w = expr("64 + pmod(n_chars, 1901)")
+    val h = expr("64 + pmod(doc_id * 31, 1013)")
+    val junk = expr("pmod(n_chars, 23)")
+    def build(le: Boolean): Column = {
+      def u16(c: Column): Column = {
+        val hx = lpad(hex(c), 4, "0")
+        val ordered = if (le) concat(substring(hx, 3, 2), substring(hx, 1, 2)) else hx
+        to_binary(ordered, lit("hex"))
+      }
+      def u32(c: Column): Column = {
+        val hx = lpad(hex(c), 8, "0")
+        val ordered = if (le) concat(substring(hx, 7, 2), substring(hx, 5, 2),
+          substring(hx, 3, 2), substring(hx, 1, 2)) else hx
+        to_binary(ordered, lit("hex"))
+      }
+      def entryShort(tag: Int, v: Column): Column =
+        concat(u16(lit(tag)), u16(lit(3)), u32(lit(1)), u16(v), u16(lit(0)))
+      def entryLong(tag: Int, v: Column): Column =
+        concat(u16(lit(tag)), u16(lit(4)), u32(lit(1)), u32(v))
+      def ifd(dummies: Int): Column = {
+        val ds = (1 to dummies).map(k => entryShort(249 + k, lit(7 * k)))
+        concat((u16(lit(dummies + 2)) +: ds) ++
+          Seq(entryShort(256, w), entryLong(257, h), u32(lit(0))): _*)
+      }
+      val d = pmod(col("doc_id"), lit(3)) + 1
+      concat(lit((if (le) "II" else "MM").getBytes("UTF-8")),
+        u16(lit(42)), u32(junk + 8),
+        encode(expr("repeat('j', pmod(n_chars, 23))"), "UTF-8"),
+        when(d === 1, ifd(1)).when(d === 2, ifd(2)).otherwise(ifd(3)))
+    }
+    docs.select(col("doc_id"), col("n_chars"),
+      when(pmod(col("doc_id"), lit(5)) === 4, encode(col("text"), "UTF-8"))
+        .when(pmod(col("doc_id"), lit(2)) === 0, build(le = true))
+        .otherwise(build(le = false)).as("payload"))
+  }
+
+  /** The `mm_tiff_meta` query body: synthesize payloads, parse the IFD
+    * back. */
+  def tiffMeta(docs: DataFrame): DataFrame =
+    withTiffMeta(syntheticTiffPayloads(docs), "payload")
+      .select(col("doc_id"), col("format"), col("byte_order"),
+        col("width"), col("height"))
 }

@@ -61,6 +61,7 @@ class DeterminismSpec extends SparkTestBase {
     "text_gopher_rules",    // rounded rational signals + boolean verdicts
     "dedup_weights",        // cluster closure + size join-back
     "layout_hilbert",       // native per-row integer walk (order 16)
+    "mm_tiff_meta",         // offset-table byte walk under both endians
   )
 
   private def canonical(name: String): String = {

@@ -1115,6 +1115,7 @@ class PipelineSpec extends SparkTestBase {
     assert(MultiModal.withImageDims(df, "payload").collect().length == 300)
     assert(MultiModal.withAudioMeta(df, "payload").collect().length == 300)
     assert(MultiModal.withVideoMeta(df, "payload").collect().length == 300)
+    assert(MultiModal.withTiffMeta(df, "payload").collect().length == 300)
   }
 
   test("gramMatrix: exact quantized second moments, upper triangle only") {
@@ -1160,5 +1161,41 @@ class PipelineSpec extends SparkTestBase {
       .map(x => x.getLong(0) -> ((x.getLong(2), x.getDouble(3)))).toMap
     assert(w(0L) == ((3L, 0.3333)) && w(1L) == ((3L, 0.3333)) && w(3L) == ((3L, 0.3333)))
     assert(w(2L) == ((1L, 1.0)) && w(4L) == ((1L, 1.0)))
+  }
+
+  test("TIFF tag walk: both byte orders, junk gap, truncation, type/count rejection") {
+    import graft.functions.TiffTag
+    def u16(v: Int, le: Boolean): Array[Byte] =
+      if (le) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      else Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(v: Long, le: Boolean): Array[Byte] =
+      if (le) Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte)
+      else Array.tabulate(4)(i => ((v >> (8 * (3 - i))) & 0xff).toByte)
+    def tiff(le: Boolean, junk: Int, w: Int, h: Long): Array[Byte] = {
+      val bom = (if (le) "II" else "MM").getBytes
+      val entries =
+        u16(250, le) ++ u16(3, le) ++ u32(1, le) ++ u16(9, le) ++ u16(0, le) ++
+        u16(256, le) ++ u16(3, le) ++ u32(1, le) ++ u16(w, le) ++ u16(0, le) ++
+        u16(257, le) ++ u16(4, le) ++ u32(1, le) ++ u32(h, le)
+      bom ++ u16(42, le) ++ u32(8L + junk, le) ++ Array.fill(junk)('j'.toByte) ++
+        u16(3, le) ++ entries ++ u32(0, le)
+    }
+    val good = Seq(tiff(le = true, 5, 640, 480L), tiff(le = false, 0, 33, 77L))
+    good.zipWithIndex.foreach { case (b, k) =>
+      assert(TiffTag.tagValue(b, 256, 16) == (if (k == 0) 640 else 33))
+      assert(TiffTag.tagValue(b, 257, 16) == (if (k == 0) 480 else 77))
+      assert(TiffTag.tagValue(b, 258, 16) == -1) // absent tag
+      assert(TiffTag.tagValue(b, 256, 1) == -1)  // entry cap stops before tag 256
+      assert(TiffTag.tagValue(b.take(12), 256, 16) == -1) // truncated entry table
+    }
+    assert(TiffTag.tagValue("IIx".getBytes ++ Array.fill(8)(0.toByte), 256, 16) == -1) // bad magic
+    assert(TiffTag.tagValue(Array[Byte](), 256, 16) == -1)
+    // count != 1 and unsupported type reject rather than misread
+    val multi = {
+      val le = true
+      "II".getBytes ++ u16(42, le) ++ u32(8L, le) ++ u16(1, le) ++
+        (u16(256, le) ++ u16(3, le) ++ u32(2, le) ++ u16(5, le) ++ u16(6, le)) ++ u32(0, le)
+    }
+    assert(TiffTag.tagValue(multi, 256, 16) == -1)
   }
 }
