@@ -522,6 +522,23 @@ object SparkEntry {
       "(CreateBranch (name feature))",
     ), "(Union (Project (name) (Base sakura:branch)) (Rename ((branch name)) (Base sakura:head)))"),
 
+    // UpdateBranchTip through the wire: rewind main past the SECOND
+    // insert to the PINNED post-first-insert tip (content addressing is
+    // deterministic, so the hash literal is stable across scale factors
+    // and re-runs — this row double-pins the hash chain itself: any
+    // change to the engine's canonical encoding breaks it loudly),
+    // then checkout must surface exactly the rolled-back state
+    "dcl_branch_retip" -> script(Seq(
+      "(CreateDatabase g)",
+      "(ddl (CreateRelation (name t) (schema ((k integer)))))",
+      "(CreateBranch (name main))",
+      "(Checkout main)",
+      "(InsertTuple (relation t) (attributes ((k (Int 1)))))",
+      "(InsertTuple (relation t) (attributes ((k (Int 2)))))",
+      "(UpdateBranchTip (name main) (hash fb1e669c55fc9da88b1a9b40ff012c6fe8a96b5be486bb4216f50a89fffef758))",
+      "(Checkout main)",
+    ), "(Base t)"),
+
     // ---- SCL: cursor streaming over a DRL query ----
     "scl_cursor_stream" -> ((s, dir) => {
       val session = new graft.server.EngineSession(s, Some(new ParquetCatalog(s, dir)))
@@ -2166,6 +2183,8 @@ object SparkEntry {
         "t(name)"),
     "dcl_branch_catalog" ->
       "SELECT * FROM (VALUES ('main'),('feature'),('main')) t(name)",
+    "dcl_branch_retip" ->
+      "SELECT CAST(1 AS INTEGER) AS k",
     "icl_fk_pipeline" ->
       ("SELECT CAST(n_nationkey AS BIGINT) AS emp_id, CAST(n_regionkey AS BIGINT) AS dept_id " +
         "FROM nation"),
