@@ -44,8 +44,9 @@ object LabelProp {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var lab = nodes.withColumn("label", col("v"))
     for (_ <- 1 to rounds) {
+      val prev = lab
       val cnt = sym
-        .join(lab.select(col("v").as("__nv"), col("label")), col("v") === col("__nv"))
+        .join(prev.select(col("v").as("__nv"), col("label")), col("v") === col("__nv"))
         .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
       val w = Window.partitionBy(col("u")).orderBy(col("c").desc, col("label"))
       val top = cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -53,7 +54,14 @@ object LabelProp {
       lab = nodes.join(top, Seq("v"), "left")
         .select(col("v"), coalesce(col("__new"), col("v")).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lab.count() // materialize before releasing the previous round
+      prev.unpersist() // no-op on the unpersisted round-0 projection
     }
+    // the loop's result is materialized — the build-side caches must not
+    // outlive the call (the PageRank cache discipline: hundreds of
+    // queries share one session)
+    sym.unpersist()
+    nodes.unpersist()
     lab.select(col("v").as(vertexCol), col("label").as("community"))
   }
 }
