@@ -1301,8 +1301,15 @@ object SparkEntry {
     "layout_hilbert" -> ((s, dir) => {
       val day = datediff(col("o_orderdate").cast("date"),
         lit("1970-01-01").cast("date")).cast("long")
+      // mask both dims to the key's 16-bit grid (the Morton precedent:
+      // spreadBits masks to 31 bits) — at SF >= 0.5 raw custkeys exceed
+      // 2^16 and the native walk would yield NULL while the oracle's
+      // unmasked arithmetic would not; the pmod keeps both engines on
+      // the same in-range inputs at ANY scale factor
+      val grid = lit(1L << 16)
       table(s, dir, "orders").select(col("o_orderkey"),
-        graft.operators.Layout.hilbertKey(s, col("o_custkey"), day).as("hkey"))
+        graft.operators.Layout.hilbertKey(s,
+          pmod(col("o_custkey"), grid), pmod(day, grid)).as("hkey"))
     }),
     // deterministic sampled quantile: salted-hash 5% sample + exact
     // percentile over integral cents — approximate median with no
@@ -2567,8 +2574,8 @@ object SparkEntry {
          |FROM orders""".stripMargin,
     "layout_hilbert" -> {
       val levels = graft.operators.Layout.hilbertLevelsSql("orders",
-        "o_custkey", "(o_orderdate::DATE - DATE '1970-01-01')", 16,
-        Seq("o_orderkey"))
+        "o_custkey % 65536", "(o_orderdate::DATE - DATE '1970-01-01') % 65536",
+        16, Seq("o_orderkey"))
       s"SELECT o_orderkey, hd AS hkey FROM $levels tfin"
     },
     "sketch_quantile_sample" ->

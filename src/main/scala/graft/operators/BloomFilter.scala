@@ -45,7 +45,10 @@ object BloomFilter {
     require(kHashes >= 1, s"need at least one hash: $kHashes")
     val posCol = explode(array((0 until kHashes)
       .map(i => position(col(s"`$keyCol`"), i, mBits)): _*))
-    val words = dim.select(col(s"`$keyCol`")).distinct()
+    // NULL keys carry no membership semantics and would NPE the word
+    // assembly (null positions → null word index); drop them up front
+    val words = dim.select(col(s"`$keyCol`"))
+      .where(col(s"`$keyCol`").isNotNull).distinct()
       .select(posCol.as("p"))
       .select(call_function("div", col("p"), lit(64L)).cast("int").as("w"),
         call_function("shiftleft", lit(1L), (col("p") % 64).cast("int")).as("bit"))

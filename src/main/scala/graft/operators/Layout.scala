@@ -70,6 +70,8 @@ object Layout {
     * full chained-subquery SELECT given base column expressions. */
   def hilbertLevelsSql(tableName: String, xExpr: String, yExpr: String,
       order: Int, carryCols: Seq[String]): String = {
+    require(carryCols.nonEmpty,
+      "carryCols must be non-empty (an empty list would emit 'SELECT , ...')")
     val carry = carryCols.mkString(", ")
     val base = s"SELECT $carry, ($xExpr)::BIGINT AS hx, ($yExpr)::BIGINT AS hy, 0::BIGINT AS hd"
     (0 until order).foldLeft(s"($base FROM $tableName)") { (inner, l) =>

@@ -172,10 +172,19 @@ object Dedup {
     * (pairs whose ONLY collision was a capped bucket are missed; they
     * are overwhelmingly non-duplicates, and true near-dups collide in
     * several bands). None = exact, the oracle regime. */
+  /** Wide band columns (b0..b{numBands-1}) → long (band, bh) rows — the
+    * single source of the stack expression for the candidate self-join
+    * and the incremental band-index join. */
+  def bandRows(bandsDf: DataFrame, idCol: String,
+      numBands: Int = NumBands): DataFrame = {
+    val stackExpr = (0 until numBands).map(b => s"$b, b$b")
+      .mkString(s"stack($numBands, ", ", ", ") AS (band, bh)")
+    bandsDf.select(col(idCol), expr(stackExpr))
+  }
+
   def minhashCandidates(bandsDf: DataFrame, idCol: String,
       numBands: Int = NumBands, maxBandBucket: Option[Int] = None): DataFrame = {
-    val stackExpr = (0 until numBands).map(b => s"$b, b$b").mkString(s"stack($numBands, ", ", ", ") AS (band, bh)")
-    val long0 = bandsDf.select(col(idCol), expr(stackExpr))
+    val long0 = bandRows(bandsDf, idCol, numBands)
     val long = maxBandBucket match {
       case None => long0
       case Some(cap) =>
@@ -526,25 +535,23 @@ object Dedup {
     // join) ships longs instead of ~40-byte strings. The oracle hashes
     // identically, so even a (cosmically unlikely) key collision agrees
     // cross-engine.
-    val rows = shingleRows(df, idCol, textCol, shingleN)
-      .select(col(idCol),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("hv"))
+    val rows = hashedShingleRows(shingleRows(df, idCol, textCol, shingleN), idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val freq = rows.groupBy(col("hv")).agg(count(lit(1)).as("df"))
+    val freq = rows.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // ONE aggregation yields both the set size and the rarest-first
     // prefix (in-row array sort + slice — the per-doc "sort" is bounded
     // by document size, never a wide window exchange)
-    val pre = rows.join(freq, "hv")
+    val pre = rows.join(freq, "shingle")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n"),
-        expr(s"slice(array_sort(collect_list(struct(df, hv))), 1, " +
-          s"cast(count(hv) - ceil($threshold * count(hv)) + 1 AS int))").as("pref"))
+        expr(s"slice(array_sort(collect_list(struct(df, shingle))), 1, " +
+          s"cast(count(shingle) - ceil($threshold * count(shingle)) + 1 AS int))").as("pref"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = pre.select(col(idCol), col("n"))
-    val ranked = pre.select(col(idCol), explode(col("pref.hv")).as("hv"))
-    val a = ranked.select(col(idCol).as("doc_a"), col("hv"))
-    val b = ranked.select(col(idCol).as("doc_b"), col("hv"))
-    val cand = a.join(b, Seq("hv")).filter(col("doc_a") < col("doc_b"))
+    val ranked = pre.select(col(idCol), explode(col("pref.shingle")).as("shingle"))
+    val a = ranked.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = ranked.select(col(idCol).as("doc_b"), col("shingle"))
+    val cand = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     // count-based verification (no per-pair array materialization): the
     // candidate set re-joins the full posting rows on both sides and the
@@ -552,8 +559,8 @@ object Dedup {
     // aggregate shape as [[jaccardPairs]], bounded by candidates instead
     // of all co-occurrences
     val inter = cand
-      .join(rows.select(col(idCol).as("doc_a"), col("hv")), Seq("doc_a"))
-      .join(rows.select(col(idCol).as("doc_b"), col("hv")), Seq("doc_b", "hv"))
+      .join(rows.select(col(idCol).as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(rows.select(col(idCol).as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
@@ -581,13 +588,10 @@ object Dedup {
     * fewer than `shingleN` tokens produce no bands and no verdict row. */
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, cfg: LshConfig = LshConfig()): DataFrame = {
-    def bandRows(df: DataFrame): DataFrame = {
-      val stackExpr = (0 until cfg.numBands)
-        .map(b => s"$b, b$b").mkString(s"stack(${cfg.numBands}, ", ", ", ") AS (band, bh)")
-      bandSignatures(df, idCol, textCol, cfg).select(col(idCol), expr(stackExpr))
-    }
-    val newBands = bandRows(batch)
-    val idxBands = bandRows(corpus)
+    def sideBands(df: DataFrame): DataFrame =
+      bandRows(bandSignatures(df, idCol, textCol, cfg), idCol, cfg.numBands)
+    val newBands = sideBands(batch)
+    val idxBands = sideBands(corpus)
       .select(col("band"), col("bh"), col(idCol).as("__idx"))
     val hits = newBands.join(idxBands, Seq("band", "bh"))
       .groupBy(col(idCol))
@@ -622,13 +626,18 @@ object Dedup {
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= cfg.jaccardThreshold)
       .select(col("doc_a"), col("doc_b"))
+    // truth and cand each feed BOTH a count arm and the hit join —
+    // persisted, or Spark re-executes the two heaviest self-joins
+    // (separate aggregate branches do not share exchanges)
+    val truthP = truth.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = minhashCandidates(bandSignaturesFromHashedRows(rows, idCol, cfg),
       idCol, cfg.numBands)
-    val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hit = truthP.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     def ratio(num: org.apache.spark.sql.Column,
         den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       round(num.cast("double") / when(den === 0, lit(null)).otherwise(den), 4)
-    truth.agg(count(lit(1)).as("n_truth"))
+    truthP.agg(count(lit(1)).as("n_truth"))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
       .crossJoin(hit.agg(count(lit(1)).as("n_hits")))
       .select(col("n_truth"), col("n_cand"), col("n_hits"),

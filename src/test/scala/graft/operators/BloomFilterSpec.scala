@@ -47,6 +47,16 @@ class BloomFilterSpec extends SparkTestBase {
     assert(BloomFilter.build(dim, "k", mBits = 256, kHashes = 3).toSeq == words.toSeq)
   }
 
+  test("null dim keys are dropped at build, not a driver NPE") {
+    val dim = Seq(Some(5L), None, Some(9L)).toDF("k")
+    val words = BloomFilter.build(dim, "k")
+    val fact = Seq(Some(5L), Some(9L), Some(6L), None).toDF("k")
+    val pass = fact.filter(BloomFilter.mightContain(col("k"), words))
+      .collect().flatMap(r => Option(r.get(0)))
+    assert(pass.toSet.intersect(Set[Any](5L, 9L)) == Set[Any](5L, 9L)) // no false negatives
+    assert(!pass.contains(null)) // null probe yields null predicate -> filtered
+  }
+
   test("empty dimension set: all-zero bitset admits nothing") {
     val dim = Seq.empty[Tuple1[Long]].toDF("k")
     val words = BloomFilter.build(dim, "k")
