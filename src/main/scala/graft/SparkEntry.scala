@@ -1153,6 +1153,21 @@ object SparkEntry {
       graft.operators.LabelProp.labels(
         lp.select(col("p").as("part")), pairs, "part")
     }),
+    // bounded k-core peel on the same sparse subgraph: 3 synchronous
+    // peel rounds at k=3 — the degeneracy-ordering workhorse (densest
+    // community seeds, spam-farm detection); survivors carry the degree
+    // that passed the final check, so the oracle hash-checks the
+    // cascade itself, not just membership
+    "graph_kcore" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val l1 = lp.select(col("ok"), col("p").as("s1"))
+      val l2 = lp.select(col("ok").as("ok2"), col("p").as("s2"))
+      val pairs = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
+        .select(col("s1").as("doc_a"), col("s2").as("doc_b")).distinct()
+      graft.operators.KCore.peel(pairs, k = 3)
+        .select(col("v").as("part"), col("core_degree"))
+    }),
     // degree distribution of the part co-order graph — the graph-shape
     // profile (hub detection, skew diagnosis before any wedge-generating
     // algorithm): two keyed aggregations, no joins beyond the edge build
@@ -1560,6 +1575,51 @@ object SparkEntry {
         .select(col("promo_revenue"), col("total_revenue"),
           (col("promo_revenue") / col("total_revenue")).as("promo_share"))
     }),
+    // TPC-H Q9 SHAPE (product profit): per (supplier nation, ship year)
+    // profit over a name-LIKE-filtered part slice. The schema has no
+    // partsupp, so line cost is the part's retail price scaled by
+    // quantity at a fixed margin factor — decimal-exact throughout, one
+    // IEEE cast at the end. The LIKE filter prunes the part dimension
+    // BEFORE the fact join (broadcast after pruning), and nation
+    // broadcasts; lineitem streams once
+    "agg_q9_profit" -> ((s, dir) => {
+      val d2 = DecimalType(18, 2)
+      val rev = col("l_extendedprice").cast(d2) *
+        (lit(java.math.BigDecimal.ONE).cast(d2) - col("l_discount").cast(d2))
+      val cost = col("p_retailprice").cast(d2) * col("l_quantity").cast(d2) *
+        lit(new java.math.BigDecimal("0.10")).cast(d2)
+      table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part")
+          .filter(col("p_name").contains("red"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(table(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(table(s, dir, "nation")), col("n_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))
+        .agg(sum(rev.cast(DecimalType(28, 6)) - cost.cast(DecimalType(28, 6)))
+          .cast("double").as("sum_profit"))
+    }),
+    // TPC-H Q19 SHAPE (disjunctive cross-table predicate): revenue over
+    // an OR of brand/size/quantity conjunctions spanning BOTH join
+    // sides. The per-table residue of the disjunction (brand ∈ {…},
+    // size ≤ 15, quantity ≤ 30) is what Catalyst can push into each
+    // scan; the cross-table conjuncts evaluate post-join — the shape
+    // that punishes engines which can only push conjunctive filters
+    "agg_q19_disjunctive" -> ((s, dir) => {
+      val d2 = DecimalType(18, 2)
+      val rev = col("l_extendedprice").cast(d2) *
+        (lit(java.math.BigDecimal.ONE).cast(d2) - col("l_discount").cast(d2))
+      table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part")), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(count(lit(1)).as("n_lines"), sum(rev).cast("double").as("revenue"))
+    }),
     // TPC-H Q22 SHAPE (idle rich customers): above-average balance with
     // no URGENT orders — an uncorrelated scalar aggregate subquery (one-row
     // broadcast) gating the scan plus a NOT EXISTS anti-join. The
@@ -1868,6 +1928,19 @@ object SparkEntry {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       graft.operators.AsofJoin.forward(clicks, purchases, Seq("user_id"), "ts",
+        Seq("event_id", "value"), "event_id")
+        .select(col("event_id"), col("user_id"), col("asof_event_id"), col("asof_value"))
+    }),
+    // nearest as-of: each click's closest purchase in EITHER direction
+    // (distance ties go backward) — two window passes over one shuffle,
+    // still no join; the sensor-alignment primitive
+    "asof_nearest_purchase" -> ((s, dir) => {
+      val ev = table(s, dir, "events").withColumn("ts", expr(TsUsSql))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.operators.AsofJoin.nearest(clicks, purchases, Seq("user_id"), "ts",
         Seq("event_id", "value"), "event_id")
         .select(col("event_id"), col("user_id"), col("asof_event_id"), col("asof_value"))
     }),
@@ -2470,6 +2543,8 @@ object SparkEntry {
         |  UNION
         |  SELECT reach.s, sym.v FROM reach JOIN sym ON reach.t = sym.u)
         |SELECT s AS part, min(t) AS component FROM reach GROUP BY s""".stripMargin,
+    "graph_kcore" -> graft.pipeline.Oracles.graphKCore(3,
+      graft.operators.KCore.Rounds),
     "graph_label_prop" -> graft.pipeline.Oracles.graphLabelProp(
       graft.operators.LabelProp.Rounds),
     "graph_degree_hist" ->
@@ -2744,6 +2819,29 @@ object SparkEntry {
          |  FROM r)
          |SELECT promo_revenue, total_revenue,
          |       promo_revenue / total_revenue AS promo_share FROM s""".stripMargin),
+    "agg_q9_profit" ->
+      """SELECT n_name AS nation, year(l_shipdate) AS o_year,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)) -
+        |      CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) *
+        |        CAST(0.10 AS DECIMAL(18,2)) AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+    "agg_q19_disjunctive" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     // layout-invisible: the plain join IS the bucketed join's contract
     "warehouse_bucketed_join" ->
       ("SELECT o_orderstatus, COUNT(*) AS n_items, " +
@@ -2859,6 +2957,34 @@ object SparkEntry {
          |)
          |SELECT event_id, user_id, pay.e AS asof_event_id, pay.v AS asof_value
          |FROM f WHERE side = 1""".stripMargin),
+    // mirror of the nearest as-of: the backward and forward candidates
+    // from their respective window passes, then the smaller-delta pick
+    // (ties backward) on the µs grid both engines share
+    "asof_nearest_purchase" ->
+      ("""WITH u AS (
+         |  SELECT user_id, epoch_us(ts) AS ts, 1 AS side, NULL::BIGINT AS tie, event_id,
+         |         NULL::STRUCT(e BIGINT, v DOUBLE, t BIGINT) AS pay
+         |  FROM events WHERE event_type = 'click'
+         |  UNION ALL
+         |  SELECT user_id, epoch_us(ts), 0, event_id, NULL,
+         |         struct_pack(e := event_id, v := value, t := epoch_us(ts))
+         |  FROM events WHERE event_type = 'purchase'
+         |), w AS (
+         |  SELECT side, event_id, user_id, ts,
+         |    last_value(pay IGNORE NULLS) OVER wb AS bp,
+         |    last_value(pay IGNORE NULLS) OVER wf AS fp
+         |  FROM u
+         |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, side, tie
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wf AS (PARTITION BY user_id ORDER BY ts DESC, side, tie DESC
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), p AS (
+         |  SELECT event_id, user_id,
+         |    CASE WHEN bp IS NULL THEN fp WHEN fp IS NULL THEN bp
+         |         WHEN ts - bp.t <= fp.t - ts THEN bp ELSE fp END AS pay
+         |  FROM w WHERE side = 1)
+         |SELECT event_id, user_id, pay.e AS asof_event_id, pay.v AS asof_value
+         |FROM p""".stripMargin),
     "ts_ohlc_daily" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu,
          |        epoch_us(ts) // $RangeJoinDayUs AS day, event_id, value FROM events),

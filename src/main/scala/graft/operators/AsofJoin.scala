@@ -126,4 +126,71 @@ object AsofJoin {
       .select((keys.map(q) :+ q(tsCol)) ++ leftOnly.map(q) ++
         rightPayload.map(c => col("__pay").getField(c).as(s"$outPrefix$c")): _*)
   }
+
+  /** Nearest as-of join: for each left row, the right row minimizing
+    * |right.ts - left.ts| in the same key group, EITHER direction — the
+    * sensor-alignment / log-correlation primitive ("closest reading to
+    * this fault, before or after"). Distance ties resolve BACKWARD (the
+    * at-or-before row wins), matching the intuition that the past is
+    * known and the future is a guess; within a direction the usual
+    * per-direction tie rules apply.
+    *
+    * Same union-scan scale shape: ONE shuffle on the keys, then TWO
+    * ordered window passes (ascending carries the backward candidate,
+    * descending the forward one) sharing that exchange — no join, no
+    * candidate blow-up. The per-row pick is then a scalar comparison of
+    * the two deltas. `tsCol` must be numeric (epoch ticks): the pick
+    * compares subtraction results, not orderings. */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+      rightPayload: Seq[String], rightTieBreak: String,
+      outPrefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one equality key")
+    val lTs = left.schema(tsCol).dataType
+    val rTs = right.schema(tsCol).dataType
+    require(lTs == rTs, s"ts column type mismatch: left $lTs vs right $rTs")
+    require(lTs.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"nearest needs a numeric ts (epoch ticks) to compare deltas: $lTs")
+
+    val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val tieType = right.schema(rightTieBreak).dataType
+    // the matched row's ts travels inside the payload so the delta
+    // compare can run after the window passes
+    val payCols = if (rightPayload.contains(tsCol)) rightPayload
+      else rightPayload :+ tsCol
+    val payType = StructType(payCols.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
+    def q(c: String): Column = col(s"`$c`")
+
+    val lSide = left.select(
+      (keys.map(q) :+ q(tsCol) :+ lit(1).as("__side") :+
+        lit(null).cast(tieType).as("__tie")) ++
+        leftOnly.map(q) :+
+        lit(null).cast(payType).as("__pay"): _*)
+    val rSide = right.select(
+      (keys.map(q) :+ q(tsCol) :+ lit(0).as("__side") :+
+        q(rightTieBreak).as("__tie")) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payCols.map(c => q(c).as(c)): _*).as("__pay"): _*)
+
+    // both windows share the key partitioning (one exchange, two sorts)
+    val wb = Window.partitionBy(keys.map(q): _*)
+      .orderBy(q(tsCol).asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keys.map(q): _*)
+      .orderBy(q(tsCol).desc, col("__side").asc, col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bDelta = q(tsCol) - col("__b").getField(tsCol)
+    val fDelta = col("__f").getField(tsCol) - q(tsCol)
+    val pick = when(col("__b").isNull, col("__f"))
+      .when(col("__f").isNull, col("__b"))
+      .when(bDelta <= fDelta, col("__b"))
+      .otherwise(col("__f"))
+    lSide.unionAll(rSide)
+      .withColumn("__b", last(col("__pay"), ignoreNulls = true).over(wb))
+      .withColumn("__f", last(col("__pay"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+      .withColumn("__n", pick)
+      .select((keys.map(q) :+ q(tsCol)) ++ leftOnly.map(q) ++
+        rightPayload.map(c => col("__n").getField(c).as(s"$outPrefix$c")): _*)
+  }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded k-core peeling (Seidman '83 cores; the bulk-synchronous
+  * peel of Montresor et al. '13): each round computes every vertex's
+  * degree in the SURVIVING subgraph and drops vertices below k —
+  * dropping a vertex lowers its neighbors' degrees, so peeling
+  * cascades. The round count is FIXED (not run-to-convergence): the
+  * result is the round-R snapshot, which equals the true k-core
+  * whenever the cascade depth is ≤ R and is replayable by the oracle's
+  * unrolled CTE chain either way (a convergence loop would make the
+  * row count data-dependent and the oracle unwritable). Vertices with
+  * zero surviving edges drop out of the degree table entirely, which
+  * is the correct peel for any k ≥ 1.
+  *
+  * Scale shape per round: one map-side-combinable degree count over
+  * the current edge list (edge rows are two longs — degree shuffles
+  * ship ids, never adjacency) and two left-semi joins shrinking the
+  * edge list to surviving endpoints. The edge list only ever SHRINKS,
+  * so per-round cost is monotone non-increasing; each round's survivor
+  * set is a vertex-id table small enough to broadcast long before the
+  * edge list is. Round results persist under the PageRank cache
+  * discipline (materialize, then release the previous round). */
+object KCore {
+  /** Fixed peel rounds (oracle-pinned default). */
+  val Rounds = 3
+
+  /** Survivors of `rounds` peel rounds at threshold `k`, with the
+    * degree that passed the final check. `edges` are undirected
+    * canonical pairs (srcCol < dstCol, deduped by the caller). */
+  def peel(edges: DataFrame, srcCol: String = "doc_a",
+      dstCol: String = "doc_b", k: Int = 3, rounds: Int = Rounds): DataFrame = {
+    require(k >= 1, s"need a positive core threshold: $k")
+    require(rounds >= 1, s"need at least one round: $rounds")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var e = edges.select(col(s"`$srcCol`").as("a"), col(s"`$dstCol`").as("b"))
+      .persist(lvl)
+    var deg: DataFrame = null
+    var degSource: DataFrame = null // the edge list the final deg reads
+    for (r <- 1 to rounds) {
+      val prev = e
+      degSource = prev
+      deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+        .filter(col("degree") >= k)
+      val surv = deg.select(col("v"))
+      e = prev
+        .join(surv.select(col("v").as("__sa")), col("a") === col("__sa"), "left_semi")
+        .join(surv.select(col("v").as("__sb")), col("b") === col("__sb"), "left_semi")
+        .persist(lvl)
+      e.count() // materialize before releasing the previous round
+      // the FINAL round's degree table still reads `prev` — keep that
+      // one cached until the result is materialized below
+      if (r < rounds) prev.unpersist()
+    }
+    // materialize the result while its source edge list is still cached,
+    // then release every build cache (hundreds of queries share a session)
+    val out = deg.select(col("v"), col("degree").as("core_degree"))
+      .persist(lvl)
+    out.count()
+    degSource.unpersist()
+    e.unpersist()
+    out
+  }
+}

@@ -62,6 +62,10 @@ class DeterminismSpec extends SparkTestBase {
     "dedup_weights",        // cluster closure + size join-back
     "layout_hilbert",       // native per-row integer walk (order 16)
     "mm_tiff_meta",         // offset-table byte walk under both endians
+    "graph_kcore",          // iterative degree-threshold peel cascade
+    "agg_q9_profit",        // decimal profit diff over a pruned dimension
+    "agg_q19_disjunctive",  // OR-of-conjunctions cross-table predicate
+    "asof_nearest_purchase",// two opposed window passes + delta pick
   )
 
   private def canonical(name: String): String = {

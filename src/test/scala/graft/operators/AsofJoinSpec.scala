@@ -119,4 +119,50 @@ class AsofJoinSpec extends SparkTestBase {
     val windows = plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
     assert(windows.nonEmpty)
   }
+
+  private def runNearest(left: Seq[(Long, Long, Long)],
+      right: Seq[(Long, Long, Long, Double)]) = {
+    val l = left.toDF("event_id", "user_id", "ts")
+    val r = right.toDF("user_id", "ts", "event_id", "value")
+    AsofJoin.nearest(l, r, Seq("user_id"), "ts", Seq("event_id", "value"), "event_id")
+      .select("event_id", "asof_event_id")
+      .collect().map(row => (row.getLong(0),
+        if (row.isNullAt(1)) None else Some(row.getLong(1)))).toSet
+  }
+
+  test("nearest picks the smaller delta from either direction") {
+    val got = runNearest(
+      left = Seq((1L, 7L, 100L), (2L, 7L, 190L)),
+      right = Seq((7L, 60L, 10L, 1.0), (7L, 150L, 11L, 2.0)))
+    // ts=100: backward delta 40 < forward delta 50 -> the ts=60 row;
+    // ts=190: backward delta 40 and nothing forward -> the ts=150 row
+    assert(got === Set((1L, Some(10L)), (2L, Some(11L))))
+  }
+
+  test("nearest resolves an exact distance tie backward") {
+    val got = runNearest(
+      left = Seq((1L, 7L, 100L)),
+      right = Seq((7L, 80L, 10L, 1.0), (7L, 120L, 11L, 2.0)))
+    assert(got === Set((1L, Some(10L))))
+  }
+
+  test("nearest falls forward when nothing precedes, and stays null when nothing matches") {
+    val got = runNearest(
+      left = Seq((1L, 7L, 10L), (2L, 8L, 10L)),
+      right = Seq((7L, 500L, 10L, 1.0)))
+    assert(got === Set((1L, Some(10L)), (2L, None)))
+  }
+
+  test("nearest is join-free: one exchange feeding two window sorts") {
+    val l = Seq((1L, 7L, 100L)).toDF("event_id", "user_id", "ts")
+    val r = Seq((7L, 60L, 10L, 1.0)).toDF("user_id", "ts", "event_id", "value")
+    val df = AsofJoin.nearest(l, r, Seq("user_id"), "ts",
+      Seq("event_id", "value"), "event_id")
+    val plan = df.queryExecution.optimizedPlan
+    val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, s"expected a join-free plan, got:\n$plan")
+    val exchanges = df.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected ONE key shuffle shared by both windows, got $exchanges")
+  }
 }
