@@ -1192,6 +1192,18 @@ object SparkEntry {
         .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("day_value"))
       graft.operators.GapFill.locf(obs, "user_id", "day", Seq("day_value"))
     }),
+    // same densified grid, LINEAR interpolation instead of LOCF — the
+    // resampling mode for continuous signals; one IEEE division per
+    // output row in a fixed expression order, so the oracle hash-checks
+    // the interpolated trajectory itself
+    "ts_interpolate" -> ((s, dir) => {
+      val obs = table(s, dir, "events")
+        .select(col("user_id"),
+          expr(s"($TsUsSql) div $RangeJoinDayUs").as("day"), col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("day_value"))
+      graft.operators.GapFill.interpolate(obs, "user_id", "day", "day_value")
+    }),
     // fuzzy duplicate part names: block on the noun token, verify with
     // Levenshtein ≤ 3 — blocking-key equi-join, never all-pairs
     "er_fuzzy_pairs" -> ((s, dir) =>
@@ -2566,6 +2578,34 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value,
          |  NOT obs_row AS is_gap
          |FROM j""".stripMargin,
+    // mirror of GapFill.interpolate: anchors travel as structs through
+    // two opposed window passes; the arithmetic is the same fixed-order
+    // expression (long subtractions, one multiply, ONE division)
+    "ts_interpolate" ->
+      s"""WITH obs AS (SELECT user_id, epoch_us(ts) // $RangeJoinDayUs AS day,
+         |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+         |      FROM events GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM obs GROUP BY 1),
+         |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day FROM span),
+         |j AS (SELECT g.user_id, g.day, o.day_value, o.day IS NOT NULL AS obs_row
+         |      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day),
+         |a AS (SELECT user_id, day, obs_row,
+         |  last_value(CASE WHEN day_value IS NOT NULL
+         |                  THEN struct_pack(t := day, v := day_value) END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         |  last_value(CASE WHEN day_value IS NOT NULL
+         |                  THEN struct_pack(t := day, v := day_value) END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY day DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+         | FROM j)
+         |SELECT user_id, day,
+         |  CASE WHEN p IS NULL OR n IS NULL THEN NULL
+         |       WHEN n.t = p.t THEN p.v
+         |       ELSE p.v + (n.v - p.v) * ((day - p.t)::DOUBLE) / ((n.t - p.t)::DOUBLE)
+         |  END AS day_value,
+         |  NOT obs_row AS is_gap
+         |FROM a""".stripMargin,
     // Key semantics mirror Spark's split(s,' ')[1]: a name with no
     // space has NO second token (NULL key, row dropped by the equi-
     // join) — distinct from a name whose second token is '' (kept).

@@ -81,4 +81,34 @@ class GapFillSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(out === Set(2L)) // the wrapping key must NOT explode the grid
   }
+
+  test("interpolate: gap rows land on the straight line, observed rows stay exact") {
+    // observations (0, 10.0) and (4, 30.0): ticks 1..3 -> 15, 20, 25
+    val obs = Seq((1L, 0L, 10.0), (1L, 4L, 30.0)).toDF("k", "t", "v")
+    val out = GapFill.interpolate(obs, "k", "t", "v")
+      .collect().map(r => r.getLong(1) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out === Map(
+      0L -> (10.0, false), 1L -> (15.0, true), 2L -> (20.0, true),
+      3L -> (25.0, true), 4L -> (30.0, false)))
+  }
+
+  test("interpolate bridges straight across a null-valued observation") {
+    // the tick-2 row is OBSERVED but null-valued: it must emit with the
+    // interpolated value (20.0) and is_gap = false
+    val obs = Seq((1L, 0L, Some(10.0)), (1L, 2L, None), (1L, 4L, Some(30.0)))
+      .toDF("k", "t", "v")
+    val out = GapFill.interpolate(obs, "k", "t", "v")
+      .collect().map(r => r.getLong(1) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(2L) === ((20.0, false)))
+    assert(out(1L) === ((15.0, true)) && out(3L) === ((25.0, true)))
+  }
+
+  test("interpolate: a null-valued EDGE observation leaves its side null") {
+    val obs = Seq((1L, 0L, None), (1L, 2L, Some(8.0)), (1L, 3L, Some(9.0)))
+      .toDF("k", "t", "v")
+    val rows = GapFill.interpolate(obs, "k", "t", "v").collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rows(0L) === None && rows(1L) === None)
+    assert(rows(2L) === Some(8.0) && rows(3L) === Some(9.0))
+  }
 }
