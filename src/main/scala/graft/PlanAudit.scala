@@ -24,6 +24,16 @@ object PlanAudit {
     }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val events = spark.read.parquet(s"$dir/events.parquet")
+    // generic mode: SPARK_GRAFT_ONLY=a,b,c audits ONLY the named
+    // registered queries (skips the fixed round-4 list below)
+    sys.env.get("SPARK_GRAFT_ONLY").foreach { only =>
+      for (n <- only.split(",")) {
+        spark.catalog.clearCache()
+        audit(n, SparkEntry.queries(n)(spark, dir))
+      }
+      spark.stop()
+      return
+    }
     audit("asof_click_purchase", {
       val ev = events.withColumn("ts", expr("unix_micros(cast(ts as timestamp))"))
       val clicks = ev.filter(col("event_type") === "click")

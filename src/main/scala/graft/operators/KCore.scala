@@ -38,30 +38,35 @@ object KCore {
     var e = edges.select(col(s"`$srcCol`").as("a"), col(s"`$dstCol`").as("b"))
       .persist(lvl)
     var deg: DataFrame = null
-    var degSource: DataFrame = null // the edge list the final deg reads
     for (r <- 1 to rounds) {
-      val prev = e
-      degSource = prev
-      deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      val prevE = e
+      val prevDeg = deg
+      // persist + materialize the degree table ONCE per round: both
+      // semi joins below read the cache instead of re-running the
+      // aggregate (and the final round's table IS the answer)
+      deg = prevE.select(col("a").as("v")).unionAll(prevE.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("degree"))
         .filter(col("degree") >= k)
-      val surv = deg.select(col("v"))
-      e = prev
-        .join(surv.select(col("v").as("__sa")), col("a") === col("__sa"), "left_semi")
-        .join(surv.select(col("v").as("__sb")), col("b") === col("__sb"), "left_semi")
         .persist(lvl)
-      e.count() // materialize before releasing the previous round
-      // the FINAL round's degree table still reads `prev` — keep that
-      // one cached until the result is materialized below
-      if (r < rounds) prev.unpersist()
+      deg.count()
+      if (prevDeg != null) prevDeg.unpersist()
+      // the last round only checks — nobody consumes a further-shrunk
+      // edge list, so don't build one
+      if (r < rounds) {
+        e = prevE
+          .join(deg.select(col("v").as("__sa")), col("a") === col("__sa"), "left_semi")
+          .join(deg.select(col("v").as("__sb")), col("b") === col("__sb"), "left_semi")
+          .persist(lvl)
+        e.count() // materialize before releasing the previous round
+      }
+      prevE.unpersist()
     }
-    // materialize the result while its source edge list is still cached,
-    // then release every build cache (hundreds of queries share a session)
+    // materialize the result, then release every build cache (hundreds
+    // of queries share a session)
     val out = deg.select(col("v"), col("degree").as("core_degree"))
       .persist(lvl)
     out.count()
-    degSource.unpersist()
-    e.unpersist()
+    deg.unpersist()
     out
   }
 }
