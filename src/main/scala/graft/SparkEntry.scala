@@ -996,6 +996,23 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("gid"), col("sum_qty"), col("n_items"))
     }),
+    // explicit GROUPING SETS — the mixed-granularity report neither
+    // cube nor rollup can express: flag×status detail, per-ship-year
+    // totals, and the grand total in ONE aggregation pass (one shuffle
+    // with map-side partials across all three set expansions)
+    "agg_grouping_sets" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").withColumn("ship_year", year(col("l_shipdate")))
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("ship_year")), Seq()),
+          col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+        .agg(grouping_id().as("gid"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          coalesce(col("ship_year").cast("string"), lit("ALL")).as("yr"),
+          col("gid"), col("sum_qty"), col("n_items"))
+    }),
     // equi-width histogram profile of extendedprice: the data-profiling
     // primitive. Bin = floor(x / 1000) — one IEEE division + floor, bit-
     // identical in every engine, so bins never drift at the boundary.
@@ -2466,6 +2483,16 @@ object SparkEntry {
         "GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
         "COUNT(*) AS n_items FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"),
+    "agg_grouping_sets" ->
+      """WITH li AS (SELECT l_returnflag, l_linestatus,
+        |              year(l_shipdate) AS ship_year, l_quantity FROM lineitem)
+        |SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COALESCE(ship_year::VARCHAR, 'ALL') AS yr,
+        |  GROUPING(l_returnflag, l_linestatus, ship_year)::BIGINT AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_items
+        |FROM li
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())""".stripMargin,
     "agg_histogram" ->
       ("SELECT floor(l_extendedprice / 1000)::BIGINT AS bin, COUNT(*) AS n_items, " +
         "min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price, " +
