@@ -2006,6 +2006,19 @@ object SparkEntry {
           // exact long sum ÷ count, one IEEE division — deterministic
           avg(col("gap")).as("mean_gap_us"))
     }),
+    // trailing 7-observed-day rolling MEDIAN of per-user daily event
+    // counts — robust smoothing (spike-insensitive, unlike the trailing
+    // mean). The median runs over INTEGER-valued counts, where both
+    // engines' even-count interpolation (a+(b−a)·0.5 vs (a+b)/2) is
+    // exact and identical — arbitrary doubles could drift 1 ulp
+    "win_rolling_median" -> ((s, dir) => {
+      val d = table(s, dir, "events")
+        .select(col("user_id"), expr(s"($TsUsSql) div $RangeJoinDayUs").as("day"))
+        .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day")).rowsBetween(-6, 0)
+      d.withColumn("med7", expr("percentile(n, 0.5)").over(w))
+    }),
     // banded range join: every non-signup event within a day after a
     // signup by the same user (bucketed equi-join, never a cross
     // product). µs-truncated time on both sides — see SessionGapUs note.
@@ -3073,6 +3086,13 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_events, max(gap) AS max_gap_us,
         |       avg(gap) AS mean_gap_us
         |FROM g GROUP BY 1""".stripMargin,
+    "win_rolling_median" ->
+      s"""WITH d AS (SELECT user_id, epoch_us(ts) // $RangeJoinDayUs AS day,
+         |        count(*) AS n FROM events GROUP BY 1, 2)
+         |SELECT user_id, day, n,
+         |  quantile_cont(n, 0.5) OVER (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+         |FROM d""".stripMargin,
     // the band is [1 µs, 1 day] after the signup, on µs-truncated time
     // (identical on both engines — see the SessionGapUs note)
     "range_join_events" ->

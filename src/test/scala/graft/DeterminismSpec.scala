@@ -66,6 +66,7 @@ class DeterminismSpec extends SparkTestBase {
     "agg_q9_profit",        // decimal profit diff over a pruned dimension
     "agg_q19_disjunctive",  // OR-of-conjunctions cross-table predicate
     "asof_nearest_purchase",// two opposed window passes + delta pick
+    "win_rolling_median",   // windowed exact median over integer counts
   )
 
   private def canonical(name: String): String = {

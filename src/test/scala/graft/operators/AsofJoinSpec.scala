@@ -153,6 +153,13 @@ class AsofJoinSpec extends SparkTestBase {
     assert(got === Set((1L, Some(10L)), (2L, None)))
   }
 
+  test("nearest: a right row at exactly the left ts wins from both directions (delta 0)") {
+    val got = runNearest(
+      left = Seq((1L, 7L, 100L)),
+      right = Seq((7L, 99L, 10L, 1.0), (7L, 100L, 11L, 2.0)))
+    assert(got === Set((1L, Some(11L))))
+  }
+
   test("nearest is join-free: one exchange feeding two window sorts") {
     val l = Seq((1L, 7L, 100L)).toDF("event_id", "user_id", "ts")
     val r = Seq((7L, 60L, 10L, 1.0)).toDF("user_id", "ts", "event_id", "value")

@@ -103,6 +103,15 @@ class GapFillSpec extends SparkTestBase {
     assert(out(1L) === ((15.0, true)) && out(3L) === ((25.0, true)))
   }
 
+  test("interpolate honors the shared maxSpan guard: the glitch key drops whole") {
+    val obs = Seq((1L, 0L, 10.0), (1L, 2L, 30.0),
+      (2L, 0L, 9.0), (2L, 1000000000L, 9.9)).toDF("k", "t", "v")
+    val out = GapFill.interpolate(obs, "k", "t", "v", maxSpan = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSet === Set(1L))
+    assert(out.sortBy(_._2).map(_._3).toSeq === Seq(10.0, 20.0, 30.0))
+  }
+
   test("interpolate: a null-valued EDGE observation leaves its side null") {
     val obs = Seq((1L, 0L, None), (1L, 2L, Some(8.0)), (1L, 3L, Some(9.0)))
       .toDF("k", "t", "v")
