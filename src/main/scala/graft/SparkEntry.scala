@@ -1700,6 +1700,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
     }),
+    // the other warehouse layout path: documents written PARTITIONED by
+    // lang into scratch, then read back through a partition-pruned scan
+    // (the lang predicate resolves against directories at planning time
+    // — WarehouseSpec pins the PartitionFilters plan line). Layout is
+    // invisible in the result, so the oracle reads the ORIGINAL parquet
+    // — proving the directory-encoded round trip preserves every value
+    "warehouse_partition_prune" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-wh-p").toString
+      graft.sources.Warehouse.writePartitioned(
+        table(s, dir, "documents"), s"$tmp/docs", Seq("lang"))
+      s.read.parquet(s"$tmp/docs").filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    }),
     // lineitem ⋈ orders with the probe side salted 8 ways — the skew
     // tool; the salt is invisible in the result, so the oracle is the
     // PLAIN join (multiset equality is exactly the operator's contract)
@@ -2922,6 +2937,12 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // layout-invisible: the pruned partitioned read must equal the
+    // plain filtered read of the original table
+    "warehouse_partition_prune" ->
+      """SELECT source, count(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin,
     // layout-invisible: the plain join IS the bucketed join's contract
     "warehouse_bucketed_join" ->
       ("SELECT o_orderstatus, COUNT(*) AS n_items, " +
