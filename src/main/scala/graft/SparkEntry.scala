@@ -471,6 +471,37 @@ object SparkEntry {
     // yields {(88 MAIN)} (spec-pinned) / the region ancestor — three divergent winners
     // from one scenario (DclSpec pins all three; this row and
     // dcl_merge_revert pin the two the oracle could not see before).
+    // branch DIFF surfaced directly (reference lib/management/merge.ml's
+    // Diff feeds merge; here the diff itself is the user artifact — code
+    // review for data): feature inserts one row and deletes one, and the
+    // diff against the unchanged main tip must report EXACTLY those two
+    // rows, tagged. Hash-keyed row identity, so a same-schema edit is
+    // row adds/removes, never a wholesale relation change
+    "dcl_diff" -> ((s, dir) => {
+      val session = new graft.server.EngineSession(s, Some(new ParquetCatalog(s, dir)))
+      def run(st: String): Unit =
+        session.execute(st).fold(e => throw new IllegalArgumentException(s"$st -> $e"), _ => ())
+      Seq(
+        "(CreateDatabase g)",
+        "(CreateRelation (name scores) (schema ((r_regionkey integer) (r_name string))))",
+        "(InsertFrom (target scores) (source (Base region)))",
+        "(CreateBranch (name main))",
+        "(Checkout main)",
+        "(CreateBranch (name feature))",
+        "(Checkout feature)",
+        "(InsertTuple (relation scores) (attributes ((r_regionkey (Int 77)) (r_name (Str FEATURE)))))",
+        "(DeleteTuple (relation scores) (attributes ((r_regionkey (Int 0)) (r_name (Str AFRICA)))))",
+      ).foreach(run)
+      val featureDb = session.db
+      run("(Checkout main)")
+      val mainDb = session.db
+      val m = graft.dcl.Diff.diff(mainDb, featureDb)
+        .collectFirst { case d: graft.dcl.Diff.RelationModified if d.name == "scores" => d }
+        .getOrElse(throw new IllegalStateException("scores did not diff as modified"))
+      require(!m.schemaChanged, "same-schema edit must not diff as a schema change")
+      m.added.df.withColumn("change", lit("added"))
+        .unionAll(m.removed.df.withColumn("change", lit("removed")))
+    }),
     "dcl_merge_right" -> script(Seq(
       "(CreateDatabase g)",
       "(CreateRelation (name scores) (schema ((r_regionkey integer) (r_name string))))",
@@ -2350,6 +2381,11 @@ object SparkEntry {
     "dcl_branch_merge" ->
       ("SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region " +
         "UNION ALL SELECT 88, 'MAIN' UNION ALL SELECT 77, 'FEATURE'"),
+    // exactly the two divergent rows, tagged by direction
+    "dcl_diff" ->
+      """SELECT CAST(77 AS BIGINT) AS r_regionkey, 'FEATURE' AS r_name, 'added' AS change
+        |UNION ALL
+        |SELECT CAST(0 AS BIGINT), 'AFRICA', 'removed'""".stripMargin,
     // schema-conflict wholesale winner: the right branch's recreation
     "dcl_merge_right" ->
       "SELECT * FROM (VALUES (CAST(77 AS BIGINT), 'FEATURE')) t(k, who)",
