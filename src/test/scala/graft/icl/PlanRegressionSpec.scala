@@ -45,6 +45,16 @@ class PlanRegressionSpec extends SparkTestBase {
     ("icl_nway_pipeline", 1, 0),
     ("icl_conjunction_pipeline", 1, 0),
     ("icl_fk_bulk", 4, 2),
+    // round-9 single-plan queries (iterative cached operators like
+    // graph_kcore are excluded: flatten re-counts shared AQE stage
+    // subtrees through cache/reuse boundaries, so their node counts
+    // inflate unstably — the same artifact PLANS.md documents for plan
+    // strings; their per-round shape is audited there instead).
+    // asof_nearest's 1 is the design invariant: ONE key shuffle feeds
+    // both opposed window sorts and the count reuses it.
+    ("asof_nearest_purchase", 1, 0),
+    ("ts_interpolate", 2, 0),
+    ("warehouse_partition_prune", 2, 0),
   )
 
   /** Tree walk that descends through AQE wrappers and query stages
