@@ -2116,6 +2116,11 @@ object SparkEntry {
       graft.pipeline.Ann.lshBuckets(table(s, dir, "embeddings"))),
     "ann_lsh_topk" -> ((s, dir) =>
       graft.pipeline.Ann.lshTopK(table(s, dir, "embeddings"))),
+    // the recall/cost dial on the same hash family: each query also
+    // probes its (planes) Hamming-1 buckets — explode on the broadcast
+    // side only; the corpus never leaves its single bucket
+    "ann_lsh_multiprobe" -> ((s, dir) =>
+      graft.pipeline.Ann.lshMultiprobeTopK(table(s, dir, "embeddings"))),
     "ann_ivf_topk" -> ((s, dir) =>
       graft.pipeline.Ann.ivfTopK(table(s, dir, "embeddings"))),
     // product-quantization ADC scan: trained per-subspace codebooks
@@ -3221,6 +3226,7 @@ object SparkEntry {
     "ann_cosine_topk" -> graft.pipeline.Oracles.annCosineTopK,
     "ann_lsh_buckets" -> graft.pipeline.Oracles.annLshBuckets,
     "ann_lsh_topk" -> graft.pipeline.Oracles.annLshTopK,
+    "ann_lsh_multiprobe" -> graft.pipeline.Oracles.annLshMultiprobeTopK,
     "ann_ivf_topk" -> graft.pipeline.Oracles.annIvfTopK,
     "ann_pq_topk" -> graft.pipeline.Oracles.annPqTopK,
     "ann_ivfpq_topk" -> graft.pipeline.Oracles.annIvfPqTopK,

@@ -534,4 +534,32 @@ object Ann {
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
       .select(col("query_id"), col("vec_id"), col("sim"))
   }
+
+  /** Multi-probe LSH top-1 (Lv et al. '07): each query probes its own
+    * bucket PLUS every Hamming-distance-1 bucket (one sign bit flipped)
+    * — the standard recall/cost dial for sign-LSH. A near neighbor that
+    * fell just across one hyperplane is recovered without adding tables
+    * or re-hashing the corpus: probe volume is (planes+1) rows per
+    * query, exploded on the broadcast (small) side only, while every
+    * corpus vector still carries exactly ONE bucket id and never leaves
+    * it. Probe buckets are distinct by construction, so no candidate
+    * pair appears twice and no dedup pass is needed. */
+  def lshMultiprobeTopK(embeddings: DataFrame, planes: Int = Planes,
+      numQueries: Int = NumQueries): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = embeddings.sparkSession
+    val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+      .withColumn("bucket", bucket(col("embedding"), planes))
+    val probeSet = array(col("qb") +: (0 until planes).map(i =>
+      col("qb").bitwiseXOR(lit(1 << i))): _*)
+    val q = broadcast(n.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket").as("qb"))
+      .withColumn("pb", explode(probeSet)))
+    val pairs = n.join(q, col("bucket") === col("pb") && col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dot(ss, col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+  }
 }

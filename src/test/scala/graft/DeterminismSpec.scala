@@ -67,6 +67,7 @@ class DeterminismSpec extends SparkTestBase {
     "agg_q19_disjunctive",  // OR-of-conjunctions cross-table predicate
     "asof_nearest_purchase",// two opposed window passes + delta pick
     "win_rolling_median",   // windowed exact median over integer counts
+    "ann_lsh_multiprobe",   // exploded probe set + bucket equi-join
   )
 
   private def canonical(name: String): String = {
