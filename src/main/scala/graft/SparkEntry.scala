@@ -2136,6 +2136,10 @@ object SparkEntry {
     // an approximate path
     "ann_lsh_recall" -> ((s, dir) =>
       graft.pipeline.Ann.lshRecall(table(s, dir, "embeddings"))),
+    // same family through the same harness: the recall delta vs
+    // ann_lsh_recall is exactly what the Hamming-1 probes buy
+    "ann_multiprobe_recall" -> ((s, dir) =>
+      graft.pipeline.Ann.lshMultiprobeRecall(table(s, dir, "embeddings"))),
     // the same harness over the composed IVF x PQ production path
     "ann_ivfpq_recall" -> ((s, dir) =>
       graft.pipeline.Ann.ivfPqRecall(table(s, dir, "embeddings"))),
@@ -3233,6 +3237,7 @@ object SparkEntry {
     "ann_filtered_topk" ->
       graft.pipeline.Oracles.annFilteredTopK(graft.pipeline.Ann.FilterLabel),
     "ann_lsh_recall" -> graft.pipeline.Oracles.annLshRecall,
+    "ann_multiprobe_recall" -> graft.pipeline.Oracles.annLshMultiprobeRecall,
     "ann_ivfpq_recall" -> graft.pipeline.Oracles.annIvfPqRecall,
     "emb_centroid_outliers" -> graft.pipeline.Oracles.embCentroidOutliers(
       graft.pipeline.Embeddings.OutlierTopK),

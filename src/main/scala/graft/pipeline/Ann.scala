@@ -473,6 +473,15 @@ object Ann {
     recallAgainstExact(embeddings,
       lshTopK(embeddings, planes, numQueries), k, numQueries)
 
+  /** The recall harness over the multi-probe path — the measurement
+    * that JUSTIFIES the dial: same hash family as [[lshRecall]], so the
+    * recall delta between the two rows is exactly what probing the
+    * Hamming-1 buckets buys at (planes+1)× probe volume. */
+  def lshMultiprobeRecall(embeddings: DataFrame, planes: Int = Planes,
+      k: Int = TopK, numQueries: Int = NumQueries): DataFrame =
+    recallAgainstExact(embeddings,
+      lshMultiprobeTopK(embeddings, planes, numQueries), k, numQueries)
+
   /** The same recall harness over the composed IVF×PQ production path:
     * how often does the cell-restricted ADC winner land in the exact
     * top-k? The eval run that justifies (or vetoes) shipping the
