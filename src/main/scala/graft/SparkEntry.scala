@@ -1453,6 +1453,20 @@ object SparkEntry {
     "sketch_kmv_groups" -> ((s, dir) =>
       graft.pipeline.Sketches.kmvDistinctByGroup(
         table(s, dir, "events"), "event_type", "props")),
+    // KMV set algebra: click-days vs purchase-days audience overlap
+    // (union / Jaccard / intersection estimates) with NO join between
+    // the populations — each side ships k 8-byte minima. The (user, day)
+    // grain puts both sets well past k, so the oracle checks the
+    // ESTIMATOR branch and a genuinely partial Jaccard, not the
+    // small-set exact path
+    "sketch_kmv_overlap" -> ((s, dir) => {
+      val ev = table(s, dir, "events").withColumn("uday",
+        concat(col("user_id").cast("string"), lit(":"),
+          expr(s"($TsUsSql) div $RangeJoinDayUs").cast("string")))
+      graft.pipeline.Sketches.kmvOverlap(
+        ev.filter(col("event_type") === "click"), "uday",
+        ev.filter(col("event_type") === "purchase"), "uday")
+    }),
     // ingest-monitoring anomaly flags: per-type daily event counts
     // scored by |n − median| > 3·MAD — medians at the .5 binary fraction
     // over integer counts interpolate IEEE-exactly on both engines, so
@@ -2827,6 +2841,10 @@ object SparkEntry {
       graft.pipeline.Sketches.kmvDistinctOracle("lineitem", "l_orderkey"),
     "sketch_kmv_groups" ->
       graft.pipeline.Sketches.kmvDistinctByGroupOracle("events", "event_type", "props"),
+    "sketch_kmv_overlap" ->
+      graft.pipeline.Sketches.kmvOverlapOracle("events",
+        s"user_id || ':' || (epoch_us(ts) // $RangeJoinDayUs)",
+        "event_type = 'click'", "event_type = 'purchase'"),
     "agg_daily_anomaly" ->
       s"""WITH d AS (SELECT event_type, epoch_us(ts) // $RangeJoinDayUs AS day,
          |        count(*) AS n FROM events GROUP BY 1, 2),

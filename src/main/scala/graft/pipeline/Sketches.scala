@@ -105,6 +105,70 @@ object Sketches {
        |  ELSE (k - 1)::DOUBLE * $KmvHashSpace / kth::DOUBLE END AS est_distinct
        |FROM m""".stripMargin
 
+  /** KMV set algebra (Beyer et al. '07): sketch two value sets with the
+    * SAME hash, then
+    *   - the union sketch is the k smallest of the combined minima, so
+    *     est |A∪B| is the usual (k−1)/U estimator over it;
+    *   - ρ = (union minima present in BOTH input sketches) / k is an
+    *     unbiased estimate of the Jaccard J(A,B);
+    *   - est |A∩B| = ρ · est |A∪B|.
+    * The audience-overlap / cross-corpus-contamination question at
+    * sketch cost: no join between the two populations ever happens —
+    * each side ships k 8-byte minima. When the union has fewer than k
+    * distinct hashes both sketches are complete and every figure is
+    * EXACT (reported via the same formulas). Deterministic: an exact
+    * function of the two distinct sets, re-derivable by the oracle.
+    *
+    * Scale shape per side: one scan-fused hash map + one distinct
+    * aggregate + a TakeOrderedAndProject heap — the [[kmvDistinct]]
+    * plan; the algebra itself runs over 2k rows. */
+  def kmvOverlap(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    def minima(df: DataFrame, c: String) = {
+      val h = conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10).cast("long")
+      df.select(h.as("hv")).where(col("hv").isNotNull).distinct()
+        .orderBy(col("hv")).limit(k)
+    }
+    val u = minima(a, aCol).select(col("hv"), lit(1).as("ia"), lit(0).as("ib"))
+      .unionAll(minima(b, bCol).select(col("hv"), lit(0).as("ia"), lit(1).as("ib")))
+      .groupBy(col("hv"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      .orderBy(col("hv")).limit(k)
+    val estU = when(col("k") < k, col("k").cast("double"))
+      .otherwise((col("k") - 1).cast("double") * lit(KmvHashSpace) /
+        col("kth").cast("double"))
+    u.agg(count(lit(1)).as("k"), max(col("hv")).as("kth"),
+        sum(col("ia") * col("ib")).as("n_both"))
+      .select(col("k"), col("kth"), col("n_both"),
+        estU.as("est_union"),
+        (col("n_both").cast("double") / col("k").cast("double")).as("jaccard"),
+        (col("n_both").cast("double") / col("k").cast("double") * estU)
+          .as("est_intersection"))
+  }
+
+  /** The DuckDB re-derivation of [[kmvOverlap]] (single-sourced:
+    * `filterA`/`filterB` carve the two populations out of `table`). */
+  def kmvOverlapOracle(table: String, valueExpr: String, filterA: String,
+      filterB: String, k: Int = 256): String = {
+    def minima(f: String) =
+      s"""SELECT hv FROM (SELECT DISTINCT ('0x' || substr(md5(($valueExpr)::VARCHAR), 1, 15))::BIGINT AS hv
+         |  FROM $table WHERE ($f) AND ($valueExpr) IS NOT NULL) ORDER BY hv LIMIT $k""".stripMargin
+    s"""WITH u AS (SELECT hv, max(ia) AS ia, max(ib) AS ib FROM (
+       |    SELECT hv, 1 AS ia, 0 AS ib FROM (${minima(filterA)})
+       |    UNION ALL SELECT hv, 0, 1 FROM (${minima(filterB)}))
+       |  GROUP BY hv ORDER BY hv LIMIT $k),
+       |m AS (SELECT count(*) AS k, max(hv) AS kth, sum(ia * ib)::BIGINT AS n_both FROM u)
+       |SELECT k, kth, n_both,
+       |  CASE WHEN k < $k THEN k::DOUBLE
+       |       ELSE (k - 1)::DOUBLE * $KmvHashSpace / kth::DOUBLE END AS est_union,
+       |  n_both::DOUBLE / k::DOUBLE AS jaccard,
+       |  n_both::DOUBLE / k::DOUBLE *
+       |    (CASE WHEN k < $k THEN k::DOUBLE
+       |          ELSE (k - 1)::DOUBLE * $KmvHashSpace / kth::DOUBLE END) AS est_intersection
+       |FROM m""".stripMargin
+  }
+
   val QuantileSalt = "graft-qsk"
 
   /** Deterministic sampled quantile: a salted-hash Bernoulli sample

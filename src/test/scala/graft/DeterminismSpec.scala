@@ -68,6 +68,7 @@ class DeterminismSpec extends SparkTestBase {
     "asof_nearest_purchase",// two opposed window passes + delta pick
     "win_rolling_median",   // windowed exact median over integer counts
     "ann_lsh_multiprobe",   // exploded probe set + bucket equi-join
+    "sketch_kmv_overlap",   // two k-minima heaps + union re-rank algebra
   )
 
   private def canonical(name: String): String = {
