@@ -44,4 +44,34 @@ class SketchesSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(again("a") === rows("a")._2 && again("b") === rows("b")._2)
   }
+
+  test("overlap: a union under k reports EXACT union/Jaccard/intersection") {
+    // |A|=30, |B|=25, |A∩B|=15, |A∪B|=40 < k=64 -> all figures exact
+    val a = (1 to 30).map(i => s"v$i").toDF("v")
+    val b = (16 to 40).map(i => s"v$i").toDF("v")
+    val r = Sketches.kmvOverlap(a, "v", b, "v", k = 64).collect()(0)
+    assert(r.getLong(0) === 40L && r.getLong(2) === 15L)
+    assert(r.getDouble(3) === 40.0)          // est_union exact
+    assert(r.getDouble(4) === 15.0 / 40.0)   // jaccard exact
+    assert(r.getDouble(5) === 15.0 / 40.0 * 40.0)
+  }
+
+  test("overlap is symmetric and estimates within the k-bound above k") {
+    val a = (1 to 800).map(i => s"x$i").toDF("v")
+    val b = (401 to 1200).map(i => s"x$i").toDF("v")
+    // truth: union 1200, intersection 400, jaccard 1/3
+    val ab = Sketches.kmvOverlap(a, "v", b, "v", k = 128).collect()(0)
+    val ba = Sketches.kmvOverlap(b, "v", a, "v", k = 128).collect()(0)
+    assert(ab.getDouble(3) === ba.getDouble(3)) // same union sketch either way
+    assert(ab.getDouble(4) === ba.getDouble(4))
+    assert(math.abs(ab.getDouble(3) - 1200.0) / 1200.0 < 0.30)
+    assert(math.abs(ab.getDouble(4) - 1.0 / 3.0) < 0.15)
+  }
+
+  test("overlap: disjoint sets report zero intersection whatever k") {
+    val a = (1 to 50).map(i => s"a$i").toDF("v")
+    val b = (1 to 50).map(i => s"b$i").toDF("v")
+    val r = Sketches.kmvOverlap(a, "v", b, "v", k = 32).collect()(0)
+    assert(r.getLong(2) === 0L && r.getDouble(4) === 0.0 && r.getDouble(5) === 0.0)
+  }
 }
