@@ -1760,6 +1760,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
     }),
+    // the JSONL ingest path end-to-end: documents serialized to JSON
+    // lines in scratch with three syntactically-broken lines injected,
+    // read back through the explicit-schema PERMISSIVE reader, and
+    // split clean/quarantine. The oracle aggregates the ORIGINAL
+    // parquet plus the literal corrupt count — proving the JSON round
+    // trip preserves every value and malformed lines are QUARANTINED
+    // (counted), never silently dropped
+    "ingest_jsonl_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      val good = table(s, dir, "documents")
+        .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("value"))
+      val bad = Seq("{oops", "not json at all", "[}").toDF("value")
+      good.unionAll(bad).write.mode("overwrite").text(s"$tmp/corpus")
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("lang", "string").add("n_chars", "long")
+      // cache the PARSED frame: Spark refuses a raw-file query whose
+      // pruned projection is only the corrupt-record column (the
+      // quarantine count below is exactly that shape); the cached scan
+      // carries every column, so the split queries run against it
+      val read = graft.sources.TextIngest.readJsonl(s, s"$tmp/corpus", schema).cache()
+      read.count()
+      val (clean, quarantined) = graft.sources.TextIngest.withQuarantine(read)
+      clean.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"))
+        .unionAll(quarantined.agg(count(lit(1)).as("n"))
+          .select(lit("_corrupt").as("lang"), col("n").as("n_docs"),
+            lit(null).cast("long").as("sum_chars"), lit(null).cast("long").as("min_doc")))
+    }),
     // lineitem ⋈ orders with the probe side salted 8 ways — the skew
     // tool; the salt is invisible in the result, so the oracle is the
     // PLAIN join (multiset equality is exactly the operator's contract)
@@ -3000,6 +3030,14 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // ingest-invisible: the JSONL round trip must reproduce the parquet
+    // aggregate exactly, plus the three injected corrupt lines
+    "ingest_jsonl_quarantine" ->
+      """SELECT lang, count(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+        |  min(doc_id) AS min_doc
+        |FROM documents GROUP BY 1
+        |UNION ALL
+        |SELECT '_corrupt', 3, NULL, NULL""".stripMargin,
     // layout-invisible: the pruned partitioned read must equal the
     // plain filtered read of the original table
     "warehouse_partition_prune" ->
