@@ -107,6 +107,12 @@ object SparkEntry {
   /** One day in epoch micros (the µs-truncated ts the query joins on). */
   val RangeJoinDayUs: Long = 86400L * 1000 * 1000
 
+  /** `layout_compaction` geometry: documents per simulated input file
+    * and the target output-file size the planner packs toward (sized so
+    * sf0.01's ~6 KB file rows pack several-to-a-bin). */
+  val CompactionFileDocs = 20L
+  val CompactionTargetBytes = 20000L
+
   /** Fixed-point PageRank geometry (iters / scale / teleport mass per
     * round = 15% of scale), shared with the oracle's unrolled recurrence. */
   val PageRankIters: Int = 3
@@ -1154,6 +1160,23 @@ object SparkEntry {
         .select(col("a"), col("b"))
       graft.operators.Triangles.commonNeighbors(edges, topK = 20)
     }),
+    // Jaccard neighborhood-overlap link prediction on the same
+    // co-purchase graph: common/(deg_a+deg_b−common) — the normalized
+    // score that stops hub pairs from outranking genuinely similar
+    // low-degree pairs; one IEEE division of exact integers per pair,
+    // ties totally ordered, so the top-k hash-checks
+    "graph_jaccard_links" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val l1 = lp.select(col("ok"), col("p").as("s1"))
+      val l2 = lp.select(col("ok").as("ok2"), col("p").as("s2"))
+      val edges = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
+        .groupBy(col("s1").as("a"), col("s2").as("b"))
+        .agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") >= CoPurchaseMinSupport)
+        .select(col("a"), col("b"))
+      graft.operators.Triangles.jaccardLinks(edges, topK = 20)
+    }),
     // deterministic integer fixed-point PageRank over the same part
     // co-order graph: fixed rounds, damping 85/100, scale 10^9 — the
     // arithmetic is integer end-to-end, so the oracle replays the exact
@@ -1385,6 +1408,21 @@ object SparkEntry {
       table(s, dir, "orders").select(col("o_orderkey"),
         graft.operators.Layout.hilbertKey(s,
           pmod(col("o_custkey"), grid), pmod(day, grid)).as("hkey"))
+    }),
+    // small-file compaction planning (the OPTIMIZE step): the document
+    // corpus simulated as a file inventory — one "file" per (source,
+    // doc_id div 20) with its byte size — bin-packed in key order into
+    // ~20 KB outputs. The plan runs over file METADATA only (one group
+    // exchange + a per-group window); the manifest (files per bin,
+    // bytes, key range) is what the rewrite job consumes, and keeping
+    // the key order preserves the clustering the layout paid for
+    "layout_compaction" -> ((s, dir) => {
+      val files = table(s, dir, "documents")
+        .groupBy(col("source"), (col("doc_id") / CompactionFileDocs)
+          .cast("long").as("bucket"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      graft.operators.Layout.compactionPlan(
+        files, "source", "bucket", "bytes", CompactionTargetBytes)
     }),
     // deterministic sampled quantile: salted-hash 5% sample + exact
     // percentile over integral cents — approximate median with no
@@ -1694,6 +1732,57 @@ object SparkEntry {
             col("l_quantity").between(20, 30)))
         .agg(count(lit(1)).as("n_lines"), sum(rev).cast("double").as("revenue"))
     }),
+    // TPC-H Q11 SHAPE (important stock): per-part revenue groups gated
+    // by a GLOBAL-total scalar subquery — the threshold gates GROUPS
+    // (HAVING vs an uncorrelated aggregate), unlike Q22's row gate. The
+    // total is a one-row broadcast nested-loop join; the compare stays
+    // in exact decimals (rev·10⁴ > total — never a float fraction), so
+    // the boundary groups are pinned cross-engine
+    "agg_q11_share" -> ((s, dir) => {
+      val d2 = DecimalType(18, 2)
+      val rev = col("l_extendedprice").cast(d2) *
+        (lit(java.math.BigDecimal.ONE).cast(d2) - col("l_discount").cast(d2))
+      val li = table(s, dir, "lineitem")
+      val per = li.groupBy(col("l_partkey")).agg(sum(rev).as("__v"))
+      val total = li.agg(sum(rev).as("__t"))
+      per.crossJoin(broadcast(total))
+        .filter(col("__v") * 10000 > col("__t"))
+        .select(col("l_partkey"), col("__v").cast("double").as("value"))
+    }),
+    // TPC-H Q12 SHAPE (shipmode priority): one fact pass, per-group
+    // conditional two-way counts (CASE inside SUM — the pivot-in-an-
+    // aggregate idiom); the date range prunes at the lineitem scan and
+    // orders joins once on the key
+    "agg_q12_modes" -> ((s, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+    }),
+    // TPC-H Q20 SHAPE (excess inventory): the nested semi-join chain —
+    // suppliers IN (grouped-HAVING subquery over lineitem ⋈ filtered
+    // part). The name filter prunes part BEFORE the fact join, the
+    // HAVING group keys on (supplier, part) so the aggregate is
+    // map-side combinable, and the outer membership is a LEFT SEMI
+    // (never a dedup-then-inner-join); nation broadcasts
+    "agg_q20_excess" -> ((s, dir) => {
+      val excess = table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part").filter(col("p_name").contains("red"))
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("__q"))
+        .filter(col("__q") > 90)
+        .select(col("l_suppkey"))
+      table(s, dir, "supplier")
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    }),
     // TPC-H Q22 SHAPE (idle rich customers): above-average balance with
     // no URGENT orders — an uncorrelated scalar aggregate subquery (one-row
     // broadcast) gating the scan plus a NOT EXISTS anti-join. The
@@ -1759,6 +1848,41 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    }),
+    // CDC MERGE (upsert): a deterministic changelog — updates on keys
+    // ≡3 (mod 10), deletes on ≡7, inserts on ≡5 under shifted keys —
+    // applied to the orders snapshot through Warehouse.applyChangelog
+    // (ONE anti join + a union; the oracle re-derives the merged state
+    // set-wise, so the whole MERGE semantics hash-checks: replaced
+    // rows, removed keys, added keys, untouched remainder)
+    "warehouse_merge_upsert" -> ((s, dir) => {
+      val base = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val upd = base.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), lit("U").as("op"),
+          lit("R").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0d).as("o_totalprice"))
+      val del = base.filter(col("o_orderkey") % 10 === 7)
+        .select(col("o_orderkey"), lit("D").as("op"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"))
+      val ins = base.filter(col("o_orderkey") % 10 === 5)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("I").as("op"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.Warehouse.applyChangelog(
+        base, upd.unionByName(del).unionByName(ins), "o_orderkey")
+    }),
+    // SCD TYPE-2 dimension history from the event log: per user, each
+    // RUN of equal event_type states becomes one versioned interval
+    // (valid_from/valid_to/version/is_current) — consecutive duplicates
+    // extend the open version, only genuine changes cut a new row. One
+    // key exchange, two windows, no joins (the audited shape)
+    "warehouse_scd2" -> ((s, dir) => {
+      val log = table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr(TsUsSql).as("t"), col("event_id"))
+      graft.sources.Warehouse.scd2(log, "user_id", "event_type",
+        Seq("t", "event_id"))
     }),
     // the JSONL ingest path end-to-end: documents serialized to JSON
     // lines in scratch with three syntactically-broken lines injected,
@@ -1896,6 +2020,15 @@ object SparkEntry {
     }),
     "text_langid" -> ((s, dir) =>
       graft.pipeline.TextPipeline.langId(table(s, dir, "documents"), "doc_id", "text")),
+    // C4-rule cross-document segment dedup: every exact 10-word segment
+    // occurring in >= 2 distinct documents is deleted from ALL of them
+    // and the surviving text reassembled in order — the global
+    // boilerplate eraser (vs dedup_dup_spans' pairwise evidence). The
+    // oracle rebuilds every document's post-dedup text, so the rule's
+    // full effect hash-checks, not just the counts
+    "text_line_dedup" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.segmentDedup(
+        table(s, dir, "documents"), "doc_id", "text")),
     "text_fingerprint" -> ((s, dir) =>
       graft.pipeline.TextPipeline.fingerprint(table(s, dir, "documents"), "doc_id", "text")),
     "text_repetition" -> ((s, dir) =>
@@ -2671,6 +2804,21 @@ object SparkEntry {
          |       WHERE e.a IS NULL)
          |SELECT a, b, common, ra_score FROM nc
          |ORDER BY common DESC, ra_score DESC, a, b LIMIT 20""".stripMargin),
+    "graph_jaccard_links" ->
+      (s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |e AS (SELECT a.p AS a, b.p AS b FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+         |      GROUP BY 1, 2 HAVING count(*) >= $CoPurchaseMinSupport),
+         |sym AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT v, count(*) AS d FROM sym GROUP BY 1),
+         |c AS (SELECT s1.u AS a, s2.u AS b, count(*) AS common
+         |      FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u GROUP BY 1, 2),
+         |nc AS (SELECT c.a, c.b, c.common FROM c LEFT JOIN e ON c.a = e.a AND c.b = e.b
+         |       WHERE e.a IS NULL),
+         |s AS (SELECT nc.a, nc.b, nc.common, da.d AS deg_a, db.d AS deg_b,
+         |        nc.common::DOUBLE / (da.d + db.d - nc.common)::DOUBLE AS jaccard
+         |      FROM nc JOIN deg da ON nc.a = da.v JOIN deg db ON nc.b = db.v)
+         |SELECT a, b, common, deg_a, deg_b, jaccard FROM s
+         |ORDER BY jaccard DESC, common DESC, a, b LIMIT 20""".stripMargin),
     "graph_pagerank" -> {
       def round(prev: String): String =
         s"""SELECT d.dst AS v, CAST($PageRankBase + (85 * sum($prev.r // deg.od)) // 100 AS BIGINT) AS r
@@ -3030,6 +3178,28 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "agg_q11_share" ->
+      """WITH r AS (SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS v
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, CAST(v AS DOUBLE) AS value FROM r
+        |WHERE v * 10000 > (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) FROM lineitem)""".stripMargin,
+    "agg_q12_modes" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    "agg_q20_excess" ->
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%red%'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 90)""".stripMargin,
     // ingest-invisible: the JSONL round trip must reproduce the parquet
     // aggregate exactly, plus the three injected corrupt lines
     "ingest_jsonl_quarantine" ->
@@ -3044,6 +3214,46 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin,
+    // the merged snapshot re-derived set-wise: untouched base keys plus
+    // non-delete changelog images
+    "warehouse_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey, 'U' AS op, 'R' AS o_orderstatus,
+        |         o_totalprice + 1000 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', NULL, NULL FROM base WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'I', o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 5)
+        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+        |WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM chg WHERE op <> 'D'""".stripMargin,
+    "warehouse_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev FROM e),
+        |f AS (SELECT user_id, event_type, t, event_id FROM c
+        |      WHERE prev IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_type, t AS valid_from,
+        |        lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS version
+        |      FROM f)
+        |SELECT user_id, event_type, valid_from, valid_to, version,
+        |  valid_to IS NULL AS is_current FROM v""".stripMargin,
+    "layout_compaction" ->
+      s"""WITH f AS (SELECT source, doc_id // $CompactionFileDocs AS bucket,
+         |    SUM(n_chars)::BIGINT AS bytes
+         |  FROM documents GROUP BY 1, 2),
+         |w AS (SELECT source, bucket, bytes,
+         |    COALESCE(SUM(bytes) OVER (PARTITION BY source ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bfr
+         |  FROM f)
+         |SELECT source, (bfr // $CompactionTargetBytes)::BIGINT AS bin, count(*) AS n_files,
+         |  SUM(bytes)::BIGINT AS total_bytes,
+         |  min(bucket) AS first_key, max(bucket) AS last_key
+         |FROM w GROUP BY 1, 2""".stripMargin,
     // layout-invisible: the plain join IS the bucketed join's contract
     "warehouse_bucketed_join" ->
       ("SELECT o_orderstatus, COUNT(*) AS n_items, " +
@@ -3079,6 +3289,9 @@ object SparkEntry {
     "text_fertility" -> graft.pipeline.Oracles.textFertility,
     "text_langid_confusion" -> graft.pipeline.Oracles.textLangIdConfusion,
     "text_fingerprint" -> graft.pipeline.Oracles.textFingerprint,
+    "text_line_dedup" -> graft.pipeline.Oracles.textSegmentDedup(
+      graft.pipeline.TextPipeline.SegmentWords,
+      graft.pipeline.TextPipeline.SegmentMinDocs),
     "text_winnow" -> graft.pipeline.Oracles.textWinnow(
       3, graft.pipeline.TextPipeline.WinnowW),
     "text_gopher_rules" -> graft.pipeline.Oracles.textGopherRules(

@@ -50,6 +50,40 @@ object Layout {
   def zkeySql(a: String, b: String): String =
     s"(${spreadSql(a)} | (${spreadSql(b)} << 1))"
 
+  /** Small-file compaction plan (the OPTIMIZE/auto-compaction step every
+    * long-lived table needs: streaming ingest and partitioned writes
+    * leave thousands of KB-sized files whose per-file open/footer cost
+    * dominates scans). Input is a FILE INVENTORY — one row per file with
+    * its group (table partition), a stable order key, and its size;
+    * output assigns each group's files, in order, to target-sized output
+    * bins: bin = floor(bytes-before-this-file / targetBytes), the
+    * concat-and-chunk rule ([[graft.pipeline.Packing]]'s tape cut applied
+    * to files), then reports one row per planned output file. Keeping
+    * the in-group order key (e.g. a z-order/Hilbert range or min key)
+    * preserves the clustering the layout paid for — compaction must not
+    * shuffle rows back into randomness.
+    *
+    * Returned manifest: (group, bin, n_files, total_bytes, first/last
+    * order key) — exactly what a rewrite job consumes. Scale shape: ONE
+    * hash exchange on the group + a per-group window over file METADATA
+    * (a 100 TB table is ~10⁶ file rows — this plan never touches data);
+    * the group key bounds every window partition. Deterministic: a pure
+    * function of (group, order, size). */
+  def compactionPlan(files: org.apache.spark.sql.DataFrame, groupCol: String,
+      orderCol: String, sizeCol: String, targetBytes: Long): org.apache.spark.sql.DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    def q(c: String): Column = col(s"`$c`")
+    val w = Window.partitionBy(q(groupCol)).orderBy(q(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("__before", coalesce(sum(q(sizeCol)).over(w), lit(0L)))
+      .withColumn("bin", floor(col("__before") / targetBytes))
+      .groupBy(q(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(q(sizeCol)).as("total_bytes"),
+        min(q(orderCol)).as("first_key"), max(q(orderCol)).as("last_key"))
+  }
+
   /** Hilbert index of two `order`-bit dimensions via the native
     * codegen'd walk ([[graft.functions.HilbertKey]] — the rotation
     * recurrence would be an exponential expression TREE, hence native).

@@ -146,4 +146,50 @@ object Triangles {
     edges0.sparkSession.createDataFrame(
       edges0.sparkSession.sparkContext.parallelize(rows, 1), out.schema)
   }
+
+  /** Jaccard-normalized link prediction: for non-adjacent pairs,
+    * score = |N(a)∩N(b)| / |N(a)∪N(b)| = common / (deg(a)+deg(b)−common)
+    * — the degree-normalized variant of [[commonNeighbors]] that stops
+    * two hubs from outranking every genuinely similar low-degree pair
+    * (the standard neighborhood-overlap score, Liben-Nowell & Kleinberg
+    * '03). Same wedge-enumeration shape and `maxDegree` hub guard; adds
+    * one broadcast degree join per side. The division is ONE IEEE op of
+    * two exact integers — correctly rounded identically in any engine —
+    * and ties order by (common desc, a, b), so top-k hash-checks.
+    *
+    * Returns the top-`topK` rows (a, b, common, deg_a, deg_b, jaccard),
+    * driver-pinned to one partition like [[commonNeighbors]]. */
+  def jaccardLinks(edges0: DataFrame, topK: Int,
+      maxDegree: Option[Long] = None): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val edges = edges0.select(col("a"), col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = edges.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("u")))
+    val deg = sym.groupBy(col("v")).agg(F.count(lit(1)).as("__d"))
+    val centers0 = sym.join(deg.hint("broadcast"), Seq("v"))
+    val centers = maxDegree.fold(centers0)(cap => centers0.filter(col("__d") <= cap))
+    val w1 = centers.select(col("v"), col("u").as("x"))
+    val w2 = centers.select(col("v").as("v2"), col("u").as("y"))
+    val counts = w1.join(w2.hint("shuffle_hash"),
+        col("v") === col("v2") && col("x") < col("y"))
+      .groupBy(col("x").as("a"), col("y").as("b"))
+      .agg(F.count(lit(1)).as("common"))
+    val degA = deg.select(col("v").as("a"), col("__d").as("deg_a"))
+    val degB = deg.select(col("v").as("b"), col("__d").as("deg_b"))
+    val scored = counts.join(edges, Seq("a", "b"), "left_anti")
+      .join(degA.hint("broadcast"), Seq("a"))
+      .join(degB.hint("broadcast"), Seq("b"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("deg_a") + col("deg_b") - col("common")).cast("double"))
+    val out = scored
+      .orderBy(col("jaccard").desc, col("common").desc, col("a"), col("b"))
+      .limit(topK)
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        col("jaccard"))
+    val rows = out.collect().toSeq
+    edges.unpersist()
+    edges0.sparkSession.createDataFrame(
+      edges0.sparkSession.sparkContext.parallelize(rows, 1), out.schema)
+  }
 }

@@ -571,4 +571,70 @@ object TextPipeline {
       md5(norm).as("fp_full"),
       array_min(transform(shingles(col(textCol)), s => md5(s))).as("fp_min"))
   }
+
+  /** Segment size (words) and cross-document frequency floor for
+    * [[segmentDedup]], pinned by the oracle suite. */
+  val SegmentWords = 10
+  val SegmentMinDocs = 2L
+
+  /** C4-style cross-document segment dedup (Raffel et al. '20 §2.2
+    * dedupe lines occurring more than once in the corpus; Gopher and
+    * RefinedWeb run the same rule): cut every document into fixed
+    * `segWords`-word segments (the "line" unit for single-line corpora),
+    * count each EXACT segment's distinct-document frequency corpus-wide,
+    * delete segments appearing in ≥ `minDocs` documents, and reassemble
+    * the surviving text in original order. Unlike [[Dedup.dupSpans]]
+    * (gram evidence between a specific document PAIR), this rule is
+    * global: boilerplate shared by thousands of pages disappears from
+    * every one of them in a single pass.
+    *
+    * Output: one row per document — `doc_id`, surviving `text` (empty
+    * string when everything was boilerplate), `n_kept`/`n_dropped`
+    * segment counts.
+    *
+    * Scale shape: segments travel as md5 digests into ONE
+    * map-side-combinable (digest → distinct-doc count) aggregate; the
+    * verdict rejoins segments on the digest (hot boilerplate digests are
+    * exactly the frequent keys — the count side is tiny after
+    * aggregation and broadcasts); reassembly is one (doc) aggregation
+    * ordered by segment position. No step carries text through a
+    * shuffle except the final per-doc reassembly of SURVIVING segments. */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int = SegmentWords, minDocs: Long = SegmentMinDocs): DataFrame = {
+    require(segWords > 0, s"segWords must be positive, got $segWords")
+    require(minDocs >= 2, s"minDocs below 2 would delete every segment: $minDocs")
+    val id = col(s"`$idCol`")
+    // (doc, seg_id, segment text): posexplode the word array, regroup by
+    // word-position div segWords — the fixed segmentation both engines
+    // replay exactly (trailing short segments are segments too)
+    val words = df.select(id.as("__doc"),
+        posexplode(tokens(col(s"`$textCol`"))).as(Seq("__pos", "__w")))
+    val segs = words
+      .groupBy(col("__doc"), (col("__pos") / segWords).cast("long").as("__seg"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
+          x => x.getField("__w"))).as("__text"))
+      .withColumn("__h", md5(col("__text")))
+    // corpus-wide distinct-document frequency per exact segment — the
+    // shuffle carries (digest, doc) pairs, never segment text
+    val hot = segs.groupBy(col("__h"))
+      .agg(countDistinct(col("__doc")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"))
+    val kept = segs.join(hot, Seq("__h"), "left_anti")
+    val survivors = kept.groupBy(col("__doc"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("__seg"), col("__text")))),
+          x => x.getField("__text"))).as("text"),
+        count(lit(1)).as("n_kept"))
+    // every document emits a row: all-boilerplate docs come back empty
+    // (the caller's quality gate drops them; silently vanishing rows
+    // would corrupt downstream joins on doc_id)
+    val totals = segs.groupBy(col("__doc")).agg(count(lit(1)).as("__total"))
+    totals.join(survivors, Seq("__doc"), "left")
+      .select(col("__doc").as(idCol),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Table-layout tools for the warehouse side of the engine: bucketed
   * tables for exchange-free joins and partitioned parquet for
@@ -37,5 +39,69 @@ object Warehouse {
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "need at least one partition column")
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+  }
+
+  /** Apply a CDC changelog to a snapshot (the MERGE INTO / upsert shape
+    * every incremental warehouse load runs): `changes` carries `opCol`
+    * ∈ {I, U, D} plus the full row image for I/U; the result is
+    * base − (keys present in the changelog) ∪ (changelog rows that are
+    * not deletes). An update is therefore replace-by-key, an insert is
+    * a plain add, a delete removes the key — last-writer-wins at the
+    * changelog's granularity, which is why callers must pre-collapse a
+    * multi-entry log to one row per key (the usual "latest change per
+    * key" window) before applying.
+    *
+    * Scale shape: ONE left-anti join on the key plus a union — both
+    * sides shuffle once on `key` (or the changelog broadcasts when it
+    * is small, the common case for incremental loads: Catalyst picks).
+    * Nothing is rewritten row-at-a-time and the snapshot streams once,
+    * so a 100 TB base table with a 1 GB day-batch costs one broadcast
+    * anti join — the Delta/Iceberg MERGE physical plan. */
+  def applyChangelog(base: DataFrame, changes: DataFrame, key: String,
+      opCol: String = "op"): DataFrame = {
+    val dataCols = base.columns.toSeq
+    require(dataCols.contains(key), s"base is missing key column $key")
+    require(changes.columns.contains(opCol), s"changelog is missing $opCol")
+    val sel: Seq[Column] = dataCols.map(c => col(s"`$c`"))
+    val survivors = base.join(changes.select(col(s"`$key`")), Seq(key), "left_anti")
+    val applied = changes.filter(col(s"`$opCol`") =!= "D").select(sel: _*)
+    survivors.unionByName(applied)
+  }
+
+  /** Build a type-2 slowly-changing-dimension history from a change
+    * log: one row per (key, consecutive run of equal `attr` values),
+    * with `valid_from` = first tick of the run, `valid_to` = the next
+    * run's first tick (null while current), and a per-key version
+    * number. Consecutive duplicate values do NOT open a new version —
+    * only genuine changes do, which is the SCD2 contract (a dimension
+    * row's history is its sequence of distinct states, not its event
+    * firehose).
+    *
+    * `ord` must be a deterministic total order within each key (pass a
+    * tiebreaker column alongside the timestamp when events can share a
+    * tick). Scale shape: ONE hash exchange on `key` feeds two window
+    * passes over the same sort (lag to find change points, lead to
+    * close intervals) and the change-point filter runs between them —
+    * no joins, no global sort; each key's history lives on one
+    * executor, which is exactly the dimension-table cardinality. */
+  def scd2(log: DataFrame, key: String, attr: String,
+      ord: Seq[String]): DataFrame = {
+    require(ord.nonEmpty, "need at least one ordering column")
+    val ordCols = ord.map(c => col(s"`$c`"))
+    val w = Window.partitionBy(col(s"`$key`")).orderBy(ordCols: _*)
+    val tick = ordCols.head
+    val changes = log
+      .withColumn("__prev", lag(col(s"`$attr`"), 1).over(w))
+      // null-safe inequality: the first row per key (prev = null) and
+      // real null-valued states must both open versions
+      .filter(!(col(s"`$attr`") <=> col("__prev")))
+    val w2 = Window.partitionBy(col(s"`$key`")).orderBy(ordCols: _*)
+    changes
+      .withColumn("valid_from", tick)
+      .withColumn("valid_to", lead(tick, 1).over(w2))
+      .withColumn("version", row_number().over(w2))
+      .select(col(s"`$key`"), col(s"`$attr`"),
+        col("valid_from"), col("valid_to"), col("version"),
+        col("valid_to").isNull.as("is_current"))
   }
 }

@@ -935,6 +935,32 @@ class PipelineSpec extends SparkTestBase {
     assert(capped.isEmpty)
   }
 
+  test("jaccardLinks: degree normalization reorders what raw counts cannot") {
+    import graft.operators.Triangles
+    // hub 9 connects {1,2,3,4}; besides that, 5-6-7 is a path through 6.
+    // Pair (5,7) shares only 6 but deg(5)=deg(7)=1 → jaccard 1/1 = 1.0;
+    // hub pairs like (1,2) share only 9 with deg 1 each → also 1.0 via
+    // the hub... so give 1 and 2 an extra neighbor to split them
+    val edges = Seq(
+      (1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L),
+      (1L, 8L), (2L, 8L),
+      (5L, 6L), (6L, 7L)).toDF("x", "y")
+    val canon = Triangles.canonicalEdges(edges, "x", "y")
+    val out = Triangles.jaccardLinks(canon, topK = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // (5,7): common {6}, degrees 1,1 → 1/(1+1-1) = 1.0 — the top score
+    assert(out((5L, 7L)) === ((1L, 1L, 1L, 1.0)))
+    // (1,2): common {8,9}, degrees 2,2 → 2/(2+2-2) = 1.0
+    assert(out((1L, 2L)) === ((2L, 2L, 2L, 1.0)))
+    // (3,4): common {9}, degrees 1,1 → 1.0; (1,3): common {9}, degrees
+    // 2,1 → 1/2 — the hub pair the normalization demotes
+    assert(out((1L, 3L)) === ((1L, 2L, 1L, 0.5)))
+    // adjacent pairs never appear
+    assert(!out.contains((5L, 6L)) && !out.contains((1L, 9L)))
+  }
+
   test("mixTokenBudget: admission is monotone in the budget (scalacheck)") {
     import org.scalacheck.{Gen, Prop}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

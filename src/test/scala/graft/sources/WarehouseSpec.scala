@@ -64,4 +64,56 @@ class WarehouseSpec extends SparkTestBase {
     val subdirs = new java.io.File(dir).list().filter(_.startsWith("lang=")).sorted
     assert(subdirs.toSeq === Seq("lang=de", "lang=en", "lang=fr"))
   }
+
+  test("applyChangelog: update replaces, delete removes, insert adds, rest survives") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val changes = Seq(
+      (2L, "U", "b2", 25.0),   // replace key 2
+      (3L, "D", null, 0.0),    // remove key 3
+      (9L, "I", "new", 90.0))  // add key 9
+      .toDF("k", "op", "s", "v")
+    val merged = Warehouse.applyChangelog(base, changes, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(merged === Set((1L, "a", 10.0), (2L, "b2", 25.0), (9L, "new", 90.0)))
+  }
+
+  test("applyChangelog: update on an absent key degrades to an insert (upsert)") {
+    val base = Seq((1L, "a")).toDF("k", "s")
+    val changes = Seq((5L, "U", "ghost")).toDF("k", "op", "s")
+    val merged = Warehouse.applyChangelog(base, changes, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(merged === Set((1L, "a"), (5L, "ghost")))
+  }
+
+  test("scd2: runs collapse, versions number changes, only the last is current") {
+    // user 1: a a b a  → versions a(1), b(2), a(3); user 2: x → one version
+    val log = Seq(
+      (1L, "a", 10L, 1L), (1L, "a", 20L, 2L), (1L, "b", 30L, 3L),
+      (1L, "a", 40L, 4L), (2L, "x", 15L, 5L))
+      .toDF("user_id", "state", "t", "eid")
+    val hist = Warehouse.scd2(log, "user_id", "state", Seq("t", "eid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4), r.getBoolean(5)))
+      .toSet
+    assert(hist === Set(
+      (1L, "a", 10L, Some(30L), 1, false),
+      (1L, "b", 30L, Some(40L), 2, false),
+      (1L, "a", 40L, None, 3, true),
+      (2L, "x", 15L, None, 1, true)))
+  }
+
+  test("scd2: a null state is a real state — it opens and closes versions") {
+    val log = Seq(
+      (1L, Some("a"), 10L, 1L), (1L, None, 20L, 2L), (1L, None, 30L, 3L),
+      (1L, Some("a"), 40L, 4L))
+      .toDF("user_id", "state", "t", "eid")
+    val hist = Warehouse.scd2(log, "user_id", "state", Seq("t", "eid"))
+      .collect().map(r => (Option(r.getString(1)), r.getLong(2), r.getInt(4)))
+      .toSet
+    // a(v1) → null(v2, one version for the run of two) → a(v3)
+    assert(hist === Set(
+      (Some("a"), 10L, 1), (None, 20L, 2), (Some("a"), 40L, 3)))
+  }
 }
