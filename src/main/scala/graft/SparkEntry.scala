@@ -113,6 +113,20 @@ object SparkEntry {
   val CompactionFileDocs = 20L
   val CompactionTargetBytes = 20000L
 
+  /** `seq_window_funnel` window: 6 hours in epoch micros — sized so the
+    * sf0.01 events stream yields a mixed depth histogram (chains that
+    * stall at every stage). */
+  val FunnelWindowUs: Long = 6L * 3600 * 1000 * 1000
+
+  /** `warehouse_incr_agg` refresh boundary: rows before it are the
+    * materialized base state, rows at/after are the delta batch. */
+  val IncrAggCutoff = "1997-06-01"
+
+  /** `sketch_kmv_rollup` sketch size — below the events stream's ~150
+    * distinct users, so the ESTIMATOR branch is exercised, not the
+    * exact under-k path. */
+  val KmvRollupK = 64
+
   /** Fixed-point PageRank geometry (iters / scale / teleport mass per
     * round = 15% of scale), shared with the oracle's unrolled recurrence. */
   val PageRankIters: Int = 3
@@ -1505,6 +1519,27 @@ object SparkEntry {
         ev.filter(col("event_type") === "click"), "uday",
         ev.filter(col("event_type") === "purchase"), "uday")
     }),
+    // KMV rollup — sketch MERGEABILITY as an oracle row: per-day user
+    // sketches merged into the global sketch; the oracle computes the
+    // DIRECT global sketch, which the merge must equal exactly (any
+    // globally-k-smallest hash is its own day's k-smallest). k=64 <
+    // ~150 distinct users, so the estimator branch is the one checked
+    "sketch_kmv_rollup" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(expr(s"($TsUsSql) div $RangeJoinDayUs").as("day"), col("user_id"))
+      graft.pipeline.Sketches.kmvRollup(ev, "day", "user_id", KmvRollupK)
+    }),
+    // windowed ordered funnel (view → click → purchase within 6 h of
+    // the chain's first step): earliest-continuation chains via one
+    // forward as-of pass per step — never a per-user event product —
+    // then the per-user max depth histogram
+    "seq_window_funnel" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), expr(TsUsSql).as("t"), col("event_type"))
+      graft.operators.Funnel.windowFunnel(ev, "user_id", "t", "event_type",
+          Seq("view", "click", "purchase"), FunnelWindowUs)
+        .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
+    }),
     // ingest-monitoring anomaly flags: per-type daily event counts
     // scored by |n − median| > 3·MAD — medians at the .5 binary fraction
     // over integer counts interpolate IEEE-exactly on both engines, so
@@ -1871,6 +1906,26 @@ object SparkEntry {
           lit("I").as("op"), col("o_orderstatus"), col("o_totalprice"))
       graft.sources.Warehouse.applyChangelog(
         base, upd.unionByName(del).unionByName(ins), "o_orderkey")
+    }),
+    // incremental materialized-view maintenance: the pre-cutoff orders
+    // aggregate is the stored view STATE, the post-cutoff rows are the
+    // refresh delta — merge(agg(base), agg(delta)) must equal the
+    // from-scratch aggregate, which is exactly what the oracle computes
+    // (counts/exact-decimal sums add, mins/maxes fold; base never
+    // rescanned)
+    "warehouse_incr_agg" -> ((s, dir) => {
+      val cutoff = lit(IncrAggCutoff).cast("timestamp")
+      val orders = table(s, dir, "orders")
+      val base = graft.sources.Warehouse.aggState(
+        orders.filter(col("o_orderdate") < cutoff), Seq("o_custkey"), "o_totalprice")
+      val delta = graft.sources.Warehouse.aggState(
+        orders.filter(col("o_orderdate") >= cutoff), Seq("o_custkey"), "o_totalprice")
+      graft.sources.Warehouse.mergeAggStates(Seq(base, delta),
+          Seq("o_custkey"), "o_totalprice")
+        .select(col("o_custkey"), col("cnt"),
+          col("sum_o_totalprice").cast("double").as("sum_total"),
+          col("min_o_totalprice").as("min_total"),
+          col("max_o_totalprice").as("max_total"))
     }),
     // SCD TYPE-2 dimension history from the event log: per user, each
     // RUN of equal event_type states becomes one versioned interval
@@ -3023,6 +3078,36 @@ object SparkEntry {
       graft.pipeline.Sketches.kmvOverlapOracle("events",
         s"user_id || ':' || (epoch_us(ts) // $RangeJoinDayUs)",
         "event_type = 'click'", "event_type = 'purchase'"),
+    // merge-vs-direct: the rollup's oracle is the from-scratch global
+    // sketch — lossless merging IS the contract being checked
+    "sketch_kmv_rollup" ->
+      graft.pipeline.Sketches.kmvRollupOracle("events",
+        s"(epoch_us(ts) // $RangeJoinDayUs)", "user_id", KmvRollupK),
+    "warehouse_incr_agg" ->
+      """SELECT o_custkey, count(*) AS cnt,
+        |  SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS sum_total,
+        |  min(o_totalprice) AS min_total, max(o_totalprice) AS max_total
+        |FROM orders GROUP BY 1""".stripMargin,
+    "seq_window_funnel" ->
+      (s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+         |v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+         |c AS (SELECT user_id, t FROM e WHERE event_type = 'click'),
+         |p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
+         |vc AS (SELECT v.user_id, v.t AS t0, min(c.t) AS t1raw
+         |       FROM v LEFT JOIN c ON c.user_id = v.user_id AND c.t >= v.t
+         |       GROUP BY 1, 2),
+         |vc2 AS (SELECT user_id, t0,
+         |          CASE WHEN t1raw <= t0 + $FunnelWindowUs THEN t1raw END AS t1 FROM vc),
+         |vcp AS (SELECT vc2.user_id, vc2.t0, vc2.t1, min(p.t) AS t2raw
+         |        FROM vc2 LEFT JOIN p ON p.user_id = vc2.user_id
+         |          AND vc2.t1 IS NOT NULL AND p.t >= vc2.t1
+         |        GROUP BY 1, 2, 3),
+         |d AS (SELECT user_id,
+         |        max(1 + (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+         |          + (CASE WHEN t1 IS NOT NULL AND t2raw <= t0 + $FunnelWindowUs
+         |              THEN 1 ELSE 0 END)) AS depth
+         |      FROM vcp GROUP BY 1)
+         |SELECT depth, count(*) AS n_users FROM d GROUP BY 1""".stripMargin),
     "agg_daily_anomaly" ->
       s"""WITH d AS (SELECT event_type, epoch_us(ts) // $RangeJoinDayUs AS day,
          |        count(*) AS n FROM events GROUP BY 1, 2),

@@ -169,6 +169,60 @@ object Sketches {
        |FROM m""".stripMargin
   }
 
+  /** KMV rollup — the MERGEABILITY contract that makes sketches useful
+    * at warehouse scale: build one k-minima sketch PER GROUP (per day,
+    * per shard, per partition — [[kmvDistinctByGroup]]'s shape), then
+    * merge the groups' minima into the global k-minima sketch and
+    * estimate the union's distinct count. Merging is provably LOSSLESS
+    * for KMV: any hash among the global k smallest is among its own
+    * group's k smallest (its group holds a subset of the smaller
+    * hashes), so the merged estimate EQUALS a direct global sketch —
+    * pre-aggregate daily, roll up weekly/monthly for free, never
+    * rescan (the property spec pins merge ≡ direct; HLL merges are
+    * likewise lossless but not oracle-checkable — see the object doc).
+    *
+    * Output: one row (n_groups, k, kth, est_distinct). Scale shape: the
+    * per-group stage is [[kmvDistinctByGroup]]'s bounded window; the
+    * merge handles n_groups·k 8-byte rows — metadata, not data. */
+  def kmvRollup(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val hv = df.select(col(groupCol), h.as("hv"))
+      .where(col("hv").isNotNull).distinct()
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("hv"))
+    val perGroup = hv.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+    val estU = when(col("k") < k, col("k").cast("double"))
+      .otherwise((col("k") - 1).cast("double") * lit(KmvHashSpace) /
+        col("kth").cast("double"))
+    perGroup
+      .agg(countDistinct(col(groupCol)).as("n_groups"),
+        collect_list(col("hv")).as("__minima"))
+      .select(col("n_groups"),
+        explode(slice(array_sort(array_distinct(col("__minima"))), 1, k)).as("hv"))
+      .groupBy(col("n_groups"))
+      .agg(count(lit(1)).as("k"), max(col("hv")).as("kth"))
+      .select(col("n_groups"), col("k"), col("kth"), estU.as("est_distinct"))
+  }
+
+  /** DuckDB half of [[kmvRollup]] — deliberately the DIRECT global KMV
+    * (plus the group count): the rollup's whole claim is that merging
+    * per-group sketches loses nothing, so the oracle checks the merged
+    * estimate against the from-scratch one. */
+  def kmvRollupOracle(table: String, groupExpr: String, valueExpr: String,
+      k: Int = 256): String =
+    s"""WITH h AS (SELECT DISTINCT ('0x' || substr(md5(($valueExpr)::VARCHAR), 1, 15))::BIGINT AS hv
+       |  FROM $table WHERE ($valueExpr) IS NOT NULL),
+       |g AS (SELECT count(DISTINCT $groupExpr) AS n_groups FROM $table WHERE ($valueExpr) IS NOT NULL),
+       |mins AS (SELECT hv FROM h ORDER BY hv LIMIT $k),
+       |m AS (SELECT count(*) AS k, max(hv) AS kth FROM mins)
+       |SELECT g.n_groups, m.k, m.kth, CASE WHEN m.k < $k THEN m.k::DOUBLE
+       |  ELSE (m.k - 1)::DOUBLE * $KmvHashSpace / m.kth::DOUBLE END AS est_distinct
+       |FROM m, g""".stripMargin
+
   val QuantileSalt = "graft-qsk"
 
   /** Deterministic sampled quantile: a salted-hash Bernoulli sample

@@ -609,32 +609,35 @@ object TextPipeline {
     // replay exactly (trailing short segments are segments too)
     val words = df.select(id.as("__doc"),
         posexplode(tokens(col(s"`$textCol`"))).as(Seq("__pos", "__w")))
+    // persisted: the segment frame feeds both the frequency count and
+    // the verdict join — without it the corpus is segmented twice
     val segs = words
       .groupBy(col("__doc"), (col("__pos") / segWords).cast("long").as("__seg"))
       .agg(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
           x => x.getField("__w"))).as("__text"))
       .withColumn("__h", md5(col("__text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus-wide distinct-document frequency per exact segment — the
-    // shuffle carries (digest, doc) pairs, never segment text
+    // shuffle carries (digest, doc) pairs, never segment text; after
+    // aggregation the hot set is tiny (boilerplate digests) → broadcasts
     val hot = segs.groupBy(col("__h"))
       .agg(countDistinct(col("__doc")).as("__nd"))
       .filter(col("__nd") >= minDocs)
-      .select(col("__h"))
-    val kept = segs.join(hot, Seq("__h"), "left_anti")
-    val survivors = kept.groupBy(col("__doc"))
-      .agg(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("__seg"), col("__text")))),
+      .select(col("__h"), lit(true).as("__hot"))
+    // one verdict join + ONE per-doc aggregation: surviving text,
+    // kept/dropped counts, all conditional on the hot mark — every
+    // document emits a row (all-boilerplate docs come back empty;
+    // silently vanishing rows would corrupt downstream joins on doc_id)
+    segs.join(hot, Seq("__h"), "left")
+      .groupBy(col("__doc"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__hot").isNull,
+            struct(col("__seg"), col("__text"))))),
           x => x.getField("__text"))).as("text"),
-        count(lit(1)).as("n_kept"))
-    // every document emits a row: all-boilerplate docs come back empty
-    // (the caller's quality gate drops them; silently vanishing rows
-    // would corrupt downstream joins on doc_id)
-    val totals = segs.groupBy(col("__doc")).agg(count(lit(1)).as("__total"))
-    totals.join(survivors, Seq("__doc"), "left")
-      .select(col("__doc").as(idCol),
-        coalesce(col("text"), lit("")).as("text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        count(when(col("__hot").isNull, 1)).as("n_kept"),
+        count(when(col("__hot"), 1)).as("n_dropped"))
+      .select(col("__doc").as(idCol), col("text"), col("n_kept"), col("n_dropped"))
   }
 }

@@ -68,6 +68,43 @@ object Warehouse {
     survivors.unionByName(applied)
   }
 
+  /** Build a mergeable per-key aggregate STATE over `valueCol`:
+    * (key…, cnt, sum_<v> [exact decimal], min_<v>, max_<v>). The state
+    * is the materialized-view form of a groupBy — see [[mergeAggStates]]
+    * for the maintenance contract. */
+  def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val v = col(s"`$valueCol`")
+    df.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(v.cast(org.apache.spark.sql.types.DecimalType(18, 2))).as(s"sum_$valueCol"),
+        min(v).as(s"min_$valueCol"), max(v).as(s"max_$valueCol"))
+  }
+
+  /** Incremental materialized-view maintenance: merge per-key aggregate
+    * STATES (count / sum / min / max shaped like [[aggState]]) so that
+    * merge(agg(A), agg(B)) = agg(A ∪ B) — counts and exact-decimal sums
+    * add, mins/maxes fold, and the base data is NEVER rescanned. This is
+    * the algebraic-aggregate property (Gray et al. '97 cube taxonomy)
+    * that makes a 100 TB rolling view affordable: each refresh
+    * aggregates only the delta batch and merges ~|keys| state rows.
+    * (Non-algebraic measures — exact distinct, exact median — need
+    * sketch states instead: see [[graft.pipeline.Sketches]].)
+    *
+    * Scale shape: ONE union + one keyed aggregation over state rows
+    * (bounded by key cardinality, not data volume); the delta side is
+    * typically tiny and the merge shuffles state, never facts. */
+  def mergeAggStates(states: Seq[DataFrame], keys: Seq[String],
+      valueCol: String): DataFrame = {
+    require(states.nonEmpty, "need at least one state to merge")
+    val merged = states.reduce(_ unionByName _)
+    merged.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col(s"`sum_$valueCol`")).as(s"sum_$valueCol"),
+        min(col(s"`min_$valueCol`")).as(s"min_$valueCol"),
+        max(col(s"`max_$valueCol`")).as(s"max_$valueCol"))
+  }
+
   /** Build a type-2 slowly-changing-dimension history from a change
     * log: one row per (key, consecutive run of equal `attr` values),
     * with `valid_from` = first tick of the run, `valid_to` = the next

@@ -74,4 +74,23 @@ class SketchesSpec extends SparkTestBase {
     val r = Sketches.kmvOverlap(a, "v", b, "v", k = 32).collect()(0)
     assert(r.getLong(2) === 0L && r.getDouble(4) === 0.0 && r.getDouble(5) === 0.0)
   }
+
+  test("rollup: merged per-group sketches EQUAL the direct global sketch") {
+    // values spread over 10 groups with heavy cross-group overlap — the
+    // merged minima must reproduce the direct sketch bit-for-bit (the
+    // losslessness claim), including kth and the double estimate
+    val df = (1 to 2000).map(i => (i % 10, s"v${i % 700}")).toDF("g", "v")
+    val rolled = Sketches.kmvRollup(df, "g", "v", k = 64).collect()(0)
+    val direct = Sketches.kmvDistinct(df, "v", k = 64).collect()(0)
+    assert(rolled.getLong(0) === 10L) // n_groups
+    assert(rolled.getLong(1) === direct.getLong(0))   // k
+    assert(rolled.getLong(2) === direct.getLong(1))   // kth
+    assert(rolled.getDouble(3) === direct.getDouble(2)) // estimate
+  }
+
+  test("rollup: union under k is exact even when spread across groups") {
+    val df = (1 to 40).map(i => (i % 4, s"v$i")).toDF("g", "v")
+    val r = Sketches.kmvRollup(df, "g", "v", k = 64).collect()(0)
+    assert(r.getLong(1) === 40L && r.getDouble(3) === 40.0)
+  }
 }

@@ -104,6 +104,30 @@ class WarehouseSpec extends SparkTestBase {
       (2L, "x", 15L, None, 1, true)))
   }
 
+  test("mergeAggStates: merge(agg(A), agg(B), agg(C)) equals agg(A ∪ B ∪ C)") {
+    val all = (1L to 300L).map(i => (i % 13, (i * 7 % 100) + 0.25))
+    val parts = all.grouped(100).toSeq // three arbitrary delta batches
+    val states = parts.map(p =>
+      Warehouse.aggState(p.toDF("k", "v"), Seq("k"), "v"))
+    val merged = Warehouse.mergeAggStates(states, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue(), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val direct = Warehouse.aggState(all.toDF("k", "v"), Seq("k"), "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue(), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(merged === direct)
+  }
+
+  test("mergeAggStates: a key present in only one delta survives the merge") {
+    val a = Warehouse.aggState(Seq((1L, 10.0)).toDF("k", "v"), Seq("k"), "v")
+    val b = Warehouse.aggState(Seq((2L, 5.0), (2L, 7.0)).toDF("k", "v"), Seq("k"), "v")
+    val m = Warehouse.mergeAggStates(Seq(a, b), Seq("k"), "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("scd2: a null state is a real state — it opens and closes versions") {
     val log = Seq(
       (1L, Some("a"), 10L, 1L), (1L, None, 20L, 2L), (1L, None, 30L, 3L),
