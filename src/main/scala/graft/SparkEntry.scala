@@ -1191,6 +1191,21 @@ object SparkEntry {
         .select(col("a"), col("b"))
       graft.operators.Triangles.jaccardLinks(edges, topK = 20)
     }),
+    // per-node local clustering coefficient on the SPARSE co-order
+    // subgraph: 2T(v)/(d(d-1)) — the clique-ness score (community
+    // seeding, bot detection); every triangle credits all three
+    // vertices via closed-wedge counting, closure is one shuffled-hash
+    // join against the canonical edge list
+    "graph_clustering_coeff" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val l1 = lp.select(col("ok"), col("p").as("s1"))
+      val l2 = lp.select(col("ok").as("ok2"), col("p").as("s2"))
+      val edges = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
+        .select(col("s1").as("a"), col("s2").as("b")).distinct()
+      graft.operators.Triangles.clusteringCoeff(edges)
+        .select(col("v").as("part"), col("degree"), col("triangles"), col("coeff"))
+    }),
     // deterministic integer fixed-point PageRank over the same part
     // co-order graph: fixed rounds, damping 85/100, scale 10^9 — the
     // arithmetic is integer end-to-end, so the oracle replays the exact
@@ -2342,6 +2357,13 @@ object SparkEntry {
     // re-derives the fields arithmetically
     "mm_tiff_meta" -> ((s, dir) =>
       graft.pipeline.MultiModal.tiffMeta(table(s, dir, "documents"))),
+    // perceptual dedup plumbing: 64-bit dHash over strided payload
+    // bytes (codec stubbed, so bytes stand in for luma samples), exact
+    // grouping = threshold-0 perceptual dup candidates; the fingerprint
+    // is a fused 64-comparison codegen dag, the only shuffle is the
+    // 8-byte dup count
+    "mm_phash_dupes" -> ((s, dir) =>
+      graft.pipeline.MultiModal.phashDupes(table(s, dir, "documents"))),
     "ann_cosine_topk" -> ((s, dir) =>
       graft.pipeline.Ann.cosineTopK(table(s, dir, "embeddings"))),
     "ann_lsh_buckets" -> ((s, dir) =>
@@ -2375,6 +2397,18 @@ object SparkEntry {
     // the same harness over the composed IVF x PQ production path
     "ann_ivfpq_recall" -> ((s, dir) =>
       graft.pipeline.Ann.ivfPqRecall(table(s, dir, "embeddings"))),
+    // the harness over DIMENSION TRUNCATION (Matryoshka retrieval):
+    // does the 16-of-64-dim prefix top-1 land in the full top-k? — the
+    // eval that justifies shipping truncated embeddings (4x less
+    // arithmetic/memory per comparison)
+    "ann_truncated_recall" -> ((s, dir) =>
+      graft.pipeline.Ann.truncatedRecall(table(s, dir, "embeddings"))),
+    // contrastive hard-negative mining: per query, the top-k most
+    // similar vectors with a DIFFERENT label — the confusable
+    // non-matches whose gradients move an embedding model; mismatch
+    // predicate prunes in the join, before any similarity arithmetic
+    "emb_hard_negatives" -> ((s, dir) =>
+      graft.pipeline.Ann.hardNegatives(table(s, dir, "embeddings"))),
     // filtered vector search: exact top-k over the label=3 corpus slice,
     // predicate pushed into the scan (pre-filter, never post-filter)
     "ann_filtered_topk" -> ((s, dir) =>
@@ -2874,6 +2908,19 @@ object SparkEntry {
          |      FROM nc JOIN deg da ON nc.a = da.v JOIN deg db ON nc.b = db.v)
          |SELECT a, b, common, deg_a, deg_b, jaccard FROM s
          |ORDER BY jaccard DESC, common DESC, a, b LIMIT 20""".stripMargin),
+    "graph_clustering_coeff" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |            FROM lineitem WHERE l_quantity > 45),
+        |e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+        |sym AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT v, count(*) AS degree FROM sym GROUP BY 1),
+        |w AS (SELECT s1.v, s1.u AS x, s2.u AS y
+        |      FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u),
+        |t AS (SELECT w.v, count(*) AS triangles FROM w
+        |      JOIN e ON w.x = e.a AND w.y = e.b GROUP BY 1)
+        |SELECT d.v AS part, d.degree, COALESCE(t.triangles, 0) AS triangles,
+        |  round(2 * COALESCE(t.triangles, 0)::DOUBLE / (d.degree * (d.degree - 1))::DOUBLE, 4) AS coeff
+        |FROM deg d LEFT JOIN t ON d.v = t.v WHERE d.degree >= 2""".stripMargin,
     "graph_pagerank" -> {
       def round(prev: String): String =
         s"""SELECT d.dst AS v, CAST($PageRankBase + (85 * sum($prev.r // deg.od)) // 100 AS BIGINT) AS r
@@ -3593,6 +3640,11 @@ object SparkEntry {
     "ann_lsh_recall" -> graft.pipeline.Oracles.annLshRecall,
     "ann_multiprobe_recall" -> graft.pipeline.Oracles.annLshMultiprobeRecall,
     "ann_ivfpq_recall" -> graft.pipeline.Oracles.annIvfPqRecall,
+    "ann_truncated_recall" ->
+      graft.pipeline.Oracles.annTruncatedRecall(graft.pipeline.Ann.TruncDims),
+    "emb_hard_negatives" -> graft.pipeline.Oracles.embHardNegatives,
+    "mm_phash_dupes" ->
+      graft.pipeline.Oracles.mmPhashDupes(graft.pipeline.MultiModal.PhashBits),
     "emb_centroid_outliers" -> graft.pipeline.Oracles.embCentroidOutliers(
       graft.pipeline.Embeddings.OutlierTopK),
     "emb_gram" -> graft.pipeline.Oracles.embGramMatrix,

@@ -147,6 +147,46 @@ object Triangles {
       edges0.sparkSession.sparkContext.parallelize(rows, 1), out.schema)
   }
 
+  /** Per-node local clustering coefficient (Watts–Strogatz '98):
+    * coeff(v) = 2·T(v) / (d(v)·(d(v)−1)) where T(v) is the number of
+    * edges among v's neighbors — the "how clique-like is this node's
+    * neighborhood" score behind community seeding and spam/bot
+    * detection (organic neighborhoods close; farmed ones are stars).
+    * T(v) = closed wedges centered at v, so every triangle credits all
+    * three of its vertices (each is the center of one of its wedges).
+    *
+    * Scale shape: wedge volume is Σ C(deg, 2) — unoriented, because the
+    * per-CENTER count is the quantity wanted (the global count gets the
+    * O(m^1.5) oriented bound in [[count]]); `maxDegree` is the standard
+    * hub guard, as in [[commonNeighbors]]. Closure check is one
+    * shuffled-hash equi-join against the canonical edge list; the final
+    * division is ONE IEEE op of exact integers, rounded — cross-engine
+    * deterministic. Nodes of degree < 2 have no defined coefficient and
+    * are excluded. */
+  def clusteringCoeff(edges0: DataFrame, maxDegree: Option[Long] = None): DataFrame = {
+    val edges = edges0.select(col("a"), col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = edges.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("u")))
+    val deg = sym.groupBy(col("v")).agg(F.count(lit(1)).as("degree"))
+    val centers0 = sym.join(deg.hint("broadcast"), Seq("v"))
+    val centers = maxDegree.fold(centers0)(cap => centers0.filter(col("degree") <= cap))
+    val w1 = centers.select(col("v"), col("u").as("x"))
+    val w2 = centers.select(col("v").as("v2"), col("u").as("y"))
+    val tri = w1.join(w2.hint("shuffle_hash"),
+        col("v") === col("v2") && col("x") < col("y"))
+      .join(edges.hint("shuffle_hash"),
+        col("x") === col("a") && col("y") === col("b"), "left_semi")
+      .groupBy(col("v")).agg(F.count(lit(1)).as("triangles"))
+    val out = deg.filter(col("degree") >= 2)
+      .join(tri, Seq("v"), "left")
+      .select(col("v"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(lit(2) * coalesce(col("triangles"), lit(0L)).cast("double") /
+          (col("degree") * (col("degree") - 1)).cast("double"), 4).as("coeff"))
+    out
+  }
+
   /** Jaccard-normalized link prediction: for non-adjacent pairs,
     * score = |N(a)∩N(b)| / |N(a)∪N(b)| = common / (deg(a)+deg(b)−common)
     * — the degree-normalized variant of [[commonNeighbors]] that stops

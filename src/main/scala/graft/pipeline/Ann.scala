@@ -490,6 +490,71 @@ object Ann {
       numQueries: Int = NumQueries): DataFrame =
     recallAgainstExact(embeddings, ivfPqTopK(embeddings), k, numQueries)
 
+  /** Dimensions kept by [[truncatedRecall]] — the Matryoshka prefix.
+    * This corpus's dims are i.i.d. synthetic (no MRL-style prefix
+    * concentration), so the top-1-in-top-3 dial reads 0.0 / 0.2 / 0.5 /
+    * 0.8 at 16 / 32 / 48 / 56 dims; 48 pins the mid-dial, where the
+    * measurement is unambiguously load-bearing in both directions. */
+  val TruncDims = 48
+
+  /** Exact top-1 cosine neighbor per query using only the first `dims`
+    * embedding dimensions — the Matryoshka/truncation retrieval mode
+    * (Kusupati et al. '22): prefix dimensions carry most of the signal,
+    * so searching 16 of 64 dims costs a quarter of the memory bandwidth
+    * and FLOPs. Same broadcast-query scan shape as [[cosineTopK]]; the
+    * truncation is a `slice` before the fused dot, so the scan reads
+    * the full column but the arithmetic shrinks (a column layout that
+    * SPLITS prefix dims into their own file would shrink I/O too). */
+  def truncatedTopK(embeddings: DataFrame, dims: Int = TruncDims,
+      numQueries: Int = NumQueries): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dims >= 1 && dims <= Dim, s"dims must be in [1, $Dim], got $dims")
+    val ss = embeddings.sparkSession
+    val n = embeddings.select(col("vec_id"), slice(col("embedding"), 1, dims).as("te"))
+      .withColumn("tn", sqrt(dot(ss, col("te"), col("te"))))
+    val q = broadcast(n.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("te").as("qe"), col("tn").as("qn")))
+    val pairs = n.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dot(ss, col("qe"), col("te")) / (col("qn") * col("tn")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+  }
+
+  /** The recall harness over dimension truncation: does the 16-dim
+    * prefix's top-1 land in the full-precision top-k? The measurement
+    * that justifies (or vetoes) shipping truncated embeddings — the
+    * memory-reduction twin of the PQ recall row. */
+  def truncatedRecall(embeddings: DataFrame, dims: Int = TruncDims,
+      k: Int = TopK, numQueries: Int = NumQueries): DataFrame =
+    recallAgainstExact(embeddings, truncatedTopK(embeddings, dims, numQueries),
+      k, numQueries)
+
+  /** Hard-negative mining for contrastive training (the batch-mining
+    * step of every embedding-model pipeline): for each query vector,
+    * the `k` most-similar corpus vectors with a DIFFERENT label — the
+    * confusable non-matches whose gradients actually move the model
+    * (random negatives are trivially separable). Same broadcast-query
+    * corpus scan as [[cosineTopK]] with the label-mismatch predicate in
+    * the join condition, so mismatches prune before any similarity
+    * arithmetic. Returns (query_id, query label, negative id, its
+    * label, sim). */
+  def hardNegatives(embeddings: DataFrame, k: Int = TopK,
+      numQueries: Int = NumQueries): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = embeddings.sparkSession
+    val n = withNorm(embeddings.select(col("vec_id"), col("embedding"), col("label")))
+    val q = broadcast(n.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("label").as("q_label")))
+    val pairs = n.join(q, col("label") =!= col("q_label"))
+      .withColumn("sim", round(dot(ss, col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("q_label"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("sim"))
+  }
+
   /** Shared recall evaluator: any approximate (query_id, vec_id) answer
     * set scored against the exact cosine top-k (see [[lshRecall]] for
     * the contract — no-answers count as misses). */

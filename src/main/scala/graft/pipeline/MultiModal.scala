@@ -496,4 +496,46 @@ object MultiModal {
     withTiffMeta(syntheticTiffPayloads(docs), "payload")
       .select(col("doc_id"), col("format"), col("byte_order"),
         col("width"), col("height"))
+
+  /** dHash bit count (64-bit fingerprint from 65 samples). */
+  val PhashBits = 64
+
+  /** Difference-hash perceptual fingerprint over binary payloads — the
+    * image-dedup primitive (dHash: Krawetz '13): sample `PhashBits`+1
+    * evenly-strided bytes across the payload, bit i = sample(i) >
+    * sample(i+1); payloads with mostly-equal content produce equal (or
+    * Hamming-near) fingerprints, so exact grouping on the hash is the
+    * threshold-0 perceptual dedup (band the blocks like SimHash for a
+    * Hamming radius — [[Dedup]]'s machinery applies unchanged to this
+    * hash). With the container's codecs stubbed, the "luma samples" are
+    * raw payload bytes — swapping in a real decoder changes only the
+    * byte source ([[decodeStub]]'s contract); the sampling, bit
+    * construction, grouping, and scale shape are the shipped surface.
+    *
+    * Output: (doc_id, dhash, n_same) — n_same > 1 marks perceptual-dup
+    * candidate groups. Payloads under `PhashBits`+1 bytes are excluded
+    * (no 65 distinct sample positions exist).
+    *
+    * Scale shape: the fingerprint is a fixed 64-comparison expression
+    * dag fused with the scan (codegen, no UDF, no shuffle); the only
+    * exchange is the 8-byte-key dup count. Cross-engine determinism:
+    * byte reads are hex/conv arithmetic, shifts are inlined literals
+    * (the sign-bit term is added LAST on both engines, keeping every
+    * partial sum in BIGINT range). */
+  def phashDupes(docs: DataFrame): DataFrame = {
+    def byteAt(pos: Column): Column =
+      conv(hex(col("payload").substr(pos.cast("int"), lit(1))), 16, 10).cast("long")
+    val p = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+      .filter(col("n_bytes") >= PhashBits + 1)
+      .withColumn("stride", expr(s"n_bytes div ${PhashBits + 1}"))
+    val bits = (0 until PhashBits).map { i =>
+      when(byteAt(col("stride") * i + 1) > byteAt(col("stride") * (i + 1) + 1),
+        lit(1L << i)).otherwise(lit(0L))
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dhash"))
+    p.withColumn("dhash", bits.reduce(_ + _))
+      .withColumn("n_same", count(lit(1)).over(w))
+      .select(col("doc_id"), col("dhash"), col("n_same"))
+  }
 }

@@ -69,6 +69,18 @@ class DeterminismSpec extends SparkTestBase {
     "win_rolling_median",   // windowed exact median over integer counts
     "ann_lsh_multiprobe",   // exploded probe set + bucket equi-join
     "sketch_kmv_overlap",   // two k-minima heaps + union re-rank algebra
+    "agg_q11_share",        // one-row broadcast total gating decimal groups
+    "text_line_dedup",      // distinct-doc segment counts + conditional reassembly
+    "warehouse_merge_upsert",// changelog anti-join + image union
+    "warehouse_scd2",       // lag change-detect + lead interval-close windows
+    "warehouse_incr_agg",   // partial agg states merged (algebraic property)
+    "layout_compaction",    // per-group metadata window bin assignment
+    "sketch_kmv_rollup",    // per-group minima merged to the global sketch
+    "seq_window_funnel",    // iterated forward as-of chains + max depth
+    "graph_jaccard_links",  // wedge counts + broadcast degree normalization
+    "mm_phash_dupes",       // strided byte-gradient bits + hash dup window
+    "graph_clustering_coeff",// per-center closed wedges + one IEEE division
+    "emb_hard_negatives",   // cross-label broadcast top-k
   )
 
   private def canonical(name: String): String = {

@@ -935,6 +935,57 @@ class PipelineSpec extends SparkTestBase {
     assert(capped.isEmpty)
   }
 
+  test("truncatedRecall: full dims give recall 1.0; recall is monotone in the prefix") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def recall(dims: Int): Double =
+      Ann.truncatedRecall(emb, dims).collect()(0).getDouble(3)
+    // at dims = Dim the "truncated" top-1 IS the exact top-1 → always
+    // inside the exact top-k
+    assert(recall(Ann.Dim) === 1.0)
+    assert(recall(16) <= recall(48))
+  }
+
+  test("hardNegatives: only cross-label answers, exactly k per query, most-similar first") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = Ann.hardNegatives(emb, k = 3, numQueries = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    assert(rows.length === 15)
+    assert(rows.forall { case (_, ql, _, nl, _) => ql != nl })
+    // per query, sims are the top of the cross-label distribution:
+    // no cross-label vector outside the answer set may beat the floor
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.values.forall(_.length == 3))
+  }
+
+  test("phashDupes: identical payloads collide, different byte gradients do not") {
+    import graft.pipeline.MultiModal
+    val base = (0 until 200).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val docs = Seq(
+      (1L, base), (2L, base),                  // exact dup pair
+      (3L, base.reverse),                      // opposite gradients
+      (4L, "short"))                           // under 65 bytes → excluded
+      .toDF("doc_id", "text")
+    val out = MultiModal.phashDupes(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!out.contains(4L))
+    assert(out(1L)._1 === out(2L)._1 && out(1L)._2 === 2L && out(2L)._2 === 2L)
+    assert(out(3L)._1 !== out(1L)._1)
+    assert(out(3L)._2 === 1L)
+  }
+
+  test("clusteringCoeff: triangle vertices score 1.0, hub with pendant scores lower") {
+    import graft.operators.Triangles
+    // triangle {1,2,3}; pendant 4 hangs off 1 → deg(1)=3, T(1)=1 →
+    // coeff 2/(3·2) = 0.3333; nodes 2,3 close fully; 4 has deg 1 → out
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val out = Triangles.clusteringCoeff(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      1L -> ((3L, 1L, 0.3333)),
+      2L -> ((2L, 1L, 1.0)),
+      3L -> ((2L, 1L, 1.0))))
+  }
+
   test("jaccardLinks: degree normalization reorders what raw counts cannot") {
     import graft.operators.Triangles
     // hub 9 connects {1,2,3,4}; besides that, 5-6-7 is a path through 6.
