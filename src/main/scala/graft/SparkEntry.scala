@@ -2398,9 +2398,9 @@ object SparkEntry {
     "ann_ivfpq_recall" -> ((s, dir) =>
       graft.pipeline.Ann.ivfPqRecall(table(s, dir, "embeddings"))),
     // the harness over DIMENSION TRUNCATION (Matryoshka retrieval):
-    // does the 16-of-64-dim prefix top-1 land in the full top-k? — the
-    // eval that justifies shipping truncated embeddings (4x less
-    // arithmetic/memory per comparison)
+    // does the TruncDims-of-64-dim (48) prefix top-1 land in the full
+    // top-k? — the eval that justifies shipping truncated embeddings
+    // (less arithmetic/memory per comparison)
     "ann_truncated_recall" -> ((s, dir) =>
       graft.pipeline.Ann.truncatedRecall(table(s, dir, "embeddings"))),
     // contrastive hard-negative mining: per query, the top-k most

@@ -78,7 +78,7 @@ object Layout {
       .rowsBetween(Window.unboundedPreceding, -1)
     files
       .withColumn("__before", coalesce(sum(q(sizeCol)).over(w), lit(0L)))
-      .withColumn("bin", floor(col("__before") / targetBytes))
+      .withColumn("bin", expr(s"__before div $targetBytes"))
       .groupBy(q(groupCol), col("bin"))
       .agg(count(lit(1)).as("n_files"), sum(q(sizeCol)).as("total_bytes"),
         min(q(orderCol)).as("first_key"), max(q(orderCol)).as("last_key"))

@@ -162,10 +162,17 @@ object Triangles {
     * shuffled-hash equi-join against the canonical edge list; the final
     * division is ONE IEEE op of exact integers, rounded — cross-engine
     * deterministic. Nodes of degree < 2 have no defined coefficient and
-    * are excluded. */
+    * are excluded; when `maxDegree` is set, nodes ABOVE the cap are also
+    * excluded from the OUTPUT (their wedges were never enumerated, so
+    * reporting them would claim a measured coefficient of 0 for what is
+    * really "not measured" — for the bot-detection use that would make
+    * every hub read as a perfect star). */
   def clusteringCoeff(edges0: DataFrame, maxDegree: Option[Long] = None): DataFrame = {
+    // No persist here: the output is one row per node (unbounded), so the
+    // collect-then-unpersist discipline of the top-k siblings doesn't
+    // apply, and a lazy return would leak the cache entry for the
+    // application lifetime. The edge frame is reused within ONE job only.
     val edges = edges0.select(col("a"), col("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val sym = edges.select(col("a").as("v"), col("b").as("u"))
       .unionAll(edges.select(col("b").as("v"), col("a").as("u")))
     val deg = sym.groupBy(col("v")).agg(F.count(lit(1)).as("degree"))
@@ -178,7 +185,10 @@ object Triangles {
       .join(edges.hint("shuffle_hash"),
         col("x") === col("a") && col("y") === col("b"), "left_semi")
       .groupBy(col("v")).agg(F.count(lit(1)).as("triangles"))
-    val out = deg.filter(col("degree") >= 2)
+    val measurable0 = deg.filter(col("degree") >= 2)
+    val measurable = maxDegree.fold(measurable0)(cap =>
+      measurable0.filter(col("degree") <= cap))
+    val out = measurable
       .join(tri, Seq("v"), "left")
       .select(col("v"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),

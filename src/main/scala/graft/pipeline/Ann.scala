@@ -521,8 +521,9 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("sim"))
   }
 
-  /** The recall harness over dimension truncation: does the 16-dim
-    * prefix's top-1 land in the full-precision top-k? The measurement
+  /** The recall harness over dimension truncation: does the `dims`-dim
+    * (default [[TruncDims]] = 48 of 64) prefix's top-1 land in the
+    * full-precision top-k? The measurement
     * that justifies (or vetoes) shipping truncated embeddings — the
     * memory-reduction twin of the PQ recall row. */
   def truncatedRecall(embeddings: DataFrame, dims: Int = TruncDims,

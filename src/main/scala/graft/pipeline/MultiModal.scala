@@ -525,7 +525,13 @@ object MultiModal {
   def phashDupes(docs: DataFrame): DataFrame = {
     def byteAt(pos: Column): Column =
       conv(hex(col("payload").substr(pos.cast("int"), lit(1))), 16, 10).cast("long")
-    val p = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    // Byte-based sampling is only char-oracle-comparable on all-ASCII
+    // payloads; guard that invariant structurally (octet_length = length)
+    // so one non-ASCII document shifts into the excluded set on BOTH
+    // engines instead of silently changing stride and samples.
+    val p = docs
+      .filter(octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
       .filter(col("n_bytes") >= PhashBits + 1)
       .withColumn("stride", expr(s"n_bytes div ${PhashBits + 1}"))
