@@ -782,9 +782,58 @@ object SparkEntry {
     // mutation, lib/listener.ml:53-59,174-181): two SEPARATE sockets
     // mutate and observe the SAME database — B's first statement lands on
     // A's state (per-connection state would fail it with NoDatabase), A
-    // then reads back B's writes. Requests are serialized by the session
-    // lock exactly as the reference's single-writer CAS loop.
+    // then reads back B's writes. Interleaved commits surface as Conflict
+    // to the connection that lost the CAS (tcp_conflict pins that path);
+    // this row's client retries, exercising the convergent retry loop.
     "tcp_shared_head" -> ((s, dir) => {
+      val listener = new graft.server.Listener(
+        s, Some(new ParquetCatalog(s, dir))).start()
+      try {
+        val a = new graft.server.WireClient.Conn(listener.localPort)
+        val b = new graft.server.WireClient.Conn(listener.localPort)
+        try {
+          // the reference client's retry loop: a mutation raced past by
+          // the other connection answers Conflict and is re-sent against
+          // the head that beat it (A's last insert here — B committed
+          // twice since A's previous request). Retrying is CONVERGENT:
+          // the conflicted attempt applied nothing.
+          def ok(conn: graft.server.WireClient.Conn, stmt: String): Unit = {
+            var resp = conn.request(stmt)
+            var attempts = 1
+            while (resp.startsWith("(error") && resp.contains("Conflict") && attempts < 5) {
+              resp = conn.request(stmt); attempts += 1
+            }
+            if (!resp.startsWith("(ok"))
+              throw new IllegalArgumentException(s"$stmt -> $resp")
+          }
+          ok(a, "(CreateDatabase g)")
+          ok(a, "(CreateRelation (name kv) (schema ((k integer) (v string))))")
+          ok(a, "(InsertFrom (target kv) (source (Rename ((r_regionkey k) (r_name v)) (Base region))))")
+          ok(b, "(InsertTuple (relation kv) (attributes ((k (Int 600)) (v (Str FROM_B)))))")
+          ok(b, "(DeleteWhere (target kv) (predicate (Const ((k (Int 2))))))")
+          ok(a, "(InsertTuple (relation kv) (attributes ((k (Int 700)) (v (Str FROM_A)))))")
+          val rows = graft.server.WireClient.streamQuery(a, "(Base kv)", pageSize = 3)
+            .map(cells => org.apache.spark.sql.Row(cells: _*))
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.StringType)))
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        } finally { a.close(); b.close() }
+      } finally listener.close()
+    }),
+    // Optimistic-concurrency CONFLICT through the wire (reference
+    // lib/listener.ml:53-59: execute against the loop-top snapshot, CAS
+    // the head at commit, answer `Conflict` when another connection won).
+    // B observes the head via a read, A commits past it, and B's next
+    // mutation MUST fail with Conflict — then B's immediate retry (now
+    // against the head that beat it) must land. Deterministic because a
+    // connection's next-request snapshot is taken under the lock that
+    // finished its previous request. The result is the final state: both
+    // inserts present exactly once (the conflicted attempt applied
+    // NOTHING — no partial write, no double insert after retry).
+    "tcp_conflict" -> ((s, dir) => {
       val listener = new graft.server.Listener(
         s, Some(new ParquetCatalog(s, dir))).start()
       try {
@@ -799,10 +848,23 @@ object SparkEntry {
           ok(a, "(CreateDatabase g)")
           ok(a, "(CreateRelation (name kv) (schema ((k integer) (v string))))")
           ok(a, "(InsertFrom (target kv) (source (Rename ((r_regionkey k) (r_name v)) (Base region))))")
-          ok(b, "(InsertTuple (relation kv) (attributes ((k (Int 600)) (v (Str FROM_B)))))")
-          ok(b, "(DeleteWhere (target kv) (predicate (Const ((k (Int 2))))))")
+          // B pins its snapshot at the current head with a read...
+          val seen = b.request("(drl (Base kv))")
+          if (!seen.startsWith("(relation"))
+            throw new IllegalArgumentException(s"B's read -> $seen")
+          // ...A advances the head past B's snapshot...
           ok(a, "(InsertTuple (relation kv) (attributes ((k (Int 700)) (v (Str FROM_A)))))")
-          val rows = graft.server.WireClient.streamQuery(a, "(Base kv)", pageSize = 3)
+          // ...so B's mutation on the stale snapshot MUST conflict
+          val conflicted = b.request(
+            "(InsertTuple (relation kv) (attributes ((k (Int 800)) (v (Str FROM_B)))))")
+          if (!(conflicted.startsWith("(error") && conflicted.contains("Conflict")))
+            throw new IllegalStateException(s"expected Conflict, got: $conflicted")
+          // the retry executes against the head that won, and lands; the
+          // final read comes from B, whose snapshot is fresh after its own
+          // commit (A's loop-top snapshot is one request behind, exactly
+          // as the reference's per-iteration Atomic.get)
+          ok(b, "(InsertTuple (relation kv) (attributes ((k (Int 800)) (v (Str FROM_B)))))")
+          val rows = graft.server.WireClient.streamQuery(b, "(Base kv)", pageSize = 4)
             .map(cells => org.apache.spark.sql.Row(cells: _*))
           val schema = org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("k",
@@ -2695,6 +2757,11 @@ object SparkEntry {
     "tcp_shared_head" ->
       ("SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS v FROM region WHERE r_regionkey <> 2 " +
         "UNION ALL SELECT 600, 'FROM_B' UNION ALL SELECT 700, 'FROM_A'"),
+    // CAS conflict scenario: the conflicted attempt wrote nothing and the
+    // retry wrote once — final state is region + exactly one row per insert
+    "tcp_conflict" ->
+      ("SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS v FROM region " +
+        "UNION ALL SELECT 700, 'FROM_A' UNION ALL SELECT 800, 'FROM_B'"),
     "agg_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +

@@ -12,11 +12,17 @@ import graft.sexp.Sexp.{Atom, SList}
   * store + branch registry, a cursor registry, and a dispatcher over the
   * six sublanguages (reference lib/listener.ml:17-59,156-187).
   *
-  * The reference holds the head in a process-global Atomic and CASes it
-  * per mutation (whole-database optimistic concurrency); a session here is
-  * single-threaded by construction — mutations are serialized exactly as
-  * the reference's effectively-single-writer design. Every successful
-  * transition stores the new snapshot and advances the HEAD branch tip
+  * Concurrency mirrors the reference's whole-database optimistic scheme:
+  * each request executes against a head SNAPSHOT its connection observed
+  * (reference reads the process-global Atomic at the top of its client
+  * loop, lib/listener.ml:160-167 — i.e. BEFORE blocking on the next
+  * command), and a state transition commits only if the head still equals
+  * that snapshot (Atomic.compare_and_set, lib/listener.ml:54-59);
+  * otherwise the request fails with `Conflict` and the client retries
+  * against the advanced head. [[execute]] is the snapshot-at-call-time
+  * entry (single-connection semantics, never conflicts with itself);
+  * [[executeAgainst]] is the wire path. Every successful transition
+  * stores the new snapshot and advances the HEAD branch tip
   * (lib/listener.ml:47-51). */
 sealed trait Response
 final case class QueryResult(df: DataFrame) extends Response
@@ -27,7 +33,10 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None,
     persistDir: Option[String] = None) {
   val store = new Store
   val cursors = new Cursors
-  private var dbOpt: Option[Database] = None
+  // @volatile: connection threads read the head snapshot WITHOUT the
+  // session lock (the CAS window is exactly the gap between that read and
+  // the locked commit — see executeAgainst)
+  @volatile private var dbOpt: Option[Database] = None
 
   // Snapshot hashes known to be fully on disk — saveSnapshot probes the
   // filesystem per call, so an unbounded history would cost O(history)
@@ -72,97 +81,136 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None,
   /** Current database, if one has been created (listener rendering). */
   def current: Option[Database] = dbOpt
 
+  /** The head snapshot a connection executes its next request against —
+    * the reference's loop-top `Atomic.get db_head` (lib/listener.ml:161).
+    * Lock-free by design: taken while the connection blocks on input, so
+    * another connection's commit in the meantime makes this snapshot
+    * stale and the next transition on it `Conflict`. */
+  def headSnapshot: Option[Database] = dbOpt
+
   /** Statements other than CreateDatabase need a current database; report
     * its absence as a Left (the execute contract), never an exception. */
-  private def requireDb: Either[String, Database] =
-    dbOpt.toRight("NoDatabase: run (ddl (CreateDatabase name)) first")
+  private def requireDb(snap: Option[Database]): Either[String, Database] =
+    snap.toRight("NoDatabase: run (ddl (CreateDatabase name)) first")
 
   /** Catalog layering: engine relations shadow the store-backed
     * sakura:branch / sakura:head generators, which shadow the external
     * (parquet) tables. */
-  def catalog: Catalog = new Catalog {
+  def catalog: Catalog = catalogFor(dbOpt)
+
+  private def catalogFor(snap: Option[Database]): Catalog = new Catalog {
     def resolve(name: String): Either[String, DataFrame] = name match {
       case "sakura:branch" => Right(store.branchDf(spark))
       case "sakura:head"   => Right(store.headDf(spark))
       case _ =>
-        dbOpt match {
+        snap match {
           case Some(d) => new DbCatalog(d, external).resolve(name)
           case None => external.toRight(s"RelationNotFound: $name").flatMap(_.resolve(name))
         }
     }
   }
 
-  private def transition(newDb: Database, msg: String): Response = {
-    dbOpt = Some(newDb)
-    store.save(newDb)
-    store.advanceHead(newDb.hash)
-    persist()
-    Transition(msg)
-  }
+  /** The commit point: the reference's `Atomic.compare_and_set db_head
+    * old_db new_db` (lib/listener.ml:54-59). The request computed `newDb`
+    * from `snap`; if the head moved past `snap` meanwhile, the transition
+    * is REJECTED with the reference's `Conflict` error (carrying the
+    * stale and current heads, as `Error.Conflict {old_db; new_db}` does)
+    * and nothing is applied — the client re-reads and retries. Hash
+    * comparison IS the reference's physical-equality CAS here: states are
+    * content-addressed, so equal hashes mean semantically identical heads
+    * (a retry against a content-equal head cannot lose information). */
+  private def transition(snap: Option[Database], newDb: Database,
+      msg: String): Either[String, Response] =
+    if (dbOpt.map(_.hash) != snap.map(_.hash))
+      Left(s"Conflict: head advanced from ${snap.map(_.hash).getOrElse("--")} " +
+        s"to ${dbOpt.map(_.hash).getOrElse("--")}; retry against the current head")
+    else {
+      dbOpt = Some(newDb)
+      store.save(newDb)
+      store.advanceHead(newDb.hash)
+      persist()
+      Right(Transition(msg))
+    }
 
-  /** Dispatch one request (reference listener execute_command,
-    * lib/listener.ml:40-45). Accepts `(tag stmt)` with tag ∈
-    * drl|ddl|dml|icl|dcl|scl, or a bare statement (tried in that order). */
-  def execute(text: String): Either[String, Response] =
+  /** Snapshot-at-call-time execution: single-connection semantics (the
+    * snapshot is taken under the same lock the commit holds, so this
+    * entry never observes its own Conflict). Scripted/offline callers use
+    * this; the listener's wire path uses [[executeAgainst]]. */
+  def execute(text: String): Either[String, Response] = executeAgainst(dbOpt, text)
+
+  /** Dispatch one request against an explicit head snapshot (reference
+    * listener execute_command, lib/listener.ml:40-45). Accepts `(tag
+    * stmt)` with tag ∈ drl|ddl|dml|icl|dcl|scl, or a bare statement
+    * (tried in that order). */
+  def executeAgainst(snap: Option[Database], text: String): Either[String, Response] =
     Sexp.parse(text).flatMap {
-      case SList(List(Atom("drl"), q)) => runDrl(q)
-      case SList(List(Atom("ddl"), s)) => runDdl(s)
-      case SList(List(Atom("dml"), s)) => runDml(s)
-      case SList(List(Atom("icl"), s)) => runIcl(s)
-      case SList(List(Atom("dcl"), s)) => runDcl(s)
-      case SList(List(Atom("scl"), s)) => runScl(s)
+      case SList(List(Atom("drl"), q)) => runDrl(snap, q)
+      case SList(List(Atom("ddl"), s)) => runDdl(snap, s)
+      case SList(List(Atom("dml"), s)) => runDml(snap, s)
+      case SList(List(Atom("icl"), s)) => runIcl(snap, s)
+      case SList(List(Atom("dcl"), s)) => runDcl(snap, s)
+      case SList(List(Atom("scl"), s)) => runScl(snap, s)
       case bare =>
         // decide by which parser ACCEPTS the form, so an execution error is
         // reported by the sublanguage that owns the statement rather than
         // masked by a later parser's parse error
-        if (graft.ddl.Parser.ofSexp(bare).isRight) runDdl(bare)
-        else if (graft.dml.Parser.ofSexp(bare).isRight) runDml(bare)
-        else if (graft.icl.Parser.ofSexp(bare).isRight) runIcl(bare)
-        else if (graft.dcl.Parser.ofSexp(bare).isRight) runDcl(bare)
-        else if (graft.scl.Parser.ofSexp(bare).isRight) runScl(bare)
-        else runDrl(bare)
+        if (graft.ddl.Parser.ofSexp(bare).isRight) runDdl(snap, bare)
+        else if (graft.dml.Parser.ofSexp(bare).isRight) runDml(snap, bare)
+        else if (graft.icl.Parser.ofSexp(bare).isRight) runIcl(snap, bare)
+        else if (graft.dcl.Parser.ofSexp(bare).isRight) runDcl(snap, bare)
+        else if (graft.scl.Parser.ofSexp(bare).isRight) runScl(snap, bare)
+        else runDrl(snap, bare)
     }
 
-  private def runDrl(s: Sexp): Either[String, Response] =
+  private def runDrl(snap: Option[Database], s: Sexp): Either[String, Response] =
     graft.drl.Parser.ofSexp(s).flatMap { q =>
       for {
-        _ <- graft.drl.Gate.admit(catalog, q)
-        df <- graft.drl.Compiler.compile(spark, catalog, q)
+        _ <- graft.drl.Gate.admit(catalogFor(snap), q)
+        df <- graft.drl.Compiler.compile(spark, catalogFor(snap), q)
       } yield QueryResult(df)
     }
 
-  private def runDdl(s: Sexp): Either[String, Response] =
+  private def runDdl(snap: Option[Database], s: Sexp): Either[String, Response] =
     graft.ddl.Parser.ofSexp(s).flatMap {
       case stmt @ graft.ddl.Statement.CreateDatabase(_) =>
-        graft.ddl.Executor.execute(spark, None, stmt).map(transition(_, s"ok"))
+        graft.ddl.Executor.execute(spark, None, stmt).flatMap(transition(snap, _, s"ok"))
       case stmt =>
-        requireDb.flatMap(cur => graft.ddl.Executor.execute(spark, Some(cur), stmt))
-          .map(transition(_, s"ok"))
+        requireDb(snap).flatMap(cur => graft.ddl.Executor.execute(spark, Some(cur), stmt))
+          .flatMap(transition(snap, _, s"ok"))
     }
 
-  private def runDml(s: Sexp): Either[String, Response] =
+  private def runDml(snap: Option[Database], s: Sexp): Either[String, Response] =
     graft.dml.Parser.ofSexp(s).flatMap(stmt =>
-      requireDb.flatMap(cur => graft.dml.Executor.execute(spark, cur, stmt, external))
-        .map(transition(_, "ok")))
+      requireDb(snap).flatMap(cur => graft.dml.Executor.execute(spark, cur, stmt, external))
+        .flatMap(transition(snap, _, "ok")))
 
-  private def runIcl(s: Sexp): Either[String, Response] =
+  private def runIcl(snap: Option[Database], s: Sexp): Either[String, Response] =
     graft.icl.Parser.ofSexp(s).flatMap(stmt =>
-      requireDb.flatMap(cur => graft.icl.Executor.execute(spark, cur, stmt))
-        .map(transition(_, "ok")))
+      requireDb(snap).flatMap(cur => graft.icl.Executor.execute(spark, cur, stmt))
+        .flatMap(transition(snap, _, "ok")))
 
-  private def runDcl(s: Sexp): Either[String, Response] =
+  private def runDcl(snap: Option[Database], s: Sexp): Either[String, Response] =
     graft.dcl.Parser.ofSexp(s).flatMap(stmt =>
-      requireDb.flatMap(cur => graft.dcl.Executor.execute(spark, store, cur, stmt)).map { case (newDb, msg) =>
-        // branch ops switch/advance state but are not themselves content
-        // mutations; Checkout/Merge change the current db
-        dbOpt = Some(newDb)
-        store.save(newDb)
-        persist()
-        Transition(msg)
-      })
+      requireDb(snap).flatMap(cur => graft.dcl.Executor.execute(spark, store, cur, stmt))
+        .flatMap { case (newDb, msg) =>
+          // branch ops switch/advance state but are not themselves content
+          // mutations; Checkout/Merge change the current db. Same CAS as
+          // content transitions (the reference routes every Transition
+          // result through perform, whatever sublanguage produced it)
+          if (dbOpt.map(_.hash) != snap.map(_.hash))
+            Left(s"Conflict: head advanced from ${snap.map(_.hash).getOrElse("--")} " +
+              s"to ${dbOpt.map(_.hash).getOrElse("--")}; retry against the current head")
+          else {
+            dbOpt = Some(newDb)
+            store.save(newDb)
+            persist()
+            Right(Transition(msg))
+          }
+        })
 
-  private def runScl(s: Sexp): Either[String, Response] =
+  private def runScl(snap: Option[Database], s: Sexp): Either[String, Response] =
     graft.scl.Parser.ofSexp(s).flatMap(stmt =>
-      graft.scl.Executor.execute(spark, catalog, cursors, dbOpt.map(_.hash).getOrElse(""), stmt)
+      graft.scl.Executor.execute(spark, catalogFor(snap), cursors,
+        snap.map(_.hash).getOrElse(""), stmt)
         .map(CursorBatch(_)))
 }

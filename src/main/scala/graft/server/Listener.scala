@@ -22,10 +22,17 @@ import graft.sexp.Sexp.{Atom, SList}
   *  - `(cursor (id c) (rows ...) (row_count n) (has_more bool)
   *     (db_hash h) (db_name n) (branch b))`
   *
-  * Concurrency: the reference CASes a process-global head database and is
-  * effectively single-writer (lib/listener.ml:53-59,174-181); here every
-  * request holds the session lock — same serialization semantics, simpler
-  * failure model. Framing is one request sexp per line (a documented
+  * Concurrency: the reference CASes a process-global head database
+  * (lib/listener.ml:53-59,174-181); here each connection snapshots the
+  * head BEFORE blocking on its next command (the reference's loop-top
+  * `Atomic.get`), executes against that snapshot under the session lock,
+  * and the commit conflict-checks the snapshot against the live head —
+  * so a head advanced by ANOTHER connection since the snapshot makes the
+  * request fail with the reference's `Conflict` error and the client
+  * retries. Execution itself is serialized by the session lock (the
+  * shared store/cursor registries are not thread-safe), which narrows
+  * but does not close the CAS window — the observable wire semantics
+  * are the reference's. Framing is one request sexp per line (a documented
   * divergence: the reference streams raw sexps; newline framing keeps
   * clients trivial). Binds loopback only.
   */
@@ -64,19 +71,50 @@ final class Listener(spark: SparkSession, external: Option[Catalog] = None, port
     val in = new BufferedReader(new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
     val out = new PrintWriter(sock.getOutputStream, true, StandardCharsets.UTF_8)
     try {
+      // Each request executes against the head THIS connection last
+      // observed (reference loop top `Atomic.get`, lib/listener.ml:
+      // 160-163): the snapshot for the next request is read under the
+      // SAME lock that finished the previous one, so any commit another
+      // socket lands while this connection is idle deterministically
+      // surfaces as Conflict — never as silent last-writer-wins
+      var snap = session.headSnapshot
       var line = in.readLine()
       while (line != null && running) {
-        if (line.trim.nonEmpty) out.println(handle(line))
+        if (line.trim.nonEmpty) {
+          val (resp, next) = handleAdvancing(line, snap)
+          snap = next
+          out.println(resp)
+        }
         line = in.readLine()
       }
     } catch { case _: Throwable => () } finally sock.close()
   }
 
-  /** Execute one request and render the response sexp (synchronized —
-    * whole-database write serialization, as the reference). */
-  def handle(request: String): String = session.synchronized {
+  /** Execute one request against the current head and render the response
+    * sexp (snapshot taken under the lock — the single-connection entry,
+    * never conflicts with itself). */
+  def handle(request: String): String =
+    session.synchronized(handle(request, session.headSnapshot))
+
+  /** [[handle]] plus the snapshot for the connection's NEXT request, read
+    * under the same lock — a post-Conflict retry then sees the head that
+    * beat it, exactly once. A connection with NO observation yet (fresh
+    * socket before its first response) executes against the live head:
+    * the reference boots with a database so its loop-top snapshot always
+    * observes one, while this server is bootstrapped over the wire — a
+    * pre-bootstrap `None` snapshot would render every first request
+    * `NoDatabase` even though the database exists, which is neither the
+    * reference's behavior nor useful to a client. */
+  private def handleAdvancing(request: String,
+      snap: Option[graft.engine.Database]): (String, Option[graft.engine.Database]) =
+    session.synchronized(
+      (handle(request, snap.orElse(session.headSnapshot)), session.headSnapshot))
+
+  /** Execute one request against an explicit head snapshot (synchronized —
+    * execution serialization; the COMMIT conflict-checks the snapshot). */
+  def handle(request: String, snap: Option[graft.engine.Database]): String = session.synchronized {
     val rendered =
-      try session.execute(request) match {
+      try session.executeAgainst(snap, request) match {
         case Left(err) => errorSexp(err)
         case Right(QueryResult(df)) => relationSexp(df)
         case Right(Transition(msg)) => okSexp(msg)

@@ -113,11 +113,25 @@ class ListenerSpec extends SparkTestBase {
       val (_, out0, in0) = conns.head
       request(out0, in0, "(ddl (CreateDatabase hammer))")
       request(out0, in0, "(ddl (CreateRelation (name t) (schema ((x integer)))))")
-      // 4 connections × 10 inserts of disjoint keys, racing
+      // 4 connections × 10 inserts of disjoint keys, racing. A writer
+      // whose head snapshot was raced past answers Conflict (the
+      // reference's CAS loss, lib/listener.ml:54-59) and the client
+      // re-sends — the reference client's retry loop. Every insert must
+      // eventually land exactly once.
       val threads = conns.zipWithIndex.map { case ((_, out, in), c) =>
         new Thread(() => {
-          for (i <- 0 until 10)
-            request(out, in, s"(dml (InsertTuple (relation t) (attributes ((x (Int ${c * 100 + i}))))))")
+          for (i <- 0 until 10) {
+            val stmt = s"(dml (InsertTuple (relation t) (attributes ((x (Int ${c * 100 + i}))))))"
+            var attempts = 0
+            var done = false
+            while (!done && attempts < 50) {
+              val r = request(out, in, stmt)
+              attempts += 1
+              if (tag(r) == "ok") done = true
+              else assert(r.render.contains("Conflict"), s"unexpected failure: ${r.render}")
+            }
+            assert(done, s"insert never landed after $attempts attempts: $stmt")
+          }
         })
       }
       threads.foreach(_.start())
@@ -142,9 +156,44 @@ class ListenerSpec extends SparkTestBase {
       // connection 2 sees connection 1's state and can mutate it
       val r2 = request(out2, in2, "(dml (InsertTuple (relation t) (attributes ((x (Int 1))))))")
       assert(tag(r2) == "ok")
-      // ...and connection 1 observes the mutation
+      // connection 1's FIRST read runs against its loop-top snapshot,
+      // taken before conn2's commit — the reference's per-iteration
+      // `Atomic.get` staleness (lib/listener.ml:160-163), pinned here
+      val stale = request(out1, in1, "(drl (Base t))")
+      assert(field(stale, "row_count").contains(Atom("0")))
+      // ...and its NEXT request observes the shared head's mutation
       val q = request(out1, in1, "(drl (Base t))")
       assert(field(q, "row_count").contains(Atom("1")))
+    } finally { s1.close(); s2.close(); listener.close() }
+  }
+
+  test("a stale head snapshot answers Conflict; the retry lands (reference CAS loss)") {
+    val listener = newListener()
+    val (s1, out1, in1) = connect(listener)
+    val (s2, out2, in2) = connect(listener)
+    try {
+      request(out1, in1, "(ddl (CreateDatabase cas))")
+      request(out1, in1, "(ddl (CreateRelation (name t) (schema ((x integer)))))")
+      // conn2 pins its snapshot at the current head with a read...
+      assert(tag(request(out2, in2, "(drl (Base t))")) == "relation")
+      // ...conn1 advances the head past it...
+      assert(tag(request(out1, in1,
+        "(dml (InsertTuple (relation t) (attributes ((x (Int 1))))))")) == "ok")
+      // ...so conn2's mutation on the stale snapshot MUST conflict, and
+      // must have applied nothing
+      val conflicted = request(out2, in2,
+        "(dml (InsertTuple (relation t) (attributes ((x (Int 2))))))")
+      assert(tag(conflicted) == "error", conflicted.render)
+      assert(conflicted.render.contains("Conflict"), conflicted.render)
+      val afterConflict = request(out1, in1, "(scl (Begin (query (Base t)) (limit 10)))")
+      assert(field(afterConflict, "row_count").contains(Atom("1")))
+      // the retry executes against the head that won and lands once
+      // (read from conn2 — its snapshot is fresh after its own commit;
+      // conn1 would need a snapshot-refreshing request first)
+      assert(tag(request(out2, in2,
+        "(dml (InsertTuple (relation t) (attributes ((x (Int 2))))))")) == "ok")
+      val afterRetry = request(out2, in2, "(scl (Begin (query (Base t)) (limit 10)))")
+      assert(field(afterRetry, "row_count").contains(Atom("2")))
     } finally { s1.close(); s2.close(); listener.close() }
   }
 
