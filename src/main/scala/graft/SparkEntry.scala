@@ -2420,12 +2420,21 @@ object SparkEntry {
     "mm_tiff_meta" -> ((s, dir) =>
       graft.pipeline.MultiModal.tiffMeta(table(s, dir, "documents"))),
     // perceptual dedup plumbing: 64-bit dHash over strided payload
-    // bytes (codec stubbed, so bytes stand in for luma samples), exact
-    // grouping = threshold-0 perceptual dup candidates; the fingerprint
-    // is a fused 64-comparison codegen dag, the only shuffle is the
-    // 8-byte dup count
+    // bytes (bytes standing in for luma — mm_pixel_dhash is the decoded
+    // twin), exact grouping = threshold-0 perceptual dup candidates; the
+    // fingerprint is a fused 64-comparison codegen dag, the only shuffle
+    // is the 8-byte dup count
     "mm_phash_dupes" -> ((s, dir) =>
       graft.pipeline.MultiModal.phashDupes(table(s, dir, "documents"))),
+    // REAL full-frame pixel decode: in-plan synthesized PNGs (one per
+    // document, pattern = arithmetic function of doc_id) transit the
+    // JDK ImageIO codec, and the dHash is computed over ACTUAL decoded
+    // luma samples — the oracle re-derives every sample from the
+    // generator formula (PNG losslessness is the bridge), so a codec or
+    // plumbing bug breaks the hash check. Decode+hash is a narrow
+    // per-partition map; the only shuffle is the 8-byte dup count.
+    "mm_pixel_dhash" -> ((s, dir) =>
+      graft.pipeline.MultiModal.pixelDhashDupes(table(s, dir, "documents"))),
     "ann_cosine_topk" -> ((s, dir) =>
       graft.pipeline.Ann.cosineTopK(table(s, dir, "embeddings"))),
     "ann_lsh_buckets" -> ((s, dir) =>
@@ -3712,6 +3721,7 @@ object SparkEntry {
     "emb_hard_negatives" -> graft.pipeline.Oracles.embHardNegatives,
     "mm_phash_dupes" ->
       graft.pipeline.Oracles.mmPhashDupes(graft.pipeline.MultiModal.PhashBits),
+    "mm_pixel_dhash" -> graft.pipeline.MultiModal.pixelDhashOracle,
     "emb_centroid_outliers" -> graft.pipeline.Oracles.embCentroidOutliers(
       graft.pipeline.Embeddings.OutlierTopK),
     "emb_gram" -> graft.pipeline.Oracles.embGramMatrix,

@@ -12,43 +12,68 @@ import org.apache.spark.sql.functions._
   * typed Dataset (the JVM analogue of mapInPandas' iterator-of-batches
   * contract), schema declared up front. HEADER decode is real: PNG IHDR
   * / JPEG SOF ([[withImageDims]]) and WAV/RIFF fmt+data
-  * ([[withAudioMeta]]) are parsed from the actual bytes. Only full-frame
-  * PIXEL/SAMPLE decode is stubbed ([[decodeStub]], clearly-marked test
-  * scaffolding — the container ships no codecs); swapping in a real
-  * codec changes only that function body — the schema, partitioning,
-  * and batch shape stay.
+  * ([[withAudioMeta]]) are parsed from the actual bytes. Full-frame
+  * PIXEL decode is real too: [[decodeImage]]/[[extractFeatures]] run the
+  * JDK's ImageIO codecs (PNG/JPEG/GIF/BMP ship in every JVM), and
+  * [[pixelDhashDupes]] perceptually fingerprints ACTUAL decoded luma —
+  * oracle-checked against the arithmetic pixel pattern the in-plan PNG
+  * generator encodes (PNG is lossless, so decode ≡ generator). A codec
+  * the JVM doesn't ship (video frames, audio samples beyond the WAV
+  * header walk) would slot into the same mapPartitions contract.
   */
 object MultiModal {
 
   final case class Payload(doc_id: Long, payload: Array[Byte])
   final case class Features(doc_id: Long, width: Int, height: Int, n_bytes: Long, kind: String)
 
-  /** Fake container format for tests: magic "GF", u16-BE width, u16-BE
-    * height, then the body bytes. */
-  def fakeEncode(width: Int, height: Int, body: Array[Byte]): Array[Byte] =
-    Array[Byte]('G'.toByte, 'F'.toByte,
-      ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
-      ((height >> 8) & 0xff).toByte, (height & 0xff).toByte) ++ body
+  /** Encode an 8-bit grayscale PNG from a luma function — the in-plan
+    * image synthesizer behind [[pixelDhashDupes]] and the decode specs.
+    * Deterministic: PNG is lossless and the raster is written
+    * sample-for-sample, so `decode(encodeGrayPng(f)) == f` exactly —
+    * which is what lets a SQL oracle derive per-pixel truths for images
+    * that transit a REAL codec. */
+  def encodeGrayPng(width: Int, height: Int, luma: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, luma(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 
-  /** STUB decode — deterministic fake in place of a real image decoder.
-    * Parses the [[fakeEncode]] header; anything without the magic is
-    * classified "opaque" with zero dimensions. */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, String) =
-    if (bytes.length >= 6 && bytes(0) == 'G'.toByte && bytes(1) == 'F'.toByte)
-      (((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff),
-        ((bytes(4) & 0xff) << 8) | (bytes(5) & 0xff), "gf-image")
-    else (0, 0, "opaque")
+  /** Real full-frame pixel decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP
+    * readers ship in every JVM — no external codec). Returns the decoded
+    * image, or None for payloads no installed reader accepts. */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
 
   /** Feature extraction over binary payloads: one iterator pass per
     * partition (batch shape identical to mapInPandas — decoder state is
-    * amortized across the partition, not re-created per row). */
+    * amortized across the partition, not re-created per row). The decode
+    * is REAL (ImageIO full-frame pixel decode); payloads no reader
+    * accepts classify as "opaque" with zero dimensions instead of
+    * failing the partition. */
   def extractFeatures(payloads: Dataset[Payload]): Dataset[Features] = {
     import payloads.sparkSession.implicits._
     payloads.mapPartitions { it =>
-      // per-partition decoder init would go here (codec contexts etc.)
+      // per-partition decoder init: keep ImageIO off its disk cache —
+      // payloads are already in memory and executor temp dirs may be
+      // slow/ephemeral
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { p =>
-        val (w, h, kind) = decodeStub(p.payload)
-        Features(p.doc_id, w, h, p.payload.length.toLong, kind)
+        decodeImage(p.payload) match {
+          case Some(img) =>
+            Features(p.doc_id, img.getWidth, img.getHeight, p.payload.length.toLong, "image")
+          case None =>
+            Features(p.doc_id, 0, 0, p.payload.length.toLong, "opaque")
+        }
       }
     }
   }
@@ -543,5 +568,109 @@ object MultiModal {
     p.withColumn("dhash", bits.reduce(_ + _))
       .withColumn("n_same", count(lit(1)).over(w))
       .select(col("doc_id"), col("dhash"), col("n_same"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Real pixel decode: dHash over luma samples decoded by an actual codec
+  // (JDK ImageIO). The corpus is synthesized IN-PLAN as real grayscale
+  // PNGs whose pixel pattern is a pure arithmetic function of doc_id —
+  // PNG is lossless, so the SQL oracle derives every decoded sample from
+  // the same formula WITHOUT a decoder, and any codec/plumbing bug
+  // breaks the hash check.
+  // ---------------------------------------------------------------------
+
+  /** Distinct pixel patterns: doc_id % PixelSeeds selects the pattern, so
+    * each pattern recurs ~|docs|/PixelSeeds times — the perceptual-dup
+    * groups [[pixelDhashDupes]] must recover. */
+  val PixelSeeds = 40
+
+  /** Pattern geometry/luma — single source for generator, decoder spec,
+    * and SQL oracle. Sizes vary with the seed (≥ 9×8 so the 9×8 dHash
+    * sample grid has distinct positions); the luma polynomial is
+    * non-monotone in x once it wraps mod 256, so dHash bits vary with
+    * (seed, x, y) instead of collapsing to all-ones. */
+  def pixelSeed(docId: Long): Int = (docId % PixelSeeds).toInt
+  def pixelWidth(seed: Int): Int = 9 + seed % 3
+  def pixelHeight(seed: Int): Int = 8 + seed % 2
+  def pixelLuma(seed: Int, x: Int, y: Int): Int =
+    (seed * 31 + 7 * x * x + 13 * y + x * y) % 256
+
+  /** In-plan corpus of REAL PNG payloads (one per document row): a
+    * narrow map, codec state amortized per partition. */
+  def syntheticPngs(docs: DataFrame): Dataset[Payload] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val s = pixelSeed(id)
+        Payload(id, encodeGrayPng(pixelWidth(s), pixelHeight(s), (x, y) => pixelLuma(s, x, y)))
+      }
+    }
+  }
+
+  final case class PixelHash(doc_id: Long, width: Long, height: Long, dhash: Long)
+
+  /** dHash (Krawetz '13) over REAL decoded luma: decode the PNG with
+    * ImageIO, sample a 9×8 grid (gx(c) = c·(w−1)/8, gy(r) = r·(h−1)/7 —
+    * nearest-sample downscale; exact, so cross-engine checkable, unlike
+    * area-averaging), bit (r·8+c) = luma(gx(c+1),gy(r)) >
+    * luma(gx(c),gy(r)). Equal patterns ⇒ equal hashes ⇒ `n_same` counts
+    * perceptual-dup groups; banding the 64-bit hash for a Hamming
+    * radius is [[Dedup]]'s SimHash machinery unchanged.
+    *
+    * Scale shape: decode + hash are a narrow per-partition map over
+    * payload bytes (the codec never crosses a shuffle); the only
+    * exchange is the 8-byte dhash dup-count. This is the production
+    * image-dedup plan: fingerprint at ingest, group on the hash. */
+  def pixelDhashDupes(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val hashed = syntheticPngs(docs).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { p =>
+        val img = decodeImage(p.payload).getOrElse(
+          throw new IllegalStateException(s"undecodable PNG for doc ${p.doc_id}"))
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        def gx(c: Int): Int = c * (w - 1) / 8
+        def gy(r: Int): Int = r * (h - 1) / 7
+        var hash = 0L
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (raster.getSample(gx(c + 1), gy(r), 0) > raster.getSample(gx(c), gy(r), 0))
+              hash |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        PixelHash(p.doc_id, w.toLong, h.toLong, hash)
+      }
+    }.toDF()
+    val wnd = org.apache.spark.sql.expressions.Window.partitionBy(col("dhash"))
+    hashed.withColumn("n_same", count(lit(1)).over(wnd))
+      .select(col("doc_id"), col("width"), col("height"), col("dhash"), col("n_same"))
+  }
+
+  /** DuckDB half of [[pixelDhashDupes]]: the SAME 64 grid comparisons
+    * over the arithmetic pattern — never a decoder. Decode(encode(f))
+    * == f is the bridge (PNG losslessness); the sign-bit term (bit 63)
+    * is emitted LAST so every partial sum stays in BIGINT range. */
+  def pixelDhashOracle: String = {
+    def lum(xExpr: String, yExpr: String): String =
+      s"(seed*31 + 7*($xExpr)*($xExpr) + 13*($yExpr) + ($xExpr)*($yExpr)) % 256"
+    val terms = for (r <- 0 until 8; c <- 0 until 8) yield {
+      val y = s"(($r*(h-1))//7)"
+      val a = lum(s"((${c + 1}*(w-1))//8)", y)
+      val b = lum(s"(($c*(w-1))//8)", y)
+      s"(CASE WHEN $a > $b THEN ${1L << (r * 8 + c)} ELSE 0 END)"
+    }
+    s"""WITH d AS (SELECT doc_id, doc_id % $PixelSeeds AS seed FROM documents),
+       |g AS (SELECT doc_id, seed, 9 + seed % 3 AS w, 8 + seed % 2 AS h FROM d),
+       |b AS (SELECT doc_id, w, h, (${terms.mkString(" + ")})::BIGINT AS dhash FROM g)
+       |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height, dhash,
+       |  count(*) OVER (PARTITION BY dhash) AS n_same FROM b"""
+      .stripMargin
   }
 }

@@ -239,19 +239,24 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 10L && p._3 > 0.9))
   }
 
-  test("multimodal: binary payload plumbing with stubbed decode") {
-    val body = Array[Byte](1, 2, 3, 4)
-    val enc = MultiModal.fakeEncode(640, 480, body)
-    assert(MultiModal.decodeStub(enc) == ((640, 480, "gf-image")))
-    assert(MultiModal.decodeStub(Array[Byte](9, 9)) == ((0, 0, "opaque")))
+  test("multimodal: binary payload plumbing with REAL ImageIO pixel decode") {
+    // PNG round-trip is lossless: decoded raster == generator pattern,
+    // sample for sample — the property the mm_pixel_dhash oracle rests on
+    def pat(x: Int, y: Int): Int = (11 * x * x + 3 * y + x * y) % 256
+    val png = MultiModal.encodeGrayPng(32, 16, pat)
+    val img = MultiModal.decodeImage(png).getOrElse(fail("PNG did not decode"))
+    assert(img.getWidth == 32 && img.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 32)
+      assert(img.getRaster.getSample(x, y, 0) == pat(x, y), s"sample ($x,$y)")
+    assert(MultiModal.decodeImage(Array[Byte](9, 9, 9)).isEmpty)
 
     val ds = Seq(
-      MultiModal.Payload(1L, MultiModal.fakeEncode(32, 16, body)),
+      MultiModal.Payload(1L, png),
       MultiModal.Payload(2L, Array[Byte](0, 0, 0)),
     ).toDS()
     val feats = MultiModal.extractFeatures(ds).collect().map(f => f.doc_id -> f).toMap
-    assert(feats(1L).width == 32 && feats(1L).height == 16 && feats(1L).kind == "gf-image")
-    assert(feats(1L).n_bytes == 6L + body.length)
+    assert(feats(1L).width == 32 && feats(1L).height == 16 && feats(1L).kind == "image")
+    assert(feats(1L).n_bytes == png.length.toLong)
     assert(feats(2L).kind == "opaque" && feats(2L).width == 0)
 
     val stats = MultiModal.payloadStats(docs.withColumn("source", lit("s"))).collect()
@@ -260,6 +265,42 @@ class PipelineSpec extends SparkTestBase {
       assert(r.getAs[Long]("n_bytes") > 0)
       assert(r.getAs[String]("checksum").length == 32)
     }
+  }
+
+  test("pixelDhashDupes: dHash over decoded luma equals the generator-pattern dHash") {
+    val df = (0L until 90L).toDF("doc_id")
+    val out = MultiModal.pixelDhashDupes(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("width"), r.getAs[Long]("height"),
+          r.getAs[Long]("dhash"), r.getAs[Long]("n_same")))).toMap
+    assert(out.size == 90)
+    // brute-force the expected hash straight from the pattern (no codec)
+    def expected(id: Long): (Long, Long, Long) = {
+      val s = MultiModal.pixelSeed(id)
+      val w = MultiModal.pixelWidth(s)
+      val h = MultiModal.pixelHeight(s)
+      var hash = 0L
+      for (r <- 0 until 8; c <- 0 until 8)
+        if (MultiModal.pixelLuma(s, (c + 1) * (w - 1) / 8, r * (h - 1) / 7) >
+            MultiModal.pixelLuma(s, c * (w - 1) / 8, r * (h - 1) / 7))
+          hash |= 1L << (r * 8 + c)
+      (w.toLong, h.toLong, hash)
+    }
+    for (id <- 0L until 90L) {
+      val (w, h, hash) = expected(id)
+      assert(out(id)._1 == w && out(id)._2 == h, s"dims for doc $id")
+      assert(out(id)._3 == hash, s"decoded-luma dHash for doc $id")
+    }
+    // n_same counts hash-equal docs: derive the truth from the
+    // brute-forced hashes (same-seed docs always share one; cross-seed
+    // collisions, if the pattern family ever produced one, merge groups
+    // identically on both sides)
+    val wantSame = (0L until 90L).groupBy(id => expected(id)._3).map { case (h, ids) => h -> ids.size.toLong }
+    for (id <- 0L until 90L)
+      assert(out(id)._4 == wantSame(expected(id)._3), s"n_same for doc $id")
+    // same seed ⇒ same group, always
+    for (id <- 0L until 50L)
+      assert(out(id)._3 == out(id + 40L)._3, s"docs $id and ${id + 40} share a seed")
   }
 
   test("multimodal: fixed-size chunking covers every byte exactly once") {
