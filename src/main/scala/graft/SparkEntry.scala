@@ -562,6 +562,58 @@ object SparkEntry {
       "(InsertTuple (relation scores) (attributes ((k (Int 88)) (who (Str MAIN)))))",
       "(Merge (left main) (right feature) (strategy RevertToAncestor))",
     ), "(Base scores)"),
+    // Conflict REPORTING through the wire: the same both-schema-changed
+    // scenario, but the row surfaces the merge RESPONSE's conflict
+    // report (relation, kind, count) instead of the winning extension —
+    // a strategy-resolved merge must tell the client what it resolved.
+    // Tuple conflicts are carried in the same report but are dead code
+    // on the reference's own diff definition (set differences against
+    // one LCA — see graft.dcl.Merge.Conflicts scaladoc), so the only
+    // kind this scenario (or any) can produce is 'schema'.
+    "dcl_merge_conflicts" -> ((s, dir) => {
+      val session = new graft.server.EngineSession(s, Some(new ParquetCatalog(s, dir)))
+      def run(st: String): String =
+        session.execute(st).fold(
+          e => throw new IllegalArgumentException(s"$st -> $e"),
+          {
+            case graft.server.Transition(m) => m
+            case other => throw new IllegalArgumentException(s"unexpected: $other")
+          })
+      Seq(
+        "(CreateDatabase g)",
+        "(CreateRelation (name scores) (schema ((r_regionkey integer) (r_name string))))",
+        "(InsertFrom (target scores) (source (Base region)))",
+        "(CreateBranch (name main))",
+        "(Checkout main)",
+        "(CreateBranch (name feature))",
+        "(Checkout feature)",
+        "(CreateRelation (name rmark) (schema ((x integer))))",
+        "(RetractRelation scores)",
+        "(CreateRelation (name scores) (schema ((k integer) (who string))))",
+        "(InsertTuple (relation scores) (attributes ((k (Int 77)) (who (Str FEATURE)))))",
+        "(Checkout main)",
+        "(CreateRelation (name lmark) (schema ((y integer))))",
+        "(RetractRelation scores)",
+        "(CreateRelation (name scores) (schema ((k integer) (who string))))",
+        "(InsertTuple (relation scores) (attributes ((k (Int 88)) (who (Str MAIN)))))",
+      ).foreach(run)
+      val msg = run("(Merge (left main) (right feature) (strategy PreferRight))")
+      val marker = " [conflicts: "
+      val idx = msg.indexOf(marker)
+      if (idx < 0)
+        throw new IllegalStateException(s"merge response carried no conflict report: $msg")
+      val report = msg.substring(idx + marker.length, msg.length - 1)
+      val rows = report.split("; ").toSeq.map { item =>
+        if (item.startsWith("schema conflict in "))
+          ("schema", item.stripPrefix("schema conflict in "), 1L)
+        else {
+          val n = item.takeWhile(_.isDigit)
+          ("tuple", item.substring(item.lastIndexOf(" in ") + 4), n.toLong)
+        }
+      }
+      import s.implicits._
+      rows.toDF("kind", "relation", "n")
+    }),
 
     // Branch registry as queryable catalog relations (sakura:branch /
     // sakura:head, reference lib/management/branch.ml:74-132); names
@@ -1521,6 +1573,18 @@ object SparkEntry {
     "sketch_quantile_sample" -> ((s, dir) =>
       graft.pipeline.Sketches.sampledQuantile(
         table(s, dir, "lineitem"),
+        concat_ws("#", col("l_orderkey"), col("l_linenumber")),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long"),
+        q = 0.5, rate = QuantileSampleRate)),
+    // quantile-sketch MERGEABILITY as an oracle row (the kmv_rollup
+    // sibling): per-ship-date samples (the daily pre-aggregate) merged,
+    // one exact percentile over the union; the oracle computes the
+    // DIRECT global sampled quantile — lossless merge is the claim,
+    // and it holds because the Bernoulli gate is row-local
+    "sketch_quantile_rollup" -> ((s, dir) =>
+      graft.pipeline.Sketches.quantileRollup(
+        table(s, dir, "lineitem"),
+        col("l_shipdate"),
         concat_ws("#", col("l_orderkey"), col("l_linenumber")),
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long"),
         q = 0.5, rate = QuantileSampleRate)),
@@ -2738,6 +2802,11 @@ object SparkEntry {
     // schema-conflict, neither side wins: the LCA's original extension
     "dcl_merge_revert" ->
       "SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
+    // the conflict report the merge response must carry: one schema
+    // conflict on `scores` (tuple conflicts are unreachable — see
+    // graft.dcl.Merge.Conflicts)
+    "dcl_merge_conflicts" ->
+      "SELECT 'schema' AS kind, 'scores' AS relation, CAST(1 AS BIGINT) AS n",
     "scl_cursor_stream" -> "SELECT * FROM nation",
     // every nation row must survive the socket + sexp round-trip intact
     "tcp_roundtrip" ->
@@ -3165,6 +3234,12 @@ object SparkEntry {
     },
     "sketch_quantile_sample" ->
       graft.pipeline.Sketches.sampledQuantileOracle("lineitem",
+        "l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        q = 0.5, rate = QuantileSampleRate),
+    // merge-vs-direct: lossless merging is the contract being checked
+    "sketch_quantile_rollup" ->
+      graft.pipeline.Sketches.quantileRollupOracle("lineitem", "l_shipdate",
         "l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR",
         "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
         q = 0.5, rate = QuantileSampleRate),

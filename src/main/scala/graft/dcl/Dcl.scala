@@ -135,6 +135,18 @@ object Merge {
   case object PreferRight extends Strategy
   case object RevertToAncestor extends Strategy
 
+  /** Conflicts a merge detected (and resolved per strategy). Schema
+    * conflicts (both sides changed a relation's schema) are reachable —
+    * `dcl_merge_conflicts` pins one through the wire. Tuple conflicts
+    * mirror the reference's `TupleConflict` rule (merge.ml:96-106:
+    * (left_add ∩ right_rem) ∪ (left_rem ∩ right_add)) and are carried
+    * for parity, but that set is EMPTY BY CONSTRUCTION on the
+    * reference's own diff definition: both diffs are set differences
+    * against the SAME LCA (diff.ml:56-61), so a hash in `left_add` is
+    * absent from the ancestor while a hash in `right_rem` is present in
+    * it — the reference's tuple-conflict branch is dead code, adjudicated
+    * in SURVEY §2.6. A diff defined per-transition (operation logs)
+    * rather than state-vs-state would make it live. */
   final case class Conflicts(tupleConflicts: Map[String, Long], schemaConflicts: Seq[String]) {
     def describe: String =
       (tupleConflicts.map { case (r, n) => s"$n tuple conflict(s) in $r" } ++
@@ -382,10 +394,17 @@ object Executor {
         rt <- store.tip(right).toRight(s"BranchNotFound: $right")
         res <- Merge.merge(spark, store, strategy, lt, rt)
       } yield {
-        val (merged, _) = res
+        val (merged, conflicts) = res
         store.save(merged)
         store.updateTip(left, merged.hash)
-        (merged, s"Merged:$right->$left")
+        // conflicts ride the response (the reference returns the conflict
+        // list alongside the merged db, merge.ml:184-287 — a merge that
+        // silently resolved conflicts per strategy is information the
+        // client must see to audit the resolution)
+        val suffix =
+          if (conflicts.tupleConflicts.isEmpty && conflicts.schemaConflicts.isEmpty) ""
+          else s" [conflicts: ${conflicts.describe}]"
+        (merged, s"Merged:$right->$left$suffix")
       }
   }
 }

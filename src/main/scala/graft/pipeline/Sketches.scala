@@ -257,4 +257,59 @@ object Sketches {
        |FROM $table
        |WHERE ('0x' || substr(sha256(($idExpr) || '|$salt'), 1, 4))::BIGINT < $bound""".stripMargin
   }
+
+  /** Quantile-sketch rollup — the mergeability contract, quantile
+    * edition (the [[kmvRollup]] sibling): build one salted-hash sample
+    * PER GROUP (per day, per shard — the pre-aggregate a warehouse
+    * persists), then merge the groups' samples and take ONE exact
+    * percentile over the union. Merging is provably LOSSLESS here
+    * because the Bernoulli gate is a pure function of row identity —
+    * each row's membership is decided locally, so the union of
+    * per-group samples IS the direct global sample, row for row
+    * (contrast rate-targeting per-group reservoirs, which are NOT
+    * mergeable without reweighting). The oracle computes the direct
+    * global sampled quantile from scratch; merge ≡ direct is the row's
+    * claim. Estimate quality is [[sampledQuantile]]'s order-statistic
+    * bound; determinism needs integral values + binary-fraction q.
+    *
+    * Output: one row (n_groups, estimate, n_sampled); n_groups counts
+    * groups that contributed ≥1 sampled row. Scale shape: the gate
+    * filters at the scan; the per-group stage is one hash exchange over
+    * the rate-shrunken sample; the merge moves those same sample rows
+    * once more — at rate 5% of a 100 TB corpus that is the 5 TB you
+    * already decided a quantile estimate is worth, and the per-group
+    * sketches are what you'd persist to AVOID the rescan. */
+  def quantileRollup(df: DataFrame, groupCol: org.apache.spark.sql.Column,
+      idCol: org.apache.spark.sql.Column, valueCol: org.apache.spark.sql.Column,
+      q: Double, rate: Double, salt: String = QuantileSalt): DataFrame = {
+    val bound = math.min((rate * 65536).toLong, 65535L)
+    val gate = conv(substring(sha2(concat(idCol.cast("string"), lit("|" + salt)), 256), 1, 4), 16, 10)
+      .cast("long")
+    val sampled = df.where(gate < bound).select(groupCol.as("__g"), valueCol.as("__v"))
+    // the per-group sketches (persistable pre-aggregates)...
+    val perGroup = sampled.groupBy(col("__g"))
+      .agg(collect_list(col("__v")).as("__sample"))
+    // ...merged: concatenate and take one exact percentile over the union
+    perGroup
+      .agg(count(lit(1)).as("n_groups"),
+        flatten(collect_list(col("__sample"))).as("__all"))
+      .select(col("n_groups"), explode(col("__all")).as("__v"))
+      .groupBy(col("n_groups"))
+      .agg(percentile(col("__v"), lit(q)).as("estimate"),
+        count(lit(1)).as("n_sampled"))
+      .select(col("n_groups"), col("estimate"), col("n_sampled"))
+  }
+
+  /** DuckDB half of [[quantileRollup]] — deliberately the DIRECT global
+    * sampled quantile (plus the contributing-group count): lossless
+    * merging is the contract being checked. */
+  def quantileRollupOracle(table: String, groupExpr: String, idExpr: String,
+      valueExpr: String, q: Double, rate: Double,
+      salt: String = QuantileSalt): String = {
+    val bound = math.min((rate * 65536).toLong, 65535L)
+    s"""SELECT count(DISTINCT $groupExpr) AS n_groups,
+       |  quantile_cont($valueExpr, $q) AS estimate, count(*) AS n_sampled
+       |FROM $table
+       |WHERE ('0x' || substr(sha256(($idExpr) || '|$salt'), 1, 4))::BIGINT < $bound""".stripMargin
+  }
 }
