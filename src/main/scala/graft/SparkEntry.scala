@@ -2557,6 +2557,13 @@ object SparkEntry {
     // quantized second moments, one combinable aggregation into Dim²/2
     "emb_gram" -> ((s, dir) =>
       graft.pipeline.Embeddings.gramMatrix(table(s, dir, "embeddings"))),
+    // whitening applied (the emb_gram consumer): exact-integer moments →
+    // fixed-order unrolled Cholesky → per-row forward substitution, all
+    // in-plan — bit-identical IEEE chains on both engines, so DuckDB
+    // checks a linear-algebra transform it cannot eigendecompose. One
+    // 15-sum aggregation + a 1-row broadcast + a narrow map.
+    "emb_whiten" -> ((s, dir) =>
+      graft.pipeline.Embeddings.whiten(table(s, dir, "embeddings"))),
     "dedup_embedding_pairs" -> ((s, dir) =>
       graft.pipeline.Ann.embeddingPairs(table(s, dir, "embeddings"))),
     // SemDeDup-shaped semantic dedup: trained k-means cells restrict
@@ -3800,6 +3807,7 @@ object SparkEntry {
     "emb_centroid_outliers" -> graft.pipeline.Oracles.embCentroidOutliers(
       graft.pipeline.Embeddings.OutlierTopK),
     "emb_gram" -> graft.pipeline.Oracles.embGramMatrix,
+    "emb_whiten" -> graft.pipeline.Oracles.embWhiten,
     "dedup_embedding_pairs" -> graft.pipeline.Oracles.dedupEmbeddingPairs,
     "dedup_semantic" -> graft.pipeline.Oracles.dedupSemantic,
     "text_tfidf" -> graft.pipeline.Oracles.textTfidfTopK(

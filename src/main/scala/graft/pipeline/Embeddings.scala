@@ -119,6 +119,81 @@ object Embeddings {
     * Dim²/2 groups. Long-range bound: |x| < 4 ⟹ |q| ≤ 2²², so a
     * product is ≤ 2⁴⁴ and 2⁰⁹ vectors fit a long; beyond that switch
     * the sum to DECIMAL(38,0) (same contract, wider accumulator). */
+  /** [[whiten]] subspace width: the leading block of the covariance that
+    * gets whitened. 4 keeps the unrolled Cholesky a readable closed form
+    * on BOTH engines (the general-d loop is driver-side codegen of the
+    * same recurrence — nothing in the plan shape changes). */
+  val WhitenDims = 4
+
+  /** [[whiten]] quantization (2¹⁰): coarser than [[GramQuant]] because
+    * the covariance entries are n·Σqq − (Σq)², i.e. O(n²·q²) — with
+    * |x| < 4 ⟹ |q| ≤ 2¹², products ≤ 2²⁴ and ~7·10⁵ vectors fit the
+    * long accumulator (DuckDB's BIGINT sums widen to HUGEINT, so the
+    * Spark side is the binding constraint; beyond that, swap the sums
+    * to DECIMAL(38,0) — same contract). */
+  val WhitenQuant = 1024.0d
+
+  /** Whitening over the leading [[WhitenDims]] dimensions — the
+    * decorrelation step of PCA/ZCA feature pipelines, as one
+    * oracle-checkable plan. The second moments accumulate as EXACT
+    * integers (the [[gramMatrix]] move, at [[WhitenQuant]]); the scaled
+    * covariance C = n·G − s·sᵀ is Cholesky-factored in an UNROLLED,
+    * fixed-order chain of IEEE double ops (sqrt/divide/multiply-subtract
+    * — each correctly rounded, no transcendentals), and each row's
+    * centered coordinates forward-substitute through L. Fixed op order +
+    * exact integer inputs ⟹ bit-identical results on any IEEE engine,
+    * which is what lets DuckDB check a numerical-linear-algebra operator
+    * it cannot eigendecompose. (Cholesky whitening, not eigen-whitening:
+    * same decorrelation guarantee — cov(w) = I — different basis; the
+    * scale factors cancel, n·(q−μ) / (n·L_cov) = L_cov⁻¹(q−μ).)
+    *
+    * Scale shape: one map-side-combinable 15-sum aggregation over the
+    * corpus (count + 4 sums + 10 moments), a 1-row broadcast back onto
+    * the scan, and a narrow per-row transform — the same two-pass shape
+    * as any global-statistic normalization; nothing keyed, nothing
+    * skewed. */
+  def whiten(df: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val d = WhitenDims
+    require(d == 4, "the unrolled Cholesky below is written for d = 4")
+    val qCols = (1 to d).map(i =>
+      floor(element_at(col(s"`$embCol`"), i).cast("double") * WhitenQuant)
+        .cast("long").as(s"q$i"))
+    val base = df.select((col(s"`$idCol`").as("vec_id") +: qCols): _*)
+    val aggExprs =
+      Seq(count(lit(1)).as("n")) ++
+        (1 to d).map(i => sum(col(s"q$i")).as(s"s$i")) ++
+        (for { i <- 1 to d; j <- i to d }
+          yield sum(col(s"q$i") * col(s"q$j")).as(s"g$i$j"))
+    val stats = base.agg(aggExprs.head, aggExprs.tail: _*)
+    var t = base.crossJoin(broadcast(stats))
+    for { i <- 1 to d; j <- i to d }
+      t = t.withColumn(s"c$i$j",
+        (col("n") * col(s"g$i$j") - col(s"s$i") * col(s"s$j")).cast("double"))
+    // Cholesky of the 4x4, fixed order — the SQL oracle mirrors this
+    // chain expression-for-expression
+    t = t
+      .withColumn("l11", sqrt(col("c11")))
+      .withColumn("l21", col("c12") / col("l11"))
+      .withColumn("l22", sqrt(col("c22") - col("l21") * col("l21")))
+      .withColumn("l31", col("c13") / col("l11"))
+      .withColumn("l32", (col("c23") - col("l31") * col("l21")) / col("l22"))
+      .withColumn("l33", sqrt(col("c33") - col("l31") * col("l31") - col("l32") * col("l32")))
+      .withColumn("l41", col("c14") / col("l11"))
+      .withColumn("l42", (col("c24") - col("l41") * col("l21")) / col("l22"))
+      .withColumn("l43", (col("c34") - col("l41") * col("l31") - col("l42") * col("l32")) / col("l33"))
+      .withColumn("l44", sqrt(col("c44") - col("l41") * col("l41") - col("l42") * col("l42") - col("l43") * col("l43")))
+    for (i <- 1 to d)
+      t = t.withColumn(s"x$i",
+        (col("n") * col(s"q$i") - col(s"s$i")).cast("double"))
+    t
+      .withColumn("w1", col("x1") / col("l11"))
+      .withColumn("w2", (col("x2") - col("l21") * col("w1")) / col("l22"))
+      .withColumn("w3", (col("x3") - col("l31") * col("w1") - col("l32") * col("w2")) / col("l33"))
+      .withColumn("w4", (col("x4") - col("l41") * col("w1") - col("l42") * col("w2") - col("l43") * col("w3")) / col("l44"))
+      .select(col("vec_id"), col("w1"), col("w2"), col("w3"), col("w4"))
+  }
+
   def gramMatrix(df: DataFrame, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val dims = array((1 to graft.pipeline.Ann.Dim).map(i =>
