@@ -20,7 +20,7 @@ object Bench {
     // fail loudly on knob typos: a misspelled query name would otherwise
     // emit a plausible empty-but-successful JSON line
     only.foreach { names =>
-      val unknown = names.diff(SparkEntry.queries.keySet)
+      val unknown = names.diff(SparkEntry.queries.keySet ++ SparkEntry.scaleProbes.keySet)
       if (unknown.nonEmpty) {
         System.err.println(s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
         sys.exit(2)
@@ -49,7 +49,9 @@ object Bench {
       } + "\""
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // untimed warmup pass (see scaladoc); failures surface in the timed pass
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // oracle-checked queries plus the bench-only scale probes (replicated
+    // corpora measuring t(m) growth — see SparkEntry.scaleProbes)
+    val selected = (SparkEntry.queries ++ SparkEntry.scaleProbes).toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }

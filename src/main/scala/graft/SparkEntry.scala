@@ -2499,6 +2499,12 @@ object SparkEntry {
     // per-partition map; the only shuffle is the 8-byte dup count.
     "mm_pixel_dhash" -> ((s, dir) =>
       graft.pipeline.MultiModal.pixelDhashDupes(table(s, dir, "documents"))),
+    // nearest-neighbor resize over the SAME real decoded pixels (the
+    // fixed-input-shape step before any vision feature extractor) —
+    // integer-floor sampling, so the oracle re-derives the resized grid
+    // exactly; summarized as exact integers (sum + corners)
+    "mm_pixel_resize" -> ((s, dir) =>
+      graft.pipeline.MultiModal.pixelResize(table(s, dir, "documents"))),
     "ann_cosine_topk" -> ((s, dir) =>
       graft.pipeline.Ann.cosineTopK(table(s, dir, "embeddings"))),
     "ann_lsh_buckets" -> ((s, dir) =>
@@ -2690,6 +2696,93 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
     }),
   )
+
+  // ---------------------------------------------------------------------
+  // Scale probes (bench-only; merged into the bench by graft.Bench).
+  // sf0.1 is the largest shipped dataset, so the 100×-scale claims need
+  // MEASUREMENT, not just plan-shape arguments: each probe blows the
+  // corpus up m× IN-PLAN while preserving its statistics, and the
+  // measured t(m) slope is recorded against the candidate-bound math in
+  // PLANS.md. Replication happens at the level the operator's
+  // scale-sensitive machinery consumes (shingle index / edge list) —
+  // everything above it is a trivially-linear narrow map.
+  // ---------------------------------------------------------------------
+
+  /** The document shingle index replicated into `m` DISJOINT shingle
+    * spaces (ids offset, shingle keys shifted past the 60-bit space per
+    * replica): per-replica statistics are EXACTLY the base corpus's —
+    * same posting-frequency histogram, same band-bucket sizes — so
+    * candidates grow m·C₁ and the null hypothesis is linear time. A
+    * replica-as-near-dup design (unsalted) would instead multiply
+    * candidates m²× and measure the pathology, not the throughput. */
+  private def replicatedShingleIndex(s: SparkSession, dir: String, m: Int): DataFrame = {
+    val docs = table(s, dir, "documents")
+    graft.pipeline.Dedup.hashedShingleRows(
+        graft.pipeline.Dedup.shingleRows(docs, "doc_id", "text",
+          graft.pipeline.Dedup.ShingleN), "doc_id")
+      .withColumn("rep", explode(sequence(lit(0L), lit(m - 1L))))
+      // 58-bit base space + replica in the top bits: disjoint by
+      // construction and (16·2^58 = 2^62) never overflows the long
+      .select((col("doc_id") * m + col("rep")).as("doc_id"),
+        (col("shingle") % lit(1L << 58) + col("rep") * lit(1L << 58)).as("shingle"))
+  }
+
+  /** The co-order part graph replicated into `m` disjoint node spaces
+    * (degree distribution preserved — the "more users, same behavior"
+    * 100 TB model). */
+  private def replicatedEdges(s: SparkSession, dir: String, m: Int): DataFrame = {
+    val lp = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val l1 = lp.select(col("ok"), col("p").as("s1"))
+    val l2 = lp.select(col("ok").as("ok2"), col("p").as("s2"))
+    val pairs = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
+    graft.operators.Triangles.canonicalEdges(pairs, "s1", "s2")
+      .withColumn("rep", explode(sequence(lit(0L), lit(m - 1L))))
+      .select((col("a") * m + col("rep")).as("a"), (col("b") * m + col("rep")).as("b"))
+  }
+
+  /** Basket-DENSIFIED co-order graph: each order's part set replicated
+    * `m`× with salted part ids IN THE SAME order, so baskets grow m×
+    * and the edge count grows ~m² — probing the oriented-wedge bound
+    * (O(E^1.5)) under density growth rather than corpus growth. */
+  private def densifiedEdges(s: SparkSession, dir: String, m: Int): DataFrame = {
+    val lp = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      .withColumn("rep", explode(sequence(lit(0L), lit(m - 1L))))
+      .select(col("ok"), (col("p") * m + col("rep")).as("p"))
+    val l1 = lp.select(col("ok"), col("p").as("s1"))
+    val l2 = lp.select(col("ok").as("ok2"), col("p").as("s2"))
+    val pairs = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
+    graft.operators.Triangles.canonicalEdges(pairs, "s1", "s2")
+  }
+
+  /** Bench-only probe queries: not oracle rows (the 1× operators are
+    * oracle-checked; these measure how the same plans scale). */
+  def scaleProbes: Map[String, (SparkSession, String) => DataFrame] = {
+    def jac(m: Int): (SparkSession, String) => DataFrame =
+      (s, dir) => graft.pipeline.Dedup.jaccardPairsFromIndex(
+        replicatedShingleIndex(s, dir, m), "doc_id")
+    def mh(m: Int): (SparkSession, String) => DataFrame =
+      (s, dir) => {
+        val rows = replicatedShingleIndex(s, dir, m)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.pipeline.Dedup.nearDupPairsFromIndex(rows, "doc_id")
+      }
+    def tri(m: Int): (SparkSession, String) => DataFrame =
+      (s, dir) => graft.operators.Triangles.count(replicatedEdges(s, dir, m))
+    def trid(m: Int): (SparkSession, String) => DataFrame =
+      (s, dir) => graft.operators.Triangles.count(densifiedEdges(s, dir, m))
+    Map(
+      "scaleprobe_jaccard_x1" -> jac(1), "scaleprobe_jaccard_x4" -> jac(4),
+      "scaleprobe_jaccard_x16" -> jac(16),
+      "scaleprobe_minhash_x1" -> mh(1), "scaleprobe_minhash_x4" -> mh(4),
+      "scaleprobe_minhash_x16" -> mh(16),
+      "scaleprobe_triangles_x1" -> tri(1), "scaleprobe_triangles_x4" -> tri(4),
+      "scaleprobe_triangles_x16" -> tri(16),
+      "scaleprobe_tridense_x1" -> trid(1), "scaleprobe_tridense_x2" -> trid(2),
+      "scaleprobe_tridense_x4" -> trid(4),
+    )
+  }
 
   def oracleSql: Map[String, String] = Map(
     "drl_base_scan" -> "SELECT * FROM region",
@@ -3804,6 +3897,7 @@ object SparkEntry {
     "mm_phash_dupes" ->
       graft.pipeline.Oracles.mmPhashDupes(graft.pipeline.MultiModal.PhashBits),
     "mm_pixel_dhash" -> graft.pipeline.MultiModal.pixelDhashOracle,
+    "mm_pixel_resize" -> graft.pipeline.MultiModal.pixelResizeOracle,
     "emb_centroid_outliers" -> graft.pipeline.Oracles.embCentroidOutliers(
       graft.pipeline.Embeddings.OutlierTopK),
     "emb_gram" -> graft.pipeline.Oracles.embGramMatrix,

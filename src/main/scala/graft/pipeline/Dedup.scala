@@ -228,6 +228,16 @@ object Dedup {
     // standard Spark trade for a multi-consumer intermediate.
     val rows = hashedShingleRows(shingleRows(df, idCol, textCol, cfg.shingleN), idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nearDupPairsFromIndex(rows, idCol, cfg)
+  }
+
+  /** [[nearDupPairs]] from an existing hashed-shingle index (the scale
+    * probes' entry): signatures, band collisions, and exact-Jaccard
+    * verification — all the scale-sensitive machinery — from the index
+    * down. Callers should persist `rows` (it feeds the signature arm and
+    * both verification sides). */
+  def nearDupPairsFromIndex(rows: DataFrame, idCol: String,
+      cfg: LshConfig = LshConfig()): DataFrame = {
     val sets = rows.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardVerify(
@@ -454,8 +464,18 @@ object Dedup {
     * J = |∩| / (|A| + |B| − |∩|). Reports pairs with J ≥ `threshold`. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.2, maxShingleFreq: Option[Int] = None,
-      shingleN: Int = ShingleN): DataFrame = {
-    val inv = hashedShingleRows(shingleRows(df, idCol, textCol, shingleN), idCol)
+      shingleN: Int = ShingleN): DataFrame =
+    jaccardPairsFromIndex(
+      hashedShingleRows(shingleRows(df, idCol, textCol, shingleN), idCol),
+      idCol, threshold, maxShingleFreq)
+
+  /** [[jaccardPairs]] from an existing hashed inverted index (distinct
+    * (doc, shingle-key) rows) — the entry the scale probes and any
+    * caller with a precomputed/persisted index use; everything
+    * scale-sensitive (posting join, pair aggregation, verification)
+    * lives below this point. */
+  def jaccardPairsFromIndex(inv: DataFrame, idCol: String,
+      threshold: Double = 0.2, maxShingleFreq: Option[Int] = None): DataFrame = {
     val sizes = inv.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val co = shingleCandidates(inv, idCol, maxShingleFreq)
     co.join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")

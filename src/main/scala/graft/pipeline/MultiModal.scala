@@ -653,6 +653,66 @@ object MultiModal {
       .select(col("doc_id"), col("width"), col("height"), col("dhash"), col("n_same"))
   }
 
+  /** [[pixelResize]] target geometry (every source image is ≥ 9×8, so
+    * the nearest-neighbor map is a strict downsample). */
+  val ResizeW = 8
+  val ResizeH = 6
+
+  final case class ResizeStats(doc_id: Long, width: Long, height: Long,
+    sum_luma: Long, corner_tl: Long, corner_br: Long)
+
+  /** Nearest-neighbor resize over REAL decoded pixels — the thumbnail /
+    * fixed-input-shape step every vision pipeline runs before feature
+    * extraction. Source pixel for target (x,y) is (x·w/RW, y·h/RH)
+    * (integer floor — exact, so cross-engine checkable, unlike bilinear
+    * kernels). The resized grid is summarized as exact integers
+    * (sum + two corners) rather than re-encoded — the decode→transform→
+    * aggregate shape is the surface; a re-encode would only exercise the
+    * codec twice. Same scale shape as [[pixelDhashDupes]]: narrow
+    * per-partition decode, no shuffle at all (no grouping needed). */
+  def pixelResize(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    syntheticPngs(docs).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { p =>
+        val img = decodeImage(p.payload).getOrElse(
+          throw new IllegalStateException(s"undecodable PNG for doc ${p.doc_id}"))
+        val raster = img.getRaster
+        val w = img.getWidth
+        val h = img.getHeight
+        def src(x: Int, y: Int): Int = raster.getSample(x * w / ResizeW, y * h / ResizeH, 0)
+        var sum = 0L
+        var y = 0
+        while (y < ResizeH) {
+          var x = 0
+          while (x < ResizeW) { sum += src(x, y); x += 1 }
+          y += 1
+        }
+        ResizeStats(p.doc_id, w.toLong, h.toLong, sum,
+          src(0, 0).toLong, src(ResizeW - 1, ResizeH - 1).toLong)
+      }
+    }.toDF()
+  }
+
+  /** DuckDB half of [[pixelResize]]: the same nearest-neighbor sample
+    * positions over the arithmetic pattern (decode ≡ generator). */
+  def pixelResizeOracle: String = {
+    def lum(xExpr: String, yExpr: String): String =
+      s"(seed*31 + 7*($xExpr)*($xExpr) + 13*($yExpr) + ($xExpr)*($yExpr)) % 256"
+    def term(x: Int, y: Int): String =
+      lum(s"(($x*w)//$ResizeW)", s"(($y*h)//$ResizeH)")
+    val sum = (for (y <- 0 until ResizeH; x <- 0 until ResizeW) yield term(x, y))
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, doc_id % $PixelSeeds AS seed FROM documents),
+       |g AS (SELECT doc_id, seed, 9 + seed % 3 AS w, 8 + seed % 2 AS h FROM d)
+       |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+       |  ($sum)::BIGINT AS sum_luma,
+       |  (${term(0, 0)})::BIGINT AS corner_tl,
+       |  (${term(ResizeW - 1, ResizeH - 1)})::BIGINT AS corner_br
+       |FROM g"""
+      .stripMargin
+  }
+
   /** DuckDB half of [[pixelDhashDupes]]: the SAME 64 grid comparisons
     * over the arithmetic pattern — never a decoder. Decode(encode(f))
     * == f is the bridge (PNG losslessness); the sign-bit term (bit 63)
