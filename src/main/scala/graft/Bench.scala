@@ -49,9 +49,20 @@ object Bench {
       } + "\""
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // untimed warmup pass (see scaladoc); failures surface in the timed pass
-    // oracle-checked queries plus the bench-only scale probes (replicated
-    // corpora measuring t(m) growth — see SparkEntry.scaleProbes)
-    val selected = (SparkEntry.queries ++ SparkEntry.scaleProbes).toSeq.sortBy(_._1)
+    // Oracle-checked queries plus scale probes (replicated corpora
+    // measuring t(m) growth — see SparkEntry.scaleProbes). The recurring
+    // bench carries one CANARY per probe family (a regression there means
+    // the scale behavior changed); the full multiplier ladder (~2.5 min,
+    // incl. a deliberate 104 s densified-graph point) runs with
+    // SPARK_GRAFT_PROBES=all or by naming probes in SPARK_GRAFT_ONLY —
+    // the measured slopes live in PLANS.md.
+    val defaultProbes = Set(
+      "scaleprobe_jaccard_x16", "scaleprobe_minhash_x16", "scaleprobe_triangles_x4")
+    val probes = SparkEntry.scaleProbes.filter { case (n, _) =>
+      sys.env.get("SPARK_GRAFT_PROBES").contains("all") ||
+        defaultProbes.contains(n) || only.exists(_.contains(n))
+    }
+    val selected = (SparkEntry.queries ++ probes).toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }

@@ -267,6 +267,26 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("extractFeatures decodes JPEG payloads too (lossy: dims exact, luma approximate)") {
+    // a real JPEG written by the JDK encoder: dimensions survive exactly;
+    // pixel values only approximately (lossy DCT) — which is WHY the
+    // oracle rows use PNG, and why this stays a spec
+    val img = new java.awt.image.BufferedImage(24, 18,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 18; x <- 0 until 24) img.getRaster.setSample(x, y, 0, 128)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val jpeg = out.toByteArray
+    val feats = MultiModal.extractFeatures(
+      Seq(MultiModal.Payload(9L, jpeg)).toDS()).collect()
+    assert(feats.length == 1)
+    assert(feats(0).kind == "image" && feats(0).width == 24 && feats(0).height == 18)
+    val dec = MultiModal.decodeImage(jpeg).getOrElse(fail("JPEG did not decode"))
+    // uniform-gray roundtrip: every sample within DCT tolerance
+    for (y <- 0 until 18; x <- 0 until 24)
+      assert(math.abs(dec.getRaster.getSample(x, y, 0) - 128) <= 4, s"sample ($x,$y)")
+  }
+
   test("pixelDhashDupes: dHash over decoded luma equals the generator-pattern dHash") {
     val df = (0L until 90L).toDF("doc_id")
     val out = MultiModal.pixelDhashDupes(df).collect()
