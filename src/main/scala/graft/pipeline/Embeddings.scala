@@ -119,10 +119,11 @@ object Embeddings {
     * Dim²/2 groups. Long-range bound: |x| < 4 ⟹ |q| ≤ 2²², so a
     * product is ≤ 2⁴⁴ and 2⁰⁹ vectors fit a long; beyond that switch
     * the sum to DECIMAL(38,0) (same contract, wider accumulator). */
-  /** [[whiten]] subspace width: the leading block of the covariance that
-    * gets whitened. 4 keeps the unrolled Cholesky a readable closed form
-    * on BOTH engines (the general-d loop is driver-side codegen of the
-    * same recurrence — nothing in the plan shape changes). */
+  /** [[whiten]] subspace width default: the leading block of the
+    * covariance that gets whitened. The Cholesky/substitution chain is
+    * GENERATED from the recurrence for any d in [2, 8] (d² expression
+    * columns — past ~8 the d×d solve belongs driver-side on collected
+    * moments, same two-pass plan); 4 keeps the oracle SQL readable. */
   val WhitenDims = 4
 
   /** [[whiten]] quantization (2¹⁰): coarser than [[GramQuant]] because
@@ -153,9 +154,9 @@ object Embeddings {
     * as any global-statistic normalization; nothing keyed, nothing
     * skewed. */
   def whiten(df: DataFrame, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val d = WhitenDims
-    require(d == 4, "the unrolled Cholesky below is written for d = 4")
+      embCol: String = "embedding", dims: Int = WhitenDims): DataFrame = {
+    val d = dims
+    require(d >= 2 && d <= 8, s"dims must be in [2, 8], got $d")
     val qCols = (1 to d).map(i =>
       floor(element_at(col(s"`$embCol`"), i).cast("double") * WhitenQuant)
         .cast("long").as(s"q$i"))
@@ -170,28 +171,31 @@ object Embeddings {
     for { i <- 1 to d; j <- i to d }
       t = t.withColumn(s"c$i$j",
         (col("n") * col(s"g$i$j") - col(s"s$i") * col(s"s$j")).cast("double"))
-    // Cholesky of the 4x4, fixed order — the SQL oracle mirrors this
-    // chain expression-for-expression
-    t = t
-      .withColumn("l11", sqrt(col("c11")))
-      .withColumn("l21", col("c12") / col("l11"))
-      .withColumn("l22", sqrt(col("c22") - col("l21") * col("l21")))
-      .withColumn("l31", col("c13") / col("l11"))
-      .withColumn("l32", (col("c23") - col("l31") * col("l21")) / col("l22"))
-      .withColumn("l33", sqrt(col("c33") - col("l31") * col("l31") - col("l32") * col("l32")))
-      .withColumn("l41", col("c14") / col("l11"))
-      .withColumn("l42", (col("c24") - col("l41") * col("l21")) / col("l22"))
-      .withColumn("l43", (col("c34") - col("l41") * col("l31") - col("l42") * col("l32")) / col("l33"))
-      .withColumn("l44", sqrt(col("c44") - col("l41") * col("l41") - col("l42") * col("l42") - col("l43") * col("l43")))
+    // Cholesky chain GENERATED from the recurrence, left-associated
+    // subtractions — the SQL oracle emits the same expressions from the
+    // same loops, which is the cross-engine bit-identity contract:
+    //   l_jj = sqrt(c_jj − Σ_{k<j} l_jk²)
+    //   l_ij = (c_ji − Σ_{k<j} l_ik·l_jk) / l_jj   (i > j)
+    for (j <- 1 to d) {
+      val diag = (1 until j).foldLeft(col(s"c$j$j"))((acc, k) =>
+        acc - col(s"l$j$k") * col(s"l$j$k"))
+      t = t.withColumn(s"l$j$j", sqrt(diag))
+      for (i <- j + 1 to d) {
+        val num = (1 until j).foldLeft(col(s"c$j$i"))((acc, k) =>
+          acc - col(s"l$i$k") * col(s"l$j$k"))
+        t = t.withColumn(s"l$i$j", num / col(s"l$j$j"))
+      }
+    }
     for (i <- 1 to d)
       t = t.withColumn(s"x$i",
         (col("n") * col(s"q$i") - col(s"s$i")).cast("double"))
-    t
-      .withColumn("w1", col("x1") / col("l11"))
-      .withColumn("w2", (col("x2") - col("l21") * col("w1")) / col("l22"))
-      .withColumn("w3", (col("x3") - col("l31") * col("w1") - col("l32") * col("w2")) / col("l33"))
-      .withColumn("w4", (col("x4") - col("l41") * col("w1") - col("l42") * col("w2") - col("l43") * col("w3")) / col("l44"))
-      .select(col("vec_id"), col("w1"), col("w2"), col("w3"), col("w4"))
+    // forward substitution: w_i = (x_i − Σ_{k<i} l_ik·w_k) / l_ii
+    for (i <- 1 to d) {
+      val num = (1 until i).foldLeft(col(s"x$i"))((acc, k) =>
+        acc - col(s"l$i$k") * col(s"w$k"))
+      t = t.withColumn(s"w$i", num / col(s"l$i$i"))
+    }
+    t.select(col("vec_id") +: (1 to d).map(i => col(s"w$i")): _*)
   }
 
   def gramMatrix(df: DataFrame, idCol: String = "vec_id",

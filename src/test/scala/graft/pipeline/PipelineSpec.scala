@@ -1284,25 +1284,32 @@ class PipelineSpec extends SparkTestBase {
     val vecs = (0L until 400L).map { i =>
       val a = rnd.nextGaussian(); val b = rnd.nextGaussian()
       val c = rnd.nextGaussian(); val d = rnd.nextGaussian()
+      val e = rnd.nextGaussian(); val f = rnd.nextGaussian()
       i -> Array.tabulate(Ann.Dim) {
         case 0 => a.toFloat
         case 1 => (0.8 * a + 0.6 * b).toFloat
         case 2 => (0.5 * a - 0.5 * b + 0.7 * c).toFloat
         case 3 => (0.3 * a + 0.9 * d).toFloat
+        case 4 => (0.6 * b + 0.7 * e).toFloat
+        case 5 => (0.2 * a - 0.4 * e + 0.8 * f).toFloat
         case k => ((k % 5) * 0.25f)
       }
     }.toDF("vec_id", "embedding")
-    val w = Embeddings.whiten(vecs).collect()
-      .map(r => Array(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
-    val n = w.length.toDouble
-    assert(w.length == 400)
-    for (i <- 0 until 4; j <- 0 until 4) {
-      val mean_i = w.map(_(i)).sum / n
-      val mean_j = w.map(_(j)).sum / n
-      val cov = w.map(v => (v(i) - mean_i) * (v(j) - mean_j)).sum / n
-      val want = if (i == j) 1.0 else 0.0
-      assert(math.abs(cov - want) < 1e-6,
-        s"cov($i,$j) = $cov, want $want (whitened covariance must be I)")
+    // the chain is GENERATED from the recurrence: check the default d=4
+    // and a wider d=6 instance
+    for (dims <- Seq(4, 6)) {
+      val w = Embeddings.whiten(vecs, dims = dims).collect()
+        .map(r => (1 to dims).map(r.getDouble).toArray)
+      val n = w.length.toDouble
+      assert(w.length == 400)
+      for (i <- 0 until dims; j <- 0 until dims) {
+        val mean_i = w.map(_(i)).sum / n
+        val mean_j = w.map(_(j)).sum / n
+        val cov = w.map(v => (v(i) - mean_i) * (v(j) - mean_j)).sum / n
+        val want = if (i == j) 1.0 else 0.0
+        assert(math.abs(cov - want) < 1e-6,
+          s"d=$dims cov($i,$j) = $cov, want $want (whitened covariance must be I)")
+      }
     }
   }
 
