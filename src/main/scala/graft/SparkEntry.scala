@@ -852,7 +852,7 @@ object SparkEntry {
           def ok(conn: graft.server.WireClient.Conn, stmt: String): Unit = {
             var resp = conn.request(stmt)
             var attempts = 1
-            while (resp.startsWith("(error") && resp.contains("Conflict") && attempts < 5) {
+            while (resp.startsWith("(error") && resp.contains("(conflict") && attempts < 5) {
               resp = conn.request(stmt); attempts += 1
             }
             if (!resp.startsWith("(ok"))
@@ -909,7 +909,7 @@ object SparkEntry {
           // ...so B's mutation on the stale snapshot MUST conflict
           val conflicted = b.request(
             "(InsertTuple (relation kv) (attributes ((k (Int 800)) (v (Str FROM_B)))))")
-          if (!(conflicted.startsWith("(error") && conflicted.contains("Conflict")))
+          if (!(conflicted.startsWith("(error") && conflicted.contains("(conflict")))
             throw new IllegalStateException(s"expected Conflict, got: $conflicted")
           // the retry executes against the head that won, and lands; the
           // final read comes from B, whose snapshot is fresh after its own

@@ -122,8 +122,7 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None,
   private def transition(snap: Option[Database], newDb: Database,
       msg: String): Either[String, Response] =
     if (dbOpt.map(_.hash) != snap.map(_.hash))
-      Left(s"Conflict: head advanced from ${snap.map(_.hash).getOrElse("--")} " +
-        s"to ${dbOpt.map(_.hash).getOrElse("--")}; retry against the current head")
+      Left(conflictError(snap, newDb))
     else {
       dbOpt = Some(newDb)
       store.save(newDb)
@@ -131,6 +130,13 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None,
       persist()
       Right(Transition(msg))
     }
+
+  /** The reference's `Conflict {old_db; new_db}` payload (error.ml:14,33):
+    * old = the stale snapshot the request executed against, new = the
+    * state it computed and failed to install. The listener renders this
+    * as the reference's structured error form. */
+  private def conflictError(snap: Option[Database], attempted: Database): String =
+    s"Conflict: old-hash ${snap.map(_.hash).getOrElse("--")} new-hash ${attempted.hash}"
 
   /** Snapshot-at-call-time execution: single-connection semantics (the
     * snapshot is taken under the same lock the commit holds, so this
@@ -198,8 +204,7 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None,
           // content transitions (the reference routes every Transition
           // result through perform, whatever sublanguage produced it)
           if (dbOpt.map(_.hash) != snap.map(_.hash))
-            Left(s"Conflict: head advanced from ${snap.map(_.hash).getOrElse("--")} " +
-              s"to ${dbOpt.map(_.hash).getOrElse("--")}; retry against the current head")
+            Left(conflictError(snap, newDb))
           else {
             dbOpt = Some(newDb)
             store.save(newDb)

@@ -123,7 +123,18 @@ final class Listener(spark: SparkSession, external: Option[Catalog] = None, port
     rendered.render
   }
 
-  private def errorSexp(msg: String): Sexp = Sexp.list(Atom("error"), Atom(msg))
+  private val ConflictMsg = "^Conflict: old-hash (\\S+) new-hash (\\S+)$".r
+
+  /** `(error <message>)` generally; the CAS loss renders the reference's
+    * structured form `(error (conflict (old-hash h) (new-hash h)))`
+    * (error.ml:33: old = the stale snapshot, new = the state the request
+    * computed and failed to install). */
+  private def errorSexp(msg: String): Sexp = msg match {
+    case ConflictMsg(o, n) =>
+      Sexp.list(Atom("error"), Sexp.list(Atom("conflict"),
+        Sexp.list(Atom("old-hash"), Atom(o)), Sexp.list(Atom("new-hash"), Atom(n))))
+    case _ => Sexp.list(Atom("error"), Atom(msg))
+  }
 
   private def stateFields: List[Sexp] = {
     val (hash, name) = session.current.map(d => (d.hash, d.name)).getOrElse(("", "--"))

@@ -128,7 +128,7 @@ class ListenerSpec extends SparkTestBase {
               val r = request(out, in, stmt)
               attempts += 1
               if (tag(r) == "ok") done = true
-              else assert(r.render.contains("Conflict"), s"unexpected failure: ${r.render}")
+              else assert(r.render.contains("(conflict"), s"unexpected failure: ${r.render}")
             }
             assert(done, s"insert never landed after $attempts attempts: $stmt")
           }
@@ -184,7 +184,7 @@ class ListenerSpec extends SparkTestBase {
       val conflicted = request(out2, in2,
         "(dml (InsertTuple (relation t) (attributes ((x (Int 2))))))")
       assert(tag(conflicted) == "error", conflicted.render)
-      assert(conflicted.render.contains("Conflict"), conflicted.render)
+      assert(conflicted.render.contains("(conflict"), conflicted.render)
       val afterConflict = request(out1, in1, "(scl (Begin (query (Base t)) (limit 10)))")
       assert(field(afterConflict, "row_count").contains(Atom("1")))
       // the retry executes against the head that won and lands once
