@@ -1382,6 +1382,21 @@ object SparkEntry {
       graft.operators.KCore.peel(pairs, k = 3)
         .select(col("v").as("part"), col("core_degree"))
     }),
+    // k-TRUSS bounded peel on the same thresholded graph — the EDGE
+    // cohesion sibling (support = triangles per edge; k-truss ⊂
+    // (k−1)-core, strictly: closed structure, not just contact). Per
+    // round: one degree-ordered triangle enumeration (O(E^1.5) bound),
+    // a 3-edge explode, one count per 16-byte edge key. The surviving
+    // edges AND their final support hash-check, pinning the cascade.
+    "graph_ktruss" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val l1 = lp.select(col("ok"), col("p").as("s1"))
+      val l2 = lp.select(col("ok").as("ok2"), col("p").as("s2"))
+      val pairs = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
+        .select(col("s1").as("a"), col("s2").as("b")).distinct()
+      graft.operators.Truss.peel(pairs, k = 4)
+    }),
     // degree distribution of the part co-order graph — the graph-shape
     // profile (hub detection, skew diagnosis before any wedge-generating
     // algorithm): two keyed aggregations, no joins beyond the edge build
@@ -3196,6 +3211,8 @@ object SparkEntry {
         |SELECT s AS part, min(t) AS component FROM reach GROUP BY s""".stripMargin,
     "graph_kcore" -> graft.pipeline.Oracles.graphKCore(3,
       graft.operators.KCore.Rounds),
+    "graph_ktruss" -> graft.pipeline.Oracles.graphKTruss(4,
+      graft.operators.Truss.Rounds),
     "graph_label_prop" -> graft.pipeline.Oracles.graphLabelProp(
       graft.operators.LabelProp.Rounds),
     "graph_degree_hist" ->
