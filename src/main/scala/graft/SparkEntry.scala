@@ -2539,6 +2539,12 @@ object SparkEntry {
       graft.pipeline.Ann.pqTopK(table(s, dir, "embeddings"))),
     // IVF × PQ composed: coarse cell restricts the probe, ADC over PQ
     // codes scores within it — the production ANN shape at corpus scale
+    // IVF cell-balance census (faiss imbalance_factor): the expected
+    // probe-cost multiplier from cell skew — exact integer sizes + one
+    // fixed IEEE expression, so the planning statistic itself
+    // hash-checks
+    "ann_ivf_balance" -> ((s, dir) =>
+      graft.pipeline.Ann.ivfBalance(table(s, dir, "embeddings"))),
     "ann_ivfpq_topk" -> ((s, dir) =>
       graft.pipeline.Ann.ivfPqTopK(table(s, dir, "embeddings"))),
     // ANN quality eval: bucketed-LSH top-1 recall against the exact
@@ -3902,6 +3908,7 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> graft.pipeline.Oracles.annLshMultiprobeTopK,
     "ann_ivf_topk" -> graft.pipeline.Oracles.annIvfTopK,
     "ann_pq_topk" -> graft.pipeline.Oracles.annPqTopK,
+    "ann_ivf_balance" -> graft.pipeline.Oracles.annIvfBalance,
     "ann_ivfpq_topk" -> graft.pipeline.Oracles.annIvfPqTopK,
     "ann_filtered_topk" ->
       graft.pipeline.Oracles.annFilteredTopK(graft.pipeline.Ann.FilterLabel),

@@ -236,6 +236,32 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("sim"))
   }
 
+  /** IVF cell-balance census over the TRAINED coarse quantizer — the
+    * capacity-planning statistic behind every IVF deployment (faiss's
+    * imbalance_factor): imbalance = n_cells·Σs²/(Σs)², the expected
+    * probe-cost multiplier vs perfectly balanced cells (1.0 = balanced;
+    * k = everything in one cell). Decides nprobe/cell-count BEFORE a
+    * 100 TB index build; the recall harnesses measure quality, this
+    * measures the cost skew. Exact integer cell sizes + ONE fixed IEEE
+    * expression, so the statistic itself hash-checks.
+    *
+    * Scale shape: assignment is the same narrow fused-argmin map as
+    * every IVF path; then one map-side-combinable count per cell and a
+    * single-row reduce over ≤ numCentroids rows. */
+  def ivfBalance(embeddings: DataFrame, numCentroids: Int = NumCentroids,
+      iters: Int = KMeansIters): DataFrame = {
+    val ss = embeddings.sparkSession
+    val book = ivfCentroids(embeddings, numCentroids, iters)
+    val sizes = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", pqEncodeCol(ss, col("embedding"), book))
+      .groupBy(col("cell")).agg(count(lit(1)).as("s"))
+    sizes.agg(count(lit(1)).as("n_cells"), sum(col("s")).as("n_vecs"),
+        max(col("s")).as("max_cell"), sum(col("s") * col("s")).as("sum_sq"))
+      .select(col("n_cells"), col("n_vecs"), col("max_cell"),
+        round((col("n_cells").cast("double") * col("sum_sq").cast("double")) /
+          (col("n_vecs").cast("double") * col("n_vecs").cast("double")), 4).as("imbalance"))
+  }
+
   /** Bucket census: LSH bucket id → membership stats. */
   def lshBuckets(embeddings: DataFrame, planes: Int = Planes): DataFrame =
     embeddings.select(col("vec_id"), bucket(col("embedding"), planes).cast("long").as("bucket"))
