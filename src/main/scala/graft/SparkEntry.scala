@@ -1514,6 +1514,34 @@ object SparkEntry {
     // exact distinct counts via a melt + single hash aggregation
     "profile_columns" -> ((s, dir) =>
       graft.pipeline.Profile.columns(table(s, dir, "events"))),
+    // FK discovery over declared candidate pairs: containment of
+    // distinct value sets + referenced-side uniqueness — the catalog-
+    // inference rule (three true FKs discover themselves near 1.0/1.0;
+    // the deliberately wrong pair discriminates). Distinct sets shuffle
+    // keys only; candidates are a metadata-sized list, never n².
+    "profile_fk_candidates" -> ((s, dir) => {
+      graft.pipeline.Profile.fkCandidates(Seq(
+        ("lineitem", table(s, dir, "lineitem"), "l_orderkey",
+          "orders", table(s, dir, "orders"), "o_orderkey"),
+        ("orders", table(s, dir, "orders"), "o_custkey",
+          "customer", table(s, dir, "customer"), "c_custkey"),
+        ("customer", table(s, dir, "customer"), "c_nationkey",
+          "nation", table(s, dir, "nation"), "n_nationkey"),
+        // the non-FK control: sizes are not nation keys
+        ("part", table(s, dir, "part"), "p_size",
+          "nation", table(s, dir, "nation"), "n_nationkey")))
+    }),
+    // range-partition boundary planning: gated sample + one exact
+    // multi-quantile = the cut points a globally-sorted write's range
+    // shuffle assigns by (metadata-sized, broadcast into the
+    // partitioner); integral cents + power-of-two cuts keep the
+    // interpolation IEEE-exact on both engines
+    "layout_range_bounds" -> ((s, dir) =>
+      graft.operators.Layout.rangeBounds(
+        table(s, dir, "lineitem"),
+        concat_ws("#", col("l_orderkey"), col("l_linenumber")),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long"),
+        numPartitions = 8, rate = QuantileSampleRate)),
     // keyword search: top-10 documents by total matched-term frequency —
     // the lexical-retrieval path (integer scoring, so the oracle can
     // hash-check the ranking itself). The term set is a literal IN
@@ -3361,6 +3389,15 @@ object SparkEntry {
         "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
         q = 0.5, rate = QuantileSampleRate),
     // merge-vs-direct: lossless merging is the contract being checked
+    "profile_fk_candidates" -> graft.pipeline.Oracles.profileFkCandidates(Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("part", "p_size", "nation", "n_nationkey"))),
+    "layout_range_bounds" -> graft.operators.Layout.rangeBoundsOracle(
+      "lineitem", "l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR",
+      "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+      numPartitions = 8, rate = QuantileSampleRate),
     "sketch_quantile_rollup" ->
       graft.pipeline.Sketches.quantileRollupOracle("lineitem", "l_shipdate",
         "l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR",

@@ -84,6 +84,55 @@ object Layout {
         min(q(orderCol)).as("first_key"), max(q(orderCol)).as("last_key"))
   }
 
+  /** Range-partition boundary planning — the sampling pass behind every
+    * globally-sorted / range-clustered write (Spark's RangePartitioner,
+    * Iceberg's sort-order writer): a salted-hash Bernoulli sample of the
+    * sort key (the [[graft.pipeline.Sketches.sampledQuantile]] gate —
+    * deterministic, scan-pushed) and ONE exact multi-quantile over the
+    * sample yields the `numPartitions − 1` cut points a range shuffle
+    * assigns ranges by. Boundary quality follows the order-statistic
+    * bound; determinism needs integral keys and power-of-two
+    * `numPartitions` (binary-fraction quantiles interpolate
+    * IEEE-exactly — the agg_quartiles contract).
+    *
+    * Output: (cut, q, boundary), cut = 1..numPartitions−1. Scale shape:
+    * the gate filters AT THE SCAN; one aggregate over the rate-shrunken
+    * sample; the boundary table is metadata-sized and broadcasts into
+    * the write's partitioner. */
+  def rangeBounds(df: org.apache.spark.sql.DataFrame, idCol: Column, keyCol: Column,
+      numPartitions: Int = 8, rate: Double = 0.05,
+      salt: String = graft.pipeline.Sketches.QuantileSalt): org.apache.spark.sql.DataFrame = {
+    require(numPartitions >= 2 && (numPartitions & (numPartitions - 1)) == 0,
+      s"numPartitions must be a power of two >= 2 (binary-fraction quantiles), got $numPartitions")
+    val bound = math.min((rate * 65536).toLong, 65535L)
+    val gate = conv(substring(sha2(concat(idCol.cast("string"), lit("|" + salt)), 256), 1, 4), 16, 10)
+      .cast("long")
+    val qs = (1 until numPartitions).map(i => i.toDouble / numPartitions)
+    df.where(gate < bound)
+      .agg(percentile(keyCol, array(qs.map(lit): _*)).as("__bs"))
+      .select(posexplode(col("__bs")).as(Seq("__p", "boundary")))
+      .select((col("__p") + 1).as("cut"),
+        round((col("__p") + 1).cast("double") / numPartitions, 4).as("q"),
+        col("boundary"))
+  }
+
+  /** DuckDB half of [[rangeBounds]]: the same gated sample, one
+    * quantile_cont per cut (shared (n−1)·q interpolation). */
+  def rangeBoundsOracle(table: String, idExpr: String, keyExpr: String,
+      numPartitions: Int = 8, rate: Double = 0.05,
+      salt: String = graft.pipeline.Sketches.QuantileSalt): String = {
+    val bound = math.min((rate * 65536).toLong, 65535L)
+    val cuts = (1 until numPartitions).map { i =>
+      val q = i.toDouble / numPartitions
+      s"SELECT $i AS cut, round($i::DOUBLE / $numPartitions, 4) AS q, " +
+        s"quantile_cont($keyExpr, $q) AS boundary FROM s"
+    }.mkString("\nUNION ALL ")
+    s"""WITH s AS (SELECT * FROM $table
+       |  WHERE ('0x' || substr(sha256(($idExpr) || '|$salt'), 1, 4))::BIGINT < $bound)
+       |$cuts"""
+      .stripMargin
+  }
+
   /** Hilbert index of two `order`-bit dimensions via the native
     * codegen'd walk ([[graft.functions.HilbertKey]] — the rotation
     * recurrence would be an exponential expression TREE, hence native).

@@ -43,4 +43,41 @@ object Profile {
       .agg((F.count(lit(1)) - F.count(col("v"))).as("n_nulls"),
         countDistinct(col("v")).as("n_distinct"))
   }
+
+  /** Foreign-key DISCOVERY across candidate column pairs — the
+    * schema-inference pass every warehouse catalog tool runs on
+    * undocumented data: a pair (A.x → B.y) is FK-shaped when A.x's
+    * value set is (nearly) CONTAINED in B.y's and B.y is (nearly)
+    * unique. One row per candidate: distinct counts on both sides, the
+    * contained-distinct count, containment = |x ∩ y| / |distinct x|,
+    * and y's uniqueness = |distinct y| / |B|. Thresholding both near
+    * 1.0 is the discovery rule (Rostin et al. '09); pairs far below
+    * discriminate themselves.
+    *
+    * Scale shape per pair: two distinct-reductions that shuffle KEYS
+    * only, one left-semi join between the distinct sets, three 1-row
+    * aggregates — at 100 TB the distinct sets of id-like columns are
+    * the small side of everything. Candidates are a declared list
+    * (metadata-sized), not the n² column cross. */
+  def fkCandidates(pairs: Seq[(String, DataFrame, String, String, DataFrame, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one candidate pair")
+    val stats = pairs.map { case (fkName, fk, fkCol, pkName, pk, pkCol) =>
+      val fkD = fk.select(col(s"`$fkCol`").as("__v")).where(col("__v").isNotNull).distinct()
+      val pkD = pk.select(col(s"`$pkCol`").as("__v")).where(col("__v").isNotNull).distinct()
+      val nFk = fkD.agg(F.count(lit(1)).as("n_fk_distinct"))
+      val nPk = pkD.agg(F.count(lit(1)).as("n_pk_distinct"))
+      val nPkRows = pk.agg(F.count(lit(1)).as("n_pk_rows"))
+      val contained = fkD.join(pkD, Seq("__v"), "left_semi")
+        .agg(F.count(lit(1)).as("n_contained"))
+      nFk.crossJoin(nPk).crossJoin(nPkRows).crossJoin(contained)
+        .select(
+          lit(s"$fkName.$fkCol").as("fk"), lit(s"$pkName.$pkCol").as("pk"),
+          col("n_fk_distinct"), col("n_pk_distinct"), col("n_contained"),
+          round(col("n_contained").cast("double") / col("n_fk_distinct").cast("double"), 4)
+            .as("containment"),
+          round(col("n_pk_distinct").cast("double") / col("n_pk_rows").cast("double"), 4)
+            .as("pk_uniqueness"))
+    }
+    stats.reduce(_.unionAll(_))
+  }
 }
