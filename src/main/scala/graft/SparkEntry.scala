@@ -2391,6 +2391,12 @@ object SparkEntry {
     "sample_mix_budget" -> ((s, dir) =>
       graft.pipeline.Sampling.mixTokenBudget(table(s, dir, "documents"),
         "doc_id", "source", "text", MixWeights, MixDefaultWeight, MixBudget)),
+    // length-bucket padding census: per power-of-two bucket, real vs
+    // padded token mass and the waste ratio — the statistic that sets
+    // bucketed-batching edges for inference (pack_sequences is the
+    // concat-and-chunk alternative); narrow map + one tiny aggregation
+    "pack_padding_census" -> ((s, dir) =>
+      graft.pipeline.Packing.paddingCensus(table(s, dir, "documents"), "doc_id", "text")),
     "pack_sequences" -> ((s, dir) =>
       graft.pipeline.Packing.pack(table(s, dir, "documents"), "doc_id", "text")),
     "sample_stratified" -> ((s, dir) =>
@@ -3771,6 +3777,7 @@ object SparkEntry {
       MixWeights, MixDefaultWeight, MixBudget, graft.pipeline.Sampling.DefaultSalt),
     "sample_uniform_k" ->
       graft.pipeline.Oracles.sampleUniformK(20, graft.pipeline.Sampling.DefaultSalt),
+    "pack_padding_census" -> graft.pipeline.Packing.paddingCensusOracle("documents", "text"),
     "pack_sequences" -> graft.pipeline.Oracles.packSequences(graft.pipeline.Packing.Capacity),
     "sample_stratified" ->
       graft.pipeline.Oracles.sampleStratified(SampleRates, graft.pipeline.Sampling.DefaultSalt),

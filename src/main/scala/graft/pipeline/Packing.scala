@@ -32,6 +32,49 @@ object Packing {
   /** Default sequence capacity in tokens. */
   val Capacity = 256L
 
+  /** [[paddingCensus]] bucket edges: powers of two, 16..4096 tokens
+    * (shorter docs land in the 16 bucket, longer in the top one). */
+  val PadBuckets: Seq[Long] = (4 to 12).map(1L << _)
+
+  /** Length-bucket padding census — the planning statistic behind
+    * bucketed batching for inference/training: pad-to-bucket wastes
+    * (bucket − len) tokens per doc, so per-bucket document counts, real
+    * token mass, padded mass, and the waste ratio decide the bucket
+    * edges (versus [[pack]]'s concat-and-chunk, which trades padding
+    * for cross-doc attention). Buckets are a generated CASE chain over
+    * power-of-two edges — identical on both engines; ratios are ONE
+    * IEEE division of exact integers.
+    *
+    * Scale shape: a narrow token-count map + one map-side-combinable
+    * aggregation into ≤ |buckets| groups. */
+  def paddingCensus(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nTok = size(split(trim(col(s"`$textCol`")), "\\s+")).cast("long")
+    val bucket = PadBuckets.init.foldRight(lit(PadBuckets.last): org.apache.spark.sql.Column) {
+      (edge, rest) => when(col("__n") <= edge, lit(edge)).otherwise(rest)
+    }
+    df.select(col(s"`$idCol`"), nTok.as("__n"))
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        (col("n_docs") * col("bucket")).as("padded_tokens"),
+        round((col("n_docs") * col("bucket") - col("sum_tokens")).cast("double") /
+          (col("n_docs") * col("bucket")).cast("double"), 4).as("waste_ratio"))
+  }
+
+  /** DuckDB half of [[paddingCensus]] — the same generated CASE chain
+    * and the same fixed IEEE ratio. */
+  def paddingCensusOracle(table: String, textExpr: String): String = {
+    val chain = PadBuckets.init.map(e => s"WHEN n <= $e THEN $e").mkString(" ")
+    s"""WITH w AS (SELECT len(regexp_split_to_array(trim($textExpr), '\\s+'))::BIGINT AS n FROM $table),
+       |b AS (SELECT CASE $chain ELSE ${PadBuckets.last} END AS bucket, n FROM w),
+       |g AS (SELECT bucket, count(*) AS n_docs, sum(n)::BIGINT AS sum_tokens FROM b GROUP BY 1)
+       |SELECT bucket, n_docs, sum_tokens, (n_docs * bucket)::BIGINT AS padded_tokens,
+       |  round((n_docs * bucket - sum_tokens)::DOUBLE / (n_docs * bucket)::DOUBLE, 4) AS waste_ratio
+       |FROM g"""
+      .stripMargin
+  }
+
   def pack(df: DataFrame, idCol: String, textCol: String,
       capacity: Long = Capacity,
       tokenizer: TextPipeline.Tokenizer = TextPipeline.Tokenizer.Whitespace): DataFrame = {
