@@ -2257,6 +2257,11 @@ object SparkEntry {
         .select(col("lang"), col("ws_tokens"), col("uni_tokens"),
           round(col("uni_tokens").cast("double") / col("ws_tokens"), 4).as("fertility"))
     }),
+    // code-switching detector: whole-doc argmax lang-ID hides a mixed
+    // document; per-window votes (n_langs, major_frac) surface it —
+    // window explode is narrow, everything else keys on doc_id
+    "text_code_switch" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.codeSwitch(table(s, dir, "documents"), "doc_id", "text")),
     "text_langid" -> ((s, dir) =>
       graft.pipeline.TextPipeline.langId(table(s, dir, "documents"), "doc_id", "text")),
     // C4-rule cross-document segment dedup: every exact 10-word segment
@@ -3734,6 +3739,7 @@ object SparkEntry {
     "text_token_stats_unicode" -> graft.pipeline.Oracles.textTokenStatsWith(
       graft.pipeline.TextPipeline.Tokenizer.UnicodeWords),
     "text_quality" -> graft.pipeline.Oracles.textQuality,
+    "text_code_switch" -> graft.pipeline.Oracles.textCodeSwitch(graft.pipeline.TextPipeline.CodeSwitchWindow),
     "text_langid" -> graft.pipeline.Oracles.textLangId,
     "text_fertility" -> graft.pipeline.Oracles.textFertility,
     "text_langid_confusion" -> graft.pipeline.Oracles.textLangIdConfusion,

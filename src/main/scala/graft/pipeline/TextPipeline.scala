@@ -146,6 +146,54 @@ object TextPipeline {
     scored.select(outCols: _*)
   }
 
+  /** [[codeSwitch]] window width in tokens. */
+  val CodeSwitchWindow = 40
+
+  /** Code-switching / language-consistency detector: run the stopword
+    * lang-ID per fixed non-overlapping token WINDOW, then summarize each
+    * document by its window votes — (n_windows, n_langs, major_lang,
+    * major_frac). A document whose windows disagree (n_langs > 1, low
+    * major_frac) is mixed-language — a real curation signal that
+    * whole-document argmax lang-ID structurally hides (a 90% English
+    * page with a German boilerplate block IDs as clean "en").
+    * Tie-breaks are fixed (vote count desc, then lang order), so the
+    * verdicts hash-check.
+    *
+    * Scale shape: window explode is a narrow ×(len/W) map; scoring is
+    * the same in-list filter as [[langId]]; then two keyed aggregations
+    * and one per-doc window — everything keys on doc_id. */
+  def codeSwitch(df: DataFrame, idCol: String, textCol: String,
+      window: Int = CodeSwitchWindow): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1, s"window must be positive, got $window")
+    val toks = tokens(col(textCol))
+    val base = df.select(col(idCol), toks.as("toks"))
+      .withColumn("w", explode(sequence(lit(0),
+        ((size(col("toks")) - 1) / window).cast("int"))))
+      .withColumn("wt", slice(col("toks"), col("w") * window + 1, lit(window)))
+    val scored = LangProfiles.foldLeft(base) {
+      case (d, (lang, words)) => d.withColumn(s"s_$lang", stopwordCount(col("wt"), words))
+    }
+    val langs = LangProfiles.map(_._1)
+    val pred = langs.zipWithIndex.foldRight(lit(langs.last): Column) { case ((lang, i), els) =>
+      if (i == langs.length - 1) els
+      else {
+        val beats = langs.drop(i + 1).map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
+        when(beats, lang).otherwise(els)
+      }
+    }
+    val winPred = scored.select(col(idCol), col("w"), pred.as("pred"))
+    val counts = winPred.groupBy(col(idCol), col("pred")).agg(count(lit(1)).as("cnt"))
+    val tot = winPred.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"), countDistinct(col("pred")).as("n_langs"))
+    val wnd = Window.partitionBy(col(idCol)).orderBy(col("cnt").desc, col("pred"))
+    counts.withColumn("rn", row_number().over(wnd)).filter(col("rn") === 1)
+      .select(col(idCol), col("pred").as("major_lang"), col("cnt"))
+      .join(tot, idCol)
+      .select(col(idCol), col("n_windows"), col("n_langs"), col("major_lang"),
+        round(col("cnt").cast("double") / col("n_windows").cast("double"), 4).as("major_frac"))
+  }
+
   /** Quality scoring from length/stopword/token-shape statistics — pure
     * rational arithmetic (cross-engine safe), one map stage. */
   def quality(df: DataFrame, idCol: String, textCol: String,
