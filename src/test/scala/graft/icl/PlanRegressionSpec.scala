@@ -55,6 +55,22 @@ class PlanRegressionSpec extends SparkTestBase {
     ("asof_nearest_purchase", 1, 0),
     ("ts_interpolate", 2, 0),
     ("warehouse_partition_prune", 2, 0),
+    // round-10 single-plan rows (PLANS.md "new-row plan audits"): the
+    // emb_whiten BNLJ allowance is the ONE-ROW stats broadcast (the
+    // scalar-subquery shape — its build side aggregates a FileScan, so
+    // it is "non-literal" to the checker but 1 row by construction);
+    // same for profile_fk_candidates' per-pair 1-row stat crosses
+    // (3 per candidate pair). graph_ktruss is iterative-cached and
+    // excluded like graph_kcore (flatten re-counts shared AQE subtrees).
+    ("emb_whiten", 3, 1),
+    ("sketch_quantile_rollup", 3, 0),
+    ("mm_pixel_dhash", 2, 0),
+    ("mm_pixel_resize", 1, 0),
+    ("pack_padding_census", 2, 0),
+    ("layout_range_bounds", 2, 0),
+    ("text_code_switch", 6, 0),
+    ("ann_ivf_balance", 10, 0),
+    ("profile_fk_candidates", 50, 12),
   )
 
   /** Tree walk that descends through AQE wrappers and query stages
