@@ -2557,6 +2557,13 @@ object SparkEntry {
     // fixed-input-shape step before any vision feature extractor) —
     // integer-floor sampling, so the oracle re-derives the resized grid
     // exactly; summarized as exact integers (sum + corners)
+    // REAL multi-frame container decode: per doc a multi-page TIFF is
+    // written through the JDK sequence writer and decoded page-by-page
+    // (getNumImages + indexed read); per-frame luma sums are exact
+    // integers the oracle re-derives from the generator formula —
+    // frame extraction on an actual container, not byte slices
+    "mm_tiff_pages" -> ((s, dir) =>
+      graft.pipeline.MultiModal.tiffPages(table(s, dir, "documents"))),
     "mm_pixel_resize" -> ((s, dir) =>
       graft.pipeline.MultiModal.pixelResize(table(s, dir, "documents"))),
     "ann_cosine_topk" -> ((s, dir) =>
@@ -3971,6 +3978,7 @@ object SparkEntry {
     "mm_phash_dupes" ->
       graft.pipeline.Oracles.mmPhashDupes(graft.pipeline.MultiModal.PhashBits),
     "mm_pixel_dhash" -> graft.pipeline.MultiModal.pixelDhashOracle,
+    "mm_tiff_pages" -> graft.pipeline.MultiModal.tiffPagesOracle,
     "mm_pixel_resize" -> graft.pipeline.MultiModal.pixelResizeOracle,
     "emb_centroid_outliers" -> graft.pipeline.Oracles.embCentroidOutliers(
       graft.pipeline.Embeddings.OutlierTopK),

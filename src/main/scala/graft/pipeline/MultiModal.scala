@@ -713,6 +713,103 @@ object MultiModal {
       .stripMargin
   }
 
+  /** [[tiffPages]] frame geometry (fixed per page; the page count
+    * varies by seed). */
+  val PageW = 9
+  val PageH = 8
+
+  /** Per-page luma for the multi-frame generator: page index shifts the
+    * pattern so every frame differs. */
+  def pageLuma(seed: Int, page: Int, x: Int, y: Int): Int =
+    (seed * 31 + page * 59 + 7 * x * x + 13 * y + x * y) % 256
+
+  /** Encode a multi-page grayscale TIFF (uncompressed, lossless) via
+    * ImageIO's sequence writer — the JDK ships the TIFF plugin since
+    * Java 9. */
+  def encodeMultiPageTiff(pages: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    require(writers.hasNext, "JDK TIFF writer missing")
+    val writer = writers.next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      pages.foreach(p => writer.writeToSequence(new javax.imageio.IIOImage(p, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  final case class PageStats(doc_id: Long, page: Long, width: Long, height: Long, sum_luma: Long)
+
+  /** REAL multi-frame container decode — frame extraction over an
+    * actual multi-page TIFF (the video-pipeline shape [[sampleFrames]]
+    * stubs over raw bytes, on a real container): synthesize 1 + seed%3
+    * grayscale pages per document (pattern arithmetic in doc_id and
+    * page index), write ONE multi-page TIFF payload through the JDK
+    * TIFF sequence writer, then decode page-by-page with the reader
+    * (`getNumImages` + indexed `read`) and summarize each frame's luma
+    * exactly. TIFF is lossless, so the oracle re-derives every sample
+    * from the generator formula — the [[pixelDhashDupes]] bridge, now
+    * across a MULTI-frame container boundary.
+    *
+    * Scale shape: one narrow mapPartitions (encode+decode amortize the
+    * codec per partition); the per-page fan-out happens inside the row
+    * iterator, never via a shuffle. */
+  def tiffPages(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { id =>
+        val seed = pixelSeed(id)
+        val nPages = 1 + seed % 3
+        val imgs = (0 until nPages).map { p =>
+          val img = new java.awt.image.BufferedImage(PageW, PageH,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          for (y <- 0 until PageH; x <- 0 until PageW)
+            img.getRaster.setSample(x, y, 0, pageLuma(seed, p, x, y))
+          img
+        }
+        val payload = encodeMultiPageTiff(imgs)
+        // decode the real container: page count from the reader, pages
+        // by index
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"no reader for TIFF payload of doc $id")
+        val reader = readers.next()
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val rows = (0 until n).map { p =>
+          val img = reader.read(p)
+          var sum = 0L
+          for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+            sum += img.getRaster.getSample(x, y, 0)
+          PageStats(id, p.toLong, img.getWidth.toLong, img.getHeight.toLong, sum)
+        }
+        reader.dispose()
+        iis.close()
+        rows
+      }
+    }.toDF()
+  }
+
+  /** DuckDB half of [[tiffPages]]: page fan-out by formula, per-page
+    * luma sum as one generated integer expression. */
+  def tiffPagesOracle: String = {
+    def lum(p: String, x: Int, y: Int): String =
+      s"(seed*31 + ($p)*59 + ${7 * x * x + 13 * y} + ${x * y}) % 256"
+    val sum = (for (y <- 0 until PageH; x <- 0 until PageW) yield lum("page", x, y))
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, doc_id % $PixelSeeds AS seed FROM documents),
+       |p AS (SELECT doc_id, seed, unnest(range(0, 1 + seed % 3)) AS page FROM d)
+       |SELECT doc_id, page, $PageW::BIGINT AS width, $PageH::BIGINT AS height,
+       |  ($sum)::BIGINT AS sum_luma
+       |FROM p"""
+      .stripMargin
+  }
+
   /** DuckDB half of [[pixelDhashDupes]]: the SAME 64 grid comparisons
     * over the arithmetic pattern — never a decoder. Decode(encode(f))
     * == f is the bridge (PNG losslessness); the sign-bit term (bit 63)
