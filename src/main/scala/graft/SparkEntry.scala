@@ -2589,6 +2589,11 @@ object SparkEntry {
     // probe-cost multiplier from cell skew — exact integer sizes + one
     // fixed IEEE expression, so the planning statistic itself
     // hash-checks
+    // semantic DECONTAMINATION (the cosine sibling of the n-gram
+    // contamination gate): paraphrased eval items that n-grams miss;
+    // same-cell candidates only (bounded), bench side broadcasts
+    "dedup_semantic_contamination" -> ((s, dir) =>
+      graft.pipeline.Ann.semanticContamination(table(s, dir, "embeddings"))),
     "ann_ivf_balance" -> ((s, dir) =>
       graft.pipeline.Ann.ivfBalance(table(s, dir, "embeddings"))),
     "ann_ivfpq_topk" -> ((s, dir) =>
@@ -3965,6 +3970,8 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> graft.pipeline.Oracles.annLshMultiprobeTopK,
     "ann_ivf_topk" -> graft.pipeline.Oracles.annIvfTopK,
     "ann_pq_topk" -> graft.pipeline.Oracles.annPqTopK,
+    "dedup_semantic_contamination" -> graft.pipeline.Oracles.annSemanticContamination(
+      graft.pipeline.Ann.BenchSetSize, graft.pipeline.Ann.SemanticEps),
     "ann_ivf_balance" -> graft.pipeline.Oracles.annIvfBalance,
     "ann_ivfpq_topk" -> graft.pipeline.Oracles.annIvfPqTopK,
     "ann_filtered_topk" ->

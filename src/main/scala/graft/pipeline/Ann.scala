@@ -177,6 +177,50 @@ object Ann {
         coalesce(col("__keeper"), col("vec_id")).as("keeper_id"))
   }
 
+  /** [[semanticContamination]] eval-set size (vec_id < this is "the
+    * benchmark"); the flag threshold reuses [[SemanticEps]]. */
+  val BenchSetSize = 32
+
+  /** Semantic DECONTAMINATION — the embedding-space sibling of the
+    * n-gram `text_contamination` gate: n-gram overlap misses a
+    * paraphrased or translated copy of an eval item, cosine similarity
+    * does not. Corpus vectors that land in the same trained cell as a
+    * benchmark vector and clear the threshold are flagged with their
+    * hit count and closest benchmark item (sim desc, then bench id —
+    * deterministic). Same-cell-only candidate generation is the
+    * [[semanticDedup]] geometry: bounded, never corpus × bench, with
+    * the recall/τ trade the LSH/IVF recall harnesses measure.
+    *
+    * Scale shape: one narrow cell assignment over the corpus, the
+    * benchmark side is SMALL by definition and broadcasts, and the only
+    * exchange after the broadcast join is the per-doc verdict window on
+    * vec_id. At 100 TB this is a broadcast-filter scan — the shape you
+    * can afford to run on every ingest batch. */
+  def semanticContamination(embeddings: DataFrame, benchSize: Int = BenchSetSize,
+      tau: Double = SemanticEps, numCentroids: Int = NumCentroids,
+      iters: Int = KMeansIters): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = embeddings.sparkSession
+    val book = ivfCentroids(embeddings, numCentroids, iters)
+    val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    val assigned = n.withColumn("cell", pqEncodeCol(ss, col("embedding"), book).cast("long"))
+    val bench = assigned.filter(col("vec_id") < benchSize)
+      .select(col("cell"), col("vec_id").as("bench_id"),
+        col("embedding").as("be"), col("nrm").as("bn"))
+    val hits = assigned.filter(col("vec_id") >= benchSize)
+      .join(broadcast(bench), Seq("cell"))
+      .withColumn("sim", round(dot(ss, col("embedding"), col("be")) / (col("nrm") * col("bn")), 4))
+      .filter(col("sim") >= tau)
+    val w = Window.partitionBy(col("vec_id"))
+    val rk = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("bench_id"))
+    hits
+      .withColumn("n_bench_hits", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(rk))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("n_bench_hits"),
+        col("bench_id").as("best_bench_id"), col("sim").as("best_sim"))
+  }
+
   /** Train the IVF coarse quantizer: cells seeded from the first `k`
     * vectors, refined by `iters` quantized-mean Lloyd rounds. ONE Spark
     * job per round (the fused [[graft.functions.PqEncode]] literal
