@@ -1519,6 +1519,12 @@ object SparkEntry {
     // inference rule (three true FKs discover themselves near 1.0/1.0;
     // the deliberately wrong pair discriminates). Distinct sets shuffle
     // keys only; candidates are a metadata-sized list, never n².
+    // distribution-drift monitor: per-source chi-square of the n_chars
+    // histogram vs the corpus reference (the PSI shape without the
+    // cross-engine-banned logarithm); fixed-order term chain keeps the
+    // float statistic deterministic
+    "profile_drift_chi2" -> ((s, dir) =>
+      graft.pipeline.Profile.driftChi2(table(s, dir, "documents"), "source", col("n_chars"))),
     "profile_fk_candidates" -> ((s, dir) => {
       graft.pipeline.Profile.fkCandidates(Seq(
         ("lineitem", table(s, dir, "lineitem"), "l_orderkey",
@@ -3412,6 +3418,7 @@ object SparkEntry {
         "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
         q = 0.5, rate = QuantileSampleRate),
     // merge-vs-direct: lossless merging is the contract being checked
+    "profile_drift_chi2" -> graft.pipeline.Profile.driftChi2Oracle("documents", "source", "n_chars"),
     "profile_fk_candidates" -> graft.pipeline.Oracles.profileFkCandidates(Seq(
       ("lineitem", "l_orderkey", "orders", "o_orderkey"),
       ("orders", "o_custkey", "customer", "c_custkey"),

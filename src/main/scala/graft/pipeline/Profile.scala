@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
 
@@ -42,6 +42,73 @@ object Profile {
       .groupBy(col("col_name"))
       .agg((F.count(lit(1)) - F.count(col("v"))).as("n_nulls"),
         countDistinct(col("v")).as("n_distinct"))
+  }
+
+  /** [[driftChi2]] bucket edges over the monitored value (top bucket
+    * catches everything above the last edge). */
+  val DriftEdges: Seq[Long] = Seq(128L, 256L, 512L, 1024L, 2048L, 4096L)
+
+  /** Distribution-drift monitor — Pearson's chi-square of each source's
+    * value histogram against the corpus-wide reference: the
+    * ingest-monitoring gate that catches a crawler or upstream feed
+    * whose length/quality profile shifted (the PSI alternative without
+    * PSI's logarithm, which is banned here: libm differs across
+    * engines). χ²(src) = Σ_b (o_b − e_b)²/e_b with e_b = g_b·n_src/N —
+    * conditional-sum histograms (one pass, no pivot shuffle), a 1-row
+    * global broadcast, and the bucket terms added in FIXED WRITTEN
+    * ORDER, so the float statistic is engine-deterministic (a groupBy
+    * SUM of float terms would be partial-aggregation-order dependent
+    * and unverifiable).
+    *
+    * Scale shape: one map-side-combinable aggregation per side over the
+    * scan + a 1-row broadcast; at 100 TB the moving rows are |sources| ×
+    * |buckets| counts, never documents. */
+  def driftChi2(df: DataFrame, sourceCol: String, valueCol: Column): DataFrame = {
+    val edges = DriftEdges
+    def bucketOf(v: Column): Column = edges.foldRight(lit(edges.last * 2)) {
+      (e, rest) => when(v <= e, lit(e)).otherwise(rest)
+    }
+    val allBuckets = edges :+ edges.last * 2
+    val b = df.select(col(s"`$sourceCol`").as("src"), bucketOf(valueCol).as("b"))
+    def histAggs(prefix: String) =
+      count(lit(1)).as(s"${prefix}n") +:
+        allBuckets.map(e => F.sum(when(col("b") === e, 1L).otherwise(0L)).as(s"$prefix$e"))
+    val per = b.groupBy(col("src")).agg(histAggs("o_").head, histAggs("o_").tail: _*)
+    val global = b.agg(histAggs("g_").head, histAggs("g_").tail: _*)
+    val joined = per.crossJoin(broadcast(global))
+    val terms = allBuckets.map { e =>
+      val o = col(s"o_$e").cast("double")
+      val g = col(s"g_$e").cast("double")
+      val exp = (g * col("o_n").cast("double")) / col("g_n").cast("double")
+      when(col(s"g_$e") === 0L, lit(0.0d)).otherwise((o - exp) * (o - exp) / exp)
+    }
+    joined.select(col("src").as("source"), col("o_n").as("n_docs"),
+      round(terms.reduce(_ + _), 4).as("chi2"))
+  }
+
+  /** DuckDB half of [[driftChi2]]: same conditional-sum histograms,
+    * same fixed-order term chain. */
+  def driftChi2Oracle(table: String, sourceCol: String, valueExpr: String): String = {
+    val edges = DriftEdges
+    val allBuckets = edges :+ edges.last * 2
+    val chain = edges.foldRight(s"${edges.last * 2}") {
+      (e, rest) => s"CASE WHEN v <= $e THEN $e ELSE $rest END"
+    }
+    def hist(prefix: String) =
+      (s"count(*) AS ${prefix}n" +:
+        allBuckets.map(e => s"sum(CASE WHEN b = $e THEN 1 ELSE 0 END)::BIGINT AS $prefix$e")).mkString(", ")
+    val terms = allBuckets.map { e =>
+      s"(CASE WHEN g_$e = 0 THEN 0.0 ELSE " +
+        s"(o_$e::DOUBLE - (g_$e::DOUBLE * o_n::DOUBLE) / g_n::DOUBLE) * " +
+        s"(o_$e::DOUBLE - (g_$e::DOUBLE * o_n::DOUBLE) / g_n::DOUBLE) / " +
+        s"((g_$e::DOUBLE * o_n::DOUBLE) / g_n::DOUBLE) END)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT $sourceCol AS src, ($valueExpr) AS v FROM $table),
+       |bk AS (SELECT src, $chain AS b FROM v),
+       |per AS (SELECT src, ${hist("o_")} FROM bk GROUP BY src),
+       |g AS (SELECT ${hist("g_")} FROM bk)
+       |SELECT src AS source, o_n AS n_docs, round($terms, 4) AS chi2 FROM per, g"""
+      .stripMargin
   }
 
   /** Foreign-key DISCOVERY across candidate column pairs — the
