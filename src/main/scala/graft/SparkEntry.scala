@@ -1542,6 +1542,21 @@ object SparkEntry {
     // shuffle assigns by (metadata-sized, broadcast into the
     // partitioner); integral cents + power-of-two cuts keep the
     // interpolation IEEE-exact on both engines
+    // retention planning (the TTL leg of table maintenance): event
+    // "files" = (type, id-bucket) with min/max record ts; files wholly
+    // below the cutoff retire as METADATA work, straddlers are counted
+    // for the compaction planner; cutoff = min + 2/3 span (integer ops,
+    // derived identically on both engines)
+    "layout_retention" -> ((s, dir) => {
+      val ev = table(s, dir, "events").select(col("event_type"),
+        (col("event_id") / 500).cast("long").as("bucket"), expr(TsUsSql).as("t"))
+      val files = ev.groupBy(col("event_type"), col("bucket"))
+        .agg(min(col("t")).as("min_ts"), max(col("t")).as("max_ts"),
+          (count(lit(1)) * 100).as("bytes"))
+      val bounds = files.agg(min(col("min_ts")), max(col("max_ts"))).collect()(0)
+      val cutoff = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 3 * 2
+      graft.operators.Layout.retentionPlan(files, "event_type", "max_ts", "min_ts", "bytes", cutoff)
+    }),
     "layout_range_bounds" -> ((s, dir) =>
       graft.operators.Layout.rangeBounds(
         table(s, dir, "lineitem"),
@@ -3424,6 +3439,21 @@ object SparkEntry {
       ("orders", "o_custkey", "customer", "c_custkey"),
       ("customer", "c_nationkey", "nation", "n_nationkey"),
       ("part", "p_size", "nation", "n_nationkey"))),
+    "layout_retention" ->
+      """WITH f AS (SELECT event_type, event_id // 500 AS bucket,
+        |    min(epoch_us(ts)) AS min_ts, max(epoch_us(ts)) AS max_ts,
+        |    (count(*) * 100)::BIGINT AS bytes
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(min_ts) AS mn, max(max_ts) AS mx FROM f),
+        |c AS (SELECT mn + (mx - mn) // 3 * 2 AS cutoff FROM b)
+        |SELECT event_type,
+        |  sum(CASE WHEN max_ts < cutoff THEN 1 ELSE 0 END)::BIGINT AS n_expired_files,
+        |  sum(CASE WHEN max_ts < cutoff THEN bytes ELSE 0 END)::BIGINT AS expired_bytes,
+        |  sum(CASE WHEN min_ts < cutoff AND max_ts >= cutoff THEN 1 ELSE 0 END)::BIGINT AS n_straddling_files,
+        |  sum(CASE WHEN min_ts < cutoff AND max_ts >= cutoff THEN bytes ELSE 0 END)::BIGINT AS straddling_bytes,
+        |  sum(CASE WHEN min_ts >= cutoff THEN 1 ELSE 0 END)::BIGINT AS n_kept_files,
+        |  sum(CASE WHEN min_ts >= cutoff THEN bytes ELSE 0 END)::BIGINT AS kept_bytes
+        |FROM f, c GROUP BY event_type""".stripMargin,
     "layout_range_bounds" -> graft.operators.Layout.rangeBoundsOracle(
       "lineitem", "l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR",
       "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",

@@ -84,6 +84,31 @@ object Layout {
         min(q(orderCol)).as("first_key"), max(q(orderCol)).as("last_key"))
   }
 
+  /** Retention planning — the third leg of table maintenance (with
+    * [[compactionPlan]] and the storage gc): given a file inventory with
+    * each file's newest record timestamp, plan which files a TTL policy
+    * retires (max_ts < cutoff ⟹ every record in the file is expired —
+    * the file-level prune that makes deletion METADATA work; a file
+    * straddling the cutoff is left for a rewriting compaction instead,
+    * and is counted so the planner can see how much data hides in
+    * straddlers). One row per group: files/bytes retired, kept, and
+    * straddling. Pure metadata aggregation — never touches data. */
+  def retentionPlan(files: org.apache.spark.sql.DataFrame, groupCol: String,
+      maxTsCol: String, minTsCol: String, sizeCol: String,
+      cutoff: Long): org.apache.spark.sql.DataFrame = {
+    def q(c: String): Column = col(s"`$c`")
+    val expired = q(maxTsCol) < cutoff
+    val straddle = q(minTsCol) < cutoff && !expired
+    files.groupBy(q(groupCol))
+      .agg(
+        sum(when(expired, 1L).otherwise(0L)).as("n_expired_files"),
+        sum(when(expired, q(sizeCol)).otherwise(0L)).as("expired_bytes"),
+        sum(when(straddle, 1L).otherwise(0L)).as("n_straddling_files"),
+        sum(when(straddle, q(sizeCol)).otherwise(0L)).as("straddling_bytes"),
+        sum(when(!expired && !straddle, 1L).otherwise(0L)).as("n_kept_files"),
+        sum(when(!expired && !straddle, q(sizeCol)).otherwise(0L)).as("kept_bytes"))
+  }
+
   /** Range-partition boundary planning — the sampling pass behind every
     * globally-sorted / range-clustered write (Spark's RangePartitioner,
     * Iceberg's sort-order writer): a salted-hash Bernoulli sample of the
