@@ -2583,6 +2583,10 @@ object SparkEntry {
     // (getNumImages + indexed read); per-frame luma sums are exact
     // integers the oracle re-derives from the generator formula —
     // frame extraction on an actual container, not byte slices
+    // composed image dedup: real decode -> dHash -> canonical keeper
+    // in ONE plan (the image twin of text canonical-keeper selection)
+    "pipeline_image_dedup" -> ((s, dir) =>
+      graft.pipeline.MultiModal.imageDedup(table(s, dir, "documents"))),
     "mm_tiff_pages" -> ((s, dir) =>
       graft.pipeline.MultiModal.tiffPages(table(s, dir, "documents"))),
     "mm_pixel_resize" -> ((s, dir) =>
@@ -4022,6 +4026,7 @@ object SparkEntry {
     "mm_phash_dupes" ->
       graft.pipeline.Oracles.mmPhashDupes(graft.pipeline.MultiModal.PhashBits),
     "mm_pixel_dhash" -> graft.pipeline.MultiModal.pixelDhashOracle,
+    "pipeline_image_dedup" -> graft.pipeline.MultiModal.pixelImageDedupOracle,
     "mm_tiff_pages" -> graft.pipeline.MultiModal.tiffPagesOracle,
     "mm_pixel_resize" -> graft.pipeline.MultiModal.pixelResizeOracle,
     "emb_centroid_outliers" -> graft.pipeline.Oracles.embCentroidOutliers(

@@ -810,11 +810,9 @@ object MultiModal {
       .stripMargin
   }
 
-  /** DuckDB half of [[pixelDhashDupes]]: the SAME 64 grid comparisons
-    * over the arithmetic pattern — never a decoder. Decode(encode(f))
-    * == f is the bridge (PNG losslessness); the sign-bit term (bit 63)
-    * is emitted LAST so every partial sum stays in BIGINT range. */
-  def pixelDhashOracle: String = {
+  /** Shared CTE chain: (doc_id, w, h, dhash) from the arithmetic
+    * pattern, for [[pixelDhashOracle]] and [[pixelImageDedupOracle]]. */
+  private def pixelDhashCtes: String = {
     def lum(xExpr: String, yExpr: String): String =
       s"(seed*31 + 7*($xExpr)*($xExpr) + 13*($yExpr) + ($xExpr)*($yExpr)) % 256"
     val terms = for (r <- 0 until 8; c <- 0 until 8) yield {
@@ -823,11 +821,36 @@ object MultiModal {
       val b = lum(s"(($c*(w-1))//8)", y)
       s"(CASE WHEN $a > $b THEN ${1L << (r * 8 + c)} ELSE 0 END)"
     }
-    s"""WITH d AS (SELECT doc_id, doc_id % $PixelSeeds AS seed FROM documents),
+    s"""d AS (SELECT doc_id, doc_id % $PixelSeeds AS seed FROM documents),
        |g AS (SELECT doc_id, seed, 9 + seed % 3 AS w, 8 + seed % 2 AS h FROM d),
-       |b AS (SELECT doc_id, w, h, (${terms.mkString(" + ")})::BIGINT AS dhash FROM g)
+       |b AS (SELECT doc_id, w, h, (${terms.mkString(" + ")})::BIGINT AS dhash FROM g)""".stripMargin
+  }
+
+  /** DuckDB half of [[pixelDhashDupes]]: the SAME 64 grid comparisons
+    * over the arithmetic pattern — never a decoder. Decode(encode(f))
+    * == f is the bridge (PNG losslessness); the sign-bit term (bit 63)
+    * is emitted LAST so every partial sum stays in BIGINT range. */
+  def pixelDhashOracle: String =
+    s"""WITH $pixelDhashCtes
        |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height, dhash,
        |  count(*) OVER (PARTITION BY dhash) AS n_same FROM b"""
       .stripMargin
+
+  /** The composed image-dedup verdict: real decode → dHash → canonical
+    * keeper (earliest doc per fingerprint), one plan — the image twin
+    * of the text canonical-keeper selection. */
+  def imageDedup(docs: DataFrame): DataFrame = {
+    val wnd = org.apache.spark.sql.expressions.Window.partitionBy(col("dhash"))
+    pixelDhashDupes(docs)
+      .withColumn("keeper_id", min(col("doc_id")).over(wnd))
+      .select(col("doc_id"), col("dhash"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("is_canonical"))
   }
+
+  /** DuckDB half of [[imageDedup]]. */
+  def pixelImageDedupOracle: String =
+    s"""WITH $pixelDhashCtes
+       |SELECT doc_id, dhash, min(doc_id) OVER (PARTITION BY dhash) AS keeper_id,
+       |  doc_id = min(doc_id) OVER (PARTITION BY dhash) AS is_canonical FROM b"""
+      .stripMargin
 }
