@@ -58,9 +58,18 @@ object Bench {
     // the measured slopes live in PLANS.md.
     val defaultProbes = Set(
       "scaleprobe_jaccard_x16", "scaleprobe_minhash_x16", "scaleprobe_triangles_x4")
+    // fail loudly on knob typos, same contract as SPARK_GRAFT_ONLY: a
+    // misspelled value would silently run only the canaries and emit a
+    // plausible complete-looking JSON line
+    val probesMode = sys.env.get("SPARK_GRAFT_PROBES")
+    probesMode.foreach { v =>
+      if (v != "all") {
+        System.err.println(s"SPARK_GRAFT_PROBES must be 'all' (got '$v')")
+        sys.exit(2)
+      }
+    }
     val probes = SparkEntry.scaleProbes.filter { case (n, _) =>
-      sys.env.get("SPARK_GRAFT_PROBES").contains("all") ||
-        defaultProbes.contains(n) || only.exists(_.contains(n))
+      probesMode.contains("all") || defaultProbes.contains(n) || only.exists(_.contains(n))
     }
     val selected = (SparkEntry.queries ++ probes).toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }

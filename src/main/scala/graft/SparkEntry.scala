@@ -2574,21 +2574,21 @@ object SparkEntry {
     // per-partition map; the only shuffle is the 8-byte dup count.
     "mm_pixel_dhash" -> ((s, dir) =>
       graft.pipeline.MultiModal.pixelDhashDupes(table(s, dir, "documents"))),
-    // nearest-neighbor resize over the SAME real decoded pixels (the
-    // fixed-input-shape step before any vision feature extractor) —
-    // integer-floor sampling, so the oracle re-derives the resized grid
-    // exactly; summarized as exact integers (sum + corners)
+    // composed image dedup: real decode -> dHash -> canonical keeper
+    // in ONE plan (the image twin of text canonical-keeper selection)
+    "pipeline_image_dedup" -> ((s, dir) =>
+      graft.pipeline.MultiModal.imageDedup(table(s, dir, "documents"))),
     // REAL multi-frame container decode: per doc a multi-page TIFF is
     // written through the JDK sequence writer and decoded page-by-page
     // (getNumImages + indexed read); per-frame luma sums are exact
     // integers the oracle re-derives from the generator formula —
     // frame extraction on an actual container, not byte slices
-    // composed image dedup: real decode -> dHash -> canonical keeper
-    // in ONE plan (the image twin of text canonical-keeper selection)
-    "pipeline_image_dedup" -> ((s, dir) =>
-      graft.pipeline.MultiModal.imageDedup(table(s, dir, "documents"))),
     "mm_tiff_pages" -> ((s, dir) =>
       graft.pipeline.MultiModal.tiffPages(table(s, dir, "documents"))),
+    // nearest-neighbor resize over the SAME real decoded pixels (the
+    // fixed-input-shape step before any vision feature extractor) —
+    // integer-floor sampling, so the oracle re-derives the resized grid
+    // exactly; summarized as exact integers (sum + corners)
     "mm_pixel_resize" -> ((s, dir) =>
       graft.pipeline.MultiModal.pixelResize(table(s, dir, "documents"))),
     "ann_cosine_topk" -> ((s, dir) =>

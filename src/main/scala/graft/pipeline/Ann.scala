@@ -296,13 +296,18 @@ object Ann {
       iters: Int = KMeansIters): DataFrame = {
     val ss = embeddings.sparkSession
     val book = ivfCentroids(embeddings, numCentroids, iters)
+    // n_cells is the TRAINED cell count (faiss's nlist), NOT the count
+    // of non-empty groups: maximal skew (everything in one cell) must
+    // read imbalance = n_cells, not 1.0 — an empty cell is exactly the
+    // wasted capacity the statistic prices
+    val nCells = book.size
     val sizes = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("cell", pqEncodeCol(ss, col("embedding"), book))
       .groupBy(col("cell")).agg(count(lit(1)).as("s"))
-    sizes.agg(count(lit(1)).as("n_cells"), sum(col("s")).as("n_vecs"),
+    sizes.agg(sum(col("s")).as("n_vecs"),
         max(col("s")).as("max_cell"), sum(col("s") * col("s")).as("sum_sq"))
-      .select(col("n_cells"), col("n_vecs"), col("max_cell"),
-        round((col("n_cells").cast("double") * col("sum_sq").cast("double")) /
+      .select(lit(nCells.toLong).as("n_cells"), col("n_vecs"), col("max_cell"),
+        round((lit(nCells).cast("double") * col("sum_sq").cast("double")) /
           (col("n_vecs").cast("double") * col("n_vecs").cast("double")), 4).as("imbalance"))
   }
 

@@ -51,8 +51,12 @@ object MultiModal {
     * readers ship in every JVM — no external codec). Returns the decoded
     * image, or None for payloads no installed reader accepts. */
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    // NonFatal, not just IOException: JDK readers throw runtime
+    // exceptions (IndexOutOfBounds, NegativeArraySize, ...) on
+    // malformed-but-recognized payloads, and a corrupt image must
+    // classify opaque, never fail the partition
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Feature extraction over binary payloads: one iterator pass per
     * partition (batch shape identical to mapInPandas — decoder state is
@@ -105,7 +109,8 @@ object MultiModal {
   }
 
   /** Frame sampling over binary payloads — the video-pipeline stub the
-    * multimodal surface needs (decode-free, like [[decodeStub]]): treat
+    * multimodal surface needs (decode-free byte slicing; [[tiffPages]] is the
+    * real-container sibling): treat
     * the payload as fixed-size frames and keep every `stride`-th one,
     * the representative-frame selection a feature extractor downstream
     * consumes. The sampled indices are GENERATED (stepped sequence), not
@@ -534,7 +539,8 @@ object MultiModal {
     * Hamming radius — [[Dedup]]'s machinery applies unchanged to this
     * hash). With the container's codecs stubbed, the "luma samples" are
     * raw payload bytes — swapping in a real decoder changes only the
-    * byte source ([[decodeStub]]'s contract); the sampling, bit
+    * byte source (swap in [[decodeImage]] luma, as [[pixelDhashDupes]]
+    * does); the sampling, bit
     * construction, grouping, and scale shape are the shipped surface.
     *
     * Output: (doc_id, dhash, n_same) — n_same > 1 marks perceptual-dup

@@ -289,14 +289,18 @@ object Sketches {
     // the per-group sketches (persistable pre-aggregates)...
     val perGroup = sampled.groupBy(col("__g"))
       .agg(collect_list(col("__v")).as("__sample"))
-    // ...merged: concatenate and take one exact percentile over the union
+    // ...merged: concatenate and take one exact percentile over the
+    // union. explode_outer + count(__v): an EMPTY sample must still
+    // yield the one (0, NULL, 0) summary row the oracle's ungrouped
+    // aggregate produces — plain explode would drop it and the engines
+    // would diverge on row count
     perGroup
       .agg(count(lit(1)).as("n_groups"),
         flatten(collect_list(col("__sample"))).as("__all"))
-      .select(col("n_groups"), explode(col("__all")).as("__v"))
+      .select(col("n_groups"), explode_outer(col("__all")).as("__v"))
       .groupBy(col("n_groups"))
       .agg(percentile(col("__v"), lit(q)).as("estimate"),
-        count(lit(1)).as("n_sampled"))
+        count(col("__v")).as("n_sampled"))
       .select(col("n_groups"), col("estimate"), col("n_sampled"))
   }
 

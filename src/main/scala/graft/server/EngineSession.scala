@@ -121,12 +121,20 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None,
     * (a retry against a content-equal head cannot lose information). */
   private def transition(snap: Option[Database], newDb: Database,
       msg: String): Either[String, Response] =
+    commit(snap, newDb, msg, advance = true)
+
+  /** Shared CAS + apply for every Transition-producing sublanguage
+    * (content mutations advance the HEAD branch tip; DCL branch ops
+    * switch state without advancing — reference perform vs the dcl
+    * executor's own tip updates). */
+  private def commit(snap: Option[Database], newDb: Database, msg: String,
+      advance: Boolean): Either[String, Response] =
     if (dbOpt.map(_.hash) != snap.map(_.hash))
       Left(conflictError(snap, newDb))
     else {
       dbOpt = Some(newDb)
       store.save(newDb)
-      store.advanceHead(newDb.hash)
+      if (advance) store.advanceHead(newDb.hash)
       persist()
       Right(Transition(msg))
     }
@@ -203,14 +211,7 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None,
           // mutations; Checkout/Merge change the current db. Same CAS as
           // content transitions (the reference routes every Transition
           // result through perform, whatever sublanguage produced it)
-          if (dbOpt.map(_.hash) != snap.map(_.hash))
-            Left(conflictError(snap, newDb))
-          else {
-            dbOpt = Some(newDb)
-            store.save(newDb)
-            persist()
-            Right(Transition(msg))
-          }
+          commit(snap, newDb, msg, advance = false)
         })
 
   private def runScl(snap: Option[Database], s: Sexp): Either[String, Response] =

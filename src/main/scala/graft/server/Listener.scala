@@ -76,8 +76,12 @@ final class Listener(spark: SparkSession, external: Option[Catalog] = None, port
       // 160-163): the snapshot for the next request is read under the
       // SAME lock that finished the previous one, so any commit another
       // socket lands while this connection is idle deterministically
-      // surfaces as Conflict — never as silent last-writer-wins
-      var snap = session.headSnapshot
+      // surfaces as Conflict — never as silent last-writer-wins. The
+      // FIRST request starts from None = "no observation yet" and
+      // resolves to the live head under the lock (handleAdvancing) — a
+      // lock-free read here could pin a stale mid-bootstrap head the
+      // connection never actually observed.
+      var snap: Option[graft.engine.Database] = None
       var line = in.readLine()
       while (line != null && running) {
         if (line.trim.nonEmpty) {

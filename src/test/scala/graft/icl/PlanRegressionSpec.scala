@@ -71,6 +71,18 @@ class PlanRegressionSpec extends SparkTestBase {
     ("text_code_switch", 6, 0),
     ("ann_ivf_balance", 10, 0),
     ("profile_fk_candidates", 50, 12),
+    // late-round-10 rows: drift's BNLJ allowance is the 1-row global
+    // histogram broadcast (same scalar-subquery shape as emb_whiten);
+    // contamination's budget covers the Lloyd training chain (one
+    // grouped-sum job per round, like ann_ivf_balance) plus the final
+    // verdict windows.
+    ("profile_drift_chi2", 3, 1),
+    // retention runs TWO jobs by design (cutoff = collect of the
+    // inventory's min/max, then the plan over the same inventory), so
+    // the inventory-build groupBy executes twice: 2 shuffles per job.
+    ("layout_retention", 4, 0),
+    ("pipeline_image_dedup", 2, 0),
+    ("dedup_semantic_contamination", 12, 0),
   )
 
   /** Tree walk that descends through AQE wrappers and query stages
