@@ -104,6 +104,11 @@ object SparkEntry {
     * and the wedge volume quadratic for no signal). */
   val CoPurchaseMinSupport = 2L
 
+  /** `profile_ndv` column list — integer/string columns only (both
+    * engines must render identical strings before hashing). */
+  val NdvCols: Seq[String] = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_returnflag", "l_linestatus")
+
   /** One day in epoch micros (the µs-truncated ts the query joins on). */
   val RangeJoinDayUs: Long = 86400L * 1000 * 1000
 
@@ -1525,6 +1530,12 @@ object SparkEntry {
     // float statistic deterministic
     "profile_drift_chi2" -> ((s, dir) =>
       graft.pipeline.Profile.driftChi2(table(s, dir, "documents"), "source", col("n_chars"))),
+    // ANALYZE-style NDV stats at sketch cost: ONE scan exploded to
+    // (col_name, value), per-column KMV minima — the CBO stats pass
+    // (exact countDistinct per column would be a full-width shuffle
+    // each; KMV ships k 8-byte minima and MERGES across partitions)
+    "profile_ndv" -> ((s, dir) =>
+      graft.pipeline.Profile.ndvProfile(table(s, dir, "lineitem"), NdvCols)),
     "profile_fk_candidates" -> ((s, dir) => {
       graft.pipeline.Profile.fkCandidates(Seq(
         ("lineitem", table(s, dir, "lineitem"), "l_orderkey",
@@ -1556,6 +1567,22 @@ object SparkEntry {
       val bounds = files.agg(min(col("min_ts")), max(col("max_ts"))).collect()(0)
       val cutoff = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 3 * 2
       graft.operators.Layout.retentionPlan(files, "event_type", "max_ts", "min_ts", "bytes", cutoff)
+    }),
+    // clustering-depth census: the SAME file assignment (insert order =
+    // l_orderkey div 200) measured on two query keys — orderkey
+    // intervals are disjoint (depth 1, clustered), partkey intervals
+    // all span the key space (depth ≈ n_files, the recluster signal);
+    // the before/after-OPTIMIZE comparison in one metadata sweep
+    "layout_cluster_depth" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      def inv(tag: String, key: org.apache.spark.sql.Column) =
+        li.select(lit(tag).as("layout"),
+            expr("l_orderkey div 200").as("file"), key.as("k"))
+          .groupBy(col("layout"), col("file"))
+          .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      graft.operators.Layout.clusterDepth(
+        inv("by_orderkey", col("l_orderkey")).unionAll(inv("by_partkey", col("l_partkey"))),
+        "layout", "min_k", "max_k")
     }),
     "layout_range_bounds" -> ((s, dir) =>
       graft.operators.Layout.rangeBounds(
@@ -2242,6 +2269,11 @@ object SparkEntry {
     }),
     "split_assign" -> ((s, dir) =>
       graft.pipeline.Splits.hashSplit(table(s, dir, "documents"), "doc_id")),
+    // k-fold CV assignment: salted-hash fold, shuffle-free and stable
+    // under incremental ingest; pass a cluster id for group-safe folds
+    "split_kfold" -> ((s, dir) =>
+      graft.pipeline.Splits.kfold(table(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("fold"))),
     "dedup_simhash" -> ((s, dir) =>
       graft.pipeline.TextPipeline.simhash(table(s, dir, "documents"), "doc_id", "text")),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -2546,6 +2578,12 @@ object SparkEntry {
     // find the fields; the oracle re-derives them arithmetically
     "mm_audio_meta" -> ((s, dir) =>
       graft.pipeline.MultiModal.audioMeta(table(s, dir, "documents"))),
+    // REAL audio sample decode: per-doc WAVs transit the JDK sound
+    // stack both ways (AudioSystem write + read), samples summarized as
+    // exact integers the oracle re-derives from the waveform formula —
+    // PCM losslessness is the bridge, as PNG is for mm_pixel_dhash
+    "mm_wav_pcm" -> ((s, dir) =>
+      graft.pipeline.MultiModal.wavPcmStats(table(s, dir, "documents"))),
     // ISO BMFF (MP4) box metadata by pure header byte-parse: the box
     // walk (native graft_bmff_box) hops variable-length free/udta boxes
     // at BOTH nesting levels (mvhd inside moov composes via binary
@@ -2781,6 +2819,20 @@ object SparkEntry {
     // threshold) — run on a slice before gating a corpus on it
     "dedup_minhash_recall" -> ((s, dir) =>
       graft.pipeline.Dedup.minhashRecall(table(s, dir, "documents"),
+        "doc_id", "text")),
+    // the SimHash twin: the Hamming gate (pigeonhole-exact within the
+    // radius) scored against the SAME exact-Jaccard truth — how well a
+    // 64-bit token fingerprint at radius 3 proxies shingle Jaccard on
+    // this corpus; tunes the two fingerprint families side by side
+    "dedup_simhash_recall" -> ((s, dir) =>
+      graft.pipeline.Dedup.simhashRecall(table(s, dir, "documents"),
+        "doc_id", "text")),
+    // threshold tuning curve: co-shingle pairs bucketed by INTEGER
+    // Jaccard decile ((10*inter) div union — no float boundary), with
+    // the cumulative pairs-at-or-above count: "what would a gate at
+    // d/10 collapse" read directly off ≤11 rows
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      graft.pipeline.Dedup.jaccardThresholdSweep(table(s, dir, "documents"),
         "doc_id", "text")),
     // leakage-safe split: the split gate hashes the near-dup CLUSTER
     // label, not the doc id — a near-duplicate of a training document
@@ -3438,6 +3490,7 @@ object SparkEntry {
         q = 0.5, rate = QuantileSampleRate),
     // merge-vs-direct: lossless merging is the contract being checked
     "profile_drift_chi2" -> graft.pipeline.Profile.driftChi2Oracle("documents", "source", "n_chars"),
+    "profile_ndv" -> graft.pipeline.Profile.ndvProfileOracle("lineitem", NdvCols),
     "profile_fk_candidates" -> graft.pipeline.Oracles.profileFkCandidates(Seq(
       ("lineitem", "l_orderkey", "orders", "o_orderkey"),
       ("orders", "o_custkey", "customer", "c_custkey"),
@@ -3458,6 +3511,19 @@ object SparkEntry {
         |  sum(CASE WHEN min_ts >= cutoff THEN 1 ELSE 0 END)::BIGINT AS n_kept_files,
         |  sum(CASE WHEN min_ts >= cutoff THEN bytes ELSE 0 END)::BIGINT AS kept_bytes
         |FROM f, c GROUP BY event_type""".stripMargin,
+    "layout_cluster_depth" ->
+      """WITH li AS (SELECT l_orderkey // 200 AS file, l_orderkey, l_partkey FROM lineitem),
+        |fo AS (SELECT 'by_orderkey' AS layout, file, min(l_orderkey) AS min_k, max(l_orderkey) AS max_k FROM li GROUP BY 1, 2),
+        |fp AS (SELECT 'by_partkey' AS layout, file, min(l_partkey) AS min_k, max(l_partkey) AS max_k FROM li GROUP BY 1, 2),
+        |f AS (SELECT * FROM fo UNION ALL SELECT * FROM fp),
+        |ev AS (SELECT layout, min_k AS k, 1::BIGINT AS d FROM f
+        |       UNION ALL SELECT layout, max_k AS k, -1::BIGINT AS d FROM f),
+        |sw AS (SELECT layout, d,
+        |         (sum(d) OVER (PARTITION BY layout ORDER BY k, d DESC
+        |                       ROWS UNBOUNDED PRECEDING))::BIGINT AS depth FROM ev)
+        |SELECT layout, count(*)::BIGINT AS n_files, max(depth) AS max_depth,
+        |  round(sum(depth)::DOUBLE / count(*), 4) AS avg_depth
+        |FROM sw WHERE d = 1 GROUP BY layout""".stripMargin,
     "layout_range_bounds" -> graft.operators.Layout.rangeBoundsOracle(
       "lineitem", "l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR",
       "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
@@ -3786,6 +3852,7 @@ object SparkEntry {
     "dedup_canonical" -> graft.pipeline.Oracles.dedupCanonical,
     "text_redact" -> graft.pipeline.Oracles.textRedact,
     "split_assign" -> graft.pipeline.Oracles.splitAssign,
+    "split_kfold" -> graft.pipeline.Oracles.splitKfold(5),
     "dedup_simhash" -> graft.pipeline.Oracles.dedupSimhash,
     "dedup_simhash_pairs" -> graft.pipeline.Oracles.dedupSimhashPairs,
     "text_token_stats" -> graft.pipeline.Oracles.textTokenStats,
@@ -4028,6 +4095,7 @@ object SparkEntry {
     "mm_pixel_dhash" -> graft.pipeline.MultiModal.pixelDhashOracle,
     "pipeline_image_dedup" -> graft.pipeline.MultiModal.pixelImageDedupOracle,
     "mm_tiff_pages" -> graft.pipeline.MultiModal.tiffPagesOracle,
+    "mm_wav_pcm" -> graft.pipeline.MultiModal.wavPcmOracle,
     "mm_pixel_resize" -> graft.pipeline.MultiModal.pixelResizeOracle,
     "emb_centroid_outliers" -> graft.pipeline.Oracles.embCentroidOutliers(
       graft.pipeline.Embeddings.OutlierTopK),
@@ -4067,6 +4135,9 @@ object SparkEntry {
       graft.operators.BloomFilter.DefaultHashes),
     "dedup_minhash_recall" -> graft.pipeline.Oracles.dedupMinhashRecall(
       graft.pipeline.Dedup.JaccardThreshold),
+    "dedup_simhash_recall" -> graft.pipeline.Oracles.dedupSimhashRecall(
+      graft.pipeline.Dedup.JaccardThreshold),
+    "dedup_threshold_sweep" -> graft.pipeline.Oracles.dedupThresholdSweep,
     "dedup_prefix_pairs" -> graft.pipeline.Oracles.dedupPrefixPairs(
       graft.pipeline.Dedup.JaccardThreshold),
     "split_leakage_safe" -> graft.pipeline.Oracles.splitLeakageSafe,

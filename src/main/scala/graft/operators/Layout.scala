@@ -193,4 +193,41 @@ object Layout {
          | FROM $inner t$l)""".stripMargin
     }
   }
+
+  /** Clustering-depth census — the metric an OPTIMIZE/recluster
+    * decision reads: given each file's [min,max] interval on a query
+    * key, the DEPTH at a point is how many files a reader must consult
+    * there. Computed by the classic boundary sweep (+1 at each min, −1
+    * at each max, running sum ordered by key with opens before closes
+    * at ties, so touching intervals count as overlapping): per group,
+    * `max_depth` (worst point lookup) and `avg_depth` (mean depth at
+    * file-open boundaries — the expected consult count for a key
+    * landing in a fresh file). A perfectly clustered layout reads 1;
+    * depth ≈ n_files means the key is unclustered and every range scan
+    * touches everything.
+    *
+    * Determinism at ties: rows tied on (key, delta) receive
+    * order-dependent running sums individually, but every emitted
+    * figure (sum/max over the opens of a tie group) is
+    * permutation-invariant, so both engines agree.
+    *
+    * Scale shape: pure METADATA — two projections of the file
+    * inventory, one per-group window over 2·n_files rows, one
+    * aggregation. The table's data is never read. */
+  def clusterDepth(files: org.apache.spark.sql.DataFrame, groupCol: String,
+      minCol: String, maxCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def q(c: String): Column = col(s"`$c`")
+    val opens = files.select(q(groupCol).as("__g"), q(minCol).as("__k"), lit(1L).as("__d"))
+    val closes = files.select(q(groupCol).as("__g"), q(maxCol).as("__k"), lit(-1L).as("__d"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__k"), col("__d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    opens.unionAll(closes)
+      .withColumn("__depth", sum(col("__d")).over(w))
+      .filter(col("__d") === 1L)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_files"), max(col("__depth")).as("max_depth"),
+        round(sum(col("__depth")).cast("double") / count(lit(1)), 4).as("avg_depth"))
+      .withColumnRenamed("__g", groupCol)
+  }
 }

@@ -638,21 +638,80 @@ object Dedup {
       cfg: LshConfig = LshConfig()): DataFrame = {
     val rows = hashedShingleRows(shingleRows(df, idCol, textCol, cfg.shingleN), idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = minhashCandidates(bandSignaturesFromHashedRows(rows, idCol, cfg),
+      idCol, cfg.numBands)
+    scoreAgainstTruth(rows, cand, idCol, cfg.jaccardThreshold)
+  }
+
+  /** SimHash fingerprint-quality evaluation — the harness for the OTHER
+    * fingerprint family: [[minhashRecall]] scores the banding geometry
+    * against exact-Jaccard truth, while here the Hamming gate itself is
+    * scored against the same truth (candidate generation inside
+    * [[simhashPairs]] is pigeonhole-EXACT within the radius, so what is
+    * being measured is how well a 64-bit token SimHash at radius
+    * `maxHamming` proxies shingle Jaccard on THIS corpus). Low recall ⇒
+    * widen the radius or switch families; low precision ⇒ the radius
+    * admits unrelated documents. Same summary row as [[minhashRecall]],
+    * so the two families tune side by side. */
+  def simhashRecall(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = JaccardThreshold, maxHamming: Int = MaxHamming): DataFrame = {
+    val rows = hashedShingleRows(shingleRows(df, idCol, textCol, LshConfig().shingleN), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = simhashPairs(df, idCol, textCol, maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+    scoreAgainstTruth(rows, cand, idCol, threshold)
+  }
+
+  /** Threshold TUNING curve — the sweep you run before committing a
+    * dedup gate: every co-shingle pair's exact Jaccard, bucketed into
+    * deciles by INTEGER arithmetic ((10·|∩|) div |∪| — no float
+    * boundary to drift cross-engine), with a cumulative
+    * pairs-at-or-above count per decile. Reading the row for decile d
+    * answers "how many pairs would a threshold of d/10 collapse" — the
+    * dial [[minhashRecall]] then prices for a chosen threshold. One
+    * inverted-index pass; the curve itself is ≤ 11 rows.
+    *
+    * Scale shape: identical to the exact-Jaccard baseline (the
+    * content-keyed inverted-index join with its hot-shingle guards);
+    * the decile histogram adds one metadata-sized aggregation. Run on
+    * a slice, pick the threshold, gate the corpus with the banded
+    * machinery. */
+  def jaccardThresholdSweep(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = LshConfig().shingleN): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = hashedShingleRows(shingleRows(df, idCol, textCol, shingleN), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val byDecile = shingleCandidates(rows, idCol, None)
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("decile", expr("(10 * inter) div (na + nb - inter)"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
+      .select(round(col("decile").cast("double") / 10.0, 1).as("threshold"),
+        col("n_pairs"), col("n_at_or_above"))
+  }
+
+  /** Shared scorer for the fingerprint-recall harnesses: exact-Jaccard
+    * truth pairs from the hashed-shingle index vs a candidate pair set.
+    * truth and cand each feed BOTH a count arm and the hit join —
+    * persisted, or Spark re-executes the two heaviest self-joins
+    * (separate aggregate branches do not share exchanges). */
+  private def scoreAgainstTruth(rows: DataFrame, candidates: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
     val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val truth = shingleCandidates(rows, idCol, None)
       .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= cfg.jaccardThreshold)
+      .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"))
-    // truth and cand each feed BOTH a count arm and the hit join —
-    // persisted, or Spark re-executes the two heaviest self-joins
-    // (separate aggregate branches do not share exchanges)
     val truthP = truth.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = minhashCandidates(bandSignaturesFromHashedRows(rows, idCol, cfg),
-      idCol, cfg.numBands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hit = truthP.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     def ratio(num: org.apache.spark.sql.Column,
         den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -351,6 +351,93 @@ object MultiModal {
         col("bits_per_sample"), col("byte_rate"), col("data_bytes"),
         col("duration_ms"))
 
+  /** Distinct waveforms: doc_id % WavSeeds picks the PCM pattern — the
+    * audio analogue of [[PixelSeeds]]. Formula constants are single-
+    * sourced here for the generator, decoder spec, and SQL oracle. */
+  val WavSeeds = 32
+  def wavSeed(docId: Long): Int = (docId % WavSeeds).toInt
+  def wavRate(seed: Int): Int = 8000 + 100 * (seed % 5)
+  def wavN(seed: Int): Int = 50 + seed % 37
+  /** 16-bit signed sample i of waveform `seed` — quadratic phase, so
+    * the sequence wraps mod 2^16 irregularly instead of repeating. */
+  def wavSample(seed: Int, i: Int): Int =
+    ((seed * 131 + 17 * i * i + 29 * i) % 65536) - 32768
+
+  final case class PcmStats(doc_id: Long, sample_rate: Long, n_samples: Long,
+      sum_samples: Long, max_abs: Long, energy: Long)
+
+  /** REAL audio sample decode — the PCM sibling of [[pixelDhashDupes]]:
+    * per document a mono 16-bit WAV is written through the JDK sound
+    * stack (`AudioSystem.write`, a real RIFF encoder) and decoded back
+    * through `AudioSystem.getAudioInputStream` (the real WAV codec —
+    * format fields come from the DECODER, never echoed from the
+    * generator), then the samples are summarized exactly: count, sum,
+    * peak |s|, and integer energy Σs². WAV PCM is lossless, so the
+    * oracle re-derives every sample from the generator formula — a
+    * codec, byte-order, or frame-length bug breaks the hash check.
+    * [[audioMeta]] stays the header-scan gate; this is the
+    * fetch-the-samples path a loudness/silence filter needs.
+    *
+    * Scale shape: encode+decode+summarize is ONE narrow mapPartitions
+    * over doc ids — zero exchanges; at 100 TB the codec cost
+    * parallelizes per-split and only 48-byte stat rows move. */
+  def wavPcmStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import javax.sound.sampled._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val seed = wavSeed(id)
+        val n = wavN(seed)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = wavSample(seed, i)
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new AudioFormat(wavRate(seed).toFloat, 16, 1, true, false)
+        val bout = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+          AudioFileFormat.Type.WAVE, bout)
+        // decode the real container: every field below comes from the
+        // codec's parse of the bytes just written
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bout.toByteArray))
+        val df = ais.getFormat
+        require(df.getChannels == 1 && df.getSampleSizeInBits == 16 &&
+          !df.isBigEndian, s"unexpected decoded format for doc $id: $df")
+        val out = ais.readAllBytes()
+        ais.close()
+        val m = out.length / 2
+        var sum = 0L; var peak = 0L; var energy = 0L
+        var j = 0
+        while (j < m) {
+          val s = ((out(2 * j) & 0xff) | (out(2 * j + 1).toInt << 8)).toShort.toLong
+          sum += s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          energy += s * s
+          j += 1
+        }
+        PcmStats(id, df.getSampleRate.toLong, m.toLong, sum, peak, energy)
+      }
+    }.toDF()
+  }
+
+  /** DuckDB half of [[wavPcmStats]]: sample fan-out by formula
+    * (`unnest(range(...))`), the same exact-integer summary. */
+  def wavPcmOracle: String =
+    s"""WITH d AS (SELECT doc_id, doc_id % $WavSeeds AS seed FROM documents),
+       |s AS (SELECT doc_id, seed, unnest(range(0, 50 + seed % 37)) AS i FROM d),
+       |v AS (SELECT doc_id, seed,
+       |        ((seed*131 + 17*i*i + 29*i) % 65536) - 32768 AS smp FROM s)
+       |SELECT doc_id, (8000 + 100*(seed % 5))::BIGINT AS sample_rate,
+       |  count(*)::BIGINT AS n_samples, sum(smp)::BIGINT AS sum_samples,
+       |  max(abs(smp))::BIGINT AS max_abs, sum(smp*smp)::BIGINT AS energy
+       |FROM v GROUP BY doc_id, seed"""
+      .stripMargin
+
   // ---------------------------------------------------------------------
   // Video header decode: ISO BMFF (MP4) box metadata by pure byte-parse
   // (major brand from ftyp; timescale/duration from moov→mvhd — a

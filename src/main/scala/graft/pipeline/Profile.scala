@@ -147,4 +147,46 @@ object Profile {
     }
     stats.reduce(_.unionAll(_))
   }
+
+  /** ANALYZE-style NDV statistics at SKETCH cost — the stats-collection
+    * pass a cost-based optimizer runs over every table: each declared
+    * column's distinct count estimated by the shared KMV machinery
+    * ([[Sketches.kmvDistinctByGroup]] — k minima of a deterministic
+    * hash, (k−1)/U estimator, exact below k). [[columns]] is the exact
+    * twin; at 100 TB exact countDistinct per column is a full-width
+    * shuffle per column, while this ships k 8-byte minima per column —
+    * and KMV sketches MERGE, so per-partition stats roll up to
+    * table-level without rescanning (the `sketch_kmv_rollup` contract).
+    *
+    * Columns are cast to string BEFORE hashing on both engines, so the
+    * declared list must stick to types with identical cross-engine
+    * rendering (integers, strings, dates — not floats).
+    *
+    * Scale shape: ONE scan fanned out via explode(map) — rows move as
+    * (col_name, value) pairs into a map-side-combined distinct, then a
+    * per-column k-minima window over distinct hashes only. */
+  def ndvProfile(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val entries = cols.flatMap(c => Seq(lit(c), col(s"`$c`").cast("string")))
+    val kv = df.select(explode(map(entries: _*)).as(Seq("col_name", "v")))
+    Sketches.kmvDistinctByGroup(kv, "col_name", "v", k)
+  }
+
+  /** DuckDB half of [[ndvProfile]]: the same explode (UNION ALL per
+    * column) feeding the same KMV chain as
+    * [[Sketches.kmvDistinctByGroupOracle]]. */
+  def ndvProfileOracle(table: String, cols: Seq[String], k: Int = 256): String = {
+    val kv = cols.map(c => s"SELECT '$c' AS col_name, $c::VARCHAR AS v FROM $table")
+      .mkString(" UNION ALL ")
+    s"""WITH kv AS ($kv),
+       |h AS (SELECT DISTINCT col_name, ('0x' || substr(md5(v), 1, 15))::BIGINT AS hv
+       |      FROM kv WHERE v IS NOT NULL),
+       |r AS (SELECT col_name, hv,
+       |        row_number() OVER (PARTITION BY col_name ORDER BY hv) AS rn FROM h),
+       |m AS (SELECT col_name, count(*) AS k, max(hv) AS kth FROM r
+       |      WHERE rn <= $k GROUP BY 1)
+       |SELECT col_name, k, kth, CASE WHEN k < $k THEN k::DOUBLE
+       |  ELSE (k - 1)::DOUBLE * ${Sketches.KmvHashSpace} / kth::DOUBLE END AS est_distinct
+       |FROM m""".stripMargin
+  }
 }

@@ -54,6 +54,26 @@ object Splits {
           .otherwise(lit("test")))
   }
 
+  /** K-fold cross-validation assignment — the evaluation twin of
+    * [[hashSplit]]: every row lands in exactly one of `k` folds by
+    * salted hash, so fold f's validation set is `fold = f` and its
+    * training set is everything else, stable across re-runs, cluster
+    * layouts, and incremental ingest (a new row joins one fold and
+    * perturbs no other). The fold is the first 4 hex chars of
+    * sha-256(id|salt|fold) mod k — the same narrow-map, shuffle-free
+    * gate as every split here; the salt namespace ("|fold") keeps fold
+    * membership independent of the train/val/test and order draws on
+    * the same id. For GROUP-safe folds (no leakage across near-dup
+    * clusters), pass the cluster id as `idCol` — the
+    * `split_leakage_safe` composition. */
+  def kfold(df: DataFrame, idCol: String, k: Int = 5,
+      salt: String = DefaultSalt): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+    val h = conv(substring(sha2(concat(col(s"`$idCol`").cast("string"),
+      lit("|" + salt + "|fold")), 256), 1, 4), 16, 10).cast("long")
+    df.withColumn("fold", h % k)
+  }
+
   /** Deterministic global training order as (shard, shard_pos): rows land
     * in one of `numShards` shards by salted hash, ordered within each
     * shard by the full hash (lexical on lowercase hex = numeric). This IS

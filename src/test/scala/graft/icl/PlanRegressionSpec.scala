@@ -83,6 +83,15 @@ class PlanRegressionSpec extends SparkTestBase {
     ("layout_retention", 4, 0),
     ("pipeline_image_dedup", 2, 0),
     ("dedup_semantic_contamination", 12, 0),
+    // second late-round-10 batch (recall harnesses are multi-consumer
+    // cached like minhashRecall and stay plan-audited in PLANS.md
+    // instead): wav decode and kfold are pure narrow maps — their one
+    // exchange is the harness's own count() reduction, so 1 here IS
+    // the zero-shuffle design invariant.
+    ("mm_wav_pcm", 1, 0),
+    ("split_kfold", 1, 0),
+    ("profile_ndv", 3, 0),
+    ("layout_cluster_depth", 5, 0),
   )
 
   /** Tree walk that descends through AQE wrappers and query stages
