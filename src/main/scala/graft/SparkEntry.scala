@@ -163,6 +163,9 @@ object SparkEntry {
   /** Bernoulli rate for `sketch_quantile_sample`. */
   val QuantileSampleRate: Double = 0.05
 
+  /** Hop bound for `graph_bfs` (and its oracle's recursion depth). */
+  val BfsMaxDepth: Int = 3
+
   /** Quality-score gate for `pipeline_curate` (keeps ~half the testdata
     * corpus); shared with the oracle SQL. */
   val CurateMinScore: Double = 0.4
@@ -1405,6 +1408,36 @@ object SparkEntry {
     // degree distribution of the part co-order graph — the graph-shape
     // profile (hub detection, skew diagnosis before any wedge-generating
     // algorithm): two keyed aggregations, no joins beyond the edge build
+    // degree assortativity (Newman '02): Pearson correlation of
+    // endpoint degrees over directed edge copies — positive = hubs
+    // link hubs, negative = hub-and-spoke. Every moment is an exact
+    // integer sum (degrees are counts), so the statistic is one IEEE
+    // division of exact integers + two exact sqrts — deterministic,
+    // like agg_corr_pricing. Same co-purchase graph as degree_hist.
+    "graph_assortativity" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val l1 = lp.select(col("ok"), col("p").as("a"))
+      val l2 = lp.select(col("ok").as("ok2"), col("p").as("b"))
+      val edges = l1.join(l2, col("ok") === col("ok2") && col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      graft.operators.Triangles.assortativity(edges)
+    }),
+    // multi-source BFS hop distance (depth-bounded) over the same
+    // co-purchase graph: frontier iteration — two keyed shuffles per
+    // round, frontier holds only newly-reached nodes, localCheckpoint
+    // per round (the iterative-lineage discipline); truncation leaves
+    // far nodes unreported, never mislabeled
+    "graph_bfs" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val edges = lp.select(col("ok"), col("p").as("a"))
+        .join(lp.select(col("ok").as("ok2"), col("p").as("b")),
+          col("ok") === col("ok2") && col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      val sources = lp.select(col("p")).distinct().filter(col("p") % 400 === 1)
+      graft.operators.Bfs.levels(sources, edges, "p", "a", "b", maxDepth = BfsMaxDepth)
+    }),
     "graph_degree_hist" -> ((s, dir) => {
       val lp = table(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
@@ -1446,6 +1479,17 @@ object SparkEntry {
         nm => split(nm, " ").getItem(1), maxDist = FuzzyMaxDist,
         maxBlock = FuzzyMaxBlock)
         .select(col("left").as("name_a"), col("right").as("name_b"), col("dist"))),
+    // blocking-recall harness (the ER sibling of dedup_minhash_recall):
+    // exact truth from LOSSLESS length-band blocking (edit distance ≤ d
+    // bounds the length gap at d — no all-pairs product even in the
+    // truth arm), candidates from the production noun-token key; recall
+    // = what the cheap key silently costs. Gated slice keeps the
+    // harness's exact arm bounded at any sf.
+    "er_blocking_recall" -> ((s, dir) =>
+      graft.pipeline.Fuzzy.blockingRecall(
+        table(s, dir, "part").filter(col("p_partkey") % 8 === 0),
+        "p_name", nm => split(nm, " ").getItem(1),
+        maxDist = FuzzyMaxDist, maxBlock = FuzzyMaxBlock)),
     // entity RESOLUTION end-to-end (the step after pair finding): fuzzy
     // match pairs become edges, connected components merge transitive
     // matches ("acme corp" ~ "acme co" ~ "acme inc" = one entity), each
@@ -1462,6 +1506,28 @@ object SparkEntry {
         .groupBy(col("cluster_id").as("canonical"))
         .agg(count(lit(1)).as("n_members"))
         .filter(col("n_members") > 1)
+    }),
+    // the resolution DASHBOARD over the same clustering: cluster-size
+    // histogram INCLUDING singletons, with each size's share of all
+    // records — the dedup-rate numbers an ER run is judged by (division
+    // of two exact longs, one 1-row broadcast)
+    "er_cluster_stats" -> ((s, dir) => {
+      val pairs = graft.pipeline.Fuzzy.blockedPairs(
+          table(s, dir, "part"), "p_name",
+          nm => split(nm, " ").getItem(1), maxDist = FuzzyMaxDist,
+          maxBlock = FuzzyMaxBlock)
+        .select(col("left").as("doc_a"), col("right").as("doc_b"))
+      val names = table(s, dir, "part").select(col("p_name").as("name")).distinct()
+      val sizes = graft.pipeline.Dedup.clustersFromPairs(names, pairs, "name")
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      val total = sizes.agg(sum(col("sz")).as("__total"))
+      sizes.groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_records"))
+        .crossJoin(broadcast(total))
+        .select(col("cluster_size"), col("n_clusters"), col("n_records"),
+          round(col("n_records").cast("double") / col("__total").cast("double"), 4)
+            .as("pct_records"))
     }),
     // big spenders FULL OUTER active users — the reconcile shape (ledger
     // vs telemetry) where either side may be missing; both aggregates
@@ -1547,6 +1613,37 @@ object SparkEntry {
         // the non-FK control: sizes are not nation keys
         ("part", table(s, dir, "part"), "p_size",
           "nation", table(s, dir, "nation"), "n_nationkey")))
+    }),
+    // declarative data-quality expectation suite (the Deequ shape):
+    // every row-level predicate evaluates in ONE scan per table; each
+    // uniqueness check is one keyed groupBy; each referential check one
+    // containment join — one verdict row per check, the per-ingest
+    // admission gate a warehouse publishes behind
+    // Tukey-fence outlier census: exact quartiles for every numeric
+    // column in ONE aggregate (1-row broadcast back, scalar-subquery
+    // shape), all fences counted in one second scan — two passes total
+    // regardless of column count, never a melt shuffle
+    "profile_outlier_iqr" -> ((s, dir) =>
+      graft.pipeline.Profile.outlierIqr(table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "profile_dq_checks" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val lineitem = table(s, dir, "lineitem")
+      val customer = table(s, dir, "customer")
+      graft.pipeline.Profile.dqChecks(orders,
+        rowChecks = Seq(
+          "orders.custkey_not_null" -> col("o_custkey").isNull,
+          "orders.totalprice_positive" -> (col("o_totalprice") <= 0.0d),
+          "orders.status_in_domain" -> !col("o_orderstatus").isin("F", "O", "P")),
+        uniqueChecks = Seq("orders.orderkey_unique" -> Seq("o_orderkey")),
+        fkChecks = Seq(("orders.custkey_fk_customer", "o_custkey", customer, "c_custkey")))
+      .unionAll(graft.pipeline.Profile.dqChecks(lineitem,
+        rowChecks = Seq(
+          "lineitem.returnflag_in_domain" -> !col("l_returnflag").isin("A", "N", "R"),
+          "lineitem.qty_in_range" -> (col("l_quantity") < 1.0d || col("l_quantity") > 50.0d),
+          "lineitem.discount_in_range" -> (col("l_discount") < 0.0d || col("l_discount") > 0.1d)),
+        uniqueChecks = Seq("lineitem.line_pk_unique" -> Seq("l_orderkey", "l_linenumber")),
+        fkChecks = Seq(("lineitem.orderkey_fk_orders", "l_orderkey", orders, "o_orderkey"))))
     }),
     // range-partition boundary planning: gated sample + one exact
     // multi-quantile = the cut points a globally-sorted write's range
@@ -1760,6 +1857,18 @@ object SparkEntry {
       val ev = table(s, dir, "events")
         .select(expr(s"($TsUsSql) div $RangeJoinDayUs").as("day"), col("user_id"))
       graft.pipeline.Sketches.kmvRollup(ev, "day", "user_id", KmvRollupK)
+    }),
+    // count-min heavy hitters over the token stream (Zipf-ish keys —
+    // the distribution CMS is built for): depth×width counter grid in
+    // one map-side-combined pass (1024 cells cross the exchange, never
+    // the tokens), top-10 true-heaviest read back next to their sketch
+    // estimates; est >= true always, and the overcount column MEASURES
+    // collision inflation at this width before you trust the sketch
+    // alone at a scale where the exact arm is unaffordable
+    "sketch_cms_heavy" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      graft.pipeline.Sketches.cmsHeavy(toks, "token", topK = 10)
     }),
     // windowed ordered funnel (view → click → purchase within 6 h of
     // the chain's first step): earliest-continuation chains via one
@@ -2139,6 +2248,25 @@ object SparkEntry {
       graft.sources.Warehouse.applyChangelog(
         base, upd.unionByName(del).unionByName(ins), "o_orderkey")
     }),
+    // CDC EXTRACTION (the inverse of merge_upsert): two snapshots in,
+    // minimal I/U/D changelog out via one full-outer key join with
+    // null-safe column compares; the after-snapshot mutation recipe is
+    // the same deterministic one merge_upsert applies, so the derived
+    // changelog is exactly the one that round-trips
+    "warehouse_snapshot_diff" -> ((s, dir) => {
+      val base = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mod = col("o_orderkey") % 10
+      val after = base.filter(mod =!= 7)
+        .select(col("o_orderkey"),
+          when(mod === 3, "R").otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(mod === 3, col("o_totalprice") + 1000.0d)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(base.filter(mod === 5)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+      graft.sources.Warehouse.snapshotDiff(base, after, "o_orderkey")
+    }),
     // incremental materialized-view maintenance: the pre-cutoff orders
     // aggregate is the stored view STATE, the post-cutoff rows are the
     // refresh delta — merge(agg(base), agg(delta)) must equal the
@@ -2274,6 +2402,13 @@ object SparkEntry {
     "split_kfold" -> ((s, dir) =>
       graft.pipeline.Splits.kfold(table(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), col("fold"))),
+    // temporal split with an embargo gap (purged split): train before
+    // the integer-derived cutoff, test after cutoff+embargo, the window
+    // between DROPPED — per-split counts and exact time bounds audit
+    // the gap discipline; span bounds are a 1-row broadcast
+    "split_time_embargo" -> ((s, dir) =>
+      graft.pipeline.Splits.timeEmbargoSplit(table(s, dir, "events"),
+        expr(TsUsSql), embargoUs = 3L * RangeJoinDayUs)),
     "dedup_simhash" -> ((s, dir) =>
       graft.pipeline.TextPipeline.simhash(table(s, dir, "documents"), "doc_id", "text")),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -2397,6 +2532,18 @@ object SparkEntry {
     // rank via the two-phase range-partitioned prefix sum (GlobalRank),
     // never Spark's single-task no-partition window; ties (tf, token)
     // make the order total so the rank column itself hash-checks
+    // feature-hashing vectorizer: vocabulary-free text->vector (signed
+    // md5 dim/sign hashes, O(dim) memory at any corpus size), sparse
+    // long form (doc, dim, weight) with exact integer weights
+    "text_hash_embed" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.hashEmbed(table(s, dir, "documents"),
+        "doc_id", "text")),
+    // char-distribution Gini: the entropy-style low-diversity detector
+    // as a pure rational (no banned logarithm); map-side pre-agg means
+    // at most |alphabet| rows per doc cross the exchange
+    "text_char_gini" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.charGini(table(s, dir, "documents"),
+        "doc_id", "text")),
     "text_zipf_rank" -> ((s, dir) => {
       val tf = table(s, dir, "documents")
         .select(explode(split(trim(col("text")), "\\s+")).as("token"))
@@ -2584,6 +2731,13 @@ object SparkEntry {
     // PCM losslessness is the bridge, as PNG is for mm_pixel_dhash
     "mm_wav_pcm" -> ((s, dir) =>
       graft.pipeline.MultiModal.wavPcmStats(table(s, dir, "documents"))),
+    // frame-level VAD over real decoded PCM: 16-sample frames, integer
+    // energy silence flag, leading-silence trim offset, and the exact
+    // zero-crossing count — every third frame renders near-silent by
+    // construction so the flags are exercised; decode+frame+summarize
+    // is one narrow map
+    "mm_audio_vad" -> ((s, dir) =>
+      graft.pipeline.MultiModal.audioVad(table(s, dir, "documents"))),
     // ISO BMFF (MP4) box metadata by pure header byte-parse: the box
     // walk (native graft_bmff_box) hops variable-length free/udta boxes
     // at BOTH nesting levels (mvhd inside moov composes via binary
@@ -2629,6 +2783,12 @@ object SparkEntry {
     // exactly; summarized as exact integers (sum + corners)
     "mm_pixel_resize" -> ((s, dir) =>
       graft.pipeline.MultiModal.pixelResize(table(s, dir, "documents"))),
+    // image-quality gate over real decoded pixels: exact integer
+    // moments + the flat/dark/bright defect flags as pure integer
+    // comparisons (one in five seeds renders flat, so the flag is
+    // exercised); decode+moments is one narrow map
+    "mm_image_quality" -> ((s, dir) =>
+      graft.pipeline.MultiModal.imageQuality(table(s, dir, "documents"))),
     "ann_cosine_topk" -> ((s, dir) =>
       graft.pipeline.Ann.cosineTopK(table(s, dir, "embeddings"))),
     "ann_lsh_buckets" -> ((s, dir) =>
@@ -2718,6 +2878,14 @@ object SparkEntry {
     // RAG-style sliding token windows: 32-token chunks every 24 tokens
     "text_chunks" -> ((s, dir) =>
       graft.pipeline.TextPipeline.chunkTokens(table(s, dir, "documents"), "doc_id", "text")),
+    // content-defined chunking (Rabin/FastCDC at word granularity):
+    // boundaries from a local rolling-window hash, so edits re-cut ONE
+    // chunk and later boundaries resynchronize (unlike fixed segments);
+    // per-doc duplicated-chunk ratio = the shift-robust boilerplate
+    // measure; chunks travel as digests only
+    "text_cdc_chunks" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.cdcChunks(table(s, dir, "documents"),
+        "doc_id", "text")),
     // the named Gopher rule set (explicit boolean verdicts, vs the
     // blended quality score)
     "text_gopher_rules" -> ((s, dir) =>
@@ -2782,6 +2950,12 @@ object SparkEntry {
       graft.pipeline.Embeddings.quantizeInt8(table(s, dir, "embeddings"))
         .withColumn("codes",
           array_join(transform(col("codes"), c => c.cast("string")), ","))),
+    // IVF-restricted k-NN graph: per vector its 3 nearest same-cell
+    // neighbors by exact cosine (total-ordered rank) — the neighborhood
+    // structure clustering/diversity sampling starts from; the cell
+    // equi-join is what keeps the build linear-ish at corpus scale
+    "emb_knn_graph" -> ((s, dir) =>
+      graft.pipeline.Ann.knnGraph(table(s, dir, "embeddings"))),
     // RAG-style retrieval: exact ANN top-k joined back to the document
     // payloads (vec_id ↔ doc_id) — the cross-modal fetch step of a
     // retrieval pipeline; at scale the payload join is the cheap part
@@ -2826,6 +3000,13 @@ object SparkEntry {
     // this corpus; tunes the two fingerprint families side by side
     "dedup_simhash_recall" -> ((s, dir) =>
       graft.pipeline.Dedup.simhashRecall(table(s, dir, "documents"),
+        "doc_id", "text")),
+    // per-doc corpus novelty: fraction of the doc's shingles first
+    // seen IN this doc (ingest order) — the memorization/template
+    // signal a mixture can down-weight; no pair generation, just the
+    // gram min-agg + one join
+    "dedup_novelty" -> ((s, dir) =>
+      graft.pipeline.Dedup.noveltyPerDoc(table(s, dir, "documents"),
         "doc_id", "text")),
     // threshold tuning curve: co-shingle pairs bucketed by INTEGER
     // Jaccard decile ((10*inter) div union — no float boundary), with
@@ -3115,6 +3296,10 @@ object SparkEntry {
         |  SELECT 1 FROM part b
         |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
         |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))""".stripMargin,
+    "text_hash_embed" -> graft.pipeline.TextPipeline.hashEmbedOracle(
+      "documents", "doc_id", "text"),
+    "text_char_gini" -> graft.pipeline.TextPipeline.charGiniOracle(
+      "documents", "doc_id", "text"),
     "text_zipf_rank" ->
       """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
         |f AS (SELECT token, count(*) AS tf FROM t GROUP BY 1)
@@ -3349,6 +3534,29 @@ object SparkEntry {
       graft.operators.Truss.Rounds),
     "graph_label_prop" -> graft.pipeline.Oracles.graphLabelProp(
       graft.operators.LabelProp.Rounds),
+    "graph_assortativity" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS s1, b.p AS s2 FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+        |d AS (SELECT v, count(*) AS deg
+        |      FROM (SELECT s1 AS v FROM e UNION ALL SELECT s2 FROM e) GROUP BY 1),
+        |de AS (SELECT s1 AS a, s2 AS b FROM e UNION ALL SELECT s2, s1 FROM e),
+        |j AS (SELECT da.deg AS ja, db.deg AS kb
+        |      FROM de JOIN d da ON da.v = de.a JOIN d db ON db.v = de.b),
+        |s AS (SELECT count(*)::BIGINT AS m, sum(ja)::BIGINT AS sj, sum(kb)::BIGINT AS sk,
+        |        sum(ja*ja)::BIGINT AS sjj, sum(kb*kb)::BIGINT AS skk,
+        |        sum(ja*kb)::BIGINT AS sjk FROM j)
+        |SELECT (m // 2)::BIGINT AS n_edges,
+        |  round((m*sjk - sj*sk)::DOUBLE /
+        |        (CASE WHEN m*sjj = sj*sj THEN NULL
+        |              ELSE sqrt((m*sjj - sj*sj)::DOUBLE) * sqrt((m*skk - sk*sk)::DOUBLE) END),
+        |        4) AS assortativity
+        |FROM s""".stripMargin,
+    "graph_bfs" -> graft.operators.Bfs.levelsOracle(
+      """lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |ed AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+        |e AS (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed)""".stripMargin,
+      "s AS (SELECT DISTINCT p AS node FROM lp WHERE p % 400 = 1)",
+      maxDepth = BfsMaxDepth),
     "graph_degree_hist" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
@@ -3410,6 +3618,27 @@ object SparkEntry {
          |SELECT a.s AS name_a, b.s AS name_b, CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
          |FROM blk a JOIN blk b ON a.k = b.k AND a.s < b.s
          |WHERE levenshtein(a.s, b.s) <= $FuzzyMaxDist""".stripMargin,
+    // truth = lossless length-band pairs on the gated slice; candidates
+    // = the production noun-token blocking on the same slice
+    "er_blocking_recall" ->
+      s"""WITH nm AS (SELECT DISTINCT p_name AS s FROM part WHERE p_partkey % 8 = 0),
+         |tr AS (SELECT count(*)::BIGINT AS n_true_pairs
+         |       FROM nm a JOIN nm b
+         |         ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= $FuzzyMaxDist
+         |       WHERE levenshtein(a.s, b.s) <= $FuzzyMaxDist),
+         |k AS (SELECT s, CASE WHEN s LIKE '% %' THEN split_part(s, ' ', 2) END AS k FROM nm),
+         |f AS (SELECT s, k FROM k WHERE k IS NOT NULL),
+         |keep AS (SELECT k FROM f GROUP BY k HAVING count(*) <= $FuzzyMaxBlock),
+         |blk AS (SELECT f.s, f.k FROM f JOIN keep USING (k)),
+         |ca AS (SELECT count(*)::BIGINT AS n_blocked_pairs
+         |       FROM blk a JOIN blk b ON a.k = b.k AND a.s < b.s
+         |       WHERE levenshtein(a.s, b.s) <= $FuzzyMaxDist)
+         |SELECT tr.n_true_pairs, ca.n_blocked_pairs,
+         |  (tr.n_true_pairs - ca.n_blocked_pairs)::BIGINT AS n_missed,
+         |  CASE WHEN tr.n_true_pairs = 0 THEN NULL
+         |       ELSE round(ca.n_blocked_pairs::DOUBLE / tr.n_true_pairs::DOUBLE, 4)
+         |  END AS recall
+         |FROM tr, ca""".stripMargin,
     // transitive closure over the fuzzy-pair edges, min-name canonical
     "er_entities" ->
       s"""WITH RECURSIVE n AS (SELECT DISTINCT p_name AS s,
@@ -3428,6 +3657,27 @@ object SparkEntry {
          |clus AS (SELECT id, min(rid) AS cluster_id FROM reach GROUP BY id)
          |SELECT cluster_id AS canonical, count(*) AS n_members FROM clus
          |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "er_cluster_stats" ->
+      s"""WITH RECURSIVE n AS (SELECT DISTINCT p_name AS s,
+         |         CASE WHEN p_name LIKE '% %' THEN split_part(p_name, ' ', 2) END AS k
+         |       FROM part),
+         |f AS (SELECT s, k FROM n WHERE k IS NOT NULL),
+         |keep AS (SELECT k FROM f GROUP BY k HAVING count(*) <= $FuzzyMaxBlock),
+         |blk AS (SELECT f.s, f.k FROM f JOIN keep USING (k)),
+         |p AS (SELECT a.s AS da, b.s AS db FROM blk a JOIN blk b ON a.k = b.k AND a.s < b.s
+         |      WHERE levenshtein(a.s, b.s) <= $FuzzyMaxDist),
+         |e AS (SELECT da AS src, db AS dst FROM p UNION ALL SELECT db, da FROM p),
+         |an AS (SELECT DISTINCT p_name AS s FROM part),
+         |reach AS (SELECT s AS id, s AS rid FROM an
+         |          UNION
+         |          SELECT r.id, e.dst AS rid FROM reach r JOIN e ON e.src = r.rid),
+         |clus AS (SELECT id, min(rid) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, count(*) AS sz FROM clus GROUP BY 1),
+         |t AS (SELECT sum(sz) AS total FROM sz)
+         |SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+         |  sum(sz)::BIGINT AS n_records,
+         |  round(sum(sz)::DOUBLE / t.total::DOUBLE, 4) AS pct_records
+         |FROM sz, t GROUP BY sz, t.total""".stripMargin,
     "join_full_outer" ->
       s"""WITH s AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
          |      FROM orders GROUP BY 1
@@ -3496,6 +3746,54 @@ object SparkEntry {
       ("orders", "o_custkey", "customer", "c_custkey"),
       ("customer", "c_nationkey", "nation", "n_nationkey"),
       ("part", "p_size", "nation", "n_nationkey"))),
+    "profile_outlier_iqr" -> graft.pipeline.Profile.outlierIqrOracle(
+      "lineitem", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    "profile_dq_checks" ->
+      """WITH oc AS (
+        |  SELECT 'orders.custkey_not_null' AS check_name, count(*)::BIGINT AS n_rows,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders.totalprice_positive', count(*),
+        |    sum(CASE WHEN o_totalprice <= 0.0 OR o_totalprice IS NULL
+        |        THEN 1 ELSE 0 END) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders.status_in_domain', count(*),
+        |    sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') OR o_orderstatus IS NULL
+        |        THEN 1 ELSE 0 END) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders.orderkey_unique', sum(c), sum(c - 1)
+        |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders.custkey_fk_customer', count(*),
+        |    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+        |                           WHERE c_custkey IS NOT NULL) c
+        |    ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'lineitem.returnflag_in_domain', count(*),
+        |    sum(CASE WHEN l_returnflag NOT IN ('A','N','R') OR l_returnflag IS NULL
+        |        THEN 1 ELSE 0 END) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.qty_in_range', count(*),
+        |    sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+        |        OR l_quantity IS NULL THEN 1 ELSE 0 END) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.discount_in_range', count(*),
+        |    sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+        |        OR l_discount IS NULL THEN 1 ELSE 0 END) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.line_pk_unique', sum(c), sum(c - 1)
+        |  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'lineitem.orderkey_fk_orders', count(*),
+        |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders
+        |                             WHERE o_orderkey IS NOT NULL) o
+        |    ON l.l_orderkey = o.o_orderkey)
+        |SELECT check_name, n_rows::BIGINT AS n_rows,
+        |  n_violations::BIGINT AS n_violations, n_violations = 0 AS pass
+        |FROM oc""".stripMargin,
     "layout_retention" ->
       """WITH f AS (SELECT event_type, event_id // 500 AS bucket,
         |    min(epoch_us(ts)) AS min_ts, max(epoch_us(ts)) AS max_ts,
@@ -3571,6 +3869,9 @@ object SparkEntry {
     "sketch_kmv_rollup" ->
       graft.pipeline.Sketches.kmvRollupOracle("events",
         s"(epoch_us(ts) // $RangeJoinDayUs)", "user_id", KmvRollupK),
+    "sketch_cms_heavy" -> graft.pipeline.Sketches.cmsHeavyOracle(
+      "(SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents) toks",
+      "token", topK = 10),
     "warehouse_incr_agg" ->
       """SELECT o_custkey, count(*) AS cnt,
         |  SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS sum_total,
@@ -3789,6 +4090,24 @@ object SparkEntry {
         |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin,
     // the merged snapshot re-derived set-wise: untouched base keys plus
     // non-delete changelog images
+    "warehouse_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |aft AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 5),
+        |d AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |        CASE WHEN a.o_orderkey IS NULL THEN 'I'
+        |             WHEN b.o_orderkey IS NULL THEN 'D'
+        |             WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |               OR a.o_totalprice IS DISTINCT FROM b.o_totalprice THEN 'U' END AS op,
+        |        b.o_orderstatus, b.o_totalprice
+        |      FROM base a FULL OUTER JOIN aft b ON a.o_orderkey = b.o_orderkey)
+        |SELECT o_orderkey, op, o_orderstatus, o_totalprice FROM d WHERE op IS NOT NULL""".stripMargin,
     "warehouse_merge_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |chg AS (
@@ -3853,6 +4172,8 @@ object SparkEntry {
     "text_redact" -> graft.pipeline.Oracles.textRedact,
     "split_assign" -> graft.pipeline.Oracles.splitAssign,
     "split_kfold" -> graft.pipeline.Oracles.splitKfold(5),
+    "split_time_embargo" -> graft.pipeline.Splits.timeEmbargoOracle(
+      "events", "epoch_us(ts)", embargoUs = 3L * RangeJoinDayUs),
     "dedup_simhash" -> graft.pipeline.Oracles.dedupSimhash,
     "dedup_simhash_pairs" -> graft.pipeline.Oracles.dedupSimhashPairs,
     "text_token_stats" -> graft.pipeline.Oracles.textTokenStats,
@@ -4096,7 +4417,9 @@ object SparkEntry {
     "pipeline_image_dedup" -> graft.pipeline.MultiModal.pixelImageDedupOracle,
     "mm_tiff_pages" -> graft.pipeline.MultiModal.tiffPagesOracle,
     "mm_wav_pcm" -> graft.pipeline.MultiModal.wavPcmOracle,
+    "mm_audio_vad" -> graft.pipeline.MultiModal.audioVadOracle,
     "mm_pixel_resize" -> graft.pipeline.MultiModal.pixelResizeOracle,
+    "mm_image_quality" -> graft.pipeline.MultiModal.imageQualityOracle,
     "emb_centroid_outliers" -> graft.pipeline.Oracles.embCentroidOutliers(
       graft.pipeline.Embeddings.OutlierTopK),
     "emb_gram" -> graft.pipeline.Oracles.embGramMatrix,
@@ -4106,6 +4429,8 @@ object SparkEntry {
     "text_tfidf" -> graft.pipeline.Oracles.textTfidfTopK(
       graft.pipeline.TextPipeline.TfidfTopK,
       graft.pipeline.TextPipeline.Tokenizer.Whitespace),
+    "text_cdc_chunks" -> graft.pipeline.TextPipeline.cdcChunksOracle(
+      "documents", "doc_id", "text"),
     "text_chunks" -> graft.pipeline.Oracles.textChunks(
       graft.pipeline.TextPipeline.ChunkWindow, graft.pipeline.TextPipeline.ChunkStride,
       graft.pipeline.TextPipeline.Tokenizer.Whitespace),
@@ -4128,6 +4453,7 @@ object SparkEntry {
     "split_shuffle_order" -> graft.pipeline.Oracles.splitShuffleOrder(
       graft.pipeline.Splits.NumShards, graft.pipeline.Splits.DefaultSalt),
     "emb_quantize" -> graft.pipeline.Oracles.embQuantizeInt8,
+    "emb_knn_graph" -> graft.pipeline.Oracles.embKnnGraph,
     "dedup_incremental" -> graft.pipeline.Oracles.dedupIncremental(IncrementalPrefixLen),
     "dedup_incremental_near" -> graft.pipeline.Oracles.dedupIncrementalNear,
     "join_bloom_filter" -> graft.pipeline.Oracles.joinBloomFilter(
@@ -4138,6 +4464,7 @@ object SparkEntry {
     "dedup_simhash_recall" -> graft.pipeline.Oracles.dedupSimhashRecall(
       graft.pipeline.Dedup.JaccardThreshold),
     "dedup_threshold_sweep" -> graft.pipeline.Oracles.dedupThresholdSweep,
+    "dedup_novelty" -> graft.pipeline.Oracles.dedupNovelty,
     "dedup_prefix_pairs" -> graft.pipeline.Oracles.dedupPrefixPairs(
       graft.pipeline.Dedup.JaccardThreshold),
     "split_leakage_safe" -> graft.pipeline.Oracles.splitLeakageSafe,

@@ -242,4 +242,44 @@ object Triangles {
     edges0.sparkSession.createDataFrame(
       edges0.sparkSession.sparkContext.parallelize(rows, 1), out.schema)
   }
+
+  /** Degree assortativity (Newman '02): Pearson correlation of endpoint
+    * degrees over directed edge copies — positive means hubs attach to
+    * hubs, negative means hub-and-spoke (a perfect star reads −1).
+    * Every moment is an exact integer sum over (deg_a, deg_b) pairs, so
+    * the statistic is one IEEE division of exact integers with two
+    * exact sqrts — cross-engine deterministic.
+    *
+    * Scale shape: the edge list persists once (it feeds the degree
+    * count and both sides of the degree join — without the cache the
+    * upstream edge build re-executes four times); degrees broadcast
+    * back onto the directed copies; the moments are ONE
+    * map-side-combined aggregation. The 1-row result collects and the
+    * cache is released — the same materialize-then-release discipline
+    * as [[commonNeighbors]]. */
+  def assortativity(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select(col("a"), col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = edges.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("u")))
+    val deg = sym.groupBy(col("v")).agg(F.count(lit(1)).as("deg"))
+    val j = sym
+      .join(deg.hint("broadcast"), Seq("v"))
+      .select(col("u"), col("deg").as("ja"))
+      .join(deg.hint("broadcast").select(col("v").as("u"), col("deg").as("kb")), Seq("u"))
+    val out = j.agg(F.count(lit(1)).as("m"), F.sum(col("ja")).as("sj"),
+        F.sum(col("kb")).as("sk"),
+        F.sum(col("ja") * col("ja")).as("sjj"), F.sum(col("kb") * col("kb")).as("skk"),
+        F.sum(col("ja") * col("kb")).as("sjk"))
+      .select(expr("m div 2").as("n_edges"),
+        round((col("m") * col("sjk") - col("sj") * col("sk")).cast("double") /
+          when(col("m") * col("sjj") === col("sj") * col("sj"), lit(null))
+            .otherwise(sqrt((col("m") * col("sjj") - col("sj") * col("sj")).cast("double")) *
+              sqrt((col("m") * col("skk") - col("sk") * col("sk")).cast("double"))),
+          4).as("assortativity"))
+    val rows = out.collect().toSeq
+    edges.unpersist()
+    edges0.sparkSession.createDataFrame(
+      edges0.sparkSession.sparkContext.parallelize(rows, 1), out.schema)
+  }
 }

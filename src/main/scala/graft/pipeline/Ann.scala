@@ -152,6 +152,48 @@ object Ann {
     * pairs, not vectors. At 100 TB the candidate volume is Σ cells k²
     * with k bounded by cell size; raise [[NumCentroids]] to keep cells
     * small (the SemDeDup paper runs 50k clusters for web scale). */
+  /** Neighbors kept per vector in [[knnGraph]]. */
+  val KnnK = 3
+
+  /** IVF-restricted k-NN GRAPH — the neighborhood structure semantic
+    * clustering, agglomerative dedup, and graph-based diversity
+    * sampling all start from: for every vector, its `k` nearest
+    * same-cell neighbors by exact cosine (rank is total-ordered by
+    * (sim desc, neighbor id), so the row set is deterministic).
+    * Restricting candidates to the trained coarse cell is what makes
+    * the graph buildable at corpus scale: the join is an EQUI-join on
+    * the cell id (never an all-pairs product), the same trade
+    * [[semanticDedup]] and [[ivfTopK]] pin — cross-cell true neighbors
+    * are unseen, add probes to tighten.
+    *
+    * Scale shape: one broadcast codebook assignment (narrow), one
+    * cell-keyed self-join whose fan-out is Σ|cell|², one per-vector
+    * top-k window partitioned by the 8-byte vec id. The celled frame is
+    * persisted (it feeds both join sides) and released by the caller's
+    * action, mirroring [[semanticDedup]]. */
+  def knnGraph(embeddings: DataFrame, k: Int = KnnK,
+      numCentroids: Int = NumCentroids, iters: Int = KMeansIters): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = embeddings.sparkSession
+    val book = ivfCentroids(embeddings, numCentroids, iters)
+    val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    val assigned = n
+      .withColumn("cell", pqEncodeCol(ss, col("embedding"), book).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cell"), col("vec_id"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    a.join(b, Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(dot(ss, col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+  }
+
   def semanticDedup(embeddings: DataFrame, eps: Double = SemanticEps,
       numCentroids: Int = NumCentroids, iters: Int = KMeansIters): DataFrame = {
     val ss = embeddings.sparkSession

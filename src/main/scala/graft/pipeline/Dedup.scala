@@ -662,6 +662,36 @@ object Dedup {
     scoreAgainstTruth(rows, cand, idCol, threshold)
   }
 
+  /** Corpus NOVELTY per document — the memorization/recency signal a
+    * curation pass reads: the fraction of a document's distinct n-gram
+    * shingles whose FIRST corpus occurrence (by doc id order — ingest
+    * order in production) is this document. Low novelty = the document
+    * is assembled from n-grams the corpus already contains (quotes,
+    * templates, near-dups the pair gates may have missed); a training
+    * mixture can down-weight it the way `dedup_weights` down-weights
+    * clusters. Documents shorter than the shingle width report 0 grams
+    * and null novelty — explicitly present, not silently dropped.
+    *
+    * Scale shape: one map-side-combined min-agg per shingle hash
+    * (8-byte keys), one content-keyed join back, one per-doc count —
+    * the inverted-index family's cost envelope without any pair
+    * generation. */
+  def noveltyPerDoc(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = LshConfig().shingleN): DataFrame = {
+    val rows = hashedShingleRows(shingleRows(df, idCol, textCol, shingleN), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = rows.groupBy(col("shingle")).agg(min(col(idCol)).as("__first"))
+    val perDoc = rows.join(first, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 4).as("novelty"))
+  }
+
   /** Threshold TUNING curve — the sweep you run before committing a
     * dedup gate: every co-shingle pair's exact Jaccard, bucketed into
     * deciles by INTEGER arithmetic ((10·|∩|) div |∪| — no float

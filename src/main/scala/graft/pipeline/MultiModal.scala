@@ -438,6 +438,119 @@ object MultiModal {
        |FROM v GROUP BY doc_id, seed"""
       .stripMargin
 
+  /** VAD framing constants: frame length in samples, the silence
+    * energy threshold (near-silent frames carry samples in {−1,0,1} —
+    * energy ≤ [[VadFrame]]; active frames run ~10⁹), and the
+    * every-third-frame silence cadence of the VAD waveform family. */
+  val VadFrame = 16
+  val VadSilenceThreshold = 1024L
+  val VadSilentMod = 3
+
+  /** Sample i of the VAD waveform family: every third frame (by
+    * (frame + seed) mod [[VadSilentMod]]) is near-silent (samples in
+    * {−1, 0, 1}), the rest carry the [[wavSample]] pattern — so the
+    * silence flag and the leading-silence trim are exercised on every
+    * document, not decorative. */
+  def vadSample(seed: Int, i: Int): Int =
+    if ((i / VadFrame + seed) % VadSilentMod == 0) (i % 3) - 1
+    else wavSample(seed, i)
+
+  final case class VadStats(doc_id: Long, n_samples: Long, n_frames: Long,
+      n_silent: Long, lead_silent: Long, zero_crossings: Long)
+
+  /** Frame-level voice-activity detection over REAL decoded PCM — the
+    * trim-silence / speech-segmentation pass an audio curation pipeline
+    * runs after fetch: each WAV (written and re-read through the JDK
+    * sound stack, like [[wavPcmStats]]) is cut into [[VadFrame]]-sample
+    * frames; a frame is SILENT when its integer energy Σs² is below
+    * [[VadSilenceThreshold]]. Reported per document: frame counts,
+    * silent-frame count, LEADING silent run (the trim offset), and the
+    * document-wide zero-crossing count (strict sign flips s·s' < 0 —
+    * the classic pitch/noisiness feature, exact in integers).
+    *
+    * Scale shape: encode→decode→frame→summarize is ONE narrow
+    * mapPartitions over doc ids — the codec and the framing never cross
+    * a shuffle; only fixed-width stat rows move. */
+  def audioVad(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import javax.sound.sampled._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val seed = wavSeed(id)
+        val n = wavN(seed)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = vadSample(seed, i)
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new AudioFormat(wavRate(seed).toFloat, 16, 1, true, false)
+        val bout = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+          AudioFileFormat.Type.WAVE, bout)
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bout.toByteArray))
+        val out = ais.readAllBytes()
+        ais.close()
+        val m = out.length / 2
+        def sample(j: Int): Long =
+          ((out(2 * j) & 0xff) | (out(2 * j + 1).toInt << 8)).toShort.toLong
+        val nFrames = (m + VadFrame - 1) / VadFrame
+        var silent = 0L; var lead = 0L; var zcr = 0L
+        var leading = true
+        var f = 0
+        while (f < nFrames) {
+          var e = 0L
+          var j = f * VadFrame
+          val end = math.min(j + VadFrame, m)
+          while (j < end) { val s = sample(j); e += s * s; j += 1 }
+          if (e < VadSilenceThreshold) {
+            silent += 1
+            if (leading) lead += 1
+          } else leading = false
+          f += 1
+        }
+        var j = 1
+        while (j < m) {
+          if (sample(j - 1) * sample(j) < 0) zcr += 1
+          j += 1
+        }
+        VadStats(id, m.toLong, nFrames.toLong, silent, lead, zcr)
+      }
+    }.toDF()
+  }
+
+  /** DuckDB half of [[audioVad]]: sample fan-out by the VAD formula,
+    * frame grouping by i // [[VadFrame]], the same integer energy
+    * threshold, leading-run count, and strict-sign-flip crossings. */
+  def audioVadOracle: String =
+    s"""WITH d AS (SELECT doc_id, doc_id % $WavSeeds AS seed FROM documents),
+       |s AS (SELECT doc_id, seed, unnest(range(0, 50 + seed % 37)) AS i FROM d),
+       |v AS (SELECT doc_id, i, i // $VadFrame AS f,
+       |        CASE WHEN ((i // $VadFrame) + seed) % $VadSilentMod = 0 THEN (i % 3) - 1
+       |             ELSE ((seed*131 + 17*i*i + 29*i) % 65536) - 32768 END AS smp
+       |      FROM s),
+       |fr AS (SELECT doc_id, f, sum(smp*smp) < $VadSilenceThreshold AS silent
+       |       FROM v GROUP BY 1, 2),
+       |act AS (SELECT doc_id, min(CASE WHEN NOT silent THEN f END) AS first_active,
+       |          count(*) AS n_frames,
+       |          sum(CASE WHEN silent THEN 1 ELSE 0 END)::BIGINT AS n_silent
+       |        FROM fr GROUP BY 1),
+       |x AS (SELECT doc_id, smp,
+       |        lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM v),
+       |z AS (SELECT doc_id, count(*)::BIGINT AS n_samples,
+       |        sum(CASE WHEN smp * prev < 0 THEN 1 ELSE 0 END)::BIGINT
+       |          AS zero_crossings
+       |      FROM x GROUP BY 1)
+       |SELECT z.doc_id, z.n_samples, act.n_frames::BIGINT AS n_frames, act.n_silent,
+       |  coalesce(act.first_active, act.n_frames)::BIGINT AS lead_silent,
+       |  z.zero_crossings
+       |FROM z JOIN act ON act.doc_id = z.doc_id"""
+      .stripMargin
+
   // ---------------------------------------------------------------------
   // Video header decode: ISO BMFF (MP4) box metadata by pure byte-parse
   // (major brand from ftyp; timescale/duration from moov→mvhd — a
@@ -785,6 +898,76 @@ object MultiModal {
           src(0, 0).toLong, src(ResizeW - 1, ResizeH - 1).toLong)
       }
     }.toDF()
+  }
+
+  /** Every [[imageQuality]] seed divisible by this renders FLAT (one
+    * gray level) — the defect class the flatness flag must catch. */
+  val QcFlatMod = 5
+  def qcLuma(seed: Int, x: Int, y: Int): Int =
+    if (seed % QcFlatMod == 0) (seed * 7) % 256 else pixelLuma(seed, x, y)
+
+  final case class QualityStats(doc_id: Long, width: Long, height: Long,
+      n_px: Long, sum_luma: Long, var_num: Long, is_flat: Boolean,
+      is_dark: Boolean, is_bright: Boolean)
+
+  /** Image-quality gate over REAL decoded pixels — the admission filter
+    * a multimodal pipeline runs after decode: per image the exact
+    * integer first/second moments of the full luma grid and the three
+    * classic defect flags — FLAT (zero variance: solid fills, dead
+    * sensors), DARK (mean < 64) and BRIGHT (mean > 192, both as pure
+    * integer comparisons sum ≶ bound·n — no division anywhere). The
+    * variance is carried as its integer numerator n·Σx² − (Σx)², which
+    * is zero exactly when the image is flat. One in five seeds renders
+    * flat by construction, so the flag is exercised, not decorative.
+    *
+    * Scale shape: encode→decode→moments is one narrow mapPartitions;
+    * only fixed-width stat rows ever move. */
+  def imageQuality(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val s = pixelSeed(id)
+        val w = pixelWidth(s)
+        val h = pixelHeight(s)
+        val img = decodeImage(encodeGrayPng(w, h, (x, y) => qcLuma(s, x, y)))
+          .getOrElse(throw new IllegalStateException(s"undecodable PNG for doc $id"))
+        val raster = img.getRaster
+        var sum = 0L; var sumSq = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0).toLong
+            sum += v; sumSq += v * v
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        QualityStats(id, w.toLong, h.toLong, n, sum, n * sumSq - sum * sum,
+          n * sumSq == sum * sum, sum < 64L * n, sum > 192L * n)
+      }
+    }.toDF()
+  }
+
+  /** DuckDB half of [[imageQuality]]: per-seed pixel fan-out
+    * (`unnest(range)` twice), the same integer moments and flag
+    * comparisons over the generator formula. */
+  def imageQualityOracle: String = {
+    val lum = s"(CASE WHEN seed % $QcFlatMod = 0 THEN (seed*7) % 256 " +
+      "ELSE (seed*31 + 7*x*x + 13*y + x*y) % 256 END)"
+    s"""WITH d AS (SELECT doc_id, doc_id % $PixelSeeds AS seed FROM documents),
+       |g AS (SELECT doc_id, seed, 9 + seed % 3 AS w, 8 + seed % 2 AS h FROM d),
+       |px AS (SELECT doc_id, seed, w, h, unnest(range(0, w)) AS x FROM g),
+       |py AS (SELECT doc_id, seed, w, h, x, unnest(range(0, h)) AS y FROM px),
+       |v AS (SELECT doc_id, w, h, $lum AS l FROM py),
+       |m AS (SELECT doc_id, w, h, count(*)::BIGINT AS n, sum(l)::BIGINT AS s,
+       |        sum(l*l)::BIGINT AS ss FROM v GROUP BY 1, 2, 3)
+       |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height, n AS n_px,
+       |  s AS sum_luma, (n*ss - s*s)::BIGINT AS var_num,
+       |  n*ss = s*s AS is_flat, s < 64*n AS is_dark, s > 192*n AS is_bright
+       |FROM m""".stripMargin
   }
 
   /** DuckDB half of [[pixelResize]]: the same nearest-neighbor sample

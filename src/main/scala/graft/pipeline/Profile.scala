@@ -189,4 +189,128 @@ object Profile {
        |  ELSE (k - 1)::DOUBLE * ${Sketches.KmvHashSpace} / kth::DOUBLE END AS est_distinct
        |FROM m""".stripMargin
   }
+
+  /** Tukey-fence outlier census — the numeric-column health check next
+    * to [[dqChecks]]: per column, the exact quartiles and the count of
+    * rows outside [q1 − 1.5·IQR, q3 + 1.5·IQR] (1.5 is dyadic, so the
+    * fence arithmetic is bit-reproducible across engines; quartiles use
+    * the same `percentile` ≡ `quantile_cont` parity the quartile rows
+    * pin). Fences beat z-scores for admission gating because quartiles
+    * are robust to the very outliers being hunted.
+    *
+    * Scale shape: ONE aggregate computes every column's quartiles side
+    * by side, broadcasts its single row back (scalar-subquery shape),
+    * and a second single scan counts all fences at once — two passes
+    * total regardless of column count, never a melt shuffle. */
+  def outlierIqr(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      expr(s"percentile(`$c`, 0.25)").as(s"__q1_$c"),
+      expr(s"percentile(`$c`, 0.75)").as(s"__q3_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val per = cols.flatMap { c =>
+      val q1 = col(s"__q1_$c"); val q3 = col(s"__q3_$c")
+      val lo = q1 - (q3 - q1) * 1.5
+      val hi = q3 + (q3 - q1) * 1.5
+      Seq(first(q1).as(s"__fq1_$c"), first(q3).as(s"__fq3_$c"),
+        sum(when(col(s"`$c`") < lo, 1L).otherwise(0L)).as(s"__lo_$c"),
+        sum(when(col(s"`$c`") > hi, 1L).otherwise(0L)).as(s"__hi_$c"))
+    }
+    df.crossJoin(broadcast(stats))
+      .agg(per.head, per.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"__fq1_$c").as("q1"), col(s"__fq3_$c").as("q3"),
+        col(s"__lo_$c").as("n_low"), col(s"__hi_$c").as("n_high"))): _*)).as("s"))
+      .select(col("s.col_name"), col("s.q1"), col("s.q3"),
+        col("s.n_low"), col("s.n_high"))
+  }
+
+  /** DuckDB half of [[outlierIqr]] (same fence expression order). */
+  def outlierIqrOracle(table: String, cols: Seq[String]): String = {
+    val statSel = cols.flatMap(c => Seq(
+      s"quantile_cont($c, 0.25) AS q1_$c", s"quantile_cont($c, 0.75) AS q3_$c"))
+      .mkString(", ")
+    val arms = cols.map(c =>
+      s"""SELECT '$c' AS col_name, st.q1_$c AS q1, st.q3_$c AS q3,
+         |  sum(CASE WHEN $c < st.q1_$c - (st.q3_$c - st.q1_$c) * 1.5 THEN 1 ELSE 0 END)::BIGINT AS n_low,
+         |  sum(CASE WHEN $c > st.q3_$c + (st.q3_$c - st.q1_$c) * 1.5 THEN 1 ELSE 0 END)::BIGINT AS n_high
+         |FROM $table, st GROUP BY 2, 3""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"WITH st AS (SELECT $statSel FROM $table)\n$arms"
+  }
+
+  /** Declarative data-quality EXPECTATION suite (the Deequ/
+    * great-expectations shape): a named list of row-level predicates,
+    * key-uniqueness assertions, and referential-containment assertions
+    * over a table, reduced to one verdict row per check —
+    * `(check, n_rows, n_violations, pass)`. This is the admission gate
+    * a warehouse runs on every ingest batch before it publishes.
+    *
+    * Scale shape: ALL row-level predicates evaluate in ONE scan (a
+    * single aggregate computes every violation count side by side — the
+    * check count never multiplies the I/O); each uniqueness check is
+    * one map-side-combined groupBy on its key; each referential check
+    * is one left-anti-shaped join (Catalyst/AQE broadcasts the
+    * deduplicated parent side when it is small). The output is one row
+    * per check — fixed-width, collectible, alertable.
+    *
+    * `rowChecks`: (name, violation predicate) — a row VIOLATES the
+    * check when the predicate is true (null predicates count as
+    * violations: an unevaluable expectation is a failed one).
+    * `uniqueChecks`: (name, key columns) — violations = rows beyond the
+    * first per duplicated key (a clean table reports 0).
+    * `fkChecks`: (name, child key, parent frame, parent key) —
+    * violations = child rows (null-keyed included) with no parent. */
+  def dqChecks(df: DataFrame,
+      rowChecks: Seq[(String, Column)],
+      uniqueChecks: Seq[(String, Seq[String])] = Nil,
+      fkChecks: Seq[(String, String, DataFrame, String)] = Nil): DataFrame = {
+    require(rowChecks.nonEmpty || uniqueChecks.nonEmpty || fkChecks.nonEmpty,
+      "need at least one check")
+    val names = rowChecks.map(_._1) ++ uniqueChecks.map(_._1) ++ fkChecks.map(_._1)
+    require(names.distinct.size == names.size, s"duplicate check names in $names")
+
+    val verdict = (name: String, rows: Column, bad: Column) =>
+      struct(lit(name).as("check_name"), rows.cast("long").as("n_rows"),
+        bad.cast("long").as("n_violations"))
+
+    val rowFrame: Option[DataFrame] =
+      if (rowChecks.isEmpty) None
+      else {
+        val aggs = count(lit(1)).as("__n") +:
+          rowChecks.zipWithIndex.map { case ((_, pred), i) =>
+            sum(when(coalesce(pred, lit(true)), 1L).otherwise(0L)).as(s"__v$i")
+          }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        Some(one.select(explode(array(rowChecks.zipWithIndex.map {
+          case ((name, _), i) => verdict(name, col("__n"), col(s"__v$i"))
+        }: _*)).as("s")))
+      }
+
+    val uniqueFrames = uniqueChecks.map { case (name, keys) =>
+      df.groupBy(keys.map(k => col(s"`$k`")): _*)
+        .agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(col("__c")), lit(0L)).as("__n"),
+          coalesce(sum(col("__c") - 1L), lit(0L)).as("__v"))
+        .select(verdict(name, col("__n"), col("__v")).as("s"))
+    }
+
+    val fkFrames = fkChecks.map { case (name, childKey, parent, parentKey) =>
+      val p = parent.select(col(s"`$parentKey`").as("__pk"))
+        .filter(col("__pk").isNotNull).distinct()
+        .withColumn("__hit", lit(true))
+      df.select(col(s"`$childKey`").as("__ck"))
+        .join(p, col("__ck") === col("__pk"), "left_outer")
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("__v"))
+        .select(verdict(name, col("__n"), col("__v")).as("s"))
+    }
+
+    (rowFrame.toSeq ++ uniqueFrames ++ fkFrames)
+      .reduce(_ unionAll _)
+      .select(col("s.check_name").as("check_name"), col("s.n_rows").as("n_rows"),
+        col("s.n_violations").as("n_violations"),
+        (col("s.n_violations") === 0L).as("pass"))
+  }
 }

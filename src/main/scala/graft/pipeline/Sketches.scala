@@ -316,4 +316,83 @@ object Sketches {
        |FROM $table
        |WHERE ('0x' || substr(sha256(($idExpr) || '|$salt'), 1, 4))::BIGINT < $bound""".stripMargin
   }
+
+  /** Count-min sketch depth (independent hash rows) and width (counters
+    * per row). Error bound: est ≤ true + 2N/width with prob
+    * 1 − 2^−depth; memory is depth·width counters, period. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Hash row r's bucket for `key` — an independent md5 per row via a
+    * row-salted preimage (same construction family as the KMV /
+    * MinHash base hashes; 8 hex chars < 2^32, so the mod is positive). */
+  private def cmsBucket(r: Int, key: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(s"cms$r|"), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % CmsWidth
+
+  /** Count-min sketch (Cormode–Muthukrishnan '05) heavy-hitter
+    * evaluation: build the depth×width counter grid over `keyCol` in
+    * one pass, then read back the `topK` true-heaviest keys' point
+    * estimates next to their exact counts. CMS never undercounts
+    * (est = min over rows of a counter that includes every occurrence
+    * of the key), so `overcount = est − true ≥ 0` — the row both
+    * demonstrates the sketch and MEASURES its collision inflation at
+    * this width, the number you read before trusting the sketch alone
+    * at 100 TB (where the exact side of this harness is unaffordable
+    * and the sketch is all you keep).
+    *
+    * Mergeability is structural: counters are plain sums, so per-shard
+    * grids merged by cell-wise addition ARE the global grid — the same
+    * contract [[kmvRollup]] and [[quantileRollup]] pin for their
+    * families.
+    *
+    * Scale shape: the grid build is ONE map-side-combined aggregation
+    * whose key space is depth·width (1024 cells) regardless of input
+    * size — the depth-fold explode collapses in the partial aggregate,
+    * so only ~1024 rows per partition cross the exchange. The truth arm
+    * is one exact groupBy + TakeOrderedAndProject (top-k heaps, never a
+    * global sort); the probe join is 1024 cells against depth·topK
+    * probe rows — both sides broadcastable. */
+  def cmsHeavy(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val key = col(s"`$keyCol`")
+    val keyed = df.select(key.as("key")).where(col("key").isNotNull)
+    val rbs = array((0 until CmsDepth).map(r =>
+      struct(lit(r).as("r"), cmsBucket(r, col("key")).as("b"))): _*)
+    val grid = keyed.select(explode(rbs).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val truth = keyed.groupBy(col("key"))
+      .agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("key")).limit(topK)
+    truth.select(col("key"), col("true_count"), explode(rbs).as("rb"))
+      .join(grid, col("rb.r") === grid("r") && col("rb.b") === grid("b"))
+      .groupBy(col("key"), col("true_count"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("key"), col("true_count"), col("cms_est"),
+        (col("cms_est") - col("true_count")).as("overcount"))
+  }
+
+  /** DuckDB half of [[cmsHeavy]] — the same salted-md5 grid, truth
+    * top-k, and min-over-rows readback (hash rows unrolled so the two
+    * sides share the exact preimage strings). */
+  def cmsHeavyOracle(table: String, keyExpr: String, topK: Int = 10): String = {
+    def bucket(r: Int, k: String) =
+      s"('0x' || substr(md5('cms$r|' || $k::VARCHAR), 1, 8))::BIGINT % $CmsWidth"
+    val gridArms = (0 until CmsDepth).map(r =>
+      s"SELECT $r AS r, ${bucket(r, "key")} AS b, count(*) AS c FROM k GROUP BY 2")
+      .mkString("\n      UNION ALL ")
+    val probeArms = (0 until CmsDepth).map(r =>
+      s"SELECT key, true_count, $r AS r, ${bucket(r, "key")} AS b FROM t")
+      .mkString("\n      UNION ALL ")
+    s"""WITH k AS (SELECT ($keyExpr) AS key FROM $table WHERE ($keyExpr) IS NOT NULL),
+       |g AS ($gridArms),
+       |t AS (SELECT key, count(*)::BIGINT AS true_count FROM k GROUP BY 1
+       |      ORDER BY true_count DESC, key LIMIT $topK),
+       |p AS ($probeArms)
+       |SELECT p.key, p.true_count, min(g.c)::BIGINT AS cms_est,
+       |  (min(g.c) - p.true_count)::BIGINT AS overcount
+       |FROM p JOIN g ON g.r = p.r AND g.b = p.b
+       |GROUP BY 1, 2""".stripMargin
+  }
 }

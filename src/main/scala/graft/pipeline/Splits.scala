@@ -93,6 +93,56 @@ object Splits {
     withShuffleOrder(df, idCol, numShards, salt)
       .select(col(s"`$idCol`"), col("shard"), col("shard_pos"))
 
+  /** Train fraction of the observed time span for [[timeEmbargoSplit]]
+    * (numerator/denominator — integer arithmetic, no float cutoff). */
+  val EmbargoTrainNum = 7L
+  val EmbargoTrainDen = 10L
+
+  /** Temporal split with an EMBARGO gap — the leakage-safe protocol for
+    * time-ordered data (de Prado '18 §7: purged splits): train is
+    * everything before the cutoff, test everything at or after
+    * cutoff + embargo, and the embargo window between them is DROPPED,
+    * so no test example's look-back features overlap a training
+    * example's look-ahead labels. The cutoff is derived from the
+    * observed span by integer arithmetic (min + 7/10·(max−min)), so the
+    * protocol is a pure function of the data, reproducible anywhere.
+    * Output: one row per split (train/embargo/test) with event count
+    * and the exact [min,max] event-time bounds — the audit a reviewer
+    * checks for gap discipline (min(test) − max(train) ≥ embargo).
+    *
+    * Scale shape: the span bounds are a 1-row aggregate broadcast back
+    * onto the scan (the scalar-subquery shape); the verdict is one
+    * map-side-combined aggregation over 3 keys. Never a sort. */
+  def timeEmbargoSplit(df: DataFrame, tsCol: Column, embargoUs: Long): DataFrame = {
+    require(embargoUs >= 0, s"embargo must be nonnegative, got $embargoUs")
+    val bounds = df.agg(min(tsCol).as("__mn"), max(tsCol).as("__mx"))
+    df.select(tsCol.as("__t"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(bounds))
+      // `div`, not `/`: Column./ on longs compiles to IEEE division and
+      // the cutoff would drift from the oracle's exact integer `//`
+      .withColumn("__cut",
+        expr(s"__mn + ((__mx - __mn) * $EmbargoTrainNum) div $EmbargoTrainDen"))
+      .withColumn("split",
+        when(col("__t") < col("__cut"), "train")
+          .when(col("__t") >= col("__cut") + embargoUs, "test")
+          .otherwise("embargo"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__t")).as("min_ts"), max(col("__t")).as("max_ts"))
+  }
+
+  /** DuckDB half of [[timeEmbargoSplit]] (same integer cutoff). */
+  def timeEmbargoOracle(table: String, tsExpr: String, embargoUs: Long): String =
+    s"""WITH b AS (SELECT min($tsExpr) AS mn, max($tsExpr) AS mx FROM $table),
+       |c AS (SELECT mn + (mx - mn) * $EmbargoTrainNum // $EmbargoTrainDen AS cut FROM b),
+       |s AS (SELECT CASE WHEN ($tsExpr) < c.cut THEN 'train'
+       |               WHEN ($tsExpr) >= c.cut + $embargoUs THEN 'test'
+       |               ELSE 'embargo' END AS split, ($tsExpr) AS t
+       |      FROM $table, c)
+       |SELECT split, count(*)::BIGINT AS n_events,
+       |  min(t)::BIGINT AS min_ts, max(t)::BIGINT AS max_ts
+       |FROM s GROUP BY 1""".stripMargin
+
   /** [[shuffleOrder]] keeping every input column — the writer-side form
     * ([[graft.sources.TextIngest.writeShuffled]]): computing the order
     * in place costs one window shuffle, where joining the projected

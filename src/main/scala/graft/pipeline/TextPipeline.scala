@@ -688,4 +688,174 @@ object TextPipeline {
         count(when(col("__hot"), 1)).as("n_dropped"))
       .select(col("__doc").as(idCol), col("text"), col("n_kept"), col("n_dropped"))
   }
+
+  /** Feature-hashing vectorizer (Weinberger et al. '09) — the
+    * vocabulary-free text→vector bridge: every token hashes to a
+    * dimension (md5 prefix mod `dim`) and a sign (one independent hash
+    * bit, which kills the collision bias the unsigned variant carries),
+    * and the document's vector is the signed occurrence count per
+    * dimension. Emitted in LONG form (doc_id, dim, weight) — sparse,
+    * exact integers, and the shape a downstream matrix op or the
+    * embedding operators consume directly. No vocabulary broadcast, no
+    * OOV: the estimator's memory is O(dim) regardless of corpus size,
+    * which is the whole point at 100 TB.
+    *
+    * Scale shape: tokenize is narrow; the ONLY exchange is the
+    * map-side-combined (doc, dim) aggregation whose key space is
+    * |docs|·dim bounded. */
+  def hashEmbed(df: DataFrame, idCol: String, textCol: String, dim: Int = 16,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    require(dim >= 2 && dim <= 4096, s"dim must be in [2, 4096], got $dim")
+    val tok = df.select(col(idCol), explode(tokens(col(textCol), tokenizer)).as("__t"))
+    val h = md5(col("__t"))
+    // dim from the first 8 hex chars, sign from the 9th (an independent
+    // nibble): '0'-'7' -> +1, '8'-'f' -> -1
+    tok
+      .withColumn("dim", (conv(substring(h, 1, 8), 16, 10).cast("long") % dim))
+      .withColumn("__s", when(substring(h, 9, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+        lit(1L)).otherwise(lit(-1L)))
+      .groupBy(col(idCol), col("dim"))
+      .agg(sum(col("__s")).as("weight"))
+  }
+
+  /** Character-distribution Gini impurity — the entropy-style
+    * low-diversity detector (keyboard mash, padding, single-char spam)
+    * WITHOUT the cross-engine-banned logarithm: gini = 1 − Σc²/n² over
+    * per-document character counts is a pure rational of exact
+    * integers (one IEEE division at the end), ranking documents by
+    * character diversity the way entropy would. Near 0 ⇒ one character
+    * dominates; higher ⇒ diverse. Reported with n_chars and the
+    * distinct-character count.
+    *
+    * Scale shape: the char fan-out pre-aggregates map-side to
+    * (doc, char) — at most |alphabet| rows per document cross the
+    * exchange, never the characters themselves; the per-doc summary is
+    * a second same-key aggregation. */
+  def charGini(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = df.select(col(idCol),
+      explode(expr(s"transform(sequence(1, length(trim($textCol))), i -> substr(trim($textCol), i, 1))")).as("__c"))
+    chars.groupBy(col(idCol), col("__c")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        round(lit(1.0) - sum(col("__n") * col("__n")).cast("double") /
+          (sum(col("__n")) * sum(col("__n"))).cast("double"), 4).as("gini"))
+  }
+
+  /** Content-defined-chunking window (words) and boundary modulus: a
+    * cut lands after word j when the 60-bit hash of the [[CdcWindow]]
+    * words ending at j is ≡ 0 mod [[CdcMask]] — expected chunk length
+    * [[CdcMask]] words, boundaries a pure function of LOCAL content. */
+  val CdcWindow = 4
+  val CdcMask = 16L
+
+  /** Content-defined chunking + chunk-level cross-document dedup — the
+    * storage-dedup primitive (Rabin/LBFS '01, FastCDC) at word
+    * granularity: because each boundary depends only on the
+    * [[CdcWindow]] words before it, an insertion or deletion re-cuts
+    * ONE chunk and every later boundary re-synchronizes — unlike the
+    * fixed-size segments of [[segmentDedup]], where a one-word shift
+    * changes every downstream segment. Reported per document: chunk
+    * count, chunks whose exact content appears in ≥2 documents, and the
+    * duplicated-chunk ratio — the shift-robust boilerplate measure.
+    * Documents shorter than the window are a single chunk.
+    *
+    * Scale shape: word/gram fan-out is a balanced narrow flatMap; the
+    * chunk-id assignment is one per-doc running sum over word
+    * positions; chunks travel as 32-byte digests into the corpus-wide
+    * frequency count (map-side-combined, hot set tiny → broadcasts
+    * back); one per-doc verdict aggregation. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = CdcWindow, mask: Long = CdcMask): DataFrame = {
+    require(window >= 1 && mask >= 2, s"bad window=$window mask=$mask")
+    import org.apache.spark.sql.expressions.Window
+    val ss = df.sparkSession
+    import ss.implicits._
+    val w = window
+    val rows = graft.core.Algebra.balanced(
+      df.select(col(s"`$idCol`").cast("long"), col(s"`$textCol`").cast("string")))
+      .as[(Long, String)]
+      .flatMap { p: (Long, String) =>
+        val ws = p._2.trim.split("\\s+")
+        ws.iterator.zipWithIndex.map { case (wd, i0) =>
+          val j = i0 + 1 // 1-based, matching the oracle's range(1, m+1)
+          val gram = if (j >= w) ws.slice(j - w, j).mkString(" ") else null
+          (p._1, j, wd, gram)
+        }
+      }.toDF("__doc", "__pos", "__w", "__gram")
+    val cut = when(col("__gram").isNotNull &&
+      conv(substring(md5(col("__gram")), 1, 15), 16, 10).cast("long") % mask === 0L, 1L)
+      .otherwise(0L)
+    val before = Window.partitionBy(col("__doc")).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = rows.withColumn("__cut", cut)
+      .withColumn("__chunk", coalesce(sum(col("__cut")).over(before), lit(0L)))
+      .groupBy(col("__doc"), col("__chunk"))
+      .agg(md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
+          x => x.getField("__w")))).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = chunks.groupBy(col("__h"))
+      .agg(countDistinct(col("__doc")).as("__nd"))
+      .filter(col("__nd") >= 2L)
+      .select(col("__h"), lit(true).as("__hot"))
+    chunks.join(hot, Seq("__h"), "left")
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("__hot"), 1)).as("n_dup_chunks"))
+      .select(col("__doc").as(idCol), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 4).as("dup_ratio"))
+  }
+
+  /** DuckDB half of [[cdcChunks]]: same 1-based word fan-out, same
+    * window-gram hash boundary, same strictly-before running sum, same
+    * exact-content chunk digests and ≥2-distinct-docs rule. */
+  def cdcChunksOracle(table: String, idCol: String, textExpr: String,
+      window: Int = CdcWindow, mask: Long = CdcMask): String = {
+    val gram = (window - 1 to 0 by -1).map {
+      case 0 => "ws[i]"
+      case k => s"ws[i-$k]"
+    }.mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT $idCol, regexp_split_to_array(trim($textExpr), '\\s+') AS ws FROM $table),
+       |w AS (SELECT $idCol, i, ws[i] AS word,
+       |        CASE WHEN i >= $window
+       |          THEN ('0x' || substr(md5($gram), 1, 15))::BIGINT END AS hv
+       |      FROM t, unnest(range(1, len(ws) + 1)) AS u(i)),
+       |b AS (SELECT $idCol, i, word,
+       |        CASE WHEN hv % $mask = 0 THEN 1 ELSE 0 END AS cut FROM w),
+       |c AS (SELECT $idCol, i, word,
+       |        coalesce(sum(cut) OVER (PARTITION BY $idCol ORDER BY i
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |      FROM b),
+       |ch AS (SELECT $idCol, chunk_id, md5(string_agg(word, ' ' ORDER BY i)) AS h
+       |       FROM c GROUP BY 1, 2),
+       |hot AS (SELECT h FROM ch GROUP BY h HAVING count(DISTINCT $idCol) >= 2)
+       |SELECT ch.$idCol, count(*)::BIGINT AS n_chunks,
+       |  sum(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+       |  round(sum(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_ratio
+       |FROM ch LEFT JOIN hot ON hot.h = ch.h GROUP BY 1"""
+      .stripMargin
+  }
+
+  /** DuckDB half of [[charGini]]. */
+  def charGiniOracle(table: String, idCol: String, textExpr: String): String =
+    s"""WITH c AS (SELECT $idCol,
+       |        unnest(list_transform(range(1, length(trim($textExpr)) + 1),
+       |                              i -> substr(trim($textExpr), i::INT, 1))) AS ch
+       |      FROM $table),
+       |f AS (SELECT $idCol, ch, count(*) AS n FROM c GROUP BY 1, 2)
+       |SELECT $idCol, sum(n)::BIGINT AS n_chars, count(*)::BIGINT AS n_distinct_chars,
+       |  round(1.0 - sum(n * n)::DOUBLE / (sum(n)::DOUBLE * sum(n)::DOUBLE), 4) AS gini
+       |FROM f GROUP BY 1""".stripMargin
+
+  /** DuckDB half of [[hashEmbed]]. */
+  def hashEmbedOracle(table: String, idCol: String, textExpr: String, dim: Int = 16,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): String =
+    s"""WITH t AS (SELECT $idCol, unnest(${tokenizer.duck(textExpr)}) AS tk FROM $table),
+       |h AS (SELECT $idCol, md5(tk) AS h FROM t),
+       |v AS (SELECT $idCol, ('0x' || substr(h, 1, 8))::BIGINT % $dim AS dim,
+       |        CASE WHEN substr(h, 9, 1) IN ('0','1','2','3','4','5','6','7')
+       |          THEN 1 ELSE -1 END AS s FROM h)
+       |SELECT $idCol, dim, sum(s)::BIGINT AS weight FROM v GROUP BY 1, 2"""
+      .stripMargin
 }

@@ -141,4 +141,39 @@ object Warehouse {
         col("valid_from"), col("valid_to"), col("version"),
         col("valid_to").isNull.as("is_current"))
   }
+
+  /** Snapshot DIFF — the CDC-extraction inverse of [[applyChangelog]]:
+    * given two keyed snapshots, derive the minimal changelog (op I/U/D
+    * per key, with the AFTER values for I/U and nulls for D) such that
+    * `applyChangelog(before, snapshotDiff(before, after), key) ≡ after`
+    * — the reconciliation pass a warehouse runs when a source cannot
+    * emit its own changelog (and the audit when it claims to). Change
+    * detection is null-safe per-column comparison (IS DISTINCT FROM),
+    * never a hash, so the diff is exact by definition.
+    *
+    * Scale shape: ONE full-outer hash join keyed on `key` — both
+    * snapshots shuffle once (or the smaller broadcasts); unchanged keys
+    * are dropped in the join's output stage, so only the changed rows
+    * ever move downstream. At 100 TB this is the canonical two-scan
+    * table compare. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, key: String): DataFrame = {
+    val dataCols = before.columns.toSeq
+    require(dataCols.contains(key), s"before is missing key column $key")
+    require(after.columns.toSeq == dataCols,
+      s"snapshots must share a schema: ${dataCols} vs ${after.columns.toSeq}")
+    val nonKey = dataCols.filterNot(_ == key)
+    val a = before.select((col(s"`$key`") +: lit(true).as("__in_a") +:
+      nonKey.map(c => col(s"`$c`").as(s"__a_$c"))): _*)
+    val b = after.select((col(s"`$key`") +: lit(true).as("__in_b") +:
+      nonKey.map(c => col(s"`$c`"))): _*)
+    val changed = nonKey.map(c => !(col(s"__a_$c") <=> col(s"`$c`")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    a.join(b, Seq(key), "full_outer")
+      .withColumn("op",
+        when(col("__in_a").isNull, "I")
+          .when(col("__in_b").isNull, "D")
+          .when(changed, "U"))
+      .filter(col("op").isNotNull)
+      .select((col(s"`$key`") +: col("op") +: nonKey.map(c => col(s"`$c`"))): _*)
+  }
 }

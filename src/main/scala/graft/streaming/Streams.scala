@@ -126,6 +126,69 @@ object Streams {
       }
   }
 
+  final case class TopKState(windowStart: Long, counts: Map[String, Long],
+      processed: Long)
+  final case class TopKItem(window_start: Long, item: String, min_count: Long,
+      max_count: Long, n_processed: Long)
+
+  /** Streaming heavy hitters per tumbling window — Misra-Gries '82
+    * (SpaceSaving's ancestor) inside `flatMapGroupsWithState`: per
+    * window the state is a candidate map BOUNDED at `capacity` entries
+    * no matter how many distinct items flow through, and any item with
+    * true frequency > n/(capacity+1) is GUARANTEED present when the
+    * window's watermark timeout flushes it. Emitted counts carry the
+    * sketch's error interval [min_count, max_count] = [c, c + n/(cap+1)]
+    * — the trending-items/hot-keys monitor a 100 TB ingest runs per
+    * window without a per-item groupBy.
+    *
+    * Scale design: state per window is O(capacity) — never O(distinct
+    * items); windows close by event-time timeout (watermark), so state
+    * count is O(open windows). Batches are sorted by (ts, event_id)
+    * before folding, so replays of the same chunked input produce the
+    * same sketch (MG is order-dependent by nature; determinism comes
+    * from pinning the order). */
+  def windowTopK(events: Dataset[Event], windowMs: Long, capacity: Int,
+      watermarkDelay: String = "10 minutes"): Dataset[TopKItem] = {
+    require(windowMs > 0 && capacity > 0, s"bad windowMs=$windowMs capacity=$capacity")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => e.ts.getTime / windowMs * windowMs)
+      .flatMapGroupsWithState[TopKState, TopKItem](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (windowStart: Long, batch: Iterator[Event], state: GroupState[TopKState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.iterator.flatMap { s =>
+              val slack = s.processed / (capacity + 1)
+              s.counts.toSeq.sortBy { case (item, c) => (-c, item) }.iterator
+                .map { case (item, c) =>
+                  TopKItem(s.windowStart, item, c, c + slack, s.processed) }
+            }
+            state.remove()
+            out.toSeq.iterator
+          } else {
+            var s = state.getOption.getOrElse(TopKState(windowStart, Map.empty, 0L))
+            for (e <- batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+              val item = e.event_type
+              val c = s.counts
+              s =
+                if (c.contains(item))
+                  s.copy(counts = c.updated(item, c(item) + 1), processed = s.processed + 1)
+                else if (c.size < capacity)
+                  s.copy(counts = c.updated(item, 1L), processed = s.processed + 1)
+                else {
+                  // decrement-all step: every candidate pays one; zeros drop
+                  val dec = c.map { case (k, v) => k -> (v - 1) }.filter(_._2 > 0)
+                  s.copy(counts = dec, processed = s.processed + 1)
+                }
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.windowStart + windowMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Per-key quota admission for a streaming ingest: pass through at
     * most `quota` events per user (first-arrived in event-time order
     * within each micro-batch), drop the rest — the contribution cap a

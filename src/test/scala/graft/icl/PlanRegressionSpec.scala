@@ -92,6 +92,43 @@ class PlanRegressionSpec extends SparkTestBase {
     ("split_kfold", 1, 0),
     ("profile_ndv", 3, 0),
     ("layout_cluster_depth", 5, 0),
+    // batch 3: hash_embed/char_gini are one map-side-combined agg chain
+    // (+1 = harness count); snapshot_diff is ONE full-outer key join;
+    // assortativity's budget covers the distinct + wedge join + degree
+    // join chain over the co-purchase graph.
+    ("text_hash_embed", 2, 0),
+    ("text_char_gini", 3, 0),
+    ("warehouse_snapshot_diff", 5, 0),
+    // graph_assortativity is cache-disciplined (persist edges,
+    // materialize, release) and excluded like the other cached graph
+    // operators; its plan is audited in PLANS.md.
+    // batch 4: image quality is the narrow decode map (+1 harness
+    // count); dedup_novelty persists its shingle index (multi-consumer)
+    // and er_cluster_stats rides the ITERATIVE connected-components
+    // loop — both excluded like the recall harnesses / graph loops.
+    ("mm_image_quality", 1, 0),
+    // batch 5: dq_checks runs ONE scan-agg per row-check table, one
+    // keyed groupBy per uniqueness check, broadcast containment joins
+    // (+1 harness count per single-partition agg arm); cms's grid and
+    // truth arms are each one map-side-combined exchange; audio VAD is
+    // the narrow decode map (1 = harness count). graph_bfs is the
+    // iterative frontier loop — excluded like the other graph loops.
+    ("profile_dq_checks", 9, 0),
+    ("sketch_cms_heavy", 4, 0),
+    ("mm_audio_vad", 1, 0),
+    // batch 6: cdc chunking = balanced rebalance + doc window + two
+    // digest groupBys + verdict agg (+1 harness count); the embargo
+    // split's BNLJ allowance is the 1-ROW span-bounds broadcast (the
+    // scalar-subquery shape, same as emb_whiten). emb_knn_graph rides
+    // the Lloyd training chain and is excluded like dedup_semantic /
+    // the recall harnesses; its plan is audited in PLANS.md.
+    ("text_cdc_chunks", 7, 0),
+    ("split_time_embargo", 4, 1),
+    // outlier census: ONE quartile aggregate broadcast back as a 1-row
+    // BNLJ (scalar-subquery shape) + one fence-count scan (+harness).
+    // er_blocking_recall is a collect-then-release harness (persisted
+    // name frame, like assortativity) — plan audited in PLANS.md.
+    ("profile_outlier_iqr", 4, 1),
   )
 
   /** Tree walk that descends through AQE wrappers and query stages

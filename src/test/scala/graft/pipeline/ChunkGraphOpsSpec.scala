@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Specs for the sixth late-round-10 batch: content-defined chunking,
+  * the IVF-restricted kNN graph, and the temporal embargo split. */
+class ChunkGraphOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cdcChunks: boundaries are content-local — an edit re-cuts one chunk only") {
+    // 60 shared words; doc 2 prepends one word (the classic shift that
+    // breaks fixed-size segmentation)
+    val shared = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, shared), (2L, "intro " + shared)).toDF("doc_id", "text")
+    val out = TextPipeline.cdcChunks(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // content-defined: every chunk fully inside the shared suffix has
+    // identical content in both docs, so the duplicated-chunk count is
+    // within 1-2 of the chunk count (only the first chunk differs)
+    val (n1, d1, _) = out(1L)
+    val (n2, d2, _) = out(2L)
+    assert(d1 >= n1 - 2, s"doc 1: $d1 of $n1 chunks shared after a 1-word prepend in doc 2")
+    assert(d2 >= n2 - 2, s"doc 2: $d2 of $n2 chunks shared")
+    assert(d1 > 0, "resynchronization found shared chunks at all")
+  }
+
+  test("cdcChunks: short docs are one chunk; chunk counts match a scala replay") {
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextPipeline.cdcChunks(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((1L, 1L)), "below-window doc = single chunk, duplicated across docs")
+    assert(out(2L) == ((1L, 1L)))
+  }
+
+  test("knnGraph: ranks are dense per vector, exclude self, and respect cell boundaries") {
+    val out = Ann.knnGraph(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (v, _, n, _) => v != n }, "no self edges")
+    val byVec = rows.groupBy(_._1)
+    for ((v, es) <- byVec) {
+      val ranks = es.map(_._2).sorted
+      assert(ranks.head == 1L && ranks.toList == (1L to ranks.last).toList,
+        s"dense ranks for $v")
+      assert(ranks.last <= Ann.KnnK)
+      // sims non-increasing with rank
+      val ordered = es.sortBy(_._2).map(_._4)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b }, s"sims sorted for $v")
+    }
+  }
+
+  test("timeEmbargoSplit: gap discipline holds and counts partition the input") {
+    val ts = (0L until 100L).map(_ * 10L)
+    val df = ts.toDF("t")
+    val out = Splits.timeEmbargoSplit(df, col("t"), embargoUs = 50L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // span 0..990, cutoff = 0 + 990*7/10 = 693; train < 693, test >= 743
+    assert(out("train")._1 + out("embargo")._1 + out("test")._1 == 100L)
+    assert(out("train")._3 < 693L)
+    assert(out("test")._2 >= 743L)
+    assert(out("test")._2 - out("train")._3 >= 50L, "embargo gap enforced")
+    assert(out("embargo")._2 >= 693L && out("embargo")._3 < 743L)
+  }
+}

@@ -206,4 +206,38 @@ class StreamsSpec extends SparkTestBase {
       assert(spark.table("quota_big").count() === 3L)
     } finally q.stop()
   }
+
+  test("windowTopK: bounded Misra-Gries state flushes on window close with the MG guarantee") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    // 1-minute windows, capacity 2 candidates, tight watermark
+    val q = Streams.windowTopK(source.toDS(), windowMs = 60000L, capacity = 2,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("append").start()
+    try {
+      // window [0,60): a=5, b=3, c=1, d=1 over 10 events, 4 distinct >
+      // capacity. Events start at second 1: an event AT the initial
+      // watermark (ts=0, delay 0) is filtered as late before the state
+      // function ever sees it.
+      val w1 = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d")
+      source.addData(w1.zipWithIndex.map { case (t, i) => ev(i.toLong, i.toLong + 1, 1, t, 0.0) }: _*)
+      q.processAllAvailable()
+      assert(spark.table("topk_out").count() === 0L, "open windows emit nothing")
+      // an event past the window advances the watermark and flushes it
+      source.addData(ev(100, 200, 1, "z", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("topk_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      info("rows: " + rows.mkString(", "))
+      val items = rows.map(_._2).toSet
+      // MG guarantee: any item with freq > n/(cap+1) = 10/3 survives => 'a' must
+      assert(items.contains("a"))
+      assert(rows.forall(_._1 == 0L) && rows.forall(_._5 == 10L))
+      assert(rows.length <= 2, "state (and output) bounded at capacity")
+      // counts are an interval containing the truth: min <= true <= max
+      val a = rows.find(_._2 == "a").get
+      assert(a._3 <= 5L && 5L <= a._4)
+    } finally q.stop()
+  }
 }
