@@ -1619,6 +1619,12 @@ object SparkEntry {
     // uniqueness check is one keyed groupBy; each referential check one
     // containment join — one verdict row per check, the per-ingest
     // admission gate a warehouse publishes behind
+    // pairwise Pearson matrix in ONE scan: exact DECIMAL moments (k
+    // sums, k squares, k(k-1)/2 cross products side by side), each
+    // correlation a fixed-order double expression; zero-variance -> null
+    "profile_corr_matrix" -> ((s, dir) =>
+      graft.pipeline.Profile.corrMatrix(table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     // Tukey-fence outlier census: exact quartiles for every numeric
     // column in ONE aggregate (1-row broadcast back, scalar-subquery
     // shape), all fences counted in one second scan — two passes total
@@ -2738,6 +2744,12 @@ object SparkEntry {
     // is one narrow map
     "mm_audio_vad" -> ((s, dir) =>
       graft.pipeline.MultiModal.audioVad(table(s, dir, "documents"))),
+    // GIF block-chain metadata: the sub-block container walked by the
+    // native graft_gif_frames loop (unbounded [len][bytes]...0 chains —
+    // no fixed unrolling exists); dims read back from the bytes by the
+    // decoder; truncated chains and non-GIF payloads classify opaque
+    "mm_gif_meta" -> ((s, dir) =>
+      graft.pipeline.MultiModal.gifMeta(table(s, dir, "documents"))),
     // ISO BMFF (MP4) box metadata by pure header byte-parse: the box
     // walk (native graft_bmff_box) hops variable-length free/udta boxes
     // at BOTH nesting levels (mvhd inside moov composes via binary
@@ -2956,6 +2968,12 @@ object SparkEntry {
     // equi-join is what keeps the build linear-ish at corpus scale
     "emb_knn_graph" -> ((s, dir) =>
       graft.pipeline.Ann.knnGraph(table(s, dir, "embeddings"))),
+    // semantic clustering via the MUTUAL-kNN graph: reciprocated edges
+    // only (the standard hub-denoising), connected components, size
+    // histogram with singletons — the deterministic semantic-grouping
+    // pass over an embedded corpus
+    "emb_semantic_clusters" -> ((s, dir) =>
+      graft.pipeline.Ann.semanticClusters(table(s, dir, "embeddings"))),
     // RAG-style retrieval: exact ANN top-k joined back to the document
     // payloads (vec_id ↔ doc_id) — the cross-modal fetch step of a
     // retrieval pipeline; at scale the payload join is the cheap part
@@ -3748,6 +3766,8 @@ object SparkEntry {
       ("part", "p_size", "nation", "n_nationkey"))),
     "profile_outlier_iqr" -> graft.pipeline.Profile.outlierIqrOracle(
       "lineitem", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    "profile_corr_matrix" -> graft.pipeline.Profile.corrMatrixOracle(
+      "lineitem", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
     "profile_dq_checks" ->
       """WITH oc AS (
         |  SELECT 'orders.custkey_not_null' AS check_name, count(*)::BIGINT AS n_rows,
@@ -4418,6 +4438,7 @@ object SparkEntry {
     "mm_tiff_pages" -> graft.pipeline.MultiModal.tiffPagesOracle,
     "mm_wav_pcm" -> graft.pipeline.MultiModal.wavPcmOracle,
     "mm_audio_vad" -> graft.pipeline.MultiModal.audioVadOracle,
+    "mm_gif_meta" -> graft.pipeline.MultiModal.gifMetaOracle,
     "mm_pixel_resize" -> graft.pipeline.MultiModal.pixelResizeOracle,
     "mm_image_quality" -> graft.pipeline.MultiModal.imageQualityOracle,
     "emb_centroid_outliers" -> graft.pipeline.Oracles.embCentroidOutliers(
@@ -4454,6 +4475,7 @@ object SparkEntry {
       graft.pipeline.Splits.NumShards, graft.pipeline.Splits.DefaultSalt),
     "emb_quantize" -> graft.pipeline.Oracles.embQuantizeInt8,
     "emb_knn_graph" -> graft.pipeline.Oracles.embKnnGraph,
+    "emb_semantic_clusters" -> graft.pipeline.Oracles.embSemanticClusters,
     "dedup_incremental" -> graft.pipeline.Oracles.dedupIncremental(IncrementalPrefixLen),
     "dedup_incremental_near" -> graft.pipeline.Oracles.dedupIncrementalNear,
     "join_bloom_filter" -> graft.pipeline.Oracles.joinBloomFilter(

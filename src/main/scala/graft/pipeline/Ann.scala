@@ -194,6 +194,41 @@ object Ann {
         col("neighbor_id"), col("sim"))
   }
 
+  /** Semantic CLUSTERS via the mutual-kNN graph — the clustering
+    * consumer of [[knnGraph]]: keep only RECIPROCATED neighbor edges
+    * (u lists v AND v lists u — the standard mutual-kNN denoising: a
+    * hub that everyone lists but that lists only its own cell-mates
+    * stops gluing unrelated clusters together), then connected
+    * components over the surviving edges, reported as a cluster-size
+    * histogram including singletons. This is the cheap, deterministic
+    * semantic-grouping pass a diversity sampler or a near-dup auditor
+    * runs over an embedded corpus.
+    *
+    * Scale shape: the graph build is [[knnGraph]]'s cell equi-join (the
+    * graph frame persists once — it feeds BOTH sides of the
+    * reciprocation self-join); mutuality is one equi-join on the
+    * (u, v) key pair; components ride the shared star-contraction
+    * machinery. */
+  def semanticClusters(embeddings: DataFrame, k: Int = KnnK,
+      numCentroids: Int = NumCentroids, iters: Int = KMeansIters): DataFrame = {
+    val g = knnGraph(embeddings, k, numCentroids, iters)
+      .select(col("vec_id").as("u"), col("neighbor_id").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mutual = g.join(g.select(col("v").as("u"), col("u").as("v")), Seq("u", "v"))
+    val pairs = mutual.filter(col("u") < col("v"))
+      .select(col("u").as("doc_a"), col("v").as("doc_b"))
+    val nodes = embeddings.select(col("vec_id"))
+    val sizes = graft.pipeline.Dedup.clustersFromPairs(nodes, pairs, "vec_id")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    // materialize while the graph cache is alive, then release it
+    val rows = sizes.collect().toSeq
+    g.unpersist()
+    embeddings.sparkSession.createDataFrame(
+      embeddings.sparkSession.sparkContext.parallelize(rows, 1), sizes.schema)
+  }
+
   def semanticDedup(embeddings: DataFrame, eps: Double = SemanticEps,
       numCentroids: Int = NumCentroids, iters: Int = KMeansIters): DataFrame = {
     val ss = embeddings.sparkSession

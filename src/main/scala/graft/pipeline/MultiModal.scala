@@ -552,6 +552,101 @@ object MultiModal {
       .stripMargin
 
   // ---------------------------------------------------------------------
+  // GIF metadata: the sub-block container (every extension and every
+  // frame's image data is a [len][bytes]...0 chain, descriptors carry
+  // packed color-table bit fields). The block WALK is the native
+  // graft_gif_frames loop (see functions/GifFrames.scala — a fixed
+  // unrolling is impossible here, sub-block counts are unbounded); the
+  // FIELD reads (width/height u16-LE in the logical screen descriptor)
+  // are the same SQL byte arithmetic as WAV.
+  // ---------------------------------------------------------------------
+
+  /** GIF synthesis formulas, single-sourced for the generator (Spark
+    * SQL) and the oracle (DuckDB `%` — identical on the nonnegative
+    * ids/lengths here). Dims stay < 256 so the u16-LE high byte is 0. */
+  val GifWidthSql = "20 + pmod(doc_id, 11)"
+  val GifHeightSql = "10 + pmod(n_chars, 7)"
+  val GifFramesSql = "1 + pmod(doc_id, 4)"
+  val GifSubLenSql = "1 + pmod(doc_id, 5)"
+
+  /** Real GIF89a payloads built byte-by-byte in-plan: logical screen
+    * descriptor (u16-LE dims), a global color table on even ids (packed
+    * field 0x81 → 4 entries), per frame a graphic-control extension +
+    * image descriptor + LZW-prefixed data sub-block of doc-dependent
+    * length, trailer. One in three ids instead ships a TRUNCATED
+    * extension (a sub-block length pointing past the end — the
+    * malformed case the walk must reject), one in three the raw text
+    * bytes (not GIF at all). */
+  def syntheticGifPayloads(docs: DataFrame): DataFrame = {
+    def u8(c: Column): Column = to_binary(lpad(hex(c), 2, "0"), lit("hex"))
+    def u16leSmall(c: Column): Column = concat(u8(c), u8(lit(0)))
+    val width = expr(GifWidthSql)
+    val height = expr(GifHeightSql)
+    val frames = expr(GifFramesSql)
+    val header = lit("GIF89a".getBytes("US-ASCII"))
+    val gctFlag = pmod(col("doc_id"), lit(2)) === 0
+    val lsd = concat(u16leSmall(width), u16leSmall(height),
+      u8(when(gctFlag, lit(0x81)).otherwise(lit(0x00))), u8(lit(0)), u8(lit(0)))
+    val gct = when(gctFlag, to_binary(lit("ff" * 12), lit("hex")))
+      .otherwise(lit(Array.emptyByteArray))
+    // graphic-control extension: 0x21 0xF9, one 4-byte sub-block, 0x00
+    val gce = to_binary(lit("21f904" + "00" * 4 + "00"), lit("hex"))
+    // image descriptor: 0x2C, left/top 0, w/h, packed 0 (no local table)
+    val desc = concat(u8(lit(0x2c)), u16leSmall(lit(0)), u16leSmall(lit(0)),
+      u16leSmall(width), u16leSmall(height), u8(lit(0)))
+    // LZW min code size + ONE data sub-block of doc-dependent length + 0
+    val data = concat(u8(lit(2)), u8(expr(GifSubLenSql)),
+      to_binary(expr(s"repeat('aa', $GifSubLenSql)"), lit("hex")), u8(lit(0)))
+    val frame = concat(gce, desc, data)
+    val frameSeq = when(frames === 1, frame)
+      .when(frames === 2, concat(frame, frame))
+      .when(frames === 3, concat(frame, frame, frame))
+      .otherwise(concat(frame, frame, frame, frame))
+    val gif = concat(header, lsd, gct, frameSeq, u8(lit(0x3b)))
+    // truncated: an extension whose sub-block claims 0xC8 bytes that
+    // are not there
+    val bad = concat(header, lsd, to_binary(lit("21f9c8"), lit("hex")))
+    docs.select(col("doc_id"), col("n_chars"),
+      when(pmod(col("doc_id"), lit(3)) === 0, gif)
+        .when(pmod(col("doc_id"), lit(3)) === 1, bad)
+        .otherwise(encode(col("text"), "UTF-8")).as("payload"))
+  }
+
+  /** (kind, width, height, n_frames) parsed from a binary payload:
+    * `gif` needs the signature AND a walkable block chain reaching the
+    * trailer within `maxBlocks`; anything else is `opaque` with null
+    * fields. Every reported field comes from the DECODER's byte reads,
+    * never echoed from the generator. */
+  def withGifMeta(df: DataFrame, payloadCol: String,
+      maxBlocks: Int = 64): DataFrame = {
+    graft.functions.GifFrameCount.register(df.sparkSession)
+    val p = col(payloadCol)
+    val frames = call_function(graft.functions.GifFrameCount.Name, p, lit(maxBlocks))
+    val isGif = frames.isNotNull
+    df.withColumn("kind", when(isGif, "gif").otherwise("opaque"))
+      .withColumn("width", when(isGif, leUInt(p, lit(7), 2)))
+      .withColumn("height", when(isGif, leUInt(p, lit(9), 2)))
+      .withColumn("n_frames", frames)
+  }
+
+  /** The `mm_gif_meta` query body: synthesize payloads, parse the
+    * blocks back. */
+  def gifMeta(docs: DataFrame): DataFrame =
+    withGifMeta(syntheticGifPayloads(docs), "payload")
+      .select(col("doc_id"), col("kind"), col("width"), col("height"),
+        col("n_frames"))
+
+  /** DuckDB half of [[gifMeta]]: the same arm split and field formulas
+    * (decode ≡ generator for a lossless header walk). */
+  val gifMetaOracle: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'gif' ELSE 'opaque' END AS kind,
+      |  CASE WHEN doc_id % 3 = 0 THEN (20 + doc_id % 11)::BIGINT END AS width,
+      |  CASE WHEN doc_id % 3 = 0 THEN (10 + n_chars % 7)::BIGINT END AS height,
+      |  CASE WHEN doc_id % 3 = 0 THEN (1 + doc_id % 4)::BIGINT END AS n_frames
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Video header decode: ISO BMFF (MP4) box metadata by pure byte-parse
   // (major brand from ftyp; timescale/duration from moov→mvhd — a
   // duration/brand admission gate needs the boxes, never the samples).

@@ -240,6 +240,72 @@ object Profile {
     s"WITH st AS (SELECT $statSel FROM $table)\n$arms"
   }
 
+  /** Pairwise Pearson correlation MATRIX over numeric columns — the
+    * EDA/CBO pass that finds redundant features and functionally-tied
+    * columns before training or join planning. Every moment (per-column
+    * sums/squares and all k(k−1)/2 cross products) accumulates in ONE
+    * scan as exact DECIMAL sums (the `agg_corr_pricing` discipline —
+    * float addition order never touches the statistic), and each
+    * correlation is a fixed-order double expression over the cast
+    * moments. Zero-variance columns report null, not NaN.
+    *
+    * Scale shape: one aggregate, k²/2 moment cells wide, one row out —
+    * column count multiplies the in-row expression width, never the
+    * I/O or the shuffle. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least two columns, got $cols")
+    import org.apache.spark.sql.types.DecimalType
+    def d(c: String) = col(s"`$c`").cast(DecimalType(18, 2))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = count(lit(1)).cast("double").as("__n") +:
+      (cols.flatMap(c => Seq(
+        sum(d(c)).cast("double").as(s"__s_$c"),
+        sum(d(c) * d(c)).cast("double").as(s"__ss_$c"))) ++
+        pairs.map { case (a, b) =>
+          sum(d(a) * d(b)).cast("double").as(s"__sp_${a}_$b") })
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        val n = col("__n")
+        val sx = col(s"__s_$a"); val sy = col(s"__s_$b")
+        val sxx = col(s"__ss_$a"); val syy = col(s"__ss_$b")
+        val sxy = col(s"__sp_${a}_$b")
+        val varx = n * sxx - sx * sx
+        val vary = n * syy - sy * sy
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          when(varx === 0.0 || vary === 0.0, lit(null).cast("double"))
+            .otherwise((n * sxy - sx * sy) / (sqrt(varx) * sqrt(vary)))
+            .as("corr"))
+      }: _*)).as("s"))
+      .select(col("s.col_a"), col("s.col_b"), col("s.corr"))
+  }
+
+  /** DuckDB half of [[corrMatrix]] (same DECIMAL moments, same
+    * fixed-order double expression). */
+  def corrMatrixOracle(table: String, cols: Seq[String]): String = {
+    def d(c: String) = s"CAST($c AS DECIMAL(18,2))"
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val moments = (s"CAST(count(*) AS DOUBLE) AS n" +:
+      (cols.flatMap(c => Seq(
+        s"CAST(sum(${d(c)}) AS DOUBLE) AS s_$c",
+        s"CAST(sum(${d(c)} * ${d(c)}) AS DOUBLE) AS ss_$c")) ++
+        pairs.map { case (a, b) =>
+          s"CAST(sum(${d(a)} * ${d(b)}) AS DOUBLE) AS sp_${a}_$b" })).mkString(",\n    ")
+    val arms = pairs.map { case (a, b) =>
+      val vx = s"((n * ss_$a) - (s_$a * s_$a))"
+      val vy = s"((n * ss_$b) - (s_$b * s_$b))"
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  CASE WHEN $vx = 0.0 OR $vy = 0.0 THEN NULL
+         |       ELSE ((n * sp_${a}_$b) - (s_$a * s_$b)) / (sqrt($vx) * sqrt($vy))
+         |  END AS corr
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH m AS (SELECT\n    $moments\n  FROM $table)\n$arms"
+  }
+
   /** Declarative data-quality EXPECTATION suite (the Deequ/
     * great-expectations shape): a named list of row-level predicates,
     * key-uniqueness assertions, and referential-containment assertions

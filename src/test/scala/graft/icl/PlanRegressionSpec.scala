@@ -129,6 +129,12 @@ class PlanRegressionSpec extends SparkTestBase {
     // er_blocking_recall is a collect-then-release harness (persisted
     // name frame, like assortativity) — plan audited in PLANS.md.
     ("profile_outlier_iqr", 4, 1),
+    // gif meta is a pure narrow synth+parse map (1 = harness count)
+    ("mm_gif_meta", 1, 0),
+    // corr matrix is ONE moment aggregate (+ harness count); the
+    // mutual-kNN clustering rides the Lloyd + components loops and is
+    // excluded like emb_knn_graph / er_cluster_stats.
+    ("profile_corr_matrix", 2, 0),
   )
 
   /** Tree walk that descends through AQE wrappers and query stages

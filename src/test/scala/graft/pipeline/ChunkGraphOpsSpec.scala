@@ -51,6 +51,27 @@ class ChunkGraphOpsSpec extends SparkTestBase {
     }
   }
 
+  test("corrMatrix: perfect/anti/zero-variance pairs read their closed forms") {
+    val df = (1 to 10).map(i => (i.toDouble, 2.0 * i, -3.0 * i, 7.0))
+      .toDF("a", "b", "c", "k")
+    val out = Profile.corrMatrix(df, Seq("a", "b", "c", "k")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(("a", "b")).exists(v => math.abs(v - 1.0) < 1e-12))
+    assert(out(("a", "c")).exists(v => math.abs(v + 1.0) < 1e-12))
+    assert(out(("a", "k")).isEmpty, "constant column -> null, not NaN")
+    assert(out.size == 6)
+  }
+
+  test("semanticClusters: sizes sum to the corpus and mutual edges only merge") {
+    val out = Ann.semanticClusters(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = out.map { case (sz, n) => sz * n }.sum
+    assert(total == 500L, s"every vector lands in exactly one cluster: $out")
+    assert(out.keys.exists(_ >= 2L), "some mutual pair actually merged")
+  }
+
   test("timeEmbargoSplit: gap discipline holds and counts partition the input") {
     val ts = (0L until 100L).map(_ * 10L)
     val df = ts.toDF("t")
