@@ -1581,6 +1581,31 @@ object SparkEntry {
         .groupBy(col("p_a"), col("p_b")).agg(count(lit(1)).as("support"))
         .where(col("support") >= MinSupport)
     }),
+    // association RULES over the frequent pairs: confidence in both
+    // directions and lift, each an exact-integer numerator/denominator
+    // with ONE double division (rank-preserving rational form — no
+    // transcendentals); the basket total is a 1-row broadcast
+    "basket_rules" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val itemN = lp.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
+      val pairs = lp.select(col("ok"), col("p").as("p_a"))
+        .join(lp.select(col("ok").as("ok2"), col("p").as("p_b")),
+          col("ok") === col("ok2") && col("p_a") < col("p_b"))
+        .groupBy(col("p_a"), col("p_b")).agg(count(lit(1)).as("support"))
+        .where(col("support") >= MinSupport)
+      val baskets = lp.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("__n_baskets"))
+      pairs
+        .join(itemN.select(col("p").as("p_a"), col("n_item").as("__na")), Seq("p_a"))
+        .join(itemN.select(col("p").as("p_b"), col("n_item").as("__nb")), Seq("p_b"))
+        .crossJoin(broadcast(baskets))
+        .select(col("p_a"), col("p_b"), col("support"),
+          round(col("support").cast("double") / col("__na"), 4).as("conf_a_b"),
+          round(col("support").cast("double") / col("__nb"), 4).as("conf_b_a"),
+          round((col("support") * col("__n_baskets")).cast("double") /
+            (col("__na") * col("__nb")), 4).as("lift"))
+    }),
     // one-pass column profile of the events table: per-column null and
     // exact distinct counts via a melt + single hash aggregation
     "profile_columns" -> ((s, dir) =>
@@ -1686,6 +1711,50 @@ object SparkEntry {
       graft.operators.Layout.clusterDepth(
         inv("by_orderkey", col("l_orderkey")).unionAll(inv("by_partkey", col("l_partkey"))),
         "layout", "min_k", "max_k")
+    }),
+    // MEASURED zone-map skipping: the same rows laid out linearly vs
+    // z-ordered into 64 equal files (GlobalRank ntile — never a
+    // single-task window), per-file min/max zone maps on BOTH keys,
+    // then four literal 2D range queries counted against the maps —
+    // the "why pay for z-order" number (2D selective queries read far
+    // fewer z-ordered files); pure metadata after the two ntile passes
+    "layout_skip_measured" -> ((s, dir) => {
+      val nFiles = 64
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+          col("l_linenumber").as("ln"))
+      def zones(tag: String, ordered: DataFrame, ord: Seq[String]) =
+        graft.operators.GlobalRank.withNtile(ordered, ord, nFiles, "file")
+          .groupBy(col("file"))
+          .agg(min(col("ok")).as("min_ok"), max(col("ok")).as("max_ok"),
+            min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"))
+          .withColumn("layout", lit(tag))
+      val lin = zones("linear", li, Seq("ok", "pk", "ln"))
+      val zo = zones("zorder",
+        li.withColumn("zk", graft.operators.Layout.zkey(col("ok"), col("pk"))),
+        Seq("zk", "ok", "pk", "ln"))
+      val bounds = li.agg(min(col("ok")).as("ok_mn"), max(col("ok")).as("ok_mx"),
+        min(col("pk")).as("pk_mn"), max(col("pk")).as("pk_mx"))
+      val qs = Seq((1, 0, 10, 0, 10), (2, 45, 55, 45, 55),
+        (3, 20, 30, 60, 80), (4, 0, 100, 30, 32))
+      lin.unionAll(zo)
+        .crossJoin(broadcast(bounds))
+        .select(col("*"), explode(array(qs.map { case (id, a1, a2, b1, b2) =>
+          struct(lit(id.toLong).as("qid"), lit(a1.toLong).as("alo"), lit(a2.toLong).as("ahi"),
+            lit(b1.toLong).as("blo"), lit(b2.toLong).as("bhi"))
+        }: _*)).as("q"))
+        .withColumn("lo_ok", expr("ok_mn + ((ok_mx - ok_mn) * q.alo) div 100"))
+        .withColumn("hi_ok", expr("ok_mn + ((ok_mx - ok_mn) * q.ahi) div 100"))
+        .withColumn("lo_pk", expr("pk_mn + ((pk_mx - pk_mn) * q.blo) div 100"))
+        .withColumn("hi_pk", expr("pk_mn + ((pk_mx - pk_mn) * q.bhi) div 100"))
+        .groupBy(col("layout"), col("q.qid").as("qid"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("min_ok") <= col("hi_ok") && col("max_ok") >= col("lo_ok") &&
+            col("min_pk") <= col("hi_pk") && col("max_pk") >= col("lo_pk"), 1L)
+            .otherwise(0L)).as("n_read"))
+        .select(col("layout"), col("qid"), col("n_files"), col("n_read"),
+          round(lit(1.0) - col("n_read").cast("double") / col("n_files"), 4)
+            .as("skip_ratio"))
     }),
     "layout_range_bounds" -> ((s, dir) =>
       graft.operators.Layout.rangeBounds(
@@ -2974,6 +3043,11 @@ object SparkEntry {
     // pass over an embedded corpus
     "emb_semantic_clusters" -> ((s, dir) =>
       graft.pipeline.Ann.semanticClusters(table(s, dir, "embeddings"))),
+    // kNN-graph recall: exact brute-force top-k truth for the query
+    // slice vs the cell-restricted graph — what the IVF restriction
+    // loses, measured before clustering consumes the graph
+    "emb_knn_recall" -> ((s, dir) =>
+      graft.pipeline.Ann.knnRecall(table(s, dir, "embeddings"))),
     // RAG-style retrieval: exact ANN top-k joined back to the document
     // payloads (vec_id ↔ doc_id) — the cross-modal fetch step of a
     // retrieval pipeline; at scale the payload join is the cheap part
@@ -3723,6 +3797,18 @@ object SparkEntry {
          |SELECT a.p AS p_a, b.p AS p_b, count(*) AS support
          |FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
          |GROUP BY 1, 2 HAVING count(*) >= $MinSupport""".stripMargin,
+    "basket_rules" ->
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |n AS (SELECT p, count(*) AS n_item FROM lp GROUP BY 1),
+         |pr AS (SELECT a.p AS p_a, b.p AS p_b, count(*)::BIGINT AS support
+         |       FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p
+         |       GROUP BY 1, 2 HAVING count(*) >= $MinSupport),
+         |t AS (SELECT count(DISTINCT ok) AS n_baskets FROM lp)
+         |SELECT pr.p_a, pr.p_b, pr.support,
+         |  round(pr.support::DOUBLE / na.n_item, 4) AS conf_a_b,
+         |  round(pr.support::DOUBLE / nb.n_item, 4) AS conf_b_a,
+         |  round((pr.support * t.n_baskets)::DOUBLE / (na.n_item * nb.n_item), 4) AS lift
+         |FROM pr JOIN n na ON na.p = pr.p_a JOIN n nb ON nb.p = pr.p_b, t""".stripMargin,
     "profile_columns" ->
       """SELECT 'event_id' AS col_name, count(*) - count(event_id) AS n_nulls, count(DISTINCT event_id) AS n_distinct FROM events
         |UNION ALL SELECT 'ts', count(*) - count(ts), count(DISTINCT ts) FROM events
@@ -3842,6 +3928,30 @@ object SparkEntry {
         |SELECT layout, count(*)::BIGINT AS n_files, max(depth) AS max_depth,
         |  round(sum(depth)::DOUBLE / count(*), 4) AS avg_depth
         |FROM sw WHERE d = 1 GROUP BY layout""".stripMargin,
+    "layout_skip_measured" -> {
+      val zk = graft.operators.Layout.zkeySql("ok", "pk")
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk, l_linenumber AS ln FROM lineitem),
+         |lin AS (SELECT 'linear' AS layout, ntile(64) OVER (ORDER BY ok, pk, ln) AS file, ok, pk FROM li),
+         |zo AS (SELECT 'zorder' AS layout, ntile(64) OVER (ORDER BY $zk, ok, pk, ln) AS file, ok, pk FROM li),
+         |z AS (SELECT layout, file, min(ok) AS min_ok, max(ok) AS max_ok,
+         |        min(pk) AS min_pk, max(pk) AS max_pk
+         |      FROM (SELECT * FROM lin UNION ALL SELECT * FROM zo) GROUP BY 1, 2),
+         |b AS (SELECT min(ok) AS ok_mn, max(ok) AS ok_mx, min(pk) AS pk_mn, max(pk) AS pk_mx FROM li),
+         |q(qid, alo, ahi, blo, bhi) AS (VALUES (1,0,10,0,10), (2,45,55,45,55),
+         |  (3,20,30,60,80), (4,0,100,30,32)),
+         |e AS (SELECT z.layout, q.qid, z.min_ok, z.max_ok, z.min_pk, z.max_pk,
+         |        b.ok_mn + ((b.ok_mx - b.ok_mn) * q.alo) // 100 AS lo_ok,
+         |        b.ok_mn + ((b.ok_mx - b.ok_mn) * q.ahi) // 100 AS hi_ok,
+         |        b.pk_mn + ((b.pk_mx - b.pk_mn) * q.blo) // 100 AS lo_pk,
+         |        b.pk_mn + ((b.pk_mx - b.pk_mn) * q.bhi) // 100 AS hi_pk
+         |      FROM z, b, q)
+         |SELECT layout, qid::BIGINT AS qid, count(*)::BIGINT AS n_files,
+         |  sum(CASE WHEN min_ok <= hi_ok AND max_ok >= lo_ok
+         |        AND min_pk <= hi_pk AND max_pk >= lo_pk THEN 1 ELSE 0 END)::BIGINT AS n_read,
+         |  round(1.0 - sum(CASE WHEN min_ok <= hi_ok AND max_ok >= lo_ok
+         |        AND min_pk <= hi_pk AND max_pk >= lo_pk THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS skip_ratio
+         |FROM e GROUP BY 1, 2""".stripMargin
+    },
     "layout_range_bounds" -> graft.operators.Layout.rangeBoundsOracle(
       "lineitem", "l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR",
       "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
@@ -4476,6 +4586,7 @@ object SparkEntry {
     "emb_quantize" -> graft.pipeline.Oracles.embQuantizeInt8,
     "emb_knn_graph" -> graft.pipeline.Oracles.embKnnGraph,
     "emb_semantic_clusters" -> graft.pipeline.Oracles.embSemanticClusters,
+    "emb_knn_recall" -> graft.pipeline.Oracles.embKnnRecall,
     "dedup_incremental" -> graft.pipeline.Oracles.dedupIncremental(IncrementalPrefixLen),
     "dedup_incremental_near" -> graft.pipeline.Oracles.dedupIncrementalNear,
     "join_bloom_filter" -> graft.pipeline.Oracles.joinBloomFilter(

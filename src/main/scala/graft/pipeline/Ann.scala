@@ -194,6 +194,28 @@ object Ann {
         col("neighbor_id"), col("sim"))
   }
 
+  /** kNN-graph recall harness — the measure-before-trust row for
+    * [[knnGraph]] (the graph sibling of `ann_ivf`'s recall rows): for
+    * the query slice, how many of the TRUE top-k cosine neighbors
+    * (exact brute force over the whole corpus) does the cell-restricted
+    * graph keep? Cross-cell true neighbors are exactly what the IVF
+    * restriction loses, and this is the number that says whether the
+    * loss is tolerable before clustering/sampling consumes the graph.
+    * One summary row: (n_truth_edges, n_hit, recall). */
+  def knnRecall(embeddings: DataFrame, k: Int = KnnK,
+      numQueries: Int = NumQueries): DataFrame = {
+    val truth = cosineTopK(embeddings, k, numQueries)
+      .select(col("query_id").as("vec_id"), col("vec_id").as("neighbor_id"))
+    val approx = knnGraph(embeddings, k)
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("neighbor_id"), lit(true).as("__hit"))
+    truth.join(approx, Seq("vec_id", "neighbor_id"), "left_outer")
+      .agg(count(lit(1)).as("n_truth_edges"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hit"))
+      .select(col("n_truth_edges"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth_edges"), 4).as("recall"))
+  }
+
   /** Semantic CLUSTERS via the mutual-kNN graph — the clustering
     * consumer of [[knnGraph]]: keep only RECIPROCATED neighbor edges
     * (u lists v AND v lists u — the standard mutual-kNN denoising: a

@@ -493,6 +493,9 @@ object MultiModal {
           AudioFileFormat.Type.WAVE, bout)
         val ais = AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bout.toByteArray))
+        val df = ais.getFormat
+        require(df.getChannels == 1 && df.getSampleSizeInBits == 16 &&
+          !df.isBigEndian, s"unexpected decoded format for doc $id: $df")
         val out = ais.readAllBytes()
         ais.close()
         val m = out.length / 2

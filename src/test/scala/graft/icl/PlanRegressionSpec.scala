@@ -135,6 +135,14 @@ class PlanRegressionSpec extends SparkTestBase {
     // mutual-kNN clustering rides the Lloyd + components loops and is
     // excluded like emb_knn_graph / er_cluster_stats.
     ("profile_corr_matrix", 2, 0),
+    // batch 7: basket_rules' BNLJ allowance is the 1-ROW basket-total
+    // broadcast (scalar-subquery shape); the pair join and both item
+    // joins share the distinct-basket build. skip_measured runs TWO
+    // GlobalRank passes (range exchange + per-partition sorts + the
+    // rank offsets collect each) + zone-map groupBys + the 1-row
+    // bounds broadcast. emb_knn_recall rides the Lloyd chain (excluded).
+    ("basket_rules", 8, 1),
+    ("layout_skip_measured", 12, 1),
   )
 
   /** Tree walk that descends through AQE wrappers and query stages

@@ -72,6 +72,30 @@ class ChunkGraphOpsSpec extends SparkTestBase {
     assert(out.keys.exists(_ >= 2L), "some mutual pair actually merged")
   }
 
+  test("knnRecall: hits bound by truth; recall in (0, 1]") {
+    val out = Ann.knnRecall(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")).collect().head
+    val (truth, hit, recall) = (out.getLong(0), out.getLong(1), out.getDouble(2))
+    assert(truth == Ann.NumQueries.toLong * Ann.KnnK)
+    assert(hit >= 1L && hit <= truth)
+    assert(recall > 0.0 && recall <= 1.0)
+    assert(math.abs(recall - hit.toDouble / truth) < 1e-3)
+  }
+
+  test("layout skip stats: z-order reads fewer files than linear on 2D boxes") {
+    val rows = graft.SparkEntry.queries("layout_skip_measured")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.size == 8, "2 layouts x 4 queries")
+    for (((_, _), (nf, nr)) <- rows) { assert(nf == 64L && nr <= nf) }
+    val linReads = (1 to 4).map(q => rows(("linear", q.toLong))._2).sum
+    val zoReads = (1 to 4).map(q => rows(("zorder", q.toLong))._2).sum
+    assert(zoReads < linReads,
+      s"z-order skips more across the 2D query set: zorder $zoReads vs linear $linReads")
+    // the pk-band query (4) cannot be pruned by the ok-clustered layout
+    assert(rows(("linear", 4L))._2 == 64L)
+  }
+
   test("timeEmbargoSplit: gap discipline holds and counts partition the input") {
     val ts = (0L until 100L).map(_ * 10L)
     val df = ts.toDF("t")
