@@ -2404,6 +2404,44 @@ object SparkEntry {
           .select(lit("_corrupt").as("lang"), col("n").as("n_docs"),
             lit(null).cast("long").as("sum_chars"), lit(null).cast("long").as("min_doc")))
     }),
+    // parquet SCHEMA EVOLUTION: two ingest batches written with
+    // different schemas (v2 adds a column), read back as ONE table via
+    // mergeSchema — v1 rows surface the new column as null, and the
+    // aggregate proves the union is lossless; the add-a-column migration
+    // every long-lived 100 TB table goes through
+    "ingest_schema_evolution" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+      val orders = table(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_totalprice")).as("n_with_price"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_price"))
+    }),
+    // seasonal-naive forecasting baseline (the eval every fancier
+    // forecaster must beat): forecast(day) = total(day-7), scored as
+    // exact-DECIMAL absolute errors with one double division at the end
+    "ts_seasonal_naive" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .select(col("event_type"),
+          expr(s"($TsUsSql) div $RangeJoinDayUs").as("day"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+        .groupBy(col("event_type"), col("day")).agg(sum(col("v")).as("t"))
+      val prior = daily.select(col("event_type"), (col("day") + 7).as("day"),
+        col("t").as("prior"))
+      daily.join(prior, Seq("event_type", "day"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_scored"),
+          round(sum(abs(col("t") - col("prior"))).cast("double") /
+            count(lit(1)), 4).as("mae"))
+    }),
     // lineitem ⋈ orders with the probe side salted 8 ways — the skew
     // tool; the salt is invisible in the result, so the oracle is the
     // PLAIN join (multiset equality is exactly the operator's contract)
@@ -2658,6 +2696,13 @@ object SparkEntry {
     }),
     // per-source quota: keep the 10 largest documents of every source
     // (testdata has 25 docs/source, so the cap genuinely bites)
+    // class-balanced exact downsample: every label cut to the smallest
+    // class's size (the quota is DATA-derived, broadcast as 1 row), in
+    // salted-hash order — the reproducible imbalanced-training fix
+    "sample_class_balance" -> ((s, dir) =>
+      graft.pipeline.Sampling.classBalance(
+        table(s, dir, "embeddings").select(col("vec_id"), col("label")),
+        "vec_id", "label")),
     "sample_source_cap" -> ((s, dir) =>
       graft.pipeline.Sampling.capPerStratum(table(s, dir, "documents"),
         "doc_id", "source", "n_chars", 10)),
@@ -2819,6 +2864,11 @@ object SparkEntry {
     // decoder; truncated chains and non-GIF payloads classify opaque
     "mm_gif_meta" -> ((s, dir) =>
       graft.pipeline.MultiModal.gifMeta(table(s, dir, "documents"))),
+    // sparse 16-bin luma histogram over real decoded pixels: the
+    // exposure/contrast artifact per image; decode+bin is one narrow
+    // map emitting at most 16 fixed-width rows per image
+    "mm_image_histogram" -> ((s, dir) =>
+      graft.pipeline.MultiModal.imageHistogram(table(s, dir, "documents"))),
     // ISO BMFF (MP4) box metadata by pure header byte-parse: the box
     // walk (native graft_bmff_box) hops variable-length free/udta boxes
     // at BOTH nesting levels (mvhd inside moov composes via binary
@@ -4206,6 +4256,22 @@ object SparkEntry {
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 90)""".stripMargin,
     // ingest-invisible: the JSONL round trip must reproduce the parquet
     // aggregate exactly, plus the three injected corrupt lines
+    "ingest_schema_evolution" ->
+      """SELECT o_orderstatus,
+        |  count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_with_price,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1
+        |        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "ts_seasonal_naive" ->
+      s"""WITH d AS (SELECT event_type, epoch_us(ts) // $RangeJoinDayUs AS day,
+         |        sum(CAST(value AS DECIMAL(18,2))) AS t
+         |      FROM events GROUP BY 1, 2),
+         |j AS (SELECT a.event_type, a.day, a.t, b.t AS prior
+         |      FROM d a JOIN d b ON b.event_type = a.event_type AND b.day = a.day - 7)
+         |SELECT event_type, count(*)::BIGINT AS n_scored,
+         |  round(CAST(sum(abs(t - prior)) AS DOUBLE) / count(*), 4) AS mae
+         |FROM j GROUP BY 1""".stripMargin,
     "ingest_jsonl_quarantine" ->
       """SELECT lang, count(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
         |  min(doc_id) AS min_doc
@@ -4350,6 +4416,8 @@ object SparkEntry {
           |SELECT p.doc_id, p.pos, COALESCE(ids.token_id, 0) AS token_id
           |FROM p LEFT JOIN ids ON p.token = ids.token""".stripMargin),
     "sample_source_cap" -> graft.pipeline.Oracles.sampleSourceCap(10),
+    "sample_class_balance" -> graft.pipeline.Sampling.classBalanceOracle(
+      "embeddings", "vec_id", "label", "vec_id, label"),
     "sample_mix_budget" -> graft.pipeline.Oracles.sampleMixBudget(
       MixWeights, MixDefaultWeight, MixBudget, graft.pipeline.Sampling.DefaultSalt),
     "sample_uniform_k" ->
@@ -4549,6 +4617,7 @@ object SparkEntry {
     "mm_wav_pcm" -> graft.pipeline.MultiModal.wavPcmOracle,
     "mm_audio_vad" -> graft.pipeline.MultiModal.audioVadOracle,
     "mm_gif_meta" -> graft.pipeline.MultiModal.gifMetaOracle,
+    "mm_image_histogram" -> graft.pipeline.MultiModal.imageHistogramOracle,
     "mm_pixel_resize" -> graft.pipeline.MultiModal.pixelResizeOracle,
     "mm_image_quality" -> graft.pipeline.MultiModal.imageQualityOracle,
     "emb_centroid_outliers" -> graft.pipeline.Oracles.embCentroidOutliers(

@@ -1049,6 +1049,56 @@ object MultiModal {
     }.toDF()
   }
 
+  final case class LumaBin(doc_id: Long, bin: Long, n_px: Long)
+
+  /** Per-image LUMA HISTOGRAM over REAL decoded pixels — the richer
+    * sibling of [[imageQuality]]'s moments: 16 equal 16-level bins
+    * (bin = luma div 16), emitted sparse (only non-empty bins) — the
+    * exposure/contrast artifact a vision curation pass keeps per image.
+    * Decode is the same JDK ImageIO round trip; bins are pure integer
+    * division of decoded samples, so the oracle re-derives them from
+    * the generator arithmetic.
+    *
+    * Scale shape: decode+bin is one narrow mapPartitions emitting at
+    * most 16 rows per image — fixed-width, shuffle-free. */
+  def imageHistogram(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { id =>
+        val s = pixelSeed(id)
+        val w = pixelWidth(s)
+        val h = pixelHeight(s)
+        val img = decodeImage(encodeGrayPng(w, h, (x, y) => qcLuma(s, x, y)))
+          .getOrElse(throw new IllegalStateException(s"undecodable PNG for doc $id"))
+        val raster = img.getRaster
+        val bins = new Array[Long](16)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { bins(raster.getSample(x, y, 0) / 16) += 1; x += 1 }
+          y += 1
+        }
+        (0 until 16).iterator.filter(b => bins(b) > 0)
+          .map(b => LumaBin(id, b.toLong, bins(b)))
+      }
+    }.toDF()
+  }
+
+  /** DuckDB half of [[imageHistogram]]: the same pixel fan-out as
+    * [[imageQualityOracle]], binned by `luma // 16`. */
+  val imageHistogramOracle: String = {
+    val lum = s"(CASE WHEN seed % $QcFlatMod = 0 THEN (seed*7) % 256 " +
+      "ELSE (seed*31 + 7*x*x + 13*y + x*y) % 256 END)"
+    s"""WITH d AS (SELECT doc_id, doc_id % $PixelSeeds AS seed FROM documents),
+       |g AS (SELECT doc_id, seed, 9 + seed % 3 AS w, 8 + seed % 2 AS h FROM d),
+       |px AS (SELECT doc_id, seed, w, h, unnest(range(0, w)) AS x FROM g),
+       |py AS (SELECT doc_id, seed, w, h, x, unnest(range(0, h)) AS y FROM px),
+       |v AS (SELECT doc_id, $lum // 16 AS bin FROM py)
+       |SELECT doc_id, bin::BIGINT AS bin, count(*)::BIGINT AS n_px
+       |FROM v GROUP BY 1, 2""".stripMargin
+  }
+
   /** DuckDB half of [[imageQuality]]: per-seed pixel fan-out
     * (`unnest(range)` twice), the same integer moments and flag
     * comparisons over the generator formula. */

@@ -72,6 +72,43 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** CLASS-BALANCED exact downsample — [[uniformPerStratum]] with the
+    * quota set BY THE DATA: every class is cut to the size of the
+    * smallest class (the classic imbalanced-training fix), drawn in
+    * salted-hash order so the balanced set is reproducible and stable
+    * under re-runs. Unlike a fixed-k cap, the quota moves with the
+    * corpus — the operator's contract is "perfectly balanced output"
+    * rather than "at most k per class".
+    *
+    * Scale shape: one class-cardinality-sized count aggregate, its
+    * 1-row minimum broadcast back (scalar-subquery shape), one window
+    * shuffle on the class key — the [[capPerStratum]] plan plus a
+    * broadcast; same mega-stratum caveat. */
+  def classBalance(df: DataFrame, idCol: String, classCol: String,
+      salt: String = DefaultSalt): DataFrame = {
+    val minN = df.groupBy(col(s"`$classCol`")).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n")).as("__min"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"`$classCol`"))
+      .orderBy(gateCol(idCol, salt).asc, col(s"`$idCol`").asc)
+    df.crossJoin(org.apache.spark.sql.functions.broadcast(minN))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__min"))
+      .drop("__rn", "__min")
+  }
+
+  /** DuckDB half of [[classBalance]] (same salted order, same
+    * data-derived quota). */
+  def classBalanceOracle(table: String, idCol: String, classCol: String,
+      outCols: String, salt: String = DefaultSalt): String =
+    s"""WITH m AS (SELECT min(n) AS mn FROM
+       |       (SELECT count(*) AS n FROM $table GROUP BY $classCol)),
+       |r AS (SELECT $outCols,
+       |        row_number() OVER (PARTITION BY $classCol
+       |          ORDER BY substr(sha256($idCol::VARCHAR || '|$salt'), 1, 4), $idCol) AS rn
+       |      FROM $table)
+       |SELECT $outCols FROM r, m WHERE rn <= m.mn""".stripMargin
+
   /** Token-budgeted mixture sampling (the data-mixture step of
     * Dolma/DataComp-style recipes: "X% of the training tokens from each
     * source"): integer source weights allocate a global token budget

@@ -143,6 +143,16 @@ class PlanRegressionSpec extends SparkTestBase {
     // bounds broadcast. emb_knn_recall rides the Lloyd chain (excluded).
     ("basket_rules", 8, 1),
     ("layout_skip_measured", 12, 1),
+    // batch 8: the evolution row's write legs are narrow filters (the
+    // only exchanges are the merged-read groupBy + harness count);
+    // seasonal-naive re-keys the daily aggregate for the lag-7
+    // self-join, then one verdict groupBy.
+    ("ingest_schema_evolution", 3, 0),
+    ("ts_seasonal_naive", 6, 0),
+    // class balance: class-count agg chain (2) + the 1-ROW min-quota
+    // broadcast (the BNLJ allowance) + one window shuffle (+harness).
+    ("sample_class_balance", 5, 1),
+    ("mm_image_histogram", 1, 0),
   )
 
   /** Tree walk that descends through AQE wrappers and query stages

@@ -30,6 +30,25 @@ class CurationOpsSpec extends SparkTestBase {
     assert(!out(1L)._4, "the patterned seed is not flat")
   }
 
+  test("imageHistogram: bins replay the generator; sparse, and counts sum to the pixel grid") {
+    val docs = Seq(0L, 1L).toDF("doc_id")
+    val out = MultiModal.imageHistogram(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (id <- Seq(0L, 1L)) {
+      val s = MultiModal.pixelSeed(id)
+      val w = MultiModal.pixelWidth(s); val h = MultiModal.pixelHeight(s)
+      val expect = (for (y <- 0 until h; x <- 0 until w)
+        yield MultiModal.qcLuma(s, x, y) / 16)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = out.collect { case ((d, b), n) if d == id => b.toInt -> n }
+      assert(got.toMap == expect.map { case (k, v) => k -> v }, s"doc $id")
+      assert(got.values.sum == w.toLong * h)
+    }
+    // flat seed 0 renders ONE bin; patterned seed 1 renders several
+    assert(out.keys.count(_._1 == 0L) == 1)
+    assert(out.keys.count(_._1 == 1L) > 4)
+  }
+
   test("noveltyPerDoc: first occurrence wins by id order; short docs report null novelty") {
     val docs = Seq(
       (1L, "a b c d"),    // shingles {abc, bcd}: both first here

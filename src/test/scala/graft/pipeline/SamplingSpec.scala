@@ -125,6 +125,19 @@ class SamplingSpec extends SparkTestBase {
     assert(got === Seq(("a b", 3L), ("b a", 1L)))
   }
 
+  test("classBalance: every class cut to the smallest class's size, reproducibly") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .toDF("id", "cls")
+    val out = Sampling.classBalance(df, "id", "cls").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.groupBy(_._2).view.mapValues(_.size).toMap == Map("a" -> 1, "b" -> 1, "c" -> 1),
+      "quota = |smallest class| = 1")
+    val again = Sampling.classBalance(df, "id", "cls").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq, "same draw every run")
+  }
+
   test("no shuffle: the sampling plan is scan → filter/project only") {
     val plan = Sampling.stratified(docs, "doc_id", "lang", Map("en" -> 0.5))
       .queryExecution.executedPlan.toString
