@@ -159,6 +159,8 @@ object SparkEntry {
 
   /** Query terms for `search_topk` (high-df corpus tokens). */
   val SearchTerms: Seq[String] = Seq("hash", "join", "vector")
+  /** Consecutive-token phrase for the positional-index search row. */
+  val PhraseTerms: Seq[String] = Seq("key", "order", "sort")
 
   /** Bernoulli rate for `sketch_quantile_sample`. */
   val QuantileSampleRate: Double = 0.05
@@ -1248,6 +1250,23 @@ object SparkEntry {
         expr("percentile(sz, 0.75)").as("p75_sz"),
         (sum(col("sz")).cast("double") / count(lit(1))).as("avg_sz"))
     }),
+    // Gini concentration of customer revenue: the sorted-rank identity
+    // G = (2·Σ rᵢxᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with ranks from the
+    // range-partitioned GlobalRank (never a single-task global window);
+    // moments accumulate in exact DECIMAL, ONE double division at the
+    // end (both engines evaluate the identical IEEE expression)
+    "agg_gini_revenue" -> ((s, dir) => {
+      val x = table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("x"))
+      val ranked = graft.operators.GlobalRank.withRank(x, Seq("x", "o_custkey"), "r")
+      ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("total"),
+        sum(col("r") * col("x")).as("rx"))
+        .select(col("n"),
+          round((lit(2.0d) * col("rx").cast("double") -
+            (col("n") + 1).cast("double") * col("total").cast("double")) /
+            (col("n").cast("double") * col("total").cast("double")), 6).as("gini"))
+    }),
     // trailing 30-day spend per customer: the RANGE window frame (peers
     // by VALUE distance, not row count) — frame membership is a pure
     // function of the integer day, so ties need no ordering tiebreak and
@@ -1374,6 +1393,22 @@ object SparkEntry {
         .select(col("s1").as("doc_a"), col("s2").as("doc_b"))
       graft.operators.LabelProp.labels(
         lp.select(col("p").as("part")), pairs, "part")
+    }),
+    // Newman modularity of the BRAND partition over the same
+    // co-purchase graph — the partition-quality score any community/
+    // label assignment is judged by, kept integral (Q·4m² in BIGINT,
+    // one double division at the end). NO iteration: two label joins +
+    // one map-side-combinable aggregate
+    "graph_modularity" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val l1 = lp.select(col("ok"), col("p").as("s1"))
+      val l2 = lp.select(col("ok").as("ok2"), col("p").as("s2"))
+      val pairs = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
+        .select(col("s1").as("src"), col("s2").as("dst")).distinct()
+      val labels = table(s, dir, "part")
+        .select(col("p_partkey").as("node"), col("p_brand").as("label"))
+      graft.operators.Modularity.score(pairs, labels)
     }),
     // bounded k-core peel on the same sparse subgraph: 3 synchronous
     // peel rounds at k=3 — the degeneracy-ordering workhorse (densest
@@ -1528,6 +1563,30 @@ object SparkEntry {
         .select(col("cluster_size"), col("n_clusters"), col("n_records"),
           round(col("n_records").cast("double") / col("__total").cast("double"), 4)
             .as("pct_records"))
+    }),
+    // SURVIVORSHIP over the same clustering — the golden-record MDM
+    // step ER feeds: every source row joins its cluster label, and one
+    // keyed aggregate applies the field rules (min key = stable id,
+    // max price = most-complete-wins, member counts). Only multi-name
+    // clusters surface (the actual merges)
+    "er_golden_record" -> ((s, dir) => {
+      val part = table(s, dir, "part")
+      val pairs = graft.pipeline.Fuzzy.blockedPairs(part, "p_name",
+          nm => split(nm, " ").getItem(1), maxDist = FuzzyMaxDist,
+          maxBlock = FuzzyMaxBlock)
+        .select(col("left").as("doc_a"), col("right").as("doc_b"))
+      val names = part.select(col("p_name").as("name")).distinct()
+      val clusters = graft.pipeline.Dedup.clustersFromPairs(names, pairs, "name")
+      part.join(clusters, part("p_name") === clusters("name"))
+        .groupBy(col("cluster_id").as("canonical"))
+        .agg(min(col("p_partkey")).as("golden_partkey"),
+          max(col("p_retailprice").cast(DecimalType(18, 2))).as("__gp"),
+          countDistinct(col("p_name")).as("n_names"),
+          count(lit(1)).as("n_rows"))
+        .filter(col("n_names") > 1)
+        .select(col("canonical"), col("golden_partkey"),
+          col("__gp").cast("double").as("golden_price"),
+          col("n_names"), col("n_rows"))
     }),
     // big spenders FULL OUTER active users — the reconcile shape (ledger
     // vs telemetry) where either side may be missing; both aggregates
@@ -1776,6 +1835,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("score"), countDistinct(col("token")).as("n_terms"))
         .orderBy(col("score").desc, col("doc_id")).limit(10)
     }),
+    // exact PHRASE query over a positional inverted index: postings are
+    // materialized only for the phrase's terms (isin pushes into the
+    // scan), consecutive terms align via (doc, pos−i) equi-joins —
+    // at 100 TB the read is three posting lists, never the corpus
+    "search_phrase" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.phraseSearch(
+        table(s, dir, "documents"), PhraseTerms)),
     // sequential pattern mining: event-type transition counts (first-order
     // Markov edges) per user timeline — one window pass on the µs-truncated
     // (ts, event_id) order both engines agree on, then one count shuffle
@@ -1878,9 +1944,13 @@ object SparkEntry {
           sum(x * y).cast("double").as("sxy"),
           sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"))
         .select(col("l_returnflag"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          // round(…, 6) absorbs the one-ULP DECIMAL→DOUBLE conversion
+          // divergence between engines (observed at sf0.001: DuckDB's
+          // int128/pow10 path vs BigDecimal.doubleValue differ in the
+          // last bit for some exact sums)
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
             (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
             .as("corr_qty_price"))
     }),
     // curriculum binning: quality-score quartile bins over the corpus —
@@ -2442,6 +2512,43 @@ object SparkEntry {
           round(sum(abs(col("t") - col("prior"))).cast("double") /
             count(lit(1)), 4).as("mae"))
     }),
+    // CUSUM level-shift changepoint per event type over the day-grain
+    // series: the x maximizing |n·S_k − k·T| (Page '54, scaled to stay
+    // integral) — ONE key-partitioned window chain; the argmin groupBy
+    // reuses the window's hash partitioning, never a global sort
+    "ts_cusum_changepoint" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .select(col("event_type"), expr(s"($TsUsSql) div $RangeJoinDayUs").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("y"))
+      graft.operators.Series.cusumChangepoint(daily)
+    }),
+    // LTTB display downsampling (fixed-anchor parallel variant) of the
+    // global daily event count: 12 interior buckets + both endpoints;
+    // triangle areas ranked in exact integer arithmetic (no division)
+    "ts_lttb_downsample" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .select(expr(s"($TsUsSql) div $RangeJoinDayUs").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("y"))
+      graft.operators.Series.lttbDownsample(daily)
+    }),
+    // weekly seasonal profile of the daily event count: per day-of-week
+    // index, the mean's ratio to the overall mean as ONE double division
+    // of two exact integer products (dow_total·n_all / n_dow·total) —
+    // the libm-free seasonal-decomposition leg; totals ride a 1-row
+    // broadcast (scalar-subquery shape)
+    "ts_seasonal_decompose" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .select(expr(s"($TsUsSql) div $RangeJoinDayUs").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("y"))
+      val totals = broadcast(daily.agg(sum(col("y")).as("__total"),
+        count(lit(1)).as("__n_all")))
+      daily.groupBy((col("day") % 7).as("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("y")).as("dow_total"))
+        .crossJoin(totals)
+        .select(col("dow"), col("n_days"), col("dow_total"),
+          round((col("dow_total") * col("__n_all")).cast("double") /
+            (col("n_days") * col("__total")).cast("double"), 6).as("seasonal_ratio"))
+    }),
     // lineitem ⋈ orders with the probe side salted 8 ways — the skew
     // tool; the salt is invisible in the result, so the oracle is the
     // PLAIN join (multiset equality is exactly the operator's contract)
@@ -2964,6 +3071,16 @@ object SparkEntry {
     // the same harness over the composed IVF x PQ production path
     "ann_ivfpq_recall" -> ((s, dir) =>
       graft.pipeline.Ann.ivfPqRecall(table(s, dir, "embeddings"))),
+    // binary-quantized search: brute Hamming top-k over 64-bit sign
+    // signatures (8 bytes/vector — the memory-bandwidth scale path; a
+    // 100 TB float corpus scans as ~3 TB of signatures)
+    "ann_hamming_topk" -> ((s, dir) =>
+      graft.pipeline.Ann.hammingTopK(table(s, dir, "embeddings"))),
+    // the production binary-quantization pattern measured: Hamming
+    // shortlist + exact-cosine rerank, scored edge-for-edge against the
+    // exact top-k (denominator = the full truth set)
+    "ann_hamming_rerank" -> ((s, dir) =>
+      graft.pipeline.Ann.hammingRecall(table(s, dir, "embeddings"))),
     // the harness over DIMENSION TRUNCATION (Matryoshka retrieval):
     // does the TruncDims-of-64-dim (48) prefix top-1 land in the full
     // top-k? — the eval that justifies shipping truncated embeddings
@@ -3581,6 +3698,13 @@ object SparkEntry {
          |SELECT count(*) AS n_keys, max(sz) AS max_sz,
          |  quantile_cont(sz, 0.5) AS p50_sz, quantile_cont(sz, 0.75) AS p75_sz,
          |  sum(sz)::DOUBLE / count(*) AS avg_sz FROM sz""".stripMargin),
+    "agg_gini_revenue" ->
+      ("""WITH x AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+         |      FROM orders GROUP BY 1),
+         |r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS r FROM x),
+         |s AS (SELECT count(*) AS n, sum(x) AS total, sum(r * x) AS rx FROM r)
+         |SELECT n, round((2.0 * CAST(rx AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(total AS DOUBLE))
+         |  / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS gini FROM s""".stripMargin),
     "agg_trailing_30d" ->
       ("""SELECT o_orderkey, o_custkey, (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS day,
          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_total,
@@ -3676,6 +3800,23 @@ object SparkEntry {
       graft.operators.Truss.Rounds),
     "graph_label_prop" -> graft.pipeline.Oracles.graphLabelProp(
       graft.operators.LabelProp.Rounds),
+    "graph_modularity" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        |      WHERE l_quantity > 45),
+        |e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        |      FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+        |t AS (SELECT pa.p_brand AS la, pb.p_brand AS lb FROM e
+        |      JOIN part pa ON pa.p_partkey = e.src
+        |      JOIN part pb ON pb.p_partkey = e.dst),
+        |x AS (SELECT la AS c, CASE WHEN la = lb THEN 1 ELSE 0 END AS intra, 1 AS deg FROM t
+        |      UNION ALL SELECT lb, 0, 1 FROM t),
+        |pc AS (SELECT c, CAST(sum(intra) AS BIGINT) AS lc, CAST(sum(deg) AS BIGINT) AS dc
+        |       FROM x GROUP BY 1)
+        |SELECT count(*) AS n_groups, CAST(sum(dc) // 2 AS BIGINT) AS m_edges,
+        |       CAST(2 * sum(dc) * sum(lc) - sum(dc * dc) AS BIGINT) AS q_num,
+        |       round(CAST(2 * sum(dc) * sum(lc) - sum(dc * dc) AS BIGINT)::DOUBLE
+        |             / (CAST(sum(dc) AS DOUBLE) * CAST(sum(dc) AS DOUBLE)), 6) AS modularity
+        |FROM pc""".stripMargin,
     "graph_assortativity" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS s1, b.p AS s2 FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
@@ -3799,6 +3940,28 @@ object SparkEntry {
          |clus AS (SELECT id, min(rid) AS cluster_id FROM reach GROUP BY id)
          |SELECT cluster_id AS canonical, count(*) AS n_members FROM clus
          |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "er_golden_record" ->
+      s"""WITH RECURSIVE n AS (SELECT DISTINCT p_name AS s,
+         |         CASE WHEN p_name LIKE '% %' THEN split_part(p_name, ' ', 2) END AS k
+         |       FROM part),
+         |f AS (SELECT s, k FROM n WHERE k IS NOT NULL),
+         |keep AS (SELECT k FROM f GROUP BY k HAVING count(*) <= $FuzzyMaxBlock),
+         |blk AS (SELECT f.s, f.k FROM f JOIN keep USING (k)),
+         |p AS (SELECT a.s AS da, b.s AS db FROM blk a JOIN blk b ON a.k = b.k AND a.s < b.s
+         |      WHERE levenshtein(a.s, b.s) <= $FuzzyMaxDist),
+         |e AS (SELECT da AS src, db AS dst FROM p UNION ALL SELECT db, da FROM p),
+         |an AS (SELECT DISTINCT p_name AS s FROM part),
+         |reach AS (SELECT s AS id, s AS rid FROM an
+         |          UNION
+         |          SELECT r.id, e.dst AS rid FROM reach r JOIN e ON e.src = r.rid),
+         |clus AS (SELECT id, min(rid) AS cluster_id FROM reach GROUP BY id),
+         |g AS (SELECT c.cluster_id AS canonical, min(pt.p_partkey) AS golden_partkey,
+         |        max(CAST(pt.p_retailprice AS DECIMAL(18,2))) AS gp,
+         |        count(DISTINCT pt.p_name) AS n_names, count(*) AS n_rows
+         |      FROM part pt JOIN clus c ON c.id = pt.p_name GROUP BY 1)
+         |SELECT canonical, golden_partkey, CAST(gp AS DOUBLE) AS golden_price,
+         |       n_names, n_rows
+         |FROM g WHERE n_names > 1""".stripMargin,
     "er_cluster_stats" ->
       s"""WITH RECURSIVE n AS (SELECT DISTINCT p_name AS s,
          |         CASE WHEN p_name LIKE '% %' THEN split_part(p_name, ' ', 2) END AS k
@@ -3872,6 +4035,9 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS score, count(DISTINCT token) AS n_terms
          |FROM t WHERE token IN ($terms)
          |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
+    "search_phrase" -> {
+      graft.pipeline.TextPipeline.phraseSearchOracle("documents", PhraseTerms)
     },
     "seq_transition_counts" ->
       """WITH e AS (SELECT user_id, event_id, event_type AS next, epoch_us(ts) AS tus FROM events),
@@ -4027,7 +4193,7 @@ object SparkEntry {
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag,
-        |  ((n * sxy) - (sx * sy)) / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))) AS corr_qty_price
+        |  round(((n * sxy) - (sx * sy)) / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))), 6) AS corr_qty_price
         |FROM m""".stripMargin,
     "split_curriculum" ->
       (s"""WITH qual AS (${graft.pipeline.Oracles.textQuality}),
@@ -4272,6 +4438,50 @@ object SparkEntry {
          |SELECT event_type, count(*)::BIGINT AS n_scored,
          |  round(CAST(sum(abs(t - prior)) AS DOUBLE) / count(*), 4) AS mae
          |FROM j GROUP BY 1""".stripMargin,
+    "ts_cusum_changepoint" ->
+      s"""WITH d AS (SELECT event_type, epoch_us(ts) // $RangeJoinDayUs AS day,
+         |        count(*) AS y FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, day,
+         |        count(*) OVER (PARTITION BY event_type) AS n,
+         |        CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+         |        CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY day) AS k
+         |      FROM d),
+         |c AS (SELECT event_type, day, n, CAST(abs(n*s - k*t) AS BIGINT) AS dev FROM w),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev DESC, day) AS rn FROM c)
+         |SELECT event_type, day AS split_x, dev, n AS n_points FROM r WHERE rn = 1""".stripMargin,
+    "ts_lttb_downsample" ->
+      s"""WITH d AS (SELECT epoch_us(ts) // $RangeJoinDayUs AS day, count(*) AS y
+         |      FROM events GROUP BY 1),
+         |b AS (SELECT min(day) AS x0, arg_min(y, day) AS y0,
+         |             max(day) AS x1, arg_max(y, day) AS y1 FROM d),
+         |i AS (SELECT day, y, ((day - x0 - 1) * 12) // (x1 - x0 - 1) AS bucket
+         |      FROM d, b WHERE day > x0 AND day < x1),
+         |st AS (SELECT bucket, CAST(sum(day) AS BIGINT) AS sx,
+         |         CAST(sum(y) AS BIGINT) AS sy, count(*) AS n FROM i GROUP BY 1),
+         |a AS (SELECT i.bucket, i.day, i.y,
+         |        coalesce(p.sx, b.x0) AS psx, coalesce(p.sy, b.y0) AS psy, coalesce(p.n, 1) AS pn,
+         |        coalesce(q.sx, b.x1) AS nsx, coalesce(q.sy, b.y1) AS nsy, coalesce(q.n, 1) AS nn
+         |      FROM i CROSS JOIN b
+         |      LEFT JOIN st p ON p.bucket = i.bucket - 1
+         |      LEFT JOIN st q ON q.bucket = i.bucket + 1),
+         |sc AS (SELECT bucket, day, y,
+         |        CAST(abs((psx*nn - nsx*pn)*(y*pn - psy) - (psx - day*pn)*(nsy*pn - psy*nn)) AS BIGINT) AS score
+         |      FROM a),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY score DESC, day) AS rn FROM sc)
+         |SELECT bucket, day, y, score FROM r WHERE rn = 1
+         |UNION ALL SELECT CAST(-1 AS BIGINT), x0, y0, CAST(0 AS BIGINT) FROM b
+         |UNION ALL SELECT CAST(12 AS BIGINT), x1, y1, CAST(0 AS BIGINT) FROM b""".stripMargin,
+    "ts_seasonal_decompose" ->
+      s"""WITH d AS (SELECT epoch_us(ts) // $RangeJoinDayUs AS day, count(*) AS y
+         |      FROM events GROUP BY 1),
+         |t AS (SELECT CAST(sum(y) AS BIGINT) AS total, count(*) AS n_all FROM d),
+         |g AS (SELECT day % 7 AS dow, count(*) AS n_days,
+         |        CAST(sum(y) AS BIGINT) AS dow_total FROM d GROUP BY 1)
+         |SELECT dow, n_days, dow_total,
+         |  round(CAST(dow_total * n_all AS DOUBLE) / CAST(n_days * total AS DOUBLE), 6) AS seasonal_ratio
+         |FROM g CROSS JOIN t""".stripMargin,
     "ingest_jsonl_quarantine" ->
       """SELECT lang, count(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
         |  min(doc_id) AS min_doc
@@ -4608,6 +4818,8 @@ object SparkEntry {
     "ann_ivfpq_recall" -> graft.pipeline.Oracles.annIvfPqRecall,
     "ann_truncated_recall" ->
       graft.pipeline.Oracles.annTruncatedRecall(graft.pipeline.Ann.TruncDims),
+    "ann_hamming_topk" -> graft.pipeline.Oracles.annHammingTopK,
+    "ann_hamming_rerank" -> graft.pipeline.Oracles.annHammingRecall,
     "emb_hard_negatives" -> graft.pipeline.Oracles.embHardNegatives,
     "mm_phash_dupes" ->
       graft.pipeline.Oracles.mmPhashDupes(graft.pipeline.MultiModal.PhashBits),

@@ -784,6 +784,104 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("sim"))
   }
 
+  /** Bits per sign word ([[signWord]]): signatures are packed as TWO
+    * 32-bit words in a BIGINT rather than one 64-bit word because a
+    * `1 << 63` literal overflows the oracle engine's signed shift; the
+    * split costs one extra xor+popcount per comparison and nothing
+    * else. */
+  val WordBits = 32
+  /** Hamming shortlist kept per query before the exact-cosine rerank
+    * ([[hammingRerankTopK]]) — the standard binary-quantization dial:
+    * larger shortlists buy recall at rerank-fetch cost. */
+  val HammingShortlist = 16
+
+  /** One sign word of the embedding (word 0 covers dims 1–32, word 1
+    * dims 33–64): bit (i−1) is set iff element (word·32+i) ≥ 0 — the
+    * binary quantization of Jégou et al.-style sign codes. The chain is
+    * integer addition of distinct powers of two: order-independent,
+    * exact, and bit-identical in any engine (the float ≥ 0 test has no
+    * rounding to disagree on). */
+  def signWord(e: Column, word: Int): Column = {
+    require(word == 0 || word == 1, s"word must be 0 or 1, got $word")
+    (1 to WordBits).map(i =>
+      when(element_at(e, word * WordBits + i) >= 0, lit(1L << (i - 1)))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  private def withSignWords(df: DataFrame): DataFrame =
+    df.withColumn("w0", signWord(col("embedding"), 0))
+      .withColumn("w1", signWord(col("embedding"), 1))
+
+  /** Binary-quantized search: top-k by Hamming distance between 64-bit
+    * sign signatures (two xor+popcount per comparison). This is the
+    * memory-bandwidth scale path for a first-pass scan — at 100 TB the
+    * signature table is 8 bytes/vector (32× smaller than the float
+    * corpus), so the brute scan that is I/O-bound on raw embeddings
+    * becomes cache-resident here; production systems precompute the
+    * signature column at ingest, which is exactly the narrow
+    * [[signWord]] map. Same broadcast-queries / corpus-scan / top-k
+    * window shape as [[cosineTopK]]; ties break by vec_id. */
+  def hammingTopK(embeddings: DataFrame, k: Int = TopK,
+      numQueries: Int = NumQueries): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = withSignWords(embeddings.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("w0"), col("w1"))
+    val q = broadcast(sig.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("w0").as("q0"), col("w1").as("q1")))
+    val pairs = sig.join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("hamming",
+        (bit_count(col("q0").bitwiseXOR(col("w0"))) +
+          bit_count(col("q1").bitwiseXOR(col("w1")))).cast("long"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("hamming"), col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("hamming"))
+  }
+
+  /** The production binary-quantization pattern: Hamming-shortlist
+    * `shortlist` candidates per query over the 8-byte signatures, then
+    * fetch ONLY the shortlisted float vectors and rerank by exact
+    * cosine, keeping top-k. The plan mirrors the deployment shape: the
+    * signature scan and its top-shortlist window move 24-byte rows; the
+    * float corpus is touched again only by the broadcast join of
+    * shortlist·numQueries candidate ids back onto it (the "fetch" —
+    * at 100 TB this is the difference between streaming 100 TB of
+    * floats and streaming 3 TB of signatures plus point reads). */
+  def hammingRerankTopK(embeddings: DataFrame, shortlist: Int = HammingShortlist,
+      k: Int = TopK, numQueries: Int = NumQueries): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = embeddings.sparkSession
+    val cand = hammingTopK(embeddings, shortlist, numQueries)
+      .select(col("query_id"), col("vec_id"))
+    val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    val q = broadcast(n.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn")))
+    val fetched = n.join(broadcast(cand), Seq("vec_id")).join(q, Seq("query_id"))
+      .withColumn("sim", round(dot(ss, col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    fetched.withColumn("rn", row_number().over(wr)).filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+  }
+
+  /** Recall harness for the binary-quantized path: the Hamming-shortlist
+    * + exact-rerank top-k ([[hammingRerankTopK]]) scored against the
+    * exact cosine top-k, edge-for-edge (the @k twin of [[knnRecall]]'s
+    * summary shape — denominator is the full numQueries·k truth set).
+    * The number that says whether 8-byte signatures plus a `shortlist`-
+    * row fetch preserve the float ranking before you ship them. */
+  def hammingRecall(embeddings: DataFrame, shortlist: Int = HammingShortlist,
+      k: Int = TopK, numQueries: Int = NumQueries): DataFrame = {
+    val approx = hammingRerankTopK(embeddings, shortlist, k, numQueries)
+      .select(col("query_id"), col("vec_id"), lit(true).as("__hit"))
+    val exact = cosineTopK(embeddings, k, numQueries)
+      .select(col("query_id"), col("vec_id"))
+    exact.join(approx, Seq("query_id", "vec_id"), "left_outer")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hits"))
+      .select(col("n_truth"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"))
+  }
+
   /** Multi-probe LSH top-1 (Lv et al. '07): each query probes its own
     * bucket PLUS every Hamming-distance-1 bucket (one sign bit flipped)
     * — the standard recall/cost dial for sign-LSH. A near neighbor that

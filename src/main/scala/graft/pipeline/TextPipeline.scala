@@ -848,6 +848,49 @@ object TextPipeline {
        |  round(1.0 - sum(n * n)::DOUBLE / (sum(n)::DOUBLE * sum(n)::DOUBLE), 4) AS gini
        |FROM f GROUP BY 1""".stripMargin
 
+  /** Exact phrase search over a positional index — the inverted-index
+    * query shape: posting lists (doc, position) are materialized ONLY
+    * for the phrase's terms (the `isin` filter pushes into the scan, so
+    * at 100 TB the index read is the phrase terms' postings, never the
+    * corpus), then consecutive terms align by an equi-join on
+    * (doc, pos − i). Positions inside a document are unique, so the
+    * joins need no dedup; output is (doc_id, n_hits) per matching doc.
+    * A 0-based (Spark) vs 1-based (oracle) position origin cancels in
+    * the offset-only join. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String], idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val postings = docs.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .where(col("token").isin(phrase: _*))
+    val first = postings.where(col("token") === phrase.head)
+      .select(col(idCol), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (w, i)) =>
+      val next = postings.where(col("token") === w)
+        .select(col(idCol), (col("pos") - i).as("pos"))
+      acc.join(next, Seq(idCol, "pos"), "left_semi")
+    }
+    matched.groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** DuckDB half of [[phraseSearch]] (1-based positions — the origin
+    * cancels in the consecutive-position joins). */
+  def phraseSearchOracle(table: String, phrase: Seq[String], idCol: String = "doc_id",
+      textExpr: String = "text"): String = {
+    val terms = phrase.map(t => s"'$t'").mkString(", ")
+    val joins = phrase.zipWithIndex.tail.map { case (w, i) =>
+      s"JOIN p t$i ON t$i.$idCol = t0.$idCol AND t$i.pos = t0.pos + $i AND t$i.token = '$w'"
+    }.mkString("\n       |      ")
+    s"""WITH t AS (SELECT $idCol, regexp_split_to_array(trim($textExpr), '\\s+') AS arr FROM $table),
+       |p AS (SELECT $idCol, arr[i] AS token, i AS pos
+       |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i)
+       |      WHERE arr[i] IN ($terms)),
+       |m AS (SELECT t0.$idCol FROM p t0
+       |      $joins
+       |      WHERE t0.token = '${phrase.head}')
+       |SELECT $idCol, count(*) AS n_hits FROM m GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB half of [[hashEmbed]]. */
   def hashEmbedOracle(table: String, idCol: String, textExpr: String, dim: Int = 16,
       tokenizer: Tokenizer = Tokenizer.Whitespace): String =

@@ -153,6 +153,40 @@ class PlanRegressionSpec extends SparkTestBase {
     // broadcast (the BNLJ allowance) + one window shuffle (+harness).
     ("sample_class_balance", 5, 1),
     ("mm_image_histogram", 1, 0),
+    // batch 9 (binary quantization): the BNLJ allowance is the
+    // broadcast-QUERIES non-equi join every brute-scan ANN row shares
+    // (tiny side broadcast by construction); topk's one shuffle is the
+    // per-query top-k window. The rerank harness composes the Hamming
+    // shortlist (1 BNLJ + 1 window), the broadcast candidate fetch +
+    // query join (broadcast, no shuffle), the rerank window, the exact
+    // cosine arm (1 BNLJ + 1 window), the truth/approx join, and the
+    // 1-row summary agg. topk = the window + the harness count.
+    ("ann_hamming_topk", 2, 1),
+    ("ann_hamming_rerank", 7, 2),
+    // batch 10 (series + concentration): cusum = daily agg + ONE key
+    // window whose hash partitioning the argmin groupBy reuses
+    // (+ harness count). lttb's BNLJ allowance is the 1-ROW bounds
+    // broadcast (scalar-subquery shape) referenced by the interior AND
+    // both endpoint union legs; its shuffles are the daily agg (reused
+    // via exchange reuse where identical), bucket stats, and the
+    // per-bucket argmin. gini rides GlobalRank's two-phase range
+    // exchange (range + per-partition counts job) over per-customer
+    // aggregates, then one 1-row moment agg.
+    ("ts_cusum_changepoint", 3, 0),
+    ("ts_lttb_downsample", 9, 3),
+    ("agg_gini_revenue", 9, 0),
+    // batch 11: phrase search = the postings explode (narrow, isin in
+    // the scan) + per-term semi-joins keyed on (doc, pos) + the hit
+    // groupBy (+ harness); seasonal decompose = daily agg + dow agg +
+    // the 1-ROW totals broadcast (scalar-subquery BNLJ) (+ harness).
+    // er_golden_record rides the ITERATIVE clustersFromPairs fixpoint
+    // and is excluded like er_entities / er_cluster_stats.
+    ("search_phrase", 6, 0),
+    ("ts_seasonal_decompose", 4, 1),
+    // modularity is ONE aggregate job over the tagged edge list (edge
+    // build: lp distinct + ok join + pair distinct; labels broadcast;
+    // community groupBy + 1-row reduce + harness count).
+    ("graph_modularity", 8, 0),
   )
 
   /** Tree walk that descends through AQE wrappers and query stages

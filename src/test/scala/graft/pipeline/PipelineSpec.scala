@@ -1372,4 +1372,47 @@ class PipelineSpec extends SparkTestBase {
     }
     assert(TiffTag.tagValue(multi, 256, 16) == -1)
   }
+
+  test("phrase search counts exact consecutive-token occurrences only") {
+    val d = Seq(
+      (0L, "a b c a b c"),   // two occurrences
+      (1L, "a b a c"),       // terms present, never consecutive
+      (2L, "c a b c x"),     // one occurrence mid-text
+      (3L, "b c a"),         // wrap-around is NOT a match
+    ).toDF("doc_id", "text")
+    val r = TextPipeline.phraseSearch(d, Seq("a", "b", "c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(0L -> 2L, 2L -> 1L))
+    // single-term phrase degenerates to a term count
+    val one = TextPipeline.phraseSearch(d, Seq("a"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(one == Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("sign-word packing and hamming topk rank by sign disagreement") {
+    val emb = Seq(
+      (0L, Array.fill(64)(0.1f), 0),
+      (1L, Array.fill(64)(-0.1f), 0), // all signs flipped vs 0 → hamming 64
+      (2L, Array(-0.1f) ++ Array.fill(63)(0.1f), 0), // one bit off vs 0
+    ).toDF("vec_id", "embedding", "label")
+    val words = emb.select(col("vec_id"),
+      Ann.signWord(col("embedding"), 0).as("w0"),
+      Ann.signWord(col("embedding"), 1).as("w1")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(words(0L) == ((4294967295L, 4294967295L))) // all 32 bits set, twice
+    assert(words(1L) == ((0L, 0L)))
+    assert(words(2L) == ((4294967294L, 4294967295L))) // bit 0 of word 0 clear
+    val top = Ann.hammingTopK(emb, k = 2, numQueries = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(top == Set((0L, 2L, 1L), (0L, 1L, 64L)))
+    // -0.0f packs like +0.0 (>= 0) — the IEEE edge both engines agree on
+    val zeros = Seq((9L, Array.fill(64)(-0.0f), 0)).toDF("vec_id", "embedding", "label")
+      .select(Ann.signWord(col("embedding"), 0).as("w0")).collect()
+    assert(zeros(0).getLong(0) == 4294967295L)
+    // rerank recall on the fixture: truth top-1 of query 0 is vec 2
+    // (cosine ≈ 0.97 vs −1 for vec 1); the 2-candidate shortlist keeps
+    // it and the exact rerank ranks it first → recall 1.0
+    val rec = Ann.hammingRecall(emb, shortlist = 2, k = 1, numQueries = 1).collect()(0)
+    assert(rec.getLong(0) == 1L && rec.getLong(1) == 1L && rec.getDouble(2) == 1.0)
+  }
 }
