@@ -168,7 +168,13 @@ object Profile {
   def ndvProfile(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     val entries = cols.flatMap(c => Seq(lit(c), col(s"`$c`").cast("string")))
-    val kv = df.select(explode(map(entries: _*)).as(Seq("col_name", "v")))
+    // rebalance BEFORE the explode: a small parquet scans as one
+    // partition, and the md5 over rows×columns values is the dominant
+    // cost — single-threaded without this (measured 7.4 → 2.0 s at
+    // sf0.1, isolated best-of-2). One round-robin exchange of the raw
+    // rows buys a fully parallel hash stage.
+    val kv = graft.core.Algebra.balanced(df.select(cols.map(c => col(s"`$c`")): _*))
+      .select(explode(map(entries: _*)).as(Seq("col_name", "v")))
     Sketches.kmvDistinctByGroup(kv, "col_name", "v", k)
   }
 

@@ -90,7 +90,7 @@ class PlanRegressionSpec extends SparkTestBase {
     // the zero-shuffle design invariant.
     ("mm_wav_pcm", 1, 0),
     ("split_kfold", 1, 0),
-    ("profile_ndv", 3, 0),
+    ("profile_ndv", 4, 0), // +1: the pre-hash rebalance exchange (see ndvProfile)
     ("layout_cluster_depth", 5, 0),
     // batch 3: hash_embed/char_gini are one map-side-combined agg chain
     // (+1 = harness count); snapshot_diff is ONE full-outer key join;
