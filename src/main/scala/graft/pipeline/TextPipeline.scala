@@ -732,8 +732,12 @@ object TextPipeline {
     * exchange, never the characters themselves; the per-doc summary is
     * a second same-key aggregation. */
   def charGini(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val chars = df.select(col(idCol),
-      explode(expr(s"transform(sequence(1, length(trim($textCol))), i -> substr(trim($textCol), i, 1))")).as("__c"))
+    // rebalance before the per-char fan-out: the transform chain is
+    // codegen-fallback and a small parquet scans as one partition —
+    // without this the whole char explode runs single-threaded
+    val chars = graft.core.Algebra.balanced(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(1, length(trim($textCol))), i -> substr(trim($textCol), i, 1))")).as("__c"))
     chars.groupBy(col(idCol), col("__c")).agg(count(lit(1)).as("__n"))
       .groupBy(col(idCol))
       .agg(sum(col("__n")).as("n_chars"),

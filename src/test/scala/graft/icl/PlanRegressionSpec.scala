@@ -97,7 +97,7 @@ class PlanRegressionSpec extends SparkTestBase {
     // assortativity's budget covers the distinct + wedge join + degree
     // join chain over the co-purchase graph.
     ("text_hash_embed", 2, 0),
-    ("text_char_gini", 3, 0),
+    ("text_char_gini", 4, 0), // +1: the pre-fan-out rebalance exchange
     ("warehouse_snapshot_diff", 5, 0),
     // graph_assortativity is cache-disciplined (persist edges,
     // materialize, release) and excluded like the other cached graph
