@@ -159,8 +159,10 @@ object SparkEntry {
 
   /** Query terms for `search_topk` (high-df corpus tokens). */
   val SearchTerms: Seq[String] = Seq("hash", "join", "vector")
-  /** Consecutive-token phrase for the positional-index search row. */
-  val PhraseTerms: Seq[String] = Seq("key", "order", "sort")
+  /** Consecutive-token phrase for the positional-index search row
+    * (chosen to occur at every shipped sf: 9/3/10 hits at
+    * sf0.001/0.01/0.1). */
+  val PhraseTerms: Seq[String] = Seq("big", "order", "scan")
 
   /** Bernoulli rate for `sketch_quantile_sample`. */
   val QuantileSampleRate: Double = 0.05
@@ -1267,6 +1269,27 @@ object SparkEntry {
             (col("n") + 1).cast("double") * col("total").cast("double")) /
             (col("n").cast("double") * col("total").cast("double")), 6).as("gini"))
     }),
+    // the Lorenz curve behind that Gini: revenue share of each customer
+    // DECILE (GlobalRank NTILE — the parallel two-phase rank, never a
+    // single-task window over customers); the cumulative pass runs over
+    // 10 metadata rows. cum_share is DECIMAL-exact until one division
+    "agg_lorenz_deciles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val x = table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("x"))
+      val d = graft.operators.GlobalRank.withNtile(x, Seq("x", "o_custkey"), 10, "decile")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("x")).as("rev"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      d.select(col("decile"), col("n_customers"),
+          col("rev").cast("double").as("decile_revenue"),
+          round(sum(col("rev")).over(w).cast("double") /
+            sum(col("rev")).over(all).cast("double"), 6).as("cum_share"))
+    }),
     // trailing 30-day spend per customer: the RANGE window frame (peers
     // by VALUE distance, not row count) — frame membership is a pure
     // function of the integer day, so ties need no ordering tiebreak and
@@ -1686,6 +1709,13 @@ object SparkEntry {
     // each; KMV ships k 8-byte minima and MERGES across partitions)
     "profile_ndv" -> ((s, dir) =>
       graft.pipeline.Profile.ndvProfile(table(s, dir, "lineitem"), NdvCols)),
+    // Cramér's V between return flag and line status — the categorical
+    // association gate (MI minus the banned logarithm): the whole r×c
+    // contingency table is ONE wide scan-aggregate row, marginals
+    // derive by integer addition, terms added in fixed written order
+    "profile_cramers_v" -> ((s, dir) =>
+      graft.pipeline.Profile.cramersV(table(s, dir, "lineitem"),
+        "l_returnflag", Seq("A", "N", "R"), "l_linestatus", Seq("F", "O"))),
     "profile_fk_candidates" -> ((s, dir) => {
       graft.pipeline.Profile.fkCandidates(Seq(
         ("lineitem", table(s, dir, "lineitem"), "l_orderkey",
@@ -3705,6 +3735,17 @@ object SparkEntry {
          |s AS (SELECT count(*) AS n, sum(x) AS total, sum(r * x) AS rx FROM r)
          |SELECT n, round((2.0 * CAST(rx AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(total AS DOUBLE))
          |  / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS gini FROM s""".stripMargin),
+    "agg_lorenz_deciles" ->
+      ("""WITH x AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+         |      FROM orders GROUP BY 1),
+         |d AS (SELECT x, ntile(10) OVER (ORDER BY x, o_custkey) AS decile FROM x),
+         |g AS (SELECT decile, count(*) AS n_customers, sum(x) AS rev FROM d GROUP BY 1)
+         |SELECT decile, n_customers, CAST(rev AS DOUBLE) AS decile_revenue,
+         |  round(CAST(sum(rev) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    / CAST(sum(rev) OVER () AS DOUBLE), 6) AS cum_share
+         |FROM g""".stripMargin),
+    "profile_cramers_v" -> graft.pipeline.Profile.cramersVOracle(
+      "lineitem", "l_returnflag", Seq("A", "N", "R"), "l_linestatus", Seq("F", "O")),
     "agg_trailing_30d" ->
       ("""SELECT o_orderkey, o_custkey, (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS day,
          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_total,

@@ -196,6 +196,74 @@ object Profile {
        |FROM m""".stripMargin
   }
 
+  /** Cramér's V association between two LOW-CARDINALITY categorical
+    * columns with plan-time-known domains — the feature-relevance /
+    * redundancy gate ("are these two labels telling me the same
+    * thing?") that mutual information usually answers, minus MI's
+    * logarithm (banned: libm differs across engines). χ² is Pearson's
+    * over the r×c contingency table, every cell a conditional sum in
+    * ONE scan-aggregate; V = sqrt(χ² / (n·(min(r,c)−1))) — sqrt is
+    * IEEE-exact, so the whole statistic is engine-deterministic when
+    * the cell terms are added in fixed written order (same contract as
+    * [[driftChi2]]).
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the scan (the
+    * contingency table is a single wide row — cardinality widens the
+    * row, never adds a pass); row/column marginals derive from the
+    * cells by exact integer addition, no second job. */
+  def cramersV(df: DataFrame, aCol: String, aDomain: Seq[String],
+      bCol: String, bDomain: Seq[String]): DataFrame = {
+    require(aDomain.nonEmpty && bDomain.nonEmpty, "domains must be known")
+    val cells = for (a <- aDomain; b <- bDomain) yield (a, b)
+    val aggs = count(lit(1)).as("n") +: cells.map { case (a, b) =>
+      F.sum(when(col(s"`$aCol`") === a && col(s"`$bCol`") === b, 1L)
+        .otherwise(0L)).as(s"c_${a}_$b")
+    }
+    val t = df.agg(aggs.head, aggs.tail: _*)
+    def rowTotal(a: String) = bDomain.map(b => col(s"c_${a}_$b")).reduce(_ + _)
+    def colTotal(b: String) = aDomain.map(a => col(s"c_${a}_$b")).reduce(_ + _)
+    val withMargins = t
+      .withColumns(aDomain.map(a => s"r_$a" -> rowTotal(a)).toMap)
+      .withColumns(bDomain.map(b => s"k_$b" -> colTotal(b)).toMap)
+    val terms = cells.map { case (a, b) =>
+      val o = col(s"c_${a}_$b").cast("double")
+      val e = (col(s"r_$a").cast("double") * col(s"k_$b").cast("double")) /
+        col("n").cast("double")
+      when(col(s"r_$a") === 0L || col(s"k_$b") === 0L, lit(0.0d))
+        .otherwise((o - e) * (o - e) / e)
+    }
+    val chi2 = terms.reduce(_ + _)
+    val dof = math.min(aDomain.size, bDomain.size) - 1
+    withMargins.select(col("n"),
+      round(chi2, 4).as("chi2"),
+      round(sqrt(chi2 / (col("n").cast("double") * dof.toDouble)), 6)
+        .as("cramers_v"))
+  }
+
+  /** DuckDB half of [[cramersV]] — same cells, same fixed-order chain. */
+  def cramersVOracle(table: String, aCol: String, aDomain: Seq[String],
+      bCol: String, bDomain: Seq[String]): String = {
+    val cells = for (a <- aDomain; b <- bDomain) yield (a, b)
+    val cellSel = cells.map { case (a, b) =>
+      s"sum(CASE WHEN $aCol = '$a' AND $bCol = '$b' THEN 1 ELSE 0 END)::BIGINT AS c_${a}_$b"
+    }.mkString(", ")
+    val rowSel = aDomain.map(a =>
+      bDomain.map(b => s"c_${a}_$b").mkString(" + ") + s" AS r_$a").mkString(", ")
+    val colSel = bDomain.map(b =>
+      aDomain.map(a => s"c_${a}_$b").mkString(" + ") + s" AS k_$b").mkString(", ")
+    val terms = cells.map { case (a, b) =>
+      val e = s"(r_$a::DOUBLE * k_$b::DOUBLE) / n::DOUBLE"
+      s"(CASE WHEN r_$a = 0 OR k_$b = 0 THEN 0.0 ELSE " +
+        s"(c_${a}_$b::DOUBLE - $e) * (c_${a}_$b::DOUBLE - $e) / ($e) END)"
+    }.mkString(" + ")
+    val dof = math.min(aDomain.size, bDomain.size) - 1
+    s"""WITH t AS (SELECT count(*) AS n, $cellSel FROM $table),
+       |m AS (SELECT *, $rowSel, $colSel FROM t)
+       |SELECT n, round($terms, 4) AS chi2,
+       |  round(sqrt(($terms) / (n::DOUBLE * $dof)), 6) AS cramers_v
+       |FROM m""".stripMargin
+  }
+
   /** Tukey-fence outlier census — the numeric-column health check next
     * to [[dqChecks]]: per column, the exact quartiles and the count of
     * rows outside [q1 − 1.5·IQR, q3 + 1.5·IQR] (1.5 is dyadic, so the

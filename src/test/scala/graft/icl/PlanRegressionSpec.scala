@@ -187,6 +187,12 @@ class PlanRegressionSpec extends SparkTestBase {
     // build: lp distinct + ok join + pair distinct; labels broadcast;
     // community groupBy + 1-row reduce + harness count).
     ("graph_modularity", 8, 0),
+    // cramers_v is ONE scan-aggregate (the contingency table is a
+    // single wide row) + the harness count; lorenz rides GlobalRank's
+    // two-phase NTILE (range exchange + counts job) + decile agg + the
+    // 10-row cumulative window + harness.
+    ("profile_cramers_v", 2, 0),
+    ("agg_lorenz_deciles", 10, 0),
   )
 
   /** Tree walk that descends through AQE wrappers and query stages
