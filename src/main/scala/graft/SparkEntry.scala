@@ -3045,6 +3045,13 @@ object SparkEntry {
     // frame extraction on an actual container, not byte slices
     "mm_tiff_pages" -> ((s, dir) =>
       graft.pipeline.MultiModal.tiffPages(table(s, dir, "documents"))),
+    // shot-boundary detection over REAL decoded frames: shots change
+    // every 2 frames, frames within a shot only PAN one column — the
+    // 16-bin luma-histogram L1 stays ≤ 2·H under the pan and jumps at
+    // a cut; verdicts are integer-exact, zero shuffles (all of a doc's
+    // frames live in one decoded payload)
+    "mm_shot_boundaries" -> ((s, dir) =>
+      graft.pipeline.MultiModal.shotBoundaries(table(s, dir, "documents"))),
     // nearest-neighbor resize over the SAME real decoded pixels (the
     // fixed-input-shape step before any vision feature extractor) —
     // integer-floor sampling, so the oracle re-derives the resized grid
@@ -4867,6 +4874,7 @@ object SparkEntry {
     "mm_pixel_dhash" -> graft.pipeline.MultiModal.pixelDhashOracle,
     "pipeline_image_dedup" -> graft.pipeline.MultiModal.pixelImageDedupOracle,
     "mm_tiff_pages" -> graft.pipeline.MultiModal.tiffPagesOracle,
+    "mm_shot_boundaries" -> graft.pipeline.MultiModal.shotBoundariesOracle,
     "mm_wav_pcm" -> graft.pipeline.MultiModal.wavPcmOracle,
     "mm_audio_vad" -> graft.pipeline.MultiModal.audioVadOracle,
     "mm_gif_meta" -> graft.pipeline.MultiModal.gifMetaOracle,

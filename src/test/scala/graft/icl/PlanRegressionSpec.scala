@@ -193,6 +193,10 @@ class PlanRegressionSpec extends SparkTestBase {
     // 10-row cumulative window + harness.
     ("profile_cramers_v", 2, 0),
     ("agg_lorenz_deciles", 10, 0),
+    // shot boundaries: encode→decode→histogram→consecutive-delta is ONE
+    // narrow mapPartitions (all of a doc's frames live in one payload);
+    // 1 = the harness's own count.
+    ("mm_shot_boundaries", 1, 0),
   )
 
   /** Tree walk that descends through AQE wrappers and query stages

@@ -1373,6 +1373,23 @@ class PipelineSpec extends SparkTestBase {
     assert(TiffTag.tagValue(multi, 256, 16) == -1)
   }
 
+  test("shot boundaries: pans never flag, flags only clear the pan bound") {
+    val docs = (0L until 40L).map(i => Tuple1(i)).toDF("doc_id")
+    val r = MultiModal.shotBoundaries(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(r.nonEmpty)
+    for ((_, frame, l1, isCut) <- r) {
+      assert(isCut == (l1 > MultiModal.CutThreshold))
+      if (frame % MultiModal.ShotLen != 0) { // within-shot pan transition
+        assert(l1 <= MultiModal.CutThreshold, s"pan transition flagged: l1=$l1")
+        assert(!isCut)
+      }
+    }
+    // the detector actually fires: most true cuts clear the bound
+    val cuts = r.filter(_._2 % MultiModal.ShotLen == 0)
+    assert(cuts.nonEmpty && cuts.count(_._4) * 10 >= cuts.length * 8)
+  }
+
   test("phrase search counts exact consecutive-token occurrences only") {
     val d = Seq(
       (0L, "a b c a b c"),   // two occurrences
