@@ -3139,6 +3139,12 @@ object SparkEntry {
     // embedding-space QA sweep (mislabeled/corrupted cluster members)
     "emb_centroid_outliers" -> ((s, dir) =>
       graft.pipeline.Embeddings.centroidOutliers(table(s, dir, "embeddings"))),
+    // per-label centroid drift between the even/odd corpus halves — the
+    // snapshot-to-snapshot embedding monitor; exact-integer end to end
+    // (quantize → long sums → truncating-div mean → integer drift²),
+    // ONE map-side-combinable aggregate
+    "emb_centroid_drift" -> ((s, dir) =>
+      graft.pipeline.Embeddings.centroidDrift(table(s, dir, "embeddings"))),
     // exact-integer Gram matrix (PCA/whitening prep): order-independent
     // quantized second moments, one combinable aggregation into Dim²/2
     "emb_gram" -> ((s, dir) =>
@@ -4883,6 +4889,7 @@ object SparkEntry {
     "mm_image_quality" -> graft.pipeline.MultiModal.imageQualityOracle,
     "emb_centroid_outliers" -> graft.pipeline.Oracles.embCentroidOutliers(
       graft.pipeline.Embeddings.OutlierTopK),
+    "emb_centroid_drift" -> graft.pipeline.Embeddings.centroidDriftOracle(),
     "emb_gram" -> graft.pipeline.Oracles.embGramMatrix,
     "emb_whiten" -> graft.pipeline.Oracles.embWhiten,
     "dedup_embedding_pairs" -> graft.pipeline.Oracles.dedupEmbeddingPairs,

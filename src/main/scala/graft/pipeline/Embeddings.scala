@@ -99,6 +99,62 @@ object Embeddings {
       .select(col("label"), col("vec_id"), col("dist2"), col("n").as("n_members"))
   }
 
+  /** Per-label centroid DRIFT between two corpus slices — the
+    * embedding-pipeline monitoring gate ("did the encoder or the
+    * upstream corpus move?") run between snapshots, here between the
+    * even and odd vec_id halves. Same exact-integer contract as
+    * [[centroidOutliers]]: quantize, sum as longs, integer-mean via
+    * truncating div, and drift² = Σᵢ (c_new,i − c_old,i)² stays a
+    * BIGINT — no float ever enters, so the oracle hash-checks the
+    * drift itself. Labels missing either slice are excluded (a
+    * drift needs both ends).
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the scan (the
+    * 2·dim conditional sums widen the row, never add a pass); the
+    * drift arithmetic runs on |labels| metadata rows. */
+  def centroidDrift(df: DataFrame, labelCol: String = "label",
+      idCol: String = "vec_id", embCol: String = "embedding",
+      dim: Int = Ann.Dim): DataFrame = {
+    val q = (1 to dim).map(i =>
+      floor((element_at(col(embCol), i).cast("double") + lit(CentroidShift))
+        * lit(Ann.CentroidQuant)).cast("long").as(s"q$i"))
+    val base = df.select(
+      col(s"`$labelCol`").cast("long").as("label") +:
+        (col(s"`$idCol`") % 2).as("slice") +: q: _*)
+    val aggs =
+      (1 to dim).flatMap(i => Seq(
+        sum(when(col("slice") === 0, col(s"q$i")).otherwise(0L)).as(s"so$i"),
+        sum(when(col("slice") === 1, col(s"q$i")).otherwise(0L)).as(s"sn$i"))) ++
+        Seq(sum(when(col("slice") === 0, 1L).otherwise(0L)).as("n_old"),
+          sum(when(col("slice") === 1, 1L).otherwise(0L)).as("n_new"))
+    val drift2 = (1 to dim).map { i =>
+      val d = expr(s"sn$i div n_new") - expr(s"so$i div n_old")
+      d * d
+    }.reduce(_ + _)
+    base.groupBy(col("label")).agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_old") > 0 && col("n_new") > 0)
+      .select(col("label"), col("n_old"), col("n_new"), drift2.as("drift2"))
+  }
+
+  /** DuckDB half of [[centroidDrift]] — same quantization, truncating
+    * `//` mean, integer drift chain. */
+  def centroidDriftOracle(table: String = "embeddings", dim: Int = Ann.Dim): String = {
+    val sums = (1 to dim).flatMap(i => Seq(
+      s"sum(CASE WHEN vec_id % 2 = 0 THEN floor((embedding[$i]::DOUBLE + $CentroidShift) * ${Ann.CentroidQuant})::BIGINT ELSE 0 END) AS so$i",
+      s"sum(CASE WHEN vec_id % 2 = 1 THEN floor((embedding[$i]::DOUBLE + $CentroidShift) * ${Ann.CentroidQuant})::BIGINT ELSE 0 END) AS sn$i"))
+      .mkString(",\n       |    ")
+    val chain = (1 to dim).map(i =>
+      s"((sn$i // n_new) - (so$i // n_old)) * ((sn$i // n_new) - (so$i // n_old))")
+      .mkString(" + ")
+    s"""WITH s AS (SELECT label::BIGINT AS label,
+       |    sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_old,
+       |    sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_new,
+       |    $sums
+       |  FROM $table GROUP BY 1)
+       |SELECT label, n_old, n_new, CAST($chain AS BIGINT) AS drift2
+       |FROM s WHERE n_old > 0 AND n_new > 0""".stripMargin
+  }
+
   /** Gram-matrix quantization scale (2^20 — the [[graft.pipeline.Ann.CentroidQuant]]
     * move): elements quantize to exact integers, so every partial sum is
     * order-independent and the oracle re-derives the matrix bit-for-bit. */

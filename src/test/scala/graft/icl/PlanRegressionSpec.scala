@@ -90,7 +90,10 @@ class PlanRegressionSpec extends SparkTestBase {
     // the zero-shuffle design invariant.
     ("mm_wav_pcm", 1, 0),
     ("split_kfold", 1, 0),
-    ("profile_ndv", 4, 0), // +1: the pre-hash rebalance exchange (see ndvProfile)
+    // +1 = the pre-hash rebalance exchange (see ndvProfile); +1 more
+    // headroom because balanced()'s partition probe makes the captured
+    // plan count context-dependent (2 plans isolated, 3 in-suite).
+    ("profile_ndv", 5, 0),
     ("layout_cluster_depth", 5, 0),
     // batch 3: hash_embed/char_gini are one map-side-combined agg chain
     // (+1 = harness count); snapshot_diff is ONE full-outer key join;
@@ -197,6 +200,9 @@ class PlanRegressionSpec extends SparkTestBase {
     // narrow mapPartitions (all of a doc's frames live in one payload);
     // 1 = the harness's own count.
     ("mm_shot_boundaries", 1, 0),
+    // centroid drift is ONE map-side-combinable wide aggregate
+    // (2·dim conditional sums per label) + the harness count.
+    ("emb_centroid_drift", 2, 0),
   )
 
   /** Tree walk that descends through AQE wrappers and query stages

@@ -170,4 +170,20 @@ class CorpusOpsSpec extends SparkTestBase {
     for ((id, xs) <- orig; (x, c) <- xs.zip(byId(id)._4))
       assert(math.abs(x - c * byId(id)._3) <= byId(id)._3 / 2 + 1e-12)
   }
+
+  test("centroid drift: planted unit shift measured exactly, one-sided labels excluded") {
+    val d = Seq(
+      // label 0: even-half at origin, odd-half shifted +1 in dim 1
+      (0L, Array(0f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 0f, 0f, 0f), 0),
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (3L, Array(1f, 0f, 0f, 0f), 0),
+      // label 1: no odd-half member → must be excluded
+      (4L, Array(1f, 1f, 1f, 1f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val r = Embeddings.centroidDrift(d, dim = 4).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // drift² = (2^20)² exactly: the +1 shift quantizes to one full scale
+    assert(r == Map(0L -> ((2L, 2L, 1048576L * 1048576L))))
+  }
 }
