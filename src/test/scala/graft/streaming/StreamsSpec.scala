@@ -240,4 +240,69 @@ class StreamsSpec extends SparkTestBase {
       assert(a._3 <= 5L && 5L <= a._4)
     } finally q.stop()
   }
+
+  test("custom sessionizer matches the built-in session_window, boundary included") {
+    // PARITY: the flatMapGroupsWithState sessionizer and Spark's own
+    // session_window aggregation carve the SAME sessions — including at
+    // an inter-event gap of exactly the threshold, where BOTH merge
+    // (ours by the strict-> split rule, session_window by its
+    // half-open [t, t+gap) window overlap; pinned below).
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 60 * 1000L
+    val data = Seq( // user 1: two sessions; user 2: one long session
+      ev(1, 1, 1, "c", 1.0), ev(2, 30, 1, "c", 2.0), ev(3, 45, 1, "c", 3.0),
+      ev(4, 200, 1, "c", 4.0), ev(5, 230, 1, "c", 5.0),
+      ev(6, 10, 2, "v", 7.0), ev(7, 65, 2, "v", 8.0), ev(8, 120, 2, "v", 9.0))
+    val source = MemoryStream[Event]
+    val q = sessionize(source.toDS(), gapMs, watermark = "1 minute")
+      .writeStream.format("memory").queryName("parity_sessions")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        source.addData(data: _*)
+        q.processAllAvailable()
+        // a far-future dummy event advances the watermark past every
+        // open session's timeout, flushing them all
+        source.addData(ev(99, 100000, 99, "x", 0.0))
+        q.processAllAvailable()
+        spark.table("parity_sessions").as[Session].collect()
+          .filter(_.user_id != 99L).toSet
+      } finally q.stop()
+    val builtin = data.toDS().toDF()
+      .groupBy(org.apache.spark.sql.functions.session_window(col("ts"), "60 seconds"),
+        col("user_id"))
+      .agg(org.apache.spark.sql.functions.min(col("ts")).as("first"),
+        org.apache.spark.sql.functions.max(col("ts")).as("last"),
+        org.apache.spark.sql.functions.count(col("event_id")).as("n"),
+        org.apache.spark.sql.functions.sum(col("value")).as("total"))
+      .collect().map { r =>
+        val first = r.getTimestamp(2).getTime
+        val last = r.getTimestamp(3).getTime
+        Session(r.getLong(1), first, r.getLong(4), last - first, r.getDouble(5))
+      }.toSet
+    assert(streamed == builtin)
+    // the boundary case agrees too: an exactly-gap-spaced pair is ONE
+    // session on both sides
+    // (t starts at 1: a t=0 row is ≤ the initial watermark and the
+    // streaming side would drop it as late)
+    val edge = Seq(ev(1, 1, 1, "c", 1.0), ev(2, 61, 1, "c", 1.0))
+    val edgeBuiltin = edge.toDS().toDF()
+      .groupBy(org.apache.spark.sql.functions.session_window(col("ts"), "60 seconds"),
+        col("user_id"))
+      .count().collect()
+    assert(edgeBuiltin.length == 1) // builtin merges at exactly the gap
+    val edgeSrc = MemoryStream[Event]
+    val q2 = sessionize(edgeSrc.toDS(), gapMs, watermark = "1 minute")
+      .writeStream.format("memory").queryName("parity_edge")
+      .outputMode("append").start()
+    try {
+      edgeSrc.addData(edge: _*)
+      q2.processAllAvailable()
+      edgeSrc.addData(ev(99, 100000, 99, "x", 0.0))
+      q2.processAllAvailable()
+      val ours = spark.table("parity_edge").as[Session].collect()
+        .filter(_.user_id == 1L)
+      assert(ours.length == 1 && ours.head.n_events == 2L) // ours keeps
+    } finally q2.stop()
+  }
 }
