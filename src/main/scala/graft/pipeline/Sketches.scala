@@ -43,11 +43,12 @@ object Sketches {
     // sides — Spark windows sort NULLS FIRST while DuckDB sorts NULLS
     // LAST, so an unfiltered null would silently skew the k-minima set
     // on exactly one side (count(DISTINCT x) ignores nulls anyway)
-    // rebalance first: a small parquet scans as one partition and the
-    // per-value md5 would run single-threaded (same fix as ndvProfile,
-    // measured there 7.4 → 2.0 s; no-op when already parallel)
-    graft.core.Algebra.balanced(df.select(col(valueCol)))
-      .select(h.as("hv")).where(col("hv").isNotNull).distinct()
+    // NOTE: no pre-hash rebalance here — measured at sf0.1, the extra
+    // exchange costs more than the single-column md5 it parallelizes
+    // (kmv_distinct 1.9 → 2.7 s WITH it); the multi-column ndvProfile
+    // is where the rebalance wins (7.4 → 2.0 s), and it rebalances at
+    // its own call site before the 16× explode.
+    df.select(h.as("hv")).where(col("hv").isNotNull).distinct()
       .orderBy(col("hv")).limit(k)
       .agg(count(lit(1)).as("k"), max(col("hv")).as("kth"))
       .select(col("k"), col("kth"),
@@ -85,8 +86,7 @@ object Sketches {
       .cast("long")
     // null-hash filter mirrors [[kmvDistinct]]: without it the two
     // engines' divergent null ordering would pick different k-minima
-    val hv = graft.core.Algebra.balanced(df.select(col(groupCol), col(valueCol)))
-      .select(col(groupCol), h.as("hv"))
+    val hv = df.select(col(groupCol), h.as("hv"))
       .where(col("hv").isNotNull).distinct()
     val w = Window.partitionBy(col(groupCol)).orderBy(col("hv"))
     hv.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
@@ -132,8 +132,7 @@ object Sketches {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     def minima(df: DataFrame, c: String) = {
       val h = conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10).cast("long")
-      graft.core.Algebra.balanced(df.select(col(c)))
-        .select(h.as("hv")).where(col("hv").isNotNull).distinct()
+      df.select(h.as("hv")).where(col("hv").isNotNull).distinct()
         .orderBy(col("hv")).limit(k)
     }
     val u = minima(a, aCol).select(col("hv"), lit(1).as("ia"), lit(0).as("ib"))
@@ -196,8 +195,7 @@ object Sketches {
     import org.apache.spark.sql.expressions.Window
     val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
-    val hv = graft.core.Algebra.balanced(df.select(col(groupCol), col(valueCol)))
-      .select(col(groupCol), h.as("hv"))
+    val hv = df.select(col(groupCol), h.as("hv"))
       .where(col("hv").isNotNull).distinct()
     val w = Window.partitionBy(col(groupCol)).orderBy(col("hv"))
     val perGroup = hv.withColumn("__rn", row_number().over(w))
