@@ -57,7 +57,8 @@ object Bench {
     // SPARK_GRAFT_PROBES=all or by naming probes in SPARK_GRAFT_ONLY —
     // the measured slopes live in PLANS.md.
     val defaultProbes = Set(
-      "scaleprobe_jaccard_x16", "scaleprobe_minhash_x16", "scaleprobe_triangles_x4")
+      "scaleprobe_jaccard_x16", "scaleprobe_minhash_x16", "scaleprobe_triangles_x4",
+      "scaleprobe_hamming_x16")
     // fail loudly on knob typos, same contract as SPARK_GRAFT_ONLY: a
     // misspelled value would silently run only the canaries and emit a
     // plausible complete-looking JSON line

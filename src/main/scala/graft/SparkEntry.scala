@@ -1716,6 +1716,11 @@ object SparkEntry {
     "profile_cramers_v" -> ((s, dir) =>
       graft.pipeline.Profile.cramersV(table(s, dir, "lineitem"),
         "l_returnflag", Seq("A", "N", "R"), "l_linestatus", Seq("F", "O"))),
+    // frequent items per column (the other half of the ANALYZE pass
+    // next to profile_ndv): exact counts, per-column top-3 via the
+    // two-stage salted cover — never a single-reducer-per-column window
+    "profile_topk_values" -> ((s, dir) =>
+      graft.pipeline.Profile.topkValues(table(s, dir, "lineitem"), NdvCols)),
     "profile_fk_candidates" -> ((s, dir) => {
       graft.pipeline.Profile.fkCandidates(Seq(
         ("lineitem", table(s, dir, "lineitem"), "l_orderkey",
@@ -3388,6 +3393,15 @@ object SparkEntry {
     graft.operators.Triangles.canonicalEdges(pairs, "s1", "s2")
   }
 
+  /** The embedding corpus replicated into `m` disjoint id spaces — the
+    * "more vectors, same queries" 100 TB model for the signature-scan
+    * probe (the query set stays NumQueries vectors; only the scanned
+    * corpus grows). */
+  private def replicatedEmbeddings(s: SparkSession, dir: String, m: Int): DataFrame =
+    table(s, dir, "embeddings")
+      .withColumn("rep", explode(sequence(lit(0L), lit(m - 1L))))
+      .select((col("vec_id") * m + col("rep")).as("vec_id"), col("embedding"))
+
   /** Bench-only probe queries: not oracle rows (the 1× operators are
     * oracle-checked; these measure how the same plans scale). */
   def scaleProbes: Map[String, (SparkSession, String) => DataFrame] = {
@@ -3413,8 +3427,16 @@ object SparkEntry {
       "scaleprobe_triangles_x16" -> tri(16),
       "scaleprobe_tridense_x1" -> trid(1), "scaleprobe_tridense_x2" -> trid(2),
       "scaleprobe_tridense_x4" -> trid(4),
+      // the binary-quantization claim measured: brute Hamming top-k over
+      // an m×-replicated corpus should scale ~linearly in m (the whole
+      // point of 8-byte signatures — a memory-bandwidth-bound scan)
+      "scaleprobe_hamming_x1" -> ham(1), "scaleprobe_hamming_x4" -> ham(4),
+      "scaleprobe_hamming_x16" -> ham(16),
     )
   }
+
+  private def ham(m: Int): (SparkSession, String) => DataFrame =
+    (s, dir) => graft.pipeline.Ann.hammingTopK(replicatedEmbeddings(s, dir, m))
 
   def oracleSql: Map[String, String] = Map(
     "drl_base_scan" -> "SELECT * FROM region",
@@ -4115,6 +4137,7 @@ object SparkEntry {
     // merge-vs-direct: lossless merging is the contract being checked
     "profile_drift_chi2" -> graft.pipeline.Profile.driftChi2Oracle("documents", "source", "n_chars"),
     "profile_ndv" -> graft.pipeline.Profile.ndvProfileOracle("lineitem", NdvCols),
+    "profile_topk_values" -> graft.pipeline.Profile.topkValuesOracle("lineitem", NdvCols),
     "profile_fk_candidates" -> graft.pipeline.Oracles.profileFkCandidates(Seq(
       ("lineitem", "l_orderkey", "orders", "o_orderkey"),
       ("orders", "o_custkey", "customer", "c_custkey"),

@@ -196,6 +196,51 @@ object Profile {
        |FROM m""".stripMargin
   }
 
+  /** Salt-bucket count for [[topkValues]]'s first-stage local top-k. */
+  val TopkValueSalts = 32
+
+  /** Most-frequent values per column — the frequent-items half of the
+    * ANALYZE stats pass ([[ndvProfile]] is the distinct-count half);
+    * optimizers use these for selectivity on skewed columns, curation
+    * uses them as the "what's actually in this field" glance. Exact
+    * counts, ties broken by the value string, nulls excluded.
+    *
+    * Scale shape: the melt is a projection fused with the (rebalanced)
+    * scan; the (column, value) counts are ONE map-side-combinable
+    * aggregate; and the per-column top-k avoids the single-reducer-per-
+    * column window via the standard two-stage cover — local top-k per
+    * (column, value-hash salt) first (lossless: a global top-k member
+    * is in its salt bucket's top-k), then the final window ranks only
+    * salts·k rows per column. */
+  def topkValues(df: DataFrame, cols: Seq[String], k: Int = 3): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    import org.apache.spark.sql.expressions.Window
+    val entries = cols.flatMap(c => Seq(lit(c), col(s"`$c`").cast("string")))
+    val counts = graft.core.Algebra.balanced(df.select(cols.map(c => col(s"`$c`")): _*))
+      .select(explode(map(entries: _*)).as(Seq("col_name", "v")))
+      .where(col("v").isNotNull)
+      .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+    val w1 = Window.partitionBy(col("col_name"),
+        pmod(xxhash64(col("v")), lit(TopkValueSalts.toLong)))
+      .orderBy(col("cnt").desc, col("v"))
+    val w2 = Window.partitionBy(col("col_name"))
+      .orderBy(col("cnt").desc, col("v"))
+    counts.withColumn("__s", row_number().over(w1)).where(col("__s") <= k)
+      .withColumn("rk", row_number().over(w2).cast("long")).where(col("rk") <= k)
+      .select(col("col_name"), col("v"), col("cnt"), col("rk"))
+  }
+
+  /** DuckDB half of [[topkValues]] (the oracle ranks directly — same
+    * order, same ties). */
+  def topkValuesOracle(table: String, cols: Seq[String], k: Int = 3): String = {
+    val kv = cols.map(c => s"SELECT '$c' AS col_name, $c::VARCHAR AS v FROM $table")
+      .mkString(" UNION ALL ")
+    s"""WITH kv AS ($kv),
+       |c AS (SELECT col_name, v, count(*) AS cnt FROM kv WHERE v IS NOT NULL GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, v) AS rk FROM c)
+       |SELECT col_name, v, cnt, rk FROM r WHERE rk <= $k""".stripMargin
+  }
+
   /** Cramér's V association between two LOW-CARDINALITY categorical
     * columns with plan-time-known domains — the feature-relevance /
     * redundancy gate ("are these two labels telling me the same

@@ -203,6 +203,11 @@ class PlanRegressionSpec extends SparkTestBase {
     // centroid drift is ONE map-side-combinable wide aggregate
     // (2·dim conditional sums per label) + the harness count.
     ("emb_centroid_drift", 2, 0),
+    // topk values: rebalance + (col,value) count agg + the TWO top-k
+    // cover windows (salted local + final per-column) + harness; the
+    // rebalance probe makes the captured plan count context-dependent
+    // (same headroom note as profile_ndv).
+    ("profile_topk_values", 6, 0),
   )
 
   /** Tree walk that descends through AQE wrappers and query stages
