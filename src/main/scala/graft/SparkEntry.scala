@@ -2566,6 +2566,21 @@ object SparkEntry {
         .groupBy(col("day")).agg(count(lit(1)).as("y"))
       graft.operators.Series.lttbDownsample(daily)
     }),
+    // lag-1 / lag-7 autocorrelation of the daily event count — the
+    // seasonality detector next to the CUSUM row; integer moments from
+    // a lag-shifted self-join, one fixed IEEE expression per lag
+    "ts_autocorr" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .select(expr(s"($TsUsSql) div $RangeJoinDayUs").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("y"))
+      graft.operators.Series.autocorr(daily)
+    }),
+    // two-sample Kolmogorov–Smirnov drift between src0 and src1 doc
+    // lengths — the bucket-free sibling of profile_drift_chi2;
+    // D·n_a·n_b stays an exact integer end to end
+    "profile_ks_drift" -> ((s, dir) =>
+      graft.pipeline.Profile.ksDrift(table(s, dir, "documents"),
+        col("n_chars"), col("source") === "src0", col("source") === "src1")),
     // weekly seasonal profile of the daily event count: per day-of-week
     // index, the mean's ratio to the overall mean as ONE double division
     // of two exact integer products (dow_total·n_all / n_dow·total) —
@@ -4550,6 +4565,25 @@ object SparkEntry {
          |SELECT bucket, day, y, score FROM r WHERE rn = 1
          |UNION ALL SELECT CAST(-1 AS BIGINT), x0, y0, CAST(0 AS BIGINT) FROM b
          |UNION ALL SELECT CAST(12 AS BIGINT), x1, y1, CAST(0 AS BIGINT) FROM b""".stripMargin,
+    "ts_autocorr" ->
+      s"""WITH d AS (SELECT epoch_us(ts) // $RangeJoinDayUs AS day, count(*) AS y
+         |      FROM events GROUP BY 1),
+         |p AS (SELECT l.lag, a.y AS ya, b.y AS yb
+         |      FROM (SELECT unnest([1, 7]) AS lag) l
+         |      JOIN d a ON true JOIN d b ON b.day = a.day + l.lag),
+         |m AS (SELECT lag, count(*) AS n_pairs,
+         |        CAST(sum(ya) AS BIGINT) AS sa, CAST(sum(yb) AS BIGINT) AS sb,
+         |        CAST(sum(ya * yb) AS BIGINT) AS sab,
+         |        CAST(sum(ya * ya) AS BIGINT) AS saa,
+         |        CAST(sum(yb * yb) AS BIGINT) AS sbb
+         |      FROM p GROUP BY 1)
+         |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+         |  round((n_pairs::DOUBLE * sab::DOUBLE - sa::DOUBLE * sb::DOUBLE)
+         |    / (sqrt(n_pairs::DOUBLE * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+         |       * sqrt(n_pairs::DOUBLE * sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE)), 6) AS acf
+         |FROM m""".stripMargin,
+    "profile_ks_drift" -> graft.pipeline.Profile.ksDriftOracle(
+      "documents", "n_chars", "source = 'src0'", "source = 'src1'"),
     "ts_seasonal_decompose" ->
       s"""WITH d AS (SELECT epoch_us(ts) // $RangeJoinDayUs AS day, count(*) AS y
          |      FROM events GROUP BY 1),

@@ -59,6 +59,39 @@ object Series {
         col("__best").getField("bn").as("n_points"))
   }
 
+  /** Lags reported by [[autocorr]] (1 = momentum, 7 = weekly season). */
+  val AcfLags: Seq[Int] = Seq(1, 7)
+
+  /** Lag-k autocorrelation of an integer series — the seasonality/
+    * momentum detector next to [[cusumChangepoint]]: Pearson r over the
+    * (y_t, y_{t+k}) pairs for each lag in `lags`. Moments are exact
+    * integer sums (y is a count series), so both engines evaluate ONE
+    * identical IEEE expression per lag; pairs come from a lag-shifted
+    * self-join on x+k (the `ts_seasonal_naive` join shape), never a
+    * window over the corpus. Returns (lag, n_pairs, acf). */
+  def autocorr(series: DataFrame, lags: Seq[Int] = AcfLags,
+      x: String = "day", y: String = "y"): DataFrame = {
+    require(lags.nonEmpty, "need at least one lag")
+    val lagged = series.select(explode(typedLit(lags.map(_.toLong))).as("lag"),
+      col(x), col(y))
+    val shifted = series.select((col(x)).as("__sx"), col(y).as("__yl"))
+    val pairs = lagged.join(shifted, col("__sx") === col(x) + col("lag"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col(y)).as("__sa"), sum(col("__yl")).as("__sb"),
+        sum(col(y) * col("__yl")).as("__sab"),
+        sum(col(y) * col(y)).as("__saa"),
+        sum(col("__yl") * col("__yl")).as("__sbb"))
+      .select(col("lag"), col("n_pairs"),
+        round((col("n_pairs").cast("double") * col("__sab").cast("double") -
+          col("__sa").cast("double") * col("__sb").cast("double")) /
+          (sqrt(col("n_pairs").cast("double") * col("__saa").cast("double") -
+            col("__sa").cast("double") * col("__sa").cast("double")) *
+            sqrt(col("n_pairs").cast("double") * col("__sbb").cast("double") -
+              col("__sb").cast("double") * col("__sb").cast("double"))), 6)
+          .as("acf"))
+  }
+
   /** Interior bucket count for [[lttbDownsample]]. */
   val LttbBuckets = 12
 

@@ -196,6 +196,62 @@ object Profile {
        |FROM m""".stripMargin
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic over an integer
+    * value column — the CONTINUOUS-value sibling of [[driftChi2]]
+    * (which needs bucket edges; KS needs none): D = max |CDF_a − CDF_b|
+    * over the merged value domain. Kept EXACT by scaling:
+    * D·n_a·n_b = max |cum_a·n_b − cum_b·n_a| is an integer, so the
+    * whole gate hash-checks; one double division at the end.
+    *
+    * Scale shape: per-value conditional counts are one map-side-
+    * combinable aggregate (the shuffle carries the DISTINCT values of
+    * an already-bounded measurement column, e.g. document lengths —
+    * metadata, not documents); the cumulative pass is one window over
+    * those distinct values. Returns one row
+    * (n_a, n_b, d_scaled, d). */
+  def ksDrift(df: DataFrame, valueCol: Column, sideA: Column,
+      sideB: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(valueCol.as("v"), sideA.as("__a"), sideB.as("__b"))
+      .where(col("v").isNotNull && (col("__a") || col("__b")))
+      .groupBy(col("v"))
+      .agg(F.sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+        F.sum(when(col("__b"), 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .select(F.sum(col("ca")).over(w).as("cuma"), F.sum(col("cb")).over(w).as("cumb"),
+        F.sum(col("ca")).over(all).as("na"), F.sum(col("cb")).over(all).as("nb"))
+      .select(col("na"), col("nb"),
+        abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("dd"))
+      .groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(max(col("dd")).as("d_scaled"))
+      .select(col("n_a"), col("n_b"), col("d_scaled"),
+        round(col("d_scaled").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("d"))
+  }
+
+  /** DuckDB half of [[ksDrift]] over `table.valueExpr` with boolean
+    * side predicates. */
+  def ksDriftOracle(table: String, valueExpr: String, predA: String,
+      predB: String): String =
+    s"""WITH c AS (SELECT ($valueExpr) AS v,
+       |        sum(CASE WHEN $predA THEN 1 ELSE 0 END)::BIGINT AS ca,
+       |        sum(CASE WHEN $predB THEN 1 ELSE 0 END)::BIGINT AS cb
+       |      FROM $table WHERE ($valueExpr) IS NOT NULL AND (($predA) OR ($predB))
+       |      GROUP BY 1),
+       |k AS (SELECT sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+       |             sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+       |             sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+       |      FROM c)
+       |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+       |  CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_scaled,
+       |  round(CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT)::DOUBLE
+       |    / (na::DOUBLE * nb::DOUBLE), 6) AS d
+       |FROM k GROUP BY na, nb""".stripMargin
+
   /** Salt-bucket count for [[topkValues]]'s first-stage local top-k. */
   val TopkValueSalts = 32
 

@@ -208,6 +208,12 @@ class PlanRegressionSpec extends SparkTestBase {
     // rebalance probe makes the captured plan count context-dependent
     // (same headroom note as profile_ndv).
     ("profile_topk_values", 6, 0),
+    // autocorr: daily agg + the lag-shifted self-join (re-keys the
+    // 2-row lag explode side) + per-lag moment agg + harness. KS: one
+    // conditional-count agg + the distinct-value cumulative window +
+    // the 1-group reduce + harness.
+    ("ts_autocorr", 6, 0),
+    ("profile_ks_drift", 5, 0),
   )
 
   /** Tree walk that descends through AQE wrappers and query stages
