@@ -2575,6 +2575,12 @@ object SparkEntry {
         .groupBy(col("day")).agg(count(lit(1)).as("y"))
       graft.operators.Series.autocorr(daily)
     }),
+    // Benford first-digit conformance of order totals — the fabricated-
+    // data / unit-mixup gate; digit extracted ARITHMETICALLY (integer
+    // ladder over exact cents, never number formatting), expectations
+    // inlined as literals, fixed-order chi-square
+    "profile_benford" -> ((s, dir) =>
+      graft.pipeline.Profile.benford(table(s, dir, "orders"), col("o_totalprice"))),
     // two-sample Kolmogorov–Smirnov drift between src0 and src1 doc
     // lengths — the bucket-free sibling of profile_drift_chi2;
     // D·n_a·n_b stays an exact integer end to end
@@ -4584,6 +4590,7 @@ object SparkEntry {
          |FROM m""".stripMargin,
     "profile_ks_drift" -> graft.pipeline.Profile.ksDriftOracle(
       "documents", "n_chars", "source = 'src0'", "source = 'src1'"),
+    "profile_benford" -> graft.pipeline.Profile.benfordOracle("orders", "o_totalprice"),
     "ts_seasonal_decompose" ->
       s"""WITH d AS (SELECT epoch_us(ts) // $RangeJoinDayUs AS day, count(*) AS y
          |      FROM events GROUP BY 1),

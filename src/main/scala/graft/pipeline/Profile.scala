@@ -196,6 +196,59 @@ object Profile {
        |FROM m""".stripMargin
   }
 
+  /** Benford first-digit expected probabilities log10(1+1/d), inlined
+    * as full-precision DOUBLE LITERALS in both plans (computed once on
+    * the driver — no libm call ever runs inside either engine, so the
+    * ban on cross-engine transcendentals is not violated). */
+  val BenfordP: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Benford first-digit conformance of a positive money column — the
+    * classic fabricated-data / unit-mixup gate: compare the leading-
+    * digit histogram against Benford's law by chi-square. The leading
+    * digit is extracted ARITHMETICALLY (exact cents → a CASE ladder of
+    * integer magnitude bounds — never via number-to-string formatting,
+    * which engines disagree on), the nine cells are conditional sums in
+    * ONE scan-aggregate, and the chi-square terms are added in fixed
+    * written order against the literal expectations. Returns one row
+    * (n, chi2). */
+  def benford(df: DataFrame, valueCol: Column): DataFrame = {
+    val base = df.select(
+      (valueCol.cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    val ladder = (14 to 0 by -1).foldLeft("0") { (rest, m) =>
+      val p = math.pow(10, m).toLong
+      s"CASE WHEN cents >= ${p}L THEN CAST(cents div ${p}L AS INT) ELSE $rest END"
+    }
+    val aggs = count(lit(1)).as("n") +: (1 to 9).map(d =>
+      F.sum(when(col("__d") === d, 1L).otherwise(0L)).as(s"c$d"))
+    val t = base.select(expr(ladder).as("__d")).where(col("__d") >= 1)
+      .agg(aggs.head, aggs.tail: _*)
+    val terms = (1 to 9).map { d =>
+      val e = col("n").cast("double") * lit(BenfordP(d - 1))
+      (col(s"c$d").cast("double") - e) * (col(s"c$d").cast("double") - e) / e
+    }
+    t.select(col("n"), round(terms.reduce(_ + _), 4).as("chi2"))
+  }
+
+  /** DuckDB half of [[benford]] — same ladder, same literal
+    * expectations, same fixed-order chain. */
+  def benfordOracle(table: String, valueExpr: String): String = {
+    val ladder = (14 to 0 by -1).foldLeft("0") { (rest, m) =>
+      val p = math.pow(10, m).toLong
+      s"CASE WHEN cents >= $p THEN (cents // $p)::INT ELSE $rest END"
+    }
+    val cells = (1 to 9).map(d =>
+      s"sum(CASE WHEN d = $d THEN 1 ELSE 0 END)::BIGINT AS c$d").mkString(", ")
+    val terms = (1 to 9).map { d =>
+      val e = s"(n::DOUBLE * ${BenfordP(d - 1)})"
+      s"((c$d::DOUBLE - $e) * (c$d::DOUBLE - $e) / $e)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT CAST(CAST($valueExpr AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM $table),
+       |dg AS (SELECT $ladder AS d FROM v),
+       |t AS (SELECT count(*) AS n, $cells FROM dg WHERE d >= 1)
+       |SELECT n, round($terms, 4) AS chi2 FROM t""".stripMargin
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift statistic over an integer
     * value column — the CONTINUOUS-value sibling of [[driftChi2]]
     * (which needs bucket edges; KS needs none): D = max |CDF_a − CDF_b|

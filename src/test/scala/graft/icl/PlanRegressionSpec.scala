@@ -214,6 +214,9 @@ class PlanRegressionSpec extends SparkTestBase {
     // the 1-group reduce + harness.
     ("ts_autocorr", 6, 0),
     ("profile_ks_drift", 5, 0),
+    // benford is ONE scan-aggregate (digit ladder fused with the scan,
+    // nine conditional sums in a single wide row) + harness.
+    ("profile_benford", 2, 0),
   )
 
   /** Tree walk that descends through AQE wrappers and query stages
