@@ -2575,6 +2575,17 @@ object SparkEntry {
         .groupBy(col("day")).agg(count(lit(1)).as("y"))
       graft.operators.Series.autocorr(daily)
     }),
+    // k-anonymity census over (nation, segment, acctbal-bucket) — the
+    // privacy gate before demographic-ish columns enter a training
+    // mix: class sizes from ONE keyed groupBy, census from a 1-row
+    // reduce over metadata
+    // (balance bucket shifts to non-negative cents first: Spark `div`
+    // truncates while the oracle's `//` floors — they agree only ≥ 0)
+    "profile_k_anonymity" -> ((s, dir) =>
+      graft.pipeline.Profile.kAnonymity(table(s, dir, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment"),
+          expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 1000000) div 100000")
+            .as("bal_bucket")))),
     // Benford first-digit conformance of order totals — the fabricated-
     // data / unit-mixup gate; digit extracted ARITHMETICALLY (integer
     // ladder over exact cents, never number formatting), expectations
@@ -4591,6 +4602,9 @@ object SparkEntry {
     "profile_ks_drift" -> graft.pipeline.Profile.ksDriftOracle(
       "documents", "n_chars", "source = 'src0'", "source = 'src1'"),
     "profile_benford" -> graft.pipeline.Profile.benfordOracle("orders", "o_totalprice"),
+    "profile_k_anonymity" -> graft.pipeline.Profile.kAnonymityOracle("customer",
+      Seq("c_nationkey", "c_mktsegment",
+        "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 1000000) // 100000 AS bal_bucket")),
     "ts_seasonal_decompose" ->
       s"""WITH d AS (SELECT epoch_us(ts) // $RangeJoinDayUs AS day, count(*) AS y
          |      FROM events GROUP BY 1),

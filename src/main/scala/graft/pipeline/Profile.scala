@@ -196,6 +196,41 @@ object Profile {
        |FROM m""".stripMargin
   }
 
+  /** Re-identification bar for [[kAnonymity]] (classes smaller than
+    * this are flagged). */
+  val KAnonBar = 5
+
+  /** k-anonymity census over a quasi-identifier combination — the
+    * privacy/governance gate run before a table with demographic-ish
+    * columns is released into a training mix: every row must hide in
+    * an equivalence class of at least k rows sharing its
+    * quasi-identifiers. Reports the census, not a verdict: total rows,
+    * class count, the smallest class (the table's actual k), and how
+    * many classes/rows fall below the bar.
+    *
+    * Scale shape: ONE keyed groupBy (map-side combinable) to class
+    * sizes, then a 1-row reduce over |classes| metadata rows. */
+  def kAnonymity(df: DataFrame, qis: Seq[Column], bar: Int = KAnonBar): DataFrame = {
+    require(qis.nonEmpty, "need at least one quasi-identifier")
+    val sizes = df.groupBy(qis: _*).agg(count(lit(1)).as("sz"))
+    sizes.agg(
+      F.sum(col("sz")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      F.min(col("sz")).as("k_min"),
+      F.sum(when(col("sz") < bar, 1L).otherwise(0L)).as("n_classes_below"),
+      F.sum(when(col("sz") < bar, col("sz")).otherwise(0L)).as("n_rows_below"))
+  }
+
+  /** DuckDB half of [[kAnonymity]]. */
+  def kAnonymityOracle(table: String, qiExprs: Seq[String], bar: Int = KAnonBar): String =
+    s"""WITH c AS (SELECT ${qiExprs.mkString(", ")}, count(*) AS sz
+       |      FROM $table GROUP BY ${(1 to qiExprs.size).mkString(", ")})
+       |SELECT CAST(sum(sz) AS BIGINT) AS n_rows, count(*) AS n_classes,
+       |  min(sz) AS k_min,
+       |  sum(CASE WHEN sz < $bar THEN 1 ELSE 0 END)::BIGINT AS n_classes_below,
+       |  CAST(sum(CASE WHEN sz < $bar THEN sz ELSE 0 END) AS BIGINT) AS n_rows_below
+       |FROM c""".stripMargin
+
   /** Benford first-digit expected probabilities log10(1+1/d), inlined
     * as full-precision DOUBLE LITERALS in both plans (computed once on
     * the driver — no libm call ever runs inside either engine, so the

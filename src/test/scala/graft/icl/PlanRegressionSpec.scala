@@ -217,6 +217,9 @@ class PlanRegressionSpec extends SparkTestBase {
     // benford is ONE scan-aggregate (digit ladder fused with the scan,
     // nine conditional sums in a single wide row) + harness.
     ("profile_benford", 2, 0),
+    // k-anonymity: one keyed class-size groupBy + the 1-row census
+    // reduce + harness.
+    ("profile_k_anonymity", 3, 0),
   )
 
   /** Tree walk that descends through AQE wrappers and query stages
