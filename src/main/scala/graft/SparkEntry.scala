@@ -1850,6 +1850,12 @@ object SparkEntry {
           round(lit(1.0) - col("n_read").cast("double") / col("n_files"), 4)
             .as("skip_ratio"))
     }),
+    // dictionary-encoding benefit per string column — the storage-
+    // planning estimate behind the file layout's encoding choice; all
+    // integer bits (code width via a power-of-two ladder, no libm)
+    "layout_dict_estimate" -> ((s, dir) =>
+      graft.pipeline.Profile.dictEstimate(table(s, dir, "part"),
+        Seq("p_name", "p_brand", "p_type"))),
     "layout_range_bounds" -> ((s, dir) =>
       graft.operators.Layout.rangeBounds(
         table(s, dir, "lineitem"),
@@ -4277,6 +4283,8 @@ object SparkEntry {
          |        AND min_pk <= hi_pk AND max_pk >= lo_pk THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS skip_ratio
          |FROM e GROUP BY 1, 2""".stripMargin
     },
+    "layout_dict_estimate" -> graft.pipeline.Profile.dictEstimateOracle(
+      "part", Seq("p_name", "p_brand", "p_type")),
     "layout_range_bounds" -> graft.operators.Layout.rangeBoundsOracle(
       "lineitem", "l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR",
       "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",

@@ -196,6 +196,59 @@ object Profile {
        |FROM m""".stripMargin
   }
 
+  /** Dictionary-encoding benefit estimate per string column — the
+    * storage-planning pass behind "should this column be dict-encoded
+    * in the table's file layout": raw cost is the plain byte mass,
+    * dictionary cost is the distinct-value byte mass plus one
+    * fixed-width code per row. Everything stays integer BITS
+    * (code width = ceil(log2 ndv) via a power-of-two CASE ladder — no
+    * libm), one double ratio at the end; ratio < 1 means the
+    * dictionary wins.
+    *
+    * Scale shape: one map-side-combinable (column, value) count (the
+    * shuffle carries distinct values once, with their counts), then a
+    * per-column reduce; nothing re-reads the table. */
+  def dictEstimate(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val entries = cols.flatMap(c => Seq(lit(c), col(s"`$c`").cast("string")))
+    val counts = df.select(explode(map(entries: _*)).as(Seq("col_name", "v")))
+      .where(col("v").isNotNull)
+      .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+    val per = counts.groupBy(col("col_name"))
+      .agg(F.sum(col("cnt")).as("n"), count(lit(1)).as("ndv"),
+        F.sum(col("cnt") * octet_length(col("v"))).as("raw_bytes"),
+        F.sum(octet_length(col("v")).cast("long")).as("distinct_bytes"))
+    val codeBits = (30 to 1 by -1).foldLeft(lit(1)) { (rest, b) =>
+      when(col("ndv") > (1L << (b - 1)), lit(b)).otherwise(rest)
+    }
+    per.withColumn("code_bits", codeBits.cast("long"))
+      .select(col("col_name"), col("n"), col("ndv"),
+        (col("raw_bytes") * 8).as("raw_bits"),
+        (col("distinct_bytes") * 8 + col("n") * col("code_bits")).as("dict_bits"),
+        round((col("distinct_bytes") * 8 + col("n") * col("code_bits")).cast("double") /
+          (col("raw_bytes") * 8).cast("double"), 4).as("ratio"))
+  }
+
+  /** DuckDB half of [[dictEstimate]] — same ladder, same bit math. */
+  def dictEstimateOracle(table: String, cols: Seq[String]): String = {
+    val kv = cols.map(c => s"SELECT '$c' AS col_name, $c::VARCHAR AS v FROM $table")
+      .mkString(" UNION ALL ")
+    val ladder = (30 to 1 by -1).foldLeft("1") { (rest, b) =>
+      s"CASE WHEN ndv > ${1L << (b - 1)} THEN $b ELSE $rest END"
+    }
+    s"""WITH kv AS ($kv),
+       |c AS (SELECT col_name, v, count(*) AS cnt FROM kv WHERE v IS NOT NULL GROUP BY 1, 2),
+       |p AS (SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS ndv,
+       |        CAST(sum(cnt * strlen(v)) AS BIGINT) AS raw_bytes,
+       |        CAST(sum(strlen(v)) AS BIGINT) AS distinct_bytes
+       |      FROM c GROUP BY 1),
+       |w AS (SELECT *, CAST($ladder AS BIGINT) AS code_bits FROM p)
+       |SELECT col_name, n, ndv, raw_bytes * 8 AS raw_bits,
+       |  distinct_bytes * 8 + n * code_bits AS dict_bits,
+       |  round((distinct_bytes * 8 + n * code_bits)::DOUBLE / (raw_bytes * 8)::DOUBLE, 4) AS ratio
+       |FROM w""".stripMargin
+  }
+
   /** Re-identification bar for [[kAnonymity]] (classes smaller than
     * this are flagged). */
   val KAnonBar = 5

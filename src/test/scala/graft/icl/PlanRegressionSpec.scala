@@ -220,6 +220,9 @@ class PlanRegressionSpec extends SparkTestBase {
     // k-anonymity: one keyed class-size groupBy + the 1-row census
     // reduce + harness.
     ("profile_k_anonymity", 3, 0),
+    // dict estimate: (col, value) count agg + per-column reduce +
+    // harness — the shuffle carries distinct values once.
+    ("layout_dict_estimate", 3, 0),
   )
 
   /** Tree walk that descends through AQE wrappers and query stages
