@@ -2592,6 +2592,14 @@ object SparkEntry {
         Seq(col("c_nationkey"), col("c_mktsegment"),
           expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 1000000) div 100000")
             .as("bal_bucket")))),
+    // l-diversity over the same quasi-identifiers with the market
+    // segment as the SENSITIVE attribute — the companion gate: a
+    // k-anonymous class still leaks if every member shares the value
+    "profile_l_diversity" -> ((s, dir) =>
+      graft.pipeline.Profile.lDiversity(table(s, dir, "customer"),
+        Seq(col("c_nationkey"),
+          expr("(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 1000000) div 100000")),
+        col("c_mktsegment"))),
     // Benford first-digit conformance of order totals — the fabricated-
     // data / unit-mixup gate; digit extracted ARITHMETICALLY (integer
     // ladder over exact cents, never number formatting), expectations
@@ -4610,6 +4618,10 @@ object SparkEntry {
     "profile_ks_drift" -> graft.pipeline.Profile.ksDriftOracle(
       "documents", "n_chars", "source = 'src0'", "source = 'src1'"),
     "profile_benford" -> graft.pipeline.Profile.benfordOracle("orders", "o_totalprice"),
+    "profile_l_diversity" -> graft.pipeline.Profile.lDiversityOracle("customer",
+      Seq("c_nationkey",
+        "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 1000000) // 100000"),
+      "c_mktsegment"),
     "profile_k_anonymity" -> graft.pipeline.Profile.kAnonymityOracle("customer",
       Seq("c_nationkey", "c_mktsegment",
         "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 1000000) // 100000 AS bal_bucket")),

@@ -284,6 +284,44 @@ object Profile {
        |  CAST(sum(CASE WHEN sz < $bar THEN sz ELSE 0 END) AS BIGINT) AS n_rows_below
        |FROM c""".stripMargin
 
+  /** l-diversity census — [[kAnonymity]]'s companion gate: a class can
+    * be large (k-anonymous) yet expose a SENSITIVE attribute if every
+    * member shares its value; distinct-l-diversity requires ≥ l
+    * distinct sensitive values per quasi-identifier class. Reports
+    * (n_classes, l_min, n_classes_below, n_rows_below) at the given
+    * bar. Scale shape: one (QI, sensitive) distinct-ish groupBy, one
+    * per-class reduce, one 1-row census — all map-side combinable. */
+  def lDiversity(df: DataFrame, qis: Seq[Column], sensitive: Column,
+      bar: Int = 2): DataFrame = {
+    require(qis.nonEmpty, "need at least one quasi-identifier")
+    val base = df.select(qis.zipWithIndex.map { case (q, i) => q.as(s"__q$i") } :+
+      sensitive.as("__s"): _*)
+    val classes = base
+      .groupBy((qis.indices.map(i => col(s"__q$i")) :+ col("__s")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(qis.indices.map(i => col(s"__q$i")): _*)
+      .agg(count(lit(1)).as("l"), F.sum(col("__cnt")).as("sz"))
+    classes.agg(count(lit(1)).as("n_classes"),
+      F.min(col("l")).as("l_min"),
+      F.sum(when(col("l") < bar, 1L).otherwise(0L)).as("n_classes_below"),
+      F.sum(when(col("l") < bar, col("sz")).otherwise(0L)).as("n_rows_below"))
+  }
+
+  /** DuckDB half of [[lDiversity]]. */
+  def lDiversityOracle(table: String, qiExprs: Seq[String], sensitiveExpr: String,
+      bar: Int = 2): String = {
+    val qs = qiExprs.zipWithIndex.map { case (e, i) => s"$e AS q$i" }.mkString(", ")
+    val qnames = qiExprs.indices.map(i => s"q$i").mkString(", ")
+    s"""WITH b AS (SELECT $qs, $sensitiveExpr AS s FROM $table),
+       |sv AS (SELECT $qnames, s, count(*) AS cnt FROM b GROUP BY ALL),
+       |c AS (SELECT $qnames, count(*) AS l, CAST(sum(cnt) AS BIGINT) AS sz
+       |      FROM sv GROUP BY ALL)
+       |SELECT count(*) AS n_classes, min(l) AS l_min,
+       |  sum(CASE WHEN l < $bar THEN 1 ELSE 0 END)::BIGINT AS n_classes_below,
+       |  CAST(sum(CASE WHEN l < $bar THEN sz ELSE 0 END) AS BIGINT) AS n_rows_below
+       |FROM c""".stripMargin
+  }
+
   /** Benford first-digit expected probabilities log10(1+1/d), inlined
     * as full-precision DOUBLE LITERALS in both plans (computed once on
     * the driver — no libm call ever runs inside either engine, so the

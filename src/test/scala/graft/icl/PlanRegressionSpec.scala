@@ -223,6 +223,9 @@ class PlanRegressionSpec extends SparkTestBase {
     // dict estimate: (col, value) count agg + per-column reduce +
     // harness — the shuffle carries distinct values once.
     ("layout_dict_estimate", 3, 0),
+    // l-diversity: (QI, sensitive) groupBy + per-class reduce (shares
+    // the QI key prefix) + the 1-row census + harness.
+    ("profile_l_diversity", 4, 0),
   )
 
   /** Tree walk that descends through AQE wrappers and query stages
