@@ -218,7 +218,11 @@ object Profile {
       .agg(F.sum(col("cnt")).as("n"), count(lit(1)).as("ndv"),
         F.sum(col("cnt") * octet_length(col("v"))).as("raw_bytes"),
         F.sum(octet_length(col("v")).cast("long")).as("distinct_bytes"))
-    val codeBits = (30 to 1 by -1).foldLeft(lit(1)) { (rest, b) =>
+    // fold ASCENDING: the last step wraps outermost, so the largest
+    // threshold is checked first (same inversion fix as benford's
+    // magnitude ladder — the StatGatesSpec fixture is what catches it;
+    // the oracle can't, because it is single-sourced from this fold)
+    val codeBits = (1 to 30).foldLeft(lit(1)) { (rest, b) =>
       when(col("ndv") > (1L << (b - 1)), lit(b)).otherwise(rest)
     }
     per.withColumn("code_bits", codeBits.cast("long"))
@@ -233,7 +237,7 @@ object Profile {
   def dictEstimateOracle(table: String, cols: Seq[String]): String = {
     val kv = cols.map(c => s"SELECT '$c' AS col_name, $c::VARCHAR AS v FROM $table")
       .mkString(" UNION ALL ")
-    val ladder = (30 to 1 by -1).foldLeft("1") { (rest, b) =>
+    val ladder = (1 to 30).foldLeft("1") { (rest, b) =>
       s"CASE WHEN ndv > ${1L << (b - 1)} THEN $b ELSE $rest END"
     }
     s"""WITH kv AS ($kv),
@@ -341,7 +345,13 @@ object Profile {
     val base = df.select(
       (valueCol.cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
         .cast("long").as("cents"))
-    val ladder = (14 to 0 by -1).foldLeft("0") { (rest, m) =>
+    // fold ASCENDING so the LARGEST magnitude ends outermost (the last
+    // fold step wraps the whole expression): descending would leave
+    // `cents >= 1` outermost and every value would "extract" to its
+    // full cents — a bug the planted StatGatesSpec fixture caught
+    // (both engines agreed on the same wrong number, so the oracle
+    // alone could not)
+    val ladder = (0 to 14).foldLeft("0") { (rest, m) =>
       val p = math.pow(10, m).toLong
       s"CASE WHEN cents >= ${p}L THEN CAST(cents div ${p}L AS INT) ELSE $rest END"
     }
@@ -359,7 +369,7 @@ object Profile {
   /** DuckDB half of [[benford]] — same ladder, same literal
     * expectations, same fixed-order chain. */
   def benfordOracle(table: String, valueExpr: String): String = {
-    val ladder = (14 to 0 by -1).foldLeft("0") { (rest, m) =>
+    val ladder = (0 to 14).foldLeft("0") { (rest, m) =>
       val p = math.pow(10, m).toLong
       s"CASE WHEN cents >= $p THEN (cents // $p)::INT ELSE $rest END"
     }
