@@ -27,6 +27,27 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic scratch directory for rows that need a writable path
+    * (ingest round-trips, persist lifecycles): one FIXED location per
+    * (dataset dir, tag), wiped on entry. The bench runs every query
+    * twice and repeated bench runs used to leak a fresh
+    * `Files.createTempDirectory` of parquet per invocation; pinning the
+    * path bounds the footprint to at most one live copy per (sf, tag)
+    * for the machine's lifetime. The testdata dir itself is read-only,
+    * so the scratch lives under java.io.tmpdir. */
+  private def scratch(dir: String, tag: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-scratch", key, tag)
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(p.toFile)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   /** `events.ts` as epoch MICROS (Long). The driver's parquet stores
     * `timestamp[us]`, which Spark reads as TIMESTAMP_NTZ; with the
     * session zone pinned to UTC (every entry point does) the NTZ →
@@ -773,7 +794,7 @@ object SparkEntry {
     // bytes: the restored constraint must still REJECT a violating
     // insert, and ordinary mutations must land on the restored rows.
     "persist_restart" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-persist").toString
+      val root = scratch(dir, "persist")
       val cat = new ParquetCatalog(s, dir)
       def run(session: graft.server.EngineSession, stmt: String): Unit =
         if (stmt.startsWith("!"))
@@ -815,7 +836,7 @@ object SparkEntry {
     // actually DELETE something (asserted), so the surviving restore is
     // load-bearing evidence, not a no-op pass.
     "persist_gc" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-gc").toString
+      val root = scratch(dir, "gc")
       val cat = new ParquetCatalog(s, dir)
       def run(session: graft.server.EngineSession, stmt: String): Unit =
         session.execute(stmt)
@@ -2383,7 +2404,7 @@ object SparkEntry {
     // Layout is invisible in the result, so the oracle is the plain join
     // — same contract as join_salted_agg
     "warehouse_bucketed_join" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-wh-q").toString
+      val tmp = scratch(dir, "wh-q")
       graft.sources.Warehouse.writeBucketed(
         table(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
         "wh_q_orders", "o_orderkey", 8, Some(s"$tmp/orders"))
@@ -2403,7 +2424,7 @@ object SparkEntry {
     // invisible in the result, so the oracle reads the ORIGINAL parquet
     // — proving the directory-encoded round trip preserves every value
     "warehouse_partition_prune" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-wh-p").toString
+      val tmp = scratch(dir, "wh-p")
       graft.sources.Warehouse.writePartitioned(
         table(s, dir, "documents"), s"$tmp/docs", Seq("lang"))
       s.read.parquet(s"$tmp/docs").filter(col("lang") === "en")
@@ -2494,7 +2515,7 @@ object SparkEntry {
     // (counted), never silently dropped
     "ingest_jsonl_quarantine" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      val tmp = scratch(dir, "jsonl")
       val good = table(s, dir, "documents")
         .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("value"))
       val bad = Seq("{oops", "not json at all", "[}").toDF("value")
@@ -2521,7 +2542,7 @@ object SparkEntry {
     // aggregate proves the union is lossless; the add-a-column migration
     // every long-lived 100 TB table goes through
     "ingest_schema_evolution" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+      val tmp = scratch(dir, "evolve")
       val orders = table(s, dir, "orders")
       orders.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_orderstatus"))
@@ -4611,9 +4632,12 @@ object SparkEntry {
          |        CAST(sum(yb * yb) AS BIGINT) AS sbb
          |      FROM p GROUP BY 1)
          |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
-         |  round((n_pairs::DOUBLE * sab::DOUBLE - sa::DOUBLE * sb::DOUBLE)
-         |    / (sqrt(n_pairs::DOUBLE * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE)
-         |       * sqrt(n_pairs::DOUBLE * sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE)), 6) AS acf
+         |  CASE WHEN n_pairs * saa - sa * sa <= 0 OR n_pairs * sbb - sb * sb <= 0
+         |       THEN NULL
+         |       ELSE round((n_pairs::DOUBLE * sab::DOUBLE - sa::DOUBLE * sb::DOUBLE)
+         |         / (sqrt(n_pairs::DOUBLE * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+         |            * sqrt(n_pairs::DOUBLE * sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE)), 6)
+         |  END AS acf
          |FROM m""".stripMargin,
     "profile_ks_drift" -> graft.pipeline.Profile.ksDriftOracle(
       "documents", "n_chars", "source = 'src0'", "source = 'src1'"),

@@ -83,12 +83,21 @@ object Series {
         sum(col(y) * col(y)).as("__saa"),
         sum(col("__yl") * col("__yl")).as("__sbb"))
       .select(col("lag"), col("n_pairs"),
-        round((col("n_pairs").cast("double") * col("__sab").cast("double") -
-          col("__sa").cast("double") * col("__sb").cast("double")) /
-          (sqrt(col("n_pairs").cast("double") * col("__saa").cast("double") -
-            col("__sa").cast("double") * col("__sa").cast("double")) *
-            sqrt(col("n_pairs").cast("double") * col("__sbb").cast("double") -
-              col("__sb").cast("double") * col("__sb").cast("double"))), 6)
+        // zero-variance guard: a constant series (or <2 pairs) makes a
+        // variance term 0 — Spark's Divide would return NULL while
+        // DuckDB's IEEE division returns NaN/Inf; pin BOTH to NULL via
+        // an explicit CASE (the corrMatrix/assortativity discipline).
+        // The variance terms are exact integers here, so === 0 is safe.
+        when(col("n_pairs") * col("__saa") - col("__sa") * col("__sa") <= 0 ||
+             col("n_pairs") * col("__sbb") - col("__sb") * col("__sb") <= 0,
+          lit(null).cast("double"))
+        .otherwise(
+          round((col("n_pairs").cast("double") * col("__sab").cast("double") -
+            col("__sa").cast("double") * col("__sb").cast("double")) /
+            (sqrt(col("n_pairs").cast("double") * col("__saa").cast("double") -
+              col("__sa").cast("double") * col("__sa").cast("double")) *
+              sqrt(col("n_pairs").cast("double") * col("__sbb").cast("double") -
+                col("__sb").cast("double") * col("__sb").cast("double"))), 6))
           .as("acf"))
   }
 

@@ -169,8 +169,13 @@ object Ann {
     * Scale shape: one broadcast codebook assignment (narrow), one
     * cell-keyed self-join whose fan-out is Σ|cell|², one per-vector
     * top-k window partitioned by the 8-byte vec id. The celled frame is
-    * persisted (it feeds both join sides) and released by the caller's
-    * action, mirroring [[semanticDedup]]. */
+    * NOT persisted: the result is corpus-sized and lazy, so a persist
+    * here could never be released ([[semanticClusters]] had to
+    * materialize-then-unpersist for exactly this reason) — instead the
+    * narrow scan+assign recomputes once per join side, which at 100 TB
+    * beats pinning a corpus-sized cache entry for the application
+    * lifetime; the codebook itself is computed once on the driver
+    * either way. */
   def knnGraph(embeddings: DataFrame, k: Int = KnnK,
       numCentroids: Int = NumCentroids, iters: Int = KMeansIters): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -179,7 +184,6 @@ object Ann {
     val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
     val assigned = n
       .withColumn("cell", pqEncodeCol(ss, col("embedding"), book).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cell"), col("vec_id"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("cell"), col("vec_id").as("neighbor_id"),

@@ -640,7 +640,10 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = minhashCandidates(bandSignaturesFromHashedRows(rows, idCol, cfg),
       idCol, cfg.numBands)
-    scoreAgainstTruth(rows, cand, idCol, cfg.jaccardThreshold)
+    // scoreAgainstTruth materializes its 1-row summary eagerly, so the
+    // shingle cache is safe to release here (no lazy consumer remains)
+    try scoreAgainstTruth(rows, cand, idCol, cfg.jaccardThreshold)
+    finally rows.unpersist()
   }
 
   /** SimHash fingerprint-quality evaluation — the harness for the OTHER
@@ -659,7 +662,9 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = simhashPairs(df, idCol, textCol, maxHamming)
       .select(col("doc_a"), col("doc_b"))
-    scoreAgainstTruth(rows, cand, idCol, threshold)
+    // eager summary inside scoreAgainstTruth → release the cache here
+    try scoreAgainstTruth(rows, cand, idCol, threshold)
+    finally rows.unpersist()
   }
 
   /** Corpus NOVELTY per document — the memorization/recency signal a
@@ -675,11 +680,16 @@ object Dedup {
     * Scale shape: one map-side-combined min-agg per shingle hash
     * (8-byte keys), one content-keyed join back, one per-doc count —
     * the inverted-index family's cost envelope without any pair
-    * generation. */
+    * generation.
+    *
+    * The shingle rows feed the min-agg AND the join back but are NOT
+    * persisted: the result is corpus-sized and lazy, so a persist here
+    * has no release point — the narrow shingle expansion recomputes
+    * once per arm instead of pinning an application-lifetime cache
+    * (the [[knnGraph]] rationale). */
   def noveltyPerDoc(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = LshConfig().shingleN): DataFrame = {
     val rows = hashedShingleRows(shingleRows(df, idCol, textCol, shingleN), idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = rows.groupBy(col("shingle")).agg(min(col(idCol)).as("__first"))
     val perDoc = rows.join(first, Seq("shingle"))
       .groupBy(col(idCol))
@@ -719,17 +729,26 @@ object Dedup {
       .groupBy(col("decile")).agg(count(lit(1)).as("n_pairs"))
     val w = Window.orderBy(col("decile").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byDecile
+    val curve = byDecile
       .withColumn("n_at_or_above", sum(col("n_pairs")).over(w))
       .select(round(col("decile").cast("double") / 10.0, 1).as("threshold"),
         col("n_pairs"), col("n_at_or_above"))
+    // the curve is ≤ 11 rows — materialize it while the shingle cache
+    // is alive, then release (the semanticClusters discipline)
+    val out = curve.collect().toSeq
+    rows.unpersist()
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(out, 1), curve.schema)
   }
 
   /** Shared scorer for the fingerprint-recall harnesses: exact-Jaccard
     * truth pairs from the hashed-shingle index vs a candidate pair set.
     * truth and cand each feed BOTH a count arm and the hit join —
     * persisted, or Spark re-executes the two heaviest self-joins
-    * (separate aggregate branches do not share exchanges). */
+    * (separate aggregate branches do not share exchanges). The 1-row
+    * summary is materialized HERE while those caches are alive and both
+    * are released before returning — callers get an eager local frame,
+    * never a lazy plan over unpersisted caches. */
   private def scoreAgainstTruth(rows: DataFrame, candidates: DataFrame,
       idCol: String, threshold: Double): DataFrame = {
     val sizes = rows.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
@@ -746,12 +765,17 @@ object Dedup {
     def ratio(num: org.apache.spark.sql.Column,
         den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       round(num.cast("double") / when(den === 0, lit(null)).otherwise(den), 4)
-    truthP.agg(count(lit(1)).as("n_truth"))
+    val summary = truthP.agg(count(lit(1)).as("n_truth"))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
       .crossJoin(hit.agg(count(lit(1)).as("n_hits")))
       .select(col("n_truth"), col("n_cand"), col("n_hits"),
         ratio(col("n_hits"), col("n_truth")).as("recall"),
         ratio(col("n_hits"), col("n_cand")).as("prec"))
+    val out = summary.collect().toSeq
+    truthP.unpersist()
+    cand.unpersist()
+    val ss = rows.sparkSession
+    ss.createDataFrame(ss.sparkContext.parallelize(out, 1), summary.schema)
   }
 
   /** Span EXCISION — the fix step behind [[dupNgramSpans]]'s detector

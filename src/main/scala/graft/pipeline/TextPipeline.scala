@@ -734,8 +734,13 @@ object TextPipeline {
   def charGini(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // rebalance before the per-char fan-out: the transform chain is
     // codegen-fallback and a small parquet scans as one partition —
-    // without this the whole char explode runs single-threaded
+    // without this the whole char explode runs single-threaded.
+    // Empty/whitespace-only docs are dropped BEFORE the explode:
+    // sequence(1, 0) is DESCENDING [1, 0] (default step −1) and would
+    // fabricate two empty-string "chars", while the oracle's
+    // range(1, 1) emits nothing — both engines now agree: no row.
     val chars = graft.core.Algebra.balanced(df.select(col(idCol), col(textCol)))
+      .where(length(trim(col(textCol))) >= 1)
       .select(col(idCol),
         explode(expr(s"transform(sequence(1, length(trim($textCol))), i -> substr(trim($textCol), i, 1))")).as("__c"))
     chars.groupBy(col(idCol), col("__c")).agg(count(lit(1)).as("__n"))
