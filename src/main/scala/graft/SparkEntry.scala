@@ -22,7 +22,7 @@ object SparkEntry {
   private def drl(sexpText: String): (SparkSession, String) => DataFrame =
     (spark, dir) =>
       Compiler.run(spark, new ParquetCatalog(spark, dir), sexpText)
-        .fold(e => throw new IllegalArgumentException(e), identity)
+        .fold(e => throw new IllegalArgumentException(e.message), identity)
 
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -77,7 +77,7 @@ object SparkEntry {
       session.execute(s"(drl $finalQuery)") match {
         case Right(graft.server.QueryResult(df)) => df
         case Right(other) => fail(s"expected query result, got $other")
-        case Left(e) => fail(e)
+        case Left(e) => fail(e.message)
       }
     }
 
@@ -678,7 +678,7 @@ object SparkEntry {
     // ---- SCL: cursor streaming over a DRL query ----
     "scl_cursor_stream" -> ((s, dir) => {
       val session = new graft.server.EngineSession(s, Some(new ParquetCatalog(s, dir)))
-      def batchOf(r: Either[String, graft.server.Response]): graft.scl.Batch = r match {
+      def batchOf(r: Either[graft.Err, graft.server.Response]): graft.scl.Batch = r match {
         case Right(graft.server.CursorBatch(b)) => b
         case other => throw new IllegalArgumentException(s"unexpected: $other")
       }
@@ -725,7 +725,7 @@ object SparkEntry {
       val session = new graft.server.EngineSession(s, Some(new ParquetCatalog(s, dir)))
       def run(stmt: String): Unit = session.execute(stmt)
         .fold(e => throw new IllegalArgumentException(s"$stmt -> $e"), _ => ())
-      def batchOf(r: Either[String, graft.server.Response]): graft.scl.Batch = r match {
+      def batchOf(r: Either[graft.Err, graft.server.Response]): graft.scl.Batch = r match {
         case Right(graft.server.CursorBatch(b)) => b
         case other => throw new IllegalArgumentException(s"unexpected: $other")
       }
@@ -756,7 +756,7 @@ object SparkEntry {
       val session = new graft.server.EngineSession(s, Some(new ParquetCatalog(s, dir)))
       def run(stmt: String): Unit = session.execute(stmt)
         .fold(e => throw new IllegalArgumentException(s"$stmt -> $e"), _ => ())
-      def batchOf(r: Either[String, graft.server.Response]): graft.scl.Batch = r match {
+      def batchOf(r: Either[graft.Err, graft.server.Response]): graft.scl.Batch = r match {
         case Right(graft.server.CursorBatch(b)) => b
         case other => throw new IllegalArgumentException(s"unexpected: $other")
       }
@@ -1436,6 +1436,21 @@ object SparkEntry {
       val pairs = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
         .select(col("s1").as("doc_a"), col("s2").as("doc_b"))
       graft.operators.LabelProp.labels(
+        lp.select(col("p").as("part")), pairs, "part")
+    }),
+    // the CONVERGED variant: label propagation with a self-vote — the
+    // damping that turns the oscillating synchronous rule (measured:
+    // never stable on this graph, LabelProp scaladoc) into a true
+    // fixpoint in 3-4 rounds; the oracle unrolls the same rule, and
+    // ConvergenceSpec re-measures that StableRounds covers the fixpoint
+    "graph_label_prop_stable" -> ((s, dir) => {
+      val lp = table(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val l1 = lp.select(col("ok"), col("p").as("s1"))
+      val l2 = lp.select(col("ok").as("ok2"), col("p").as("s2"))
+      val pairs = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
+        .select(col("s1").as("doc_a"), col("s2").as("doc_b"))
+      graft.operators.LabelProp.labelsStable(
         lp.select(col("p").as("part")), pairs, "part")
     }),
     // Newman modularity of the BRAND partition over the same
@@ -2541,6 +2556,14 @@ object SparkEntry {
     // mergeSchema — v1 rows surface the new column as null, and the
     // aggregate proves the union is lossless; the add-a-column migration
     // every long-lived 100 TB table goes through
+    // STREAMING, oracle-checked: the watermarked daily window aggregation
+    // driven through the REAL micro-batch machinery (file source in
+    // event-time order, maxFilesPerTrigger 1, append mode, foreachBatch
+    // parquet sink) — DuckDB can't see micro-batches, but it CAN check
+    // what they leave behind: the union of per-batch finalized-window
+    // emissions must equal the one-shot batch aggregate
+    "streaming_window" -> ((s, dir) =>
+      graft.streaming.StreamOracle.windowedDaily(s, dir, scratch(dir, "streamwin"))),
     "ingest_schema_evolution" -> ((s, dir) => {
       val tmp = scratch(dir, "evolve")
       val orders = table(s, dir, "orders")
@@ -3943,6 +3966,8 @@ object SparkEntry {
       graft.operators.Truss.Rounds),
     "graph_label_prop" -> graft.pipeline.Oracles.graphLabelProp(
       graft.operators.LabelProp.Rounds),
+    "graph_label_prop_stable" -> graft.pipeline.Oracles.graphLabelPropStable(
+      graft.operators.LabelProp.StableRounds),
     "graph_modularity" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
         |      WHERE l_quantity > 45),
@@ -4568,6 +4593,14 @@ object SparkEntry {
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 90)""".stripMargin,
     // ingest-invisible: the JSONL round trip must reproduce the parquet
     // aggregate exactly, plus the three injected corrupt lines
+    // the streaming sink holds only FINALIZED windows — equal to the batch
+    // day-grain aggregate (epoch-aligned, UTC) once the sentinel closed
+    // every real window
+    "streaming_window" ->
+      """SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_start_us,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "ingest_schema_evolution" ->
       """SELECT o_orderstatus,
         |  count(*)::BIGINT AS n_rows,

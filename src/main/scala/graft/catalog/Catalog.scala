@@ -12,12 +12,15 @@ import graft.virtual.Virtual
   * the mutable EngineState (DML/DDL path, which implements this trait).
   */
 trait Catalog {
-  /** Resolve a finite base relation to its DataFrame. */
-  def resolve(name: String): Either[String, DataFrame]
+  /** Resolve a finite base relation to its DataFrame. Failures are typed
+    * ([[graft.Err]]): an unknown name is the executor-level
+    * `(relation-not-found r)` (reference lib/drl/executor.ml:14), a
+    * virtual (infinite) name a `(generator-error m)`. */
+  def resolve(name: String): Either[graft.Err, DataFrame]
 
   /** Static cardinality class for the finiteness gate. Virtual relations
     * are countably infinite; any stored table is constrained-finite. */
-  def cardinality(name: String): Either[String, Cardinality] =
+  def cardinality(name: String): Either[graft.Err, Cardinality] =
     if (Virtual.isVirtual(name)) Right(Cardinality.AlephZero)
     else resolve(name).map(_ => Cardinality.ConstrainedFinite)
 }
@@ -31,11 +34,12 @@ final class ParquetCatalog(spark: SparkSession, dir: String) extends Catalog {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def resolve(name: String): Either[String, DataFrame] =
+  def resolve(name: String): Either[graft.Err, DataFrame] =
     if (Virtual.isVirtual(name))
-      Left(s"relation '$name' is virtual (infinite) and cannot be scanned; " +
-        "use it as a Select filter or constraint target")
+      Left(graft.Err.GeneratorError(
+        s"relation '$name' is virtual (infinite) and cannot be scanned; " +
+        "use it as a Select filter or constraint target"))
     else if (tableNames.contains(name))
       Right(spark.read.parquet(s"$dir/$name.parquet"))
-    else Left(s"unknown relation: $name")
+    else Left(graft.Err.RelationNotFoundBare(name))
 }

@@ -31,9 +31,9 @@ final class Store {
 
   def createBranch(name: String, tip: String): Unit = branches(name) = tip
   def tip(name: String): Option[String] = branches.get(name)
-  def updateTip(name: String, tip: String): Either[String, Unit] =
+  def updateTip(name: String, tip: String): Either[graft.Err, Unit] =
     if (branches.contains(name)) { branches(name) = tip; Right(()) }
-    else Left(s"Branch not found: $name")
+    else Left(graft.Err.BranchNotFound(name))
   def checkout(name: String): Unit = headBranch = Some(name)
   def head: Option[String] = headBranch
   def list: Seq[(String, String)] = branches.toSeq
@@ -182,12 +182,16 @@ object Merge {
     * schemas into one tree in the both-changed case — we take the
     * strategy winner's extension instead, recording the conflict). */
   def merge(spark: SparkSession, store: Store, strategy: Strategy,
-      leftTip: String, rightTip: String): Either[String, (Database, Conflicts)] =
+      leftTip: String, rightTip: String): Either[graft.Err, (Database, Conflicts)] =
     for {
-      leftDb <- store.load(leftTip).toRight(s"Left tip not found: $leftTip")
-      rightDb <- store.load(rightTip).toRight(s"Right tip not found: $rightTip")
-      lcaHash <- findLca(leftDb, rightDb).toRight("No common ancestor found between branches")
-      ancestor <- store.load(lcaHash).toRight(s"Ancestor not found: $lcaHash")
+      leftDb <- store.load(leftTip).toRight(
+        graft.Err.MergeError(graft.Err.NoDatabaseAtHash(leftTip)))
+      rightDb <- store.load(rightTip).toRight(
+        graft.Err.MergeError(graft.Err.NoDatabaseAtHash(rightTip)))
+      lcaHash <- findLca(leftDb, rightDb).toRight(graft.Err.MergeError(
+        graft.Err.StorageError("No common ancestor found between branches")))
+      ancestor <- store.load(lcaHash).toRight(
+        graft.Err.MergeError(graft.Err.NoDatabaseAtHash(lcaHash)))
     } yield {
       val leftDiffs = Diff.diff(ancestor, leftDb)
       val rightDiffs = Diff.diff(ancestor, rightDb).map(d => d.name -> d).toMap
@@ -320,6 +324,10 @@ object Statement {
 object Parser {
   import Statement._
 
+  /** Statement-head atoms this grammar owns (see drl.Parser.heads). */
+  val heads: Set[String] = Set("CreateBranch", "Checkout", "GetHead",
+    "GetBranchTip", "UpdateBranchTip", "Merge")
+
   def parse(input: String): Either[String, Statement] =
     Sexp.parse(input).flatMap(ofSexp)
 
@@ -371,7 +379,7 @@ object Executor {
   import Statement._
 
   def execute(spark: SparkSession, store: Store, db: Database,
-      stmt: Statement): Either[String, (Database, String)] = stmt match {
+      stmt: Statement): Either[graft.Err, (Database, String)] = stmt match {
     case CreateBranch(name, hash) =>
       store.save(db)
       val tip = hash.getOrElse(db.hash)
@@ -379,19 +387,19 @@ object Executor {
       Right((db, s"Branch $name created"))
     case Checkout(name) =>
       for {
-        tip <- store.tip(name).toRight(s"BranchNotFound: $name")
-        loaded <- store.load(tip).toRight(s"NoDatabaseAtHash: $tip")
+        tip <- store.tip(name).toRight(graft.Err.BranchNotFound(name))
+        loaded <- store.load(tip).toRight(graft.Err.NoDatabaseAtHash(tip))
       } yield { store.checkout(name); (loaded, s"HEAD:$name") }
     case GetHead =>
       Right((db, store.head.map("HEAD:" + _).getOrElse("HEAD is unset")))
     case GetBranchTip(name) =>
-      store.tip(name).toRight(s"BranchNotFound: $name").map(h => (db, s"branch:$name=$h"))
+      store.tip(name).toRight(graft.Err.BranchNotFound(name)).map(h => (db, s"branch:$name=$h"))
     case UpdateBranchTip(name, hash) =>
       store.updateTip(name, hash).map(_ => (db, s"Branch $name updated"))
     case MergeStmt(left, right, strategy) =>
       for {
-        lt <- store.tip(left).toRight(s"BranchNotFound: $left")
-        rt <- store.tip(right).toRight(s"BranchNotFound: $right")
+        lt <- store.tip(left).toRight(graft.Err.BranchNotFound(left))
+        rt <- store.tip(right).toRight(graft.Err.BranchNotFound(right))
         res <- Merge.merge(spark, store, strategy, lt, rt)
       } yield {
         val (merged, conflicts) = res

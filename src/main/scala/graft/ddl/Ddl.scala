@@ -23,6 +23,10 @@ object Statement {
 object Parser {
   import Statement._
 
+  /** Statement-head atoms this grammar owns (see drl.Parser.heads). */
+  val heads: Set[String] = Set("CreateDatabase", "CreateRelation",
+    "RetractRelation", "ClearRelation", "RegisterDomain")
+
   def parse(input: String): Either[String, Statement] =
     Sexp.parse(input).flatMap(ofSexp)
 
@@ -85,11 +89,11 @@ object Executor {
 
   /** CreateDatabase is the only statement meaningful without a current
     * database — the Option makes that explicit instead of a null. */
-  def execute(spark: SparkSession, db: Option[Database], stmt: Statement): Either[String, Database] =
+  def execute(spark: SparkSession, db: Option[Database], stmt: Statement): Either[graft.Err, Database] =
     stmt match {
       case CreateDatabase(n) => Right(Engine.createDatabase(spark, n))
       case other =>
-        db.toRight("NoDatabase: run (ddl (CreateDatabase name)) first").flatMap { cur =>
+        db.toRight(graft.Err.NoDatabase("run (ddl (CreateDatabase name)) first")).flatMap { cur =>
           other match {
             case CreateDatabase(_)      => Right(cur) // unreachable
             case CreateRelation(n, sch) => Engine.createRelation(spark, cur, n, sch)
@@ -106,6 +110,6 @@ object Executor {
         }
     }
 
-  def run(spark: SparkSession, db: Option[Database], sexpText: String): Either[String, Database] =
-    Parser.parse(sexpText).flatMap(execute(spark, db, _))
+  def run(spark: SparkSession, db: Option[Database], sexpText: String): Either[graft.Err, Database] =
+    Parser.parse(sexpText).left.map(graft.Err.ParseError(_)).flatMap(execute(spark, db, _))
 }

@@ -24,6 +24,10 @@ object Statement {
 object Parser {
   import Statement._
 
+  /** Statement-head atoms this grammar owns (see drl.Parser.heads). */
+  val heads: Set[String] = Set("InsertTuple", "InsertTuples", "DeleteTuple",
+    "Assign", "InsertFrom", "DeleteWhere")
+
   def parse(input: String): Either[String, Statement] =
     Sexp.parse(input).flatMap(ofSexp)
 
@@ -95,7 +99,7 @@ object Executor {
   import Statement._
 
   def execute(spark: SparkSession, db: Database, stmt: Statement,
-      external: Option[Catalog] = None): Either[String, Database] = {
+      external: Option[Catalog] = None): Either[graft.Err, Database] = {
     val cat = new DbCatalog(db, external)
     def eval(q: Query) =
       for { _ <- Gate.admit(cat, q); df <- Compiler.compile(spark, cat, q) } yield df
@@ -109,8 +113,10 @@ object Executor {
     }
   }
 
-  /** Parse and execute one statement. */
+  /** Parse and execute one statement (parse failures become the
+    * sublanguage's typed ParseError, reference lib/dml/sublanguage.ml:13-15). */
   def run(spark: SparkSession, db: Database, sexpText: String,
-      external: Option[Catalog] = None): Either[String, Database] =
-    Parser.parse(sexpText).flatMap(execute(spark, db, _, external))
+      external: Option[Catalog] = None): Either[graft.Err, Database] =
+    Parser.parse(sexpText).left.map(graft.Err.ParseError(_))
+      .flatMap(execute(spark, db, _, external))
 }

@@ -17,14 +17,14 @@ object Compiler {
 
   /** Parse, gate, compile — the full request path of a DRL query
     * (reference lib/drl/sublanguage.ml:18-23: parse → admit → execute). */
-  def run(spark: SparkSession, cat: Catalog, sexpText: String): Either[String, DataFrame] =
+  def run(spark: SparkSession, cat: Catalog, sexpText: String): Either[graft.Err, DataFrame] =
     for {
-      q <- Parser.parse(sexpText)
+      q <- Parser.parse(sexpText).left.map(graft.Err.ParseError(_))
       _ <- Gate.admit(cat, q)
       df <- compile(spark, cat, q)
     } yield df
 
-  def compile(spark: SparkSession, cat: Catalog, q: Query): Either[String, DataFrame] = q match {
+  def compile(spark: SparkSession, cat: Catalog, q: Query): Either[graft.Err, DataFrame] = q match {
     case Base(name) => cat.resolve(name)
 
     case Const(attrs) => Right(Algebra.constRelation(spark, attrs))
@@ -53,8 +53,9 @@ object Compiler {
             // it to the scan.
             val missing = renamed.values.filterNot(src.columns.contains)
             if (missing.nonEmpty)
-              Left(s"virtual filter ${vr.name} needs attributes ${renamed.values.mkString(",")}; " +
-                s"source lacks ${missing.mkString(",")}")
+              Left(graft.Err.GeneratorError(
+                s"virtual filter ${vr.name} needs attributes ${renamed.values.mkString(",")}; " +
+                s"source lacks ${missing.mkString(",")}"))
             else {
               val binding = vr.attrs.map(a => a -> col(s"`${renamed(a)}`")).toMap
               Right(src.filter(vr.predicate(binding)))
@@ -79,8 +80,9 @@ object Compiler {
       compile(spark, cat, src).flatMap { df =>
         val missing = attrs.filterNot(df.columns.contains)
         if (missing.nonEmpty)
-          Left(s"Project: unknown attribute(s) ${missing.mkString(", ")} " +
-            s"(relation has: ${df.columns.mkString(", ")})")
+          Left(graft.Err.GeneratorError(
+            s"Project: unknown attribute(s) ${missing.mkString(", ")} " +
+            s"(relation has: ${df.columns.mkString(", ")})"))
         else Right(Algebra.project(attrs)(df))
       }
 
@@ -126,9 +128,10 @@ object Compiler {
 
     case Window(parts, order, fn, alias, src) =>
       if (parts.isEmpty)
-        Left("Window needs a non-empty partition: an unpartitioned window " +
+        Left(graft.Err.GeneratorError(
+          "Window needs a non-empty partition: an unpartitioned window " +
           "is a single-task global sort — use GlobalRank for whole-relation " +
-          "ranking")
+          "ranking"))
       else compile(spark, cat, src).map { df =>
         import org.apache.spark.sql.expressions.{Window => W}
         import org.apache.spark.sql.functions.{lag, row_number, sum}
@@ -175,7 +178,7 @@ object Compiler {
     * unboundedly many tuples before yielding n results, which the
     * reference would also attempt unboundedly; we reject it instead with
     * an explicit message. */
-  private def compileVirtualTake(spark: SparkSession, n: Int, q: Query): Either[String, DataFrame] = q match {
+  private def compileVirtualTake(spark: SparkSession, n: Int, q: Query): Either[graft.Err, DataFrame] = q match {
     case Base(name) =>
       val vr = Virtual.relations(name)
       import org.apache.spark.sql.types._
@@ -185,9 +188,9 @@ object Compiler {
     case Rename(pairs, inner)  => compileVirtualTake(spark, n, inner).map(Algebra.rename(pairs))
     case Project(attrs, inner) => compileVirtualTake(spark, n, inner).map(Algebra.project(attrs))
     case Take(m, inner)        => compileVirtualTake(spark, math.min(n, m), inner).map(Algebra.take(m))
-    case other => Left(
+    case other => Left(graft.Err.GeneratorError(
       s"Take over a virtual relation only supports Rename/Project/Take above the base " +
-      s"(got ${other.getClass.getSimpleName}); bound the finite side instead")
+      s"(got ${other.getClass.getSimpleName}); bound the finite side instead"))
   }
 
   private def opFn(op: Query.CmpOp): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =

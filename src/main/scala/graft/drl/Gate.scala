@@ -22,9 +22,12 @@ import graft.types.Cardinality
 object Gate {
   import Query._
 
-  val rejection = "query produces potentially infinite result; use Take to bound it"
+  /** The reference maps gate rejections to the DRL executor's ParseError
+    * (lib/drl/sublanguage.ml:18-19), so the wire form is `(parse-error m)`. */
+  val rejection: graft.Err = graft.Err.ParseError(
+    "query produces potentially infinite result; use Take to bound it")
 
-  def cardinality(cat: Catalog, q: Query): Either[String, Cardinality] = q match {
+  def cardinality(cat: Catalog, q: Query): Either[graft.Err, Cardinality] = q match {
     case Base(name)       => cat.cardinality(name)
     case Const(_)         => Right(Cardinality.Finite(1))
     case Take(n, _)       => Right(Cardinality.Finite(n.toLong))
@@ -46,13 +49,13 @@ object Gate {
     case Window(_, _, _, _, src) => cardinality(cat, src)
   }
 
-  private def both(cat: Catalog, l: Query, r: Query): Either[String, Cardinality] =
+  private def both(cat: Catalog, l: Query, r: Query): Either[graft.Err, Cardinality] =
     for { cl <- cardinality(cat, l); cr <- cardinality(cat, r) }
       yield if (cl.isFinite && cr.isFinite) Cardinality.ConstrainedFinite
             else Cardinality.AlephZero
 
   /** Admit the query or reject with the reference's error message
     * (lib/drl/gate.ml:76-78). */
-  def admit(cat: Catalog, q: Query): Either[String, Unit] =
+  def admit(cat: Catalog, q: Query): Either[graft.Err, Unit] =
     cardinality(cat, q).flatMap(c => if (c.isFinite) Right(()) else Left(rejection))
 }

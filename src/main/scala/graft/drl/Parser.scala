@@ -19,6 +19,13 @@ import graft.types.Value
   * (reference lib/listener.ml:17-28) — is accepted and stripped.
   */
 object Parser {
+
+  /** Statement-head atoms this grammar owns (bare-statement dispatch —
+    * the session routes a bare form to the grammar whose head table
+    * contains it, so parse errors are reported by the owning grammar). */
+  val heads: Set[String] = Set("Base", "Const", "Select", "Join", "Cartesian",
+    "Project", "Rename", "Union", "Diff", "Take", "Sort", "Aggregate",
+    "ThetaJoin", "Window")
   import Query._
 
   def parse(input: String): Either[String, Query] =

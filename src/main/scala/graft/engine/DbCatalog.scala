@@ -9,14 +9,15 @@ import graft.virtual.Virtual
   * not define — that is how DML statements ingest external sources. Engine
   * relations shadow external ones. */
 final class DbCatalog(db: Database, fallback: Option[Catalog] = None) extends Catalog {
-  def resolve(name: String): Either[String, DataFrame] =
+  def resolve(name: String): Either[graft.Err, DataFrame] =
     if (Virtual.isVirtual(name))
-      Left(s"relation '$name' is virtual (infinite) and cannot be scanned")
+      Left(graft.Err.GeneratorError(
+        s"relation '$name' is virtual (infinite) and cannot be scanned"))
     else db.relations.get(name) match {
       case Some(rel) => Right(rel.df)
       case None => fallback match {
         case Some(c) => c.resolve(name)
-        case None    => Left(s"RelationNotFound: $name")
+        case None    => Left(graft.Err.RelationNotFoundBare(name))
       }
     }
 }

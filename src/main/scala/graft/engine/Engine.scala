@@ -5,6 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Err
 import graft.hashing.Hashing
 import graft.hashing.Hashing.ContentRoot
 import graft.icl.Body
@@ -78,8 +79,8 @@ final case class Database(
     history: List[String],
     deferred: List[DeferredEntry],
     hash: String) {
-  def relation(name: String): Either[String, StoredRelation] =
-    relations.get(name).toRight(s"RelationNotFound: $name")
+  def relation(name: String): Either[Err, StoredRelation] =
+    relations.get(name).toRight(Err.RelationNotFound(name))
 }
 
 /** The manipulation layer (reference lib/manipulation.ml): relation and
@@ -158,19 +159,19 @@ object Engine {
   /** Validate the attribute set against the schema and coerce values to
     * their declared domains, returning them in schema order. */
   def coerce(db: Database, rel: StoredRelation, attrs: Seq[(String, Value)])
-      : Either[String, List[(String, Value)]] = {
+      : Either[Err, List[(String, Value)]] = {
     val provided = attrs.toMap
     if (attrs.size != provided.size)
-      Left(s"ConstraintViolation: duplicate attribute in tuple for ${rel.name}")
+      Left(Err.ConstraintViolation(s"duplicate attribute in tuple for ${rel.name}"))
     else if (provided.keySet != rel.schema.attrNames.toSet)
-      Left("ConstraintViolation: Tuple does not satisfy membership criteria " +
-        s"(expected attributes ${rel.schema.attrNames.mkString(",")})")
+      Left(Err.ConstraintViolation("Tuple does not satisfy membership criteria " +
+        s"(expected attributes ${rel.schema.attrNames.mkString(",")})"))
     else {
       val out = rel.schema.attrs.map { case (a, domName) =>
         val dom = db.domains.getOrElse(domName, Domain(domName, StringType, graft.types.Cardinality.ConstrainedFinite))
         val v = provided(a)
-        if (!admits(dom, v)) return Left(
-          s"ConstraintViolation: Tuple does not satisfy membership criteria ($a is not a $domName)")
+        if (!admits(dom, v)) return Left(Err.ConstraintViolation(
+          s"Tuple does not satisfy membership criteria ($a is not a $domName)"))
         val coerced = (dom.sparkType, v) match {
           case (DoubleType, Value.IntV(i)) => Value.FloatV(i.toDouble)
           case _ => v
@@ -205,7 +206,7 @@ object Engine {
     * job; on a Dist relation it is one filtered scan with attribute
     * predicates pushed to the source. */
   def createTuple(spark: SparkSession, db: Database, relName: String,
-      attrs: Seq[(String, Value)]): Either[String, Database] =
+      attrs: Seq[(String, Value)]): Either[Err, Database] =
     for {
       rel <- db.relation(relName)
       coerced <- coerce(db, rel, attrs)
@@ -213,7 +214,7 @@ object Engine {
       h = Hashing.tupleHash(relName, coerced)
       extChain <- rel.ext match {
         case Extension.Local(rows) =>
-          if (rows.contains(h)) Left(s"DuplicateTuple: $h")
+          if (rows.contains(h)) Left(Err.DuplicateTuple(h))
           else {
             val m = rows.updated(h, rowOf(coerced))
             if (m.size > LocalThreshold) // repeated single inserts also promote
@@ -223,7 +224,7 @@ object Engine {
           }
         case Extension.Dist(d) =>
           if (rel.root.count > 0 && !d.filter(eqPredicate(coerced)).isEmpty)
-            Left(s"DuplicateTuple: $h")
+            Left(Err.DuplicateTuple(h))
           else Right(boundedDist(
             d.unionAll(spark.createDataFrame(java.util.List.of(rowOf(coerced)), rel.struct)),
             rel.chain))
@@ -236,33 +237,33 @@ object Engine {
   /** Cascade re-check, skipped entirely when no relation carries
     * constraints (the common case costs nothing). */
   private def cascadeIfNeeded(spark: SparkSession, db: Database, relName: String,
-      transition: Seq[(String, Value)], kind: String): Either[String, Unit] =
+      transition: Seq[(String, Value)], kind: String): Either[Err, Unit] =
     if (db.relations.valuesIterator.forall(_.constraints.isEmpty)) Right(())
     else graft.icl.Runtime.cascade(spark, db, relName, transition, kind)
 
   /** Sequential fold — each insert sees the prior state; any failure
     * aborts the whole statement (reference lib/manipulation.ml:565-576). */
   def createTuples(spark: SparkSession, db: Database, relName: String,
-      tuples: Seq[Seq[(String, Value)]]): Either[String, Database] =
-    tuples.foldLeft(Right(db): Either[String, Database]) { (acc, t) =>
+      tuples: Seq[Seq[(String, Value)]]): Either[Err, Database] =
+    tuples.foldLeft(Right(db): Either[Err, Database]) { (acc, t) =>
       acc.flatMap(createTuple(spark, _, relName, t))
     }
 
   /** Remove one tuple identified by its full attribute set
     * (reference retract_tuple, lib/manipulation.ml:579-614). */
   def retractTuple(spark: SparkSession, db: Database, relName: String,
-      attrs: Seq[(String, Value)]): Either[String, Database] =
+      attrs: Seq[(String, Value)]): Either[Err, Database] =
     for {
       rel <- db.relation(relName)
       coerced <- coerce(db, rel, attrs)
       h = Hashing.tupleHash(relName, coerced)
       extChain <- rel.ext match {
         case Extension.Local(rows) =>
-          if (!rows.contains(h)) Left(s"TupleNotFound: $h")
+          if (!rows.contains(h)) Left(Err.TupleNotFound(h))
           else Right((Extension.Local(rows.removed(h)): Extension, rel.chain))
         case Extension.Dist(d) =>
           if (rel.root.count == 0 || d.filter(eqPredicate(coerced)).isEmpty)
-            Left(s"TupleNotFound: $h")
+            Left(Err.TupleNotFound(h))
           else Right(boundedDist(d.filter(!eqPredicate(coerced)), rel.chain))
       }
       newRel = rel.copy(ext = extChain._1, chain = extChain._2, root = rel.root.remove(h))
@@ -279,10 +280,10 @@ object Engine {
 
   /** Conform a query result to the relation's declared schema: exact
     * attribute set, columns cast to domain types, no nulls. */
-  private def conform(rel: StoredRelation, src: DataFrame): Either[String, DataFrame] = {
+  private def conform(rel: StoredRelation, src: DataFrame): Either[Err, DataFrame] = {
     if (src.columns.toSet != rel.schema.attrNames.toSet)
-      Left("ConstraintViolation: result does not satisfy membership criteria " +
-        s"(expected attributes ${rel.schema.attrNames.mkString(",")}, got ${src.columns.mkString(",")})")
+      Left(Err.ConstraintViolation("result does not satisfy membership criteria " +
+        s"(expected attributes ${rel.schema.attrNames.mkString(",")}, got ${src.columns.mkString(",")})"))
     else {
       val cast = src.select(rel.struct.fields.toIndexedSeq.map(f =>
         col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
@@ -292,7 +293,7 @@ object Engine {
 
   /** Set-wise validation mirroring per-row membership criteria: no nulls,
     * domain checks (natural ≥ 0, user-domain predicates). */
-  private def bulkValidate(db: Database, rel: StoredRelation, src: DataFrame): Either[String, Unit] = {
+  private def bulkValidate(db: Database, rel: StoredRelation, src: DataFrame): Either[Err, Unit] = {
     val checks: Seq[Column] = rel.schema.attrs.flatMap { case (a, domName) =>
       val base = col(s"`$a`").isNull
       val domViol = db.domains.get(domName).flatMap(_.check).map(chk => !chk(col(s"`$a`")))
@@ -300,19 +301,19 @@ object Engine {
     }
     val bad = src.filter(checks.reduce(_ || _)).limit(1)
     if (bad.isEmpty) Right(())
-    else Left("ConstraintViolation: result does not satisfy membership criteria")
+    else Left(Err.ConstraintViolation("result does not satisfy membership criteria"))
   }
 
   /** Driver-side membership criteria for one collected row: no nulls,
     * every value admitted by its declared domain (the per-row mirror of
     * [[bulkValidate]]). Returns the coerced attribute list. */
   private def validateLocalRow(db: Database, rel: StoredRelation, r: Row)
-      : Either[String, Seq[(String, Value)]] = {
+      : Either[Err, Seq[(String, Value)]] = {
     var i = 0
     while (i < rel.struct.fields.length) {
-      if (r.isNullAt(i)) return Left(
-        "ConstraintViolation: result does not satisfy membership criteria " +
-          s"(${rel.struct.fields(i).name} is null)")
+      if (r.isNullAt(i)) return Left(Err.ConstraintViolation(
+        "result does not satisfy membership criteria " +
+          s"(${rel.struct.fields(i).name} is null)"))
       i += 1
     }
     val attrs = rowToAttrs(rel, r)
@@ -320,8 +321,8 @@ object Engine {
       val domName = rel.schema.attrs.find(_._1 == a).map(_._2).getOrElse("string")
       db.domains.get(domName).exists(d => !admits(d, v))
     } match {
-      case Some((a, _)) => Left(
-        s"ConstraintViolation: result does not satisfy membership criteria ($a)")
+      case Some((a, _)) => Left(Err.ConstraintViolation(
+        s"result does not satisfy membership criteria ($a)"))
       case None => Right(attrs)
     }
   }
@@ -352,7 +353,7 @@ object Engine {
     * reference's row-at-a-time fold, whose per-transition visibility they
     * genuinely need. */
   def insertFrom(spark: SparkSession, db: Database, relName: String,
-      src: DataFrame): Either[String, Database] =
+      src: DataFrame): Either[Err, Database] =
     for {
       rel <- db.relation(relName)
       conformed <- conform(rel, src)
@@ -383,7 +384,7 @@ object Engine {
     *  3. sequential fold over a full collect — the semantic fallback for
     *     the hazard cases of (1). */
   private def insertFromConstrained(spark: SparkSession, db: Database, rel: StoredRelation,
-      conformed: DataFrame): Either[String, Database] = {
+      conformed: DataFrame): Either[Err, Database] = {
     import graft.icl.{Compile, Runtime => IclRuntime}
     val relName = rel.name
     val aff = IclRuntime.affected(db, relName, "insert")
@@ -445,14 +446,15 @@ object Engine {
     * (insert-time validation against the pre-insert snapshot — reference
     * validate_tuple_constraints, lib/manipulation.ml:395-415, set-wise). */
   private def validateSetWise(db: Database, rel: StoredRelation,
-      batch: DataFrame): Either[String, Unit] =
-    rel.constraints.foldLeft(Right(()): Either[String, Unit]) { case (acc, (cname, body)) =>
+      batch: DataFrame): Either[Err, Unit] =
+    rel.constraints.foldLeft(Right(()): Either[Err, Unit]) { case (acc, (cname, body)) =>
       acc.flatMap { _ =>
         graft.icl.Compile.violations(db, body, batch) match {
           case Some(viol) =>
             if (viol.limit(1).isEmpty) Right(())
-            else Left(s"ConstraintViolation: constraint $cname violated")
-          case None => Left(s"InternalError: set-wise validation of incompilable constraint $cname")
+            else Left(Err.ConstraintViolation(s"constraint $cname violated"))
+          case None => Left(Err.StorageError(
+            s"internal: set-wise validation of incompilable constraint $cname"))
         }
       }
     }
@@ -462,7 +464,7 @@ object Engine {
     * [[RhCol]] column; zero additional Spark jobs when the relation is
     * Local. */
   private def insertRowsLocal(db: Database, rel: StoredRelation, rows: Seq[Row])
-      : Either[String, Database] = {
+      : Either[Err, Database] = {
     val width = rel.struct.fields.length
     val hashed = new scala.collection.mutable.LinkedHashMap[String, Row]()
     for (r <- rows) {
@@ -471,14 +473,14 @@ object Engine {
         case Right(_) =>
           val h = r.getString(width)
           if (hashed.contains(h))
-            return Left("DuplicateTuple: duplicate row in inserted result")
+            return Left(Err.DuplicateTuple(h))
           hashed(h) = Row.fromSeq(r.toSeq.take(width))
       }
     }
     rel.ext match {
       case Extension.Local(existing) =>
         hashed.keysIterator.find(existing.contains) match {
-          case Some(_) => Left("DuplicateTuple: row already present")
+          case Some(h) => Left(Err.DuplicateTuple(h))
           case None =>
             val merged = hashed.foldLeft(existing) { case (m, (h, r)) => m.updated(h, r) }
             val root = hashed.keysIterator.foldLeft(rel.root)(_.add(_))
@@ -498,8 +500,8 @@ object Engine {
         val keysDf = spark.createDataFrame(
           hashed.keysIterator.map(Row(_)).toSeq.asJava, keySchema)
         val clash = d.withColumn(RhCol, rel.rowHash).select(col(RhCol))
-          .join(broadcast(keysDf), Seq(RhCol), "left_semi").limit(1)
-        if (!clash.isEmpty) Left("DuplicateTuple: row already present")
+          .join(broadcast(keysDf), Seq(RhCol), "left_semi").limit(1).collect()
+        if (clash.nonEmpty) Left(Err.DuplicateTuple(clash.head.getString(0)))
         else {
           val batchDf = spark.createDataFrame(hashed.values.toSeq.asJava, rel.struct)
           val root = hashed.keysIterator.foldLeft(rel.root)(_.add(_))
@@ -523,7 +525,7 @@ object Engine {
     balance(src).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def insertFromDist(spark: SparkSession, db: Database, rel: StoredRelation,
-      src: DataFrame): Either[String, Database] = {
+      src: DataFrame): Either[Err, Database] = {
     val batch = prepareBulk(src)
     val res = insertFromDistPrepared(spark, db, rel, batch)
     if (res.isLeft) batch.unpersist() // aborted: don't leak the cache entry
@@ -531,19 +533,23 @@ object Engine {
   }
 
   private def insertFromDistPrepared(spark: SparkSession, db: Database, rel: StoredRelation,
-      conformed: DataFrame): Either[String, Database] = {
+      conformed: DataFrame): Either[Err, Database] = {
     for {
       _ <- bulkValidate(db, rel, conformed)
       // duplicate probe + content root fused into ONE digest aggregation
+      // (the probe surfaces an example duplicated hash for the error)
       dupRoot = Hashing.rootWithDupCheck(conformed, rel.rowHash)
-      _ <- if (dupRoot._1) Left("DuplicateTuple: duplicate row in inserted result") else Right(())
+      _ <- dupRoot._1 match {
+        case Some(h) => Left(Err.DuplicateTuple(h))
+        case None    => Right(())
+      }
       _ <- {
         if (rel.root.count == 0) Right(())
         else {
           val cur = rel.df.withColumn(RhCol, rel.rowHash).select(col(RhCol))
           val clash = conformed.withColumn(RhCol, rel.rowHash).select(col(RhCol))
-            .join(cur, Seq(RhCol), "left_semi").limit(1)
-          if (clash.isEmpty) Right(()) else Left("DuplicateTuple: row already present")
+            .join(cur, Seq(RhCol), "left_semi").limit(1).collect()
+          if (clash.isEmpty) Right(()) else Left(Err.DuplicateTuple(clash.head.getString(0)))
         }
       }
       extChain = boundedDist(rel.df.unionAll(conformed), rel.chain)
@@ -556,7 +562,7 @@ object Engine {
     * criteria violation, not crash [[rowToAttrs]]'s primitive getters
     * (and not be misreported as whichever named constraint trips). */
   private def rowsToAttrsChecked(db: Database, rel: StoredRelation,
-      rows: Seq[Row]): Either[String, Seq[Seq[(String, Value)]]] = {
+      rows: Seq[Row]): Either[Err, Seq[Seq[(String, Value)]]] = {
     val out = Seq.newBuilder[Seq[(String, Value)]]
     for (r <- rows) validateLocalRow(db, rel, r) match {
       case Left(e)      => return Left(e)
@@ -585,7 +591,7 @@ object Engine {
     * subtracts it driver-side; a Dist relation keeps the anti-join plan
     * plus one content-root aggregation. */
   def deleteWhere(spark: SparkSession, db: Database, relName: String,
-      pred: DataFrame): Either[String, Database] =
+      pred: DataFrame): Either[Err, Database] =
     for {
       rel <- db.relation(relName)
       common = rel.schema.attrNames.filter(pred.columns.contains)
@@ -619,7 +625,7 @@ object Engine {
     * incompilable — those keep the per-row evaluator; an all-Local
     * mutation keeps the zero-job driver loop. */
   private def cascadeAll(spark: SparkSession, db: Database, relName: String,
-      removedRows: Seq[Row], removedDf: DataFrame, rel: StoredRelation): Either[String, Unit] = {
+      removedRows: Seq[Row], removedDf: DataFrame, rel: StoredRelation): Either[Err, Unit] = {
     import graft.icl.{Compile, Runtime => IclRuntime}
     val aff = IclRuntime.affected(db, relName, "delete")
     if (aff.isEmpty) Right(())
@@ -634,8 +640,8 @@ object Engine {
           !Compile.quantifiesOver(body, relName) &&
           Compile.compilable(db, body)
       }
-      def perRow(rows: Seq[Row]): Either[String, Unit] =
-        rows.foldLeft(Right(()): Either[String, Unit]) { (acc, r) =>
+      def perRow(rows: Seq[Row]): Either[Err, Unit] =
+        rows.foldLeft(Right(()): Either[Err, Unit]) { (acc, r) =>
           acc.flatMap(_ => IclRuntime.cascade(spark, db, relName, rowToAttrs(rel, r), "delete"))
         }
       if (allLocal && removedRows.nonEmpty) perRow(removedRows) // zero-job regime
@@ -651,7 +657,7 @@ object Engine {
   /** `:=` — evaluate, clear target, replace contents
     * (reference lib/dml/executor.ml:79-88). */
   def assign(spark: SparkSession, db: Database, relName: String,
-      src: DataFrame): Either[String, Database] =
+      src: DataFrame): Either[Err, Database] =
     for {
       db2 <- clearRelation(spark, db, relName)
       db3 <- insertFrom(spark, db2, relName, src)
@@ -675,14 +681,14 @@ object Engine {
     "sakura:timing"     -> RelSchema(List("timing" -> "string")),
   )
 
-  private def structOf(db: Database, schema: RelSchema): Either[String, StructType] =
-    schema.toStruct(db.domains)
+  private def structOf(db: Database, schema: RelSchema): Either[Err, StructType] =
+    schema.toStruct(db.domains).left.map(Err.ConstraintViolation(_))
 
   /** Create a relation WITHOUT catalog maintenance (bootstrap / catalog
     * relations themselves). */
   private def createRelationRaw(spark: SparkSession, db: Database, name: String,
-      schema: RelSchema): Either[String, Database] =
-    if (db.relations.contains(name)) Left(s"RelationAlreadyExists: $name")
+      schema: RelSchema): Either[Err, Database] =
+    if (db.relations.contains(name)) Left(Err.RelationAlreadyExists(name))
     else structOf(db, schema).map { struct =>
       val rel = StoredRelation(name, schema, struct, Extension.emptyLocal, ContentRoot.empty)
       updateRelation(db, rel)
@@ -696,7 +702,7 @@ object Engine {
     val existing = rel.localRows.getOrElse(
       throw new IllegalStateException(s"seedRelation on non-local $name"))
     val merged = tuples.foldLeft((existing, rel.root)) { case ((m, r), t) =>
-      val coerced = coerce(db, rel, t).fold(e => throw new IllegalStateException(e), identity)
+      val coerced = coerce(db, rel, t).fold(e => throw new IllegalStateException(e.message), identity)
       val h = Hashing.tupleHash(name, coerced)
       (m.updated(h, rowOf(coerced)), r.add(h))
     }
@@ -710,7 +716,7 @@ object Engine {
     var db = Database(name, ListMap.empty, Domain.prelude, Nil, Nil, "")
     for (cat <- CatalogNames)
       db = createRelationRaw(spark, db, cat, catalogSchemas(cat))
-        .fold(e => throw new IllegalStateException(e), identity)
+        .fold(e => throw new IllegalStateException(e.message), identity)
     db = seedRelation(spark, db, "sakura:relation",
       CatalogNames.map(n => Seq("name" -> Value.StrV(n))))
     db = seedRelation(spark, db, "sakura:attribute",
@@ -731,7 +737,7 @@ object Engine {
     * DECLARATION order (the reference's Schema.add prepends, so its stored
     * order is reversed — an artifact we do not reproduce). */
   def createRelation(spark: SparkSession, db: Database, name: String,
-      schema: RelSchema): Either[String, Database] =
+      schema: RelSchema): Either[Err, Database] =
     for {
       db2 <- createRelationRaw(spark, db, name, schema)
       db3 <-
@@ -748,16 +754,16 @@ object Engine {
 
   /** Drop a relation + catalog cleanup (reference retract_relation,
     * lib/manipulation.ml:841-850). */
-  def retractRelation(spark: SparkSession, db: Database, name: String): Either[String, Database] =
+  def retractRelation(spark: SparkSession, db: Database, name: String): Either[Err, Database] =
     for {
-      _ <- if (isCatalog(name)) Left(s"ConstraintViolation: cannot retract system relation $name")
+      _ <- if (isCatalog(name)) Left(Err.ConstraintViolation(s"cannot retract system relation $name"))
            else Right(())
       rel <- db.relation(name)
       db2 = updateState(db, db.relations.removed(name))
       // catalog names were rejected above; always clean the catalog rows
       dropName = retractTuple(spark, db2, "sakura:relation", Seq("name" -> Value.StrV(name)))
         .getOrElse(db2) // absent row is not an error (reference checks membership first)
-      db3 <- rel.schema.attrs.foldLeft(Right(dropName): Either[String, Database]) {
+      db3 <- rel.schema.attrs.foldLeft(Right(dropName): Either[Err, Database]) {
         case (acc, (at, d)) =>
           acc.map { cur =>
             retractTuple(spark, cur, "sakura:attribute", Seq(
@@ -770,15 +776,15 @@ object Engine {
 
   /** Truncate a relation's extension; schema, constraints, and catalog
     * rows stay (reference clear_relation, lib/manipulation.ml:853-879). */
-  def clearRelation(spark: SparkSession, db: Database, name: String): Either[String, Database] =
-    if (isCatalog(name)) Left(s"ConstraintViolation: cannot clear system relation $name")
+  def clearRelation(spark: SparkSession, db: Database, name: String): Either[Err, Database] =
+    if (isCatalog(name)) Left(Err.ConstraintViolation(s"cannot clear system relation $name"))
     else db.relation(name).map { rel =>
       updateRelation(db, rel.copy(ext = Extension.emptyLocal, root = ContentRoot.empty, chain = 0))
     }
 
   /** Register a domain + catalog row (reference register_domain,
     * lib/manipulation.ml:757-767). */
-  def registerDomain(spark: SparkSession, db: Database, domain: Domain): Either[String, Database] = {
+  def registerDomain(spark: SparkSession, db: Database, domain: Domain): Either[Err, Database] = {
     val db2 = db.copy(domains = db.domains.updated(domain.name, domain))
     createTuple(spark, db2, "sakura:domain", Seq("name" -> Value.StrV(domain.name)))
   }
@@ -792,7 +798,7 @@ object Engine {
     * until commit). */
   def registerConstraint(spark: SparkSession, db: Database, constraintName: String,
       relationName: String, body: Body,
-      timing: graft.icl.Timing = graft.icl.Timing.Immediate): Either[String, Database] =
+      timing: graft.icl.Timing = graft.icl.Timing.Immediate): Either[Err, Database] =
     for {
       rel <- db.relation(relationName)
       merged = graft.icl.Analysis.mergeNamed(rel.constraints.toSeq, Seq(constraintName -> body))
@@ -801,7 +807,10 @@ object Engine {
       // but must not produce a duplicate sakura:constraint tuple
       db3 <- createTuple(spark, db2, "sakura:constraint", Seq(
         "name" -> Value.StrV(constraintName), "relation_name" -> Value.StrV(relationName)))
-        .left.flatMap(e => if (e.startsWith("DuplicateTuple")) Right(db2) else Left(e))
+        .left.flatMap {
+          case Err.DuplicateTuple(_) => Right(db2)
+          case e                     => Left(e)
+        }
       db4 = timing match {
         case graft.icl.Timing.Immediate => db3
         case graft.icl.Timing.Deferred =>
@@ -812,6 +821,6 @@ object Engine {
   /** Evaluate all deferred constraints against the current state; on
     * success clear the deferral window (reference commit,
     * lib/manipulation.ml:1016-1027). */
-  def commit(spark: SparkSession, db: Database): Either[String, Database] =
+  def commit(spark: SparkSession, db: Database): Either[Err, Database] =
     graft.icl.Runtime.checkDeferred(spark, db).map(_ => db.copy(deferred = Nil))
 }

@@ -143,22 +143,25 @@ object Hashing {
   /** Combined duplicate probe + content root in ONE distributed
     * aggregation (one digest shuffle instead of two full hashing passes):
     * group by the row digest, then fold count / max-multiplicity / limb
-    * sums. Returns (hasDuplicate, root); the root is exact whenever no
-    * duplicate exists (the only case callers proceed in). */
-  def rootWithDupCheck(df: DataFrame, rowHash: Column): (Boolean, ContentRoot) = {
+    * sums. Returns (example duplicated hash if any, root); the root is
+    * exact whenever no duplicate exists (the only case callers proceed
+    * in), and the example hash lets the typed `(duplicate-tuple (hash h))`
+    * error carry a real digest at no extra job. */
+  def rootWithDupCheck(df: DataFrame, rowHash: Column): (Option[String], ContentRoot) = {
     val g = df.groupBy(rowHash.as("__h")).agg(count(lit(1)).as("__c"))
     val limbAggs = (0 until 4).map { i =>
       sum(conv(substring(col("__h"), i * 16 + 1, 16), 16, 10).cast(DecimalType(38, 0)) * col("__c")).as(s"l$i")
     }
-    val row = g.agg(sum(col("__c")).as("cnt"), (max(col("__c")).as("mx") +: limbAggs): _*).head()
-    if (row.isNullAt(0)) (false, ContentRoot.empty)
+    val row = g.agg(sum(col("__c")).as("cnt"),
+      (max(when(col("__c") > 1, col("__h"))).as("dup") +: limbAggs): _*).head()
+    if (row.isNullAt(0)) (None, ContentRoot.empty)
     else {
       val cnt = row.getLong(0)
-      val hasDup = row.getLong(1) > 1
+      val dup = if (row.isNullAt(1)) None else Some(row.getString(1))
       val root = ContentRoot(cnt, (2 to 5).map { i =>
         row.getDecimal(i).toBigInteger.mod(TwoPow64).longValue()
       }.toVector)
-      (hasDup, root)
+      (dup, root)
     }
   }
 

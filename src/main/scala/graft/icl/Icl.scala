@@ -20,6 +20,9 @@ object Statement {
 object Parser {
   import Statement._
 
+  /** Statement-head atoms this grammar owns (see drl.Parser.heads). */
+  val heads: Set[String] = Set("RegisterConstraint", "Commit")
+
   def parse(input: String): Either[String, Statement] =
     Sexp.parse(input).flatMap(ofSexp)
 
@@ -100,13 +103,13 @@ object Parser {
 object Executor {
   import Statement._
 
-  def execute(spark: SparkSession, db: Database, stmt: Statement): Either[String, Database] =
+  def execute(spark: SparkSession, db: Database, stmt: Statement): Either[graft.Err, Database] =
     stmt match {
       case RegisterConstraint(cn, rn, body, timing) =>
         Engine.registerConstraint(spark, db, cn, rn, body, timing)
       case Commit => Engine.commit(spark, db)
     }
 
-  def run(spark: SparkSession, db: Database, sexpText: String): Either[String, Database] =
-    Parser.parse(sexpText).flatMap(execute(spark, db, _))
+  def run(spark: SparkSession, db: Database, sexpText: String): Either[graft.Err, Database] =
+    Parser.parse(sexpText).left.map(graft.Err.ParseError(_)).flatMap(execute(spark, db, _))
 }

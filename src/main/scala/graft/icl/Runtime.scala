@@ -77,10 +77,10 @@ object Runtime {
     * pre-insert snapshot, collecting every failure
     * (reference validate_tuple_constraints, lib/manipulation.ml:395-415). */
   def validateInsert(spark: SparkSession, db: Database, rel: StoredRelation,
-      coerced: Seq[(String, Value)]): Either[String, Unit] =
+      coerced: Seq[(String, Value)]): Either[graft.Err, Unit] =
     if (rel.constraints.isEmpty) Right(())
     else Eval.evaluateNamed(context(spark, db), tupleMap(coerced), rel.constraints.toSeq)
-      .left.map(d => s"ConstraintViolation: ${d.render}")
+      .left.map(d => graft.Err.ConstraintViolation(d.render))
 
   private def isDeferred(db: Database, relName: String, cname: String): Boolean =
     db.deferred.exists(e => e.constraintName == cname && e.relationName == relName)
@@ -94,10 +94,10 @@ object Runtime {
     * computed distributed) and with the transition tuple substituted into
     * quantifiers over the mutated relation. */
   def cascade(spark: SparkSession, db: Database, targetRel: String,
-      transition: Seq[(String, Value)], kind: String): Either[String, Unit] = {
+      transition: Seq[(String, Value)], kind: String): Either[graft.Err, Unit] = {
     val ctx = context(spark, db)
     val verb = if (kind == "insert") "inserting into" else "deleting from"
-    db.relations.valuesIterator.foldLeft(Right(()): Either[String, Unit]) { (acc, constrained) =>
+    db.relations.valuesIterator.foldLeft(Right(()): Either[graft.Err, Unit]) { (acc, constrained) =>
       constrained.constraints.foldLeft(acc) { case (acc2, (cname, cbody)) =>
         acc2.flatMap { _ =>
           if (isDeferred(db, constrained.name, cname)) Right(())
@@ -106,10 +106,10 @@ object Runtime {
               val filter = Analysis.focusedFilter(cbody, targetRel, transition)
               val present = filter.filter { case (a, _) => constrained.schema.attrNames.contains(a) }
               val substituted = Analysis.substituteTransition(cbody, targetRel, transition)
-              val violation = Left("ConstraintViolation: " +
-                s"cascade: $verb $targetRel violates constraint $cname on ${constrained.name}")
-              def perRow(rows: Seq[org.apache.spark.sql.Row]): Either[String, Unit] =
-                rows.foldLeft(Right(()): Either[String, Unit]) { (a3, row) =>
+              val violation = Left(graft.Err.ConstraintViolation(
+                s"cascade: $verb $targetRel violates constraint $cname on ${constrained.name}"))
+              def perRow(rows: Seq[org.apache.spark.sql.Row]): Either[graft.Err, Unit] =
+                rows.foldLeft(Right(()): Either[graft.Err, Unit]) { (a3, row) =>
                   a3.flatMap { _ =>
                     val tup = tupleMap(graft.engine.Engine.rowToAttrs(constrained, row))
                     Eval.firstFailure(ctx, tup, Seq(cname -> substituted)) match {
@@ -194,10 +194,10 @@ object Runtime {
     * are monotone in the mutation direction, so the single post-state
     * check equals the reference's per-transition cascade. */
   def cascadeBatch(spark: SparkSession, db: Database, targetRel: String,
-      batch: org.apache.spark.sql.DataFrame, kind: String): Either[String, Unit] = {
+      batch: org.apache.spark.sql.DataFrame, kind: String): Either[graft.Err, Unit] = {
     val verb = if (kind == "insert") "inserting into" else "deleting from"
     val depAttrs = batch.columns.toSet
-    affected(db, targetRel, kind).foldLeft(Right(()): Either[String, Unit]) {
+    affected(db, targetRel, kind).foldLeft(Right(()): Either[graft.Err, Unit]) {
       case (acc, (constrained, cname, body)) => acc.flatMap { _ =>
         val focus = focusAttrs(body, targetRel, depAttrs, constrained.schema.attrNames.toSet)
         val candidates =
@@ -207,9 +207,10 @@ object Runtime {
         Compile.violations(db, body, candidates) match {
           case Some(viol) =>
             if (viol.limit(1).isEmpty) Right(())
-            else Left("ConstraintViolation: " +
-              s"cascade: $verb $targetRel violates constraint $cname on ${constrained.name}")
-          case None => Left(s"InternalError: cascadeBatch on incompilable constraint $cname")
+            else Left(graft.Err.ConstraintViolation(
+              s"cascade: $verb $targetRel violates constraint $cname on ${constrained.name}"))
+          case None => Left(graft.Err.StorageError(
+            s"internal: cascadeBatch on incompilable constraint $cname"))
         }
       }
     }
@@ -217,17 +218,17 @@ object Runtime {
 
   /** Evaluate every deferred constraint against the current state
     * (reference check_deferred_constraints, lib/manipulation.ml:983-1013). */
-  def checkDeferred(spark: SparkSession, db: Database): Either[String, Unit] = {
+  def checkDeferred(spark: SparkSession, db: Database): Either[graft.Err, Unit] = {
     val ctx = context(spark, db)
-    db.deferred.foldLeft(Right(()): Either[String, Unit]) { (acc, entry) =>
+    db.deferred.foldLeft(Right(()): Either[graft.Err, Unit]) { (acc, entry) =>
       acc.flatMap { _ =>
         db.relations.get(entry.relationName) match {
           case None => Right(())
           case Some(rel) =>
-            val violation = Left("ConstraintViolation: " +
-              s"deferred constraint ${entry.constraintName} on ${entry.relationName} violated")
-            def perRow(rows: Seq[org.apache.spark.sql.Row]): Either[String, Unit] =
-              rows.foldLeft(Right(()): Either[String, Unit]) { (a2, row) =>
+            val violation = Left(graft.Err.ConstraintViolation(
+              s"deferred constraint ${entry.constraintName} on ${entry.relationName} violated"))
+            def perRow(rows: Seq[org.apache.spark.sql.Row]): Either[graft.Err, Unit] =
+              rows.foldLeft(Right(()): Either[graft.Err, Unit]) { (a2, row) =>
                 a2.flatMap { _ =>
                   val tup = tupleMap(graft.engine.Engine.rowToAttrs(rel, row))
                   Eval.firstFailure(ctx, tup, Seq(entry.constraintName -> entry.body)) match {

@@ -22,7 +22,9 @@ import org.apache.spark.sql.{functions => F}
   * `maxDepth` bounds the rounds; BFS settles every node at its true
   * distance the first time it is seen, so truncation never mislabels —
   * it only leaves far nodes unreported (they are not emitted, not
-  * defaulted).
+  * defaulted). Fault tolerance: `localCheckpoint` blocks die with their
+  * executor — correct at local[32]; a 1000-executor run flips these to
+  * reliable `checkpoint` against a checkpoint dir.
   */
 object Bfs {
 

@@ -28,7 +28,10 @@ import org.apache.spark.sql.{functions => F}
   * via count + anti-join emptiness, never a checksum) is a forest of
   * stars centered at each component's minimum id, from which labels
   * are one groupBy-min. Each round localCheckpoints so the iterative
-  * lineage stays one round deep.
+  * lineage stays one round deep. Fault tolerance: `localCheckpoint`
+  * blocks die with their executor — correct at local[32]; a
+  * 1000-executor run flips these to reliable `checkpoint` against a
+  * checkpoint dir.
   */
 object Components {
 

@@ -29,7 +29,14 @@ object KCore {
 
   /** Survivors of `rounds` peel rounds at threshold `k`, with the
     * degree that passed the final check. `edges` are undirected
-    * canonical pairs (srcCol < dstCol, deduped by the caller). */
+    * canonical pairs (srcCol < dstCol, deduped by the caller).
+    *
+    * CONTRACT: `rounds` is a BOUND, not a convergence guarantee — the
+    * result is the round-R cut of the peel cascade; raise `rounds` until
+    * two consecutive results agree for the true k-core (ConvergenceSpec
+    * pins R = 3 covering the shipped graphs). The per-round persists are
+    * storage-level caches (recompute on executor loss, no checkpoint
+    * needed for correctness). */
   def peel(edges: DataFrame, srcCol: String = "doc_a",
       dstCol: String = "doc_b", k: Int = 3, rounds: Int = Rounds): DataFrame = {
     require(k >= 1, s"need a positive core threshold: $k")

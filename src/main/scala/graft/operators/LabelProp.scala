@@ -28,12 +28,44 @@ object LabelProp {
   /** Fixed synchronous rounds (oracle-pinned default). */
   val Rounds = 3
 
+  /** Rounds for [[labelsStable]] — measured rounds-to-fixpoint on the
+    * shipped co-order graphs is 3 (sf0.001) and 4 (sf0.01); 5 carries
+    * margin (ConvergenceSpec re-measures every run). */
+  val StableRounds = 5
+
   /** Community label per vertex after `rounds` synchronous updates.
     * `edges` are undirected pairs (srcCol, dstCol); both orientations
-    * are derived here. */
+    * are derived here.
+    *
+    * CONTRACT: `rounds` is a BOUND — and for THIS rule (pure
+    * most-frequent-NEIGHBOR label, no self-vote) it must be: measured on
+    * the shipped co-order graphs, the labels never reach a fixpoint
+    * (99/134 vertices still flip between rounds 3 and 4 at sf0.001, no
+    * stability within 11 rounds, not even period-2) — the well-known
+    * synchronous-LPA oscillation (Raghavan et al. '07 §3 adopt
+    * asynchronous updates for exactly this reason). The shipped row is
+    * the round-R phase, certified as such by the oracle's identical
+    * unroll. Callers wanting a CONVERGED community structure use
+    * [[labelsStable]]. */
   def labels(vertices: DataFrame, edges: DataFrame, vertexCol: String,
       srcCol: String = "doc_a", dstCol: String = "doc_b",
-      rounds: Int = Rounds): DataFrame = {
+      rounds: Int = Rounds): DataFrame =
+    labelsImpl(vertices, edges, vertexCol, srcCol, dstCol, rounds, selfVote = false)
+
+  /** [[labels]] with a SELF-VOTE: the vertex's current label joins the
+    * neighbor tally with one vote — the standard damping that removes
+    * boundary flapping. Measured on the shipped graphs this reaches a
+    * true fixpoint in 3–4 rounds (ConvergenceSpec pins
+    * [[StableRounds]] covers it), where the undamped rule never
+    * stabilizes. Same cost shape per round: the self votes are a
+    * union-all of the current label table, no extra join. */
+  def labelsStable(vertices: DataFrame, edges: DataFrame, vertexCol: String,
+      srcCol: String = "doc_a", dstCol: String = "doc_b",
+      rounds: Int = StableRounds): DataFrame =
+    labelsImpl(vertices, edges, vertexCol, srcCol, dstCol, rounds, selfVote = true)
+
+  private def labelsImpl(vertices: DataFrame, edges: DataFrame, vertexCol: String,
+      srcCol: String, dstCol: String, rounds: Int, selfVote: Boolean): DataFrame = {
     require(rounds >= 1, s"need at least one round: $rounds")
     import org.apache.spark.sql.expressions.Window
     val nodes = vertices.select(col(s"`$vertexCol`").as("v")).distinct()
@@ -45,9 +77,13 @@ object LabelProp {
     var lab = nodes.withColumn("label", col("v"))
     for (_ <- 1 to rounds) {
       val prev = lab
-      val cnt = sym
+      val nbrVotes = sym
         .join(prev.select(col("v").as("__nv"), col("label")), col("v") === col("__nv"))
-        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+        .select(col("u"), col("label"))
+      val votes =
+        if (selfVote) nbrVotes.unionAll(prev.select(col("v").as("u"), col("label")))
+        else nbrVotes
+      val cnt = votes.groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
       val w = Window.partitionBy(col("u")).orderBy(col("c").desc, col("label"))
       val top = cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("u").as("v"), col("label").as("__new"))

@@ -55,7 +55,16 @@ object Truss {
 
   /** Surviving edges of `rounds` peel rounds at threshold `k`, with the
     * support that passed the final check. `edges` are undirected
-    * canonical pairs (srcCol < dstCol, deduped by the caller). */
+    * canonical pairs (srcCol < dstCol, deduped by the caller).
+    *
+    * CONTRACT: `rounds` is a BOUND, not a convergence guarantee — the
+    * result is the round-R cut of the peel cascade; callers needing the
+    * true k-truss raise `rounds` until two consecutive results agree
+    * (ConvergenceSpec measures that R = 3 covers the shipped graphs).
+    * Fault tolerance: `localCheckpoint` blocks die with their executor —
+    * correct at local[32]; a 1000-executor run flips these to reliable
+    * `checkpoint` against a checkpoint dir (same plan-truncation
+    * semantics, replicated storage). */
   def peel(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
       k: Int = 4, rounds: Int = Rounds): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3 (k-2 >= 1 triangles per edge): $k")

@@ -37,9 +37,9 @@ final class Cursors {
 
   /** Fetch the next batch; the cursor auto-removes on exhaustion
     * (reference session.ml:38-67). */
-  def fetch(id: String, limit: Int): Either[String, Batch] =
-    registry.get(id).toRight(
-      s"The cursor with identifier `$id` was not found in the session registry.").map { cur =>
+  def fetch(id: String, limit: Int): Either[graft.Err, Batch] =
+    registry.get(id).toRight(graft.Err.CursorError(
+      s"The cursor with identifier `$id` was not found in the session registry.")).map { cur =>
       val buf = mutable.ListBuffer[Row]()
       while (buf.length < limit && cur.iter.hasNext) buf += cur.iter.next()
       val hasMore = cur.iter.hasNext
@@ -60,6 +60,9 @@ object Statement {
 
 object Parser {
   import Statement._
+
+  /** Statement-head atoms this grammar owns (see drl.Parser.heads). */
+  val heads: Set[String] = Set("Begin", "Fetch", "Close")
 
   def parse(input: String): Either[String, Statement] =
     Sexp.parse(input).flatMap(ofSexp)
@@ -101,7 +104,7 @@ object Executor {
   import Statement._
 
   def execute(spark: SparkSession, cat: Catalog, cursors: Cursors, dbHash: String,
-      stmt: Statement): Either[String, Batch] = stmt match {
+      stmt: Statement): Either[graft.Err, Batch] = stmt match {
     case Begin(query, limit) =>
       for {
         _ <- Gate.admit(cat, query)

@@ -1,6 +1,7 @@
 package graft.server
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Err
 import graft.catalog.Catalog
 import graft.dcl.Store
 import graft.engine.{Database, DbCatalog}
@@ -89,9 +90,12 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None,
   def headSnapshot: Option[Database] = dbOpt
 
   /** Statements other than CreateDatabase need a current database; report
-    * its absence as a Left (the execute contract), never an exception. */
-  private def requireDb(snap: Option[Database]): Either[String, Database] =
-    snap.toRight("NoDatabase: run (ddl (CreateDatabase name)) first")
+    * its absence as a Left (the execute contract), never an exception.
+    * Typed as [[graft.Err.NoDatabase]] — a documented divergence: the
+    * reference boots with a database, this server bootstraps over the
+    * wire, so the state is reachable here and unreachable there. */
+  private def requireDb(snap: Option[Database]): Either[Err, Database] =
+    snap.toRight(Err.NoDatabase("run (ddl (CreateDatabase name)) first"))
 
   /** Catalog layering: engine relations shadow the store-backed
     * sakura:branch / sakura:head generators, which shadow the external
@@ -99,13 +103,14 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None,
   def catalog: Catalog = catalogFor(dbOpt)
 
   private def catalogFor(snap: Option[Database]): Catalog = new Catalog {
-    def resolve(name: String): Either[String, DataFrame] = name match {
+    def resolve(name: String): Either[Err, DataFrame] = name match {
       case "sakura:branch" => Right(store.branchDf(spark))
       case "sakura:head"   => Right(store.headDf(spark))
       case _ =>
         snap match {
           case Some(d) => new DbCatalog(d, external).resolve(name)
-          case None => external.toRight(s"RelationNotFound: $name").flatMap(_.resolve(name))
+          case None => external.toRight(Err.RelationNotFoundBare(name): Err)
+            .flatMap(_.resolve(name))
         }
     }
   }
@@ -120,7 +125,7 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None,
     * content-addressed, so equal hashes mean semantically identical heads
     * (a retry against a content-equal head cannot lose information). */
   private def transition(snap: Option[Database], newDb: Database,
-      msg: String): Either[String, Response] =
+      msg: String): Either[Err, Response] =
     commit(snap, newDb, msg, advance = true)
 
   /** Shared CAS + apply for every Transition-producing sublanguage
@@ -128,7 +133,7 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None,
     * switch state without advancing — reference perform vs the dcl
     * executor's own tip updates). */
   private def commit(snap: Option[Database], newDb: Database, msg: String,
-      advance: Boolean): Either[String, Response] =
+      advance: Boolean): Either[Err, Response] =
     if (dbOpt.map(_.hash) != snap.map(_.hash))
       Left(conflictError(snap, newDb))
     else {
@@ -141,71 +146,110 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None,
 
   /** The reference's `Conflict {old_db; new_db}` payload (error.ml:14,33):
     * old = the stale snapshot the request executed against, new = the
-    * state it computed and failed to install. The listener renders this
-    * as the reference's structured error form. */
-  private def conflictError(snap: Option[Database], attempted: Database): String =
-    s"Conflict: old-hash ${snap.map(_.hash).getOrElse("--")} new-hash ${attempted.hash}"
+    * state it computed and failed to install. Top-level, never wrapped in
+    * sublanguage-error — the reference's CAS runs in `perform` AFTER the
+    * sublanguage returned (lib/listener.ml:53-59). */
+  private def conflictError(snap: Option[Database], attempted: Database): Err =
+    Err.Conflict(snap.map(_.hash).getOrElse("--"), attempted.hash)
 
   /** Snapshot-at-call-time execution: single-connection semantics (the
     * snapshot is taken under the same lock the commit holds, so this
     * entry never observes its own Conflict). Scripted/offline callers use
     * this; the listener's wire path uses [[executeAgainst]]. */
-  def execute(text: String): Either[String, Response] = executeAgainst(dbOpt, text)
+  def execute(text: String): Either[Err, Response] = executeAgainst(dbOpt, text)
 
   /** Dispatch one request against an explicit head snapshot (reference
     * listener execute_command, lib/listener.ml:40-45). Accepts `(tag
-    * stmt)` with tag ∈ drl|ddl|dml|icl|dcl|scl, or a bare statement
-    * (tried in that order). */
-  def executeAgainst(snap: Option[Database], text: String): Either[String, Response] =
-    Sexp.parse(text).flatMap {
+    * stmt)` with tag ∈ drl|ddl|dml|icl|dcl|scl, or a bare statement —
+    * routed to the grammar whose statement-head table owns its head atom
+    * (a repo extension; the reference requires the envelope).
+    *
+    * Error taxonomy mirrors the reference end to end (lib/listener.ml:
+    * 12-45 + lib/error.ml:18-33): unlexable text → `syntax-error`;
+    * `(tag expr)` with an unknown tag → `unrecognized-sublanguage`; a
+    * request no grammar owns → `malformed-expression`; any parse/execute
+    * failure inside a dispatched sublanguage → `sublanguage-error`
+    * wrapping the sublanguage's own typed form; a CAS loss → top-level
+    * `conflict` (never wrapped — the reference CASes in `perform`, after
+    * the sublanguage returned). */
+  def executeAgainst(snap: Option[Database], text: String): Either[Err, Response] =
+    Sexp.parse(text).left.map(Err.SyntaxError(_): Err).flatMap {
       case SList(List(Atom("drl"), q)) => runDrl(snap, q)
       case SList(List(Atom("ddl"), s)) => runDdl(snap, s)
       case SList(List(Atom("dml"), s)) => runDml(snap, s)
       case SList(List(Atom("icl"), s)) => runIcl(snap, s)
       case SList(List(Atom("dcl"), s)) => runDcl(snap, s)
       case SList(List(Atom("scl"), s)) => runScl(snap, s)
-      case bare =>
-        // decide by which parser ACCEPTS the form, so an execution error is
-        // reported by the sublanguage that owns the statement rather than
-        // masked by a later parser's parse error
-        if (graft.ddl.Parser.ofSexp(bare).isRight) runDdl(snap, bare)
-        else if (graft.dml.Parser.ofSexp(bare).isRight) runDml(snap, bare)
-        else if (graft.icl.Parser.ofSexp(bare).isRight) runIcl(snap, bare)
-        else if (graft.dcl.Parser.ofSexp(bare).isRight) runDcl(snap, bare)
-        else if (graft.scl.Parser.ofSexp(bare).isRight) runScl(snap, bare)
-        else runDrl(snap, bare)
+      case bare => headOf(bare) match {
+        case Some(h) if graft.ddl.Parser.heads(h) => runDdl(snap, bare)
+        case Some(h) if graft.dml.Parser.heads(h) => runDml(snap, bare)
+        case Some(h) if graft.icl.Parser.heads(h) => runIcl(snap, bare)
+        case Some(h) if graft.dcl.Parser.heads(h) => runDcl(snap, bare)
+        case Some(h) if graft.scl.Parser.heads(h) => runScl(snap, bare)
+        case Some(h) if graft.drl.Parser.heads(h) => runDrl(snap, bare)
+        case _ => bare match {
+          // the reference's envelope shape with a tag no sublanguage
+          // claims (lib/listener.ml:34)
+          case SList(List(Atom(tag), _)) => Left(Err.UnrecognizedSublanguage(tag))
+          case s                         => Left(Err.MalformedExpression(s))
+        }
+      }
     }
 
-  private def runDrl(snap: Option[Database], s: Sexp): Either[String, Response] =
-    graft.drl.Parser.ofSexp(s).flatMap { q =>
+  /** Head atom of a bare statement: `(Head ...)` or a bare `Head`. */
+  private def headOf(s: Sexp): Option[String] = s match {
+    case SList(Atom(h) :: _) => Some(h)
+    case Atom(h)             => Some(h)
+    case _                   => None
+  }
+
+  /** Wrap a sublanguage's parse/execute failure in the reference's
+    * `(sublanguage-error (error e))` (lib/listener.ml:39). Top-level
+    * errors — Conflict from the commit, NoDatabase — pass through. */
+  private def sub(e: Err): Err = e match {
+    case _: Err.Conflict   => e
+    case _: Err.NoDatabase => e
+    case _                 => Err.SublanguageError(e)
+  }
+
+  private def runDrl(snap: Option[Database], s: Sexp): Either[Err, Response] =
+    graft.drl.Parser.ofSexp(s).left.map(e => Err.ParseError(e): Err).flatMap { q =>
       for {
         _ <- graft.drl.Gate.admit(catalogFor(snap), q)
         df <- graft.drl.Compiler.compile(spark, catalogFor(snap), q)
       } yield QueryResult(df)
-    }
+    }.left.map(sub)
 
-  private def runDdl(snap: Option[Database], s: Sexp): Either[String, Response] =
-    graft.ddl.Parser.ofSexp(s).flatMap {
+  private def runDdl(snap: Option[Database], s: Sexp): Either[Err, Response] =
+    graft.ddl.Parser.ofSexp(s).left.map(e => sub(Err.ParseError(e))).flatMap {
       case stmt @ graft.ddl.Statement.CreateDatabase(_) =>
-        graft.ddl.Executor.execute(spark, None, stmt).flatMap(transition(snap, _, s"ok"))
+        graft.ddl.Executor.execute(spark, None, stmt).left.map(sub)
+          .flatMap(transition(snap, _, s"ok"))
       case stmt =>
-        requireDb(snap).flatMap(cur => graft.ddl.Executor.execute(spark, Some(cur), stmt))
+        requireDb(snap)
+          .flatMap(cur =>
+            graft.ddl.Executor.execute(spark, Some(cur), stmt).left.map(sub))
           .flatMap(transition(snap, _, s"ok"))
     }
 
-  private def runDml(snap: Option[Database], s: Sexp): Either[String, Response] =
-    graft.dml.Parser.ofSexp(s).flatMap(stmt =>
-      requireDb(snap).flatMap(cur => graft.dml.Executor.execute(spark, cur, stmt, external))
+  private def runDml(snap: Option[Database], s: Sexp): Either[Err, Response] =
+    graft.dml.Parser.ofSexp(s).left.map(e => sub(Err.ParseError(e))).flatMap(stmt =>
+      requireDb(snap)
+        .flatMap(cur =>
+          graft.dml.Executor.execute(spark, cur, stmt, external).left.map(sub))
         .flatMap(transition(snap, _, "ok")))
 
-  private def runIcl(snap: Option[Database], s: Sexp): Either[String, Response] =
-    graft.icl.Parser.ofSexp(s).flatMap(stmt =>
-      requireDb(snap).flatMap(cur => graft.icl.Executor.execute(spark, cur, stmt))
+  private def runIcl(snap: Option[Database], s: Sexp): Either[Err, Response] =
+    graft.icl.Parser.ofSexp(s).left.map(e => sub(Err.ParseError(e))).flatMap(stmt =>
+      requireDb(snap)
+        .flatMap(cur => graft.icl.Executor.execute(spark, cur, stmt).left.map(sub))
         .flatMap(transition(snap, _, "ok")))
 
-  private def runDcl(snap: Option[Database], s: Sexp): Either[String, Response] =
-    graft.dcl.Parser.ofSexp(s).flatMap(stmt =>
-      requireDb(snap).flatMap(cur => graft.dcl.Executor.execute(spark, store, cur, stmt))
+  private def runDcl(snap: Option[Database], s: Sexp): Either[Err, Response] =
+    graft.dcl.Parser.ofSexp(s).left.map(e => sub(Err.ParseError(e))).flatMap(stmt =>
+      requireDb(snap)
+        .flatMap(cur =>
+          graft.dcl.Executor.execute(spark, store, cur, stmt).left.map(sub))
         .flatMap { case (newDb, msg) =>
           // branch ops switch/advance state but are not themselves content
           // mutations; Checkout/Merge change the current db. Same CAS as
@@ -214,9 +258,9 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None,
           commit(snap, newDb, msg, advance = false)
         })
 
-  private def runScl(snap: Option[Database], s: Sexp): Either[String, Response] =
-    graft.scl.Parser.ofSexp(s).flatMap(stmt =>
+  private def runScl(snap: Option[Database], s: Sexp): Either[Err, Response] =
+    graft.scl.Parser.ofSexp(s).left.map(e => sub(Err.ParseError(e))).flatMap(stmt =>
       graft.scl.Executor.execute(spark, catalogFor(snap), cursors,
         snap.map(_.hash).getOrElse(""), stmt)
-        .map(CursorBatch(_)))
+        .map(CursorBatch(_)).left.map(sub))
 }

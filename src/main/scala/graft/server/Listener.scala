@@ -5,6 +5,7 @@ import java.io.{BufferedReader, InputStreamReader, PrintWriter}
 import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+import graft.Err
 import graft.catalog.Catalog
 import graft.sexp.Sexp
 import graft.sexp.Sexp.{Atom, SList}
@@ -123,22 +124,19 @@ final class Listener(spark: SparkSession, external: Option[Catalog] = None, port
         case Right(QueryResult(df)) => relationSexp(df)
         case Right(Transition(msg)) => okSexp(msg)
         case Right(CursorBatch(batch)) => cursorSexp(batch)
-      } catch { case e: Throwable => errorSexp(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      } catch { case e: Throwable =>
+        // an escaped exception is a physical-layer failure on the wire
+        errorSexp(Err.StorageError(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
     rendered.render
   }
 
-  private val ConflictMsg = "^Conflict: old-hash (\\S+) new-hash (\\S+)$".r
-
-  /** `(error <message>)` generally; the CAS loss renders the reference's
-    * structured form `(error (conflict (old-hash h) (new-hash h)))`
-    * (error.ml:33: old = the stale snapshot, new = the state the request
-    * computed and failed to install). */
-  private def errorSexp(msg: String): Sexp = msg match {
-    case ConflictMsg(o, n) =>
-      Sexp.list(Atom("error"), Sexp.list(Atom("conflict"),
-        Sexp.list(Atom("old-hash"), Atom(o)), Sexp.list(Atom("new-hash"), Atom(n))))
-    case _ => Sexp.list(Atom("error"), Atom(msg))
-  }
+  /** `(error <tagged form>)` — the reference's serializer nests the typed
+    * error's own sexp under `error` (lib/listener.ml:98 over
+    * lib/error.ml:18-33); clients pattern-match the tag to distinguish
+    * retry (conflict) from fix-your-query (sublanguage-error …) from
+    * duplicate-tuple, never parsing prose. */
+  private def errorSexp(err: Err): Sexp = Sexp.list(Atom("error"), err.sexp)
 
   private def stateFields: List[Sexp] = {
     val (hash, name) = session.current.map(d => (d.hash, d.name)).getOrElse(("", "--"))

@@ -25,11 +25,11 @@ class DclSpec extends SparkTestBase {
   test("branch registry: create / get_tip / checkout / head / update_tip (reference test:3164-3243)") {
     val s = session
     assert(s.execute("(GetHead)").exists(_ == graft.server.Transition("HEAD is unset")))
-    s.execute("(CreateBranch (name main))").fold(e => fail(e), identity)
+    s.execute("(CreateBranch (name main))").fold(e => fail(e.message), identity)
     assert(s.store.tip("main").contains(s.db.hash))
-    s.execute("(Checkout main)").fold(e => fail(e), identity)
+    s.execute("(Checkout main)").fold(e => fail(e.message), identity)
     assert(s.store.head.contains("main"))
-    s.execute("(UpdateBranchTip (name main) (hash deadbeef))").fold(e => fail(e), identity)
+    s.execute("(UpdateBranchTip (name main) (hash deadbeef))").fold(e => fail(e.message), identity)
     assert(s.store.tip("main").contains("deadbeef"))
     assert(s.execute("(Checkout nope)").isLeft)
     assert(s.execute("(GetBranchTip nope)").isLeft)
@@ -40,7 +40,7 @@ class DclSpec extends SparkTestBase {
     s.execute("(CreateBranch (name main))")
     s.execute("(Checkout main)")
     s.execute("(InsertTuple (relation scores) (attributes ((player (Str Bob)) (pts (Int 25)))))")
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     assert(s.store.tip("main").contains(s.db.hash))
   }
 
@@ -49,14 +49,14 @@ class DclSpec extends SparkTestBase {
     s.execute("(CreateBranch (name before))")
     s.execute("(InsertTuple (relation scores) (attributes ((player (Str Bob)) (pts (Int 25)))))")
     assert(scores(s) == Set(Row("Alice", 10L), Row("Bob", 25L)))
-    s.execute("(Checkout before)").fold(e => fail(e), identity)
+    s.execute("(Checkout before)").fold(e => fail(e.message), identity)
     assert(scores(s) == Set(Row("Alice", 10L)))
   }
 
   test("diff: added / removed / modified relations (reference test:3245-3330)") {
     val db0 = session.db
     val db1 = Engine.createTuple(spark, db0, "scores",
-      Seq("player" -> Value.StrV("Bob"), "pts" -> Value.IntV(25))).fold(e => fail(e), identity)
+      Seq("player" -> Value.StrV("Bob"), "pts" -> Value.IntV(25))).fold(e => fail(e.message), identity)
     val ds = Diff.diff(db0, db1)
     assert(ds.length == 1)
     ds.head match {
@@ -66,7 +66,7 @@ class DclSpec extends SparkTestBase {
       case other => fail(s"unexpected diff: $other")
     }
     val db2 = Engine.createRelation(spark, db1, "extra",
-      graft.types.RelSchema(List("x" -> "integer"))).fold(e => fail(e), identity)
+      graft.types.RelSchema(List("x" -> "integer"))).fold(e => fail(e.message), identity)
     val names = Diff.diff(db0, db2).map(_.name).toSet
     assert(names.contains("extra")) // added (plus catalog-maintenance rows)
     assert(Diff.diff(db2, db0).exists {
@@ -95,7 +95,7 @@ class DclSpec extends SparkTestBase {
     val s = session
     s.execute("(CreateBranch (name a))")
     s.execute("(CreateBranch (name b))")
-    s.execute("(Merge (left a) (right b) (strategy PreferLeft))").fold(e => fail(e), identity)
+    s.execute("(Merge (left a) (right b) (strategy PreferLeft))").fold(e => fail(e.message), identity)
     assert(scores(s) == Set(Row("Alice", 10L)))
   }
 
@@ -160,7 +160,7 @@ class DclSpec extends SparkTestBase {
       run("(CreateRelation (name scores) (schema ((player string) (rank integer))))")
       run("(InsertTuple (relation scores) (attributes ((player (Str L)) (rank (Int 1)))))")
       val (merged, conflicts) = Merge.merge(spark, s.store, strategy,
-        s.store.tip("main").get, s.store.tip("feature").get).fold(e => fail(e), identity)
+        s.store.tip("main").get, s.store.tip("feature").get).fold(e => fail(e.message), identity)
       (merged.relations("scores").df.collect().toSet, conflicts)
     }
     val (l, cl) = scenario(Merge.PreferLeft)
@@ -190,7 +190,7 @@ class DclSpec extends SparkTestBase {
     run("(DeleteTuple (relation scores) (attributes ((player (Str Bob)) (pts (Int 25)))))")
     run("(InsertTuple (relation scores) (attributes ((player (Str Bob)) (pts (Int 26)))))")
     val (merged, conflicts) = Merge.merge(spark, s.store, Merge.PreferLeft,
-      s.store.tip("main").get, s.store.tip("feature").get).fold(e => fail(e), identity)
+      s.store.tip("main").get, s.store.tip("feature").get).fold(e => fail(e.message), identity)
     assert(conflicts.tupleConflicts.isEmpty && conflicts.schemaConflicts.isEmpty)
     // left: -Bob25 +Bob26; right: +FMark -Bob25; merged: union of edits
     assert(merged.relations("scores").df.collect().toSet ==
@@ -202,11 +202,11 @@ class DclSpec extends SparkTestBase {
     s.execute("(CreateBranch (name main))")
     s.execute("(Checkout main)")
     val branches = s.execute("(drl (Base sakura:branch))")
-      .fold(e => fail(e), { case graft.server.QueryResult(df) => df.collect(); case o => fail(s"$o") })
+      .fold(e => fail(e.message), { case graft.server.QueryResult(df) => df.collect(); case o => fail(s"$o") })
     assert(branches.map(_.getString(0)).toSeq == Seq("main"))
     assert(branches.head.getString(1).length == 8)
     val head = s.execute("(drl (Base sakura:head))")
-      .fold(e => fail(e), { case graft.server.QueryResult(df) => df.collect(); case o => fail(s"$o") })
+      .fold(e => fail(e.message), { case graft.server.QueryResult(df) => df.collect(); case o => fail(s"$o") })
     assert(head.map(_.getString(0)).toSeq == Seq("main"))
   }
 

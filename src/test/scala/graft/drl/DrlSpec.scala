@@ -13,9 +13,10 @@ class DrlSpec extends SparkTestBase {
 
   /** In-memory catalog over fixture DataFrames (FIXTURES.md §1). */
   private final class TestCatalog(tables: Map[String, DataFrame]) extends Catalog {
-    def resolve(name: String): Either[String, DataFrame] =
-      if (graft.virtual.Virtual.isVirtual(name)) Left(s"virtual relation: $name")
-      else tables.get(name).toRight(s"unknown relation: $name")
+    def resolve(name: String): Either[graft.Err, DataFrame] =
+      if (graft.virtual.Virtual.isVirtual(name))
+        Left(graft.Err.GeneratorError(s"virtual relation: $name"))
+      else tables.get(name).toRight(graft.Err.RelationNotFoundBare(name))
   }
 
   private lazy val cat = new TestCatalog(Map(
@@ -24,7 +25,7 @@ class DrlSpec extends SparkTestBase {
   ))
 
   private def run(sexp: String): Seq[Row] =
-    Compiler.run(spark, cat, sexp).fold(e => fail(e), _.collect().toSeq)
+    Compiler.run(spark, cat, sexp).fold(e => fail(e.message), _.collect().toSeq)
 
   // ---- parser ----
 
@@ -108,7 +109,7 @@ class DrlSpec extends SparkTestBase {
     assert(run("(Project (name) (Base users))").map(_.getString(0)).sorted ==
       Seq("Alice", "Bob"))
     val renamed = Compiler.run(spark, cat, "(Rename ((age years)) (Base users))")
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     assert(renamed.columns.toSeq == Seq("years", "name"))
     assert(run("(Union (Base items) (Base items))").length == 4)
     assert(run("(Diff (Base users) (Select (Const ((age (Int 18)))) (Base users)))") ==
@@ -144,7 +145,7 @@ class DrlSpec extends SparkTestBase {
       "m" -> Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 5L), (2L, 1L, 7L))
         .toDF("k", "t", "v")))
     def runC(s: String): Seq[Row] =
-      Compiler.run(spark, c, s).fold(e => fail(e), _.collect().toSeq)
+      Compiler.run(spark, c, s).fold(e => fail(e.message), _.collect().toSeq)
     val rn = runC("(Window (partition (k)) (order ((t Asc))) (fn (row_number)) (as rn) (Base m))")
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(rn == Set((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3), (2L, 1L, 1)))
@@ -157,7 +158,7 @@ class DrlSpec extends SparkTestBase {
     // scale guard: the unpartitioned window is refused at compile
     val bad = Compiler.run(spark, c,
       "(Window (partition ()) (order ((t Asc))) (fn (row_number)) (as rn) (Base m))")
-    assert(bad.isLeft && bad.swap.exists(_.contains("GlobalRank")))
+    assert(bad.isLeft && bad.swap.exists(_.message.contains("GlobalRank")))
     // gate: cardinality passes through; infinite source still rejected
     assert(Gate.admit(cat, Parser.parse(
       "(Window (partition (name)) (order ((age Asc))) (fn (row_number)) (as rn) (Base users))").toOption.get).isRight)
@@ -180,7 +181,7 @@ class DrlSpec extends SparkTestBase {
     val c = new TestCatalog(Map(
       "triples" -> Seq((1L, 2L, 3L), (2L, 2L, 5L), (-1L, 4L, 3L)).toDF("a", "b", "sum")))
     val r = Compiler.run(spark, c, "(Select (Base natural_plus) (Base triples))")
-      .fold(e => fail(e), _.collect().toSeq)
+      .fold(e => fail(e.message), _.collect().toSeq)
     // (-1,4,3) sums correctly but violates the natural (non-negative) domain
     assert(r == Seq(Row(1L, 2L, 3L)))
   }
@@ -205,7 +206,7 @@ class DrlSpec extends SparkTestBase {
     val res = Compiler.run(spark, cat,
       "(Take 3 (Select (Const ((a (Int 1)))) (Base natural_plus)))")
     assert(res.isLeft)
-    assert(res.swap.exists(_.contains("virtual")))
+    assert(res.swap.exists(_.message.contains("virtual")))
   }
 
   test("unknown base relation is a compile error") {

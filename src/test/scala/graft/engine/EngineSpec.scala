@@ -15,11 +15,11 @@ class EngineSpec extends SparkTestBase {
 
   private def withProducts = {
     val db = Engine.createRelation(spark, freshDb, "products", productsSchema)
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     Engine.createTuples(spark, db, "products", Seq(
       Seq("id" -> Value.IntV(1), "name" -> Value.StrV("Apple"), "price" -> Value.IntV(100)),
       Seq("id" -> Value.IntV(2), "name" -> Value.StrV("Banana"), "price" -> Value.IntV(50)),
-    )).fold(e => fail(e), identity)
+    )).fold(e => fail(e.message), identity)
   }
 
   test("createDatabase seeds the six catalog relations (reference test:662-834)") {
@@ -38,7 +38,7 @@ class EngineSpec extends SparkTestBase {
 
   test("createRelation maintains sakura:relation and sakura:attribute") {
     val db = Engine.createRelation(spark, freshDb, "products", productsSchema)
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     val rels = db.relations("sakura:relation").df.collect().map(_.getString(0)).toSet
     assert(rels.contains("products"))
     val attrs = db.relations("sakura:attribute").df.collect()
@@ -52,7 +52,7 @@ class EngineSpec extends SparkTestBase {
     assert(db.relations("products").cardinality == 2)
     val dup = Engine.createTuple(spark, db, "products", Seq(
       "id" -> Value.IntV(1), "name" -> Value.StrV("Apple"), "price" -> Value.IntV(100)))
-    assert(dup.left.exists(_.startsWith("DuplicateTuple")))
+    assert(dup.left.exists(_.message.startsWith("DuplicateTuple")))
   }
 
   test("membership criteria: wrong attrs / wrong domain rejected") {
@@ -62,12 +62,12 @@ class EngineSpec extends SparkTestBase {
     assert(Engine.createTuple(spark, db, "products", Seq(
       "id" -> Value.StrV("x"), "name" -> Value.StrV("C"), "price" -> Value.IntV(1))).isLeft)
     assert(Engine.createTuple(spark, db, "nope", Seq("id" -> Value.IntV(1)))
-      .left.exists(_.startsWith("RelationNotFound")))
+      .left.exists(_.message.startsWith("RelationNotFound")))
   }
 
   test("natural domain rejects negatives") {
     val db = Engine.createRelation(spark, freshDb, "counts",
-      RelSchema(List("n" -> "natural"))).fold(e => fail(e), identity)
+      RelSchema(List("n" -> "natural"))).fold(e => fail(e.message), identity)
     assert(Engine.createTuple(spark, db, "counts", Seq("n" -> Value.IntV(-1))).isLeft)
     assert(Engine.createTuple(spark, db, "counts", Seq("n" -> Value.IntV(0))).isRight)
   }
@@ -76,23 +76,23 @@ class EngineSpec extends SparkTestBase {
     val db = withProducts
     val after = Engine.retractTuple(spark, db, "products", Seq(
       "id" -> Value.IntV(1), "name" -> Value.StrV("Apple"), "price" -> Value.IntV(100)))
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     assert(after.relations("products").cardinality == 1)
     assert(after.relations("products").df.collect().toSeq == Seq(Row(2L, "Banana", 50L)))
     val missing = Engine.retractTuple(spark, after, "products", Seq(
       "id" -> Value.IntV(1), "name" -> Value.StrV("Apple"), "price" -> Value.IntV(100)))
-    assert(missing.left.exists(_.startsWith("TupleNotFound")))
+    assert(missing.left.exists(_.message.startsWith("TupleNotFound")))
   }
 
   test("state hash changes on every mutation and history grows (reference test:136-215)") {
     val db0 = freshDb
     val db1 = Engine.createRelation(spark, db0, "products", productsSchema)
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     assert(db1.hash != db0.hash)
     assert(db1.history.contains(db0.hash))
     val db2 = Engine.createTuple(spark, db1, "products", Seq(
       "id" -> Value.IntV(1), "name" -> Value.StrV("A"), "price" -> Value.IntV(1)))
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     assert(db2.hash != db1.hash)
     assert(db2.history.head != db2.hash)
   }
@@ -102,8 +102,8 @@ class EngineSpec extends SparkTestBase {
     val t2 = Seq("id" -> Value.IntV(2), "name" -> Value.StrV("B"), "price" -> Value.IntV(2))
     def build(order: Seq[Seq[(String, Value)]]) = {
       val db = Engine.createRelation(spark, freshDb, "products", productsSchema)
-        .fold(e => fail(e), identity)
-      Engine.createTuples(spark, db, "products", order).fold(e => fail(e), identity)
+        .fold(e => fail(e.message), identity)
+      Engine.createTuples(spark, db, "products", order).fold(e => fail(e.message), identity)
     }
     assert(build(Seq(t1, t2)).relations("products").relHash ==
       build(Seq(t2, t1)).relations("products").relHash)
@@ -113,15 +113,15 @@ class EngineSpec extends SparkTestBase {
     val db = withProducts
     val h0 = db.relations("products").relHash
     val t = Seq("id" -> Value.IntV(9), "name" -> Value.StrV("Cherry"), "price" -> Value.IntV(200))
-    val db2 = Engine.createTuple(spark, db, "products", t).fold(e => fail(e), identity)
+    val db2 = Engine.createTuple(spark, db, "products", t).fold(e => fail(e.message), identity)
     assert(db2.relations("products").relHash != h0)
-    val db3 = Engine.retractTuple(spark, db2, "products", t).fold(e => fail(e), identity)
+    val db3 = Engine.retractTuple(spark, db2, "products", t).fold(e => fail(e.message), identity)
     assert(db3.relations("products").relHash == h0)
   }
 
   test("retractRelation drops relation and cleans the catalog") {
     val db = withProducts
-    val after = Engine.retractRelation(spark, db, "products").fold(e => fail(e), identity)
+    val after = Engine.retractRelation(spark, db, "products").fold(e => fail(e.message), identity)
     assert(!after.relations.contains("products"))
     assert(!after.relations("sakura:relation").df.collect().map(_.getString(0)).contains("products"))
     assert(!after.relations("sakura:attribute").df.collect().map(_.getString(0)).contains("products"))
@@ -129,7 +129,7 @@ class EngineSpec extends SparkTestBase {
 
   test("clearRelation truncates but keeps schema and catalog rows") {
     val db = withProducts
-    val after = Engine.clearRelation(spark, db, "products").fold(e => fail(e), identity)
+    val after = Engine.clearRelation(spark, db, "products").fold(e => fail(e.message), identity)
     assert(after.relations("products").cardinality == 0)
     assert(after.relations("products").df.collect().isEmpty)
     assert(after.relations("sakura:relation").df.collect().map(_.getString(0)).contains("products"))
@@ -138,7 +138,7 @@ class EngineSpec extends SparkTestBase {
   test("registerDomain adds the domain and a sakura:domain row") {
     val db = Engine.registerDomain(spark, freshDb,
       graft.types.Domain("money", org.apache.spark.sql.types.LongType,
-        graft.types.Cardinality.AlephZero)).fold(e => fail(e), identity)
+        graft.types.Cardinality.AlephZero)).fold(e => fail(e.message), identity)
     assert(db.domains.contains("money"))
     assert(db.relations("sakura:domain").df.collect().map(_.getString(0)).contains("money"))
   }
@@ -146,7 +146,7 @@ class EngineSpec extends SparkTestBase {
   test("duplicate relation name rejected") {
     val db = withProducts
     assert(Engine.createRelation(spark, db, "products", productsSchema)
-      .left.exists(_.startsWith("RelationAlreadyExists")))
+      .left.exists(_.message.startsWith("RelationAlreadyExists")))
   }
 
   test("rational attributes carry float comparator/identity semantics (domains.ml:101-102)") {
@@ -155,19 +155,19 @@ class EngineSpec extends SparkTestBase {
     // the never-registered domain generator (see Domain.rational's
     // adjudication note)
     val schema = RelSchema(List("item" -> "integer", "price" -> "rational"))
-    var db = Engine.createRelation(spark, freshDb, "priced", schema).fold(e => fail(e), identity)
+    var db = Engine.createRelation(spark, freshDb, "priced", schema).fold(e => fail(e.message), identity)
     db = Engine.createTuples(spark, db, "priced", Seq(
       Seq("item" -> Value.IntV(1), "price" -> Value.FloatV(10.5)),
       Seq("item" -> Value.IntV(2), "price" -> Value.FloatV(-2.75)),
-    )).fold(e => fail(e), identity)
+    )).fold(e => fail(e.message), identity)
     // identity IS the double value: re-inserting an equal float is a dup
     val dup = Engine.createTuple(spark, db, "priced",
       Seq("item" -> Value.IntV(1), "price" -> Value.FloatV(10.5)))
-    assert(dup.left.exists(_.startsWith("DuplicateTuple")), s"got $dup")
+    assert(dup.left.exists(_.message.startsWith("DuplicateTuple")), s"got $dup")
     // a float-distinguishable value is a distinct tuple
     db = Engine.createTuple(spark, db, "priced",
       Seq("item" -> Value.IntV(1), "price" -> Value.FloatV(10.500001)))
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     assert(db.relations("priced").cardinality == 3)
     // the non-rational type is rejected by membership criteria
     val bad = Engine.createTuple(spark, db, "priced",

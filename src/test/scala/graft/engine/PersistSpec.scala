@@ -44,7 +44,7 @@ class PersistSpec extends SparkTestBase {
     assert(s2.db.deferred.map(_.constraintName) === List("cap"))
     // the FK constraint still bites after reload
     val bad = s2.execute("(InsertTuple (relation emp) (attributes ((emp_id (Int 11)) (dept_id (Int 99)))))")
-    assert(bad.isLeft && bad.swap.exists(_.contains("ConstraintViolation")), s"got $bad")
+    assert(bad.isLeft && bad.swap.exists(_.message.contains("ConstraintViolation")), s"got $bad")
     // and a valid insert still works, advancing state on disk
     exec(s2, "(InsertTuple (relation emp) (attributes ((emp_id (Int 11)) (dept_id (Int 2)))))")
 
@@ -167,7 +167,7 @@ class PersistSpec extends SparkTestBase {
     val ext = new graft.catalog.Catalog {
       def resolve(name: String) =
         if (name == "bigsrc") Right(spark.read.parquet(tmpParquet))
-        else Left(s"RelationNotFound: $name")
+        else Left(graft.Err.RelationNotFoundBare(name))
     }
     val s1 = new EngineSession(spark, external = Some(ext), persistDir = Some(dir))
     exec(s1, "(CreateDatabase g)")
@@ -192,7 +192,7 @@ class PersistSpec extends SparkTestBase {
     val ext = new graft.catalog.Catalog {
       def resolve(name: String) =
         if (name == "bigsrc") Right(spark.read.parquet(tmpParquet))
-        else Left(s"RelationNotFound: $name")
+        else Left(graft.Err.RelationNotFoundBare(name))
     }
     val s1 = new EngineSession(spark, external = Some(ext), persistDir = Some(dir))
     exec(s1, "(CreateDatabase g)")

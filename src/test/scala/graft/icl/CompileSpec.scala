@@ -23,9 +23,9 @@ class CompileSpec extends SparkTestBase {
   private lazy val localDb: Database = {
     var db = Engine.createDatabase(spark, "cmp")
     def mk(name: String, schema: RelSchema, rows: Seq[Seq[(String, Value)]]): Unit = {
-      db = Engine.createRelation(spark, db, name, schema).fold(e => fail(e), identity)
+      db = Engine.createRelation(spark, db, name, schema).fold(e => fail(e.message), identity)
       if (rows.nonEmpty)
-        db = Engine.createTuples(spark, db, name, rows).fold(e => fail(e), identity)
+        db = Engine.createTuples(spark, db, name, rows).fold(e => fail(e.message), identity)
     }
     mk("Department", RelSchema(List("dept_id" -> "natural")),
       Seq(Seq("dept_id" -> iv(1)), Seq("dept_id" -> iv(2))))

@@ -20,15 +20,15 @@ class DerivedSpec extends SparkTestBase {
   private lazy val emp: Derived = {
     var db = Engine.createDatabase(spark, "dv")
     db = Engine.createRelation(spark, db, "Department",
-      RelSchema(List("dept_id" -> "natural"))).fold(e => fail(e), identity)
+      RelSchema(List("dept_id" -> "natural"))).fold(e => fail(e.message), identity)
     db = Engine.createTuple(spark, db, "Department",
-      Seq("dept_id" -> iv(1))).fold(e => fail(e), identity)
+      Seq("dept_id" -> iv(1))).fold(e => fail(e.message), identity)
     db = Engine.createRelation(spark, db, "Employee",
-      RelSchema(List("emp_id" -> "natural", "dept_id" -> "natural"))).fold(e => fail(e), identity)
-    db = Engine.registerConstraint(spark, db, "fk_dept", "Employee", fk).fold(e => fail(e), identity)
-    db = Engine.registerConstraint(spark, db, "emp_cap", "Employee", cap).fold(e => fail(e), identity)
+      RelSchema(List("emp_id" -> "natural", "dept_id" -> "natural"))).fold(e => fail(e.message), identity)
+    db = Engine.registerConstraint(spark, db, "fk_dept", "Employee", fk).fold(e => fail(e.message), identity)
+    db = Engine.registerConstraint(spark, db, "emp_cap", "Employee", cap).fold(e => fail(e.message), identity)
     db = Engine.createTuple(spark, db, "Employee",
-      Seq("emp_id" -> iv(1), "dept_id" -> iv(1))).fold(e => fail(e), identity)
+      Seq("emp_id" -> iv(1), "dept_id" -> iv(1))).fold(e => fail(e.message), identity)
     Derived.ofStored(db.relations("Employee"))
   }
 

@@ -18,10 +18,10 @@ class IclSpec extends SparkTestBase {
   private def hrDb: Database = {
     val db0 = Engine.createDatabase(spark, "hr")
     val db1 = Engine.createRelation(spark, db0, "Department",
-      RelSchema(List("dept_id" -> "natural"))).fold(e => fail(e), identity)
+      RelSchema(List("dept_id" -> "natural"))).fold(e => fail(e.message), identity)
     val db2 = Engine.createRelation(spark, db1, "Employee",
-      RelSchema(List("emp_id" -> "natural", "dept_id" -> "natural"))).fold(e => fail(e), identity)
-    Engine.createTuple(spark, db2, "Department", Seq("dept_id" -> iv(1))).fold(e => fail(e), identity)
+      RelSchema(List("emp_id" -> "natural", "dept_id" -> "natural"))).fold(e => fail(e.message), identity)
+    Engine.createTuple(spark, db2, "Department", Seq("dept_id" -> iv(1))).fold(e => fail(e.message), identity)
   }
 
   // ---- unit: analyses (reference test:1688-2012, 3487-3975) ----
@@ -141,17 +141,17 @@ class IclSpec extends SparkTestBase {
 
   test("FK (MemberOf form) enforced on insert — presence semantics") {
     val db = Engine.registerConstraint(spark, hrDb, "fk_dept", "Employee",
-      MemberOf("Department", List("dept_id" -> Var("dept_id")))).fold(e => fail(e), identity)
+      MemberOf("Department", List("dept_id" -> Var("dept_id")))).fold(e => fail(e.message), identity)
     assert(Engine.createTuple(spark, db, "Employee",
       Seq("emp_id" -> iv(10), "dept_id" -> iv(1))).isRight)
     val bad = Engine.createTuple(spark, db, "Employee",
       Seq("emp_id" -> iv(11), "dept_id" -> iv(99)))
-    assert(bad.left.exists(_.startsWith("ConstraintViolation")))
+    assert(bad.left.exists(_.message.startsWith("ConstraintViolation")))
   }
 
   test("FK (Exists form) enforced on insert") {
     val db = Engine.registerConstraint(spark, hrDb, "fk_dept", "Employee", fkBody)
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     assert(Engine.createTuple(spark, db, "Employee",
       Seq("emp_id" -> iv(10), "dept_id" -> iv(1))).isRight)
     assert(Engine.createTuple(spark, db, "Employee",
@@ -160,13 +160,13 @@ class IclSpec extends SparkTestBase {
 
   test("registration records sakura:constraint and AND-merges by name") {
     val db = Engine.registerConstraint(spark, hrDb, "fk_dept", "Employee", fkBody)
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     val cat = db.relations("sakura:constraint").df.collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(cat.contains(("fk_dept", "Employee")))
     val db2 = Engine.registerConstraint(spark, db, "fk_dept", "Employee",
       MemberOf("Department", List("dept_id" -> Var("dept_id"))))
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     db2.relations("Employee").constraints("fk_dept") match {
       case And(cs) => assert(cs.length == 2)
       case other   => fail(s"expected And-merge, got $other")
@@ -175,10 +175,10 @@ class IclSpec extends SparkTestBase {
 
   test("range check via virtual comparison relation (docs/icl.org:59-69)") {
     val db0 = Engine.createRelation(spark, Engine.createDatabase(spark, "school"), "Result",
-      RelSchema(List("student_id" -> "natural", "score" -> "natural"))).fold(e => fail(e), identity)
+      RelSchema(List("student_id" -> "natural", "score" -> "natural"))).fold(e => fail(e.message), identity)
     val db = Engine.registerConstraint(spark, db0, "score_range", "Result",
       MemberOf("natural_natural_less_than_or_equal",
-        List("left" -> Var("score"), "right" -> Const(iv(100))))).fold(e => fail(e), identity)
+        List("left" -> Var("score"), "right" -> Const(iv(100))))).fold(e => fail(e.message), identity)
     assert(Engine.createTuple(spark, db, "Result",
       Seq("student_id" -> iv(1), "score" -> iv(85))).isRight)
     assert(Engine.createTuple(spark, db, "Result",
@@ -188,14 +188,14 @@ class IclSpec extends SparkTestBase {
   test("mutual exclusion via Not (docs/constraints.org:366-383)") {
     val d0 = Engine.createDatabase(spark, "tickets")
     val d1 = Engine.createRelation(spark, d0, "open_ticket",
-      RelSchema(List("ticket_id" -> "natural"))).fold(e => fail(e), identity)
+      RelSchema(List("ticket_id" -> "natural"))).fold(e => fail(e.message), identity)
     val d2 = Engine.createRelation(spark, d1, "closed_ticket",
-      RelSchema(List("ticket_id" -> "natural"))).fold(e => fail(e), identity)
+      RelSchema(List("ticket_id" -> "natural"))).fold(e => fail(e.message), identity)
     val db = Engine.registerConstraint(spark, d2, "not_closed", "open_ticket",
       Not(MemberOf("closed_ticket", List("ticket_id" -> Var("ticket_id"))), "open_ticket"))
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     val db2 = Engine.createTuple(spark, db, "closed_ticket", Seq("ticket_id" -> iv(5)))
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     assert(Engine.createTuple(spark, db2, "open_ticket", Seq("ticket_id" -> iv(6))).isRight)
     assert(Engine.createTuple(spark, db2, "open_ticket", Seq("ticket_id" -> iv(5))).isLeft)
   }
@@ -204,21 +204,21 @@ class IclSpec extends SparkTestBase {
 
   test("cascade: deleting a referenced department is rejected (FK delete)") {
     val db0 = Engine.registerConstraint(spark, hrDb, "fk_dept", "Employee", fkBody)
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     val db1 = Engine.createTuple(spark, db0, "Department", Seq("dept_id" -> iv(2)))
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     val db = Engine.createTuple(spark, db1, "Employee",
-      Seq("emp_id" -> iv(10), "dept_id" -> iv(1))).fold(e => fail(e), identity)
+      Seq("emp_id" -> iv(10), "dept_id" -> iv(1))).fold(e => fail(e.message), identity)
     // dept 1 is referenced -> delete must cascade-fail
     val rejected = Engine.retractTuple(spark, db, "Department", Seq("dept_id" -> iv(1)))
-    assert(rejected.left.exists(_.contains("cascade")))
+    assert(rejected.left.exists(_.message.contains("cascade")))
     // dept 2 is unreferenced -> delete passes
     assert(Engine.retractTuple(spark, db, "Department", Seq("dept_id" -> iv(2))).isRight)
   }
 
   test("cascade: insert into quantifier relation does not trigger Positive-only recheck") {
     val db0 = Engine.registerConstraint(spark, hrDb, "fk_dept", "Employee", fkBody)
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     // Department has Positive polarity -> inserts into it never violate
     assert(Engine.createTuple(spark, db0, "Department", Seq("dept_id" -> iv(3))).isRight)
   }
@@ -227,18 +227,18 @@ class IclSpec extends SparkTestBase {
 
   test("deferred FK: retract passes, commit catches, commit clears") {
     val db0 = Engine.registerConstraint(spark, hrDb, "fk_deferred", "Employee", fkBody,
-      Timing.Deferred).fold(e => fail(e), identity)
+      Timing.Deferred).fold(e => fail(e.message), identity)
     val db1 = Engine.createTuple(spark, db0, "Employee",
-      Seq("emp_id" -> iv(10), "dept_id" -> iv(1))).fold(e => fail(e), identity)
+      Seq("emp_id" -> iv(10), "dept_id" -> iv(1))).fold(e => fail(e.message), identity)
     // deferred: deleting the referenced department passes the mutation
     val db2 = Engine.retractTuple(spark, db1, "Department", Seq("dept_id" -> iv(1)))
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     // ...but commit catches the violation
     val failed = Engine.commit(spark, db2)
-    assert(failed.left.exists(_.contains("deferred")))
+    assert(failed.left.exists(_.message.contains("deferred")))
     // fix the violation, then commit passes and clears the deferral window
     val db3 = Engine.createTuple(spark, db2, "Department", Seq("dept_id" -> iv(1)))
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     val committed = Engine.commit(spark, db3)
     assert(committed.exists(_.deferred.isEmpty))
   }
@@ -257,19 +257,19 @@ class IclSpec extends SparkTestBase {
         List("left" -> Var("b.floors"), "right" -> Const(iv(3))))))))
     var db = Engine.createDatabase(spark, "hotel")
     db = Engine.createRelation(spark, db, "Building",
-      RelSchema(List("building_id" -> "natural", "floors" -> "natural"))).fold(e => fail(e), identity)
+      RelSchema(List("building_id" -> "natural", "floors" -> "natural"))).fold(e => fail(e.message), identity)
     db = Engine.createTuples(spark, db, "Building", Seq(
       Seq("building_id" -> iv(1), "floors" -> iv(10)),
-      Seq("building_id" -> iv(2), "floors" -> iv(2)))).fold(e => fail(e), identity)
+      Seq("building_id" -> iv(2), "floors" -> iv(2)))).fold(e => fail(e.message), identity)
     db = Engine.createRelation(spark, db, "Room",
-      RelSchema(List("room_id" -> "natural", "building_id" -> "natural"))).fold(e => fail(e), identity)
+      RelSchema(List("room_id" -> "natural", "building_id" -> "natural"))).fold(e => fail(e.message), identity)
     db = Engine.createTuples(spark, db, "Room", Seq(
       Seq("room_id" -> iv(101), "building_id" -> iv(1)),
-      Seq("room_id" -> iv(201), "building_id" -> iv(2)))).fold(e => fail(e), identity)
+      Seq("room_id" -> iv(201), "building_id" -> iv(2)))).fold(e => fail(e.message), identity)
     db = Engine.createRelation(spark, db, "Suite",
-      RelSchema(List("suite_id" -> "natural", "room_id" -> "natural"))).fold(e => fail(e), identity)
+      RelSchema(List("suite_id" -> "natural", "room_id" -> "natural"))).fold(e => fail(e.message), identity)
     db = Engine.registerConstraint(spark, db, "suite_in_tall_building", "Suite", tall)
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     // room 101 is in the 10-floor tower: accepted
     val ok = Engine.createTuple(spark, db, "Suite",
       Seq("suite_id" -> iv(1001), "room_id" -> iv(101)))
@@ -277,11 +277,11 @@ class IclSpec extends SparkTestBase {
     // room 201 is in the 2-floor tower: no (r, b) witness exists
     val rejected = Engine.createTuple(spark, ok.toOption.get, "Suite",
       Seq("suite_id" -> iv(1003), "room_id" -> iv(201)))
-    assert(rejected.left.exists(_.startsWith("ConstraintViolation")))
+    assert(rejected.left.exists(_.message.startsWith("ConstraintViolation")))
     // and a dangling room id fails the same way (no r at all)
     assert(Engine.createTuple(spark, ok.toOption.get, "Suite",
       Seq("suite_id" -> iv(1004), "room_id" -> iv(999)))
-      .left.exists(_.startsWith("ConstraintViolation")))
+      .left.exists(_.message.startsWith("ConstraintViolation")))
   }
 
   test("ICL parser round-trips constraint bodies") {

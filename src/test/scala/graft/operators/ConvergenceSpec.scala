@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Convergence evidence for the FIXED-ROUND graph peels (Truss.Rounds =
+  * KCore.Rounds = LabelProp.Rounds = 3): the shipped rounds-R results are
+  * correct as pinned (the oracle unrolls the same R), but a user asking
+  * for "the k-truss" gets the round-R approximation silently whenever the
+  * cascade runs deeper. This spec MEASURES rounds-to-fixpoint on the
+  * exact graph the oracle rows process (the thresholded lineitem
+  * co-order graph of `graph_kcore`/`graph_ktruss`/`graph_label_prop`,
+  * sf0.001) and pins that R = 3 covers it — if the testdata generator
+  * ever changes the graph's shape enough to need a deeper cascade, this
+  * fails loudly instead of the oracle silently certifying a shallower
+  * answer.
+  *
+  * Contract documented here once for all three peel APIs: `rounds` is a
+  * BOUND, not a convergence guarantee — callers needing the true
+  * fixpoint raise `rounds` until two consecutive values agree (what
+  * [[fixpointRounds]] does), exactly like the reference's bounded
+  * enumeration surfaces bounds to the caller. */
+class ConvergenceSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def haveData = new java.io.File(s"$sfDir/lineitem.parquet").exists()
+
+  /** The shipped co-order graph (same construction as the oracle rows). */
+  private lazy val pairs: DataFrame = {
+    val lp = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val l1 = lp.select(col("ok"), col("p").as("s1"))
+    val l2 = lp.select(col("ok").as("ok2"), col("p").as("s2"))
+    l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
+      .select(col("s1").as("a"), col("s2").as("b")).distinct()
+      .localCheckpoint()
+  }
+
+  /** Smallest r with peel(r) == peel(r+1) (canonicalized row sets),
+    * failing past maxRounds. */
+  private def fixpointRounds(peel: Int => DataFrame, maxRounds: Int): Int = {
+    def canon(df: DataFrame): Set[Seq[Any]] = df.collect().map(_.toSeq).toSet
+    var prev = canon(peel(1))
+    for (r <- 2 to maxRounds) {
+      val cur = canon(peel(r))
+      if (cur == prev) return r - 1
+      prev = cur
+    }
+    fail(s"no fixpoint within $maxRounds rounds")
+  }
+
+  test("k-core peel reaches its fixpoint within the shipped Rounds = 3 on the shipped graph") {
+    assume(haveData, s"$sfDir not present")
+    val r = fixpointRounds(
+      n => KCore.peel(pairs, srcCol = "a", dstCol = "b", k = 3, rounds = n), maxRounds = 8)
+    assert(r <= KCore.Rounds,
+      s"k-core needs $r rounds to converge on the shipped graph but ships Rounds = ${KCore.Rounds} — " +
+        "raise Rounds (and the oracle's unroll) or re-adjudicate the bound")
+  }
+
+  test("k-truss peel reaches its fixpoint within the shipped Rounds = 3 on the shipped graph") {
+    assume(haveData, s"$sfDir not present")
+    val r = fixpointRounds(
+      n => Truss.peel(pairs, srcCol = "a", dstCol = "b", k = 4, rounds = n), maxRounds = 8)
+    assert(r <= Truss.Rounds,
+      s"k-truss needs $r rounds to converge on the shipped graph but ships Rounds = ${Truss.Rounds}")
+  }
+
+  test("undamped label propagation OSCILLATES on the shipped graph — the documented limitation holds") {
+    assume(haveData, s"$sfDir not present")
+    // Measured adjudication (LabelProp.labels scaladoc): the pure
+    // most-frequent-neighbor rule never stabilizes here (99/134 vertices
+    // flip between rounds 3 and 4 at sf0.001; no fixpoint within 11
+    // rounds, not even period-2) — synchronous-LPA oscillation, the
+    // reason Raghavan et al. '07 adopt asynchronous updates. This pin
+    // keeps the doc claim honest: if the testdata changes and the rule
+    // starts converging, this fails and the scaladoc gets re-measured.
+    val verts = pairs.select(col("a").as("part"))
+      .unionAll(pairs.select(col("b").as("part"))).distinct()
+    val e = pairs.select(col("a").as("doc_a"), col("b").as("doc_b"))
+    def canon(n: Int): Set[Seq[Any]] =
+      LabelProp.labels(verts, e, "part", rounds = n).collect().map(_.toSeq).toSet
+    assert(canon(LabelProp.Rounds) != canon(LabelProp.Rounds + 1),
+      "the undamped rule now converges on the shipped graph — update LabelProp.labels' scaladoc " +
+        "and consider retiring the oscillation caveat")
+  }
+
+  test("self-vote label propagation reaches a true fixpoint within StableRounds on the shipped graph") {
+    assume(haveData, s"$sfDir not present")
+    val verts = pairs.select(col("a").as("part"))
+      .unionAll(pairs.select(col("b").as("part"))).distinct()
+    val e = pairs.select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val r = fixpointRounds(
+      n => LabelProp.labelsStable(verts, e, "part", rounds = n), maxRounds = 8)
+    assert(r <= LabelProp.StableRounds,
+      s"labelsStable needs $r rounds on the shipped graph but ships StableRounds = ${LabelProp.StableRounds}")
+  }
+}

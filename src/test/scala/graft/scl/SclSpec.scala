@@ -16,8 +16,8 @@ class SclSpec extends SparkTestBase {
     s
   }
 
-  private def batchOf(s: EngineSession, r: Either[String, graft.server.Response]): graft.scl.Batch =
-    r.fold(e => fail(e), {
+  private def batchOf(s: EngineSession, r: Either[graft.Err, graft.server.Response]): graft.scl.Batch =
+    r.fold(e => fail(e.message), {
       case graft.server.CursorBatch(b) => b
       case o => fail(s"expected CursorBatch, got $o")
     })
@@ -48,7 +48,7 @@ class SclSpec extends SparkTestBase {
     val b1 = batchOf(s, s.execute("(Begin (query (Base nums)) (limit 3))"))
     // mutate AFTER the cursor was opened
     s.execute("(InsertTuple (relation nums) (attributes ((n (Int 99)))))")
-      .fold(e => fail(e), identity)
+      .fold(e => fail(e.message), identity)
     var rows = b1.rows.map(_.getLong(0))
     var cur = b1
     while (cur.hasMore) {
@@ -61,7 +61,7 @@ class SclSpec extends SparkTestBase {
   test("Close removes the cursor") {
     val s = session
     val b = batchOf(s, s.execute("(Begin (query (Base nums)) (limit 2))"))
-    s.execute(s"(Close (cursor ${b.cursorId}))").fold(e => fail(e), identity)
+    s.execute(s"(Close (cursor ${b.cursorId}))").fold(e => fail(e.message), identity)
     assert(s.cursors.open == 0)
     assert(s.execute(s"(Fetch (cursor ${b.cursorId}))").isLeft)
   }

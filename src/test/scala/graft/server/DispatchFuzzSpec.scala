@@ -75,4 +75,27 @@ class DispatchFuzzSpec extends SparkTestBase {
     val after = session.execute("(drl (Base r))")
     assert(after.isRight, s"session corrupted by fuzz corpus: $after")
   }
+
+  /** Top-level tags of the reference's error taxonomy (lib/error.ml:18-33
+    * plus the documented no-database divergence) — every Left a client
+    * sees must render under one of these, never free prose. */
+  private val topLevelTags = Set(
+    "syntax-error", "malformed-expression", "unrecognized-sublanguage",
+    "sublanguage-error", "conflict", "no-database",
+    "relation-not-found", "relation-already-exists", "tuple-not-found",
+    "duplicate-tuple", "constraint-violation", "storage-error")
+
+  test("every corpus Left renders a TAGGED wire form a client can pattern-match") {
+    val session = freshSession()
+    val untagged = corpus.flatMap { stmt =>
+      try session.execute(stmt) match {
+        case Left(err) => err.sexp match {
+          case graft.sexp.Sexp.SList(graft.sexp.Sexp.Atom(t) :: _) if topLevelTags(t) => None
+          case other => Some(s"$stmt -> ${other.render}")
+        }
+        case Right(_) => None // some corpus entries are legitimately fine
+      } catch { case _: Throwable => None } // covered by the no-throw test
+    }
+    assert(untagged.isEmpty, s"prose errors leaked to the wire:\n${untagged.mkString("\n")}")
+  }
 }

@@ -17,7 +17,7 @@ class ListenerSpec extends SparkTestBase {
     new Listener(spark, external = Some(new graft.catalog.Catalog {
       def resolve(name: String) = name match {
         case "nums" => Right((1L to 25L).map(i => (i, s"row$i")).toDF("n", "label"))
-        case other  => Left(s"unknown relation: $other")
+        case other  => Left(graft.Err.RelationNotFoundBare(other))
       }
     })).start()
 
