@@ -2564,6 +2564,20 @@ object SparkEntry {
     // emissions must equal the one-shot batch aggregate
     "streaming_window" -> ((s, dir) =>
       graft.streaming.StreamOracle.windowedDaily(s, dir, scratch(dir, "streamwin"))),
+    // CUSTOM STREAMING STATE, oracle-checked: per-user event-time
+    // sessionization (flatMapGroupsWithState with gap splits + event-time
+    // timeouts) through the same real multi-batch source — the union of
+    // gap-closed and timeout-flushed sessions must equal DuckDB's batch
+    // gaps-and-islands derivation
+    "streaming_sessionize" -> ((s, dir) =>
+      graft.streaming.StreamOracle.sessionized(s, dir, scratch(dir, "streamsess"))),
+    // STREAMING CDC UPSERT, oracle-checked: the event stream as a keyed
+    // changelog applied batch-by-batch via foreachBatch MERGE into
+    // versioned state parquet — the final state version must equal the
+    // one-shot last-writer-wins batch derivation (batch boundaries
+    // invisible); the r10 CDC-merge parity spec promoted to the oracle
+    "streaming_cdc_upsert" -> ((s, dir) =>
+      graft.streaming.StreamOracle.cdcUpsert(s, dir, scratch(dir, "streamcdc"))),
     "ingest_schema_evolution" -> ((s, dir) => {
       val tmp = scratch(dir, "evolve")
       val orders = table(s, dir, "orders")
@@ -4596,6 +4610,9 @@ object SparkEntry {
     // the streaming sink holds only FINALIZED windows — equal to the batch
     // day-grain aggregate (epoch-aligned, UTC) once the sentinel closed
     // every real window
+    "streaming_sessionize" -> graft.streaming.StreamOracle.sessionizedOracle(
+      graft.streaming.StreamOracle.SessionGapMs),
+    "streaming_cdc_upsert" -> graft.streaming.StreamOracle.cdcUpsertOracle,
     "streaming_window" ->
       """SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_start_us,
         |  event_type, count(*) AS n_events,

@@ -96,11 +96,7 @@ object StreamOracle {
   def windowedDaily(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     val in = stage(spark, sfDir, workDir, chunks = 4)
     val sink = Paths.get(workDir, "sink").toString
-    val src = spark.readStream
-      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(in)
-    val q = windowedDailyExact(src)
+    val q = windowedDailyExact(source(spark, in))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
@@ -111,4 +107,124 @@ object StreamOracle {
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(sink).filter(col("event_type") =!= "__flush__")
   }
+
+  private def source(spark: SparkSession, in: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+
+  /** Session gap for [[sessionized]] (the StreamDemo gap). */
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** The ORACLE row for CUSTOM STREAMING STATE: event-time sessionization
+    * via `flatMapGroupsWithState` (per-user gap splitting + event-time
+    * timeout, [[Streams.sessionize]]) driven through the real multi-batch
+    * machinery and hash-checked against DuckDB's batch gaps-and-islands
+    * SQL. Sessions close by GAP when a later event arrives and by
+    * EVENT-TIME TIMEOUT when the sentinel's watermark advance fires the
+    * no-data micro-batch — both paths land in the sink, and their union
+    * must equal the batch derivation exactly.
+    *
+    * Output keeps only the integer-exact columns (user, start ms, event
+    * count, duration): session BOUNDARIES are pure timestamp arithmetic,
+    * identical on both engines, while the state function's sequential
+    * double `total` and DuckDB's own summation order could differ in the
+    * last ulp (the repo-wide no-raw-double-sums discipline). The sentinel
+    * user (−1) never flushes (nothing advances the watermark past it) and
+    * is filtered regardless. */
+  def sessionized(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    import spark.implicits._
+    val in = stage(spark, sfDir, workDir, chunks = 4)
+    val sink = Paths.get(workDir, "sink").toString
+    val q = Streams.sessionize(source(spark, in).as[Streams.Event], SessionGapMs)
+      .filter(col("user_id") >= 0)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.Session], _: Long) =>
+        b.write.mode("append").parquet(sink)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(sink)
+      .select(col("user_id"), col("start_ms"), col("n_events"), col("duration_ms"))
+  }
+
+  /** The ORACLE row for STREAMING CDC UPSERT: the event stream read as a
+    * keyed changelog — key (user_id, event_type), op = delete when
+    * event_id ≡ 7 (mod 10), else upsert — applied batch-by-batch in
+    * `foreachBatch` (reduce the micro-batch to its last op per key, then
+    * anti-join + union against the previous state version, written as a
+    * NEW content-complete state parquet per batch: the storage-cheap
+    * MERGE every warehouse sink runs). The FINAL state version must equal
+    * DuckDB's one-shot last-writer-wins derivation over the whole
+    * changelog — batch boundaries must be invisible.
+    *
+    * Ordering is total and cross-engine: chunks are staged on disjoint
+    * time ranges (later batches strictly later), and within a batch the
+    * winner per key is max (ts, event_id) — the same ORDER BY the oracle
+    * uses. The payload is a single stored double (never a sum), so bits
+    * match exactly. */
+  def cdcUpsert(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val in = stage(spark, sfDir, workDir, chunks = 4)
+    var statePath: Option[String] = None
+    val q = source(spark, in)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val last = b
+          .withColumn("op", when(col("event_id") % 10 === 7, lit("D")).otherwise(lit("U")))
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        val upserts = last.filter(col("op") === "U")
+          .select(col("user_id"), col("event_type"),
+            col("event_id").as("last_event_id"), col("value").as("last_value"))
+        val touched = last.select(col("user_id"), col("event_type"))
+        val merged = statePath match {
+          case None => upserts
+          case Some(p) =>
+            spark.read.parquet(p)
+              .join(touched, Seq("user_id", "event_type"), "left_anti")
+              .unionByName(upserts)
+        }
+        val next = Paths.get(workDir, s"state_$batchId").toString
+        merged.write.mode("overwrite").parquet(next)
+        statePath = Some(next)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(statePath.getOrElse(
+      fail("no micro-batch ran — empty source?")))
+      .filter(col("user_id") >= 0)
+  }
+
+  /** DuckDB half of [[cdcUpsert]]: one-shot last-writer-wins. */
+  def cdcUpsertOracle: String =
+    """WITH ops AS (SELECT user_id, event_type,
+      |        CASE WHEN event_id % 10 = 7 THEN 'D' ELSE 'U' END AS op,
+      |        event_id, ts, value FROM events),
+      |last AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |         FROM ops)
+      |SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
+      |FROM last WHERE rn = 1 AND op = 'U'""".stripMargin
+
+  /** DuckDB half of [[sessionized]]: gaps-and-islands over epoch millis. */
+  def sessionizedOracle(gapMs: Long): String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) // 1000 AS t FROM events),
+       |s AS (SELECT user_id, t,
+       |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > $gapMs
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM e),
+       |g AS (SELECT user_id, t,
+       |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+       |                       ROWS UNBOUNDED PRECEDING) AS sid
+       |      FROM s)
+       |SELECT user_id, min(t) AS start_ms, count(*) AS n_events,
+       |       max(t) - min(t) AS duration_ms
+       |FROM g GROUP BY user_id, sid""".stripMargin
 }
