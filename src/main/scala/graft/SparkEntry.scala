@@ -2578,6 +2578,13 @@ object SparkEntry {
     // invisible); the r10 CDC-merge parity spec promoted to the oracle
     "streaming_cdc_upsert" -> ((s, dir) =>
       graft.streaming.StreamOracle.cdcUpsert(s, dir, scratch(dir, "streamcdc"))),
+    // STREAMING NEAR-DUP ADMISSION: the ingest-time LSH gate — per batch,
+    // band signatures via the SAME Dedup generators, admission = no band
+    // claimed by the persistent index or a smaller-id same-batch doc,
+    // then the index advances; the oracle's one-shot global derivation
+    // proves batch boundaries invisible
+    "streaming_neardup_admit" -> ((s, dir) =>
+      graft.streaming.StreamOracle.nearDupAdmission(s, dir, scratch(dir, "streamlsh"))),
     "ingest_schema_evolution" -> ((s, dir) => {
       val tmp = scratch(dir, "evolve")
       val orders = table(s, dir, "orders")
@@ -4613,6 +4620,7 @@ object SparkEntry {
     "streaming_sessionize" -> graft.streaming.StreamOracle.sessionizedOracle(
       graft.streaming.StreamOracle.SessionGapMs),
     "streaming_cdc_upsert" -> graft.streaming.StreamOracle.cdcUpsertOracle,
+    "streaming_neardup_admit" -> graft.pipeline.Oracles.dedupStreamingAdmission,
     "streaming_window" ->
       """SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_start_us,
         |  event_type, count(*) AS n_events,

@@ -202,6 +202,93 @@ object StreamOracle {
       .filter(col("user_id") >= 0)
   }
 
+  /** Stage the documents table as `chunks` doc_id-range parquet chunks
+    * (ingest order = id order; no sentinel — this family's pipelines are
+    * pure foreachBatch state, no watermark to advance). */
+  private def stageDocs(spark: SparkSession, sfDir: String, workDir: String,
+      chunks: Int): String = {
+    val in = Paths.get(workDir, "docs_in")
+    Files.createDirectories(in)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val (lo, hi) = {
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val width = math.max((hi - lo) / chunks + 1, 1L)
+    for (i <- 0 until chunks) {
+      val (a, b) = (lo + i * width, lo + (i + 1) * width)
+      val tmp = Paths.get(workDir, f"tmp_doc$i%02d")
+      docs.filter(col("doc_id") >= a && col("doc_id") < b).coalesce(1)
+        .write.parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(fail(s"no parquet part for chunk $i"))
+      Files.move(part, in.resolve(f"doc$i%02d.parquet"), StandardCopyOption.ATOMIC_MOVE)
+    }
+    in.toString
+  }
+
+  /** STREAMING NEAR-DUP ADMISSION against a persistent band index — the
+    * ingest-time gate a curation pipeline actually runs: documents
+    * arrive in id order across micro-batches; each batch computes its
+    * MinHash band signatures (the SAME [[graft.pipeline.Dedup]]
+    * generators the batch dedup family uses), counts per document how
+    * many of its bands are already claimed — by the index (previous
+    * batches) or by a smaller-id document in the same batch — and
+    * admits the document iff no band is claimed; then the band index
+    * advances (distinct (band, bh) union, versioned parquet — the same
+    * MERGE shape as [[cdcUpsert]]).
+    *
+    * The oracle proves batch boundaries invisible: admitted ⇔ no
+    * smaller-id document ANYWHERE shares a band, which DuckDB derives in
+    * one shot from the shared band CTEs
+    * ([[graft.pipeline.Oracles.dedupStreamingAdmission]]). Documents
+    * shorter than the shingle width never band and are absent on both
+    * sides (the `dedup_incremental` contract). */
+  def nearDupAdmission(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    import graft.pipeline.Dedup
+    val in = stageDocs(spark, sfDir, workDir, chunks = 4)
+    val sink = Paths.get(workDir, "verdicts").toString
+    var idxPath: Option[String] = None
+    val src = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val long = Dedup.bandRows(
+          Dedup.bandSignatures(b, "doc_id", "text"), "doc_id")
+        val minb = long.groupBy(col("band"), col("bh")).agg(min(col("doc_id")).as("__min"))
+        val withMin = long.join(minb, Seq("band", "bh"))
+        val joined = idxPath match {
+          case None => withMin.withColumn("__prev", lit(null).cast("int"))
+          case Some(p) =>
+            withMin.join(spark.read.parquet(p).withColumn("__prev", lit(1)),
+              Seq("band", "bh"), "left")
+        }
+        val verdicts = joined
+          .withColumn("__hit", col("__prev").isNotNull || col("doc_id") > col("__min"))
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hit_bands"))
+          .select(col("doc_id"), col("n_hit_bands"),
+            when(col("n_hit_bands") === 0, lit(1)).otherwise(lit(0)).as("admitted"))
+        verdicts.write.mode("append").parquet(sink)
+        val nextIdx = Paths.get(workDir, s"bandidx_$batchId").toString
+        val batchKeys = long.select(col("band"), col("bh")).distinct()
+        (idxPath match {
+          case None    => batchKeys
+          case Some(p) => spark.read.parquet(p).unionByName(batchKeys).distinct()
+        }).write.mode("overwrite").parquet(nextIdx)
+        idxPath = Some(nextIdx)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(sink)
+  }
+
   /** DuckDB half of [[cdcUpsert]]: one-shot last-writer-wins. */
   def cdcUpsertOracle: String =
     """WITH ops AS (SELECT user_id, event_type,
