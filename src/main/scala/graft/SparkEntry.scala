@@ -3182,6 +3182,12 @@ object SparkEntry {
       graft.pipeline.MultiModal.imageQuality(table(s, dir, "documents"))),
     "ann_cosine_topk" -> ((s, dir) =>
       graft.pipeline.Ann.cosineTopK(table(s, dir, "embeddings"))),
+    // contrastive TRIPLET mining (anchor, exact top-1 positive, hardest
+    // semi-hard negative ≥ margin below) — the embedding-model
+    // training-data operator; eval-slice exact baseline, IVF-restricted
+    // at corpus scale (the family's standard pattern)
+    "ann_triplets" -> ((s, dir) =>
+      graft.pipeline.Ann.contrastiveTriplets(table(s, dir, "embeddings"))),
     "ann_lsh_buckets" -> ((s, dir) =>
       graft.pipeline.Ann.lshBuckets(table(s, dir, "embeddings"))),
     "ann_lsh_topk" -> ((s, dir) =>
@@ -5036,6 +5042,7 @@ object SparkEntry {
         |  CASE WHEN k = 0 THEN (dur * 1000) // ts END AS duration_ms
         |FROM d""".stripMargin,
     "ann_cosine_topk" -> graft.pipeline.Oracles.annCosineTopK,
+    "ann_triplets" -> graft.pipeline.Oracles.annContrastiveTriplets,
     "ann_lsh_buckets" -> graft.pipeline.Oracles.annLshBuckets,
     "ann_lsh_topk" -> graft.pipeline.Oracles.annLshTopK,
     "ann_lsh_multiprobe" -> graft.pipeline.Oracles.annLshMultiprobeTopK,

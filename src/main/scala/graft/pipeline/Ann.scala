@@ -93,6 +93,47 @@ object Ann {
   /** Exact top-k cosine neighbors for each query vector (vec_id <
     * NumQueries), excluding self. Queries are broadcast; the corpus is
     * scanned once. */
+  /** Margin for [[contrastiveTriplets]]: the hard negative is the
+    * highest-cosine vector at least this far below the positive. */
+  val TripletMargin = 0.05
+
+  /** Contrastive TRIPLET mining — the training-data operator an
+    * embedding-model pipeline runs over its corpus: for each anchor in
+    * the query slice, positive = the exact nearest neighbor, hard
+    * negative = the highest-cosine vector at least [[TripletMargin]]
+    * below the positive (the "semi-hard" band of FaceNet/Schroff '15 —
+    * close enough to be informative, separated enough to be a true
+    * negative). Ordering is total ((sim desc, vec_id)), sims are
+    * round-4 — the determinism contract the whole ANN family pins.
+    *
+    * Scale shape: the anchor slice broadcasts and the corpus is scanned
+    * ONCE (this is the eval-slice exact baseline, bounded by
+    * `numQueries` — the family's standard pattern); the corpus-wide
+    * variant restricts candidates to the anchor's trained IVF cell
+    * exactly as [[knnGraph]]/[[ivfTopK]] do, with the same measured
+    * recall trade. */
+  def contrastiveTriplets(embeddings: DataFrame, numQueries: Int = NumQueries,
+      margin: Double = TripletMargin): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = embeddings.sparkSession
+    val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    val q = broadcast(n.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("qe"), col("nrm").as("qn")))
+    val pairs = n.join(q, col("vec_id") =!= col("anchor_id"))
+      .withColumn("sim", round(dot(ss, col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
+      .select(col("anchor_id"), col("vec_id"), col("sim"))
+    val w = Window.partitionBy(col("anchor_id")).orderBy(col("sim").desc, col("vec_id"))
+    val pos = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("anchor_id"), col("vec_id").as("pos_id"), col("sim").as("pos_sim"))
+    val negCand = pairs.join(pos, Seq("anchor_id"))
+      .filter(col("sim") <= col("pos_sim") - margin)
+      .select(col("anchor_id"), col("vec_id"), col("sim"))
+    val neg = negCand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("anchor_id"), col("vec_id").as("neg_id"), col("sim").as("neg_sim"))
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("pos_id"), col("pos_sim"), col("neg_id"), col("neg_sim"))
+  }
+
   def cosineTopK(embeddings: DataFrame, k: Int = TopK,
       numQueries: Int = NumQueries): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -105,6 +105,30 @@ class PlantedFixturesSpec extends SparkTestBase {
       "a 2%-Jaccard subset banding with its superset means the permutation arithmetic is degenerate")
   }
 
+  // ---- contrastive triplet mining (shared dot-chain + window order) ----
+
+  test("triplets: planted geometry — the duplicate is the positive, the orthogonal-ish vector the negative") {
+    // anchor 0 = e1; vec 10 = e1 (exact duplicate, sim 1.0 → positive);
+    // vec 11 = e1 rotated slightly (sim ≈ 0.9999 — INSIDE the margin
+    // band, must be skipped); vec 12 = e2 (sim 0 → the hard negative is
+    // the best sub-margin candidate, here the only one)
+    val dim = Ann.Dim
+    def unit(axis: Int): Array[Float] = {
+      val a = Array.fill(dim)(0f); a(axis) = 1f; a
+    }
+    val nearDup = { val a = unit(0); a(1) = 0.01f; a }
+    val rows = Seq(
+      (0L, unit(0)), (10L, unit(0)), (11L, nearDup), (12L, unit(1)))
+    val out = Ann.contrastiveTriplets(
+      rows.toDF("vec_id", "embedding"), numQueries = 1).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 10L && r.getDouble(2) == 1.0,
+      s"positive wrong: $r")
+    assert(r.getLong(3) == 12L && r.getDouble(4) == 0.0,
+      s"negative must skip the in-margin near-dup and take the orthogonal vector: $r")
+  }
+
   // ---- KMV estimator branches (shared k-th-order-statistic formula) ----
 
   test("kmv: estimate is scale-monotone — more distinct values never lowers the estimate below k") {
