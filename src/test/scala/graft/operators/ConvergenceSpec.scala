@@ -98,4 +98,23 @@ class ConvergenceSpec extends SparkTestBase {
     assert(r <= LabelProp.StableRounds,
       s"labelsStable needs $r rounds on the shipped graph but ships StableRounds = ${LabelProp.StableRounds}")
   }
+
+  test("labelsStable also converges within StableRounds at sf0.01 — the oracle row's own scale") {
+    val dir01 = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir01/lineitem.parquet").exists(), s"$dir01 not present")
+    val lp = spark.read.parquet(s"$dir01/lineitem.parquet")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val l1 = lp.select(col("ok"), col("p").as("s1"))
+    val l2 = lp.select(col("ok").as("ok2"), col("p").as("s2"))
+    val p01 = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
+      .select(col("s1").as("a"), col("s2").as("b")).distinct().localCheckpoint()
+    val verts = p01.select(col("a").as("part"))
+      .unionAll(p01.select(col("b").as("part"))).distinct()
+    val e = p01.select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val r = fixpointRounds(
+      n => LabelProp.labelsStable(verts, e, "part", rounds = n), maxRounds = 8)
+    assert(r <= LabelProp.StableRounds,
+      s"labelsStable needs $r rounds at sf0.01 but ships StableRounds = ${LabelProp.StableRounds}")
+  }
 }
