@@ -100,12 +100,15 @@ object StreamOracle {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("append").parquet(sink)
+      // batch-keyed OVERWRITE partition = idempotent under foreachBatch
+      // retries (append would double-write a replayed batch) — the
+      // exactly-once sink discipline, not just a test convenience
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/b=$batchId")
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(sink).filter(col("event_type") =!= "__flush__")
+    spark.read.parquet(sink).drop("b").filter(col("event_type") =!= "__flush__")
   }
 
   private def source(spark: SparkSession, in: String): DataFrame =
@@ -142,8 +145,10 @@ object StreamOracle {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.Session], _: Long) =>
-        b.write.mode("append").parquet(sink)
+      // batch-keyed OVERWRITE partition: idempotent under retries (see
+      // windowedDaily)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.Session], batchId: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/b=$batchId")
       }
       .start()
     try q.processAllAvailable() finally q.stop()
@@ -275,7 +280,8 @@ object StreamOracle {
           .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hit_bands"))
           .select(col("doc_id"), col("n_hit_bands"),
             when(col("n_hit_bands") === 0, lit(1)).otherwise(lit(0)).as("admitted"))
-        verdicts.write.mode("append").parquet(sink)
+        // batch-keyed OVERWRITE partition: idempotent under retries
+        verdicts.write.mode("overwrite").parquet(s"$sink/b=$batchId")
         val nextIdx = Paths.get(workDir, s"bandidx_$batchId").toString
         val batchKeys = long.select(col("band"), col("bh")).distinct()
         (idxPath match {
@@ -286,7 +292,7 @@ object StreamOracle {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(sink)
+    spark.read.parquet(sink).drop("b")
   }
 
   /** DuckDB half of [[cdcUpsert]]: one-shot last-writer-wins. */
