@@ -31,7 +31,9 @@ object Bench {
       sys.exit(2)
     }
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // SPARK_GRAFT_MASTER overrides for multi-JVM smoke runs (the same
+      // knob Verify carries — e.g. local-cluster[2,8,4096])
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
