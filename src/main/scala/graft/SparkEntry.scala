@@ -29,20 +29,37 @@ object SparkEntry {
 
   /** Deterministic scratch directory for rows that need a writable path
     * (ingest round-trips, persist lifecycles): one FIXED location per
-    * (dataset dir, tag), wiped on entry. The bench runs every query
+    * (dataset dir, tag, JVM), wiped on entry. The bench runs every query
     * twice and repeated bench runs used to leak a fresh
     * `Files.createTempDirectory` of parquet per invocation; pinning the
     * path bounds the footprint to at most one live copy per (sf, tag)
-    * for the machine's lifetime. The testdata dir itself is read-only,
-    * so the scratch lives under java.io.tmpdir. */
+    * per RUNNING JVM. The pid segment keeps two concurrent JVMs against
+    * the same sf dir (Bench + Verify, or a timing-storm best-of-3 next
+    * to the suite) from wiping each other's live streaming checkpoints
+    * mid-query; bounded footprint is preserved by sweeping siblings
+    * whose owning process is gone (dead pids leave no live readers, so
+    * deleting their trees is safe). The testdata dir itself is
+    * read-only, so the scratch lives under java.io.tmpdir. */
   private def scratch(dir: String, tag: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val p = java.nio.file.Paths.get(
+    val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft-scratch", key, tag)
     def wipe(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(wipe)
       f.delete(): Unit
     }
+    // sweep stale per-process entries: pid-N where /proc/N is gone
+    val self = ProcessHandle.current().pid()
+    Option(base.toFile.listFiles()).foreach(_.foreach { f =>
+      f.getName match {
+        case s if s.startsWith("pid-") =>
+          val alive = s.drop(4).toLongOption.exists(p =>
+            p == self || ProcessHandle.of(p).isPresent)
+          if (!alive) wipe(f)
+        case _ => wipe(f) // pre-pid layout residue
+      }
+    })
+    val p = base.resolve(s"pid-$self")
     wipe(p.toFile)
     java.nio.file.Files.createDirectories(p)
     p.toString
@@ -2585,6 +2602,19 @@ object SparkEntry {
     // proves batch boundaries invisible
     "streaming_neardup_admit" -> ((s, dir) =>
       graft.streaming.StreamOracle.nearDupAdmission(s, dir, scratch(dir, "streamlsh"))),
+    // STREAMING PER-KEY QUOTA ADMISSION, oracle-checked: lifetime cap of
+    // QuotaPerUser events per user via mapGroupsWithState (one long of
+    // state per user), admitted in event-time order across real
+    // micro-batches — must equal DuckDB's one-shot row_number cap
+    "streaming_quota" -> ((s, dir) =>
+      graft.streaming.StreamOracle.quotaAdmitted(s, dir, scratch(dir, "streamquota"))),
+    // STREAMING WINDOWED TOP-K (Misra-Gries bounded state),
+    // oracle-checked via the sketch_cms_heavy pattern: every TRUE-heavy
+    // (window, item) must be present in the sketch's timeout-flushed
+    // emission with true_count inside [min_count, max_count] and no
+    // events lost — the deterministic guarantees both engines can state
+    "streaming_topk" -> ((s, dir) =>
+      graft.streaming.StreamOracle.topKChecked(s, dir, scratch(dir, "streamtopk"))),
     "ingest_schema_evolution" -> ((s, dir) => {
       val tmp = scratch(dir, "evolve")
       val orders = table(s, dir, "orders")
@@ -3519,6 +3549,42 @@ object SparkEntry {
       .withColumn("rep", explode(sequence(lit(0L), lit(m - 1L))))
       .select((col("vec_id") * m + col("rep")).as("vec_id"), col("embedding"))
 
+  /** The ENGINE's bulk-ingest surface replicated ×m: the `icl_fk_bulk`
+    * statement script (set-wise `InsertFrom` through compiled anti-join
+    * FK validation + compiled Exists quantifier + delete-cascade
+    * re-check) against a customer key space replicated into m DISJOINT
+    * ranges — fact cardinality grows m× (region × nation × m·customer)
+    * while the constraint shapes stay fixed. Measures the claim
+    * "compiled set-wise validation scales" as a slope instead of a
+    * plan-shape argument. Staging (three small parquet writes) is inside
+    * the probe but linear and dominated by the ingest. */
+  private def fkbulkProbe(m: Int): (SparkSession, String) => DataFrame = (s, dir) => {
+    val tmp = scratch(dir, s"fkbulk_x$m")
+    table(s, dir, "region").write.mode("overwrite").parquet(s"$tmp/region.parquet")
+    table(s, dir, "nation").write.mode("overwrite").parquet(s"$tmp/nation.parquet")
+    table(s, dir, "customer").select(col("c_custkey"))
+      .withColumn("rep", explode(sequence(lit(0L), lit(m - 1L))))
+      .select((col("c_custkey") * m + col("rep")).as("c_custkey"))
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    script(Seq(
+      "(CreateDatabase g)",
+      "(CreateRelation (name cust_keys) (schema ((c_custkey integer))))",
+      "(InsertFrom (target cust_keys) (source (Project (c_custkey) (Base customer))))",
+      "(CreateRelation (name region_keys) (schema ((rk integer))))",
+      "(InsertFrom (target region_keys) (source (Rename ((r_regionkey rk)) (Project (r_regionkey) (Base region)))))",
+      "(CreateRelation (name fact) (schema ((r_regionkey integer) (n_nationkey integer) (c_custkey integer))))",
+      "(RegisterConstraint (constraint_name fk_cust) (relation_name fact) " +
+        "(body (MemberOf (target cust_keys) (binding ((c_custkey (Var c_custkey)))))))",
+      "(RegisterConstraint (constraint_name region_known) (relation_name fact) " +
+        "(body (Exists (variable r) (quantifier region_keys) " +
+        "(body (MemberOf (target natural_natural_equal) (binding ((left (Var r_regionkey)) (right (Var r.rk)))))))))",
+      "(InsertFrom (target fact) (source (Cartesian (Project (r_regionkey) (Base region)) " +
+        "(Cartesian (Project (n_nationkey) (Base nation)) (Project (c_custkey) (Base customer))))))",
+      "(InsertTuple (relation cust_keys) (attributes ((c_custkey (Int 99999999)))))",
+      "(DeleteWhere (target cust_keys) (predicate (Const ((c_custkey (Int 99999999))))))",
+    ), "(Base fact)")(s, tmp)
+  }
+
   /** Bench-only probe queries: not oracle rows (the 1× operators are
     * oracle-checked; these measure how the same plans scale). */
   def scaleProbes: Map[String, (SparkSession, String) => DataFrame] = {
@@ -3549,6 +3615,10 @@ object SparkEntry {
       // point of 8-byte signatures — a memory-bandwidth-bound scan)
       "scaleprobe_hamming_x1" -> ham(1), "scaleprobe_hamming_x4" -> ham(4),
       "scaleprobe_hamming_x16" -> ham(16),
+      // engine bulk-ingest slope: constrained InsertFrom over m× the
+      // fact cardinality (disjoint customer key spaces)
+      "scaleprobe_fkbulk_x1" -> fkbulkProbe(1), "scaleprobe_fkbulk_x4" -> fkbulkProbe(4),
+      "scaleprobe_fkbulk_x16" -> fkbulkProbe(16),
     )
   }
 
@@ -4627,6 +4697,10 @@ object SparkEntry {
       graft.streaming.StreamOracle.SessionGapMs),
     "streaming_cdc_upsert" -> graft.streaming.StreamOracle.cdcUpsertOracle,
     "streaming_neardup_admit" -> graft.pipeline.Oracles.dedupStreamingAdmission,
+    "streaming_quota" -> graft.streaming.StreamOracle.quotaOracle(
+      graft.streaming.StreamOracle.QuotaPerUser),
+    "streaming_topk" -> graft.streaming.StreamOracle.topKOracle(
+      graft.streaming.StreamOracle.TopKWindowMs, graft.streaming.StreamOracle.TopKCapacity),
     "streaming_window" ->
       """SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_start_us,
         |  event_type, count(*) AS n_events,

@@ -181,17 +181,30 @@ object Merge {
     * from the winning side (the reference mixes tuple hashes of two
     * schemas into one tree in the both-changed case — we take the
     * strategy winner's extension instead, recording the conflict). */
+  /** Error-shape fidelity: `merge-error` wraps an `Error.t`, never a DCL
+    * executor variant — the reference's merge loads tips through the
+    * manipulation layer, whose missing-database failures are strings
+    * lifted via `of_string_error` = `Error.StorageError`
+    * (management/merge.ml:177,186-198; manipulation.ml:79), so a missing
+    * tip renders `(merge-error (storage-error ...))` with these exact
+    * messages. `(no-database-at-hash h)` is a TOP-LEVEL dcl executor
+    * variant (dcl/executor.ml:21, the Checkout path) and never nests
+    * under merge-error. The reference's `branch-error` variant
+    * (executor.ml:19) wraps storage-layer load failures during Checkout;
+    * this Store's only failure mode is absence (an in-memory map), which
+    * IS `no-database-at-hash` — the wrapped-Error.t channel has nothing
+    * reachable to carry, so the variant is not modeled. */
   def merge(spark: SparkSession, store: Store, strategy: Strategy,
       leftTip: String, rightTip: String): Either[graft.Err, (Database, Conflicts)] =
     for {
-      leftDb <- store.load(leftTip).toRight(
-        graft.Err.MergeError(graft.Err.NoDatabaseAtHash(leftTip)))
-      rightDb <- store.load(rightTip).toRight(
-        graft.Err.MergeError(graft.Err.NoDatabaseAtHash(rightTip)))
+      leftDb <- store.load(leftTip).toRight(graft.Err.MergeError(
+        graft.Err.StorageError(s"Left tip not found: $leftTip")))
+      rightDb <- store.load(rightTip).toRight(graft.Err.MergeError(
+        graft.Err.StorageError(s"Right tip not found: $rightTip")))
       lcaHash <- findLca(leftDb, rightDb).toRight(graft.Err.MergeError(
         graft.Err.StorageError("No common ancestor found between branches")))
-      ancestor <- store.load(lcaHash).toRight(
-        graft.Err.MergeError(graft.Err.NoDatabaseAtHash(lcaHash)))
+      ancestor <- store.load(lcaHash).toRight(graft.Err.MergeError(
+        graft.Err.StorageError(s"Ancestor not found: $lcaHash")))
     } yield {
       val leftDiffs = Diff.diff(ancestor, leftDb)
       val rightDiffs = Diff.diff(ancestor, rightDb).map(d => d.name -> d).toMap

@@ -22,9 +22,11 @@ import org.apache.spark.sql.{functions => F}
   * `maxDepth` bounds the rounds; BFS settles every node at its true
   * distance the first time it is seen, so truncation never mislabels —
   * it only leaves far nodes unreported (they are not emitted, not
-  * defaulted). Fault tolerance: `localCheckpoint` blocks die with their
-  * executor — correct at local[32]; a 1000-executor run flips these to
-  * reliable `checkpoint` against a checkpoint dir.
+  * defaulted). Fault tolerance: cuts go through [[Checkpoints.cut]] —
+  * `localCheckpoint` by default (blocks die with their executor;
+  * correct at local[32]), reliable `checkpoint` when
+  * SPARK_GRAFT_CHECKPOINT_DIR is set (the 1000-executor switch,
+  * exercised by ReliableCheckpointSpec and the local-cluster run).
   */
 object Bfs {
 
@@ -43,18 +45,18 @@ object Bfs {
       .unionAll(edges.select(col(s"`$bCol`").as("u"), col(s"`$aCol`").as("v")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var frontier = sources.select(col(s"`$srcCol`").as("node")).distinct()
-      .localCheckpoint()
-    var settled = frontier.withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = Checkpoints.cut(
+      sources.select(col(s"`$srcCol`").as("node")).distinct())
+    var settled = Checkpoints.cut(frontier.withColumn("dist", lit(0L)))
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
-      val next = frontier.join(sym, frontier("node") === sym("u"))
-        .select(col("v").as("node")).distinct()
-        .join(settled, Seq("node"), "left_anti")
-        .localCheckpoint()
+      val next = Checkpoints.cut(
+        frontier.join(sym, frontier("node") === sym("u"))
+          .select(col("v").as("node")).distinct()
+          .join(settled, Seq("node"), "left_anti"))
       depth += 1
-      settled = settled.unionAll(next.withColumn("dist", lit(depth.toLong)))
-        .localCheckpoint()
+      settled = Checkpoints.cut(
+        settled.unionAll(next.withColumn("dist", lit(depth.toLong))))
       frontier = next
     }
     sym.unpersist()

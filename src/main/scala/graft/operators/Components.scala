@@ -27,11 +27,12 @@ import org.apache.spark.sql.{functions => F}
   * after each step; a fixpoint (edge set unchanged — checked exactly
   * via count + anti-join emptiness, never a checksum) is a forest of
   * stars centered at each component's minimum id, from which labels
-  * are one groupBy-min. Each round localCheckpoints so the iterative
-  * lineage stays one round deep. Fault tolerance: `localCheckpoint`
-  * blocks die with their executor — correct at local[32]; a
-  * 1000-executor run flips these to reliable `checkpoint` against a
-  * checkpoint dir.
+  * are one groupBy-min. Each round cuts its lineage through
+  * [[Checkpoints.cut]] so the iterative plan stays one round deep.
+  * Fault tolerance: `localCheckpoint` by default (blocks die with
+  * their executor — correct at local[32]); SPARK_GRAFT_CHECKPOINT_DIR
+  * flips every cut to reliable `checkpoint` (the 1000-executor switch,
+  * exercised by ReliableCheckpointSpec and the local-cluster run).
   */
 object Components {
 
@@ -45,11 +46,11 @@ object Components {
       aCol: String = "doc_a", bCol: String = "doc_b",
       maxIter: Int = 30): DataFrame = {
     val canon0 = canon(pairs.select(col(s"`$aCol`").as("x"), col(s"`$bCol`").as("y")))
-    var edges = canon0.localCheckpoint()
+    var edges = Checkpoints.cut(canon0)
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
-      val next = canon(smallStar(largeStar(edges))).localCheckpoint()
+      val next = Checkpoints.cut(canon(smallStar(largeStar(edges))))
       // exact fixpoint probe: same cardinality + no edge outside the old
       // set ⇒ equal sets (both sides are distinct canonical pairs)
       converged = next.count() == edges.count() &&

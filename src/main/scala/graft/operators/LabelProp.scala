@@ -50,7 +50,7 @@ object LabelProp {
   def labels(vertices: DataFrame, edges: DataFrame, vertexCol: String,
       srcCol: String = "doc_a", dstCol: String = "doc_b",
       rounds: Int = Rounds): DataFrame =
-    labelsImpl(vertices, edges, vertexCol, srcCol, dstCol, rounds, selfVote = false)
+    labelsImpl(vertices, edges, vertexCol, srcCol, dstCol, rounds, selfVote = false)._1
 
   /** [[labels]] with a SELF-VOTE: the vertex's current label joins the
     * neighbor tally with one vote — the standard damping that removes
@@ -58,14 +58,32 @@ object LabelProp {
     * true fixpoint in 3–4 rounds (ConvergenceSpec pins
     * [[StableRounds]] covers it), where the undamped rule never
     * stabilizes. Same cost shape per round: the self votes are a
-    * union-all of the current label table, no extra join. */
+    * union-all of the current label table, no extra join.
+    *
+    * RUN-TO-CONVERGENCE semantics: `rounds` is still the BOUND, but the
+    * loop EXITS EARLY once a round changes no label — rounds past the
+    * fixpoint are identity by definition (the vote tally of a stable
+    * labeling reproduces it), so the early exit can never change the
+    * result the oracle pins; it only stops paying for confirmed
+    * stability. The changed-label count rides the round's own
+    * materialization pass (a join of two frames the round already
+    * computed), so the probe is free. */
   def labelsStable(vertices: DataFrame, edges: DataFrame, vertexCol: String,
       srcCol: String = "doc_a", dstCol: String = "doc_b",
       rounds: Int = StableRounds): DataFrame =
+    labelsStableWithRounds(vertices, edges, vertexCol, srcCol, dstCol, rounds)._1
+
+  /** [[labelsStable]] plus the number of rounds actually executed (the
+    * round that proves stability counts — exit at fixpoint+1).
+    * ConvergenceSpec asserts the early exit fires exactly there. */
+  def labelsStableWithRounds(vertices: DataFrame, edges: DataFrame, vertexCol: String,
+      srcCol: String = "doc_a", dstCol: String = "doc_b",
+      rounds: Int = StableRounds): (DataFrame, Int) =
     labelsImpl(vertices, edges, vertexCol, srcCol, dstCol, rounds, selfVote = true)
 
   private def labelsImpl(vertices: DataFrame, edges: DataFrame, vertexCol: String,
-      srcCol: String, dstCol: String, rounds: Int, selfVote: Boolean): DataFrame = {
+      srcCol: String, dstCol: String, rounds: Int,
+      selfVote: Boolean): (DataFrame, Int) = {
     require(rounds >= 1, s"need at least one round: $rounds")
     import org.apache.spark.sql.expressions.Window
     val nodes = vertices.select(col(s"`$vertexCol`").as("v")).distinct()
@@ -75,7 +93,11 @@ object LabelProp {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var lab = nodes.withColumn("label", col("v"))
-    for (_ <- 1 to rounds) {
+    var roundsRun = 0
+    var stable = false
+    var r = 0
+    while (r < rounds && !stable) {
+      r += 1
       val prev = lab
       val nbrVotes = sym
         .join(prev.select(col("v").as("__nv"), col("label")), col("v") === col("__nv"))
@@ -90,14 +112,26 @@ object LabelProp {
       lab = nodes.join(top, Seq("v"), "left")
         .select(col("v"), coalesce(col("__new"), col("v")).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      lab.count() // materialize before releasing the previous round
+      if (selfVote) {
+        // the materialization pass doubles as the fixpoint probe: count
+        // labels this round changed (one join of two frames the round
+        // already computed). 0 changed ⇒ every later round is identity —
+        // exit without touching the result the oracle pins.
+        val changed = lab
+          .join(prev.select(col("v"), col("label").as("__old")), Seq("v"))
+          .filter(col("label") =!= col("__old")).count()
+        stable = changed == 0L
+      } else {
+        lab.count() // materialize before releasing the previous round
+      }
       prev.unpersist() // no-op on the unpersisted round-0 projection
+      roundsRun = r
     }
     // the loop's result is materialized — the build-side caches must not
     // outlive the call (the PageRank cache discipline: hundreds of
     // queries share one session)
     sym.unpersist()
     nodes.unpersist()
-    lab.select(col("v").as(vertexCol), col("label").as("community"))
+    (lab.select(col("v").as(vertexCol), col("label").as("community")), roundsRun)
   }
 }

@@ -61,10 +61,12 @@ object Truss {
     * result is the round-R cut of the peel cascade; callers needing the
     * true k-truss raise `rounds` until two consecutive results agree
     * (ConvergenceSpec measures that R = 3 covers the shipped graphs).
-    * Fault tolerance: `localCheckpoint` blocks die with their executor —
-    * correct at local[32]; a 1000-executor run flips these to reliable
-    * `checkpoint` against a checkpoint dir (same plan-truncation
-    * semantics, replicated storage). */
+    * Fault tolerance: cuts go through [[Checkpoints.cut]] —
+    * `localCheckpoint` by default (blocks die with their executor;
+    * correct at local[32]); SPARK_GRAFT_CHECKPOINT_DIR flips them to
+    * reliable `checkpoint` (same plan-truncation semantics, replicated
+    * storage — exercised by ReliableCheckpointSpec and the
+    * local-cluster run). */
   def peel(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
       k: Int = 4, rounds: Int = Rounds): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3 (k-2 >= 1 triangles per edge): $k")
@@ -77,8 +79,8 @@ object Truss {
     // Checkpointing truncates the logical plan to the materialized
     // blocks, making every round's plan constant-size — the iterative-
     // operator analogue of Engine.boundedDist's chain bound.
-    var e = edges.select(col(s"`$srcCol`").as("a"), col(s"`$dstCol`").as("b"))
-      .localCheckpoint()
+    var e = Checkpoints.cut(
+      edges.select(col(s"`$srcCol`").as("a"), col(s"`$dstCol`").as("b")))
     var sup: DataFrame = null
     for (r <- 1 to rounds) {
       val tri = triangles(e)
@@ -92,7 +94,7 @@ object Truss {
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
         .filter(col("support") >= k - 2)
-        .localCheckpoint()
+      sup = Checkpoints.cut(sup)
       if (r < rounds) e = sup.select(col("a"), col("b"))
     }
     sup

@@ -34,6 +34,26 @@ object StreamOracle {
 
   private def fail(e: String): Nothing = throw new IllegalStateException(e)
 
+  /** Write `df` as a single parquet part in a scratch dir, move the part
+    * file to `dest`, and clean up: the directory stream is CLOSED
+    * (java.nio contract — `Files.list` leaks a descriptor otherwise) and
+    * the emptied scratch dir is deleted rather than left behind. */
+  private def moveOnePart(df: DataFrame, tmp: Path, dest: Path): Unit = {
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val s = Files.list(tmp)
+    val part =
+      try s.toArray.map(_.asInstanceOf[Path])
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(fail(s"no parquet part written under $tmp"))
+      finally s.close()
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    val rest = Files.list(tmp)
+    try rest.toArray.map(_.asInstanceOf[Path]).foreach(Files.deleteIfExists(_))
+    finally rest.close()
+    Files.deleteIfExists(tmp)
+    ()
+  }
+
   /** Stage the events table as N time-range parquet chunks (+ far-future
     * sentinel) in one directory, written in event-time order so the file
     * source's modification-time ordering advances the watermark
@@ -49,14 +69,8 @@ object StreamOracle {
       (r.getLong(0), r.getLong(1))
     }
     val width = math.max((hi - lo) / chunks + 1, 1L)
-    def writeChunk(df: DataFrame, name: String): Unit = {
-      val tmp = Paths.get(workDir, s"tmp_$name")
-      df.coalesce(1).write.parquet(tmp.toString)
-      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(fail(s"no parquet part written for $name"))
-      Files.move(part, in.resolve(s"$name.parquet"), StandardCopyOption.ATOMIC_MOVE)
-    }
+    def writeChunk(df: DataFrame, name: String): Unit =
+      moveOnePart(df, Paths.get(workDir, s"tmp_$name"), in.resolve(s"$name.parquet"))
     for (i <- 0 until chunks) {
       val (a, b) = (lo + i * width, lo + (i + 1) * width)
       writeChunk(ev.filter(unix_millis(col("ts")) >= a && unix_millis(col("ts")) < b), f"chunk$i%02d")
@@ -156,13 +170,103 @@ object StreamOracle {
       .select(col("user_id"), col("start_ms"), col("n_events"), col("duration_ms"))
   }
 
+  /** Buckets for [[BucketedState]] in the oracle rows. Small here (the
+    * sf0.01 state is hundreds of keys); a 100 TB state table raises it
+    * to thousands — the per-batch cost scales with TOUCHED buckets, not
+    * with this constant or the state size. */
+  val StateBuckets = 8
+
+  /** Hash-bucketed, VERSIONED parquet state for foreachBatch pipelines —
+    * the scale-shaped replacement for the full-rewrite snapshot MERGE:
+    * a micro-batch rewrites only the hash buckets its keys touch
+    * (O(batch-touched buckets) per batch), never the whole state
+    * (O(state) per batch).
+    *
+    * Layout: `root/v=<batchId>/__bucket=<b>/part-*.parquet` — one
+    * partitioned write job per batch, holding ONLY the touched buckets.
+    * The state visible to batch N is, per bucket, the newest version
+    * STRICTLY BELOW N; untouched buckets simply stay at their older
+    * versions.
+    *
+    * Replay safety (foreachBatch may re-execute a batch id after a
+    * failure): reads pin to v < batchId, so a replay reads exactly the
+    * pre-batch state the first attempt read — never the partial v=N it
+    * is about to overwrite (no self-read-overwrite), and the rewrite is
+    * byte-deterministic. Superseded versions are left for a janitor
+    * (at 100 TB a retention sweep deletes bucket partitions shadowed by
+    * newer versions; here the scratch dir is wiped per run). */
+  private[streaming] final class BucketedState(spark: SparkSession, root: Path, buckets: Int) {
+    require(buckets > 0, s"bucket count must be positive: $buckets")
+
+    /** Bucket assignment for a key — callers add this as `__bucket`. */
+    def bucketOf(first: org.apache.spark.sql.Column,
+        rest: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+      pmod(hash(first +: rest: _*), lit(buckets))
+
+    /** bucket → newest version strictly below `beforeBatch` (driver
+      * directory listing: O(versions × buckets) metadata, no Spark job). */
+    private def latest(beforeBatch: Long): Map[Int, Long] = {
+      val acc = scala.collection.mutable.Map[Int, Long]()
+      for {
+        vdir <- Option(root.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
+        if vdir.isDirectory && vdir.getName.startsWith("__v=")
+        v <- vdir.getName.drop("__v=".length).toLongOption
+        if v < beforeBatch
+        bdir <- Option(vdir.listFiles()).getOrElse(Array.empty[java.io.File])
+        if bdir.isDirectory && bdir.getName.startsWith("__bucket=")
+        b <- bdir.getName.drop("__bucket=".length).toIntOption
+      } if (acc.getOrElse(b, -1L) < v) acc(b) = v
+      acc.toMap
+    }
+
+    /** State visible strictly before `batch`, restricted to
+      * `onlyBuckets` (None = all): per listed bucket, exactly its newest
+      * qualifying version is read — older versions are never scanned. A
+      * bucket whose newest version is EMPTY (every key deleted — the dir
+      * exists as a tombstone but holds no part files) is skipped, not
+      * resurrected from an older version. */
+    def before(batch: Long, onlyBuckets: Option[Set[Int]] = None): Option[DataFrame] = {
+      val paths = latest(batch)
+        .filter { case (b, _) => onlyBuckets.forall(_.contains(b)) }
+        .map { case (b, v) => Paths.get(s"$root/__v=$v/__bucket=$b") }
+        .filter { p =>
+          val s = Files.list(p)
+          try s.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+          finally s.close()
+        }
+      if (paths.isEmpty) None
+      else Some(spark.read.option("basePath", root.toString)
+        .parquet(paths.map(_.toString).toSeq: _*)
+        .drop("__v"))
+    }
+
+    /** The final state (newest version per bucket, all buckets). */
+    def current(): Option[DataFrame] = before(Long.MaxValue, None)
+
+    /** Install version `batch`: one partitioned write of the touched
+      * buckets only (`df` must carry `__bucket`). `touched` must name
+      * every bucket the batch's keys hash into — a bucket the merge
+      * left EMPTY (all keys deleted) writes no part files, so its dir is
+      * created explicitly as a tombstone; without it the bucket's older
+      * version would stay newest and the deleted keys would resurface. */
+    def write(batch: Long, df: DataFrame, touched: Set[Int]): Unit = {
+      df.write.mode("overwrite").partitionBy("__bucket")
+        .parquet(root.resolve(s"__v=$batch").toString)
+      touched.foreach { b =>
+        Files.createDirectories(root.resolve(s"__v=$batch").resolve(s"__bucket=$b")); ()
+      }
+    }
+  }
+
   /** The ORACLE row for STREAMING CDC UPSERT: the event stream read as a
     * keyed changelog — key (user_id, event_type), op = delete when
     * event_id ≡ 7 (mod 10), else upsert — applied batch-by-batch in
-    * `foreachBatch` (reduce the micro-batch to its last op per key, then
-    * anti-join + union against the previous state version, written as a
-    * NEW content-complete state parquet per batch: the storage-cheap
-    * MERGE every warehouse sink runs). The FINAL state version must equal
+    * `foreachBatch` into [[BucketedState]]: reduce the micro-batch to
+    * its last op per key, anti-join + union against the prior state of
+    * the TOUCHED BUCKETS ONLY, and write just those buckets as the new
+    * version — per-batch cost is O(touched buckets), never O(state)
+    * (the r11 full-rewrite snapshot promoted to the scale shape; same
+    * oracle SQL proves output equality). The FINAL state must equal
     * DuckDB's one-shot last-writer-wins derivation over the whole
     * changelog — batch boundaries must be invisible.
     *
@@ -174,7 +278,7 @@ object StreamOracle {
   def cdcUpsert(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val in = stage(spark, sfDir, workDir, chunks = 4)
-    var statePath: Option[String] = None
+    val state = new BucketedState(spark, Paths.get(workDir, "state"), StateBuckets)
     val q = source(spark, in)
       .writeStream
       .outputMode("append")
@@ -182,29 +286,38 @@ object StreamOracle {
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val w = Window.partitionBy(col("user_id"), col("event_type"))
           .orderBy(col("ts").desc, col("event_id").desc)
+        // persisted once per batch: consumed by the bucket probe, the
+        // anti-join keys, and the upsert payload (the materialize-then-
+        // unpersist discipline — without it Spark re-runs the window per
+        // consumer)
         val last = b
           .withColumn("op", when(col("event_id") % 10 === 7, lit("D")).otherwise(lit("U")))
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        val upserts = last.filter(col("op") === "U")
-          .select(col("user_id"), col("event_type"),
-            col("event_id").as("last_event_id"), col("value").as("last_value"))
-        val touched = last.select(col("user_id"), col("event_type"))
-        val merged = statePath match {
-          case None => upserts
-          case Some(p) =>
-            spark.read.parquet(p)
-              .join(touched, Seq("user_id", "event_type"), "left_anti")
-              .unionByName(upserts)
-        }
-        val next = Paths.get(workDir, s"state_$batchId").toString
-        merged.write.mode("overwrite").parquet(next)
-        statePath = Some(next)
+          .withColumn("__bucket", state.bucketOf(col("user_id"), col("event_type")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // bounded collect: at most StateBuckets ints cross the driver
+          val touched = last.select(col("__bucket")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          val upserts = last.filter(col("op") === "U")
+            .select(col("user_id"), col("event_type"),
+              col("event_id").as("last_event_id"), col("value").as("last_value"),
+              col("__bucket"))
+          val merged = state.before(batchId, Some(touched)) match {
+            case None => upserts
+            case Some(p) =>
+              p.join(last.select(col("user_id"), col("event_type")),
+                  Seq("user_id", "event_type"), "left_anti")
+                .unionByName(upserts)
+          }
+          state.write(batchId, merged, touched)
+        } finally { last.unpersist(); () }
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(statePath.getOrElse(
-      fail("no micro-batch ran — empty source?")))
+    state.current().getOrElse(fail("no micro-batch ran — empty source?"))
       .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("event_type"), col("last_event_id"), col("last_value"))
   }
 
   /** Stage the documents table as `chunks` doc_id-range parquet chunks
@@ -223,13 +336,8 @@ object StreamOracle {
     val width = math.max((hi - lo) / chunks + 1, 1L)
     for (i <- 0 until chunks) {
       val (a, b) = (lo + i * width, lo + (i + 1) * width)
-      val tmp = Paths.get(workDir, f"tmp_doc$i%02d")
-      docs.filter(col("doc_id") >= a && col("doc_id") < b).coalesce(1)
-        .write.parquet(tmp.toString)
-      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(fail(s"no parquet part for chunk $i"))
-      Files.move(part, in.resolve(f"doc$i%02d.parquet"), StandardCopyOption.ATOMIC_MOVE)
+      moveOnePart(docs.filter(col("doc_id") >= a && col("doc_id") < b),
+        Paths.get(workDir, f"tmp_doc$i%02d"), in.resolve(f"doc$i%02d.parquet"))
     }
     in.toString
   }
@@ -242,8 +350,10 @@ object StreamOracle {
     * many of its bands are already claimed — by the index (previous
     * batches) or by a smaller-id document in the same batch — and
     * admits the document iff no band is claimed; then the band index
-    * advances (distinct (band, bh) union, versioned parquet — the same
-    * MERGE shape as [[cdcUpsert]]).
+    * advances in [[BucketedState]] — only the hash buckets holding the
+    * batch's (band, bh) keys are rewritten, O(touched buckets) per
+    * batch, never O(index) (same oracle SQL as the r11 full-rewrite
+    * version proves output equality).
     *
     * The oracle proves batch boundaries invisible: admitted ⇔ no
     * smaller-id document ANYWHERE shares a band, which DuckDB derives in
@@ -255,7 +365,7 @@ object StreamOracle {
     import graft.pipeline.Dedup
     val in = stageDocs(spark, sfDir, workDir, chunks = 4)
     val sink = Paths.get(workDir, "verdicts").toString
-    var idxPath: Option[String] = None
+    val index = new BucketedState(spark, Paths.get(workDir, "bandidx"), StateBuckets)
     val src = spark.readStream
       .schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", 1)
@@ -264,31 +374,42 @@ object StreamOracle {
       .outputMode("append")
       .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
       .foreachBatch { (b: DataFrame, batchId: Long) =>
+        // persisted once per batch: the signature computation (shingle →
+        // 64-hash MinHash → band rows) feeds the min-per-band aggregate,
+        // the admission join, AND the index advance — unpersisted, Spark
+        // re-executed it for each consumer (3× the dominant cost at
+        // corpus scale)
         val long = Dedup.bandRows(
           Dedup.bandSignatures(b, "doc_id", "text"), "doc_id")
-        val minb = long.groupBy(col("band"), col("bh")).agg(min(col("doc_id")).as("__min"))
-        val withMin = long.join(minb, Seq("band", "bh"))
-        val joined = idxPath match {
-          case None => withMin.withColumn("__prev", lit(null).cast("int"))
-          case Some(p) =>
-            withMin.join(spark.read.parquet(p).withColumn("__prev", lit(1)),
-              Seq("band", "bh"), "left")
-        }
-        val verdicts = joined
-          .withColumn("__hit", col("__prev").isNotNull || col("doc_id") > col("__min"))
-          .groupBy(col("doc_id"))
-          .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hit_bands"))
-          .select(col("doc_id"), col("n_hit_bands"),
-            when(col("n_hit_bands") === 0, lit(1)).otherwise(lit(0)).as("admitted"))
-        // batch-keyed OVERWRITE partition: idempotent under retries
-        verdicts.write.mode("overwrite").parquet(s"$sink/b=$batchId")
-        val nextIdx = Paths.get(workDir, s"bandidx_$batchId").toString
-        val batchKeys = long.select(col("band"), col("bh")).distinct()
-        (idxPath match {
-          case None    => batchKeys
-          case Some(p) => spark.read.parquet(p).unionByName(batchKeys).distinct()
-        }).write.mode("overwrite").parquet(nextIdx)
-        idxPath = Some(nextIdx)
+          .withColumn("__bucket", index.bucketOf(col("band"), col("bh")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val minb = long.groupBy(col("band"), col("bh")).agg(min(col("doc_id")).as("__min"))
+          val withMin = long.join(minb, Seq("band", "bh"))
+          // bounded collect: at most StateBuckets ints cross the driver
+          val touched = long.select(col("__bucket")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          val prior = index.before(batchId, Some(touched))
+          val joined = prior match {
+            case None => withMin.withColumn("__prev", lit(null).cast("int"))
+            case Some(p) =>
+              withMin.join(p.select(col("band"), col("bh")).withColumn("__prev", lit(1)),
+                Seq("band", "bh"), "left")
+          }
+          val verdicts = joined
+            .withColumn("__hit", col("__prev").isNotNull || col("doc_id") > col("__min"))
+            .groupBy(col("doc_id"))
+            .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hit_bands"))
+            .select(col("doc_id"), col("n_hit_bands"),
+              when(col("n_hit_bands") === 0, lit(1)).otherwise(lit(0)).as("admitted"))
+          // batch-keyed OVERWRITE partition: idempotent under retries
+          verdicts.write.mode("overwrite").parquet(s"$sink/b=$batchId")
+          val batchKeys = long.select(col("band"), col("bh"), col("__bucket")).distinct()
+          index.write(batchId, prior match {
+            case None    => batchKeys
+            case Some(p) => p.unionByName(batchKeys).distinct()
+          }, touched)
+        } finally { long.unpersist(); () }
       }
       .start()
     try q.processAllAvailable() finally q.stop()
@@ -305,6 +426,119 @@ object StreamOracle {
       |         FROM ops)
       |SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
       |FROM last WHERE rn = 1 AND op = 'U'""".stripMargin
+
+  /** Admission cap for [[quotaAdmitted]]. */
+  val QuotaPerUser = 5L
+
+  /** The ORACLE row for STREAMING PER-KEY QUOTA ADMISSION
+    * ([[Streams.perKeyQuota]]): at most [[QuotaPerUser]] events per user
+    * pass, first-arrived in event-time order, state = ONE long per user
+    * across the whole run (no timeout — lifetime caps are the point).
+    * Driven through the real multi-batch machinery; the admitted set
+    * must equal DuckDB's one-shot row_number-capped derivation.
+    *
+    * Why the orders agree: chunks are staged on disjoint event-time
+    * ranges (every event of batch k precedes every event of batch k+1),
+    * and within a batch the operator admits in (millis, event_id) order
+    * — so the concatenated per-user admission order IS the global
+    * (millis, event_id) order the oracle's ORDER BY uses. All columns
+    * integer-exact. */
+  def quotaAdmitted(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    import spark.implicits._
+    val in = stage(spark, sfDir, workDir, chunks = 4)
+    val sink = Paths.get(workDir, "sink").toString
+    val q = Streams.perKeyQuota(source(spark, in).as[Streams.Event], QuotaPerUser)
+      .filter(col("user_id") >= 0) // the far-future flush sentinel
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
+      // batch-keyed OVERWRITE partition: idempotent under retries
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.Event], batchId: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/b=$batchId")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(sink).select(col("event_id"), col("user_id"))
+  }
+
+  /** DuckDB half of [[quotaAdmitted]]: one-shot rank-and-cap. */
+  def quotaOracle(quota: Long): String =
+    s"""SELECT event_id, user_id FROM (
+       |  SELECT event_id, user_id,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts) // 1000, event_id) AS rn
+       |  FROM events) WHERE rn <= $quota""".stripMargin
+
+  /** Window and capacity for [[topKChecked]]: daily windows; capacity 4
+    * over 5 event types keeps the decrement path hot (a map-full
+    * eviction fires whenever the 5th distinct type arrives) while the
+    * 20% heavy threshold still admits a non-trivial heavy set. */
+  val TopKWindowMs: Long = 86400000L
+  val TopKCapacity = 4
+
+  /** The ORACLE row for STREAMING WINDOWED TOP-K ([[Streams.windowTopK]],
+    * Misra-Gries bounded state): the `sketch_cms_heavy` pattern — DuckDB
+    * cannot replay the sketch, but Misra-Gries' guarantees are THEOREMS
+    * over the true counts, which both engines can derive independently.
+    * For every TRUE-heavy (window, item) — true_count·(capacity+1) >
+    * n_total, integer-exact — the sketch MUST have emitted it (presence
+    * guarantee) with true_count ∈ [min_count, max_count] (error bound)
+    * and n_processed = n_total; the Spark side verifies each against the
+    * streamed sketch emissions and the oracle states them as the
+    * literal 1s the theorem promises. A missed item, a violated bound,
+    * or a lost event hash-mismatches.
+    *
+    * The sketch rows come out of the REAL machinery: multi-batch file
+    * source, per-window flatMapGroupsWithState with O(capacity) state,
+    * event-time-timeout flush fired by the sentinel's watermark advance.
+    * The sentinel's own window never flushes and is absent from both
+    * sides (truth is derived from the events table, which has no
+    * sentinel). */
+  def topKChecked(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    import spark.implicits._
+    val in = stage(spark, sfDir, workDir, chunks = 4)
+    val sink = Paths.get(workDir, "sink").toString
+    val q = Streams.windowTopK(source(spark, in).as[Streams.Event], TopKWindowMs, TopKCapacity)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
+      // batch-keyed OVERWRITE partition: idempotent under retries
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.TopKItem], batchId: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/b=$batchId")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sketch = spark.read.parquet(sink).drop("b")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("w",
+        expr(s"(unix_micros(cast(ts as timestamp)) div 1000) div $TopKWindowMs * $TopKWindowMs"))
+    val truth = ev.groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("true_count"))
+    val totals = ev.groupBy(col("w")).agg(count(lit(1)).as("n_total"))
+    truth.join(totals, "w")
+      .filter(col("true_count") * (TopKCapacity + 1) > col("n_total"))
+      .join(sketch,
+        col("w") === sketch("window_start") && col("event_type") === sketch("item"),
+        "left")
+      .select(col("w").as("window_start_ms"), col("event_type").as("item"),
+        col("true_count"), col("n_total"),
+        when(col("min_count").isNotNull, lit(1)).otherwise(lit(0)).as("present"),
+        when(col("min_count") <= col("true_count") &&
+          col("true_count") <= col("max_count"), lit(1)).otherwise(lit(0)).as("within_bounds"),
+        when(col("n_processed") === col("n_total"), lit(1)).otherwise(lit(0)).as("n_ok"))
+  }
+
+  /** DuckDB half of [[topKChecked]]: the heavy set from true counts with
+    * the theorem's verdict literals. */
+  def topKOracle(windowMs: Long, capacity: Int): String =
+    s"""WITH e AS (SELECT (epoch_us(ts) // 1000) // $windowMs * $windowMs AS w,
+       |                  event_type FROM events),
+       |t AS (SELECT w, event_type, count(*) AS true_count FROM e GROUP BY 1, 2),
+       |n AS (SELECT w, count(*) AS n_total FROM e GROUP BY 1)
+       |SELECT t.w AS window_start_ms, t.event_type AS item, t.true_count,
+       |       n.n_total, 1 AS present, 1 AS within_bounds, 1 AS n_ok
+       |FROM t JOIN n ON t.w = n.w
+       |WHERE t.true_count * ${capacity + 1} > n.n_total""".stripMargin
 
   /** DuckDB half of [[sessionized]]: gaps-and-islands over epoch millis. */
   def sessionizedOracle(gapMs: Long): String =

@@ -99,6 +99,25 @@ class ConvergenceSpec extends SparkTestBase {
       s"labelsStable needs $r rounds on the shipped graph but ships StableRounds = ${LabelProp.StableRounds}")
   }
 
+  test("labelsStable EARLY-EXITS at the measured fixpoint (run-to-convergence, result unchanged)") {
+    assume(haveData, s"$sfDir not present")
+    val verts = pairs.select(col("a").as("part"))
+      .unionAll(pairs.select(col("b").as("part"))).distinct()
+    val e = pairs.select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val f = fixpointRounds(
+      n => LabelProp.labelsStable(verts, e, "part", rounds = n), maxRounds = 8)
+    // with a generous bound the loop must stop at f+1 (the round that
+    // PROVES stability), not run the bound out ...
+    val (df, roundsRun) = LabelProp.labelsStableWithRounds(verts, e, "part", rounds = 8)
+    assert(roundsRun == f + 1,
+      s"early exit fired after $roundsRun rounds; fixpoint is $f (expected exit at ${f + 1})")
+    // ... and the early-exited result IS the fixpoint labeling
+    val canonF = LabelProp.labelsStable(verts, e, "part", rounds = f)
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == canonF,
+      "early-exited labeling diverged from the fixpoint labeling")
+  }
+
   test("labelsStable also converges within StableRounds at sf0.01 — the oracle row's own scale") {
     val dir01 = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$dir01/lineitem.parquet").exists(), s"$dir01 not present")

@@ -76,16 +76,19 @@ class DispatchFuzzSpec extends SparkTestBase {
     assert(after.isRight, s"session corrupted by fuzz corpus: $after")
   }
 
-  /** Top-level tags of the reference's error taxonomy (lib/error.ml:18-33
-    * plus the documented no-database divergence) — every Left a client
-    * sees must render under one of these, never free prose. */
+  /** The ONLY tags a client may see at the TOP LEVEL of an error payload:
+    * the dispatcher's own forms (lib/listener.ml:12-45), the CAS conflict
+    * (listener.ml:53-59), the documented no-database divergence, and the
+    * physical-layer catch-all. Every sublanguage parse/execute failure —
+    * including the manipulation forms relation-not-found, duplicate-tuple,
+    * constraint-violation, … — MUST arrive wrapped in
+    * `(sublanguage-error (error …))` (listener.ml:39); accepting them
+    * top-level here would let an unwrapped leak through the net. */
   private val topLevelTags = Set(
     "syntax-error", "malformed-expression", "unrecognized-sublanguage",
-    "sublanguage-error", "conflict", "no-database",
-    "relation-not-found", "relation-already-exists", "tuple-not-found",
-    "duplicate-tuple", "constraint-violation", "storage-error")
+    "sublanguage-error", "conflict", "no-database", "storage-error")
 
-  test("every corpus Left renders a TAGGED wire form a client can pattern-match") {
+  test("every corpus Left renders a TAGGED wire form a client can pattern-match — sublanguage errors never leak unwrapped") {
     val session = freshSession()
     val untagged = corpus.flatMap { stmt =>
       try session.execute(stmt) match {
@@ -96,6 +99,6 @@ class DispatchFuzzSpec extends SparkTestBase {
         case Right(_) => None // some corpus entries are legitimately fine
       } catch { case _: Throwable => None } // covered by the no-throw test
     }
-    assert(untagged.isEmpty, s"prose errors leaked to the wire:\n${untagged.mkString("\n")}")
+    assert(untagged.isEmpty, s"unwrapped or prose errors leaked to the wire:\n${untagged.mkString("\n")}")
   }
 }

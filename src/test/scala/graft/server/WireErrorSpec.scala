@@ -218,6 +218,35 @@ class WireErrorSpec extends SparkTestBase {
     }
   }
 
+  test("sublanguage-error(no-database-at-hash): TOP-LEVEL dcl variant, never nested (lib/dcl/executor.ml:21)") {
+    withServer { (out, in) =>
+      bootstrap(out, in)
+      // a branch whose tip hash has no stored snapshot: Checkout reaches
+      // the load and must emit the executor-level BARE form
+      request(out, in, "(dcl (CreateBranch (name ghost) (hash deadbeef)))")
+      val r = request(out, in, "(dcl (Checkout ghost))")
+      assert(subInner(r) == SList(List(Atom("no-database-at-hash"), Atom("deadbeef"))), r.render)
+    }
+  }
+
+  test("sublanguage-error(merge-error): wraps an Error.t-shaped cause — storage-error for a missing tip (management/merge.ml:177,186-188)") {
+    withServer { (out, in) =>
+      bootstrap(out, in)
+      request(out, in, "(dcl (CreateBranch (name live)))")
+      request(out, in, "(dcl (CreateBranch (name ghost) (hash deadbeef)))")
+      val r = request(out, in, "(dcl (Merge (left ghost) (right live) (strategy PreferLeft)))")
+      // the reference merge loads tips through the manipulation layer,
+      // whose missing-db failure is of_string_error = StorageError —
+      // never the dcl-executor no-database-at-hash variant
+      subInner(r) match {
+        case SList(List(Atom("merge-error"), SList(List(Atom("storage-error"),
+            SList(List(Atom("message"), Atom(msg))))))) =>
+          assert(msg.contains("Left tip not found"), r.render)
+        case other => fail(s"expected (merge-error (storage-error (message _))), got: ${other.render}")
+      }
+    }
+  }
+
   test("sublanguage-error(cursor-error): SCL (lib/scl/executor.ml:28)") {
     withServer { (out, in) =>
       bootstrap(out, in)
