@@ -2602,6 +2602,12 @@ object SparkEntry {
     // proves batch boundaries invisible
     "streaming_neardup_admit" -> ((s, dir) =>
       graft.streaming.StreamOracle.nearDupAdmission(s, dir, scratch(dir, "streamlsh"))),
+    // STREAM-STREAM INTERVAL JOIN, oracle-checked: same-user event
+    // attribution within (0, 1h] across two watermarked sources — the
+    // union of per-batch inner-join emissions must equal DuckDB's
+    // one-shot batch self-join (bounded buffer state, no flush needed)
+    "streaming_interval_join" -> ((s, dir) =>
+      graft.streaming.StreamOracle.intervalJoined(s, dir, scratch(dir, "streamij"))),
     // STREAMING PER-KEY QUOTA ADMISSION, oracle-checked: lifetime cap of
     // QuotaPerUser events per user via mapGroupsWithState (one long of
     // state per user), admitted in event-time order across real
@@ -4697,6 +4703,7 @@ object SparkEntry {
       graft.streaming.StreamOracle.SessionGapMs),
     "streaming_cdc_upsert" -> graft.streaming.StreamOracle.cdcUpsertOracle,
     "streaming_neardup_admit" -> graft.pipeline.Oracles.dedupStreamingAdmission,
+    "streaming_interval_join" -> graft.streaming.StreamOracle.intervalJoinOracle,
     "streaming_quota" -> graft.streaming.StreamOracle.quotaOracle(
       graft.streaming.StreamOracle.QuotaPerUser),
     "streaming_topk" -> graft.streaming.StreamOracle.topKOracle(

@@ -256,6 +256,41 @@ object StreamOracle {
         Files.createDirectories(root.resolve(s"__v=$batch").resolve(s"__bucket=$b")); ()
       }
     }
+
+    /** Retention janitor: delete every bucket partition SHADOWED by a
+      * newer version at or below `upToBatch` (exclusive versions above
+      * it are left alone — they may belong to an in-flight batch).
+      * Reads are unaffected by construction: `before`/`current` resolve
+      * newest-per-bucket, and only non-newest partitions are removed;
+      * version dirs emptied of all bucket partitions are deleted.
+      * Run it BETWEEN batches (e.g. every N-th foreachBatch, after the
+      * write lands) — never concurrently with a read of the versions it
+      * sweeps. At 100 TB this is the compaction pass that bounds the
+      * state table to one live copy per bucket plus the in-flight
+      * version. */
+    def compact(upToBatch: Long): Unit = {
+      val keep = latest(upToBatch + 1) // newest version per bucket, <= upToBatch
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))
+        f.delete(): Unit
+      }
+      for {
+        vdir <- Option(root.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
+        if vdir.isDirectory && vdir.getName.startsWith("__v=")
+        v <- vdir.getName.drop("__v=".length).toLongOption
+        if v <= upToBatch
+      } {
+        for {
+          bdir <- Option(vdir.listFiles()).getOrElse(Array.empty[java.io.File])
+          if bdir.isDirectory && bdir.getName.startsWith("__bucket=")
+          b <- bdir.getName.drop("__bucket=".length).toIntOption
+          if !keep.get(b).contains(v)
+        } wipe(bdir)
+        val left = Option(vdir.listFiles()).getOrElse(Array.empty[java.io.File])
+        if (!left.exists(f => f.isDirectory && f.getName.startsWith("__bucket=")))
+          wipe(vdir)
+      }
+    }
   }
 
   /** The ORACLE row for STREAMING CDC UPSERT: the event stream read as a
@@ -311,6 +346,10 @@ object StreamOracle {
                 .unionByName(upserts)
           }
           state.write(batchId, merged, touched)
+          // retention between batches: drop partitions shadowed at or
+          // below the PREVIOUS batch (this batch's version stays intact
+          // so a replay still reads v < batchId)
+          state.compact(batchId - 1)
         } finally { last.unpersist(); () }
       }
       .start()
@@ -409,6 +448,8 @@ object StreamOracle {
             case None    => batchKeys
             case Some(p) => p.unionByName(batchKeys).distinct()
           }, touched)
+          // retention between batches (see cdcUpsert)
+          index.compact(batchId - 1)
         } finally { long.unpersist(); () }
       }
       .start()
@@ -426,6 +467,46 @@ object StreamOracle {
       |         FROM ops)
       |SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
       |FROM last WHERE rn = 1 AND op = 'U'""".stripMargin
+
+  /** The ORACLE row for the STREAM-STREAM INTERVAL JOIN
+    * ([[Streams.intervalJoin]]): every event attributed to the same
+    * user's events it follows within (0, 1 hour] — two watermarked
+    * sources over the same staged chunks, joined by the micro-batch
+    * engine with bounded buffer state (the watermark + gap bound derive
+    * the eviction horizon). An inner stream-stream join emits each match
+    * exactly once, when both sides have arrived — so the union of all
+    * micro-batch emissions must equal DuckDB's one-shot batch self-join.
+    * No flush sentinel dependency: matches emit on arrival; the
+    * watermark only bounds STATE. No missed matches either: the join
+    * watermark is the MIN across both sources, so a left row is never
+    * evicted before every right row inside its gap window has been
+    * seen. All output columns are stored values (ids, types, one stored
+    * double) — bit-exact across engines. */
+  def intervalJoined(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    val in = stage(spark, sfDir, workDir, chunks = 4)
+    val sink = Paths.get(workDir, "sink").toString
+    val q = Streams.intervalJoin(source(spark, in), source(spark, in), gap = "1 hour")
+      .filter(col("user_id") >= 0) // the sentinel never matches, but keep the family contract
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
+      // batch-keyed OVERWRITE partition: idempotent under retries
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/b=$batchId")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(sink).drop("b")
+  }
+
+  /** DuckDB half of [[intervalJoined]]: the one-shot interval self-join. */
+  def intervalJoinOracle: String =
+    """SELECT a.event_id AS l_event, a.user_id, a.event_type AS l_type,
+      |       b.event_id AS r_event, b.event_type AS r_type, b.value AS r_value
+      |FROM events a JOIN events b
+      |  ON b.user_id = a.user_id
+      | AND epoch_us(b.ts) > epoch_us(a.ts)
+      | AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000""".stripMargin
 
   /** Admission cap for [[quotaAdmitted]]. */
   val QuotaPerUser = 5L

@@ -95,6 +95,30 @@ class StreamStateSpec extends SparkTestBase {
     assert(cur == keeps.map(k => k -> s"keep$k").toMap, cur.toString)
   }
 
+  test("compact() removes only SHADOWED partitions — reads identical before and after") {
+    val root = tmpRoot()
+    val st = new StreamOracle.BucketedState(spark, root, buckets = 4)
+    val b0 = keyed(st, (1L to 8L).map(k => k -> s"v0_$k"): _*)
+    st.write(0L, b0, touchedOf(b0))
+    val b1 = keyed(st, (1L, "v1_1"), (2L, "v1_2"))
+    st.write(1L, b1, touchedOf(b1))
+    val b2 = keyed(st, (3L, "v2_3"))
+    st.write(2L, b2, touchedOf(b2))
+
+    val beforeCompact = asMap(st.current().getOrElse(fail("state empty")))
+    st.compact(2L)
+    val afterCompact = asMap(st.current().getOrElse(fail("state empty")))
+    assert(afterCompact == beforeCompact, s"$afterCompact vs $beforeCompact")
+
+    // shadowed partitions are physically gone: key 1's bucket must no
+    // longer exist under __v=0 (its newest home is __v=1)
+    val b1bucket = touchedOf(keyed(st, (1L, "x"))).head
+    assert(!root.resolve("__v=0").resolve(s"__bucket=$b1bucket").toFile.exists(),
+      "compact left a shadowed partition behind")
+    // and replays of the NEXT batch still read a complete pre-batch state
+    assert(asMap(st.before(3L).getOrElse(fail("no state"))) == beforeCompact)
+  }
+
   test("replay of batch N reads the pre-N state (v < N) and rewrites identical content") {
     val root = tmpRoot()
     val st = new StreamOracle.BucketedState(spark, root, buckets = 4)
