@@ -93,43 +93,67 @@ object LabelProp {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var lab = nodes.withColumn("label", col("v"))
+    // the persisted handle of the current round (lab is a projection over
+    // it after round 1) — unpersisting the projection would be a no-op,
+    // so the handle is tracked explicitly
+    var labPersisted: DataFrame = null
     var roundsRun = 0
     var stable = false
     var r = 0
     while (r < rounds && !stable) {
       r += 1
       val prev = lab
+      val prevPersisted = labPersisted
       val nbrVotes = sym
         .join(prev.select(col("v").as("__nv"), col("label")), col("v") === col("__nv"))
         .select(col("u"), col("label"))
-      val votes =
-        if (selfVote) nbrVotes.unionAll(prev.select(col("v").as("u"), col("label")))
-        else nbrVotes
-      val cnt = votes.groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("u")).orderBy(col("c").desc, col("label"))
-      val top = cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("u").as("v"), col("label").as("__new"))
-      lab = nodes.join(top, Seq("v"), "left")
-        .select(col("v"), coalesce(col("__new"), col("v")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next =
+        if (selfVote) {
+          // the self vote is TAGGED through the tally, so the vertex's
+          // previous label comes back out of the same aggregation that
+          // elects the new one: keep the rn=1 row (winner) and the
+          // has-self row (the old label — with a self vote every vertex
+          // has one), then one groupBy(u) that the window's own
+          // hash-partitioning already satisfies (no extra shuffle, and
+          // no per-vertex join at all — cheaper than the fixed-round
+          // path's nodes join). The fixpoint probe below is then free.
+          val votes = nbrVotes.withColumn("__self", lit(0))
+            .unionAll(prev.select(col("v").as("u"), col("label")).withColumn("__self", lit(1)))
+          val cnt = votes.groupBy(col("u"), col("label"))
+            .agg(count(lit(1)).as("c"), max(col("__self")).as("__has_self"))
+          val w = Window.partitionBy(col("u")).orderBy(col("c").desc, col("label"))
+          cnt.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1 || col("__has_self") === 1)
+            .groupBy(col("u"))
+            .agg(max(when(col("rn") === 1, col("label"))).as("label"),
+              max(when(col("__has_self") === 1, col("label"))).as("__old"))
+            .select(col("u").as("v"), col("label"), col("__old"))
+        } else {
+          val cnt = nbrVotes.groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+          val w = Window.partitionBy(col("u")).orderBy(col("c").desc, col("label"))
+          val top = cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("u").as("v"), col("label").as("__new"))
+          nodes.join(top, Seq("v"), "left")
+            .select(col("v"), coalesce(col("__new"), col("v")).as("label"))
+        }
+      val persisted = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (selfVote) {
-        // the materialization pass doubles as the fixpoint probe: count
-        // labels this round changed (one join of two frames the round
-        // already computed). 0 changed ⇒ every later round is identity —
-        // exit without touching the result the oracle pins.
-        val changed = lab
-          .join(prev.select(col("v"), col("label").as("__old")), Seq("v"))
-          .filter(col("label") =!= col("__old")).count()
-        stable = changed == 0L
+        // materialization doubles as the fixpoint probe: 0 changed ⇒
+        // every later round is identity — exit without touching the
+        // result the oracle pins
+        stable = persisted.filter(col("label") =!= col("__old")).count() == 0L
       } else {
-        lab.count() // materialize before releasing the previous round
+        persisted.count() // materialize before releasing the previous round
       }
-      prev.unpersist() // no-op on the unpersisted round-0 projection
+      if (prevPersisted != null) prevPersisted.unpersist()
+      labPersisted = persisted
+      lab = persisted.select(col("v"), col("label"))
       roundsRun = r
     }
     // the loop's result is materialized — the build-side caches must not
     // outlive the call (the PageRank cache discipline: hundreds of
-    // queries share one session)
+    // queries share one session); the final round's cache backs the
+    // returned frame, the same contract as before
     sym.unpersist()
     nodes.unpersist()
     (lab.select(col("v").as(vertexCol), col("label").as("community")), roundsRun)
