@@ -250,7 +250,13 @@ object StreamOracle {
       * created explicitly as a tombstone; without it the bucket's older
       * version would stay newest and the deleted keys would resurface. */
     def write(batch: Long, df: DataFrame, touched: Set[Int]): Unit = {
-      df.write.mode("overwrite").partitionBy("__bucket")
+      // cluster rows by bucket before the partitioned write: one task —
+      // and one file — per touched bucket, instead of every shuffle
+      // partition fanning out a sliver-file into every bucket dir (the
+      // same discipline a cluster-scale writer needs so a batch's write
+      // parallelism is its touched-bucket count, not tasks × buckets)
+      df.repartition(math.max(touched.size, 1), col("__bucket"))
+        .write.mode("overwrite").partitionBy("__bucket")
         .parquet(root.resolve(s"__v=$batch").toString)
       touched.foreach { b =>
         Files.createDirectories(root.resolve(s"__v=$batch").resolve(s"__bucket=$b")); ()
