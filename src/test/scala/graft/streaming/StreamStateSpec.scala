@@ -5,7 +5,7 @@ import graft.SparkTestBase
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** The scale contract of [[StreamOracle.BucketedState]] — the versioned,
+/** The scale contract of [[BucketedState]] — the versioned,
   * hash-bucketed state the streaming CDC upsert and the near-dup band
   * index maintain:
   *
@@ -29,7 +29,7 @@ class StreamStateSpec extends SparkTestBase {
   }
 
   /** Keyed payload with the state's bucket column attached. */
-  private def keyed(st: StreamOracle.BucketedState, kv: (Long, String)*): DataFrame =
+  private def keyed(st: BucketedState, kv: (Long, String)*): DataFrame =
     kv.toSeq.toDF("k", "v").withColumn("__bucket", st.bucketOf(col("k")))
 
   private def asMap(df: DataFrame): Map[Long, String] =
@@ -48,7 +48,7 @@ class StreamStateSpec extends SparkTestBase {
 
   test("a batch writes ONLY the buckets it touches; reads stitch newest-per-bucket") {
     val root = tmpRoot()
-    val st = new StreamOracle.BucketedState(spark, root, buckets = 8)
+    val st = new BucketedState(spark, root, buckets = 8)
 
     // batch 0: a spread of keys (establishes several buckets)
     val b0 = keyed(st, (1L, "a0"), (2L, "b0"), (3L, "c0"), (4L, "d0"), (5L, "e0"))
@@ -69,7 +69,7 @@ class StreamStateSpec extends SparkTestBase {
 
   test("a bucket EMPTIED by deletes tombstones — old keys never resurface from older versions") {
     val root = tmpRoot()
-    val st = new StreamOracle.BucketedState(spark, root, buckets = 8)
+    val st = new BucketedState(spark, root, buckets = 8)
     // pick a key ALONE in its bucket plus two keepers from other buckets,
     // so deleting it genuinely empties a bucket
     val probe = keyed(st, (1L to 20L).map(k => k -> s"x$k"): _*)
@@ -97,7 +97,7 @@ class StreamStateSpec extends SparkTestBase {
 
   test("compact() removes only SHADOWED partitions — reads identical before and after") {
     val root = tmpRoot()
-    val st = new StreamOracle.BucketedState(spark, root, buckets = 4)
+    val st = new BucketedState(spark, root, buckets = 4)
     val b0 = keyed(st, (1L to 8L).map(k => k -> s"v0_$k"): _*)
     st.write(0L, b0, touchedOf(b0))
     val b1 = keyed(st, (1L, "v1_1"), (2L, "v1_2"))
@@ -121,7 +121,7 @@ class StreamStateSpec extends SparkTestBase {
 
   test("replay of batch N reads the pre-N state (v < N) and rewrites identical content") {
     val root = tmpRoot()
-    val st = new StreamOracle.BucketedState(spark, root, buckets = 4)
+    val st = new BucketedState(spark, root, buckets = 4)
     val b0 = keyed(st, (1L, "a0"), (2L, "b0"))
     st.write(0L, b0, touchedOf(b0))
 
