@@ -25,6 +25,13 @@ import org.apache.spark.sql.DataFrame
   * lazy cut would stack rounds. The flag changes durability only, never
   * results: ReliableCheckpointSpec pins result equality and that files
   * actually land under the dir.
+  *
+  * Retention: reliable checkpoint files outlive the frames that made
+  * them. A long-lived session running with the flag should also set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so
+  * checkpoint data is removed when its RDD is garbage-collected;
+  * short-lived jobs just delete the directory afterwards (the
+  * local-cluster smoke run does).
   */
 object Checkpoints {
 

@@ -91,6 +91,30 @@ final class BucketedState(spark: SparkSession, root: Path, buckets: Int) {
     }
   }
 
+  /** One MERGE micro-batch, end to end — the whole foreachBatch protocol
+    * in one call: replace every row whose key appears in `touchedKeys`
+    * with the rows of `upserts` (a key in touchedKeys but not in upserts
+    * is a DELETE), touching only the buckets the batch's keys hash into,
+    * then sweep versions shadowed below this batch. Both inputs must
+    * carry `__bucket` (from [[bucketOf]] over the key columns).
+    * Replay-safe: a re-execution of `batch` reads the same pre-batch
+    * state and rewrites identical content. This is what the
+    * `streaming_cdc_upsert` oracle row runs. */
+  def merge(batch: Long, touchedKeys: DataFrame, upserts: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    // bounded collect: at most `buckets` ints cross the driver
+    val touched = touchedKeys.select(col("__bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val merged = before(batch, Some(touched)) match {
+      case None => upserts
+      case Some(p) =>
+        p.join(touchedKeys.select(keyCols.map(c => col(s"`$c`")): _*), keyCols, "left_anti")
+          .unionByName(upserts)
+    }
+    write(batch, merged, touched)
+    compact(batch - 1)
+  }
+
   /** Retention janitor: delete every bucket partition SHADOWED by a
     * newer version at or below `upToBatch` (exclusive versions above
     * it are left alone — they may belong to an in-flight batch).

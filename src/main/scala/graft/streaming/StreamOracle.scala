@@ -214,25 +214,17 @@ object StreamOracle {
           .withColumn("__bucket", state.bucketOf(col("user_id"), col("event_type")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          // bounded collect: at most StateBuckets ints cross the driver
-          val touched = last.select(col("__bucket")).distinct()
-            .collect().map(_.getInt(0)).toSet
+          // the whole MERGE protocol (touched-bucket read, anti-join +
+          // union, touched-only write, retention sweep) is the public
+          // BucketedState.merge — a key in touchedKeys without an
+          // upsert row is the DELETE case
           val upserts = last.filter(col("op") === "U")
             .select(col("user_id"), col("event_type"),
               col("event_id").as("last_event_id"), col("value").as("last_value"),
               col("__bucket"))
-          val merged = state.before(batchId, Some(touched)) match {
-            case None => upserts
-            case Some(p) =>
-              p.join(last.select(col("user_id"), col("event_type")),
-                  Seq("user_id", "event_type"), "left_anti")
-                .unionByName(upserts)
-          }
-          state.write(batchId, merged, touched)
-          // retention between batches: drop partitions shadowed at or
-          // below the PREVIOUS batch (this batch's version stays intact
-          // so a replay still reads v < batchId)
-          state.compact(batchId - 1)
+          state.merge(batchId,
+            last.select(col("user_id"), col("event_type"), col("__bucket")),
+            upserts, Seq("user_id", "event_type"))
         } finally { last.unpersist(); () }
       }
       .start()

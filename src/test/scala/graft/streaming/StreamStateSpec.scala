@@ -119,6 +119,25 @@ class StreamStateSpec extends SparkTestBase {
     assert(asMap(st.before(3L).getOrElse(fail("no state"))) == beforeCompact)
   }
 
+  test("merge(): upsert + delete in one batch, touched buckets only, retention swept") {
+    val root = tmpRoot()
+    val st = new BucketedState(spark, root, buckets = 4)
+    val b0 = keyed(st, (1L, "a0"), (2L, "b0"), (3L, "c0"))
+    st.write(0L, b0, touchedOf(b0))
+
+    // batch 1: update key 1, DELETE key 2 (a touched key with no upsert
+    // row), leave key 3 alone
+    val touchedKeys = keyed(st, (1L, "x"), (2L, "x")).select(col("k"), col("__bucket"))
+    val upserts = keyed(st, (1L, "a1"))
+    st.merge(1L, touchedKeys, upserts, Seq("k"))
+
+    val cur = asMap(st.current().getOrElse(fail("state empty")))
+    assert(cur == Map(1L -> "a1", 3L -> "c0"), cur.toString)
+    // retention ran: no bucket partition below v=1 shadows a newer one
+    val keysAgain = asMap(st.before(2L).getOrElse(fail("no state")))
+    assert(keysAgain == cur)
+  }
+
   test("replay of batch N reads the pre-N state (v < N) and rewrites identical content") {
     val root = tmpRoot()
     val st = new BucketedState(spark, root, buckets = 4)
