@@ -1,6 +1,7 @@
 package graft.server
 
-import java.net.{InetAddress, ServerSocket, Socket}
+import java.net.{InetAddress, InetSocketAddress, StandardProtocolFamily, UnixDomainSocketAddress}
+import java.nio.channels.{Channels, ServerSocketChannel, SocketChannel}
 import java.io.{BufferedReader, InputStreamReader, PrintWriter}
 import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -35,18 +36,43 @@ import graft.sexp.Sexp.{Atom, SList}
   * but does not close the CAS window — the observable wire semantics
   * are the reference's. Framing is one request sexp per line (a documented
   * divergence: the reference streams raw sexps; newline framing keeps
-  * clients trivial). Binds loopback only.
+  * clients trivial).
+  *
+  * Bind surface mirrors the reference transport (lib/transport.ml:23-28):
+  * an inet socket at (`bindAddress`, `port`) — loopback when no address
+  * is given — or an AF_UNIX socket at `unixPath` (`Unix.ADDR_UNIX`; the
+  * JVM side is a ServerSocketChannel opened with
+  * StandardProtocolFamily.UNIX). The unix socket file is removed on
+  * close.
   */
 final class Listener(spark: SparkSession, external: Option[Catalog] = None, port: Int = 0,
-    persistDir: Option[String] = None) {
+    persistDir: Option[String] = None, bindAddress: Option[String] = None,
+    unixPath: Option[String] = None) {
   /** Query response row cap (reference current_limit, lib/listener.ml:64). */
   val RowCap = 16
 
   private val session = new EngineSession(spark, external, persistDir)
-  private val serverSocket = new ServerSocket(port, 50, InetAddress.getLoopbackAddress)
+  private val serverChannel: ServerSocketChannel = unixPath match {
+    case Some(p) =>
+      val ch = ServerSocketChannel.open(StandardProtocolFamily.UNIX)
+      ch.bind(UnixDomainSocketAddress.of(p), 50)
+      ch
+    case None =>
+      val addr = bindAddress.map(InetAddress.getByName)
+        .getOrElse(InetAddress.getLoopbackAddress)
+      val ch = ServerSocketChannel.open()
+      ch.bind(new InetSocketAddress(addr, port), 50)
+      ch
+  }
   @volatile private var running = true
 
-  def localPort: Int = serverSocket.getLocalPort
+  def localPort: Int = serverChannel.getLocalAddress match {
+    case a: InetSocketAddress => a.getPort
+    case _                    => -1 // unix socket — address is the path
+  }
+
+  /** Where the listener is reachable (diagnostics/boot banner). */
+  def boundAddress: String = serverChannel.getLocalAddress.toString
 
   /** Accept loop on a daemon thread; one daemon thread per connection
     * (reference spawns one Domain per connection, lib/listener.ml:174-176). */
@@ -54,7 +80,7 @@ final class Listener(spark: SparkSession, external: Option[Catalog] = None, port
     val t = new Thread(() => {
       while (running) {
         try {
-          val sock = serverSocket.accept()
+          val sock = serverChannel.accept()
           val h = new Thread(() => handleConnection(sock))
           h.setDaemon(true)
           h.start()
@@ -66,11 +92,16 @@ final class Listener(spark: SparkSession, external: Option[Catalog] = None, port
     this
   }
 
-  def close(): Unit = { running = false; serverSocket.close() }
+  def close(): Unit = {
+    running = false
+    serverChannel.close()
+    unixPath.foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+  }
 
-  private def handleConnection(sock: Socket): Unit = {
-    val in = new BufferedReader(new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
-    val out = new PrintWriter(sock.getOutputStream, true, StandardCharsets.UTF_8)
+  private def handleConnection(sock: SocketChannel): Unit = {
+    val in = new BufferedReader(new InputStreamReader(
+      Channels.newInputStream(sock), StandardCharsets.UTF_8))
+    val out = new PrintWriter(Channels.newOutputStream(sock), true, StandardCharsets.UTF_8)
     try {
       // Each request executes against the head THIS connection last
       // observed (reference loop top `Atomic.get`, lib/listener.ml:

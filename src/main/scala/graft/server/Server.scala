@@ -15,21 +15,68 @@ import graft.sexp.Sexp.{Atom, SList}
   *                                 ;   reference's default backend — or
   *                                 ;   (disk /path/to/root) for durable
   *                                 ;   content-addressed state (Persist)
-  *   (transport (tcp (port 4422))) ; port 0 = ephemeral
+  *   (transport (tcp (address 0.0.0.0) (port 4422)))
+  *                                 ; inet bind — (address …) optional
+  *                                 ;   (loopback default; port 0 =
+  *                                 ;   ephemeral), OR a unix domain
+  *                                 ;   socket: (tcp (path /run/g.sock)).
+  *                                 ;   address/port and path are
+  *                                 ;   mutually exclusive (reference
+  *                                 ;   lib/transport.ml:36-40)
   *   (external /path/to/parquet))  ; OPTIONAL extension: a parquet
   *                                 ;   directory served as base tables
   * }}}
   *
   * The reference instantiates storage and transport from registries; the
   * Spark build has two storage regimes (in-process, and write-through
-  * disk persistence via [[graft.engine.Persist]]) and one transport (the
-  * TCP sexp listener); the config surface validates the same shape and
-  * rejects unknown backends the same way (`Unknown storage/transport`).
+  * disk persistence via [[graft.engine.Persist]]) and one transport
+  * module covering both of the reference's TCP sockaddr families (inet
+  * and AF_UNIX, lib/transport.ml:23-28); the config surface validates
+  * the same shapes — (address + port) XOR (path), invalid-port and
+  * unexpected-field rejections — with one documented leniency: a bare
+  * `(port p)` binds loopback (the reference requires an explicit
+  * address; test transports here want ephemeral loopback).
   */
 object Server {
 
-  final case class Config(storage: String, port: Int, external: Option[String],
-      storageDir: Option[String] = None)
+  sealed trait Transport
+  object Transport {
+    final case class Inet(address: Option[String], port: Int) extends Transport
+    final case class UnixSock(path: String) extends Transport
+  }
+
+  final case class Config(storage: String, transport: Transport, external: Option[String],
+      storageDir: Option[String] = None) {
+    /** Inet port, for callers that know they configured inet. */
+    def port: Int = transport match {
+      case Transport.Inet(_, p) => p
+      case _                    => -1
+    }
+  }
+
+  /** The reference's TCP field grammar (lib/transport.ml:31-51):
+    * (address a)+(port p) | (path s); both families through one tag. */
+  private def parseTcp(fields: List[Sexp]): Either[String, Transport] = {
+    var addr: Option[String] = None
+    var port: Option[Int] = None
+    var path: Option[String] = None
+    for (f <- fields) f match {
+      case SList(List(Atom("address"), Atom(a))) => addr = Some(a)
+      case SList(List(Atom("port"), Atom(p))) =>
+        p.toIntOption match {
+          case Some(n) => port = Some(n)
+          case None    => return Left(s"transport/tcp: invalid port: $p")
+        }
+      case SList(List(Atom("path"), Atom(p))) => path = Some(p)
+      case bad => return Left(s"transport/tcp: unexpected: ${bad.render}")
+    }
+    (addr, port, path) match {
+      case (_, Some(p), None)       => Right(Transport.Inet(addr, p)) // addr optional: loopback default
+      case (None, None, Some(s))    => Right(Transport.UnixSock(s))
+      case (None, None, None)       => Left("transport/tcp: no address fields")
+      case _ => Left("transport/tcp: use (address + port) or (path), not both")
+    }
+  }
 
   def parseConfig(text: String): Either[String, Config] =
     Sexp.parse(text).flatMap {
@@ -46,16 +93,12 @@ object Server {
           (storage, storageDir) = storagePair
           _ <- if (storage == "memory" || storage == "disk") Right(())
                else Left(s"Unknown storage backend: $storage")
-          port <- fm.get("transport").toRight("missing field: transport").flatMap {
-            case List(SList(Atom("tcp") :: tcpFields)) =>
-              tcpFields.collectFirst { case SList(List(Atom("port"), Atom(p))) => p } match {
-                case Some(p) => p.toIntOption.toRight(s"bad port: $p")
-                case None    => Right(0) // ephemeral, as the test transports use
-              }
+          transport <- fm.get("transport").toRight("missing field: transport").flatMap {
+            case List(SList(Atom("tcp") :: tcpFields)) => parseTcp(tcpFields)
             case o => Left(s"Unknown transport: ${SList(o).render}")
           }
           external = fm.get("external").collectFirst { case List(Atom(dir)) => dir }
-        } yield Config(storage, port, external, storageDir)
+        } yield Config(storage, transport, external, storageDir)
       case other => Left(s"config must be a (server ...) form, got: ${other.render}")
     }
 
@@ -66,7 +109,13 @@ object Server {
   def boot(spark: SparkSession, configText: String): Either[String, Listener] =
     parseConfig(configText).flatMap { cfg =>
       val external: Option[Catalog] = cfg.external.map(new ParquetCatalog(spark, _))
-      try Right(new Listener(spark, external, cfg.port, cfg.storageDir).start())
+      val listener = cfg.transport match {
+        case Transport.Inet(addr, port) =>
+          () => new Listener(spark, external, port, cfg.storageDir, bindAddress = addr)
+        case Transport.UnixSock(path) =>
+          () => new Listener(spark, external, 0, cfg.storageDir, unixPath = Some(path))
+      }
+      try Right(listener().start())
       catch { case e: IllegalStateException => Left(e.getMessage) }
     }
 
@@ -92,7 +141,7 @@ object Server {
         System.err.println(s"config error: $err")
         sys.exit(2)
       case Right(listener) =>
-        println(s"graft server listening on port ${listener.localPort}")
+        println(s"graft server listening on ${listener.boundAddress}")
         Thread.currentThread.join() // serve until killed
     }
   }

@@ -318,6 +318,10 @@ object StreamOracle {
               when(col("n_hit_bands") === 0, lit(1)).otherwise(lit(0)).as("admitted"))
           // batch-keyed OVERWRITE partition: idempotent under retries
           verdicts.write.mode("overwrite").parquet(s"$sink/b=$batchId")
+          // index advance: NOT BucketedState.merge — merge would re-read
+          // the touched buckets' prior, and this batch already read it
+          // for the admission join; reusing `prior` keeps one state read
+          // per batch (the shape that matters when buckets are big)
           val batchKeys = long.select(col("band"), col("bh"), col("__bucket")).distinct()
           index.write(batchId, prior match {
             case None    => batchKeys

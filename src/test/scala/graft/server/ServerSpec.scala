@@ -11,24 +11,68 @@ import graft.SparkTestBase
 class ServerSpec extends SparkTestBase {
 
   test("config parsing: shapes, defaults, unknown backends") {
+    import Server.Transport.{Inet, UnixSock}
     assert(Server.parseConfig("(server (storage (memory)) (transport (tcp (port 4422))))") ==
-      Right(Server.Config("memory", 4422, None)))
-    assert(Server.parseConfig("(server (storage (memory)) (transport (tcp)))") ==
-      Right(Server.Config("memory", 0, None)))
+      Right(Server.Config("memory", Inet(None, 4422), None)))
+    assert(Server.parseConfig(
+      "(server (storage (memory)) (transport (tcp (address 0.0.0.0) (port 4422))))") ==
+      Right(Server.Config("memory", Inet(Some("0.0.0.0"), 4422), None)))
+    assert(Server.parseConfig(
+      "(server (storage (memory)) (transport (tcp (path /run/g.sock))))") ==
+      Right(Server.Config("memory", UnixSock("/run/g.sock"), None)))
     assert(Server.parseConfig(
       "(server (storage (memory)) (transport (tcp (port 0))) (external /data/sf1))") ==
-      Right(Server.Config("memory", 0, Some("/data/sf1"))))
+      Right(Server.Config("memory", Inet(None, 0), Some("/data/sf1"))))
     assert(Server.parseConfig("(server (storage (disk /var/graft)) (transport (tcp (port 1))))") ==
-      Right(Server.Config("disk", 1, None, Some("/var/graft"))))
-    assert(Server.parseConfig("(server (storage (disk)) (transport (tcp)))")
+      Right(Server.Config("disk", Inet(None, 1), None, Some("/var/graft"))))
+    // the reference transport grammar's own rejections (lib/transport.ml:36-47)
+    assert(Server.parseConfig("(server (storage (memory)) (transport (tcp)))")
+      .left.exists(_.contains("no address fields")))
+    assert(Server.parseConfig(
+      "(server (storage (memory)) (transport (tcp (port 1) (path /run/g.sock))))")
+      .left.exists(_.contains("not both")))
+    assert(Server.parseConfig(
+      "(server (storage (memory)) (transport (tcp (address 1.2.3.4))))")
+      .left.exists(e => e.contains("not both") || e.contains("no address fields")))
+    assert(Server.parseConfig("(server (storage (memory)) (transport (tcp (port banana))))")
+      .left.exists(_.contains("invalid port")))
+    assert(Server.parseConfig("(server (storage (memory)) (transport (tcp (frobnicate 1))))")
+      .left.exists(_.contains("unexpected")))
+    assert(Server.parseConfig("(server (storage (disk)) (transport (tcp (port 0))))")
       .left.exists(_.contains("root path")))
     assert(Server.parseConfig("(server (storage (sqlite)) (transport (tcp (port 1))))")
       .left.exists(_.startsWith("Unknown storage")))
     assert(Server.parseConfig("(server (storage (memory)) (transport (carrier-pigeon)))")
       .left.exists(_.startsWith("Unknown transport")))
     assert(Server.parseConfig("(client)").isLeft)
-    assert(Server.parseConfig("(server (transport (tcp)))")
+    assert(Server.parseConfig("(server (transport (tcp (port 0))))")
       .left.exists(_.contains("storage")))
+  }
+
+  test("unix domain socket transport: boot from (tcp (path …)) and round-trip a session") {
+    // short path — AF_UNIX sun_path is ~104 bytes
+    val path = s"/tmp/graft-${ProcessHandle.current().pid()}.sock"
+    val listener = Server.boot(spark,
+      s"(server (storage (memory)) (transport (tcp (path $path))))")
+      .fold(e => fail(e), identity)
+    val ch = java.nio.channels.SocketChannel.open(
+      java.net.UnixDomainSocketAddress.of(path))
+    try {
+      val out = new PrintWriter(java.nio.channels.Channels.newOutputStream(ch), true,
+        StandardCharsets.UTF_8)
+      val in = new BufferedReader(new InputStreamReader(
+        java.nio.channels.Channels.newInputStream(ch), StandardCharsets.UTF_8))
+      def req(s: String): String = { out.println(s); in.readLine() }
+      assert(req("(ddl (CreateDatabase g))").startsWith("(ok"))
+      assert(req("(ddl (CreateRelation (name t) (schema ((k integer)))))").startsWith("(ok"))
+      assert(req("(dml (InsertTuple (relation t) (attributes ((k (Int 9))))))").startsWith("(ok"))
+      val resp = req("(drl (Base t))")
+      assert(resp.startsWith("(relation") && resp.contains("(Int 9)"), resp)
+    } finally {
+      ch.close(); listener.close()
+      // close() removes the socket file
+      assert(!new java.io.File(path).exists(), s"socket file $path left behind")
+    }
   }
 
   test("boot from a config string and round-trip a session over TCP") {
