@@ -78,26 +78,49 @@ object Server {
     }
   }
 
+  /** Section keys this server accepts: the reference's
+    * {storage, transport} (lib/system.ml:109) plus the documented
+    * `external` extension (parquet base tables). */
+  private val ExpectedSections = Set("storage", "transport", "external")
+
+  /** Section sweep with the reference's own validation
+    * (lib/configuration.ml:16-32): unknown, duplicate, empty, and
+    * multi-value sections are rejected with the same messages — a typo'd
+    * or doubled section must fail the boot, not be silently ignored. */
+  private def sections(fields: List[Sexp]): Either[String, Map[String, Sexp]] =
+    fields.foldLeft[Either[String, Map[String, Sexp]]](Right(Map.empty)) {
+      case (e @ Left(_), _) => e
+      case (Right(acc), SList(Atom(key) :: body)) =>
+        if (!ExpectedSections(key)) Left(s"Unknown configuration section: $key")
+        else if (acc.contains(key)) Left(s"Duplicate configuration section: $key")
+        else body match {
+          case List(subtree) => Right(acc + (key -> subtree))
+          case Nil => Left(s"Configuration section $key is empty (expected a tagged value)")
+          case _ => Left(s"Configuration section $key has multiple values (expected exactly one)")
+        }
+      case (_, bad) => Left(s"Malformed configuration section: ${bad.render}")
+    }
+
   def parseConfig(text: String): Either[String, Config] =
     Sexp.parse(text).flatMap {
       case SList(Atom("server") :: fields) =>
-        val fm = fields.collect { case SList(Atom(k) :: v) => k -> v }.toMap
         for {
-          storagePair <- fm.get("storage").toRight("missing field: storage").flatMap {
-            case List(SList(List(Atom("disk"), Atom(dir)))) => Right(("disk", Some(dir)))
-            case List(SList(Atom("disk") :: _)) => Left("disk storage needs a root path: (disk /path)")
-            case List(SList(Atom(kind) :: _)) => Right((kind, None))
-            case List(Atom(kind))             => Right((kind, None))
-            case o => Left(s"bad storage: ${SList(o).render}")
+          sm <- sections(fields)
+          storagePair <- sm.get("storage").toRight("missing field: storage").flatMap {
+            case SList(List(Atom("disk"), Atom(dir))) => Right(("disk", Some(dir)))
+            case SList(Atom("disk") :: _) => Left("disk storage needs a root path: (disk /path)")
+            case SList(Atom(kind) :: _) => Right((kind, None))
+            case Atom(kind)             => Right((kind, None))
+            case o => Left(s"bad storage: ${o.render}")
           }
           (storage, storageDir) = storagePair
           _ <- if (storage == "memory" || storage == "disk") Right(())
                else Left(s"Unknown storage backend: $storage")
-          transport <- fm.get("transport").toRight("missing field: transport").flatMap {
-            case List(SList(Atom("tcp") :: tcpFields)) => parseTcp(tcpFields)
-            case o => Left(s"Unknown transport: ${SList(o).render}")
+          transport <- sm.get("transport").toRight("missing field: transport").flatMap {
+            case SList(Atom("tcp") :: tcpFields) => parseTcp(tcpFields)
+            case o => Left(s"Unknown transport: ${o.render}")
           }
-          external = fm.get("external").collectFirst { case List(Atom(dir)) => dir }
+          external = sm.get("external").collect { case Atom(dir) => dir }
         } yield Config(storage, transport, external, storageDir)
       case other => Left(s"config must be a (server ...) form, got: ${other.render}")
     }

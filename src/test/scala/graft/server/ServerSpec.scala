@@ -47,6 +47,22 @@ class ServerSpec extends SparkTestBase {
     assert(Server.parseConfig("(client)").isLeft)
     assert(Server.parseConfig("(server (transport (tcp (port 0))))")
       .left.exists(_.contains("storage")))
+    // section-level validation — the reference's own rejections
+    // (lib/configuration.ml:16-32): unknown, duplicate, empty, and
+    // multi-value sections fail the boot instead of being ignored
+    assert(Server.parseConfig(
+      "(server (storage (memory)) (transport (tcp (port 0))) (storge (memory)))")
+      .left.exists(_.startsWith("Unknown configuration section")))
+    assert(Server.parseConfig(
+      "(server (storage (memory)) (storage (memory)) (transport (tcp (port 0))))")
+      .left.exists(_.startsWith("Duplicate configuration section")))
+    assert(Server.parseConfig("(server (storage) (transport (tcp (port 0))))")
+      .left.exists(_.contains("is empty")))
+    assert(Server.parseConfig(
+      "(server (storage (memory) (memory)) (transport (tcp (port 0))))")
+      .left.exists(_.contains("multiple values")))
+    assert(Server.parseConfig("(server bare-atom (storage (memory)))")
+      .left.exists(_.startsWith("Malformed configuration section")))
   }
 
   test("unix domain socket transport: boot from (tcp (path …)) and round-trip a session") {
