@@ -733,6 +733,29 @@ object SparkEntry {
         } finally conn.close()
       } finally listener.close()
     }),
+    // the SAME round-trip over the reference's OTHER sockaddr family
+    // (lib/transport.ml:27-28): an AF_UNIX listener + client — framing,
+    // dispatch, rendering, and value tagging must be transport-invariant
+    "tcp_unix_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft-${ProcessHandle.current().pid()}-oracle.sock"
+      val listener = new graft.server.Listener(
+        s, Some(new ParquetCatalog(s, dir)), unixPath = Some(path)).start()
+      try {
+        val conn = new graft.server.WireClient.Conn(path)
+        try {
+          val rows = graft.server.WireClient.streamQuery(conn, "(Base nation)", pageSize = 7)
+            .map(cells => org.apache.spark.sql.Row(cells: _*))
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("n_nationkey",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_name",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_regionkey",
+              org.apache.spark.sql.types.LongType)))
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        } finally conn.close()
+      } finally listener.close()
+    }),
     // cursor snapshot pinning under concurrent mutation (reference
     // lib/session.ml:11): rows fetched AFTER an insert+delete on the
     // underlying relation still reflect the state the cursor was begun
@@ -3811,6 +3834,10 @@ object SparkEntry {
     "scl_cursor_stream" -> "SELECT * FROM nation",
     // every nation row must survive the socket + sexp round-trip intact
     "tcp_roundtrip" ->
+      ("SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation"),
+    // transport-invariance: the AF_UNIX socket carries the identical rows
+    "tcp_unix_roundtrip" ->
       ("SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
         "CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation"),
     // pre-mutation contents: the 777 insert and the key-0 delete landed

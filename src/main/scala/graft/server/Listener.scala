@@ -55,6 +55,9 @@ final class Listener(spark: SparkSession, external: Option[Catalog] = None, port
   private val serverChannel: ServerSocketChannel = unixPath match {
     case Some(p) =>
       val ch = ServerSocketChannel.open(StandardProtocolFamily.UNIX)
+      // a stale socket file from a killed process fails the bind; no
+      // live listener can hold it (closing deletes it), so unlink first
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
       ch.bind(UnixDomainSocketAddress.of(p), 50)
       ch
     case None =>

@@ -16,11 +16,29 @@ object WireClient {
 
   final case class CursorPage(id: String, rows: Seq[Seq[Any]], hasMore: Boolean)
 
-  final class Conn(port: Int) extends AutoCloseable {
-    private val sock = new Socket(InetAddress.getLoopbackAddress, port)
-    private val out = new PrintWriter(sock.getOutputStream, true, StandardCharsets.UTF_8)
+  private type Io = (java.io.InputStream, java.io.OutputStream, AutoCloseable)
+
+  private def inetIo(port: Int): Io = {
+    val s = new Socket(InetAddress.getLoopbackAddress, port)
+    (s.getInputStream, s.getOutputStream, s)
+  }
+
+  private def unixIo(path: String): Io = {
+    val ch = java.nio.channels.SocketChannel.open(
+      java.net.UnixDomainSocketAddress.of(path))
+    (java.nio.channels.Channels.newInputStream(ch),
+      java.nio.channels.Channels.newOutputStream(ch), ch)
+  }
+
+  final class Conn private (io: Io) extends AutoCloseable {
+    /** Loopback inet connection. */
+    def this(port: Int) = this(WireClient.inetIo(port))
+    /** AF_UNIX connection — the `(tcp (path …))` transport's client half. */
+    def this(unixPath: String) = this(WireClient.unixIo(unixPath))
+    private val sock = io._3
+    private val out = new PrintWriter(io._2, true, StandardCharsets.UTF_8)
     private val in = new BufferedReader(
-      new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      new InputStreamReader(io._1, StandardCharsets.UTF_8))
     /** One request, one response line (the framing contract). A null
       * readLine means the server closed the socket — surface that as its
       * own failure instead of letting Sexp.parse(null) NPE downstream;
