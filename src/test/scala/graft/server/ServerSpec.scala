@@ -65,6 +65,42 @@ class ServerSpec extends SparkTestBase {
       .left.exists(_.startsWith("Malformed configuration section")))
   }
 
+  test("the reference's OWN config files parse verbatim — comments, quoted atoms, both transports") {
+    // the switch test: a reference user's config.sexp / config-unix.sexp
+    // (repo root of dont-rely-on-nulls/sakura) must work unchanged
+    import Server.Transport.{Inet, UnixSock}
+    def read(p: String): Option[String] = {
+      val f = new java.io.File(p)
+      if (f.isFile) Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      else None
+    }
+    read("/root/reference/config.sexp") match {
+      case Some(cfg) =>
+        assert(Server.parseConfig(cfg) ==
+          Right(Server.Config("memory", Inet(Some("127.0.0.1"), 7777), None)), cfg)
+      case None => // reference tree absent: pin the same text inline
+        assert(Server.parseConfig(
+          ";; comment\n(server\n (storage (memory))\n (transport (tcp\n (address \"127.0.0.1\")\n (port 7777))))") ==
+          Right(Server.Config("memory", Inet(Some("127.0.0.1"), 7777), None)))
+    }
+    val unixCfg = read("/root/reference/config-unix.sexp").getOrElse(
+      "(server\n (storage (memory))\n (transport (tcp\n (path \"/tmp/sakura.sock\"))))")
+    assert(Server.parseConfig(unixCfg) ==
+      Right(Server.Config("memory", UnixSock("/tmp/sakura.sock"), None)), unixCfg)
+    // and it BOOTS: serve one session over the reference's unix config
+    val listener = Server.boot(spark, unixCfg).fold(e => fail(e), identity)
+    val ch = java.nio.channels.SocketChannel.open(
+      java.net.UnixDomainSocketAddress.of("/tmp/sakura.sock"))
+    try {
+      val out = new PrintWriter(java.nio.channels.Channels.newOutputStream(ch), true,
+        StandardCharsets.UTF_8)
+      val in = new BufferedReader(new InputStreamReader(
+        java.nio.channels.Channels.newInputStream(ch), StandardCharsets.UTF_8))
+      out.println("(ddl (CreateDatabase ref))")
+      assert(in.readLine().startsWith("(ok"))
+    } finally { ch.close(); listener.close() }
+  }
+
   test("unix domain socket transport: boot from (tcp (path …)) and round-trip a session") {
     // short path — AF_UNIX sun_path is ~104 bytes
     val path = s"/tmp/graft-${ProcessHandle.current().pid()}.sock"
