@@ -46,10 +46,25 @@ object Checkpoints {
   def cut(df: DataFrame): DataFrame = dir match {
     case Some(d) =>
       val sc = df.sparkSession.sparkContext
-      // setCheckpointDir is idempotent for a same-dir call; only touch it
-      // when unset or pointed elsewhere (a session serves many queries)
-      if (!sc.getCheckpointDir.exists(_.contains(new java.io.File(d).getName)))
-        sc.setCheckpointDir(d)
+      // setCheckpointDir appends a UUID segment, so the context's current
+      // dir matches the configured one iff its PARENT path resolves to it
+      // (a leaf-name substring test would accept any stale dir sharing the
+      // leaf name). Only touch it when unset or pointed elsewhere — a
+      // session serves many queries and each setCheckpointDir call mints a
+      // fresh UUID directory.
+      val want = {
+        val p = new org.apache.hadoop.fs.Path(d)
+        if (p.toUri.getScheme == null)
+          new org.apache.hadoop.fs.Path(new java.io.File(d).getAbsolutePath)
+        else p
+      }
+      val pointed = sc.getCheckpointDir.exists { cur =>
+        val par = new org.apache.hadoop.fs.Path(cur).getParent
+        par != null && par.toUri.getPath == want.toUri.getPath &&
+          (want.toUri.getScheme == null || par.toUri.getScheme == null ||
+            want.toUri.getScheme == par.toUri.getScheme)
+      }
+      if (!pointed) sc.setCheckpointDir(d)
       df.checkpoint()
     case None => df.localCheckpoint()
   }

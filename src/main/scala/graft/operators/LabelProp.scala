@@ -127,6 +127,14 @@ object LabelProp {
             .groupBy(col("u"))
             .agg(max(when(col("rn") === 1, col("label"))).as("label"),
               max(when(col("__has_self") === 1, col("label"))).as("__old"))
+            // domain pin: every vertex IN the domain has a self vote, so
+            // __old is null exactly for edge endpoints absent from
+            // `vertices` — dropping them keeps the output domain equal to
+            // the fixed-round path's (which left-joins against nodes)
+            // without any extra join, and keeps the fixpoint probe sound
+            // (a null __old row would compare as null and silently never
+            // count as changed)
+            .filter(col("__old").isNotNull)
             .select(col("u").as("v"), col("label"), col("__old"))
         } else {
           val cnt = nbrVotes.groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
@@ -141,7 +149,9 @@ object LabelProp {
         // materialization doubles as the fixpoint probe: 0 changed ⇒
         // every later round is identity — exit without touching the
         // result the oracle pins
-        stable = persisted.filter(col("label") =!= col("__old")).count() == 0L
+        // null-safe: with the domain pin __old is never null, but a
+        // null must read as "changed", never as "stable"
+        stable = persisted.filter(!(col("label") <=> col("__old"))).count() == 0L
       } else {
         persisted.count() // materialize before releasing the previous round
       }

@@ -54,12 +54,34 @@ final class Listener(spark: SparkSession, external: Option[Catalog] = None, port
   private val session = new EngineSession(spark, external, persistDir)
   private val serverChannel: ServerSocketChannel = unixPath match {
     case Some(p) =>
-      val ch = ServerSocketChannel.open(StandardProtocolFamily.UNIX)
-      // a stale socket file from a killed process fails the bind; no
-      // live listener can hold it (closing deletes it), so unlink first
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
-      ch.bind(UnixDomainSocketAddress.of(p), 50)
-      ch
+      // Bind first — unlink ONLY a provably stale socket file. The
+      // reference's Unix bind fails EADDRINUSE when a live server holds
+      // the path (Unix.bind, lib/transport.ml:44-48); an unconditional
+      // pre-unlink would silently delete that live server's socket and
+      // steal the address. A file left by a killed process fails the
+      // bind too, so on bind failure we probe with a connect: refused ⇒
+      // stale (safe to unlink and rebind), accepted ⇒ live (boot fails).
+      val addr = UnixDomainSocketAddress.of(p)
+      def openBind(): ServerSocketChannel = {
+        val ch = ServerSocketChannel.open(StandardProtocolFamily.UNIX)
+        try { ch.bind(addr, 50); ch }
+        catch { case e: Throwable => ch.close(); throw e }
+      }
+      try openBind()
+      catch {
+        case _: java.net.BindException =>
+          val live =
+            try {
+              val probe = SocketChannel.open(StandardProtocolFamily.UNIX)
+              try probe.connect(addr)
+              finally probe.close()
+            } catch { case _: Throwable => false }
+          if (live)
+            throw new IllegalStateException(
+              s"unix socket $p: address already in use (a live listener holds it)")
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+          openBind()
+      }
     case None =>
       val addr = bindAddress.map(InetAddress.getByName)
         .getOrElse(InetAddress.getLoopbackAddress)

@@ -120,7 +120,14 @@ object Server {
             case SList(Atom("tcp") :: tcpFields) => parseTcp(tcpFields)
             case o => Left(s"Unknown transport: ${o.render}")
           }
-          external = sm.get("external").collect { case Atom(dir) => dir }
+          // a PRESENT but malformed external section fails the boot like
+          // every other malformed section — a silent None would boot the
+          // server without the parquet catalog the config asked for
+          external <- sm.get("external") match {
+            case None            => Right(None)
+            case Some(Atom(dir)) => Right(Some(dir))
+            case Some(o) => Left(s"bad external: expected a directory atom, got ${o.render}")
+          }
         } yield Config(storage, transport, external, storageDir)
       case other => Left(s"config must be a (server ...) form, got: ${other.render}")
     }

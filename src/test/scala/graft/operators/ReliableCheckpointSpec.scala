@@ -57,4 +57,41 @@ class ReliableCheckpointSpec extends SparkTestBase {
       ()
     }
   }
+
+  test("re-pointing the dir re-targets the context even when leaf names collide") {
+    // two distinct parents sharing the leaf name "ckpt": a substring
+    // guard on the leaf would treat dirA's context setting as already
+    // covering dirB and keep writing to the stale location
+    val base = Files.createTempDirectory("graft-ckpt-guard")
+    val dirA = Files.createDirectories(base.resolve("a/ckpt"))
+    val dirB = Files.createDirectories(base.resolve("b/ckpt"))
+    def rddDirsUnder(d: java.nio.file.Path): Int = {
+      def count(f: java.io.File): Int =
+        if (f.isDirectory && f.getName.startsWith("rdd-")) 1
+        else Option(f.listFiles()).map(_.map(count).sum).getOrElse(0)
+      count(d.toFile)
+    }
+    try {
+      sys.props("graft.checkpoint.dir") = dirA.toString
+      Checkpoints.cut(Seq(1L).toDF("x")).count()
+      assert(rddDirsUnder(dirA) > 0, s"no checkpoint landed under $dirA")
+
+      sys.props("graft.checkpoint.dir") = dirB.toString
+      Checkpoints.cut(Seq(2L).toDF("x")).count()
+      assert(rddDirsUnder(dirB) > 0,
+        s"re-pointed dir ignored — checkpoints still landing under the stale $dirA")
+
+      // and the guard IS idempotent for a same-dir call: the UUID
+      // segment count under dirB must not grow on a second cut()
+      def uuidDirs(d: java.nio.file.Path): Int =
+        Option(d.toFile.listFiles()).map(_.count(_.isDirectory)).getOrElse(0)
+      val before = uuidDirs(dirB)
+      Checkpoints.cut(Seq(3L).toDF("x")).count()
+      assert(uuidDirs(dirB) == before,
+        "same-dir cut() minted a fresh UUID directory — the guard stopped recognizing its own setting")
+    } finally {
+      sys.props.remove("graft.checkpoint.dir")
+      ()
+    }
+  }
 }

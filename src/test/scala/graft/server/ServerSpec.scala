@@ -63,6 +63,11 @@ class ServerSpec extends SparkTestBase {
       .left.exists(_.contains("multiple values")))
     assert(Server.parseConfig("(server bare-atom (storage (memory)))")
       .left.exists(_.startsWith("Malformed configuration section")))
+    // a PRESENT but malformed external section fails like every other
+    // malformed shape — it must not silently boot without the catalog
+    assert(Server.parseConfig(
+      "(server (storage (memory)) (transport (tcp (port 0))) (external (path /x)))")
+      .left.exists(_.startsWith("bad external")))
   }
 
   test("the reference's OWN config files parse verbatim — comments, quoted atoms, both transports") {
@@ -125,6 +130,39 @@ class ServerSpec extends SparkTestBase {
       // close() removes the socket file
       assert(!new java.io.File(path).exists(), s"socket file $path left behind")
     }
+  }
+
+  test("unix bind: a LIVE listener keeps its address (second boot fails); a STALE socket file is reclaimed") {
+    val path = s"/tmp/graft-bind-${ProcessHandle.current().pid()}.sock"
+    val cfg = s"(server (storage (memory)) (transport (tcp (path $path))))"
+    val first = Server.boot(spark, cfg).fold(e => fail(e), identity)
+    try {
+      // the reference's Unix bind fails EADDRINUSE on a held path
+      // (lib/transport.ml:44-48) — a second boot must NOT silently
+      // unlink the live server's socket and steal the address
+      val second = Server.boot(spark, cfg)
+      assert(second.left.exists(_.contains("already in use")), second)
+      // and the first listener is still serving on its socket
+      val ch = java.nio.channels.SocketChannel.open(
+        java.net.UnixDomainSocketAddress.of(path))
+      try {
+        val out = new PrintWriter(java.nio.channels.Channels.newOutputStream(ch), true,
+          StandardCharsets.UTF_8)
+        val in = new BufferedReader(new InputStreamReader(
+          java.nio.channels.Channels.newInputStream(ch), StandardCharsets.UTF_8))
+        out.println("(ddl (CreateDatabase live))")
+        assert(in.readLine().startsWith("(ok"))
+      } finally ch.close()
+    } finally first.close()
+    // stale-file reclaim: a leftover path with NO listener behind it
+    // (killed process) must not block the boot
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(path))
+    val third = Server.boot(spark, cfg).fold(e => fail(e), identity)
+    try {
+      val ch = java.nio.channels.SocketChannel.open(
+        java.net.UnixDomainSocketAddress.of(path))
+      ch.close()
+    } finally third.close()
   }
 
   test("boot from a config string and round-trip a session over TCP") {
