@@ -3643,15 +3643,15 @@ object SparkEntry {
     if (!Files.exists(root.resolve("__v=0"))) {
       val base = s.range(200000L * m)
         .select(col("id").as("k"), (col("id") % 97).as("payload"))
-        .withColumn("__bucket", st.bucketOf(col("k")))
-      st.write(0L, base, (0 until buckets).toSet)
+        .withColumn("__bucket", st.bucketOf(0L, col("k")))
+      st.write(0L, base, (0 until buckets).map(_.toString).toSet)
     }
     // next free version (each bench pass appends one batch)
     val v = Option(root.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
       .flatMap(f => f.getName.stripPrefix("__v=").toLongOption).max + 1
     val inc = s.range(8L).select((col("id") * 31L).as("k"), lit(-1L).as("payload"))
-      .withColumn("__bucket", st.bucketOf(col("k")))
-    val touched = inc.select(col("__bucket")).distinct().collect().map(_.getInt(0)).toSet
+      .withColumn("__bucket", st.bucketOf(v, col("k")))
+    val touched = inc.select(col("__bucket")).distinct().collect().map(_.getString(0)).toSet
     val merged = st.before(v, Some(touched)) match {
       case None    => inc
       case Some(p) => p.join(inc.select(col("k")), Seq("k"), "left_anti").unionByName(inc)

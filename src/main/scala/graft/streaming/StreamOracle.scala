@@ -211,7 +211,7 @@ object StreamOracle {
         val last = b
           .withColumn("op", when(col("event_id") % 10 === 7, lit("D")).otherwise(lit("U")))
           .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-          .withColumn("__bucket", state.bucketOf(col("user_id"), col("event_type")))
+          .withColumn("__bucket", state.bucketOf(batchId, col("user_id"), col("event_type")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // the whole MERGE protocol (touched-bucket read, anti-join +
@@ -295,14 +295,14 @@ object StreamOracle {
         // corpus scale)
         val long = Dedup.bandRows(
           Dedup.bandSignatures(b, "doc_id", "text"), "doc_id")
-          .withColumn("__bucket", index.bucketOf(col("band"), col("bh")))
+          .withColumn("__bucket", index.bucketOf(batchId, col("band"), col("bh")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val minb = long.groupBy(col("band"), col("bh")).agg(min(col("doc_id")).as("__min"))
           val withMin = long.join(minb, Seq("band", "bh"))
-          // bounded collect: at most StateBuckets ints cross the driver
+          // bounded collect: at most the live slot count crosses the driver
           val touched = long.select(col("__bucket")).distinct()
-            .collect().map(_.getInt(0)).toSet
+            .collect().map(_.getString(0)).toSet
           val prior = index.before(batchId, Some(touched))
           val joined = prior match {
             case None => withMin.withColumn("__prev", lit(null).cast("int"))
@@ -326,7 +326,7 @@ object StreamOracle {
           index.write(batchId, prior match {
             case None    => batchKeys
             case Some(p) => p.unionByName(batchKeys).distinct()
-          }, touched)
+          }, touched, splitKeyCols = Seq("band", "bh"))
           // retention between batches (see cdcUpsert)
           index.compact(batchId - 1)
         } finally { long.unpersist(); () }

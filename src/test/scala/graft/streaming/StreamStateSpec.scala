@@ -9,15 +9,20 @@ import org.apache.spark.sql.functions._
   * hash-bucketed state the streaming CDC upsert and the near-dup band
   * index maintain:
   *
-  *  1. O(touched buckets) per batch: a version directory holds ONLY the
-  *     buckets the batch's keys hash into — a one-key batch against a
-  *     million-key state writes one bucket, not the state;
-  *  2. reads compose the newest version PER BUCKET (untouched buckets
-  *     survive at their older versions);
-  *  3. replay safety: batch N's read pins to versions < N, so a
-  *     foreachBatch re-execution of N reads the same pre-batch state the
-  *     first attempt read — never the partial v=N it overwrites — and
-  *     rewrites identical content.
+  *  1. O(touched slots) per batch: a version directory holds ONLY the
+  *     slots the batch's keys resolve to — a one-key batch against a
+  *     million-key state writes one slot, not the state;
+  *  2. reads compose the newest version PER SLOT through the manifest
+  *     (untouched slots survive at their older versions; no directory
+  *     walk on the read path);
+  *  3. replay safety: batch N's reads AND slot resolution pin to
+  *     manifests strictly below N, so a foreachBatch re-execution of N
+  *     reads the same pre-batch state the first attempt read — never
+  *     the partial v=N it overwrites — and rewrites identical content;
+  *  4. bucket evolution: a slot that outgrows `splitBytes` is rewritten
+  *     into its two extendible-hash trie children by the next batch that
+  *     touches it — siblings untouched, reads resolve through the
+  *     manifest, replay after a split stays deterministic.
   */
 class StreamStateSpec extends SparkTestBase {
   import spark.implicits._
@@ -28,17 +33,18 @@ class StreamStateSpec extends SparkTestBase {
     p
   }
 
-  /** Keyed payload with the state's bucket column attached. */
-  private def keyed(st: BucketedState, kv: (Long, String)*): DataFrame =
-    kv.toSeq.toDF("k", "v").withColumn("__bucket", st.bucketOf(col("k")))
+  /** Keyed payload with the state's slot column attached, pinned to the
+    * batch that will write it. */
+  private def keyed(st: BucketedState, batch: Long, kv: (Long, String)*): DataFrame =
+    kv.toSeq.toDF("k", "v").withColumn("__bucket", st.bucketOf(batch, col("k")))
 
   private def asMap(df: DataFrame): Map[Long, String] =
     df.select(col("k"), col("v")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
 
-  private def touchedOf(df: DataFrame): Set[Int] =
-    df.select(col("__bucket")).distinct().collect().map(_.getInt(0)).toSet
+  private def touchedOf(df: DataFrame): Set[String] =
+    df.select(col("__bucket")).distinct().collect().map(_.getString(0)).toSet
 
-  /** Bucket partition dirs present under version `v`. */
+  /** Slot partition dirs present under version `v`. */
   private def bucketsIn(root: Path, v: Long): Set[String] = {
     val d = root.resolve(s"__v=$v").toFile
     Option(d.listFiles()).getOrElse(Array.empty)
@@ -46,17 +52,18 @@ class StreamStateSpec extends SparkTestBase {
       .map(_.getName).toSet
   }
 
-  test("a batch writes ONLY the buckets it touches; reads stitch newest-per-bucket") {
+  test("a batch writes ONLY the slots it touches; reads stitch newest-per-slot via the manifest") {
     val root = tmpRoot()
     val st = new BucketedState(spark, root, buckets = 8)
 
-    // batch 0: a spread of keys (establishes several buckets)
-    val b0 = keyed(st, (1L, "a0"), (2L, "b0"), (3L, "c0"), (4L, "d0"), (5L, "e0"))
+    // batch 0: a spread of keys (establishes several slots)
+    val b0 = keyed(st, 0L, (1L, "a0"), (2L, "b0"), (3L, "c0"), (4L, "d0"), (5L, "e0"))
     st.write(0L, b0, touchedOf(b0))
     val buckets0 = bucketsIn(root, 0L)
+    assert(Files.exists(root.resolve("__manifest-v=0")), "write installed no manifest")
 
-    // batch 1: ONE key — exactly one bucket directory may appear in v=1
-    val b1 = keyed(st, (1L, "a1"))
+    // batch 1: ONE key — exactly one slot directory may appear in v=1
+    val b1 = keyed(st, 1L, (1L, "a1"))
     st.write(1L, b1, touchedOf(b1))
     assert(bucketsIn(root, 1L).size == 1,
       s"one-key batch wrote ${bucketsIn(root, 1L)} — the full-state rewrite is back")
@@ -67,42 +74,42 @@ class StreamStateSpec extends SparkTestBase {
     assert(cur == Map(1L -> "a1", 2L -> "b0", 3L -> "c0", 4L -> "d0", 5L -> "e0"), cur.toString)
   }
 
-  test("a bucket EMPTIED by deletes tombstones — old keys never resurface from older versions") {
+  test("a slot EMPTIED by deletes tombstones — old keys never resurface from older versions") {
     val root = tmpRoot()
     val st = new BucketedState(spark, root, buckets = 8)
-    // pick a key ALONE in its bucket plus two keepers from other buckets,
-    // so deleting it genuinely empties a bucket
-    val probe = keyed(st, (1L to 20L).map(k => k -> s"x$k"): _*)
+    // pick a key ALONE in its slot plus two keepers from other slots,
+    // so deleting it genuinely empties a slot
+    val probe = keyed(st, 0L, (1L to 20L).map(k => k -> s"x$k"): _*)
       .select(col("k"), col("__bucket")).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     val soloBucket = probe(1L)
     val keeps = probe.collect { case (k, b) if b != soloBucket => k }.toSeq.sorted.take(2)
-    assume(keeps.size == 2, "degenerate hash fixture — all probe keys in one bucket")
-    val b0 = keyed(st, (1L -> "a0") +: keeps.map(k => k -> s"keep$k"): _*)
+    assume(keeps.size == 2, "degenerate hash fixture — all probe keys in one slot")
+    val b0 = keyed(st, 0L, (1L -> "a0") +: keeps.map(k => k -> s"keep$k"): _*)
     st.write(0L, b0, touchedOf(b0))
 
-    // the cdcUpsert merge shape, restricted to key 1's bucket: drop key 1
-    // (the merged frame for that bucket is EMPTY — the tombstone case)
+    // the cdcUpsert merge shape, restricted to key 1's slot: drop key 1
+    // (the merged frame for that slot is EMPTY — the tombstone case)
     val touched = Set(soloBucket)
     val prior = st.before(1L, Some(touched)).getOrElse(fail("no prior"))
     st.write(1L, prior.join(Seq(1L).toDF("k"), Seq("k"), "left_anti"), touched)
 
     // the tombstone is structurally there: v=1 holds exactly the emptied
-    // bucket's dir, with no part files
+    // slot's dir, with no part files
     assert(bucketsIn(root, 1L) == Set(s"__bucket=$soloBucket"))
     val cur = asMap(st.current().getOrElse(fail("state empty")))
     assert(!cur.contains(1L), s"deleted key resurfaced from the shadowed version: $cur")
     assert(cur == keeps.map(k => k -> s"keep$k").toMap, cur.toString)
   }
 
-  test("compact() removes only SHADOWED partitions — reads identical before and after") {
+  test("compact() removes only SHADOWED partitions and stale manifests — reads identical before and after") {
     val root = tmpRoot()
     val st = new BucketedState(spark, root, buckets = 4)
-    val b0 = keyed(st, (1L to 8L).map(k => k -> s"v0_$k"): _*)
+    val b0 = keyed(st, 0L, (1L to 8L).map(k => k -> s"v0_$k"): _*)
     st.write(0L, b0, touchedOf(b0))
-    val b1 = keyed(st, (1L, "v1_1"), (2L, "v1_2"))
+    val b1 = keyed(st, 1L, (1L, "v1_1"), (2L, "v1_2"))
     st.write(1L, b1, touchedOf(b1))
-    val b2 = keyed(st, (3L, "v2_3"))
+    val b2 = keyed(st, 2L, (3L, "v2_3"))
     st.write(2L, b2, touchedOf(b2))
 
     val beforeCompact = asMap(st.current().getOrElse(fail("state empty")))
@@ -110,30 +117,35 @@ class StreamStateSpec extends SparkTestBase {
     val afterCompact = asMap(st.current().getOrElse(fail("state empty")))
     assert(afterCompact == beforeCompact, s"$afterCompact vs $beforeCompact")
 
-    // shadowed partitions are physically gone: key 1's bucket must no
+    // shadowed partitions are physically gone: key 1's slot must no
     // longer exist under __v=0 (its newest home is __v=1)
-    val b1bucket = touchedOf(keyed(st, (1L, "x"))).head
+    val b1bucket = touchedOf(keyed(st, 1L, (1L, "x"))).head
     assert(!root.resolve("__v=0").resolve(s"__bucket=$b1bucket").toFile.exists(),
       "compact left a shadowed partition behind")
+    // stale manifests swept, the newest ≤ upToBatch survives (the one a
+    // replay of batch 3 resolves through)
+    assert(!Files.exists(root.resolve("__manifest-v=0")), "compact left a stale manifest")
+    assert(!Files.exists(root.resolve("__manifest-v=1")), "compact left a stale manifest")
+    assert(Files.exists(root.resolve("__manifest-v=2")), "compact deleted the live manifest")
     // and replays of the NEXT batch still read a complete pre-batch state
     assert(asMap(st.before(3L).getOrElse(fail("no state"))) == beforeCompact)
   }
 
-  test("merge(): upsert + delete in one batch, touched buckets only, retention swept") {
+  test("merge(): upsert + delete in one batch, touched slots only, retention swept") {
     val root = tmpRoot()
     val st = new BucketedState(spark, root, buckets = 4)
-    val b0 = keyed(st, (1L, "a0"), (2L, "b0"), (3L, "c0"))
+    val b0 = keyed(st, 0L, (1L, "a0"), (2L, "b0"), (3L, "c0"))
     st.write(0L, b0, touchedOf(b0))
 
     // batch 1: update key 1, DELETE key 2 (a touched key with no upsert
     // row), leave key 3 alone
-    val touchedKeys = keyed(st, (1L, "x"), (2L, "x")).select(col("k"), col("__bucket"))
-    val upserts = keyed(st, (1L, "a1"))
+    val touchedKeys = keyed(st, 1L, (1L, "x"), (2L, "x")).select(col("k"), col("__bucket"))
+    val upserts = keyed(st, 1L, (1L, "a1"))
     st.merge(1L, touchedKeys, upserts, Seq("k"))
 
     val cur = asMap(st.current().getOrElse(fail("state empty")))
     assert(cur == Map(1L -> "a1", 3L -> "c0"), cur.toString)
-    // retention ran: no bucket partition below v=1 shadows a newer one
+    // retention ran: no slot partition below v=1 shadows a newer one
     val keysAgain = asMap(st.before(2L).getOrElse(fail("no state")))
     assert(keysAgain == cur)
   }
@@ -141,13 +153,13 @@ class StreamStateSpec extends SparkTestBase {
   test("replay of batch N reads the pre-N state (v < N) and rewrites identical content") {
     val root = tmpRoot()
     val st = new BucketedState(spark, root, buckets = 4)
-    val b0 = keyed(st, (1L, "a0"), (2L, "b0"))
+    val b0 = keyed(st, 0L, (1L, "a0"), (2L, "b0"))
     st.write(0L, b0, touchedOf(b0))
 
     def runBatch1(): Unit = {
       // merge shape: upsert key 1 — reads MUST see v=0's a0 even when a
       // previous attempt already installed v=1
-      val ups = keyed(st, (1L, "a1"))
+      val ups = keyed(st, 1L, (1L, "a1"))
       val touched = touchedOf(ups)
       val prior = st.before(1L, Some(touched)).getOrElse(fail("no prior"))
       assert(asMap(prior.filter(col("k") === 1L)) == Map(1L -> "a0"),
@@ -160,5 +172,77 @@ class StreamStateSpec extends SparkTestBase {
     runBatch1() // the foreachBatch retry
     val second = asMap(st.current().getOrElse(fail("state empty")))
     assert(first == second && first(1L) == "a1", s"$first vs $second")
+  }
+
+  test("SPLIT: an oversize slot is rewritten into its two trie children; siblings untouched; reads resolve") {
+    val root = tmpRoot()
+    // splitBytes = 1: ANY non-empty rewritten slot splits
+    val st = new BucketedState(spark, root, buckets = 4, splitBytes = 1L)
+    val b0 = keyed(st, 0L, (1L to 40L).map(k => k -> s"v0_$k"): _*)
+    st.write(0L, b0, touchedOf(b0)) // no split at v=0: slots have no PRE-batch bytes
+    val slots0 = bucketsIn(root, 0L)
+    assert(slots0.forall(!_.contains(".")), s"v=0 split without prior bytes: $slots0")
+
+    // batch 1 touches exactly one key — its slot (oversize per the tiny
+    // threshold) must be rewritten as the two children "b.0.2"/"b.1.2",
+    // and NO sibling slot may appear at v=1
+    val hot = touchedOf(keyed(st, 1L, (1L, "x"))).head
+    val ups = keyed(st, 1L, (1L, "v1_1"))
+    st.merge(1L, ups.select(col("k"), col("__bucket")), ups, Seq("k"))
+    val v1 = bucketsIn(root, 1L)
+    assert(v1 == Set(s"__bucket=$hot.0.2", s"__bucket=$hot.1.2"),
+      s"expected exactly the two children of slot $hot at v=1, got $v1")
+
+    // reads stitch: every key still present, key 1 updated
+    val cur = asMap(st.current().getOrElse(fail("state empty")))
+    val want = (1L to 40L).map(k => k -> (if (k == 1L) "v1_1" else s"v0_$k")).toMap
+    assert(cur == want, s"post-split state diverged: ${cur.toSeq.sorted.take(5)}...")
+
+    // batch 2 touches a key in ONE child — only that child's dir appears
+    // (the split's whole point: rewrite granularity halved)
+    val k2 = (2L to 40L).find { k =>
+      touchedOf(keyed(st, 2L, (k, "x"))).head.startsWith(s"$hot.")
+    }.getOrElse(fail("no second key landed in the split slot"))
+    val ups2 = keyed(st, 2L, (k2, "v2")) // child not oversize yet ⇒ pre-bytes small? forced anyway by splitBytes=1
+    val childOfK2 = touchedOf(ups2).head
+    assert(childOfK2.count(_ == '.') == 2, s"key $k2 did not resolve to a child slot: $childOfK2")
+  }
+
+  test("split decisions and reads stay deterministic under REPLAY of the splitting batch") {
+    val root = tmpRoot()
+    val st = new BucketedState(spark, root, buckets = 4, splitBytes = 1L)
+    val b0 = keyed(st, 0L, (1L to 24L).map(k => k -> s"v0_$k"): _*)
+    st.write(0L, b0, touchedOf(b0))
+
+    def runBatch1(): Unit = {
+      val ups = keyed(st, 1L, (1L, "v1_1"))
+      st.merge(1L, ups.select(col("k"), col("__bucket")), ups, Seq("k"))
+    }
+    runBatch1()
+    val firstDirs = bucketsIn(root, 1L)
+    val first = asMap(st.current().getOrElse(fail("state empty")))
+    runBatch1() // foreachBatch retry AFTER the split landed
+    assert(bucketsIn(root, 1L) == firstDirs,
+      s"replay re-partitioned differently: ${bucketsIn(root, 1L)} vs $firstDirs")
+    val second = asMap(st.current().getOrElse(fail("state empty")))
+    assert(first == second && first(1L) == "v1_1", s"$first vs $second")
+  }
+
+  test("compounding splits: a child that stays oversize splits again (factor 4), state intact") {
+    val root = tmpRoot()
+    val st = new BucketedState(spark, root, buckets = 2, splitBytes = 1L)
+    val b0 = keyed(st, 0L, (1L to 64L).map(k => k -> s"v0_$k"): _*)
+    st.write(0L, b0, touchedOf(b0))
+    // every batch rewrites key 1's slot-of-the-moment; with splitBytes=1
+    // each rewrite splits again: factor 1 → 2 → 4
+    for (batch <- 1L to 2L) {
+      val ups = keyed(st, batch, (1L, s"v${batch}_1"))
+      st.merge(batch, ups.select(col("k"), col("__bucket")), ups, Seq("k"))
+    }
+    val slot = touchedOf(keyed(st, 3L, (1L, "x"))).head
+    assert(slot.endsWith(".4"), s"expected key 1 in a factor-4 slot after two splits, got $slot")
+    val cur = asMap(st.current().getOrElse(fail("state empty")))
+    val want = (1L to 64L).map(k => k -> (if (k == 1L) "v2_1" else s"v0_$k")).toMap
+    assert(cur == want, "state diverged across compounding splits")
   }
 }
