@@ -2625,6 +2625,14 @@ object SparkEntry {
     // proves batch boundaries invisible
     "streaming_neardup_admit" -> ((s, dir) =>
       graft.streaming.StreamOracle.nearDupAdmission(s, dir, scratch(dir, "streamlsh"))),
+    // STREAMING EXACT DEDUP (dropDuplicatesWithinWatermark), oracle-
+    // checked with a stream-spanning watermark: nothing evicts, so the
+    // admitted set must equal DuckDB's global first-arrival dedup —
+    // exactly one admitted row per digest, from the earliest chunk
+    // containing it (the tight-watermark eviction horizon is spec-pinned
+    // in StreamsSpec instead — engine-internal, not batch-expressible)
+    "streaming_dedup" -> ((s, dir) =>
+      graft.streaming.StreamOracle.dedupAdmitted(s, dir, scratch(dir, "streamdedup"))),
     // STREAM-STREAM INTERVAL JOIN, oracle-checked: same-user event
     // attribution within (0, 1h] across two watermarked sources — the
     // union of per-batch inner-join emissions must equal DuckDB's
@@ -4784,6 +4792,7 @@ object SparkEntry {
       graft.streaming.StreamOracle.SessionGapMs),
     "streaming_cdc_upsert" -> graft.streaming.StreamOracle.cdcUpsertOracle,
     "streaming_neardup_admit" -> graft.pipeline.Oracles.dedupStreamingAdmission,
+    "streaming_dedup" -> graft.streaming.StreamOracle.dedupAdmittedOracle,
     "streaming_interval_join" -> graft.streaming.StreamOracle.intervalJoinOracle,
     "streaming_quota" -> graft.streaming.StreamOracle.quotaOracle(
       graft.streaming.StreamOracle.QuotaPerUser),

@@ -238,11 +238,15 @@ object StreamOracle {
     * (ingest order = id order; no sentinel — this family's pipelines are
     * pure foreachBatch state, no watermark to advance). */
   private def stageDocs(spark: SparkSession, sfDir: String, workDir: String,
+      chunks: Int): String =
+    stageDocsFrame(spark,
+      spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text")),
+      workDir, chunks)
+
+  private def stageDocsFrame(spark: SparkSession, docs: DataFrame, workDir: String,
       chunks: Int): String = {
     val in = Paths.get(workDir, "docs_in")
     Files.createDirectories(in)
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
     val (lo, hi) = {
       val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
       (r.getLong(0), r.getLong(1))
@@ -335,6 +339,98 @@ object StreamOracle {
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(sink).drop("b")
   }
+
+  /** Chunk count shared by [[dedupAdmitted]] and its oracle SQL. */
+  val DedupChunks = 4
+
+  /** STREAMING EXACT DEDUP through the real machinery
+    * ([[Streams.streamingDedup]] = `dropDuplicatesWithinWatermark` over
+    * the content digest), oracle-checked with a STREAM-SPANNING
+    * watermark: when the watermark horizon is wider than the staged
+    * stream's event-time span, nothing is ever evicted, so the admitted
+    * set ≡ DuckDB's one-shot global first-arrival dedup — the case the
+    * batch oracle CAN model (the tight-watermark eviction horizon stays
+    * spec-pinned in StreamsSpec, where a re-sent duplicate re-admits
+    * after its digest's state is reclaimed).
+    *
+    * The staged stream is documents PLUS a deterministic duplicate of
+    * every doc_id ≡ 3 (mod 7), re-ingested at doc_id + span — the
+    * testdata's texts are (nearly) all distinct, so without the planted
+    * re-sends the operator would never drop a row and the check would be
+    * vacuous; with them ~1/7 of the corpus arrives twice, in a LATER
+    * chunk than its original (the cross-batch case).
+    *
+    * Determinism: documents arrive as doc_id-range chunks (event time
+    * synthesized monotone in doc_id), so the first batch containing a
+    * digest is the chunk of its min doc_id — deterministic — while the
+    * WINNING ROW among same-digest docs inside one micro-batch is
+    * engine-arbitrary. The oracle therefore checks per digest the facts
+    * the machinery must produce regardless of the within-batch pick:
+    * exactly ONE admitted row (n_admitted = 1 — cross-batch dedup held)
+    * from the earliest chunk containing the digest (admitted_chunk). */
+  def dedupAdmitted(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val span = {
+      val r = docs0.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      r.getLong(1) - r.getLong(0) + 1
+    }
+    val doubled = docs0.unionAll(
+      docs0.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + span).as("doc_id"), col("text")))
+    val in = stageDocsFrame(spark, doubled, workDir, chunks = DedupChunks)
+    val sink = Paths.get(workDir, "sink").toString
+    val (lo, width) = {
+      val r = doubled.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      (r.getLong(0), math.max((r.getLong(1) - r.getLong(0)) / DedupChunks + 1, 1L))
+    }
+    val src = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+      // event time synthesized monotone in doc_id: chunks are staged in
+      // id order, so the watermark only advances. The +1 day base keeps
+      // doc 0 strictly ABOVE the stream's initial watermark (epoch 0) —
+      // at exactly epoch 0 the stateful operator filters it as late
+      .withColumn("ts", timestamp_millis(col("doc_id") * 1000L + 86400000L))
+    val q = Streams.streamingDedup(src, "ts", "text", watermark = "3650 days")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
+      // batch-keyed OVERWRITE partition: idempotent under retries
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        b.select(col("doc_id"), col("content_hash"))
+          .write.mode("overwrite").parquet(s"$sink/b=$batchId")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(sink)
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_admitted"),
+        min(floor((col("doc_id") - lo) / width)).as("admitted_chunk"))
+      .select(col("content_hash"), col("admitted_chunk").cast("long"),
+        col("n_admitted"))
+  }
+
+  /** DuckDB half of [[dedupAdmitted]]: first-arrival facts per digest
+    * over the SAME planted-duplicate stream (documents plus doc_id ≡ 3
+    * (mod 7) re-sent at doc_id + span) — n_admitted is the THEOREM
+    * (exactly one row per digest survives a never-evicting dedup),
+    * stated as the literal 1 it must be; the chunk bounds replicate
+    * [[stageDocs]]' width formula. */
+  def dedupAdmittedOracle: String =
+    s"""WITH span AS (SELECT max(doc_id) - min(doc_id) + 1 AS s FROM documents),
+       |d AS (SELECT doc_id, sha256(text) AS content_hash FROM documents
+       |      UNION ALL
+       |      SELECT doc_id + span.s, sha256(text) FROM documents, span
+       |      WHERE doc_id % 7 = 3),
+       |b AS (SELECT min(doc_id) AS lo,
+       |             (max(doc_id) - min(doc_id)) // $DedupChunks + 1 AS width
+       |      FROM d)
+       |SELECT d.content_hash,
+       |       CAST((min(d.doc_id) - b.lo) // b.width AS BIGINT) AS admitted_chunk,
+       |       CAST(1 AS BIGINT) AS n_admitted
+       |FROM d, b GROUP BY d.content_hash, b.lo, b.width""".stripMargin
 
   /** DuckDB half of [[cdcUpsert]]: one-shot last-writer-wins. */
   def cdcUpsertOracle: String =

@@ -174,6 +174,34 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup EVICTS past the watermark horizon: a re-sent duplicate re-admits") {
+    // the half of the contract the batch oracle structurally can't see
+    // (streaming_dedup runs with a stream-spanning watermark where
+    // nothing evicts): with a TIGHT watermark, the digest's state is
+    // reclaimed once the watermark passes it, and a later re-send of the
+    // same content is admitted again — bounded state, by design
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val q = streamingDedup(
+        source.toDF().toDF("ts", "text"), watermark = "10 seconds")
+      .writeStream.format("memory").queryName("dedup_evict")
+      .outputMode("append").start()
+    try {
+      def t(sec: Long) = new Timestamp(sec * 1000L)
+      source.addData((t(1), "alpha"))
+      q.processAllAvailable()
+      // watermark advances far past alpha's ts + 10s horizon → eviction
+      source.addData((t(1000), "beta"))
+      q.processAllAvailable()
+      source.addData((t(2000), "alpha")) // same digest, state long gone
+      q.processAllAvailable()
+      val alphas = spark.table("dedup_evict").collect()
+        .filter(_.getString(1) == "alpha").map(_.getTimestamp(0).getTime / 1000).sorted
+      assert(alphas.toSeq == Seq(1L, 2000L),
+        s"expected the re-sent duplicate to re-admit after eviction, got $alphas")
+    } finally q.stop()
+  }
+
   test("per-key quota admits at most N events per user across batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]
