@@ -31,21 +31,37 @@ object KCore {
     * degree that passed the final check. `edges` are undirected
     * canonical pairs (srcCol < dstCol, deduped by the caller).
     *
-    * CONTRACT: `rounds` is a BOUND, not a convergence guarantee — the
-    * result is the round-R cut of the peel cascade; raise `rounds` until
-    * two consecutive results agree for the true k-core (ConvergenceSpec
-    * pins R = 3 covering the shipped graphs). The per-round persists are
-    * storage-level caches (recompute on executor loss, no checkpoint
-    * needed for correctness). */
+    * RUN-TO-CONVERGENCE semantics: `rounds` is still the BOUND, but the
+    * loop EXITS EARLY once a round drops no vertex. The probe is FREE —
+    * it compares the survivor count the round ALREADY materializes
+    * (`deg.count()`) against the previous round's: survivor sets only
+    * ever SHRINK (a dropped vertex's degree can never recover), so equal
+    * count ⇒ equal set ⇒ the next round's edge list, degree table, and
+    * values are all identical — the exit can never change the result the
+    * oracle pins, it only stops paying for confirmed stability. The
+    * per-round persists are storage-level caches (recompute on executor
+    * loss, no checkpoint needed for correctness). */
   def peel(edges: DataFrame, srcCol: String = "doc_a",
-      dstCol: String = "doc_b", k: Int = 3, rounds: Int = Rounds): DataFrame = {
+      dstCol: String = "doc_b", k: Int = 3, rounds: Int = Rounds): DataFrame =
+    peelWithRounds(edges, srcCol, dstCol, k, rounds)._1
+
+  /** [[peel]] plus the number of rounds actually executed (the round
+    * that proves stability counts — exit at fixpoint+1; ConvergenceSpec
+    * asserts the early exit fires exactly there). */
+  def peelWithRounds(edges: DataFrame, srcCol: String = "doc_a",
+      dstCol: String = "doc_b", k: Int = 3, rounds: Int = Rounds): (DataFrame, Int) = {
     require(k >= 1, s"need a positive core threshold: $k")
     require(rounds >= 1, s"need at least one round: $rounds")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var e = edges.select(col(s"`$srcCol`").as("a"), col(s"`$dstCol`").as("b"))
       .persist(lvl)
     var deg: DataFrame = null
-    for (r <- 1 to rounds) {
+    var prevSurvivors = -1L
+    var roundsRun = 0
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
+      r += 1
       val prevE = e
       val prevDeg = deg
       // persist + materialize the degree table ONCE per round: both
@@ -55,11 +71,13 @@ object KCore {
         .groupBy(col("v")).agg(count(lit(1)).as("degree"))
         .filter(col("degree") >= k)
         .persist(lvl)
-      deg.count()
+      val survivors = deg.count() // the materialization IS the probe
       if (prevDeg != null) prevDeg.unpersist()
+      stable = survivors == prevSurvivors
+      prevSurvivors = survivors
       // the last round only checks — nobody consumes a further-shrunk
       // edge list, so don't build one
-      if (r < rounds) {
+      if (r < rounds && !stable) {
         e = prevE
           .join(deg.select(col("v").as("__sa")), col("a") === col("__sa"), "left_semi")
           .join(deg.select(col("v").as("__sb")), col("b") === col("__sb"), "left_semi")
@@ -67,6 +85,7 @@ object KCore {
         e.count() // materialize before releasing the previous round
       }
       prevE.unpersist()
+      roundsRun = r
     }
     // materialize the result, then release every build cache (hundreds
     // of queries share a session)
@@ -74,6 +93,6 @@ object KCore {
       .persist(lvl)
     out.count()
     deg.unpersist()
-    out
+    (out, roundsRun)
   }
 }

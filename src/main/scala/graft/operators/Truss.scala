@@ -57,10 +57,13 @@ object Truss {
     * support that passed the final check. `edges` are undirected
     * canonical pairs (srcCol < dstCol, deduped by the caller).
     *
-    * CONTRACT: `rounds` is a BOUND, not a convergence guarantee — the
-    * result is the round-R cut of the peel cascade; callers needing the
-    * true k-truss raise `rounds` until two consecutive results agree
-    * (ConvergenceSpec measures that R = 3 covers the shipped graphs).
+    * RUN-TO-CONVERGENCE semantics: `rounds` is still the BOUND, but the
+    * loop EXITS EARLY once a round drops no edge. Survivor edge sets
+    * only ever SHRINK (support never recovers), so an unchanged survivor
+    * COUNT means an unchanged edge set, identical triangles next round,
+    * and identical support values — the exit can never change the result
+    * the oracle pins. The probe is one `count()` over the frame the
+    * round just checkpointed (materialized blocks — no recompute).
     * Fault tolerance: cuts go through [[Checkpoints.cut]] —
     * `localCheckpoint` by default (blocks die with their executor;
     * correct at local[32]); SPARK_GRAFT_CHECKPOINT_DIR flips them to
@@ -68,7 +71,13 @@ object Truss {
     * storage — exercised by ReliableCheckpointSpec and the
     * local-cluster run). */
   def peel(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
-      k: Int = 4, rounds: Int = Rounds): DataFrame = {
+      k: Int = 4, rounds: Int = Rounds): DataFrame =
+    peelWithRounds(edges, srcCol, dstCol, k, rounds)._1
+
+  /** [[peel]] plus the number of rounds actually executed (exit at
+    * fixpoint+1 — the round that proves stability counts). */
+  def peelWithRounds(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
+      k: Int = 4, rounds: Int = Rounds): (DataFrame, Int) = {
     require(k >= 3, s"k-truss needs k >= 3 (k-2 >= 1 triangles per edge): $k")
     require(rounds >= 1, s"need at least one round: $rounds")
     // localCheckpoint (eager), not persist: one round's plan references
@@ -82,7 +91,12 @@ object Truss {
     var e = Checkpoints.cut(
       edges.select(col(s"`$srcCol`").as("a"), col(s"`$dstCol`").as("b")))
     var sup: DataFrame = null
-    for (r <- 1 to rounds) {
+    var prevSurvivors = -1L
+    var roundsRun = 0
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
+      r += 1
       val tri = triangles(e)
       // the 3 canonical edges of each triangle, one count per edge key;
       // support >= k-2 survivors ARE the next round's edge list (an
@@ -95,8 +109,12 @@ object Truss {
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
         .filter(col("support") >= k - 2)
       sup = Checkpoints.cut(sup)
-      if (r < rounds) e = sup.select(col("a"), col("b"))
+      val survivors = sup.count() // over the cut's materialized blocks
+      stable = survivors == prevSurvivors
+      prevSurvivors = survivors
+      if (r < rounds && !stable) e = sup.select(col("a"), col("b"))
+      roundsRun = r
     }
-    sup
+    (sup, roundsRun)
   }
 }

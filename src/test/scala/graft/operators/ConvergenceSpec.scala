@@ -69,6 +69,34 @@ class ConvergenceSpec extends SparkTestBase {
       s"k-truss needs $r rounds to converge on the shipped graph but ships Rounds = ${Truss.Rounds}")
   }
 
+  test("k-core and k-truss EARLY-EXIT at their measured fixpoints (run-to-convergence, results unchanged)") {
+    assume(haveData, s"$sfDir not present")
+    // k-core: with a generous bound the loop must stop within one round
+    // of the fixpoint (the probe compares consecutive survivor COUNTS,
+    // which can detect stability one round before full output equality
+    // does — exit at f or f+1, never later), and the early-exited result
+    // IS the fixpoint peel
+    val fCore = fixpointRounds(
+      n => KCore.peel(pairs, srcCol = "a", dstCol = "b", k = 3, rounds = n), maxRounds = 8)
+    val (core, coreRounds) = KCore.peelWithRounds(pairs, "a", "b", k = 3, rounds = 8)
+    assert(coreRounds <= fCore + 1 && coreRounds < 8,
+      s"k-core ran $coreRounds rounds; fixpoint is $fCore (expected exit by ${fCore + 1})")
+    val coreFix = KCore.peel(pairs, "a", "b", k = 3, rounds = fCore)
+      .collect().map(_.toSeq).toSet
+    assert(core.collect().map(_.toSeq).toSet == coreFix,
+      "early-exited k-core diverged from the fixpoint peel")
+
+    val fTruss = fixpointRounds(
+      n => Truss.peel(pairs, srcCol = "a", dstCol = "b", k = 4, rounds = n), maxRounds = 8)
+    val (truss, trussRounds) = Truss.peelWithRounds(pairs, "a", "b", k = 4, rounds = 8)
+    assert(trussRounds <= fTruss + 1 && trussRounds < 8,
+      s"k-truss ran $trussRounds rounds; fixpoint is $fTruss (expected exit by ${fTruss + 1})")
+    val trussFix = Truss.peel(pairs, "a", "b", k = 4, rounds = fTruss)
+      .collect().map(_.toSeq).toSet
+    assert(truss.collect().map(_.toSeq).toSet == trussFix,
+      "early-exited k-truss diverged from the fixpoint peel")
+  }
+
   test("undamped label propagation OSCILLATES on the shipped graph — the documented limitation holds") {
     assume(haveData, s"$sfDir not present")
     // Measured adjudication (LabelProp.labels scaladoc): the pure

@@ -269,6 +269,56 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowTopK at ADVERSARIAL cardinality: 10^4 distinct items through capacity 64 — state bounded, bounds hold") {
+    // the shipped oracle row (capacity 4 over 5 event types) keeps the
+    // decrement path hot but its state trivial; this is the sketch at
+    // sketch-scale: the candidate map sees 10,003 distinct items and may
+    // never exceed 64 entries, every Misra-Gries theorem holding at the
+    // window level. 3 planted heavy items (400/300/200) ride on 9,100
+    // singletons: n = 10,000, error slack n/(cap+1) = 153, so all three
+    // are TRUE-heavy (freq > 153) and MUST be present; every emitted
+    // count must bracket its truth.
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val capacity = 64
+    val q = Streams.windowTopK(source.toDS(), windowMs = 86400000L, capacity = capacity,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("topk_adv")
+      .outputMode("append").start()
+    try {
+      val truth: Seq[String] =
+        Seq.fill(400)("heavy_a") ++ Seq.fill(300)("heavy_b") ++ Seq.fill(200)("heavy_c") ++
+          (0 until 9100).map(i => f"z$i%05d")
+      // deterministic interleave: shuffle by a fixed permutation so the
+      // heavies are spread through the stream, not front-loaded (the
+      // decrement path must actually threaten them)
+      val interleaved = truth.zipWithIndex
+        .sortBy { case (_, i) => (i * 2654435761L) % 10000 }.map(_._1)
+      val events = interleaved.zipWithIndex.map { case (t, i) => ev(i.toLong, i.toLong + 1, 1, t, 0.0) }
+      // several micro-batches: MG folds incrementally across state updates
+      events.grouped(2500).foreach { g => source.addData(g: _*); q.processAllAvailable() }
+      source.addData(ev(99999, 200000, 1, "__flush__", 0.0)) // next window: flush
+      q.processAllAvailable()
+      val rows = spark.table("topk_adv").collect()
+        .filter(_.getLong(0) == 0L)
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val n = 10000L
+      assert(rows.nonEmpty && rows.forall(_._4 == n), "lost events: n_processed != n")
+      assert(rows.length <= capacity,
+        s"state leaked past capacity: ${rows.length} items emitted > $capacity")
+      val trueCounts = truth.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      // presence guarantee for every TRUE-heavy item (freq > n/(cap+1))
+      val slack = n / (capacity + 1)
+      for ((item, c) <- trueCounts if c > slack)
+        assert(rows.exists(_._1 == item), s"true-heavy $item (count $c) missing from the sketch")
+      // interval guarantee for EVERY emitted item
+      for ((item, mn, mx, _) <- rows) {
+        val c = trueCounts.getOrElse(item, 0L)
+        assert(mn <= c && c <= mx, s"$item: true $c outside [$mn, $mx]")
+      }
+    } finally q.stop()
+  }
+
   test("custom sessionizer matches the built-in session_window, boundary included") {
     // PARITY: the flatMapGroupsWithState sessionizer and Spark's own
     // session_window aggregation carve the SAME sessions — including at
