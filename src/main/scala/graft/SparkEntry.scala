@@ -3622,6 +3622,62 @@ object SparkEntry {
     ), "(Base fact)")(s, tmp)
   }
 
+  /** DCL branch diff + 3-way merge slope: the claimed 100 TB branching
+    * path is hash-set algebra on row digests (anti-joins for Dist
+    * extensions), whose cost should track the DIFF size, not multiply
+    * with it against the relation. The probe holds the base relation
+    * FIXED (unique-keyed lineitem projection — the m-independent axis)
+    * and scales the per-branch mutation sets m×: each branch bulk-
+    * inserts 2000·m disjoint-key rows and bulk-deletes a disjoint
+    * m-proportional slice of the base, then the two tips 3-way merge
+    * (LCA = the shared trunk snapshot). Everything flows through the
+    * wire statements (InsertFrom / DeleteWhere / CreateBranch /
+    * Checkout / Merge) — the same dispatcher the dcl_* oracle rows
+    * exercise. Staging (four small parquet writes + the fixed base) is
+    * inside the probe but m-linear and dominated by the engine work. */
+  private def dclmergeProbe(m: Int): (SparkSession, String) => DataFrame = (s, dir) => {
+    val tmp = scratch(dir, s"dclmerge_x$m")
+    // the catalog resolves a fixed table-name set, so the staged roles
+    // borrow whitelisted names (the fkbulkProbe discipline):
+    //   lineitem = fixed base, orders/customer = trunk/feature bulk
+    //   inserts, region/nation = trunk/feature delete key sets
+    val base = table(s, dir, "lineitem")
+      .select((col("l_orderkey") * 8 + col("l_linenumber")).cast("int").as("k"),
+        col("l_partkey").cast("int").as("v"))
+      .dropDuplicates("k")
+    base.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val n = 2000L * m
+    s.range(n).select((col("id") + 1000000000L).cast("int").as("k"),
+        (col("id") % 97).cast("int").as("v"))
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    s.range(n).select((col("id") + 1500000000L).cast("int").as("k"),
+        (col("id") % 89).cast("int").as("v"))
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    // disjoint m-proportional delete slices of the BASE keys (hash-free:
+    // k mod 2048 buckets; trunk takes [0, 2m), feature [1024, 1024+2m) —
+    // disjoint for every shipped m)
+    base.filter(pmod(col("k"), lit(2048)) < 2 * m).select(col("k"))
+      .write.mode("overwrite").parquet(s"$tmp/region.parquet")
+    base.filter(pmod(col("k"), lit(2048)) >= 1024 && pmod(col("k"), lit(2048)) < 1024 + 2 * m)
+      .select(col("k"))
+      .write.mode("overwrite").parquet(s"$tmp/nation.parquet")
+    script(Seq(
+      "(CreateDatabase g)",
+      "(CreateRelation (name fact) (schema ((k integer) (v integer))))",
+      "(InsertFrom (target fact) (source (Base lineitem)))",
+      "(CreateBranch (name trunk))",
+      "(Checkout trunk)",
+      "(CreateBranch (name feature))",
+      "(Checkout feature)",
+      "(InsertFrom (target fact) (source (Base customer)))",
+      "(DeleteWhere (target fact) (predicate (Base nation)))",
+      "(Checkout trunk)",
+      "(InsertFrom (target fact) (source (Base orders)))",
+      "(DeleteWhere (target fact) (predicate (Base region)))",
+      "(Merge (left trunk) (right feature) (strategy PreferLeft))",
+    ), "(Base fact)")(s, tmp)
+  }
+
   /** The bucketed-streaming-state claim measured: per-batch cost scales
     * with the batch's TOUCHED buckets, not with total state size. State
     * = 200k·m rows over 16·m buckets (bucket size CONSTANT — the 100 TB
@@ -3710,6 +3766,12 @@ object SparkEntry {
       "scaleprobe_streamstate_x1" -> streamStateProbe(1),
       "scaleprobe_streamstate_x4" -> streamStateProbe(4),
       "scaleprobe_streamstate_x16" -> streamStateProbe(16),
+      // DCL branch diff + 3-way merge: fixed base relation, m× disjoint
+      // per-branch mutations (bulk inserts + deletes) — cost should be
+      // a fixed relation-scan term plus a term linear in the DIFF size
+      "scaleprobe_dclmerge_x1" -> dclmergeProbe(1),
+      "scaleprobe_dclmerge_x4" -> dclmergeProbe(4),
+      "scaleprobe_dclmerge_x16" -> dclmergeProbe(16),
     )
   }
 

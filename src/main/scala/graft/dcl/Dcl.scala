@@ -275,10 +275,25 @@ object Merge {
 
                   // Any distributed row set: anti-join/union algebra.
                   case _ =>
-                    var merged = Algebra.diff(distinctUnion(base.df, lAdd.df), lRem.df)
+                    // MATERIALIZE each delta once (eager cut): a delta is a
+                    // lazy anti-join DAG costing two relation scans + row
+                    // hashing, and it is consumed up to three times below
+                    // (conflict count, merged assembly, root pass) — uncut,
+                    // a 3-way merge re-derived every delta per consumer,
+                    // making merge cost O(consumers × relation) instead of
+                    // O(relation + diff). The deltas themselves are
+                    // diff-sized — exactly what the reference holds as
+                    // materialized hash sets (merge.ml:95-171).
+                    val lAddDf = graft.operators.Checkpoints.cut(lAdd.df)
+                    val lRemDf = graft.operators.Checkpoints.cut(lRem.df)
+                    var merged = Algebra.diff(distinctUnion(base.df, lAddDf), lRemDf)
                     rMod match {
-                      case Some(Diff.RelationModified(_, rAdd, rRem, _)) =>
-                        val conflicts = distinctUnion(intersect(lAdd.df, rRem.df), intersect(lRem.df, rAdd.df))
+                      case Some(Diff.RelationModified(_, rAddD, rRemD, _)) =>
+                        val rAdd = Diff.Delta(graft.engine.Extension.Dist(
+                          graft.operators.Checkpoints.cut(rAddD.df)), rAddD.struct)
+                        val rRem = Diff.Delta(graft.engine.Extension.Dist(
+                          graft.operators.Checkpoints.cut(rRemD.df)), rRemD.struct)
+                        val conflicts = distinctUnion(intersect(lAddDf, rRem.df), intersect(lRemDf, rAdd.df))
                         val nConf = conflicts.count()
                         if (nConf > 0) {
                           tupleConflicts(name) = nConf

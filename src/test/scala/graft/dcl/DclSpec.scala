@@ -210,6 +210,31 @@ class DclSpec extends SparkTestBase {
     assert(head.map(_.getString(0)).toSeq == Seq("main"))
   }
 
+  test("dclmerge scale probe's merge identity: base + both inserts - both deletes, no conflicts") {
+    // the bench-only scaleprobe_dclmerge_x* rows measure diff+merge cost;
+    // this pins that the SCENARIO they time is the clean disjoint-key
+    // 3-way merge it claims to be (result = base ∪ trunk_ins ∪ feat_ins
+    // − trunk_del − feat_del, all five sets pairwise disjoint where it
+    // matters)
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/lineitem.parquet").exists(), s"$sfDir not present")
+    val m = 1
+    val merged = graft.SparkEntry.scaleProbes(s"scaleprobe_dclmerge_x$m")(spark, sfDir)
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select((col("l_orderkey") * 8 + col("l_linenumber")).cast("int").as("k"))
+      .dropDuplicates("k")
+    val nBase = base.count()
+    val delTrunk = base.filter(pmod(col("k"), lit(2048)) < 2 * m).count()
+    val delFeat = base.filter(
+      pmod(col("k"), lit(2048)) >= 1024 && pmod(col("k"), lit(2048)) < 1024 + 2 * m).count()
+    assert(delTrunk > 0 && delFeat > 0, "degenerate fixture: a delete slice is empty")
+    val expected = nBase + 2 * 2000L * m - delTrunk - delFeat
+    assert(merged.count() == expected,
+      s"merged fact has ${merged.count()} rows; expected $expected " +
+        s"(base $nBase + inserts ${2 * 2000L * m} - deletes ${delTrunk + delFeat})")
+  }
+
   test("no common ancestor is an error") {
     // NOTE: database hashes are content-derived (no name), so two freshly
     // created databases share their bootstrap states and thus an ancestor.
