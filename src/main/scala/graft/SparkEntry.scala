@@ -1000,6 +1000,79 @@ object SparkEntry {
         } finally { a.close(); b.close() }
       } finally listener.close()
     }),
+    // TRUE multi-writer contention through the wire: 8 client THREADS on
+    // 8 sockets race single-tuple inserts of disjoint keys against the
+    // shared CAS head (the reference's process-global Atomic head,
+    // lib/listener.ml:53-59,174-181). The interleaving is
+    // nondeterministic; the CONVERGED set is not — a commit either
+    // applies exactly once or fails the CAS applying NOTHING, and the
+    // loser retries against the head that beat it. The retry loop
+    // tolerates ONLY `(conflict ...)`: a duplicate-tuple error (the
+    // signature of a conflicted attempt that secretly half-applied)
+    // fails the row, so the oracle's exact row set pins atomicity, not
+    // just eventual convergence. The 2-socket rows above stage their
+    // races sequentially; this is the claim under a real scheduler.
+    "tcp_concurrent_inserts" -> ((s, dir) => {
+      val listener = new graft.server.Listener(
+        s, Some(new ParquetCatalog(s, dir))).start()
+      try {
+        def ok(conn: graft.server.WireClient.Conn, stmt: String): Unit = {
+          var resp = conn.request(stmt)
+          var attempts = 1
+          // bound: an attempt only re-fails if ANOTHER commit landed
+          // since its snapshot (handleAdvancing reads the winning head
+          // under the lock), and the scenario has < 200 commits total
+          while (resp.startsWith("(error") && resp.contains("(conflict") && attempts < 200) {
+            resp = conn.request(stmt); attempts += 1
+          }
+          if (!resp.startsWith("(ok"))
+            throw new IllegalArgumentException(s"$stmt -> $resp")
+        }
+        val boot = new graft.server.WireClient.Conn(listener.localPort)
+        try {
+          ok(boot, "(CreateDatabase g)")
+          ok(boot, "(CreateRelation (name kv) (schema ((k integer) (v string))))")
+          ok(boot, "(InsertFrom (target kv) (source (Rename ((r_regionkey k) (r_name v)) (Base region))))")
+          val threads = 8
+          val perThread = 12
+          val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+          val writers = (0 until threads).map { t =>
+            val th = new Thread(() => {
+              try {
+                val c = new graft.server.WireClient.Conn(listener.localPort)
+                try {
+                  var i = 0
+                  while (i < perThread) {
+                    ok(c, s"(InsertTuple (relation kv) (attributes ((k (Int ${1000 + t * 100 + i})) (v (Str T${t}_$i)))))")
+                    i += 1
+                  }
+                } finally c.close()
+              } catch { case e: Throwable => failures.add(e) }
+            })
+            th.setDaemon(true)
+            th
+          }
+          writers.foreach(_.start())
+          writers.foreach(_.join())
+          if (!failures.isEmpty) throw failures.peek()
+          // the reader is a FRESH socket: boot's next-request snapshot
+          // still pins the pre-race head (per-connection snapshot
+          // isolation — reads never conflict, so it would never advance),
+          // while a new connection's first request observes the live
+          // converged head, exactly like a client arriving after the dust
+          val reader = new graft.server.WireClient.Conn(listener.localPort)
+          val rows = try graft.server.WireClient.streamQuery(reader, "(Base kv)", pageSize = 32)
+            .map(cells => org.apache.spark.sql.Row(cells: _*))
+          finally reader.close()
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.StringType)))
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        } finally boot.close()
+      } finally listener.close()
+    }),
 
     // ---- Beyond-reference analytics (SURVEY.md §7.2 step 7) ----
     "agg_pricing_summary" -> ((s, dir) => {
@@ -3678,6 +3751,83 @@ object SparkEntry {
     ), "(Base fact)")(s, tmp)
   }
 
+  /** Write-through persistence slope: the claim (Persist scaladoc) is
+    * O(changed snapshot) per transition — INDEPENDENT of total persisted
+    * database size: unchanged relations re-reference their
+    * content-addressed objects, manifests carry content roots
+    * incrementally, restore parses manifests without reading relation
+    * data, and gc lists the object dir instead of scanning objects. The
+    * probe persists a 100k·m-row Dist relation ONCE per (sf, m, JVM) in
+    * the untimed warmup pass (the root survives the bench's timed passes
+    * — the streamStateProbe discipline), so each timed pass measures the
+    * steady-state path alone: restore the store into a fresh
+    * EngineSession, run 16 write-through transitions (8 insert+delete
+    * pairs on a 3-row side relation, each one a full snapshot commit +
+    * store rewrite + Dist re-anchor), prune + gc the retired history,
+    * and re-read both relations. FLAT t(m) = the claim holds; a linear
+    * slope would mean something O(database) hides in the per-transition
+    * save (re-hashing or re-writing the big object). Self-checking: the
+    * pass asserts the restored contents, so a persistence bug surfaces
+    * as a bench error, not a fast wrong number. */
+  private def persistProbe(m: Int): (SparkSession, String) => DataFrame = (s, dir) => {
+    import java.nio.file.{Files, Paths}
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-persistprobe")
+    // sweep dead JVMs' probe stores (must SURVIVE this JVM's bench
+    // passes, so it can't use scratch(), which wipes on every entry)
+    val self = ProcessHandle.current().pid()
+    Option(base.toFile.listFiles()).foreach(_.foreach { f =>
+      val alive = f.getName.stripPrefix("pid-").toLongOption
+        .exists(p => p == self || ProcessHandle.of(p).isPresent)
+      if (!alive) { def w(x: java.io.File): Unit = { if (x.isDirectory) x.listFiles().foreach(w); x.delete(): Unit }; w(f) }
+    })
+    val probeDir = base.resolve(s"pid-$self").resolve(key).resolve(s"x$m")
+    Files.createDirectories(probeDir)
+    val root = probeDir.resolve("store").toString
+    val cat = new ParquetCatalog(s, probeDir.toString)
+    // 2× LocalThreshold at x1: the WHOLE ladder must sit in the Dist
+    // (content-addressed parquet object) regime — at exactly 100k rows
+    // the relation stays Local and serializes into every manifest, a
+    // different (driver-bound) write path that isn't the 100 TB claim
+    val nBig = 200000L * m
+    if (!graft.engine.Persist.exists(s, root)) {
+      // stage the big source under a whitelisted catalog name (warmup only)
+      s.range(nBig).select(col("id").as("k"), (col("id") % 97).as("v"))
+        .write.mode("overwrite").parquet(s"$probeDir/orders.parquet")
+      val boot = new graft.server.EngineSession(s, Some(cat), Some(root))
+      (Seq(
+        "(CreateDatabase g)",
+        "(CreateRelation (name big) (schema ((k integer) (v integer))))",
+        "(InsertFrom (target big) (source (Base orders)))",
+        "(CreateRelation (name side) (schema ((k integer) (v string))))") ++
+        Seq("A", "B", "C").zipWithIndex.map { case (v, i) =>
+          s"(InsertTuple (relation side) (attributes ((k (Int ${i + 1})) (v (Str $v)))))" })
+        .foreach(stmt => boot.execute(stmt).fold(
+          e => throw new IllegalArgumentException(s"$stmt -> $e"), _ => ()))
+    }
+    // ---- timed steady state: restore + 16 write-through transitions ----
+    val session = new graft.server.EngineSession(s, Some(cat), Some(root))
+    def run(stmt: String): Unit = session.execute(stmt).fold(
+      e => throw new IllegalArgumentException(s"$stmt -> $e"), _ => ())
+    (0 until 8).foreach { j =>
+      run(s"(InsertTuple (relation side) (attributes ((k (Int ${9000000 + j})) (v (Str TMP$j)))))")
+      run(s"(DeleteWhere (target side) (predicate (Const ((k (Int ${9000000 + j}))))))")
+    }
+    graft.engine.Persist.prune(s, root, graceMs = 0L)
+      .fold(e => throw new IllegalStateException(s"prune failed: $e"), _ => ())
+    def query(q: String): DataFrame = session.execute(s"(drl $q)") match {
+      case Right(graft.server.QueryResult(df)) => df
+      case other => throw new IllegalArgumentException(s"$q -> $other")
+    }
+    val gotBig = query("(Base big)").count()
+    val side = query("(Base side)").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    if (gotBig != nBig || !side.sameElements(Array((1L, "A"), (2L, "B"), (3L, "C"))))
+      throw new IllegalStateException(
+        s"persisted state diverged: big=$gotBig side=${side.mkString(",")}")
+    s.range(1).select(lit(m).as("m"), lit(gotBig).as("n_big"), lit(side.length).as("n_side"))
+  }
+
   /** The bucketed-streaming-state claim measured: per-batch cost scales
     * with the batch's TOUCHED buckets, not with total state size. State
     * = 200k·m rows over 16·m buckets (bucket size CONSTANT — the 100 TB
@@ -3772,6 +3922,12 @@ object SparkEntry {
       "scaleprobe_dclmerge_x1" -> dclmergeProbe(1),
       "scaleprobe_dclmerge_x4" -> dclmergeProbe(4),
       "scaleprobe_dclmerge_x16" -> dclmergeProbe(16),
+      // write-through persistence: restore + 16 fixed transitions +
+      // prune/gc against an m× persisted database — flat t(m) is the
+      // O(changed snapshot) claim
+      "scaleprobe_persist_x1" -> persistProbe(1),
+      "scaleprobe_persist_x4" -> persistProbe(4),
+      "scaleprobe_persist_x16" -> persistProbe(16),
     )
   }
 
@@ -3938,6 +4094,14 @@ object SparkEntry {
     "tcp_conflict" ->
       ("SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS v FROM region " +
         "UNION ALL SELECT 700, 'FROM_A' UNION ALL SELECT 800, 'FROM_B'"),
+    // 8 racing writer threads, disjoint keys: whatever the schedule, the
+    // converged head is the seed plus EXACTLY one row per (thread, i) —
+    // a conflicted attempt applied nothing, a committed one exactly once
+    "tcp_concurrent_inserts" ->
+      ("SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS v FROM region " +
+        "UNION ALL SELECT 1000 + t.t * 100 + i.i, " +
+        "'T' || t.t::VARCHAR || '_' || i.i::VARCHAR " +
+        "FROM generate_series(0, 7) AS t(t), generate_series(0, 11) AS i(i)"),
     "agg_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
