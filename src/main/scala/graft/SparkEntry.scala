@@ -2706,6 +2706,14 @@ object SparkEntry {
     // in StreamsSpec instead — engine-internal, not batch-expressible)
     "streaming_dedup" -> ((s, dir) =>
       graft.streaming.StreamOracle.dedupAdmitted(s, dir, scratch(dir, "streamdedup"))),
+    // STREAM-STATIC ENRICHMENT with per-batch dimension refresh: each
+    // micro-batch broadcast-joins the dimension snapshot keyed by its
+    // OWN batch id (versioned snapshots = retry-idempotent; a static
+    // join would pin the query-start snapshot for the whole stream) —
+    // batch k's events carry version-k values, recomputable from the
+    // event's own timestamp, so one DuckDB join states the whole run
+    "streaming_enrich" -> ((s, dir) =>
+      graft.streaming.StreamOracle.enriched(s, dir, scratch(dir, "streamenrich"))),
     // STREAM-STREAM INTERVAL JOIN, oracle-checked: same-user event
     // attribution within (0, 1h] across two watermarked sources — the
     // union of per-batch inner-join emissions must equal DuckDB's
@@ -5019,6 +5027,7 @@ object SparkEntry {
     "streaming_cdc_upsert" -> graft.streaming.StreamOracle.cdcUpsertOracle,
     "streaming_neardup_admit" -> graft.pipeline.Oracles.dedupStreamingAdmission,
     "streaming_dedup" -> graft.streaming.StreamOracle.dedupAdmittedOracle,
+    "streaming_enrich" -> graft.streaming.StreamOracle.enrichedOracle,
     "streaming_interval_join" -> graft.streaming.StreamOracle.intervalJoinOracle,
     "streaming_quota" -> graft.streaming.StreamOracle.quotaOracle(
       graft.streaming.StreamOracle.QuotaPerUser),

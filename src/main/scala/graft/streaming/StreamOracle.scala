@@ -234,6 +234,59 @@ object StreamOracle {
       .select(col("user_id"), col("event_type"), col("last_event_id"), col("last_value"))
   }
 
+  /** Chunk count shared by [[enriched]] and its oracle SQL. */
+  val EnrichChunks = 4
+
+  /** The ORACLE row for STREAM-STATIC ENRICHMENT with per-batch
+    * dimension refresh ([[Streams.enrichPerBatch]]): events arrive as
+    * time-range chunks (one micro-batch per chunk, file order = chunk
+    * order, the machinery every streaming row here relies on) and each
+    * batch joins the BROADCAST dimension snapshot keyed by its OWN batch
+    * id — customer projected to (c_custkey, c_nationkey·100 + version,
+    * segment), all `EnrichChunks + 2` versions written up front (the
+    * versioned-snapshot layout that makes a foreachBatch retry
+    * idempotent; an in-place-refreshed dimension is the documented
+    * hazard in the operator's scaladoc). Batch k's events therefore
+    * carry dim_v = c_nationkey·100 + k, and k is recomputable from the
+    * event's own timestamp via [[stage]]'s width formula — so the
+    * one-shot DuckDB join over events × customer states the entire
+    * multi-batch run's output exactly. The flush sentinel (user −1)
+    * matches no customer and drops out of the inner join on both
+    * sides. */
+  def enriched(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    val in = stage(spark, sfDir, workDir, chunks = EnrichChunks)
+    val sink = Paths.get(workDir, "sink").toString
+    val dims = Paths.get(workDir, "dim").toString
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk"),
+        col("c_mktsegment").as("segment"))
+    // versioned snapshots up front: batch k reads v=k (margin for the
+    // sentinel batch and a possible trailing empty batch)
+    for (v <- 0 until EnrichChunks + 2)
+      customer.select(col("c_custkey"), (col("nk") * 100L + v).as("dim_v"), col("segment"))
+        .write.mode("overwrite").parquet(s"$dims/v=$v")
+    val q = Streams.enrichPerBatch(
+      source(spark, in),
+      batchId => spark.read.parquet(s"$dims/v=$batchId"),
+      (b, d) => b("user_id") === d("c_custkey"),
+      (b, d) => Seq(b("event_id"), b("user_id"), d("dim_v"), d("segment")),
+      sink, Paths.get(workDir, "ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(sink).drop("b")
+  }
+
+  /** DuckDB half of [[enriched]]: the chunk index recomputed from the
+    * event's timestamp by [[stage]]'s millisecond width formula. */
+  def enrichedOracle: String =
+    s"""WITH b AS (SELECT min(epoch_ms(ts)) AS lo,
+       |                  (max(epoch_ms(ts)) - min(epoch_ms(ts))) // $EnrichChunks + 1 AS width
+       |           FROM events)
+       |SELECT e.event_id, e.user_id,
+       |       CAST(c.c_nationkey AS BIGINT) * 100 +
+       |         (epoch_ms(e.ts) - b.lo) // b.width AS dim_v,
+       |       c.c_mktsegment AS segment
+       |FROM events e JOIN customer c ON e.user_id = c.c_custkey, b""".stripMargin
+
   /** Stage the documents table as `chunks` doc_id-range parquet chunks
     * (ingest order = id order; no sentinel — this family's pipelines are
     * pure foreachBatch state, no watermark to advance). */

@@ -55,6 +55,38 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-static ENRICHMENT with per-batch dimension refresh: join
+    * each micro-batch against the dimension snapshot `dimFor(batchId)`
+    * resolves — re-read inside `foreachBatch`, broadcast (dimensions are
+    * small relative to the stream), written to a batch-keyed OVERWRITE
+    * partition (idempotent under foreachBatch retries because the
+    * dimension is keyed by the DETERMINISTIC batch id, never "latest":
+    * a replayed batch re-resolves the SAME snapshot, where an in-place-
+    * mutated dimension would have moved on — the classic non-idempotent
+    * SCD-refresh bug).
+    *
+    * Why not a plain static join in the streaming plan: a static
+    * DataFrame is resolved ONCE at query start (its file listing is
+    * pinned in the plan), so a dimension that refreshes mid-stream is
+    * silently stale — per-batch re-resolution inside foreachBatch is the
+    * documented pattern for slowly-changing dimensions over file
+    * sources. At 100 TB the stream side never shuffles for this join:
+    * the dimension broadcasts to the batch's existing partitioning. */
+  def enrichPerBatch(stream: DataFrame, dimFor: Long => DataFrame,
+      joinKey: (DataFrame, DataFrame) => org.apache.spark.sql.Column,
+      project: (DataFrame, DataFrame) => Seq[org.apache.spark.sql.Column],
+      sink: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val d = dimFor(batchId)
+        b.join(broadcast(d), joinKey(b, d))
+          .select(project(b, d): _*)
+          .write.mode("overwrite").parquet(s"$sink/b=$batchId")
+      }
+      .start()
+
   /** Stream-stream interval join — the streaming counterpart of
     * [[graft.operators.RangeJoin]]: attribute every event on `right` to
     * the `left` rows of the same user it follows within `(0, maxGap]`

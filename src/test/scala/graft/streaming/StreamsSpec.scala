@@ -68,6 +68,33 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("per-batch dimension refresh: batch k joins snapshot k (hand-traced)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val work = java.nio.file.Files.createTempDirectory("graft-enrich-spec").toString
+    // dimension snapshots keyed by batch id — the versioned layout the
+    // operator's retry-idempotence contract depends on
+    def dim(v: Long) = Seq((1L, s"v$v"), (2L, s"v$v")).toDF("key", "tag")
+    val q = enrichPerBatch(source.toDF(), dim,
+      (b, d) => b("user_id") === d("key"),
+      (b, d) => Seq(b("event_id"), b("user_id"), d("tag")),
+      s"$work/sink", s"$work/ckpt")
+    try {
+      // batch 0: event 10 (user 1) → must carry snapshot v0
+      source.addData(ev(10, 1, 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 1: events 11 (user 1), 12 (user 2) → must carry v1 — the
+      // SAME user re-resolves the refreshed dimension, which a static
+      // join (plan-pinned at query start) can never do
+      source.addData(ev(11, 2, 1, "click", 1.0), ev(12, 3, 2, "view", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$work/sink")
+      .select(col("event_id"), col("tag")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((10L, "v0"), (11L, "v1"), (12L, "v1")))
+  }
+
   test("stream-stream interval join attributes right events within the gap window") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Event]
