@@ -3836,6 +3836,33 @@ object SparkEntry {
     s.range(1).select(lit(m).as("m"), lit(gotBig).as("n_big"), lit(side.length).as("n_side"))
   }
 
+  /** Skewed-join slope: the 100 TB killer is a single join key so hot
+    * that one reducer owns it — a plain shuffle join's wall-clock
+    * becomes the hot key's mass divided by ONE core. [[graft.operators.
+    * SaltedJoin]] splits that key `saltFactor` ways (probe salted by row
+    * content, build replicated per salt). The probe plants a synthetic
+    * heavy-tail: 250k·m rows ALL on one key plus 250k·m uniform
+    * background over the build's 10k keys, joined salted 32 ways and
+    * aggregated. Expected shape: t(m) LINEAR in m with the hot key's
+    * work spread across the full executor width — the per-row marginal
+    * cost is the claim (a serialized hot reducer would show the same
+    * linear exponent but a ~10× constant; the one-off salted-vs-plain
+    * comparison lives in PLANS.md). Multiset identity of the salted
+    * join is SaltedJoinSpec's pin; the oracle-checked `join_salted_agg`
+    * row covers the operator's correctness at sf scale. */
+  private def skewJoinProbe(m: Int): (SparkSession, String) => DataFrame = (s, dir) => {
+    val hot = s.range(250000L * m)
+      .select(lit(7L).as("okey"), (col("id") % 1000L).as("qty"))
+    val background = s.range(250000L * m)
+      .select((col("id") % 10000L).as("okey"), (col("id") % 1000L).as("qty"))
+    val build = s.range(10000L)
+      .select(col("id").as("okey"), (col("id") % 3L).as("status"))
+    graft.operators.SaltedJoin.inner(hot.unionAll(background), build,
+        Seq("okey"), saltFactor = 32)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+  }
+
   /** The bucketed-streaming-state claim measured: per-batch cost scales
     * with the batch's TOUCHED buckets, not with total state size. State
     * = 200k·m rows over 16·m buckets (bucket size CONSTANT — the 100 TB
@@ -3936,6 +3963,11 @@ object SparkEntry {
       "scaleprobe_persist_x1" -> persistProbe(1),
       "scaleprobe_persist_x4" -> persistProbe(4),
       "scaleprobe_persist_x16" -> persistProbe(16),
+      // salted join under a planted single-hot-key heavy tail: linear
+      // t(m) with the hot key's work spread across the executor width
+      "scaleprobe_skewjoin_x1" -> skewJoinProbe(1),
+      "scaleprobe_skewjoin_x4" -> skewJoinProbe(4),
+      "scaleprobe_skewjoin_x16" -> skewJoinProbe(16),
     )
   }
 
