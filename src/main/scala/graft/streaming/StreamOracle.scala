@@ -54,13 +54,49 @@ object StreamOracle {
     ()
   }
 
+  /** Pid-scoped IMMUTABLE stage cache: a staged input layout depends
+    * only on (sfDir, variant), so it is built ONCE per JVM and reused by
+    * every streaming row and every bench pass — staging is data prep,
+    * not the machinery under test, and re-writing identical chunk files
+    * on every timed pass only measured the writer (each run still gets
+    * its own checkpoint + sink in the caller's scratch dir; only the
+    * read-only input is shared). The build lands in a tmp sibling and is
+    * RENAMED into place, so a crashed build is never readable as a
+    * complete stage; file mtimes survive the rename, so the file
+    * source's modification-time ordering (chunk order = event-time
+    * order) is exactly what the per-row staging produced. Dead JVMs'
+    * caches are swept — the scratch() discipline. */
+  private def cachedStage(sfDir: String, variant: String)(build: Path => Unit): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-stagecache")
+    def wipe(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(wipe))
+      x.delete(): Unit
+    }
+    val self = ProcessHandle.current().pid()
+    Option(base.toFile.listFiles()).foreach(_.foreach { f =>
+      val alive = f.getName.stripPrefix("pid-").toLongOption
+        .exists(p => p == self || ProcessHandle.of(p).isPresent)
+      if (!alive) wipe(f)
+    })
+    val in = base.resolve(s"pid-$self").resolve(key).resolve(variant)
+    if (!Files.exists(in)) {
+      val tmp = in.resolveSibling(s".$variant.build")
+      if (Files.exists(tmp)) wipe(tmp.toFile)
+      Files.createDirectories(tmp)
+      build(tmp)
+      Files.move(tmp, in, StandardCopyOption.ATOMIC_MOVE)
+    }
+    in.toString
+  }
+
   /** Stage the events table as N time-range parquet chunks (+ far-future
     * sentinel) in one directory, written in event-time order so the file
     * source's modification-time ordering advances the watermark
-    * monotonically (the StreamDemo staging shape). */
-  private def stage(spark: SparkSession, sfDir: String, workDir: String, chunks: Int): String = {
-    val in = Paths.get(workDir, "stream_in")
-    Files.createDirectories(in)
+    * monotonically (the StreamDemo staging shape). Cached per
+    * (sf, chunks, JVM) — see [[cachedStage]]. */
+  private def stage(spark: SparkSession, sfDir: String, chunks: Int): String =
+      cachedStage(sfDir, s"events_c$chunks") { in =>
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
@@ -70,7 +106,7 @@ object StreamOracle {
     }
     val width = math.max((hi - lo) / chunks + 1, 1L)
     def writeChunk(df: DataFrame, name: String): Unit =
-      moveOnePart(df, Paths.get(workDir, s"tmp_$name"), in.resolve(s"$name.parquet"))
+      moveOnePart(df, in.resolve(s"tmp_$name"), in.resolve(s"$name.parquet"))
     for (i <- 0 until chunks) {
       val (a, b) = (lo + i * width, lo + (i + 1) * width)
       writeChunk(ev.filter(unix_millis(col("ts")) >= a && unix_millis(col("ts")) < b), f"chunk$i%02d")
@@ -84,7 +120,6 @@ object StreamOracle {
       lit(-1L).as("user_id"), lit("__flush__").as("event_type"),
       lit(0.0).as("value"))
     writeChunk(sentinel, f"chunk$chunks%02d")
-    in.toString
   }
 
   /** Watermarked daily tumbling-window counts per event type, hash-exact:
@@ -108,7 +143,7 @@ object StreamOracle {
     * checkpoint state from a previous run would make the source skip
     * files. */
   def windowedDaily(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
-    val in = stage(spark, sfDir, workDir, chunks = 4)
+    val in = stage(spark, sfDir, chunks = 4)
     val sink = Paths.get(workDir, "sink").toString
     val q = windowedDailyExact(source(spark, in))
       .writeStream
@@ -152,7 +187,7 @@ object StreamOracle {
     * is filtered regardless. */
   def sessionized(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     import spark.implicits._
-    val in = stage(spark, sfDir, workDir, chunks = 4)
+    val in = stage(spark, sfDir, chunks = 4)
     val sink = Paths.get(workDir, "sink").toString
     val q = Streams.sessionize(source(spark, in).as[Streams.Event], SessionGapMs)
       .filter(col("user_id") >= 0)
@@ -195,7 +230,7 @@ object StreamOracle {
     * match exactly. */
   def cdcUpsert(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val in = stage(spark, sfDir, workDir, chunks = 4)
+    val in = stage(spark, sfDir, chunks = 4)
     val state = new BucketedState(spark, Paths.get(workDir, "state"), StateBuckets)
     val q = source(spark, in)
       .writeStream
@@ -254,7 +289,7 @@ object StreamOracle {
     * matches no customer and drops out of the inner join on both
     * sides. */
   def enriched(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
-    val in = stage(spark, sfDir, workDir, chunks = EnrichChunks)
+    val in = stage(spark, sfDir, chunks = EnrichChunks)
     val sink = Paths.get(workDir, "sink").toString
     val dims = Paths.get(workDir, "dim").toString
     val customer = spark.read.parquet(s"$sfDir/customer.parquet")
@@ -290,16 +325,17 @@ object StreamOracle {
   /** Stage the documents table as `chunks` doc_id-range parquet chunks
     * (ingest order = id order; no sentinel — this family's pipelines are
     * pure foreachBatch state, no watermark to advance). */
-  private def stageDocs(spark: SparkSession, sfDir: String, workDir: String,
+  private def stageDocs(spark: SparkSession, sfDir: String,
       chunks: Int): String =
-    stageDocsFrame(spark,
+    stageDocsFrame(
       spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text")),
-      workDir, chunks)
+      sfDir, s"docs_c$chunks", chunks)
 
-  private def stageDocsFrame(spark: SparkSession, docs: DataFrame, workDir: String,
-      chunks: Int): String = {
-    val in = Paths.get(workDir, "docs_in")
-    Files.createDirectories(in)
+  /** `variant` keys the [[cachedStage]] entry: callers staging a DERIVED
+    * frame (e.g. the planted-duplicate stream) must pass a distinct tag,
+    * and the frame must be a pure function of sfDir. */
+  private def stageDocsFrame(docs: DataFrame, sfDir: String, variant: String,
+      chunks: Int): String = cachedStage(sfDir, variant) { in =>
     val (lo, hi) = {
       val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
       (r.getLong(0), r.getLong(1))
@@ -308,9 +344,8 @@ object StreamOracle {
     for (i <- 0 until chunks) {
       val (a, b) = (lo + i * width, lo + (i + 1) * width)
       moveOnePart(docs.filter(col("doc_id") >= a && col("doc_id") < b),
-        Paths.get(workDir, f"tmp_doc$i%02d"), in.resolve(f"doc$i%02d.parquet"))
+        in.resolve(f"tmp_doc$i%02d"), in.resolve(f"doc$i%02d.parquet"))
     }
-    in.toString
   }
 
   /** STREAMING NEAR-DUP ADMISSION against a persistent band index — the
@@ -334,7 +369,7 @@ object StreamOracle {
     * sides (the `dedup_incremental` contract). */
   def nearDupAdmission(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     import graft.pipeline.Dedup
-    val in = stageDocs(spark, sfDir, workDir, chunks = 4)
+    val in = stageDocs(spark, sfDir, chunks = 4)
     val sink = Paths.get(workDir, "verdicts").toString
     val index = new BucketedState(spark, Paths.get(workDir, "bandidx"), StateBuckets)
     val src = spark.readStream
@@ -431,7 +466,7 @@ object StreamOracle {
     val doubled = docs0.unionAll(
       docs0.filter(col("doc_id") % 7 === 3)
         .select((col("doc_id") + span).as("doc_id"), col("text")))
-    val in = stageDocsFrame(spark, doubled, workDir, chunks = DedupChunks)
+    val in = stageDocsFrame(doubled, sfDir, s"docs_doubled_c$DedupChunks", DedupChunks)
     val sink = Paths.get(workDir, "sink").toString
     val (lo, width) = {
       val r = doubled.agg(min(col("doc_id")), max(col("doc_id"))).head()
@@ -511,7 +546,7 @@ object StreamOracle {
     * seen. All output columns are stored values (ids, types, one stored
     * double) — bit-exact across engines. */
   def intervalJoined(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
-    val in = stage(spark, sfDir, workDir, chunks = 4)
+    val in = stage(spark, sfDir, chunks = 4)
     val sink = Paths.get(workDir, "sink").toString
     val q = Streams.intervalJoin(source(spark, in), source(spark, in), gap = "1 hour")
       .filter(col("user_id") >= 0) // the sentinel never matches, but keep the family contract
@@ -554,7 +589,7 @@ object StreamOracle {
     * integer-exact. */
   def quotaAdmitted(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     import spark.implicits._
-    val in = stage(spark, sfDir, workDir, chunks = 4)
+    val in = stage(spark, sfDir, chunks = 4)
     val sink = Paths.get(workDir, "sink").toString
     val q = Streams.perKeyQuota(source(spark, in).as[Streams.Event], QuotaPerUser)
       .filter(col("user_id") >= 0) // the far-future flush sentinel
@@ -605,7 +640,7 @@ object StreamOracle {
     * sentinel). */
   def topKChecked(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     import spark.implicits._
-    val in = stage(spark, sfDir, workDir, chunks = 4)
+    val in = stage(spark, sfDir, chunks = 4)
     val sink = Paths.get(workDir, "sink").toString
     val q = Streams.windowTopK(source(spark, in).as[Streams.Event], TopKWindowMs, TopKCapacity)
       .writeStream
