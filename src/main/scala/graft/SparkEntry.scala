@@ -2714,6 +2714,15 @@ object SparkEntry {
     // event's own timestamp, so one DuckDB join states the whole run
     "streaming_enrich" -> ((s, dir) =>
       graft.streaming.StreamOracle.enriched(s, dir, scratch(dir, "streamenrich"))),
+    // INCREMENTAL CONNECTED COMPONENTS: edges arrive as order-keyed
+    // micro-batches; per batch the delta graph is CONTRACTED to its
+    // current roots (label forest resolution) and only the delta runs
+    // the star alternation — state advances O(touched), never O(graph).
+    // The final resolved labeling must equal the one-shot batch
+    // components oracle (min reachable id), proving batch boundaries
+    // invisible.
+    "streaming_components" -> ((s, dir) =>
+      graft.streaming.StreamOracle.incrementalComponents(s, dir, scratch(dir, "streamcc"))),
     // STREAM-STREAM INTERVAL JOIN, oracle-checked: same-user event
     // attribution within (0, 1h] across two watermarked sources — the
     // union of per-batch inner-join emissions must equal DuckDB's
@@ -5060,6 +5069,19 @@ object SparkEntry {
     "streaming_neardup_admit" -> graft.pipeline.Oracles.dedupStreamingAdmission,
     "streaming_dedup" -> graft.streaming.StreamOracle.dedupAdmittedOracle,
     "streaming_enrich" -> graft.streaming.StreamOracle.enrichedOracle,
+    // the incremental maintenance must land exactly on the batch answer:
+    // same recursive min-reachable-id closure as graph_components
+    "streaming_components" ->
+      """WITH RECURSIVE
+        |lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        |       WHERE l_quantity > 45),
+        |e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+        |sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+        |reach(s, t) AS (
+        |  SELECT p, p FROM (SELECT DISTINCT p FROM lp)
+        |  UNION
+        |  SELECT reach.s, sym.v FROM reach JOIN sym ON reach.t = sym.u)
+        |SELECT s AS part, min(t) AS component FROM reach GROUP BY s""".stripMargin,
     "streaming_interval_join" -> graft.streaming.StreamOracle.intervalJoinOracle,
     "streaming_quota" -> graft.streaming.StreamOracle.quotaOracle(
       graft.streaming.StreamOracle.QuotaPerUser),

@@ -47,15 +47,19 @@ object Components {
       maxIter: Int = 30): DataFrame = {
     val canon0 = canon(pairs.select(col(s"`$aCol`").as("x"), col(s"`$bCol`").as("y")))
     var edges = Checkpoints.cut(canon0)
+    var edgeCount = edges.count()
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = edgeCount == 0
     while (!converged && iter < maxIter) {
       val next = Checkpoints.cut(canon(smallStar(largeStar(edges))))
+      val nextCount = next.count()
       // exact fixpoint probe: same cardinality + no edge outside the old
-      // set ⇒ equal sets (both sides are distinct canonical pairs)
-      converged = next.count() == edges.count() &&
+      // set ⇒ equal sets (both sides are distinct canonical pairs); the
+      // old cardinality is carried from the previous round, not recounted
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("a", "b"), "left_anti").isEmpty
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     if (!converged)

@@ -545,6 +545,145 @@ object StreamOracle {
     * evicted before every right row inside its gap window has been
     * seen. All output columns are stored values (ids, types, one stored
     * double) — bit-exact across engines. */
+  /** INCREMENTAL CONNECTED COMPONENTS over streaming edge batches — the
+    * graph-maintenance shape a 100 TB pipeline needs when the graph
+    * arrives continuously (link graphs, co-occurrence, identity
+    * resolution): maintain component labels WITHOUT recomputing the
+    * whole graph per batch.
+    *
+    * State is two structures, both O(touched) per batch:
+    *  - a [[BucketedState]] of seen vertices (presence; merged
+    *    touched-buckets-only — the cdc/neardup protocol), and
+    *  - an append-only LABEL FOREST: `(child, parent)` edges, parent <
+    *    child, one parquet partition per batch (batch-keyed overwrite =
+    *    replay-idempotent). A component's root is its minimum vertex id
+    *    — the forest is the union-by-min history.
+    *
+    * Per batch: (1) the batch's co-order edges are built WITHIN the
+    * batch (the stream is chunked by order key, so an order's rows
+    * never span batches and its pairs are complete); (2) endpoint
+    * labels resolve through the CURRENT forest to their true roots —
+    * resolution must reach the fixpoint, or a stale intermediate would
+    * enter the delta graph without its parent edge and the forest would
+    * become a DAG with divergent minima; (3) the CONTRACTED delta graph
+    * (root-level edges, self-loops dropped) runs the batch
+    * [[graft.operators.Components]] star alternation — delta-sized, not
+    * graph-sized; (4) each merged non-min root appends one forest edge.
+    * A root gains at most one parent ever (once parented it is no
+    * longer a root and future resolutions pass through it), so the
+    * forest stays a forest and resolution chains are bounded by the
+    * batch count. Final answer: every seen vertex's own id resolved to
+    * its root — which must equal the one-shot batch components labeling
+    * (min reachable id), proving batch boundaries invisible. */
+  def incrementalComponents(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    val in = cachedStage(sfDir, "lp_c4") { dir =>
+      val lp = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      val (lo, hi) = {
+        val r = lp.agg(min(col("ok")), max(col("ok"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val width = math.max((hi - lo) / 4 + 1, 1L)
+      for (i <- 0 until 4)
+        moveOnePart(lp.filter(col("ok") >= lo + i * width && col("ok") < lo + (i + 1) * width),
+          dir.resolve(f"tmp_lp$i%02d"), dir.resolve(f"lp$i%02d.parquet"))
+    }
+    val verts = new BucketedState(spark, Paths.get(workDir, "verts"), StateBuckets)
+    val forestDir = Paths.get(workDir, "forest").toString
+    val q = spark.readStream
+      .schema("ok BIGINT, p BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val sp = b.sparkSession
+        val rows = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val l1 = rows.select(col("ok"), col("p").as("s1"))
+          val l2 = rows.select(col("ok").as("ok2"), col("p").as("s2"))
+          val eb = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
+            .select(col("s1"), col("s2")).distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val forest = readForest(sp, forestDir, batchId)
+            // resolve the DISTINCT endpoint set once (labels ≪ edges),
+            // then map both edge columns through it — the per-round
+            // materialization in resolveToRoot runs over the small
+            // label frame, never the edge frame
+            val pts = eb.select(col("s1").as("l"))
+              .unionAll(eb.select(col("s2").as("l"))).distinct()
+              .withColumn("root", col("l"))
+            val res = resolveToRoot(pts, "root", forest)
+            // contracted delta edges: endpoints at their TRUE roots
+            val cb = eb
+              .join(res.select(col("l").as("s1"), col("root").as("r1")), Seq("s1"))
+              .join(res.select(col("l").as("s2"), col("root").as("r2")), Seq("s2"))
+              .select(col("r1").as("s1"), col("r2").as("s2"))
+              .filter(col("s1") =!= col("s2"))
+            val nodes = cb.select(col("s1").as("n"))
+              .unionAll(cb.select(col("s2").as("n"))).distinct()
+            val merged = graft.operators.Components.labels(nodes, cb, "n", "s1", "s2")
+            merged.filter(col("n") =!= col("cluster_id"))
+              .select(col("n").as("child"), col("cluster_id").as("parent"))
+              .write.mode("overwrite").parquet(s"$forestDir/b=$batchId")
+            // vertex presence: the O(touched-buckets) state protocol
+            val pb = rows.select(col("p")).distinct()
+              .withColumn("__bucket", verts.bucketOf(batchId, col("p")))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try verts.merge(batchId, pb, pb, Seq("p"))
+            finally { pb.unpersist(); () }
+          } finally { eb.unpersist(); () }
+        } finally { rows.unpersist(); () }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val forest = readForest(spark, forestDir, Long.MaxValue)
+    val vs = verts.current().getOrElse(fail("no micro-batch ran — empty source?"))
+      .select(col("p"), col("p").as("root"))
+    resolveToRoot(vs, "root", forest)
+      .select(col("p").as("part"), col("root").as("component"))
+  }
+
+  /** Forest partitions written strictly below `batch` (replay safety:
+    * a re-executed batch must not read its own previous attempt). */
+  private def readForest(spark: SparkSession, forestDir: String, batch: Long): DataFrame = {
+    val dirs = Option(new java.io.File(forestDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory &&
+        f.getName.stripPrefix("b=").toLongOption.exists(_ < batch))
+      .map(_.toString)
+    if (dirs.isEmpty)
+      spark.range(0).select(col("id").as("child"), col("id").as("parent"))
+    else spark.read.parquet(dirs.toIndexedSeq: _*).select(col("child"), col("parent"))
+  }
+
+  /** Replace `c` with its forest ROOT (follow parent edges to the
+    * fixpoint — chains are bounded by the batch count; the guard is a
+    * correctness assertion, not a tuning knob). */
+  private def resolveToRoot(df: DataFrame, c: String, forest: DataFrame): DataFrame = {
+    val parentOf = forest.select(col("child").as(c), col("parent"))
+    var cur = df
+    var done = false
+    var guard = 0
+    while (!done) {
+      guard += 1
+      if (guard > 64) fail(s"forest resolution did not converge on `$c`")
+      // eager cut per round: the fixpoint probe and the next round both
+      // consume the join once, and the iterative lineage stays one deep
+      val stepped = graft.operators.Checkpoints.cut(
+        cur.join(parentOf, Seq(c), "left")
+          .withColumn("__next", coalesce(col("parent"), col(s"`$c`"))))
+      done = stepped.filter(col("__next") =!= col(s"`$c`")).isEmpty
+      if (!done)
+        cur = stepped.select((df.columns.filterNot(_ == c).map(x => col(s"`$x`")) :+
+          col("__next").as(c)).toIndexedSeq: _*)
+    }
+    cur
+  }
+
   def intervalJoined(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     val in = stage(spark, sfDir, chunks = 4)
     val sink = Paths.get(workDir, "sink").toString
