@@ -590,7 +590,7 @@ object StreamOracle {
           dir.resolve(f"tmp_lp$i%02d"), dir.resolve(f"lp$i%02d.parquet"))
     }
     val verts = new BucketedState(spark, Paths.get(workDir, "verts"), StateBuckets)
-    val forestDir = Paths.get(workDir, "forest").toString
+    val forest = new BucketedState(spark, Paths.get(workDir, "forest"), StateBuckets)
     val q = spark.readStream
       .schema("ok BIGINT, p BIGINT")
       .option("maxFilesPerTrigger", 1)
@@ -599,65 +599,104 @@ object StreamOracle {
       .outputMode("append")
       .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
       .foreachBatch { (b: DataFrame, batchId: Long) =>
-        val sp = b.sparkSession
-        val rows = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val l1 = rows.select(col("ok"), col("p").as("s1"))
-          val l2 = rows.select(col("ok").as("ok2"), col("p").as("s2"))
-          val eb = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
-            .select(col("s1"), col("s2")).distinct()
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val forest = readForest(sp, forestDir, batchId)
-            // resolve the DISTINCT endpoint set once (labels ≪ edges),
-            // then map both edge columns through it — the per-round
-            // materialization in resolveToRoot runs over the small
-            // label frame, never the edge frame
-            val pts = eb.select(col("s1").as("l"))
-              .unionAll(eb.select(col("s2").as("l"))).distinct()
-              .withColumn("root", col("l"))
-            val res = resolveToRoot(pts, "root", forest)
-            // contracted delta edges: endpoints at their TRUE roots
-            val cb = eb
-              .join(res.select(col("l").as("s1"), col("root").as("r1")), Seq("s1"))
-              .join(res.select(col("l").as("s2"), col("root").as("r2")), Seq("s2"))
-              .select(col("r1").as("s1"), col("r2").as("s2"))
-              .filter(col("s1") =!= col("s2"))
-            val nodes = cb.select(col("s1").as("n"))
-              .unionAll(cb.select(col("s2").as("n"))).distinct()
-            val merged = graft.operators.Components.labels(nodes, cb, "n", "s1", "s2")
-            merged.filter(col("n") =!= col("cluster_id"))
-              .select(col("n").as("child"), col("cluster_id").as("parent"))
-              .write.mode("overwrite").parquet(s"$forestDir/b=$batchId")
-            // vertex presence: the O(touched-buckets) state protocol
-            val pb = rows.select(col("p")).distinct()
-              .withColumn("__bucket", verts.bucketOf(batchId, col("p")))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            try verts.merge(batchId, pb, pb, Seq("p"))
-            finally { pb.unpersist(); () }
-          } finally { eb.unpersist(); () }
-        } finally { rows.unpersist(); () }
+        ccBatch(verts, forest, batchId, b)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    val forest = readForest(spark, forestDir, Long.MaxValue)
     val vs = verts.current().getOrElse(fail("no micro-batch ran — empty source?"))
       .select(col("p"), col("p").as("root"))
-    resolveToRoot(vs, "root", forest)
+    val fullForest = forest.current()
+      .map(_.select(col("child"), col("parent")))
+      .getOrElse(spark.range(0).select(col("id").as("child"), col("id").as("parent")))
+    resolveToRoot(vs, "root", fullForest)
       .select(col("p").as("part"), col("root").as("component"))
   }
 
-  /** Forest partitions written strictly below `batch` (replay safety:
-    * a re-executed batch must not read its own previous attempt). */
-  private def readForest(spark: SparkSession, forestDir: String, batch: Long): DataFrame = {
-    val dirs = Option(new java.io.File(forestDir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory &&
-        f.getName.stripPrefix("b=").toLongOption.exists(_ < batch))
-      .map(_.toString)
-    if (dirs.isEmpty)
-      spark.range(0).select(col("id").as("child"), col("id").as("parent"))
-    else spark.read.parquet(dirs.toIndexedSeq: _*).select(col("child"), col("parent"))
+  /** One incremental-components batch: `rows` are (ok, p) co-order rows
+    * whose orders are complete within the batch. Everything the batch
+    * touches is O(batch + delta): the vertex-presence merge and the
+    * forest append go through the BucketedState touched-slot protocol,
+    * and forest RESOLUTION reads only the slots the batch's labels hash
+    * to ([[resolveViaState]]) — never the whole forest. Factored out of
+    * the streaming query so the scale probe can drive the identical
+    * code path batch by batch. */
+  private[graft] def ccBatch(verts: BucketedState, forest: BucketedState,
+      batchId: Long, b: DataFrame): Unit = {
+    val rows = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val l1 = rows.select(col("ok"), col("p").as("s1"))
+      val l2 = rows.select(col("ok").as("ok2"), col("p").as("s2"))
+      val eb = l1.join(l2, col("ok") === col("ok2") && col("s1") < col("s2"))
+        .select(col("s1"), col("s2")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // resolve the DISTINCT endpoint set once (labels ≪ edges), then
+        // map both edge columns through it — the per-round
+        // materialization in resolveToRoot runs over the small label
+        // frame, never the edge frame
+        val pts = eb.select(col("s1").as("l"))
+          .unionAll(eb.select(col("s2").as("l"))).distinct()
+          .withColumn("root", col("l"))
+        val res = resolveViaState(pts, "root", forest, batchId)
+        // contracted delta edges: endpoints at their TRUE roots
+        val cb = eb
+          .join(res.select(col("l").as("s1"), col("root").as("r1")), Seq("s1"))
+          .join(res.select(col("l").as("s2"), col("root").as("r2")), Seq("s2"))
+          .select(col("r1").as("s1"), col("r2").as("s2"))
+          .filter(col("s1") =!= col("s2"))
+        val nodes = cb.select(col("s1").as("n"))
+          .unionAll(cb.select(col("s2").as("n"))).distinct()
+        val merged = graft.operators.Components.labels(nodes, cb, "n", "s1", "s2")
+        val newEdges = merged.filter(col("n") =!= col("cluster_id"))
+          .select(col("n").as("child"), col("cluster_id").as("parent"))
+          .withColumn("__bucket", forest.bucketOf(batchId, col("child")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // forest append through the touched-slot protocol: children are
+        // NEW (a root gains at most one parent ever), so the merge can
+        // never collide with an existing entry
+        try forest.merge(batchId, newEdges.select(col("child"), col("__bucket")),
+          newEdges, Seq("child"))
+        finally { newEdges.unpersist(); () }
+        // vertex presence: the O(touched-buckets) state protocol
+        val pb = rows.select(col("p")).distinct()
+          .withColumn("__bucket", verts.bucketOf(batchId, col("p")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try verts.merge(batchId, pb, pb, Seq("p"))
+        finally { pb.unpersist(); () }
+      } finally { eb.unpersist(); () }
+    } finally { rows.unpersist(); () }
+  }
+
+  /** [[resolveToRoot]] against a BUCKETED forest: each pointer-jumping
+    * round reads only the slots the current labels hash to (a bounded
+    * collect of slot keys — at most the slot count crosses the driver),
+    * so resolution cost tracks the touched labels, never the forest
+    * size. Reads are pinned strictly below `batch` (replay-safe). */
+  private def resolveViaState(df: DataFrame, c: String,
+      forest: BucketedState, batch: Long): DataFrame = {
+    var cur = df
+    var done = false
+    var guard = 0
+    while (!done) {
+      guard += 1
+      if (guard > 64) fail(s"forest resolution did not converge on `$c`")
+      val withSlot = cur.withColumn("__slot", forest.bucketOf(batch, col(s"`$c`")))
+      // bounded collect: at most the forest's slot count crosses the driver
+      val slots = withSlot.select(col("__slot")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val parentOf = forest.before(batch, Some(slots))
+        .map(_.select(col("child").as(c), col("parent")))
+        .getOrElse(df.sparkSession.range(0)
+          .select(col("id").as(c), col("id").as("parent")))
+      val stepped = graft.operators.Checkpoints.cut(
+        withSlot.drop("__slot").join(parentOf, Seq(c), "left")
+          .withColumn("__next", coalesce(col("parent"), col(s"`$c`"))))
+      done = stepped.filter(col("__next") =!= col(s"`$c`")).isEmpty
+      if (!done)
+        cur = stepped.select((df.columns.filterNot(_ == c).map(x => col(s"`$x`")) :+
+          col("__next").as(c)).toIndexedSeq: _*)
+    }
+    cur
   }
 
   /** Replace `c` with its forest ROOT (follow parent edges to the
