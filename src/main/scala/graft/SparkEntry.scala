@@ -3774,7 +3774,7 @@ object SparkEntry {
     * content-addressed objects, manifests carry content roots
     * incrementally, restore parses manifests without reading relation
     * data, and gc lists the object dir instead of scanning objects. The
-    * probe persists a 100k·m-row Dist relation ONCE per (sf, m, JVM) in
+    * probe persists a 200k·m-row Dist relation ONCE per (sf, m, JVM) in
     * the untimed warmup pass (the root survives the bench's timed passes
     * — the streamStateProbe discipline), so each timed pass measures the
     * steady-state path alone: restore the store into a fresh
@@ -3787,18 +3787,10 @@ object SparkEntry {
     * pass asserts the restored contents, so a persistence bug surfaces
     * as a bench error, not a fast wrong number. */
   private def persistProbe(m: Int): (SparkSession, String) => DataFrame = (s, dir) => {
-    import java.nio.file.{Files, Paths}
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-persistprobe")
-    // sweep dead JVMs' probe stores (must SURVIVE this JVM's bench
-    // passes, so it can't use scratch(), which wipes on every entry)
-    val self = ProcessHandle.current().pid()
-    Option(base.toFile.listFiles()).foreach(_.foreach { f =>
-      val alive = f.getName.stripPrefix("pid-").toLongOption
-        .exists(p => p == self || ProcessHandle.of(p).isPresent)
-      if (!alive) { def w(x: java.io.File): Unit = { if (x.isDirectory) x.listFiles().foreach(w); x.delete(): Unit }; w(f) }
-    })
-    val probeDir = base.resolve(s"pid-$self").resolve(key).resolve(s"x$m")
+    import java.nio.file.Files
+    // probe store must SURVIVE this JVM's bench passes, so it can't use
+    // scratch(), which wipes on every entry
+    val probeDir = probeRoot("graft-persistprobe", dir, s"x$m")
     Files.createDirectories(probeDir)
     val root = probeDir.resolve("store").toString
     val cat = new ParquetCatalog(s, probeDir.toString)
@@ -3884,21 +3876,19 @@ object SparkEntry {
     * both state merges rewrite touched slots only. FLAT t(m) = per-batch
     * cost tracks the batch, never the accumulated graph. */
   private def streamCcProbe(m: Int): (SparkSession, String) => DataFrame = (s, dir) => {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Files
     val buckets = 16 * m
     val n = 100000L * m
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-streamccprobe")
-    val self = ProcessHandle.current().pid()
-    Option(base.toFile.listFiles()).foreach(_.foreach { f =>
-      val alive = f.getName.stripPrefix("pid-").toLongOption
-        .exists(p => p == self || ProcessHandle.of(p).isPresent)
-      if (!alive) { def w(x: java.io.File): Unit = { if (x.isDirectory) x.listFiles().foreach(w); x.delete(): Unit }; w(f) }
-    })
-    val root = base.resolve(s"pid-$self").resolve(key).resolve(s"x$m")
+    val root = probeRoot("graft-streamccprobe", dir, s"x$m")
+    // a PARTIAL warmup build (e.g. killed between the two state writes)
+    // must self-heal, not wedge the probe for the JVM's lifetime: the
+    // guard requires BOTH states' v0 and rebuilds from scratch otherwise
+    val v0ok = Files.exists(root.resolve("verts").resolve("__v=0")) &&
+      Files.exists(root.resolve("forest").resolve("__v=0"))
+    if (!v0ok) wipeTree(root.toFile)
     val verts = new graft.streaming.BucketedState(s, root.resolve("verts"), buckets)
     val forest = new graft.streaming.BucketedState(s, root.resolve("forest"), buckets)
-    if (!Files.exists(root.resolve("verts").resolve("__v=0"))) {
+    if (!v0ok) {
       // 2n seen vertices; forest = n depth-1 chains (high half → low half)
       val vs = s.range(2 * n).select(col("id").as("p"))
         .withColumn("__bucket", verts.bucketOf(0L, col("p")))
@@ -3909,7 +3899,8 @@ object SparkEntry {
     }
     def nextVersion(r: java.nio.file.Path): Long =
       Option(r.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
-        .flatMap(f => f.getName.stripPrefix("__v=").toLongOption).max
+        .flatMap(f => f.getName.stripPrefix("__v=").toLongOption)
+        .maxOption.getOrElse(0L)
     val v = math.max(nextVersion(root.resolve("verts")), nextVersion(root.resolve("forest"))) + 1
     // 8 orders of 2 parts each: a forest child (resolves through its
     // chain) and a far root — the first batch merges them, later passes
@@ -3932,21 +3923,43 @@ object SparkEntry {
     * passes), so the timed passes measure exactly one incremental batch:
     * read the touched buckets' newest versions, anti-join + union, write
     * one file per touched bucket, compact. Flat t(m) = the claim holds. */
-  private def streamStateProbe(m: Int): (SparkSession, String) => DataFrame = (s, dir) => {
-    import java.nio.file.{Files, Paths}
-    val buckets = 16 * m
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-stateprobe")
-    // sweep dead JVMs' probe states (the scratch() discipline — this dir
-    // must SURVIVE the current JVM's bench passes, so it can't use
-    // scratch(), which wipes on every entry)
+  /** Pid-scoped PERSISTENT probe root: survives this JVM's bench passes
+    * (unlike scratch(), which wipes on entry), swept once the owning pid
+    * dies. The key carries a hash of the FULL dataset path — the
+    * sanitized form alone is lossy, and two sf dirs must never share
+    * surviving probe state (a reused cache would silently measure or
+    * verify the wrong data). `listFiles` is null-guarded throughout: a
+    * concurrent JVM's sweeper may delete a dead pid's dir between the
+    * isDirectory check and the listing. */
+  private def probeRoot(family: String, dir: String, sub: String): java.nio.file.Path = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "-" + Integer.toHexString(dir.hashCode)
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), family)
+    def wipe(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(wipe))
+      x.delete(): Unit
+    }
     val self = ProcessHandle.current().pid()
     Option(base.toFile.listFiles()).foreach(_.foreach { f =>
       val alive = f.getName.stripPrefix("pid-").toLongOption
         .exists(p => p == self || ProcessHandle.of(p).isPresent)
-      if (!alive) { def w(x: java.io.File): Unit = { if (x.isDirectory) x.listFiles().foreach(w); x.delete(): Unit }; w(f) }
+      if (!alive) wipe(f)
     })
-    val root = base.resolve(s"pid-$self").resolve(key).resolve(s"x$m").resolve("st")
+    base.resolve(s"pid-$self").resolve(key).resolve(sub)
+  }
+
+  /** Recursive delete (null-guarded — see [[probeRoot]]). */
+  private def wipeTree(x: java.io.File): Unit = {
+    if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(wipeTree))
+    x.delete(): Unit
+  }
+
+  private def streamStateProbe(m: Int): (SparkSession, String) => DataFrame = (s, dir) => {
+    import java.nio.file.Files
+    val buckets = 16 * m
+    // probe state must SURVIVE the current JVM's bench passes, so it
+    // can't use scratch(), which wipes on every entry
+    val root = probeRoot("graft-stateprobe", dir, s"x$m/st")
     val st = new graft.streaming.BucketedState(s, root, buckets)
     if (!Files.exists(root.resolve("__v=0"))) {
       val base = s.range(200000L * m)
@@ -3956,7 +3969,8 @@ object SparkEntry {
     }
     // next free version (each bench pass appends one batch)
     val v = Option(root.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
-      .flatMap(f => f.getName.stripPrefix("__v=").toLongOption).max + 1
+      .flatMap(f => f.getName.stripPrefix("__v=").toLongOption)
+      .maxOption.getOrElse(0L) + 1
     val inc = s.range(8L).select((col("id") * 31L).as("k"), lit(-1L).as("payload"))
       .withColumn("__bucket", st.bucketOf(v, col("k")))
     val touched = inc.select(col("__bucket")).distinct().collect().map(_.getString(0)).toSet

@@ -67,7 +67,12 @@ object StreamOracle {
     * order) is exactly what the per-row staging produced. Dead JVMs'
     * caches are swept — the scratch() discipline. */
   private def cachedStage(sfDir: String, variant: String)(build: Path => Unit): String = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // the key carries a hash of the FULL path: the sanitized form alone
+    // is lossy, and unlike scratch() (which wipes on entry, so collisions
+    // are harmless) this cache REUSES content — two sf dirs sharing an
+    // entry would stream one dataset while the oracle reads the other
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "-" + Integer.toHexString(sfDir.hashCode)
     val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-stagecache")
     def wipe(x: java.io.File): Unit = {
       if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(wipe))
@@ -291,15 +296,18 @@ object StreamOracle {
   def enriched(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     val in = stage(spark, sfDir, chunks = EnrichChunks)
     val sink = Paths.get(workDir, "sink").toString
-    val dims = Paths.get(workDir, "dim").toString
-    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
-      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk"),
-        col("c_mktsegment").as("segment"))
     // versioned snapshots up front: batch k reads v=k (margin for the
-    // sentinel batch and a possible trailing empty batch)
-    for (v <- 0 until EnrichChunks + 2)
-      customer.select(col("c_custkey"), (col("nk") * 100L + v).as("dim_v"), col("segment"))
-        .write.mode("overwrite").parquet(s"$dims/v=$v")
+    // sentinel batch and a possible trailing empty batch). Pure function
+    // of sfDir → cached like the chunk staging (data prep, not the
+    // machinery under test)
+    val dims = cachedStage(sfDir, s"dims_v${EnrichChunks + 2}") { dir =>
+      val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk"),
+          col("c_mktsegment").as("segment"))
+      for (v <- 0 until EnrichChunks + 2)
+        customer.select(col("c_custkey"), (col("nk") * 100L + v).as("dim_v"), col("segment"))
+          .write.mode("overwrite").parquet(s"$dir/v=$v")
+    }
     val q = Streams.enrichPerBatch(
       source(spark, in),
       batchId => spark.read.parquet(s"$dims/v=$batchId"),
