@@ -2723,6 +2723,11 @@ object SparkEntry {
     // invisible.
     "streaming_components" -> ((s, dir) =>
       graft.streaming.StreamOracle.incrementalComponents(s, dir, scratch(dir, "streamcc"))),
+    // STREAMING MERGEABLE SKETCH: KMV k-minima folded across batches —
+    // an associative/commutative fold, so the streamed state must land
+    // EXACTLY on the one-shot batch sketch (same hash, k, kth, estimate)
+    "streaming_kmv_distinct" -> ((s, dir) =>
+      graft.streaming.StreamOracle.kmvStreamed(s, dir, scratch(dir, "streamkmv"))),
     // STREAM-STREAM INTERVAL JOIN, oracle-checked: same-user event
     // attribution within (0, 1h] across two watermarked sources — the
     // union of per-batch inner-join emissions must equal DuckDB's
@@ -5138,6 +5143,9 @@ object SparkEntry {
     "streaming_neardup_admit" -> graft.pipeline.Oracles.dedupStreamingAdmission,
     "streaming_dedup" -> graft.streaming.StreamOracle.dedupAdmittedOracle,
     "streaming_enrich" -> graft.streaming.StreamOracle.enrichedOracle,
+    // the streamed fold must equal the one-shot sketch bit-for-bit
+    "streaming_kmv_distinct" ->
+      graft.pipeline.Sketches.kmvDistinctOracle("events", "event_id"),
     // the incremental maintenance must land exactly on the batch answer:
     // same recursive min-reachable-id closure as graph_components
     "streaming_components" ->

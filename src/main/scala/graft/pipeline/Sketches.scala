@@ -37,8 +37,7 @@ object Sketches {
     * the exact count and reports it. */
   def kmvDistinct(df: DataFrame, valueCol: String, k: Int = 1024): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = kmvHash(valueCol)
     // null values hash to a null hv; drop them EXPLICITLY on both engine
     // sides — Spark windows sort NULLS FIRST while DuckDB sorts NULLS
     // LAST, so an unfiltered null would silently skew the k-minima set
@@ -48,15 +47,28 @@ object Sketches {
     // (kmv_distinct 1.9 → 2.7 s WITH it); the multi-column ndvProfile
     // is where the rebalance wins (7.4 → 2.0 s), and it rebalances at
     // its own call site before the 16× explode.
-    df.select(h.as("hv")).where(col("hv").isNotNull).distinct()
-      .orderBy(col("hv")).limit(k)
-      .agg(count(lit(1)).as("k"), max(col("hv")).as("kth"))
+    kmvEstimateFromMins(
+      df.select(h.as("hv")).where(col("hv").isNotNull).distinct()
+        .orderBy(col("hv")).limit(k), k)
+  }
+
+  /** The KMV estimator over an already-computed k-minima set `mins`
+    * (one `hv` column, ≤ k distinct hashes): (k−1)·space/kth, or the
+    * exact count below k. Shared by the one-shot [[kmvDistinct]] and
+    * the streamed fold ([[graft.streaming.StreamOracle]]), which must
+    * agree bit-for-bit. */
+  def kmvEstimateFromMins(mins: DataFrame, k: Int): DataFrame =
+    mins.agg(count(lit(1)).as("k"), max(col("hv")).as("kth"))
       .select(col("k"), col("kth"),
         when(col("k") < k, col("k").cast("double"))
           .otherwise((col("k") - 1).cast("double") * lit(KmvHashSpace) /
             col("kth").cast("double"))
           .as("est_distinct"))
-  }
+
+  /** The [[kmvDistinct]] hash: 60-bit prefix of md5 over the value's
+    * string form (single-sourced for the streamed fold). */
+  def kmvHash(valueCol: String): org.apache.spark.sql.Column =
+    conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10).cast("long")
 
   /** The DuckDB re-derivation of [[kmvDistinct]] over `table.valueExpr`
     * (single-sourced so the two sides cannot drift). */

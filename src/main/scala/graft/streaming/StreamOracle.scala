@@ -620,6 +620,47 @@ object StreamOracle {
       .select(col("p").as("part"), col("root").as("component"))
   }
 
+  /** STREAMING MERGEABLE SKETCH: the KMV k-minima set folded across
+    * micro-batches. KMV is a pure function of the SET (the k smallest
+    * distinct hashes) and k-minima folding is associative and
+    * commutative — minₖ(A ∪ B) = minₖ(minₖ(A) ∪ minₖ(B)) — so the
+    * streamed fold must land EXACTLY on the one-shot batch sketch,
+    * estimator branch included: same hash ([[graft.pipeline.Sketches.
+    * kmvHash]], single-sourced), same k, same kth, same estimate. That
+    * is the mergeability story a 100 TB profile pipeline runs on:
+    * per-partition / per-batch sketches fold without ever holding the
+    * distinct set. State is ≤ k longs per version, written batch-keyed
+    * (reads pinned strictly below the batch id — replay-safe); the
+    * flush sentinel is excluded like every events-stream row. */
+  def kmvStreamed(spark: SparkSession, sfDir: String, workDir: String,
+      k: Int = 1024): DataFrame = {
+    import graft.pipeline.Sketches
+    val in = stage(spark, sfDir, chunks = 4)
+    val stateDir = Paths.get(workDir, "kmv").toString
+    def newestBelow(batch: Long): DataFrame = {
+      val vs = Option(new java.io.File(stateDir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .flatMap(f => f.getName.stripPrefix("v=").toLongOption.filter(_ < batch))
+      if (vs.isEmpty) spark.range(0).select(col("id").as("hv"))
+      else spark.read.parquet(s"$stateDir/v=${vs.max}").select(col("hv"))
+    }
+    val q = source(spark, in)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val mins = b.filter(col("event_type") =!= "__flush__")
+          .select(Sketches.kmvHash("event_id").as("hv"))
+          .where(col("hv").isNotNull).distinct()
+        newestBelow(batchId).unionByName(mins).distinct()
+          .orderBy(col("hv")).limit(k)
+          .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Sketches.kmvEstimateFromMins(newestBelow(Long.MaxValue), k)
+  }
+
   /** One incremental-components batch: `rows` are (ok, p) co-order rows
     * whose orders are complete within the batch. Everything the batch
     * touches is O(batch + delta): the vertex-presence merge and the

@@ -146,4 +146,24 @@ class PlantedFixturesSpec extends SparkTestBase {
     assert(eSmall <= eBig, s"nested sets: estimate($eSmall) > estimate($eBig)")
     assert(eBig >= 4000 && eBig <= 6000, s"5000-distinct estimate off: $eBig")
   }
+
+  test("kmv: the fold law — min_k(min_k(A) ∪ min_k(B)) = min_k(A ∪ B), overlap included") {
+    // The algebraic identity the streaming_kmv_distinct row rides: the
+    // k-minima set is a semilattice fold, so per-batch sketches merged
+    // through state must equal the one-shot sketch BIT-FOR-BIT — k, kth,
+    // and estimate. Overlapping halves exercise the dedup in the merge.
+    val k = 16
+    val a = (1 to 300).map(i => s"v$i")
+    val b = (200 to 500).map(i => s"v$i")
+    def mins(xs: Seq[String]) = xs.toDF("x")
+      .select(Sketches.kmvHash("x").as("hv")).distinct()
+      .orderBy(col("hv")).limit(k)
+    val folded = Sketches.kmvEstimateFromMins(
+      mins(a).unionByName(mins(b)).distinct().orderBy(col("hv")).limit(k), k)
+      .collect().head
+    val oneShot = Sketches.kmvDistinct((a ++ b).toDF("x"), "x", k)
+      .collect().head
+    assert(folded === oneShot,
+      s"fold diverged from one-shot: $folded vs $oneShot")
+  }
 }
