@@ -146,6 +146,52 @@ class ListenerSpec extends SparkTestBase {
     } finally { conns.foreach(_._1.close()); listener.close() }
   }
 
+  test("concurrent cursors keep their begin-time snapshots while a writer advances the head") {
+    val listener = newListener()
+    val readers = (1 to 3).map(_ => connect(listener))
+    val writer = connect(listener)
+    try {
+      val (_, wOut, wIn) = writer
+      request(wOut, wIn, "(ddl (CreateDatabase iso))")
+      request(wOut, wIn, "(ddl (CreateRelation (name t) (schema ((x integer)))))")
+      for (i <- 0 until 8)
+        request(wOut, wIn, s"(dml (InsertTuple (relation t) (attributes ((x (Int $i))))))")
+      // every reader BEGINS its cursor on the 8-row state (page 1 = 3
+      // rows), THEN the writer commits more rows, THEN the readers page
+      // to exhaustion concurrently. The registry pins the begin-time
+      // DataFrame (reference session.ml:11 pins the db snapshot), so
+      // each cursor must return EXACTLY its 8 rows — never 14 — while a
+      // fresh query on the writer sees all 14. Threaded fetches also
+      // race the registry under the session lock.
+      val firstPages = readers.map { case (_, out, in) =>
+        val r = request(out, in, "(scl (Begin (query (Base t)) (limit 3)))")
+        assert(field(r, "row_count").contains(Atom("3")), r.render)
+        field(r, "id").collect { case Atom(id) => id }.get
+      }
+      for (i <- 100 until 106)
+        request(wOut, wIn, s"(dml (InsertTuple (relation t) (attributes ((x (Int $i))))))")
+      val totals = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+      val threads = readers.zip(firstPages).zipWithIndex.map { case (((_, out, in), id), n) =>
+        new Thread(() => {
+          var rows = 3
+          var more = true
+          while (more) {
+            val r = request(out, in, s"(scl (Fetch (cursor $id) (limit 3)))")
+            rows += field(r, "row_count").collect { case Atom(c) => c.toInt }.get
+            more = field(r, "has_more").contains(Atom("true"))
+          }
+          totals.put(n, rows)
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(60000))
+      assert((0 until 3).forall(totals.get(_) == 8),
+        s"a cursor leaked post-begin commits: $totals")
+      val fresh = request(wOut, wIn, "(scl (Begin (query (Base t)) (limit 20)))")
+      assert(field(fresh, "row_count").contains(Atom("14")))
+    } finally { (readers :+ writer).foreach(_._1.close()); listener.close() }
+  }
+
   test("a second connection shares the serialized head database") {
     val listener = newListener()
     val (s1, out1, in1) = connect(listener)
