@@ -98,6 +98,22 @@ object SparkEntry {
       }
     }
 
+  /** Min-reachable-id closure over the q>45 co-order graph — the ONE
+    * oracle string shared by `graph_components` (one-shot) and
+    * `streaming_components` (incremental): their equivalence claim is
+    * pinned by construction through this single definition. */
+  private val ComponentsClosureSql: String =
+    """WITH RECURSIVE
+      |lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+      |       WHERE l_quantity > 45),
+      |e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+      |sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+      |reach(s, t) AS (
+      |  SELECT p, p FROM (SELECT DISTINCT p FROM lp)
+      |  UNION
+      |  SELECT reach.s, sym.v FROM reach JOIN sym ON reach.t = sym.u)
+      |SELECT s AS part, min(t) AS component FROM reach GROUP BY s""".stripMargin
+
   /** Flagship: revenue by nation (4-table join + aggregation) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     aggRevenueByNation(spark, "/root/testdata/sf0.001")
@@ -3887,9 +3903,11 @@ object SparkEntry {
     val root = probeRoot("graft-streamccprobe", dir, s"x$m")
     // a PARTIAL warmup build (e.g. killed between the two state writes)
     // must self-heal, not wedge the probe for the JVM's lifetime: the
-    // guard requires BOTH states' v0 and rebuilds from scratch otherwise
-    val v0ok = Files.exists(root.resolve("verts").resolve("__v=0")) &&
-      Files.exists(root.resolve("forest").resolve("__v=0"))
+    // guard requires BOTH states' v0 MANIFESTS (writeManifest is the
+    // commit point — a __v=0 dir without its manifest reads as empty)
+    // and rebuilds from scratch otherwise
+    val v0ok = Files.exists(root.resolve("verts").resolve("__manifest-v=0")) &&
+      Files.exists(root.resolve("forest").resolve("__manifest-v=0"))
     if (!v0ok) wipeTree(root.toFile)
     val verts = new graft.streaming.BucketedState(s, root.resolve("verts"), buckets)
     val forest = new graft.streaming.BucketedState(s, root.resolve("forest"), buckets)
@@ -3940,15 +3958,11 @@ object SparkEntry {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
       "-" + Integer.toHexString(dir.hashCode)
     val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"), family)
-    def wipe(x: java.io.File): Unit = {
-      if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(wipe))
-      x.delete(): Unit
-    }
     val self = ProcessHandle.current().pid()
     Option(base.toFile.listFiles()).foreach(_.foreach { f =>
       val alive = f.getName.stripPrefix("pid-").toLongOption
         .exists(p => p == self || ProcessHandle.of(p).isPresent)
-      if (!alive) wipe(f)
+      if (!alive) wipeTree(f)
     })
     base.resolve(s"pid-$self").resolve(key).resolve(sub)
   }
@@ -3966,7 +3980,11 @@ object SparkEntry {
     // can't use scratch(), which wipes on every entry
     val root = probeRoot("graft-stateprobe", dir, s"x$m/st")
     val st = new graft.streaming.BucketedState(s, root, buckets)
-    if (!Files.exists(root.resolve("__v=0"))) {
+    // guard on the MANIFEST, not the version dir: writeManifest is
+    // BucketedState's commit point (written after the parquet), so a
+    // kill between the two must re-trigger the build, not read empty
+    if (!Files.exists(root.resolve("__manifest-v=0"))) {
+      wipeTree(root.toFile)
       val base = s.range(200000L * m)
         .select(col("id").as("k"), (col("id") % 97).as("payload"))
         .withColumn("__bucket", st.bucketOf(0L, col("k")))
@@ -4490,17 +4508,7 @@ object SparkEntry {
     // min-reachable-id closure: the oracle replays connectivity by
     // recursive transitive reachability (fine at oracle scale; the
     // Spark side is the O(log²)-round star alternation)
-    "graph_components" ->
-      """WITH RECURSIVE
-        |lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
-        |       WHERE l_quantity > 45),
-        |e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
-        |sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
-        |reach(s, t) AS (
-        |  SELECT p, p FROM (SELECT DISTINCT p FROM lp)
-        |  UNION
-        |  SELECT reach.s, sym.v FROM reach JOIN sym ON reach.t = sym.u)
-        |SELECT s AS part, min(t) AS component FROM reach GROUP BY s""".stripMargin,
+    "graph_components" -> ComponentsClosureSql,
     "graph_kcore" -> graft.pipeline.Oracles.graphKCore(3,
       graft.operators.KCore.Rounds),
     "graph_ktruss" -> graft.pipeline.Oracles.graphKTruss(4,
@@ -5147,18 +5155,9 @@ object SparkEntry {
     "streaming_kmv_distinct" ->
       graft.pipeline.Sketches.kmvDistinctOracle("events", "event_id"),
     // the incremental maintenance must land exactly on the batch answer:
-    // same recursive min-reachable-id closure as graph_components
-    "streaming_components" ->
-      """WITH RECURSIVE
-        |lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
-        |       WHERE l_quantity > 45),
-        |e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
-        |sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
-        |reach(s, t) AS (
-        |  SELECT p, p FROM (SELECT DISTINCT p FROM lp)
-        |  UNION
-        |  SELECT reach.s, sym.v FROM reach JOIN sym ON reach.t = sym.u)
-        |SELECT s AS part, min(t) AS component FROM reach GROUP BY s""".stripMargin,
+    // the SAME closure string as graph_components, so incremental ≡
+    // one-shot is pinned by construction, not by parallel edits
+    "streaming_components" -> ComponentsClosureSql,
     "streaming_interval_join" -> graft.streaming.StreamOracle.intervalJoinOracle,
     "streaming_quota" -> graft.streaming.StreamOracle.quotaOracle(
       graft.streaming.StreamOracle.QuotaPerUser),

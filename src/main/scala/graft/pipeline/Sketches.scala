@@ -94,8 +94,7 @@ object Sketches {
       k: Int = 256): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     import org.apache.spark.sql.expressions.Window
-    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = kmvHash(valueCol)
     // null-hash filter mirrors [[kmvDistinct]]: without it the two
     // engines' divergent null ordering would pick different k-minima
     val hv = df.select(col(groupCol), h.as("hv"))
@@ -143,8 +142,7 @@ object Sketches {
       k: Int = 256): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     def minima(df: DataFrame, c: String) = {
-      val h = conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10).cast("long")
-      df.select(h.as("hv")).where(col("hv").isNotNull).distinct()
+      df.select(kmvHash(c).as("hv")).where(col("hv").isNotNull).distinct()
         .orderBy(col("hv")).limit(k)
     }
     val u = minima(a, aCol).select(col("hv"), lit(1).as("ia"), lit(0).as("ib"))
@@ -205,8 +203,7 @@ object Sketches {
       k: Int = 256): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     import org.apache.spark.sql.expressions.Window
-    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
+    val h = kmvHash(valueCol)
     val hv = df.select(col(groupCol), h.as("hv"))
       .where(col("hv").isNotNull).distinct()
     val w = Window.partitionBy(col(groupCol)).orderBy(col("hv"))

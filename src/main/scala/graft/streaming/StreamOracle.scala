@@ -588,10 +588,11 @@ object StreamOracle {
       val lp = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .filter(col("l_quantity") > 45)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      val (lo, hi) = {
-        val r = lp.agg(min(col("ok")), max(col("ok"))).head()
-        (r.getLong(0), r.getLong(1))
-      }
+      // an all-filtered dataset yields null aggregates: stage 4 empty
+      // (schema-bearing) chunks so the row returns the empty labeling,
+      // exactly like graph_components and the oracle on the same input
+      val head = lp.agg(min(col("ok")), max(col("ok"))).head()
+      val (lo, hi) = if (head.isNullAt(0)) (0L, -1L) else (head.getLong(0), head.getLong(1))
       val width = math.max((hi - lo) / 4 + 1, 1L)
       for (i <- 0 until 4)
         moveOnePart(lp.filter(col("ok") >= lo + i * width && col("ok") < lo + (i + 1) * width),
@@ -611,8 +612,11 @@ object StreamOracle {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    val vs = verts.current().getOrElse(fail("no micro-batch ran — empty source?"))
-      .select(col("p"), col("p").as("root"))
+    // an all-empty stream (every chunk filtered away) labels nothing —
+    // the same empty frame the one-shot row and the oracle produce
+    val vs = verts.current()
+      .map(_.select(col("p"), col("p").as("root")))
+      .getOrElse(spark.range(0).select(col("id").as("p"), col("id").as("root")))
     val fullForest = forest.current()
       .map(_.select(col("child"), col("parent")))
       .getOrElse(spark.range(0).select(col("id").as("child"), col("id").as("parent")))
@@ -722,47 +726,41 @@ object StreamOracle {
     * so resolution cost tracks the touched labels, never the forest
     * size. Reads are pinned strictly below `batch` (replay-safe). */
   private def resolveViaState(df: DataFrame, c: String,
-      forest: BucketedState, batch: Long): DataFrame = {
-    var cur = df
-    var done = false
-    var guard = 0
-    while (!done) {
-      guard += 1
-      if (guard > 64) fail(s"forest resolution did not converge on `$c`")
-      val withSlot = cur.withColumn("__slot", forest.bucketOf(batch, col(s"`$c`")))
+      forest: BucketedState, batch: Long): DataFrame =
+    resolveFixpoint(df, c) { cur =>
       // bounded collect: at most the forest's slot count crosses the driver
-      val slots = withSlot.select(col("__slot")).distinct()
-        .collect().map(_.getString(0)).toSet
-      val parentOf = forest.before(batch, Some(slots))
+      val slots = cur.select(forest.bucketOf(batch, col(s"`$c`")).as("__slot"))
+        .distinct().collect().map(_.getString(0)).toSet
+      forest.before(batch, Some(slots))
         .map(_.select(col("child").as(c), col("parent")))
         .getOrElse(df.sparkSession.range(0)
           .select(col("id").as(c), col("id").as("parent")))
-      val stepped = graft.operators.Checkpoints.cut(
-        withSlot.drop("__slot").join(parentOf, Seq(c), "left")
-          .withColumn("__next", coalesce(col("parent"), col(s"`$c`"))))
-      done = stepped.filter(col("__next") =!= col(s"`$c`")).isEmpty
-      if (!done)
-        cur = stepped.select((df.columns.filterNot(_ == c).map(x => col(s"`$x`")) :+
-          col("__next").as(c)).toIndexedSeq: _*)
     }
-    cur
-  }
 
   /** Replace `c` with its forest ROOT (follow parent edges to the
     * fixpoint — chains are bounded by the batch count; the guard is a
     * correctness assertion, not a tuning knob). */
   private def resolveToRoot(df: DataFrame, c: String, forest: DataFrame): DataFrame = {
     val parentOf = forest.select(col("child").as(c), col("parent"))
+    resolveFixpoint(df, c)(_ => parentOf)
+  }
+
+  /** The shared pointer-jumping loop: each round joins the current
+    * frame against `parentOf(cur)` (a (c, parent) lookup — constant for
+    * a static forest, slot-pinned per round for a bucketed one) and
+    * steps `c` to its parent where one exists. Eager cut per round: the
+    * fixpoint probe and the next round both consume the join once, and
+    * the iterative lineage stays one deep. */
+  private def resolveFixpoint(df: DataFrame, c: String)(
+      parentOf: DataFrame => DataFrame): DataFrame = {
     var cur = df
     var done = false
     var guard = 0
     while (!done) {
       guard += 1
       if (guard > 64) fail(s"forest resolution did not converge on `$c`")
-      // eager cut per round: the fixpoint probe and the next round both
-      // consume the join once, and the iterative lineage stays one deep
       val stepped = graft.operators.Checkpoints.cut(
-        cur.join(parentOf, Seq(c), "left")
+        cur.join(parentOf(cur), Seq(c), "left")
           .withColumn("__next", coalesce(col("parent"), col(s"`$c`"))))
       done = stepped.filter(col("__next") =!= col(s"`$c`")).isEmpty
       if (!done)
