@@ -2744,6 +2744,13 @@ object SparkEntry {
     // EXACTLY on the one-shot batch sketch (same hash, k, kth, estimate)
     "streaming_kmv_distinct" -> ((s, dir) =>
       graft.streaming.StreamOracle.kmvStreamed(s, dir, scratch(dir, "streamkmv"))),
+    // STREAMING SAMPLED QUANTILE: per-batch Bernoulli-gate samples
+    // (gate = pure function of row identity, single-sourced) accumulate
+    // append-only; their union IS the one-shot sample, so the final
+    // exact percentile must equal the batch derivation
+    "streaming_quantile" -> ((s, dir) =>
+      graft.streaming.StreamOracle.quantileStreamed(s, dir,
+        scratch(dir, "streamquant"), q = 0.5, rate = QuantileSampleRate)),
     // STREAM-STREAM INTERVAL JOIN, oracle-checked: same-user event
     // attribution within (0, 1h] across two watermarked sources — the
     // union of per-batch inner-join emissions must equal DuckDB's
@@ -5154,6 +5161,11 @@ object SparkEntry {
     // the streamed fold must equal the one-shot sketch bit-for-bit
     "streaming_kmv_distinct" ->
       graft.pipeline.Sketches.kmvDistinctOracle("events", "event_id"),
+    // union of per-batch gated samples ≡ the one-shot gated sample
+    "streaming_quantile" ->
+      graft.pipeline.Sketches.sampledQuantileOracle("events", "event_id",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        q = 0.5, rate = QuantileSampleRate),
     // the incremental maintenance must land exactly on the batch answer:
     // the SAME closure string as graph_components, so incremental ≡
     // one-shot is pinned by construction, not by parallel edits

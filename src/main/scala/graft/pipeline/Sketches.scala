@@ -253,14 +253,26 @@ object Sketches {
     * without a global sort or a mergeable-histogram library. */
   def sampledQuantile(df: DataFrame, idCol: org.apache.spark.sql.Column,
       valueCol: org.apache.spark.sql.Column, q: Double, rate: Double,
-      salt: String = QuantileSalt): DataFrame = {
-    val bound = math.min((rate * 65536).toLong, 65535L)
-    val gate = conv(substring(sha2(concat(idCol.cast("string"), lit("|" + salt)), 256), 1, 4), 16, 10)
+      salt: String = QuantileSalt): DataFrame =
+    quantileEstimate(df.where(quantileGate(idCol, salt) < quantileBound(rate)),
+      valueCol, q)
+
+  /** The [[sampledQuantile]] Bernoulli gate (pure function of row
+    * identity) and its rate bound — single-sourced for the streamed
+    * fold, which must admit EXACTLY the one-shot sample. */
+  def quantileGate(idCol: org.apache.spark.sql.Column,
+      salt: String = QuantileSalt): org.apache.spark.sql.Column =
+    conv(substring(sha2(concat(idCol.cast("string"), lit("|" + salt)), 256), 1, 4), 16, 10)
       .cast("long")
-    df.where(gate < bound)
-      .agg(percentile(valueCol, lit(q)).as("estimate"),
-        count(lit(1)).as("n_sampled"))
-  }
+
+  def quantileBound(rate: Double): Long = math.min((rate * 65536).toLong, 65535L)
+
+  /** One exact percentile + size over an already-gated sample (shared by
+    * [[sampledQuantile]] and the streamed fold). */
+  def quantileEstimate(sample: DataFrame, valueCol: org.apache.spark.sql.Column,
+      q: Double): DataFrame =
+    sample.agg(percentile(valueCol, lit(q)).as("estimate"),
+      count(lit(1)).as("n_sampled"))
 
   /** DuckDB half of [[sampledQuantile]] (quantile_cont shares Spark
     * percentile's (n−1)·q interpolation). */

@@ -665,6 +665,37 @@ object StreamOracle {
     Sketches.kmvEstimateFromMins(newestBelow(Long.MaxValue), k)
   }
 
+  /** STREAMING SAMPLED QUANTILE: the deterministic Bernoulli-gate sample
+    * accumulated across micro-batches. The gate is a pure function of
+    * row identity ([[graft.pipeline.Sketches.quantileGate]],
+    * single-sourced), so the union of per-batch samples IS the one-shot
+    * sample — batch-keyed append-only partitions (replay-idempotent),
+    * one exact percentile at the end, and the answer must equal the
+    * batch `sketch_quantile_sample` contract on the same gate: the
+    * "approximate median of 100 TB" path where each ingest batch
+    * contributes its gated rows and nothing is ever re-scanned. */
+  def quantileStreamed(spark: SparkSession, sfDir: String, workDir: String,
+      q: Double, rate: Double): DataFrame = {
+    import graft.pipeline.Sketches
+    val in = stage(spark, sfDir, chunks = 4)
+    val sink = Paths.get(workDir, "sample").toString
+    val bound = Sketches.quantileBound(rate)
+    val strq = source(spark, in)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        b.filter(col("event_type") =!= "__flush__")
+          .where(Sketches.quantileGate(col("event_id")) < bound)
+          .select((col("value").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+          .write.mode("overwrite").parquet(s"$sink/b=$batchId")
+      }
+      .start()
+    try strq.processAllAvailable() finally strq.stop()
+    Sketches.quantileEstimate(spark.read.parquet(sink), col("cents"), q)
+  }
+
   /** One incremental-components batch: `rows` are (ok, p) co-order rows
     * whose orders are complete within the batch. Everything the batch
     * touches is O(batch + delta): the vertex-presence merge and the

@@ -166,4 +166,21 @@ class PlantedFixturesSpec extends SparkTestBase {
     assert(folded === oneShot,
       s"fold diverged from one-shot: $folded vs $oneShot")
   }
+
+  test("quantile gate: per-part gated samples union to the one-shot sample (the streamed fold)") {
+    // The streaming_quantile law: the Bernoulli gate is a pure function
+    // of row identity, so gating two disjoint halves and unioning equals
+    // gating the whole — estimate AND sample size, bit-for-bit.
+    val rows = (1L to 2000L).map(i => (i, i * 3 % 997))
+    val (a, b) = rows.splitAt(900)
+    def gated(xs: Seq[(Long, Long)]) = xs.toDF("id", "v")
+      .where(Sketches.quantileGate(col("id")) < Sketches.quantileBound(0.2))
+      .select(col("v"))
+    val folded = Sketches.quantileEstimate(
+      gated(a).unionByName(gated(b)), col("v"), q = 0.5).collect().head
+    val oneShot = Sketches.sampledQuantile(rows.toDF("id", "v"),
+      col("id"), col("v"), q = 0.5, rate = 0.2).collect().head
+    assert(folded === oneShot, s"fold diverged: $folded vs $oneShot")
+    assert(folded.getLong(1) > 100, s"gate admitted too few rows: $folded")
+  }
 }
