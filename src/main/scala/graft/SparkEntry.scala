@@ -2751,6 +2751,11 @@ object SparkEntry {
     "streaming_quantile" -> ((s, dir) =>
       graft.streaming.StreamOracle.quantileStreamed(s, dir,
         scratch(dir, "streamquant"), q = 0.5, rate = QuantileSampleRate)),
+    // STREAMING COUNT-MIN: per-batch counter grids fold by ADDITION
+    // (bounded state — CmsDepth × CmsWidth, independent of corpus size);
+    // heavy hitters probed from the folded grid ≡ the one-shot sketch
+    "streaming_cms_heavy" -> ((s, dir) =>
+      graft.streaming.StreamOracle.cmsStreamed(s, dir, scratch(dir, "streamcms"))),
     // STREAM-STREAM INTERVAL JOIN, oracle-checked: same-user event
     // attribution within (0, 1h] across two watermarked sources — the
     // union of per-batch inner-join emissions must equal DuckDB's
@@ -5166,6 +5171,10 @@ object SparkEntry {
       graft.pipeline.Sketches.sampledQuantileOracle("events", "event_id",
         "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)",
         q = 0.5, rate = QuantileSampleRate),
+    // added counters ≡ one-shot counters, probed at the exact top-k
+    "streaming_cms_heavy" -> graft.pipeline.Sketches.cmsHeavyOracle(
+      "(SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents) toks",
+      "token", topK = 10),
     // the incremental maintenance must land exactly on the batch answer:
     // the SAME closure string as graph_components, so incremental ≡
     // one-shot is pinned by construction, not by parallel edits

@@ -379,15 +379,31 @@ object Sketches {
     * is one exact groupBy + TakeOrderedAndProject (top-k heaps, never a
     * global sort); the probe join is 1024 cells against depth·topK
     * probe rows — both sides broadcastable. */
-  def cmsHeavy(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+  def cmsHeavy(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame =
+    cmsProbeHeavy(df, keyCol, topK, cmsGrid(df, keyCol))
+
+  /** The (row, bucket) counter grid of the CMS over `df.keyCol` —
+    * counters are SUMS, so per-batch grids fold by addition into the
+    * global grid (the `streaming_cms_heavy` law). */
+  def cmsGrid(df: DataFrame, keyCol: String): DataFrame = {
+    val keyed = df.select(col(s"`$keyCol`").as("key")).where(col("key").isNotNull)
+    val rbs = array((0 until CmsDepth).map(r =>
+      struct(lit(r).as("r"), cmsBucket(r, col("key")).as("b"))): _*)
+    keyed.select(explode(rbs).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** The check arm: exact top-`topK` keys probed against `grid` (min
+    * across the depth rows = the CMS estimate). Shared by the one-shot
+    * [[cmsHeavy]] and the streamed fold, which must agree exactly. */
+  def cmsProbeHeavy(df: DataFrame, keyCol: String, topK: Int,
+      grid: DataFrame): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val key = col(s"`$keyCol`")
     val keyed = df.select(key.as("key")).where(col("key").isNotNull)
     val rbs = array((0 until CmsDepth).map(r =>
       struct(lit(r).as("r"), cmsBucket(r, col("key")).as("b"))): _*)
-    val grid = keyed.select(explode(rbs).as("rb"))
-      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-      .agg(count(lit(1)).as("c"))
     val truth = keyed.groupBy(col("key"))
       .agg(count(lit(1)).as("true_count"))
       .orderBy(col("true_count").desc, col("key")).limit(topK)

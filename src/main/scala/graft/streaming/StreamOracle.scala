@@ -696,6 +696,54 @@ object StreamOracle {
     Sketches.quantileEstimate(spark.read.parquet(sink), col("cents"), q)
   }
 
+  /** STREAMING COUNT-MIN SKETCH: the (row, bucket) counter grid folded
+    * across micro-batches by ADDITION — counters are sums, so the fold
+    * of per-batch grids equals the one-shot grid exactly (the third
+    * mergeability law after the KMV semilattice min and the quantile
+    * sample union), and the heavy-hitter estimates probed from the
+    * folded grid must match the batch `sketch_cms_heavy` answer
+    * bit-for-bit. Grid state is bounded (CmsDepth × CmsWidth counters,
+    * independent of corpus size — the entire point of the sketch),
+    * versioned batch-keyed with reads pinned strictly below the batch
+    * id (replay-safe). The exact-top-k probe arm is the CHECK, computed
+    * once over the corpus like the oracle's own truth arm. */
+  def cmsStreamed(spark: SparkSession, sfDir: String, workDir: String,
+      topK: Int = 10): DataFrame = {
+    import graft.pipeline.Sketches
+    val in = stageDocs(spark, sfDir, chunks = 4)
+    val stateDir = Paths.get(workDir, "cmsgrid").toString
+    def newestBelow(batch: Long): Option[DataFrame] = {
+      val vs = Option(new java.io.File(stateDir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .flatMap(f => f.getName.stripPrefix("v=").toLongOption.filter(_ < batch))
+      if (vs.isEmpty) None
+      else Some(spark.read.parquet(s"$stateDir/v=${vs.max}"))
+    }
+    def tokens(df: DataFrame): DataFrame =
+      df.select(explode(split(trim(col("text")), "\\s+")).as("token"))
+    val q = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val grid = Sketches.cmsGrid(tokens(b), "token")
+        val folded = newestBelow(batchId) match {
+          case None => grid
+          case Some(p) => p.unionByName(grid)
+            .groupBy(col("r"), col("b")).agg(sum(col("c")).as("c"))
+        }
+        folded.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val corpus = tokens(spark.read.parquet(s"$sfDir/documents.parquet"))
+    Sketches.cmsProbeHeavy(corpus, "token", topK,
+      newestBelow(Long.MaxValue).getOrElse(fail("no micro-batch ran — empty source?")))
+  }
+
   /** One incremental-components batch: `rows` are (ok, p) co-order rows
     * whose orders are complete within the batch. Everything the batch
     * touches is O(batch + delta): the vertex-presence merge and the
