@@ -941,7 +941,9 @@ object SparkEntry {
           def ok(conn: graft.server.WireClient.Conn, stmt: String): Unit = {
             var resp = conn.request(stmt)
             var attempts = 1
-            while (resp.startsWith("(error") && resp.contains("(conflict") && attempts < 5) {
+            // structural anchor (see tcp_concurrent_inserts): a CAS loss
+            // is a top-level `(error (conflict ...))`, never wrapped
+            while (resp.startsWith("(error (conflict") && attempts < 5) {
               resp = conn.request(stmt); attempts += 1
             }
             if (!resp.startsWith("(ok"))
@@ -998,7 +1000,12 @@ object SparkEntry {
           // ...so B's mutation on the stale snapshot MUST conflict
           val conflicted = b.request(
             "(InsertTuple (relation kv) (attributes ((k (Int 800)) (v (Str FROM_B)))))")
-          if (!(conflicted.startsWith("(error") && conflicted.contains("(conflict")))
+          // structural anchor: a CAS loss is a TOP-LEVEL `(error (conflict
+          // ...))` (never sublanguage-wrapped — EngineSession commits after
+          // execution, like the reference's `perform`); a substring match
+          // anywhere in the response could confuse an unrelated error whose
+          // payload embeds "(conflict" with the real thing
+          if (!conflicted.startsWith("(error (conflict"))
             throw new IllegalStateException(s"expected Conflict, got: $conflicted")
           // the retry executes against the head that won, and lands; the
           // final read comes from B, whose snapshot is fresh after its own
@@ -1037,8 +1044,12 @@ object SparkEntry {
           var attempts = 1
           // bound: an attempt only re-fails if ANOTHER commit landed
           // since its snapshot (handleAdvancing reads the winning head
-          // under the lock), and the scenario has < 200 commits total
-          while (resp.startsWith("(error") && resp.contains("(conflict") && attempts < 200) {
+          // under the lock), and the scenario has < 200 commits total.
+          // The classifier anchors on the structural `(error (conflict`
+          // prefix — a CAS loss is never sublanguage-wrapped — so a
+          // non-CAS error whose payload merely embeds "(conflict" fails
+          // the row instead of being silently retried 200 times
+          while (resp.startsWith("(error (conflict") && attempts < 200) {
             resp = conn.request(stmt); attempts += 1
           }
           if (!resp.startsWith("(ok"))

@@ -32,10 +32,14 @@ import org.apache.spark.sql.functions._
   * MANIFEST: every write installs `root/__manifest-v=<batch>` (written
   * to a temp name, then ATOMIC_MOVE — readers see old or new, never
   * partial), holding the complete slot → (version, nonEmpty, bytes) map
-  * as of that batch. Reads resolve through the newest manifest strictly
-  * below their batch id: one file read instead of an O(versions ×
-  * buckets) directory walk — the shape an object store needs (LIST is
-  * the expensive call there; the manifest makes reads one GET).
+  * as of that batch, then advances the `root/__latest` POINTER file
+  * (atomic move, monotone) to that version. Reads resolve through the
+  * newest manifest strictly below their batch id — found via the
+  * pointer on the common path (one GET; no LIST at all), via the
+  * directory LIST only when the pointer is missing, unreadable, or at/
+  * above the read's bound (the replay path) — instead of an O(versions
+  * × buckets) directory walk: exactly the shape an object store needs
+  * (LIST is the expensive call there).
   *
   * Replay safety (foreachBatch may re-execute a batch id after a
   * failure): reads AND slot resolution pin to manifests/versions
@@ -80,6 +84,7 @@ final class BucketedState(spark: SparkSession, root: Path, buckets: Int,
   // ---- manifest ----
 
   private def manifestPath(v: Long): Path = root.resolve(s"__manifest-v=$v")
+  private def pointerPath: Path = root.resolve("__latest")
 
   private def manifestVersions(): Seq[Long] =
     Option(root.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -87,18 +92,49 @@ final class BucketedState(spark: SparkSession, root: Path, buckets: Int,
         .flatMap(_.drop("__manifest-v=".length).toLongOption))
       .toSeq.sorted
 
+  /** Newest manifest version per the `__latest` pointer file — the
+    * one-GET read path an object store wants (LIST is the expensive call
+    * there). None when the pointer is missing or unreadable; callers
+    * fall back to the directory LIST. */
+  private def readPointer(): Option[Long] =
+    if (!Files.exists(pointerPath)) None
+    else scala.util.Try(
+      new String(Files.readAllBytes(pointerPath), "UTF-8").trim.toLong).toOption
+
+  /** Advance `__latest` to `batch` (atomic move; monotone — a replayed
+    * batch never moves the pointer backwards). Written AFTER the
+    * manifest: a crash between the two leaves a stale pointer, which is
+    * harmless — the incomplete batch replays (foreachBatch only commits
+    * after the sink lands), and its reads pin strictly below its own id,
+    * which IS the stale pointer's version. */
+  private def writePointer(batch: Long): Unit =
+    if (!readPointer().exists(_ >= batch)) {
+      val tmp = root.resolve(s".__latest.tmp")
+      Files.write(tmp, batch.toString.getBytes("UTF-8"))
+      Files.move(tmp, pointerPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+
+  private def readManifest(v: Long): Option[Map[String, SlotMeta]] =
+    if (!Files.exists(manifestPath(v))) None
+    else Some(scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(manifestPath(v))).asScala
+      .filter(_.nonEmpty).map { line =>
+        val Array(k, ver, ne, bytes) = line.split('\t')
+        k -> SlotMeta(ver.toLong, ne == "1", bytes.toLong)
+      }.toMap)
+
   /** slot key → meta per the newest manifest STRICTLY below
-    * `beforeBatch` (one small file read — no directory walk). */
+    * `beforeBatch`. Common path (steady-state read or the next batch's
+    * write): the `__latest` pointer names a version below the bound —
+    * one pointer GET + one manifest GET, zero LISTs. Fallback (pointer
+    * missing, unreadable, dangling, or AT/ABOVE the bound — the replay
+    * path, where the previous attempt already installed this batch's
+    * manifest and pointer): the directory LIST. */
   private def latest(beforeBatch: Long): Map[String, SlotMeta] =
-    manifestVersions().filter(_ < beforeBatch).lastOption match {
-      case None => Map.empty
-      case Some(v) =>
-        scala.jdk.CollectionConverters.ListHasAsScala(
-          Files.readAllLines(manifestPath(v))).asScala
-          .filter(_.nonEmpty).map { line =>
-            val Array(k, ver, ne, bytes) = line.split('\t')
-            k -> SlotMeta(ver.toLong, ne == "1", bytes.toLong)
-          }.toMap
+    readPointer().filter(_ < beforeBatch).flatMap(readManifest).getOrElse {
+      manifestVersions().filter(_ < beforeBatch).lastOption
+        .flatMap(readManifest).getOrElse(Map.empty)
     }
 
   private def writeManifest(batch: Long, entries: Map[String, SlotMeta]): Unit = {
@@ -110,6 +146,7 @@ final class BucketedState(spark: SparkSession, root: Path, buckets: Int,
     Files.write(tmp, body.getBytes("UTF-8"))
     Files.move(tmp, manifestPath(batch), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING): Unit
+    writePointer(batch)
   }
 
   // ---- reads ----

@@ -62,10 +62,12 @@ object StreamOracle {
     * its own checkpoint + sink in the caller's scratch dir; only the
     * read-only input is shared). The build lands in a tmp sibling and is
     * RENAMED into place, so a crashed build is never readable as a
-    * complete stage; file mtimes survive the rename, so the file
-    * source's modification-time ordering (chunk order = event-time
-    * order) is exactly what the per-row staging produced. Dead JVMs'
-    * caches are swept — the scratch() discipline. */
+    * complete stage; chunk files are stamped with strictly increasing
+    * mtimes before the rename ([[stampMonotone]] — mtimes survive the
+    * move), so the file source's modification-time ordering (chunk order
+    * = event-time order) is deterministic even on coarse-mtime
+    * filesystems. Dead JVMs' caches are swept — the scratch()
+    * discipline. */
   private def cachedStage(sfDir: String, variant: String)(build: Path => Unit): String = {
     // the key carries a hash of the FULL path: the sanitized form alone
     // is lossy, and unlike scratch() (which wipes on entry, so collisions
@@ -85,14 +87,45 @@ object StreamOracle {
       if (!alive) wipe(f)
     })
     val in = base.resolve(s"pid-$self").resolve(key).resolve(variant)
-    if (!Files.exists(in)) {
-      val tmp = in.resolveSibling(s".$variant.build")
-      if (Files.exists(tmp)) wipe(tmp.toFile)
-      Files.createDirectories(tmp)
-      build(tmp)
-      Files.move(tmp, in, StandardCopyOption.ATOMIC_MOVE)
+    // two same-JVM callers racing the build would intermix writes into
+    // the shared tmp sibling and the loser's ATOMIC_MOVE would fail (or a
+    // torn stage could win) — serialize per target on the interned path
+    // (the JVM-wide lock token), and treat a move that loses to an
+    // already-complete target as a cache hit
+    in.toString.intern().synchronized {
+      if (!Files.exists(in)) {
+        val tmp = in.resolveSibling(s".$variant.build")
+        if (Files.exists(tmp)) wipe(tmp.toFile)
+        Files.createDirectories(tmp)
+        build(tmp)
+        stampMonotone(tmp)
+        try Files.move(tmp, in, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException if Files.exists(in) =>
+            wipe(tmp.toFile) // a complete stage already landed — use it
+        }
+      }
     }
     in.toString
+  }
+
+  /** The file source orders files by MODIFICATION TIME, and every staged
+    * layout relies on chunk order = event-time order (watermark
+    * monotonicity; `streaming_enrich` additionally pairs batch id ↔
+    * dimension snapshot through it). Back-to-back writes on a filesystem
+    * with coarse mtime granularity can TIE, and a tie reorders — so the
+    * chunk files are stamped with deterministic, strictly increasing
+    * mtimes in chunk-name order (names are zero-padded; lexicographic
+    * order IS the staged order). Stamped on the tmp sibling before the
+    * rename — mtimes survive the move. */
+  private def stampMonotone(in: Path): Unit = {
+    val files = Option(in.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - files.length * 1000L
+    files.zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(f.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L)): Unit
+    }
   }
 
   /** Stage the events table as N time-range parquet chunks (+ far-future

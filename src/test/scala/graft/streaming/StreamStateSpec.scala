@@ -228,6 +228,49 @@ class StreamStateSpec extends SparkTestBase {
     assert(first == second && first(1L) == "v1_1", s"$first vs $second")
   }
 
+  test("__latest pointer: reads pointer-resolve (no LIST); missing pointer falls back; stale pointer heals on replay") {
+    val root = tmpRoot()
+    val st = new BucketedState(spark, root, buckets = 4)
+    val b0 = keyed(st, 0L, (1L, "a0"), (2L, "b0"))
+    st.write(0L, b0, touchedOf(b0))
+    val b1 = keyed(st, 1L, (1L, "a1"))
+    st.write(1L, b1, touchedOf(b1))
+
+    // the pointer exists and names the newest manifest
+    def pointer(): String =
+      new String(Files.readAllBytes(root.resolve("__latest")), "UTF-8").trim
+    assert(pointer() == "1", s"pointer at ${pointer()} after batch 1")
+    val want1 = Map(1L -> "a1", 2L -> "b0")
+    assert(asMap(st.current().getOrElse(fail("state empty"))) == want1)
+    // replay bound: before(1L) must resolve v=0 even though the pointer
+    // is AT the bound — the pointer is ignored, the LIST fallback rules
+    assert(asMap(st.before(1L).getOrElse(fail("no state"))) == Map(1L -> "a0", 2L -> "b0"))
+
+    // crash consistency: a MISSING pointer degrades to the LIST, same answer
+    Files.delete(root.resolve("__latest"))
+    assert(asMap(st.current().getOrElse(fail("state empty"))) == want1,
+      "missing pointer broke reads instead of falling back to the LIST")
+
+    // a STALE pointer (crash between manifest and pointer advance) heals
+    // when the incomplete batch replays: the replay's reads pin strictly
+    // below its own id (= the stale pointer's version — correct by
+    // construction), and its manifest write re-advances the pointer
+    def runBatch2(): Unit = {
+      val b2 = keyed(st, 2L, (2L, "b2"))
+      st.write(2L, b2, touchedOf(b2))
+    }
+    runBatch2()
+    assert(pointer() == "2")
+    Files.write(root.resolve("__latest"), "1".getBytes("UTF-8")) // simulate the crash window
+    runBatch2() // the foreachBatch replay
+    assert(pointer() == "2", "replay did not re-advance the stale pointer")
+    assert(asMap(st.current().getOrElse(fail("state empty"))) == Map(1L -> "a1", 2L -> "b2"))
+
+    // compact never leaves the pointer dangling (it keeps the newest manifest)
+    st.compact(1L)
+    assert(asMap(st.current().getOrElse(fail("state empty"))) == Map(1L -> "a1", 2L -> "b2"))
+  }
+
   test("compounding splits: a child that stays oversize splits again (factor 4), state intact") {
     val root = tmpRoot()
     val st = new BucketedState(spark, root, buckets = 2, splitBytes = 1L)
