@@ -666,21 +666,18 @@ object StreamOracle {
     * kmvHash]], single-sourced), same k, same kth, same estimate. That
     * is the mergeability story a 100 TB profile pipeline runs on:
     * per-partition / per-batch sketches fold without ever holding the
-    * distinct set. State is ≤ k longs per version, written batch-keyed
-    * (reads pinned strictly below the batch id — replay-safe); the
-    * flush sentinel is excluded like every events-stream row. */
+    * distinct set. State is ≤ k longs, held in a [[VersionedSnapshot]]
+    * (reads pinned strictly below the batch id — replay-safe; superseded
+    * versions swept, newest found by pointer, never by LIST); the flush
+    * sentinel is excluded like every events-stream row. */
   def kmvStreamed(spark: SparkSession, sfDir: String, workDir: String,
       k: Int = 1024): DataFrame = {
     import graft.pipeline.Sketches
     val in = stage(spark, sfDir, chunks = 4)
-    val stateDir = Paths.get(workDir, "kmv").toString
-    def newestBelow(batch: Long): DataFrame = {
-      val vs = Option(new java.io.File(stateDir).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .flatMap(f => f.getName.stripPrefix("v=").toLongOption.filter(_ < batch))
-      if (vs.isEmpty) spark.range(0).select(col("id").as("hv"))
-      else spark.read.parquet(s"$stateDir/v=${vs.max}").select(col("hv"))
-    }
+    val state = new VersionedSnapshot(spark, Paths.get(workDir, "kmv"))
+    def minsBelow(batch: Long): DataFrame =
+      state.newestBelow(batch).map(_.select(col("hv")))
+        .getOrElse(spark.range(0).select(col("id").as("hv")))
     val q = source(spark, in)
       .writeStream
       .outputMode("append")
@@ -689,44 +686,53 @@ object StreamOracle {
         val mins = b.filter(col("event_type") =!= "__flush__")
           .select(Sketches.kmvHash("event_id").as("hv"))
           .where(col("hv").isNotNull).distinct()
-        newestBelow(batchId).unionByName(mins).distinct()
-          .orderBy(col("hv")).limit(k)
-          .write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        state.write(batchId, minsBelow(batchId).unionByName(mins).distinct()
+          .orderBy(col("hv")).limit(k))
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    Sketches.kmvEstimateFromMins(newestBelow(Long.MaxValue), k)
+    Sketches.kmvEstimateFromMins(minsBelow(Long.MaxValue), k)
   }
 
   /** STREAMING SAMPLED QUANTILE: the deterministic Bernoulli-gate sample
     * accumulated across micro-batches. The gate is a pure function of
     * row identity ([[graft.pipeline.Sketches.quantileGate]],
     * single-sourced), so the union of per-batch samples IS the one-shot
-    * sample — batch-keyed append-only partitions (replay-idempotent),
+    * sample — folded through a [[VersionedSnapshot]] (prior sample ∪
+    * batch's gated rows per batch, replay-pinned reads, superseded
+    * versions swept — no per-batch dir accretes, no compaction debt),
     * one exact percentile at the end, and the answer must equal the
     * batch `sketch_quantile_sample` contract on the same gate: the
     * "approximate median of 100 TB" path where each ingest batch
-    * contributes its gated rows and nothing is ever re-scanned. */
+    * contributes its gated rows and nothing is ever re-scanned. The fold
+    * rewrites the sample each batch — O(rate × stream so far), the
+    * explicit price of single-file state; a deployment whose sample
+    * outgrows one comfortable rewrite shards it through
+    * [[BucketedState]] instead (sample rows are keyed, so the touched-
+    * slot merge applies verbatim). */
   def quantileStreamed(spark: SparkSession, sfDir: String, workDir: String,
       q: Double, rate: Double): DataFrame = {
     import graft.pipeline.Sketches
     val in = stage(spark, sfDir, chunks = 4)
-    val sink = Paths.get(workDir, "sample").toString
+    val state = new VersionedSnapshot(spark, Paths.get(workDir, "sample"))
     val bound = Sketches.quantileBound(rate)
     val strq = source(spark, in)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
       .foreachBatch { (b: DataFrame, batchId: Long) =>
-        b.filter(col("event_type") =!= "__flush__")
+        val gated = b.filter(col("event_type") =!= "__flush__")
           .where(Sketches.quantileGate(col("event_id")) < bound)
           .select((col("value").cast(DecimalType(18, 2)) * 100)
             .cast("long").as("cents"))
-          .write.mode("overwrite").parquet(s"$sink/b=$batchId")
+        state.write(batchId,
+          state.newestBelow(batchId).map(_.unionByName(gated)).getOrElse(gated))
       }
       .start()
     try strq.processAllAvailable() finally strq.stop()
-    Sketches.quantileEstimate(spark.read.parquet(sink), col("cents"), q)
+    Sketches.quantileEstimate(
+      state.newestBelow(Long.MaxValue).getOrElse(fail("no micro-batch ran — empty source?")),
+      col("cents"), q)
   }
 
   /** STREAMING COUNT-MIN SKETCH: the (row, bucket) counter grid folded
@@ -736,22 +742,17 @@ object StreamOracle {
     * sample union), and the heavy-hitter estimates probed from the
     * folded grid must match the batch `sketch_cms_heavy` answer
     * bit-for-bit. Grid state is bounded (CmsDepth × CmsWidth counters,
-    * independent of corpus size — the entire point of the sketch),
-    * versioned batch-keyed with reads pinned strictly below the batch
-    * id (replay-safe). The exact-top-k probe arm is the CHECK, computed
-    * once over the corpus like the oracle's own truth arm. */
+    * independent of corpus size — the entire point of the sketch), held
+    * in a [[VersionedSnapshot]] with reads pinned strictly below the
+    * batch id (replay-safe), the newest version found by pointer (never
+    * a LIST), and superseded versions swept. The exact-top-k probe arm
+    * is the CHECK, computed once over the corpus like the oracle's own
+    * truth arm. */
   def cmsStreamed(spark: SparkSession, sfDir: String, workDir: String,
       topK: Int = 10): DataFrame = {
     import graft.pipeline.Sketches
     val in = stageDocs(spark, sfDir, chunks = 4)
-    val stateDir = Paths.get(workDir, "cmsgrid").toString
-    def newestBelow(batch: Long): Option[DataFrame] = {
-      val vs = Option(new java.io.File(stateDir).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .flatMap(f => f.getName.stripPrefix("v=").toLongOption.filter(_ < batch))
-      if (vs.isEmpty) None
-      else Some(spark.read.parquet(s"$stateDir/v=${vs.max}"))
-    }
+    val state = new VersionedSnapshot(spark, Paths.get(workDir, "cmsgrid"))
     def tokens(df: DataFrame): DataFrame =
       df.select(explode(split(trim(col("text")), "\\s+")).as("token"))
     val q = spark.readStream
@@ -763,18 +764,18 @@ object StreamOracle {
       .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         val grid = Sketches.cmsGrid(tokens(b), "token")
-        val folded = newestBelow(batchId) match {
+        val folded = state.newestBelow(batchId) match {
           case None => grid
           case Some(p) => p.unionByName(grid)
             .groupBy(col("r"), col("b")).agg(sum(col("c")).as("c"))
         }
-        folded.write.mode("overwrite").parquet(s"$stateDir/v=$batchId")
+        state.write(batchId, folded)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
     val corpus = tokens(spark.read.parquet(s"$sfDir/documents.parquet"))
     Sketches.cmsProbeHeavy(corpus, "token", topK,
-      newestBelow(Long.MaxValue).getOrElse(fail("no micro-batch ran — empty source?")))
+      state.newestBelow(Long.MaxValue).getOrElse(fail("no micro-batch ran — empty source?")))
   }
 
   /** One incremental-components batch: `rows` are (ok, p) co-order rows
