@@ -2773,6 +2773,13 @@ object SparkEntry {
     // one-shot batch self-join (bounded buffer state, no flush needed)
     "streaming_interval_join" -> ((s, dir) =>
       graft.streaming.StreamOracle.intervalJoined(s, dir, scratch(dir, "streamij"))),
+    // LEFT OUTER stream-stream interval join: matched rows emit on
+    // arrival like the inner join; a left event with NO same-user
+    // follow-up inside the gap emits NULL-padded once the watermark
+    // proves no future match can arrive — the union of emissions must
+    // equal DuckDB's one-shot batch LEFT JOIN (outer rows exactly once)
+    "streaming_interval_outer" -> ((s, dir) =>
+      graft.streaming.StreamOracle.intervalJoinedOuter(s, dir, scratch(dir, "streamijo"))),
     // STREAMING PER-KEY QUOTA ADMISSION, oracle-checked: lifetime cap of
     // QuotaPerUser events per user via mapGroupsWithState (one long of
     // state per user), admitted in event-time order across real
@@ -5191,6 +5198,7 @@ object SparkEntry {
     // one-shot is pinned by construction, not by parallel edits
     "streaming_components" -> ComponentsClosureSql,
     "streaming_interval_join" -> graft.streaming.StreamOracle.intervalJoinOracle,
+    "streaming_interval_outer" -> graft.streaming.StreamOracle.intervalJoinOuterOracle,
     "streaming_quota" -> graft.streaming.StreamOracle.quotaOracle(
       graft.streaming.StreamOracle.QuotaPerUser),
     "streaming_topk" -> graft.streaming.StreamOracle.topKOracle(

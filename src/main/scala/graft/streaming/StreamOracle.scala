@@ -132,9 +132,21 @@ object StreamOracle {
     * sentinel) in one directory, written in event-time order so the file
     * source's modification-time ordering advances the watermark
     * monotonically (the StreamDemo staging shape). Cached per
-    * (sf, chunks, JVM) — see [[cachedStage]]. */
-  private def stage(spark: SparkSession, sfDir: String, chunks: Int): String =
-      cachedStage(sfDir, s"events_c$chunks") { in =>
+    * (sf, chunks, sentinels, JVM) — see [[cachedStage]].
+    *
+    * `sentinels` > 1 stages ADDITIONAL far-future rows, one chunk each
+    * (each a day past the previous): operators whose watermark-driven
+    * emission happens a full batch AFTER the watermark advance — the
+    * stream-stream OUTER join pads its unmatched rows during state
+    * eviction in the NEXT batch — need that next batch to be a DATA
+    * batch, which `processAllAvailable` is contractually required to
+    * cover (a trailing no-data batch races query shutdown). Sentinel k's
+    * batch flushes everything sentinel k−1's watermark advance
+    * unlocked. */
+  private def stage(spark: SparkSession, sfDir: String, chunks: Int,
+      sentinels: Int = 1): String =
+      cachedStage(sfDir,
+        if (sentinels == 1) s"events_c$chunks" else s"events_c${chunks}_s$sentinels") { in =>
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
@@ -149,15 +161,17 @@ object StreamOracle {
       val (a, b) = (lo + i * width, lo + (i + 1) * width)
       writeChunk(ev.filter(unix_millis(col("ts")) >= a && unix_millis(col("ts")) < b), f"chunk$i%02d")
     }
-    // sentinel: one far-future row whose watermark advance FINALIZES every
-    // real day window; its own window can never close, and its type is
-    // filtered from the sink read anyway
-    val sentinel = ev.limit(1).select(
-      lit(-1L).as("event_id"),
-      expr(s"timestamp_millis(${hi + 30L * 24 * 3600 * 1000})").as("ts"),
-      lit(-1L).as("user_id"), lit("__flush__").as("event_type"),
-      lit(0.0).as("value"))
-    writeChunk(sentinel, f"chunk$chunks%02d")
+    // sentinel(s): far-future rows whose watermark advance FINALIZES every
+    // real window/row; their own windows can never close, and their type
+    // is filtered from the sink read anyway
+    for (sIdx <- 0 until sentinels) {
+      val sentinel = ev.limit(1).select(
+        lit(-1L - sIdx).as("event_id"),
+        expr(s"timestamp_millis(${hi + (30L + sIdx) * 24 * 3600 * 1000})").as("ts"),
+        lit(-1L).as("user_id"), lit("__flush__").as("event_type"),
+        lit(0.0).as("value"))
+      writeChunk(sentinel, f"chunk${chunks + sIdx}%02d")
+    }
   }
 
   /** Watermarked daily tumbling-window counts per event type, hash-exact:
@@ -905,6 +919,60 @@ object StreamOracle {
     """SELECT a.event_id AS l_event, a.user_id, a.event_type AS l_type,
       |       b.event_id AS r_event, b.event_type AS r_type, b.value AS r_value
       |FROM events a JOIN events b
+      |  ON b.user_id = a.user_id
+      | AND epoch_us(b.ts) > epoch_us(a.ts)
+      | AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000""".stripMargin
+
+  /** The ORACLE row for the LEFT OUTER stream-stream interval join
+    * ([[Streams.intervalJoinLeftOuter]]): same attribution as
+    * [[intervalJoined]], plus a NULL-padded row for every left event
+    * with NO same-user follow-up inside the gap window. Matched rows
+    * emit on arrival (≡ the inner join); unmatched rows emit only when
+    * the joint watermark passes their eviction horizon — which the
+    * far-future flush sentinel guarantees for every REAL row (both
+    * sources stage it, so the min-watermark advances past every real
+    * horizon and the trailing no-data batch flushes the outer state).
+    * The union of all emissions must therefore equal DuckDB's one-shot
+    * batch LEFT JOIN exactly — matched ≡ inner, outer ≡ the left-anti
+    * complement, each exactly once. TWO sentinels, not one: outer
+    * padding happens during state eviction in the batch AFTER the
+    * watermark advance, and that batch must be a DATA batch for
+    * `processAllAvailable` to deterministically cover it (a trailing
+    * no-data batch races shutdown — observed as the last gap+delay of
+    * unmatched rows going missing). Sentinel 2's batch flushes what
+    * sentinel 1's advance unlocked. The sentinels' own left rows never
+    * flush (nothing advances the watermark past the last one) and are
+    * filtered by user_id regardless.
+    *
+    * The sentinel filter runs on the SINK READ, not inside the streaming
+    * plan: a `user_id >= 0` predicate in the query is a left-column
+    * filter, so Catalyst pushes it below the LEFT side's watermark node —
+    * the left watermark then never sees the sentinels, the global
+    * min-watermark stalls at the last real chunk, and the final
+    * gap+delay of unmatched rows never pads (observed: exactly the last
+    * two events missing). The right side kept advancing, which is what
+    * made the stall invisible to everything but the outer emission. */
+  def intervalJoinedOuter(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    val in = stage(spark, sfDir, chunks = 4, sentinels = 2)
+    val sink = Paths.get(workDir, "sink").toString
+    val q = Streams.intervalJoinLeftOuter(source(spark, in), source(spark, in), gap = "1 hour")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
+      // batch-keyed OVERWRITE partition: idempotent under retries
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/b=$batchId")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(sink).drop("b").filter(col("user_id") >= 0)
+  }
+
+  /** DuckDB half of [[intervalJoinedOuter]]: the one-shot LEFT JOIN. */
+  def intervalJoinOuterOracle: String =
+    """SELECT a.event_id AS l_event, a.user_id, a.event_type AS l_type,
+      |       b.event_id AS r_event, b.event_type AS r_type, b.value AS r_value
+      |FROM events a LEFT JOIN events b
       |  ON b.user_id = a.user_id
       | AND epoch_us(b.ts) > epoch_us(a.ts)
       | AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000""".stripMargin

@@ -100,7 +100,26 @@ object Streams {
     * time-interval conditions). The join key (`user_id`) shuffles both
     * streams once; everything else is codegen'd comparison. */
   def intervalJoin(left: DataFrame, right: DataFrame, gap: String = "1 hour",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes"): DataFrame =
+    intervalJoinImpl(left, right, gap, watermark, "inner")
+
+  /** LEFT OUTER variant of [[intervalJoin]] — the attribution shape real
+    * pipelines need when "no follow-up inside the window" is itself the
+    * signal (clicks that never converted, ingests never re-seen): every
+    * left event emits, matched rows on arrival exactly like the inner
+    * join, unmatched rows NULL-PADDED once the joint watermark passes
+    * their state-eviction horizon (l_ts + gap + delay) — only then does
+    * the engine KNOW no future right row can match, so outer emission is
+    * exactly-once by construction. Same range condition, same bounded
+    * buffer state; the one behavioral addition is that results for
+    * unmatched rows are watermark-delayed rather than arrival-driven
+    * (the documented trade of every streaming outer join). */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, gap: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    intervalJoinImpl(left, right, gap, watermark, "left_outer")
+
+  private def intervalJoinImpl(left: DataFrame, right: DataFrame, gap: String,
+      watermark: String, joinType: String): DataFrame = {
     val l = left.select(col("event_id").as("l_event"), col("user_id"),
         col("ts").as("l_ts"), col("event_type").as("l_type"))
       .withWatermark("l_ts", watermark)
@@ -110,7 +129,8 @@ object Streams {
     l.join(r,
       col("user_id") === col("r_user") &&
         col("r_ts") > col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $gap"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $gap"),
+      joinType)
       .select(col("l_event"), col("user_id"), col("l_type"),
         col("r_event"), col("r_type"), col("r_value"))
   }
