@@ -58,22 +58,53 @@ final class BucketedState(spark: SparkSession, root: Path, buckets: Int,
     * below `batch` (replay-deterministic: a re-execution of `batch`
     * assigns identically). Column order must match the key-column order
     * later passed to [[merge]]/[[write]] — the split refinement hashes
-    * the same columns. */
+    * the same columns.
+    *
+    * Expression shape is bounded: up to
+    * [[BucketedState.WhenChainMaxBases]] split bases resolve through a
+    * per-base `when` chain (the proven small-catalog path); past that
+    * the catalog switches to TWO MAP LITERALS (base → factor, base →
+    * q-indexed slot array) probed by `try_element_at` — constant
+    * expression-node count no matter how many bases have split, with
+    * the catalog riding along as literal DATA instead of codegen'd
+    * tree (a thousand-base when-chain would grow the generated method
+    * linearly and eventually trip janino's 64 KB limit). Both paths
+    * compute the identical trie arithmetic; StreamStateSpec pins their
+    * agreement and the node bound at 64 split bases. */
   def bucketOf(batch: Long, first: Column, rest: Column*): Column = {
     val h = hash(first +: rest: _*)
     val base = pmod(h, lit(buckets))
     val byBase = latest(batch).keys.map(Slot.parse).filter(_.factor > 1)
       .toSeq.groupBy(_.base)
-    byBase.foldLeft(base.cast("string")) { case (acc, (b, slots)) =>
-      val f = slots.map(_.factor).max
-      // q → slot key lookup for base b (complete trie ⇒ total)
-      val lookup = (0 until f).map { q =>
-        slots.find(s => q % s.factor == s.sub).map(_.key)
-          .getOrElse(Slot(b, 0, 1).key) // unreachable on a well-formed manifest
+    if (byBase.sizeIs <= BucketedState.WhenChainMaxBases)
+      byBase.foldLeft(base.cast("string")) { case (acc, (b, slots)) =>
+        val (f, lookup) = lookupArray(b, slots)
+        val q = floor((pmod(h, lit(buckets * f)) - lit(b)) / lit(buckets)).cast("int")
+        when(base === b, element_at(typedlit(lookup), q + 1)).otherwise(acc)
       }
-      val q = floor((pmod(h, lit(buckets * f)) - lit(b)) / lit(buckets)).cast("int")
-      when(base === b, element_at(typedlit(lookup), q + 1)).otherwise(acc)
+    else {
+      val factorOf: Map[Int, Int] =
+        byBase.map { case (b, slots) => b -> slots.map(_.factor).max }
+      val lookupOf: Map[Int, Seq[String]] =
+        byBase.map { case (b, slots) => b -> lookupArray(b, slots)._2 }
+      // unsplit base ⇒ factor lookup misses ⇒ q null ⇒ slot null ⇒
+      // coalesce falls through to the base itself (try_element_at, not
+      // element_at: a map miss must be null, not an ANSI error)
+      val f = try_element_at(typedlit(factorOf), base)
+      val q = floor((pmod(h, lit(buckets) * f) - base) / lit(buckets)).cast("int")
+      coalesce(
+        try_element_at(try_element_at(typedlit(lookupOf), base), q + 1),
+        base.cast("string"))
     }
+  }
+
+  /** q → slot key for one base's split set (complete trie ⇒ total). */
+  private def lookupArray(b: Int, slots: Seq[Slot]): (Int, Seq[String]) = {
+    val f = slots.map(_.factor).max
+    (f, (0 until f).map { q =>
+      slots.find(s => q % s.factor == s.sub).map(_.key)
+        .getOrElse(Slot(b, 0, 1).key) // unreachable on a well-formed manifest
+    })
   }
 
   /** Legacy base assignment (no manifest pin) — ONLY for states that
@@ -313,6 +344,12 @@ object BucketedState {
   /** Split threshold: a slot bigger than this is subdivided by the next
     * batch that rewrites it. 64 MiB ≈ one comfortable task input. */
   val DefaultSplitBytes: Long = 64L << 20
+
+  /** Largest split-base count resolved by the per-base `when` chain;
+    * wider catalogs switch to the constant-node map-literal probe (see
+    * [[BucketedState.bucketOf]]). 16 bases ≈ a few hundred expression
+    * nodes — comfortably inside one codegen'd method. */
+  val WhenChainMaxBases = 16
 
   /** A slot in the extendible-hash trie: keys with pmod(h, B) == base
     * and ((pmod(h, B·factor) - base) / B) == sub. factor 1 ⇒ the whole

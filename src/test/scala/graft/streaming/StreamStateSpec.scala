@@ -271,6 +271,52 @@ class StreamStateSpec extends SparkTestBase {
     assert(asMap(st.current().getOrElse(fail("state empty"))) == Map(1L -> "a1", 2L -> "b2"))
   }
 
+  test("WIDE split catalog: past WhenChainMaxBases the slot probe is constant-node, assignments trie-exact, reads intact") {
+    val root = tmpRoot()
+    val buckets = 64
+    val st = new BucketedState(spark, root, buckets = buckets, splitBytes = 1L)
+    val keys = (1L to 512L).toSeq
+    val b0 = keyed(st, 0L, keys.map(k => k -> s"v0_$k"): _*)
+    st.write(0L, b0, (0 until buckets).map(_.toString).toSet)
+    // batch 1 rewrites every key's slot — at splitBytes=1 every non-empty
+    // base is oversize and splits, making the catalog WIDE
+    val b1 = keyed(st, 1L, keys.map(k => k -> s"v1_$k"): _*)
+    st.merge(1L, b1.select(col("k"), col("__bucket")), b1, Seq("k"))
+
+    val assigned = keyed(st, 2L, keys.map(k => k -> "x"): _*)
+      .select(col("k"), col("__bucket"), hash(col("k")).as("h")).collect()
+    val splitBases = assigned.map(r => BucketedState.Slot.parse(r.getString(1)))
+      .filter(_.factor > 1).map(_.base).distinct.length
+    assert(splitBases > BucketedState.WhenChainMaxBases,
+      s"fixture too narrow to exercise the map path: $splitBases split bases")
+
+    // every assignment satisfies the extendible-hash trie arithmetic —
+    // the semantic pin that the map probe computes exactly what the
+    // when-chain computes
+    def pm(x: Long, m: Int): Int = (((x % m) + m) % m).toInt
+    assigned.foreach { r =>
+      val slot = BucketedState.Slot.parse(r.getString(1))
+      val h = r.getInt(2).toLong
+      assert(pm(h, buckets) == slot.base,
+        s"key ${r.getLong(0)} assigned outside its base: $slot")
+      assert(pm(h, buckets * slot.factor) == slot.base + buckets * slot.sub,
+        s"key ${r.getLong(0)} violates the trie refinement: $slot")
+    }
+
+    // reads stitch across the wide catalog
+    val cur = asMap(st.current().getOrElse(fail("state empty")))
+    assert(cur == keys.map(k => k -> s"v1_$k").toMap, "state diverged on the wide catalog")
+
+    // plan health: the slot expression's node count must NOT grow with
+    // the split-base count (the when-chain at 64 bases would be hundreds
+    // of nodes and, in the thousands, would overflow codegen)
+    def nodes(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      1 + e.children.map(nodes).sum
+    val probe = Seq(1L).toDF("k").select(st.bucketOf(2L, col("k")).as("slot"))
+    val n = probe.queryExecution.analyzed.expressions.map(nodes).sum
+    assert(n < 64, s"wide-catalog slot expression has $n nodes — the when-chain is back")
+  }
+
   test("compounding splits: a child that stays oversize splits again (factor 4), state intact") {
     val root = tmpRoot()
     val st = new BucketedState(spark, root, buckets = 2, splitBytes = 1L)
