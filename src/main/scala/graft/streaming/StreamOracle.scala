@@ -629,7 +629,17 @@ object StreamOracle {
     * forest stays a forest and resolution chains are bounded by the
     * batch count. Final answer: every seen vertex's own id resolved to
     * its root — which must equal the one-shot batch components labeling
-    * (min reachable id), proving batch boundaries invisible. */
+    * (min reachable id), proving batch boundaries invisible.
+    *
+    * CONTRACT: INSERT-ONLY. Edges only ever ARRIVE; there is no
+    * retraction input, and none is silently tolerated — un-merging a
+    * component (decremental connectivity) is a genuinely different
+    * algorithm (the forest records that a merge happened, not which
+    * edges justify it, so no forest surgery can answer "still
+    * connected without edge e?"). A pipeline that deletes edges
+    * recomputes from the surviving edge set via the one-shot batch
+    * [[graft.operators.Components]] — the documented recovery path,
+    * pinned by StreamComponentsSpec. */
   def incrementalComponents(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     val in = cachedStage(sfDir, "lp_c4") { dir =>
       val lp = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -799,7 +809,12 @@ object StreamOracle {
     * and forest RESOLUTION reads only the slots the batch's labels hash
     * to ([[resolveViaState]]) — never the whole forest. Factored out of
     * the streaming query so the scale probe can drive the identical
-    * code path batch by batch. */
+    * code path batch by batch.
+    *
+    * INSERT-ONLY (see [[incrementalComponents]]): a batch can only ADD
+    * edges and vertices. Feeding a post-retraction edge set through
+    * this path leaves the earlier merges in force — retraction means
+    * recompute via the batch [[graft.operators.Components]]. */
   private[graft] def ccBatch(verts: BucketedState, forest: BucketedState,
       batchId: Long, b: DataFrame): Unit = {
     val rows = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
