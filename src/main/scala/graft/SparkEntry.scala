@@ -4099,7 +4099,26 @@ object SparkEntry {
       "scaleprobe_streamcc_x1" -> streamCcProbe(1),
       "scaleprobe_streamcc_x4" -> streamCcProbe(4),
       "scaleprobe_streamcc_x16" -> streamCcProbe(16),
+      // multi-writer CAS contention: W socket writers race a FIXED total
+      // of inserts against the whole-db CAS head — wall time should stay
+      // bounded by the serialized commit cost while retries grow with W
+      // (the whole-db-CAS write ceiling, measured; see CasLadder)
+      "scaleprobe_caswriters_x1" -> caswritersProbe(1),
+      "scaleprobe_caswriters_x4" -> caswritersProbe(4),
+      "scaleprobe_caswriters_x8" -> caswritersProbe(8),
     )
+  }
+
+  /** The engine's whole-db CAS write path under real multi-writer
+    * contention ([[graft.server.CasLadder]]): fixed 96 total inserts, W
+    * racing socket threads, retry-on-conflict-only, exactly-once audited.
+    * The verdict frame carries the retry count; wall time is the bench's
+    * measurement. */
+  private def caswritersProbe(w: Int): (SparkSession, String) => DataFrame = (s, dir) => {
+    val r = graft.server.CasLadder.run(s, dir, writers = w, totalInserts = 96)
+    s.range(1).select(lit(r.writers).as("writers"),
+      lit(r.totalInserts).as("total_inserts"),
+      lit(r.retries).as("retries"), lit(r.rowsLanded).as("rows_landed"))
   }
 
   private def ham(m: Int): (SparkSession, String) => DataFrame =
