@@ -2780,6 +2780,12 @@ object SparkEntry {
     // equal DuckDB's one-shot batch LEFT JOIN (outer rows exactly once)
     "streaming_interval_outer" -> ((s, dir) =>
       graft.streaming.StreamOracle.intervalJoinedOuter(s, dir, scratch(dir, "streamijo"))),
+    // FULL OUTER stream-stream interval join: both absence directions
+    // emit (no-follow-up lefts pad right-null, session-head rights pad
+    // left-null, each exactly once on watermark proof) ≡ DuckDB's
+    // one-shot batch FULL JOIN
+    "streaming_interval_full" -> ((s, dir) =>
+      graft.streaming.StreamOracle.intervalJoinedFull(s, dir, scratch(dir, "streamijf"))),
     // STREAMING PER-KEY QUOTA ADMISSION, oracle-checked: lifetime cap of
     // QuotaPerUser events per user via mapGroupsWithState (one long of
     // state per user), admitted in event-time order across real
@@ -5218,6 +5224,7 @@ object SparkEntry {
     "streaming_components" -> ComponentsClosureSql,
     "streaming_interval_join" -> graft.streaming.StreamOracle.intervalJoinOracle,
     "streaming_interval_outer" -> graft.streaming.StreamOracle.intervalJoinOuterOracle,
+    "streaming_interval_full" -> graft.streaming.StreamOracle.intervalJoinFullOracle,
     "streaming_quota" -> graft.streaming.StreamOracle.quotaOracle(
       graft.streaming.StreamOracle.QuotaPerUser),
     "streaming_topk" -> graft.streaming.StreamOracle.topKOracle(

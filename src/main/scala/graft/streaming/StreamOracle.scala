@@ -992,6 +992,44 @@ object StreamOracle {
       | AND epoch_us(b.ts) > epoch_us(a.ts)
       | AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000""".stripMargin
 
+  /** The ORACLE row for the FULL OUTER stream-stream interval join
+    * ([[Streams.intervalJoinFullOuter]]): both absence directions emit —
+    * a left event with no follow-up pads right-null (exactly the
+    * left-outer case), and a right event FOLLOWING NOTHING (no same-user
+    * event in the preceding hour — session heads) pads left-null when
+    * the watermark clears its own timestamp. Same two-sentinel flush
+    * discipline as [[intervalJoinedOuter]]; the union of emissions must
+    * equal DuckDB's one-shot batch FULL JOIN. Sentinel rows can pad on
+    * either side (left-null rows carry only `r_user`), so the sink read
+    * filters BOTH user columns, null-tolerantly. */
+  def intervalJoinedFull(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    val in = stage(spark, sfDir, chunks = 4, sentinels = 2)
+    val sink = Paths.get(workDir, "sink").toString
+    val q = Streams.intervalJoinFullOuter(source(spark, in), source(spark, in), gap = "1 hour")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
+      // batch-keyed OVERWRITE partition: idempotent under retries
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/b=$batchId")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(sink).drop("b")
+      .filter((col("user_id") >= 0 || col("user_id").isNull) &&
+        (col("r_user") >= 0 || col("r_user").isNull))
+  }
+
+  /** DuckDB half of [[intervalJoinedFull]]: the one-shot FULL JOIN. */
+  def intervalJoinFullOracle: String =
+    """SELECT a.event_id AS l_event, a.user_id, a.event_type AS l_type,
+      |       b.event_id AS r_event, b.user_id AS r_user,
+      |       b.event_type AS r_type, b.value AS r_value
+      |FROM events a FULL JOIN events b
+      |  ON b.user_id = a.user_id
+      | AND epoch_us(b.ts) > epoch_us(a.ts)
+      | AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000""".stripMargin
+
   /** Admission cap for [[quotaAdmitted]]. */
   val QuotaPerUser = 5L
 

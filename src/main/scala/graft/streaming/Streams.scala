@@ -102,6 +102,8 @@ object Streams {
   def intervalJoin(left: DataFrame, right: DataFrame, gap: String = "1 hour",
       watermark: String = "10 minutes"): DataFrame =
     intervalJoinImpl(left, right, gap, watermark, "inner")
+      .select(col("l_event"), col("user_id"), col("l_type"),
+        col("r_event"), col("r_type"), col("r_value"))
 
   /** LEFT OUTER variant of [[intervalJoin]] — the attribution shape real
     * pipelines need when "no follow-up inside the window" is itself the
@@ -117,6 +119,22 @@ object Streams {
   def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, gap: String = "1 hour",
       watermark: String = "10 minutes"): DataFrame =
     intervalJoinImpl(left, right, gap, watermark, "left_outer")
+      .select(col("l_event"), col("user_id"), col("l_type"),
+        col("r_event"), col("r_type"), col("r_value"))
+
+  /** FULL OUTER variant: both directions of absence are signals — a
+    * left event with no follow-up AND a right event following nothing
+    * (session heads, cold-start ingests). Padding on each side waits for
+    * the OTHER side's watermark to prove no future partner can arrive
+    * (left pads when the watermark clears l_ts + gap; right pads when it
+    * clears r_ts), so each unmatched row emits exactly once. The output
+    * keeps BOTH user columns — a right-padded row has no left user_id,
+    * so `r_user` is the only key an unmatched-right row carries. */
+  def intervalJoinFullOuter(left: DataFrame, right: DataFrame, gap: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    intervalJoinImpl(left, right, gap, watermark, "full_outer")
+      .select(col("l_event"), col("user_id"), col("l_type"),
+        col("r_event"), col("r_user"), col("r_type"), col("r_value"))
 
   private def intervalJoinImpl(left: DataFrame, right: DataFrame, gap: String,
       watermark: String, joinType: String): DataFrame = {
@@ -131,8 +149,6 @@ object Streams {
         col("r_ts") > col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $gap"),
       joinType)
-      .select(col("l_event"), col("user_id"), col("l_type"),
-        col("r_event"), col("r_type"), col("r_value"))
   }
 
   /** Event-time sessionization: per-user sessions close when the gap to

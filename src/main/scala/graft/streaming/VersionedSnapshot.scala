@@ -77,12 +77,12 @@ final class VersionedSnapshot(spark: SparkSession, root: Path) {
   def write(batch: Long, df: DataFrame): Unit = {
     df.write.mode("overwrite").parquet(versionPath(batch).toString)
     writePointer(batch)
-    val keep = versions().filter(_ < batch).lastOption
+    // one LIST per write (amortized janitor cost, never on the read path)
+    val below = versions().filter(_ < batch)
     def wipe(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))
       f.delete(): Unit
     }
-    versions().filter(v => v < batch && !keep.contains(v))
-      .foreach(v => wipe(versionPath(v).toFile))
+    below.dropRight(1).foreach(v => wipe(versionPath(v).toFile))
   }
 }
