@@ -115,36 +115,12 @@ final class BucketedState(spark: SparkSession, root: Path, buckets: Int,
   // ---- manifest ----
 
   private def manifestPath(v: Long): Path = root.resolve(s"__manifest-v=$v")
-  private def pointerPath: Path = root.resolve("__latest")
 
   private def manifestVersions(): Seq[Long] =
     Option(root.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
       .flatMap(f => Option(f.getName).filter(_.startsWith("__manifest-v="))
         .flatMap(_.drop("__manifest-v=".length).toLongOption))
       .toSeq.sorted
-
-  /** Newest manifest version per the `__latest` pointer file — the
-    * one-GET read path an object store wants (LIST is the expensive call
-    * there). None when the pointer is missing or unreadable; callers
-    * fall back to the directory LIST. */
-  private def readPointer(): Option[Long] =
-    if (!Files.exists(pointerPath)) None
-    else scala.util.Try(
-      new String(Files.readAllBytes(pointerPath), "UTF-8").trim.toLong).toOption
-
-  /** Advance `__latest` to `batch` (atomic move; monotone — a replayed
-    * batch never moves the pointer backwards). Written AFTER the
-    * manifest: a crash between the two leaves a stale pointer, which is
-    * harmless — the incomplete batch replays (foreachBatch only commits
-    * after the sink lands), and its reads pin strictly below its own id,
-    * which IS the stale pointer's version. */
-  private def writePointer(batch: Long): Unit =
-    if (!readPointer().exists(_ >= batch)) {
-      val tmp = root.resolve(s".__latest.tmp")
-      Files.write(tmp, batch.toString.getBytes("UTF-8"))
-      Files.move(tmp, pointerPath, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING): Unit
-    }
 
   private def readManifest(v: Long): Option[Map[String, SlotMeta]] =
     if (!Files.exists(manifestPath(v))) None
@@ -157,13 +133,14 @@ final class BucketedState(spark: SparkSession, root: Path, buckets: Int,
 
   /** slot key → meta per the newest manifest STRICTLY below
     * `beforeBatch`. Common path (steady-state read or the next batch's
-    * write): the `__latest` pointer names a version below the bound —
-    * one pointer GET + one manifest GET, zero LISTs. Fallback (pointer
-    * missing, unreadable, dangling, or AT/ABOVE the bound — the replay
-    * path, where the previous attempt already installed this batch's
-    * manifest and pointer): the directory LIST. */
+    * write): the `__latest` pointer ([[LatestPointer]]) names a version
+    * below the bound — one pointer GET + one manifest GET, zero LISTs.
+    * Fallback (pointer missing, unreadable, dangling, or AT/ABOVE the
+    * bound — the replay path, where the previous attempt already
+    * installed this batch's manifest and pointer): the directory
+    * LIST. */
   private def latest(beforeBatch: Long): Map[String, SlotMeta] =
-    readPointer().filter(_ < beforeBatch).flatMap(readManifest).getOrElse {
+    LatestPointer.read(root).filter(_ < beforeBatch).flatMap(readManifest).getOrElse {
       manifestVersions().filter(_ < beforeBatch).lastOption
         .flatMap(readManifest).getOrElse(Map.empty)
     }
@@ -177,7 +154,7 @@ final class BucketedState(spark: SparkSession, root: Path, buckets: Int,
     Files.write(tmp, body.getBytes("UTF-8"))
     Files.move(tmp, manifestPath(batch), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING): Unit
-    writePointer(batch)
+    LatestPointer.advance(root, batch)
   }
 
   // ---- reads ----

@@ -87,11 +87,11 @@ object StreamOracle {
       if (!alive) wipe(f)
     })
     val in = base.resolve(s"pid-$self").resolve(key).resolve(variant)
-    // two same-JVM callers racing the build would intermix writes into
-    // the shared tmp sibling and the loser's ATOMIC_MOVE would fail (or a
-    // torn stage could win) — serialize per target on the interned path
-    // (the JVM-wide lock token), and treat a move that loses to an
-    // already-complete target as a cache hit
+    // serialize same-JVM builders per target on the interned path (the
+    // JVM-wide lock token): without it two callers would intermix writes
+    // into the shared tmp sibling. The lock is SUFFICIENT — the exists
+    // check and the move run under the same monitor, and other processes
+    // build under their own pid-scoped dirs, so the move can never lose
     in.toString.intern().synchronized {
       if (!Files.exists(in)) {
         val tmp = in.resolveSibling(s".$variant.build")
@@ -99,11 +99,7 @@ object StreamOracle {
         Files.createDirectories(tmp)
         build(tmp)
         stampMonotone(tmp)
-        try Files.move(tmp, in, StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileSystemException if Files.exists(in) =>
-            wipe(tmp.toFile) // a complete stage already landed — use it
-        }
+        Files.move(tmp, in, StandardCopyOption.ATOMIC_MOVE): Unit
       }
     }
     in.toString

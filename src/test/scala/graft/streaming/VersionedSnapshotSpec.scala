@@ -81,6 +81,25 @@ class VersionedSnapshotSpec extends SparkTestBase {
     assert(first == second && first == Set(1L, 2L, 3L), s"$first vs $second")
   }
 
+  test("a DANGLING pointer (torn version dir, no _SUCCESS) degrades to the newest COMMITTED version") {
+    val root = tmpRoot()
+    val st = new VersionedSnapshot(spark, root)
+    foldBatch(st, 0L, 1L)
+    foldBatch(st, 1L, 2L)
+    // simulate the crash window: pointer advanced to 2, but v=2's write
+    // tore (dir exists, no _SUCCESS job-commit marker)
+    Files.write(root.resolve("__latest"), "2".getBytes("UTF-8"))
+    Files.createDirectories(root.resolve("v=2"))
+    assert(asSet(st.newestBelow(Long.MaxValue).getOrElse(fail("state empty"))) == Set(1L, 2L),
+      "dangling pointer was trusted — reads must degrade to the newest committed version")
+    assert(asSet(st.newestBelow(2L).getOrElse(fail("no pre-batch state"))) == Set(1L, 2L))
+    // the replay of batch 2 heals: the overwrite commits v=2 for real and
+    // the sweep clears the superseded v=0
+    foldBatch(st, 2L, 3L)
+    assert(asSet(st.newestBelow(Long.MaxValue).getOrElse(fail("state empty"))) == Set(1L, 2L, 3L))
+    assert(versionDirs(root) == Set("v=1", "v=2"))
+  }
+
   test("a missing pointer falls back to the LIST; the next write restores it") {
     val root = tmpRoot()
     val st = new VersionedSnapshot(spark, root)
