@@ -2786,6 +2786,11 @@ object SparkEntry {
     // one-shot batch FULL JOIN
     "streaming_interval_full" -> ((s, dir) =>
       graft.streaming.StreamOracle.intervalJoinedFull(s, dir, scratch(dir, "streamijf"))),
+    // LEFT SEMI stream-stream interval join: each event emitted once iff
+    // a same-user event follows within the gap (the streaming EXISTS;
+    // first match emits, engine-marked state) ≡ DuckDB's one-shot EXISTS
+    "streaming_interval_semi" -> ((s, dir) =>
+      graft.streaming.StreamOracle.intervalJoinedSemi(s, dir, scratch(dir, "streamijs"))),
     // STREAMING PER-KEY QUOTA ADMISSION, oracle-checked: lifetime cap of
     // QuotaPerUser events per user via mapGroupsWithState (one long of
     // state per user), admitted in event-time order across real
@@ -5225,6 +5230,7 @@ object SparkEntry {
     "streaming_interval_join" -> graft.streaming.StreamOracle.intervalJoinOracle,
     "streaming_interval_outer" -> graft.streaming.StreamOracle.intervalJoinOuterOracle,
     "streaming_interval_full" -> graft.streaming.StreamOracle.intervalJoinFullOracle,
+    "streaming_interval_semi" -> graft.streaming.StreamOracle.intervalJoinSemiOracle,
     "streaming_quota" -> graft.streaming.StreamOracle.quotaOracle(
       graft.streaming.StreamOracle.QuotaPerUser),
     "streaming_topk" -> graft.streaming.StreamOracle.topKOracle(

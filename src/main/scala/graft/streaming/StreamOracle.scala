@@ -911,8 +911,12 @@ object StreamOracle {
   def intervalJoined(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     val in = stage(spark, sfDir, chunks = 4)
     val sink = Paths.get(workDir, "sink").toString
+    // sentinel filter on the SINK READ, not in the streaming plan (the
+    // sentinel never matches, so inner output is identical either way —
+    // but an in-plan left-column filter pushes below the left watermark
+    // node and stalls it, retaining join state past its horizon; see
+    // intervalJoinedOuter, where the same stall LOSES rows)
     val q = Streams.intervalJoin(source(spark, in), source(spark, in), gap = "1 hour")
-      .filter(col("user_id") >= 0) // the sentinel never matches, but keep the family contract
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
@@ -922,8 +926,40 @@ object StreamOracle {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(sink).drop("b")
+    spark.read.parquet(sink).drop("b").filter(col("user_id") >= 0)
   }
+
+  /** The ORACLE row for the LEFT SEMI stream-stream interval join
+    * ([[Streams.intervalJoinLeftSemi]]): each event emitted once iff a
+    * same-user event follows it within (0, 1 hour] — the streaming
+    * EXISTS. Matched rows emit on the first match's arrival (exactly
+    * once, engine-marked state), so like the inner join the union of
+    * micro-batch emissions needs no flush sentinel and must equal
+    * DuckDB's one-shot EXISTS derivation. */
+  def intervalJoinedSemi(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    val in = stage(spark, sfDir, chunks = 4)
+    val sink = Paths.get(workDir, "sink").toString
+    val q = Streams.intervalJoinLeftSemi(source(spark, in), source(spark, in), gap = "1 hour")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
+      // batch-keyed OVERWRITE partition: idempotent under retries
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/b=$batchId")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(sink).drop("b").filter(col("user_id") >= 0)
+  }
+
+  /** DuckDB half of [[intervalJoinedSemi]]: the one-shot EXISTS. */
+  def intervalJoinSemiOracle: String =
+    """SELECT a.event_id AS l_event, a.user_id, a.event_type AS l_type
+      |FROM events a
+      |WHERE EXISTS (SELECT 1 FROM events b
+      |  WHERE b.user_id = a.user_id
+      |    AND epoch_us(b.ts) > epoch_us(a.ts)
+      |    AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000)""".stripMargin
 
   /** DuckDB half of [[intervalJoined]]: the one-shot interval self-join. */
   def intervalJoinOracle: String =

@@ -122,6 +122,18 @@ object Streams {
       .select(col("l_event"), col("user_id"), col("l_type"),
         col("r_event"), col("r_type"), col("r_value"))
 
+  /** LEFT SEMI variant: emit each left event ONCE iff any same-user
+    * event follows it within the gap — the streaming `EXISTS` (did this
+    * click convert? did this ingest get re-referenced?). Matched
+    * emission happens on the first match's arrival, exactly once (the
+    * engine marks the left row's state matched); state is bounded by
+    * the same two-sided watermark horizon as the inner join, and no
+    * flush batch is needed — absence simply never emits. */
+  def intervalJoinLeftSemi(left: DataFrame, right: DataFrame, gap: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    intervalJoinImpl(left, right, gap, watermark, "left_semi")
+      .select(col("l_event"), col("user_id"), col("l_type"))
+
   /** FULL OUTER variant: both directions of absence are signals — a
     * left event with no follow-up AND a right event following nothing
     * (session heads, cold-start ingests). Padding on each side waits for
