@@ -718,40 +718,47 @@ object StreamOracle {
     * accumulated across micro-batches. The gate is a pure function of
     * row identity ([[graft.pipeline.Sketches.quantileGate]],
     * single-sourced), so the union of per-batch samples IS the one-shot
-    * sample — folded through a [[VersionedSnapshot]] (prior sample ∪
-    * batch's gated rows per batch, replay-pinned reads, superseded
-    * versions swept — no per-batch dir accretes, no compaction debt),
-    * one exact percentile at the end, and the answer must equal the
-    * batch `sketch_quantile_sample` contract on the same gate: the
-    * "approximate median of 100 TB" path where each ingest batch
-    * contributes its gated rows and nothing is ever re-scanned. The fold
-    * rewrites the sample each batch — O(rate × stream so far), the
-    * explicit price of single-file state; a deployment whose sample
-    * outgrows one comfortable rewrite shards it through
-    * [[BucketedState]] instead (sample rows are keyed, so the touched-
-    * slot merge applies verbatim). */
+    * sample — one exact percentile at the end, and the answer must
+    * equal the batch `sketch_quantile_sample` contract on the same
+    * gate: the "approximate median of 100 TB" path where each ingest
+    * batch contributes its gated rows and nothing is ever re-scanned.
+    *
+    * Unlike the KMV set and the CMS grid (whole-value folds —
+    * [[VersionedSnapshot]]), the sample is a KEYED row table that only
+    * ever GROWS (gate purity ⇒ batches contribute disjoint event_ids),
+    * so it lives in [[BucketedState]]: each batch merges only the slots
+    * its gated keys hash to — O(batch) per batch, with the split
+    * protocol bounding slot rewrite size as the sample grows — where a
+    * whole-snapshot fold would rewrite O(rate × stream-so-far) every
+    * batch. Same replay discipline (reads pinned strictly below the
+    * batch id), same pointer-resolved manifest reads, same compaction. */
   def quantileStreamed(spark: SparkSession, sfDir: String, workDir: String,
       q: Double, rate: Double): DataFrame = {
     import graft.pipeline.Sketches
     val in = stage(spark, sfDir, chunks = 4)
-    val state = new VersionedSnapshot(spark, Paths.get(workDir, "sample"))
+    val state = new BucketedState(spark, Paths.get(workDir, "sample"), StateBuckets)
     val bound = Sketches.quantileBound(rate)
     val strq = source(spark, in)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
       .foreachBatch { (b: DataFrame, batchId: Long) =>
+        // persisted once per batch: consumed by the touched-slot probe
+        // inside merge AND the upsert write
         val gated = b.filter(col("event_type") =!= "__flush__")
           .where(Sketches.quantileGate(col("event_id")) < bound)
-          .select((col("value").cast(DecimalType(18, 2)) * 100)
-            .cast("long").as("cents"))
-        state.write(batchId,
-          state.newestBelow(batchId).map(_.unionByName(gated)).getOrElse(gated))
+          .select(col("event_id"),
+            (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+          .withColumn("__bucket", state.bucketOf(batchId, col("event_id")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try state.merge(batchId,
+          gated.select(col("event_id"), col("__bucket")), gated, Seq("event_id"))
+        finally { gated.unpersist(); () }
       }
       .start()
     try strq.processAllAvailable() finally strq.stop()
     Sketches.quantileEstimate(
-      state.newestBelow(Long.MaxValue).getOrElse(fail("no micro-batch ran — empty source?")),
+      state.current().getOrElse(fail("no micro-batch ran — empty source?")),
       col("cents"), q)
   }
 

@@ -6,9 +6,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The retention contract of [[VersionedSnapshot]] — the whole-snapshot
-  * fold state behind the streamed mergeable sketches
-  * (`streaming_kmv_distinct`, `streaming_quantile`,
-  * `streaming_cms_heavy`):
+  * fold state behind the streamed whole-value sketches
+  * (`streaming_kmv_distinct`, `streaming_cms_heavy`; the quantile
+  * SAMPLE is a keyed grow-only table and shards through
+  * [[BucketedState]] instead):
   *
   *  1. bounded versions: after every write, at most TWO version dirs
   *     exist (pre-batch + current) — superseded versions are observably
