@@ -292,10 +292,7 @@ final class BucketedState(spark: SparkSession, root: Path, buckets: Int,
     * batch), never per read. */
   def compact(upToBatch: Long): Unit = {
     val keep = latest(upToBatch + 1) // newest manifest ≤ upToBatch
-    def wipe(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(wipe))
-      f.delete(): Unit
-    }
+    def wipe(f: java.io.File): Unit = LatestPointer.wipeTree(f)
     manifestVersions().filter(_ <= upToBatch).dropRight(1)
       .foreach(v => Files.deleteIfExists(manifestPath(v)): Unit)
     for {

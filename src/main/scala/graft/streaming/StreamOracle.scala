@@ -76,10 +76,7 @@ object StreamOracle {
     val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_") +
       "-" + Integer.toHexString(sfDir.hashCode)
     val base = Paths.get(System.getProperty("java.io.tmpdir"), "graft-stagecache")
-    def wipe(x: java.io.File): Unit = {
-      if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(wipe))
-      x.delete(): Unit
-    }
+    def wipe(x: java.io.File): Unit = LatestPointer.wipeTree(x)
     val self = ProcessHandle.current().pid()
     Option(base.toFile.listFiles()).foreach(_.foreach { f =>
       val alive = f.getName.stripPrefix("pid-").toLongOption
@@ -131,14 +128,18 @@ object StreamOracle {
     * (sf, chunks, sentinels, JVM) — see [[cachedStage]].
     *
     * `sentinels` > 1 stages ADDITIONAL far-future rows, one chunk each
-    * (each a day past the previous): operators whose watermark-driven
-    * emission happens a full batch AFTER the watermark advance — the
-    * stream-stream OUTER join pads its unmatched rows during state
-    * eviction in the NEXT batch — need that next batch to be a DATA
-    * batch, which `processAllAvailable` is contractually required to
-    * cover (a trailing no-data batch races query shutdown). Sentinel k's
-    * batch flushes everything sentinel k−1's watermark advance
-    * unlocked. */
+    * (each a day past the previous). EVERY watermark-driven emission —
+    * append-mode window finalization, event-time-timeout flush, outer
+    * null-padding — happens a full batch AFTER the watermark advance,
+    * so the LAST advance's unlocks need one more batch to land. A
+    * trailing no-data micro-batch usually provides it, but only a DATA
+    * batch is contractually covered by `processAllAvailable` (the
+    * outer-join row observably LOST its last gap+delay of unmatched
+    * rows to that shutdown race). Rows whose oracle depends on a
+    * complete flush therefore stage sentinels = 2: sentinel k's batch
+    * deterministically flushes everything sentinel k−1's advance
+    * unlocked, and the LAST sentinel's own unlocks are emissions nobody
+    * reads (its windows/rows are filtered from every sink read). */
   private def stage(spark: SparkSession, sfDir: String, chunks: Int,
       sentinels: Int = 1): String =
       cachedStage(sfDir,
@@ -170,6 +171,29 @@ object StreamOracle {
     }
   }
 
+  /** The shared sink runner every STATELESS-SINK streaming row uses:
+    * append-mode writeStream with a batch-keyed OVERWRITE partition per
+    * micro-batch (idempotent under foreachBatch retries — append would
+    * double-write a replayed batch; the exactly-once sink discipline),
+    * run to completion, read the union of emissions back. Rows whose
+    * foreachBatch maintains per-batch STATE (cdc upsert, near-dup
+    * index, incremental components, the sketch folds) keep their own
+    * bodies — this helper is the plain-sink shape only, single-sourced
+    * so a fix to the discipline cannot drift across copies. */
+  private def runToSink(plan: DataFrame, workDir: String): DataFrame = {
+    val spark = plan.sparkSession
+    val sink = Paths.get(workDir, "sink").toString
+    val q = plan.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/b=$batchId")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(sink).drop("b")
+  }
+
   /** Watermarked daily tumbling-window counts per event type, hash-exact:
     * (window_start_us, event_type, n_events, total_value) with the sum in
     * DECIMAL and the window start as epoch micros (BIGINT travels through
@@ -189,23 +213,14 @@ object StreamOracle {
     * foreachBatch parquet sink) to completion and return the sink table.
     * `workDir` must be a caller-owned scratch directory, wiped on entry —
     * checkpoint state from a previous run would make the source skip
-    * files. */
+    * files. Two sentinels: append-mode window finalization is
+    * watermark-driven emission, which lands in the batch AFTER the
+    * advance — sentinel 2's data batch carries it deterministically
+    * (see [[stage]]). */
   def windowedDaily(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
-    val in = stage(spark, sfDir, chunks = 4)
-    val sink = Paths.get(workDir, "sink").toString
-    val q = windowedDailyExact(source(spark, in))
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
-      // batch-keyed OVERWRITE partition = idempotent under foreachBatch
-      // retries (append would double-write a replayed batch) — the
-      // exactly-once sink discipline, not just a test convenience
-      .foreachBatch { (b: DataFrame, batchId: Long) =>
-        b.write.mode("overwrite").parquet(s"$sink/b=$batchId")
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(sink).drop("b").filter(col("event_type") =!= "__flush__")
+    val in = stage(spark, sfDir, chunks = 4, sentinels = 2)
+    runToSink(windowedDailyExact(source(spark, in)), workDir)
+      .filter(col("event_type") =!= "__flush__")
   }
 
   private def source(spark: SparkSession, in: String): DataFrame =
@@ -235,21 +250,14 @@ object StreamOracle {
     * is filtered regardless. */
   def sessionized(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     import spark.implicits._
-    val in = stage(spark, sfDir, chunks = 4)
-    val sink = Paths.get(workDir, "sink").toString
-    val q = Streams.sessionize(source(spark, in).as[Streams.Event], SessionGapMs)
+    // two sentinels: the event-time-timeout flush is watermark-driven
+    // emission in the batch AFTER the advance — sentinel 2's data batch
+    // carries it deterministically (see [[stage]])
+    val in = stage(spark, sfDir, chunks = 4, sentinels = 2)
+    runToSink(
+      Streams.sessionize(source(spark, in).as[Streams.Event], SessionGapMs).toDF(),
+      workDir)
       .filter(col("user_id") >= 0)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
-      // batch-keyed OVERWRITE partition: idempotent under retries (see
-      // windowedDaily)
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.Session], batchId: Long) =>
-        b.write.mode("overwrite").parquet(s"$sink/b=$batchId")
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(sink)
       .select(col("user_id"), col("start_ms"), col("n_events"), col("duration_ms"))
   }
 
@@ -518,7 +526,6 @@ object StreamOracle {
       docs0.filter(col("doc_id") % 7 === 3)
         .select((col("doc_id") + span).as("doc_id"), col("text")))
     val in = stageDocsFrame(doubled, sfDir, s"docs_doubled_c$DedupChunks", DedupChunks)
-    val sink = Paths.get(workDir, "sink").toString
     val (lo, width) = {
       val r = doubled.agg(min(col("doc_id")), max(col("doc_id"))).head()
       (r.getLong(0), math.max((r.getLong(1) - r.getLong(0)) / DedupChunks + 1, 1L))
@@ -532,18 +539,10 @@ object StreamOracle {
       // doc 0 strictly ABOVE the stream's initial watermark (epoch 0) —
       // at exactly epoch 0 the stateful operator filters it as late
       .withColumn("ts", timestamp_millis(col("doc_id") * 1000L + 86400000L))
-    val q = Streams.streamingDedup(src, "ts", "text", watermark = "3650 days")
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
-      // batch-keyed OVERWRITE partition: idempotent under retries
-      .foreachBatch { (b: DataFrame, batchId: Long) =>
-        b.select(col("doc_id"), col("content_hash"))
-          .write.mode("overwrite").parquet(s"$sink/b=$batchId")
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(sink)
+    runToSink(
+      Streams.streamingDedup(src, "ts", "text", watermark = "3650 days")
+        .select(col("doc_id"), col("content_hash")),
+      workDir)
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_admitted"),
         min(floor((col("doc_id") - lo) / width)).as("admitted_chunk"))
@@ -917,23 +916,13 @@ object StreamOracle {
 
   def intervalJoined(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     val in = stage(spark, sfDir, chunks = 4)
-    val sink = Paths.get(workDir, "sink").toString
     // sentinel filter on the SINK READ, not in the streaming plan (the
     // sentinel never matches, so inner output is identical either way —
     // but an in-plan left-column filter pushes below the left watermark
     // node and stalls it, retaining join state past its horizon; see
     // intervalJoinedOuter, where the same stall LOSES rows)
-    val q = Streams.intervalJoin(source(spark, in), source(spark, in), gap = "1 hour")
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
-      // batch-keyed OVERWRITE partition: idempotent under retries
-      .foreachBatch { (b: DataFrame, batchId: Long) =>
-        b.write.mode("overwrite").parquet(s"$sink/b=$batchId")
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(sink).drop("b").filter(col("user_id") >= 0)
+    runToSink(Streams.intervalJoin(source(spark, in), source(spark, in), gap = "1 hour"),
+      workDir).filter(col("user_id") >= 0)
   }
 
   /** The ORACLE row for the LEFT SEMI stream-stream interval join
@@ -945,18 +934,8 @@ object StreamOracle {
     * DuckDB's one-shot EXISTS derivation. */
   def intervalJoinedSemi(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     val in = stage(spark, sfDir, chunks = 4)
-    val sink = Paths.get(workDir, "sink").toString
-    val q = Streams.intervalJoinLeftSemi(source(spark, in), source(spark, in), gap = "1 hour")
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
-      // batch-keyed OVERWRITE partition: idempotent under retries
-      .foreachBatch { (b: DataFrame, batchId: Long) =>
-        b.write.mode("overwrite").parquet(s"$sink/b=$batchId")
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(sink).drop("b").filter(col("user_id") >= 0)
+    runToSink(Streams.intervalJoinLeftSemi(source(spark, in), source(spark, in), gap = "1 hour"),
+      workDir).filter(col("user_id") >= 0)
   }
 
   /** DuckDB half of [[intervalJoinedSemi]]: the one-shot EXISTS. */
@@ -1008,18 +987,8 @@ object StreamOracle {
     * made the stall invisible to everything but the outer emission. */
   def intervalJoinedOuter(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     val in = stage(spark, sfDir, chunks = 4, sentinels = 2)
-    val sink = Paths.get(workDir, "sink").toString
-    val q = Streams.intervalJoinLeftOuter(source(spark, in), source(spark, in), gap = "1 hour")
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
-      // batch-keyed OVERWRITE partition: idempotent under retries
-      .foreachBatch { (b: DataFrame, batchId: Long) =>
-        b.write.mode("overwrite").parquet(s"$sink/b=$batchId")
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(sink).drop("b").filter(col("user_id") >= 0)
+    runToSink(Streams.intervalJoinLeftOuter(source(spark, in), source(spark, in), gap = "1 hour"),
+      workDir).filter(col("user_id") >= 0)
   }
 
   /** DuckDB half of [[intervalJoinedOuter]]: the one-shot LEFT JOIN. */
@@ -1043,18 +1012,8 @@ object StreamOracle {
     * filters BOTH user columns, null-tolerantly. */
   def intervalJoinedFull(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     val in = stage(spark, sfDir, chunks = 4, sentinels = 2)
-    val sink = Paths.get(workDir, "sink").toString
-    val q = Streams.intervalJoinFullOuter(source(spark, in), source(spark, in), gap = "1 hour")
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
-      // batch-keyed OVERWRITE partition: idempotent under retries
-      .foreachBatch { (b: DataFrame, batchId: Long) =>
-        b.write.mode("overwrite").parquet(s"$sink/b=$batchId")
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(sink).drop("b")
+    runToSink(Streams.intervalJoinFullOuter(source(spark, in), source(spark, in), gap = "1 hour"),
+      workDir)
       .filter((col("user_id") >= 0 || col("user_id").isNull) &&
         (col("r_user") >= 0 || col("r_user").isNull))
   }
@@ -1088,19 +1047,11 @@ object StreamOracle {
   def quotaAdmitted(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     import spark.implicits._
     val in = stage(spark, sfDir, chunks = 4)
-    val sink = Paths.get(workDir, "sink").toString
-    val q = Streams.perKeyQuota(source(spark, in).as[Streams.Event], QuotaPerUser)
+    runToSink(
+      Streams.perKeyQuota(source(spark, in).as[Streams.Event], QuotaPerUser).toDF(),
+      workDir)
       .filter(col("user_id") >= 0) // the far-future flush sentinel
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
-      // batch-keyed OVERWRITE partition: idempotent under retries
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.Event], batchId: Long) =>
-        b.write.mode("overwrite").parquet(s"$sink/b=$batchId")
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(sink).select(col("event_id"), col("user_id"))
+      .select(col("event_id"), col("user_id"))
   }
 
   /** DuckDB half of [[quotaAdmitted]]: one-shot rank-and-cap. */
@@ -1138,19 +1089,12 @@ object StreamOracle {
     * sentinel). */
   def topKChecked(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     import spark.implicits._
-    val in = stage(spark, sfDir, chunks = 4)
-    val sink = Paths.get(workDir, "sink").toString
-    val q = Streams.windowTopK(source(spark, in).as[Streams.Event], TopKWindowMs, TopKCapacity)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
-      // batch-keyed OVERWRITE partition: idempotent under retries
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.TopKItem], batchId: Long) =>
-        b.write.mode("overwrite").parquet(s"$sink/b=$batchId")
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    val sketch = spark.read.parquet(sink).drop("b")
+    // two sentinels: the event-time-timeout flush is watermark-driven
+    // emission in the batch after the advance (see [[stage]])
+    val in = stage(spark, sfDir, chunks = 4, sentinels = 2)
+    val sketch = runToSink(
+      Streams.windowTopK(source(spark, in).as[Streams.Event], TopKWindowMs, TopKCapacity).toDF(),
+      workDir)
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("w",
         expr(s"(unix_micros(cast(ts as timestamp)) div 1000) div $TopKWindowMs * $TopKWindowMs"))

@@ -29,16 +29,19 @@ object Streams {
       duration_ms: Long, total_value: Double)
 
   /** Tumbling-window counts per event type with a watermark: late rows
-    * beyond the watermark are dropped and window state is reclaimed. */
+    * beyond the watermark are dropped and window state is reclaimed.
+    * The value sum runs in DECIMAL (the repo-wide float-aggregation
+    * discipline — a raw double sum is shuffle-order-dependent and can
+    * flip a rounding boundary between runs) with one final cast. */
   def windowedEventCounts(events: DataFrame, windowDur: String = "1 minute",
       watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("total_value"))
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("__tv"))
       .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("total_value"))
+        col("n_events"), round(col("__tv").cast("double"), 4).as("total_value"))
 
   /** Streaming exact dedup for a document ingest pipeline: emit the
     * FIRST occurrence of each content digest, drop later duplicates.
@@ -166,7 +169,17 @@ object Streams {
   /** Event-time sessionization: per-user sessions close when the gap to
     * the next event exceeds `gapMs`, or when the watermark passes the
     * session's horizon (event-time timeout). Emits one row per completed
-    * session. */
+    * session.
+    *
+    * Late-event semantics (events above the watermark but BEFORE the
+    * open session's start — possible across micro-batches): they are
+    * gap-grouped into their own islands; an island ending within
+    * `gapMs` of the open session's start extends it BACKWARD (start,
+    * counts), an earlier island emits as its own completed session.
+    * Inherent single-pass limit, stated rather than hidden: a session
+    * emitted in an earlier batch can never be retro-bridged by a later
+    * late arrival (append mode has no retraction) — the watermark is
+    * the knob that bounds how late such a bridge can arrive. */
   def sessionize(events: Dataset[Event], gapMs: Long,
       watermark: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -184,12 +197,44 @@ object Streams {
           } else {
             val completed = scala.collection.mutable.ListBuffer[Session]()
             var cur = state.getOption
+            def close(s: SessionState): Unit =
+              completed += Session(userId, s.start, s.n, s.last - s.start, s.total)
             // micro-batch iterators carry no order guarantee; order by event time
-            for (e <- batch.toSeq.sortBy(_.ts.getTime)) {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            // cross-batch LATE events (before the open session's start):
+            // island them by gap; only the final island can bridge into
+            // the open session — earlier ones are separated from it by
+            // construction and complete on their own
+            val (before, rest) = cur match {
+              case Some(s) => sorted.partition(_.ts.getTime < s.start)
+              case None    => (Seq.empty[Event], sorted)
+            }
+            if (before.nonEmpty) {
+              val s = cur.get
+              var island = Option.empty[SessionState]
+              for (e <- before) {
+                val t = e.ts.getTime
+                island match {
+                  case Some(i) if t - i.last > gapMs =>
+                    close(i)
+                    island = Some(SessionState(t, t, 1, e.value))
+                  case Some(i) =>
+                    island = Some(i.copy(last = t, n = i.n + 1, total = i.total + e.value))
+                  case None =>
+                    island = Some(SessionState(t, t, 1, e.value))
+                }
+              }
+              island.foreach { i =>
+                if (s.start - i.last <= gapMs) // bridges: extend backward
+                  cur = Some(s.copy(start = i.start, n = s.n + i.n, total = s.total + i.total))
+                else close(i)
+              }
+            }
+            for (e <- rest) {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last > gapMs =>
-                  completed += Session(userId, s.start, s.n, s.last - s.start, s.total)
+                  close(s)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(s) =>
                   cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1, total = s.total + e.value))

@@ -68,6 +68,37 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize LATE events: in-gap arrival extends the session backward; far-late arrival is its own island") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Event]
+    // wide watermark: every late event below is ADMISSIBLE — the test is
+    // about what the state function does with admitted late data, not
+    // about watermark dropping
+    val q = sessionize(source.toDS(), gapMs = 10 * 1000L, watermark = "2 hours")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1 opens user 1's session at t=100s
+      source.addData(ev(1, 100, 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2 arrives LATE: t=95s is within the 10s gap of the open
+      // session's start (extends it backward to 95s), t=10s is 85s
+      // before it (its own island — a completed session on the spot)
+      source.addData(ev(2, 95, 1, "click", 2.0), ev(3, 10, 1, "click", 4.0))
+      q.processAllAvailable()
+      val mid = spark.table("late_sessions").as[Session].collect().toSet
+      assert(mid == Set(Session(1L, 10000L, 1L, 0L, 4.0)),
+        s"far-late island mishandled: $mid")
+      // close the open session by gap: the emitted session must carry
+      // the BACKWARD-extended start (95s) and both events
+      source.addData(ev(4, 1000, 1, "click", 8.0))
+      q.processAllAvailable()
+      val done = spark.table("late_sessions").as[Session].collect().toSet
+      assert(done.contains(Session(1L, 95000L, 2L, 5000L, 3.0)),
+        s"backward extension lost: $done")
+    } finally q.stop()
+  }
+
   test("per-batch dimension refresh: batch k joins snapshot k (hand-traced)") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Event]
