@@ -2711,6 +2711,26 @@ object SparkEntry {
     // gaps-and-islands derivation
     "streaming_sessionize" -> ((s, dir) =>
       graft.streaming.StreamOracle.sessionized(s, dir, scratch(dir, "streamsess"))),
+    // EXACTLY-ONCE ACROSS A REAL QUERY RESTART, oracle-checked: query 1
+    // sessionizes two chunks and STOPS with open sessions parked in the
+    // state store; a brand-new query on the same checkpoint ingests the
+    // rest. Sessions straddling the restart boundary must come back as
+    // ONE session (state-store + watermark recovery, continued batch
+    // ids) — the union of both lifetimes' emissions ≡ the same one-shot
+    // gaps-and-islands oracle as streaming_sessionize
+    "streaming_restart" -> ((s, dir) =>
+      graft.streaming.StreamOracle.sessionizedRestart(s, dir, scratch(dir, "streamrst"))),
+    // the swept VersionedSnapshot across a restart: query 2's first
+    // fold resolves the __latest pointer to query 1's final committed
+    // version (strict-below pin covers a replayed boundary batch) —
+    // final estimate ≡ the one-shot batch sketch bit-for-bit
+    "streaming_restart_kmv" -> ((s, dir) =>
+      graft.streaming.StreamOracle.kmvStreamedRestart(s, dir, scratch(dir, "streamrstkmv"))),
+    // BucketedState across a restart: query 2's first merge reads slot
+    // assignment and prior state through query 1's final manifest —
+    // final state ≡ the one-shot last-writer-wins derivation
+    "streaming_restart_cdc" -> ((s, dir) =>
+      graft.streaming.StreamOracle.cdcUpsertRestart(s, dir, scratch(dir, "streamrstcdc"))),
     // STREAMING CDC UPSERT, oracle-checked: the event stream as a keyed
     // changelog applied batch-by-batch via foreachBatch MERGE into
     // versioned state parquet — the final state version must equal the
@@ -3113,6 +3133,19 @@ object SparkEntry {
     // one BPE merge round: adjacent-token-pair frequencies, top-100
     "text_bpe_pairs" -> ((s, dir) =>
       graft.pipeline.TextPipeline.bpePairs(table(s, dir, "documents"), "doc_id", "text")),
+    // BPE TRAIN: the iterated trainer run to an actual merge table —
+    // 8 rounds of pair-count → (cnt desc, l, r) argmax → re-encode,
+    // one scan-side aggregation per round, one row per round crossing
+    // the driver; DuckDB re-derives the table with the rounds unrolled
+    "text_bpe_train" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.bpeTrain(table(s, dir, "documents"), "doc_id", "text")),
+    // BPE APPLY: the fixed trained merge table applied in rank order to
+    // every document (Sennrich-style leftmost merges as one codegen'd
+    // delimiter-protected rewrite chain — no UDF, no shuffle); the
+    // token sequences hash-check against DuckDB replaying the same
+    // merge table through its own string engine
+    "text_bpe_apply" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.bpeApply(table(s, dir, "documents"), "doc_id", "text")),
     // Zipf profile: EVERY corpus term with its global frequency rank —
     // rank via the two-phase range-partitioned prefix sum (GlobalRank),
     // never Spark's single-task no-partition window; ties (tf, token)
@@ -3433,6 +3466,13 @@ object SparkEntry {
     // same-cell candidates only (bounded), bench side broadcasts
     "dedup_semantic_contamination" -> ((s, dir) =>
       graft.pipeline.Ann.semanticContamination(table(s, dir, "embeddings"))),
+    // INCREMENTAL IVF MAINTENANCE: a new batch assigned to the FROZEN
+    // base-trained centroids (O(batch) narrow map, no retrain) plus the
+    // per-cell drift²-triggered retrain flag — the arrival path of a
+    // live vector index; per-new-vector output pins every assignment
+    // and every flag against DuckDB's re-derivation
+    "ann_ivf_incremental" -> ((s, dir) =>
+      graft.pipeline.Ann.ivfIncremental(table(s, dir, "embeddings"))),
     "ann_ivf_balance" -> ((s, dir) =>
       graft.pipeline.Ann.ivfBalance(table(s, dir, "embeddings"))),
     "ann_ivfpq_topk" -> ((s, dir) =>
@@ -5208,6 +5248,13 @@ object SparkEntry {
     "streaming_sessionize" -> graft.streaming.StreamOracle.sessionizedOracle(
       graft.streaming.StreamOracle.SessionGapMs),
     "streaming_cdc_upsert" -> graft.streaming.StreamOracle.cdcUpsertOracle,
+    // restart rows: SAME oracle SQL as their single-lifetime siblings —
+    // the claim is precisely that the stop/restart seam is invisible
+    "streaming_restart" -> graft.streaming.StreamOracle.sessionizedOracle(
+      graft.streaming.StreamOracle.SessionGapMs),
+    "streaming_restart_kmv" ->
+      graft.pipeline.Sketches.kmvDistinctOracle("events", "event_id"),
+    "streaming_restart_cdc" -> graft.streaming.StreamOracle.cdcUpsertOracle,
     "streaming_neardup_admit" -> graft.pipeline.Oracles.dedupStreamingAdmission,
     "streaming_dedup" -> graft.streaming.StreamOracle.dedupAdmittedOracle,
     "streaming_enrich" -> graft.streaming.StreamOracle.enrichedOracle,
@@ -5465,6 +5512,10 @@ object SparkEntry {
     "text_lm_score" -> graft.pipeline.Oracles.textLmScore(),
     "text_cooccurrence" -> graft.pipeline.Oracles.textCooccurrence(window = 4, topK = 100),
     "text_bpe_pairs" -> graft.pipeline.Oracles.bpePairs(100),
+    // rank-order merges replayed by DuckDB's own string engine from the
+    // SAME single-sourced merge table
+    "text_bpe_apply" -> graft.pipeline.Oracles.bpeApply(),
+    "text_bpe_train" -> graft.pipeline.Oracles.bpeTrain(),
     "text_token_ids" ->
       (s"""WITH v AS (${graft.pipeline.Oracles.textVocab(100)}),
           |ids AS (SELECT token, row_number() OVER (ORDER BY tf DESC, token) AS token_id FROM v),
@@ -5659,6 +5710,7 @@ object SparkEntry {
     "dedup_semantic_contamination" -> graft.pipeline.Oracles.annSemanticContamination(
       graft.pipeline.Ann.BenchSetSize, graft.pipeline.Ann.SemanticEps),
     "ann_ivf_balance" -> graft.pipeline.Oracles.annIvfBalance,
+    "ann_ivf_incremental" -> graft.pipeline.Oracles.annIvfIncremental(),
     "ann_ivfpq_topk" -> graft.pipeline.Oracles.annIvfPqTopK,
     "ann_filtered_topk" ->
       graft.pipeline.Oracles.annFilteredTopK(graft.pipeline.Ann.FilterLabel),

@@ -455,6 +455,79 @@ object Ann {
           (col("n_vecs").cast("double") * col("n_vecs").cast("double")), 4).as("imbalance"))
   }
 
+  /** Base/new split for [[ivfIncremental]]: vectors below it are the
+    * indexed corpus the coarse quantizer trained on, vectors at or
+    * above arrive as the new batch. Fixed (not data-derived) so the
+    * oracle states the same literal. */
+  val IvfIncrementalSplit = 400L
+
+  /** Drift² threshold for [[ivfIncremental]]'s retrain flag: measured
+    * against the testdata, per-cell drift² spans ≈0.0042–0.0076 at
+    * sf0.001/0.01 and ≈0.0063–0.0109 at sf0.1, so 0.007 sits strictly
+    * inside every scale's spread — both flag values appear at every sf
+    * (the check is non-vacuous) and a wrong assignment anywhere moves
+    * some cell's mean enough to flip a flag or a drift digit. */
+  val IvfDriftTau = 0.007
+
+  /** INCREMENTAL IVF INDEX MAINTENANCE — the arrival path of a live
+    * vector index, completing what the dedup family already has
+    * (`dedup_incremental_near` / `streaming_neardup_admit`): a NEW
+    * batch of embeddings is folded into an EXISTING index without
+    * retraining — assignment to the frozen coarse centroids is the
+    * same narrow fused-argmin map as every IVF path, O(batch) with no
+    * shuffle wider than the batch — plus the DRIFT-TRIGGERED RETRAIN
+    * SIGNAL that tells the pipeline when incremental assignment has
+    * stopped being honest: per cell, the displacement² between the
+    * trained centroid and the post-batch member mean (the
+    * [[graft.pipeline.Embeddings.centroidDrift]] statistic pointed at
+    * index maintenance). Cells whose displacement² ≥ `tau` flag
+    * retrain = 1.
+    *
+    * Determinism: the quantizer trains on the base slice only (same
+    * quantized-mean Lloyd as [[ivfCentroids]], which the oracle
+    * re-derives bit-for-bit); post-batch means use the same
+    * floor-quantized integer sums; drift² is one fixed left-associated
+    * IEEE chain, rounded. Output is per NEW vector (its cell carries
+    * the cell's drift verdict), so the hash check pins every
+    * assignment AND every flag.
+    *
+    * Scale shape: train-side collects are k-sized codebooks (the
+    * [[ivfCentroids]] contract); the batch assignment is scan-side;
+    * the drift census is one map-side-combinable aggregate to ≤ k
+    * rows joined back broadcast. At 100 TB the census rides the same
+    * pass that writes the batch's postings. */
+  def ivfIncremental(embeddings: DataFrame, split: Long = IvfIncrementalSplit,
+      numCentroids: Int = NumCentroids, iters: Int = KMeansIters,
+      tau: Double = IvfDriftTau): DataFrame = {
+    val ss = embeddings.sparkSession
+    val book = ivfCentroids(
+      embeddings.filter(col("vec_id") < split), numCentroids, iters)
+    val assigned = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", pqEncodeCol(ss, col("embedding"), book))
+    // post-batch member means per cell (base ∪ new under the frozen
+    // book), as exact floor-quantized integer sums — ivfCentroids'
+    // update arithmetic
+    val sums = (1 to Dim).map(i =>
+      sum(floor(element_at(col("embedding"), i).cast("double") * lit(CentroidQuant))).as(s"s$i"))
+    val census = assigned.groupBy(col("cell"))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("__cnt")): _*)
+    // the trained book as a k-row literal frame, joined broadcast
+    import ss.implicits._
+    val bookDf = book.map { case (c, ce) => (c, ce.toSeq) }.toDF("cell", "ce")
+    val drift2 = (1 to Dim).foldLeft(lit(0.0)) { (acc, i) =>
+      val d = col(s"s$i").cast("double") / col("__cnt") / lit(CentroidQuant) -
+        element_at(col("ce"), i)
+      acc + d * d
+    }
+    val verdicts = census.join(broadcast(bookDf), "cell")
+      .select(col("cell"), round(drift2, 4).as("drift2"))
+      .withColumn("retrain", when(col("drift2") >= tau, lit(1)).otherwise(lit(0)))
+    assigned.filter(col("vec_id") >= split)
+      .join(broadcast(verdicts), "cell")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("drift2"), col("retrain"))
+  }
+
   /** Bucket census: LSH bucket id → membership stats. */
   def lshBuckets(embeddings: DataFrame, planes: Int = Planes): DataFrame =
     embeddings.select(col("vec_id"), bucket(col("embedding"), planes).cast("long").as("bucket"))

@@ -326,6 +326,135 @@ object TextPipeline {
       .limit(topK)
   }
 
+  /** The FIXED trained merge table [[bpeApply]] runs: rank-ordered
+    * (left, right) symbol pairs, merged symbol = left + right — the
+    * artifact a BPE trainer ([[bpePairs]] iterated) emits, frozen here
+    * the way a production tokenizer ships its merges file. Ranks follow
+    * descending pair frequency on the testdata corpus vocabulary, with
+    * deliberate COMPOSED chains (t+a→ta→tab; s+c→sc→sca→scan — three
+    * levels) and a deliberate rank-priority trap: (a, n) at rank 8
+    * sits BELOW (sca, n) at rank 5, so "scan" must resolve through the
+    * sca-chain, while "an" elsewhere still merges — any implementation
+    * that applies merges out of rank order diverges on it. */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "ta" -> "b", "s" -> "c", "sc" -> "a", "sca" -> "n",
+    "e" -> "r", "q" -> "u", "a" -> "n", "o" -> "r", "or" -> "t",
+    "i" -> "n", "in" -> "e", "t" -> "h", "th" -> "e", "s" -> "t",
+    "v" -> "a")
+
+  /** BPE APPLY at corpus scale — the tokenization step every
+    * training-data pipeline actually runs once a merge table exists
+    * (the step [[bpePairs]]/vocab only prepare for): apply `merges` in
+    * RANK ORDER to every document and emit the resulting token
+    * sequence. The classic algorithm (Sennrich et al. '16 §3.2: for
+    * each merge, in rank order, fuse every adjacent occurrence of the
+    * pair, leftmost first) is re-expressed as delimiter-protected
+    * string rewrites so the whole thing is ONE codegen'd narrow map —
+    * no UDF, no shuffle, no per-word loop; at 100 TB this is a pure
+    * scan-side rewrite like [[redact]]:
+    *
+    *  - normalize: lowercase, DROP any word containing a non-[a-z]
+    *    character (the alpha-word corpus discipline that also keeps
+    *    the delimiter alphabet collision-free), squeeze whitespace;
+    *  - encode: every char c becomes `#c#`, word boundaries become
+    *    `|` — each symbol carries its OWN leading and trailing `#`,
+    *    so the pair (l, r) is the literal substring `#l##r#`:
+    *    adjacent matches share no characters (leftmost non-overlapping
+    *    replace = the classic leftmost merge), a symbol whose text
+    *    merely CONTAINS the pair cannot false-match (its chars are not
+    *    flanked by `#`), and no pair spans a `|` word boundary;
+    *  - merge: for each rank, one `replace(s, "#l##r#", "#lr#")` —
+    *    a later rank sees exactly the symbol stream the earlier ranks
+    *    left, which IS rank-order BPE;
+    *  - decode: boundaries back to spaces, strip the delimiters.
+    *
+    * Output: (id, tokens, n_tokens) — `tokens` is the space-joined
+    * BPE token sequence (hash-checkable as one value per document),
+    * n_tokens its length. The oracle mirrors the same rewrite chain in
+    * DuckDB from the SAME [[BpeMerges]] constant
+    * ([[Oracles.bpeApply]]), so the two engines' string machinery
+    * re-derives the tokenization independently. */
+  def bpeApply(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)] = BpeMerges): DataFrame = {
+    val merged = bpeMergeChain(bpeEncode(col(textCol)), merges)
+    val toks = trim(bpeRep(bpeRep(merged, "#|#", "##"), "##", " "), "#")
+    df.select(col(idCol), toks.as("tokens"),
+      when(toks === "", lit(0L))
+        .otherwise(size(split(toks, " ")).cast("long")).as("n_tokens"))
+  }
+
+  private def bpeRep(c: Column, find: String, to: String): Column =
+    call_function("replace", c, lit(find), lit(to))
+
+  /** The shared BPE corpus encoding (see [[bpeApply]]'s contract):
+    * normalize → `#c#` per char → `|` word boundaries. */
+  private def bpeEncode(textCol: Column): Column = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(trim(textCol)), "\\S*[^a-z\\s]\\S*", " "),
+      "\\s+", " "))
+    bpeRep(regexp_replace(norm, "([a-z])", "#$1#"), " ", "|")
+  }
+
+  /** Apply a merge list in rank order to an encoded column. */
+  private def bpeMergeChain(encoded: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(encoded) { case (acc, (l, r)) =>
+      bpeRep(acc, s"#$l##$r#", s"#$l$r#")
+    }
+
+  /** Training rounds for [[bpeTrain]] — shared with the oracle's
+    * unrolled CTE chain. */
+  val BpeTrainRounds = 8
+
+  /** BPE TRAIN at corpus scale — the iterated trainer [[bpePairs]] is
+    * one round of, run to an actual merge table: each round counts
+    * adjacent SYMBOL pairs over the current encoding of the whole
+    * corpus (symbols start as characters and grow as merges land),
+    * picks the most frequent pair (ties broken (left, right) ascending
+    * — a total order, so both engines pick the same winner), records
+    * the merge, and re-encodes. Output is the merge table itself:
+    * (rank, l, r, merged, cnt) — the artifact [[bpeApply]] consumes,
+    * closing the train → apply → ids tokenizer loop. Rounds with no
+    * pairs left stop early (absent ranks on both engines).
+    *
+    * Scale shape: each round is ONE map-side-combinable aggregation
+    * (encode + pair explosion are scan-side codegen; the merge chain
+    * so far rides as literal replaces) followed by a 1-row
+    * TakeOrderedAndProject — `rounds` linear scans total, the textbook
+    * distributed-BPE cost, with only one (l, r, cnt) row per round
+    * crossing the driver. */
+  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int = BpeTrainRounds): DataFrame = {
+    val ss = df.sparkSession
+    import ss.implicits._
+    val base = df.select(bpeEncode(col(textCol)).as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var merges = Vector.empty[(String, String, Long)]
+      var exhausted = false
+      for (_ <- 1 to rounds if !exhausted) {
+        val cur = bpeMergeChain(col("e"), merges.map(m => (m._1, m._2)))
+        val syms = split(trim(col("w"), "#"), "##")
+        val top = base
+          .select(explode(split(cur, "\\|")).as("w"))
+          .select(syms.as("syms"))
+          .select(explode(when(size(col("syms")) < 2,
+            array().cast("array<struct<l:string,r:string>>"))
+            .otherwise(transform(sequence(lit(1), size(col("syms")) - 1), i =>
+              struct(element_at(col("syms"), i).as("l"),
+                element_at(col("syms"), i + 1).as("r"))))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else merges :+= ((top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+      }
+      merges.zipWithIndex.map { case ((l, r, cnt), i) =>
+        (i + 1, l, r, l + r, cnt)
+      }.toDF("rank", "l", "r", "merged", "cnt")
+    } finally { base.unpersist(); () }
+  }
+
   /** PII redaction patterns: (name, regex, replacement), applied in
     * order — emails first, then IPv4 (before the phone pattern, which a
     * dotted quad also matches), then phone-like digit runs. The regex

@@ -152,11 +152,17 @@ final class EngineSession(spark: SparkSession, external: Option[Catalog] = None,
   private def conflictError(snap: Option[Database], attempted: Database): Err =
     Err.Conflict(snap.map(_.hash).getOrElse("--"), attempted.hash)
 
-  /** Snapshot-at-call-time execution: single-connection semantics (the
-    * snapshot is taken under the same lock the commit holds, so this
-    * entry never observes its own Conflict). Scripted/offline callers use
-    * this; the listener's wire path uses [[executeAgainst]]. */
-  def execute(text: String): Either[Err, Response] = executeAgainst(dbOpt, text)
+  /** Snapshot-at-call-time execution: single-connection semantics — the
+    * snapshot read AND the commit's CAS run under this session's
+    * monitor (the same one the listener's wire path holds around
+    * [[executeAgainst]], Listener.scala — reentrant, so a wire-path
+    * caller landing here nests harmlessly), so this entry never
+    * observes its own Conflict even when scripted callers share a
+    * session across threads. Scripted/offline callers use this; the
+    * listener's wire path uses [[executeAgainst]] with its own
+    * explicitly-taken snapshot. */
+  def execute(text: String): Either[Err, Response] =
+    this.synchronized { executeAgainst(dbOpt, text) }
 
   /** Dispatch one request against an explicit head snapshot (reference
     * listener execute_command, lib/listener.ml:40-45). Accepts `(tag

@@ -181,7 +181,18 @@ object StreamOracle {
     * bodies — this helper is the plain-sink shape only, single-sourced
     * so a fix to the discipline cannot drift across copies. */
   private def runToSink(plan: DataFrame, workDir: String): DataFrame = {
-    val spark = plan.sparkSession
+    sinkRun(plan, workDir)
+    plan.sparkSession.read.parquet(Paths.get(workDir, "sink").toString).drop("b")
+  }
+
+  /** One QUERY LIFETIME of the plain-sink shape: build the writeStream,
+    * start, drain (`processAllAvailable` — only available data), stop.
+    * Factored out of [[runToSink]] so the RESTART rows can drive the
+    * identical writer twice against the same checkpoint + sink — the
+    * batch-keyed OVERWRITE partitions make a batch replayed across the
+    * restart boundary rewrite identical content instead of
+    * double-appending. */
+  private def sinkRun(plan: DataFrame, workDir: String): Unit = {
     val sink = Paths.get(workDir, "sink").toString
     val q = plan.writeStream
       .outputMode("append")
@@ -191,7 +202,55 @@ object StreamOracle {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(sink).drop("b")
+  }
+
+  /** Drive a streaming pipeline across a REAL QUERY RESTART — the
+    * exactly-once claim no single-lifetime row can prove: production
+    * recovery is stop → NEW StreamingQuery object → resume from the
+    * same checkpoint, and every replay-pinning mechanism in this layer
+    * ([[VersionedSnapshot.newestBelow]] strict-below reads,
+    * [[BucketedState]] batch-pinned manifests, batch-keyed idempotent
+    * sinks, the engine's own state-store recovery) exists to make that
+    * seam invisible.
+    *
+    * Mechanics: the cached stage is IMMUTABLE and shared, so the run
+    * copies its chunk files into a run-owned LIVE input dir in two
+    * phases — phase 1 admits the first `split` chunks and runs one
+    * query lifetime to completion (drain, stop — offsets + commits
+    * land in the checkpoint); phase 2 admits the remaining chunks
+    * (later real chunks plus every sentinel) and runs a BRAND-NEW
+    * query, which `runOnce` must construct from scratch over the live
+    * dir against the SAME checkpoint and state roots. The file source
+    * resumes from the checkpoint's file log (already-processed paths
+    * are skipped; batch ids continue), restored state must merge with
+    * phase-2 data, and the final sink/state must equal the one-shot
+    * batch derivation — the same oracle SQL as the single-lifetime
+    * row, now proving the restart seam leaks nothing.
+    *
+    * Copied chunks keep the staged order under the file source's
+    * modification-time ordering: mtimes are stamped strictly
+    * increasing in GLOBAL chunk index from one base taken before
+    * phase 1, so phase-2 files sort after phase-1 files even on a
+    * coarse-mtime filesystem. */
+  private def runRestarted(staged: String, live: Path, split: Int)(
+      runOnce: () => Unit): Unit = {
+    val files = Option(Paths.get(staged).toFile.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(split > 0 && split < files.length,
+      s"restart split $split must leave both phases non-empty (${files.length} chunks)")
+    Files.createDirectories(live)
+    val base = System.currentTimeMillis() - files.length * 1000L
+    def admit(lo: Int, hi: Int): Unit = (lo until hi).foreach { i =>
+      val dst = live.resolve(files(i).getName)
+      Files.copy(files(i).toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L)): Unit
+    }
+    admit(0, split)
+    runOnce()
+    admit(split, files.length)
+    runOnce()
   }
 
   /** Watermarked daily tumbling-window counts per event type, hash-exact:
@@ -261,6 +320,35 @@ object StreamOracle {
       .select(col("user_id"), col("start_ms"), col("n_events"), col("duration_ms"))
   }
 
+  /** [[sessionized]] across a REAL QUERY RESTART (see [[runRestarted]]):
+    * query 1 sessionizes the first two chunks and STOPS with open
+    * sessions parked in the engine's state store (nothing has advanced
+    * the watermark past them); a NEW query on the same checkpoint
+    * ingests the rest. The restart seam cuts through live per-user
+    * session state — a user whose events straddle the boundary within
+    * the gap must come back as ONE session, which requires query 2 to
+    * (a) restore the state store from the checkpoint, (b) restore the
+    * watermark (events at query 2's start must not be dropped as late
+    * against a reset-to-zero watermark — they are later than everything
+    * seen, but an open session's TIMEOUT timestamp restored wrong would
+    * mis-flush), and (c) continue batch ids so the batch-keyed sink
+    * partitions never collide. The union of both lifetimes' emissions
+    * must equal the one-shot batch gaps-and-islands derivation — same
+    * oracle SQL as `streaming_sessionize`. */
+  def sessionizedRestart(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stage(spark, sfDir, chunks = 4, sentinels = 2)
+    val live = Paths.get(workDir, "in")
+    runRestarted(staged, live, split = 2) { () =>
+      sinkRun(
+        Streams.sessionize(source(spark, live.toString).as[Streams.Event], SessionGapMs).toDF(),
+        workDir)
+    }
+    spark.read.parquet(Paths.get(workDir, "sink").toString).drop("b")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("start_ms"), col("n_events"), col("duration_ms"))
+  }
+
   /** Buckets for [[BucketedState]] in the oracle rows. Small here (the
     * sf0.01 state is hundreds of keys); a 100 TB state table raises it
     * to thousands — the per-batch cost scales with TOUCHED buckets, not
@@ -285,9 +373,40 @@ object StreamOracle {
     * uses. The payload is a single stored double (never a sum), so bits
     * match exactly. */
   def cdcUpsert(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val in = stage(spark, sfDir, chunks = 4)
     val state = new BucketedState(spark, Paths.get(workDir, "state"), StateBuckets)
+    cdcRun(spark, in, workDir, state)
+    state.current().getOrElse(fail("no micro-batch ran — empty source?"))
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("event_type"), col("last_event_id"), col("last_value"))
+  }
+
+  /** [[cdcUpsert]] across a REAL QUERY RESTART (see [[runRestarted]]):
+    * query 1 applies two chunks of the changelog into [[BucketedState]]
+    * and stops; a NEW query on the same checkpoint + state root applies
+    * the rest. Query 2's first batch resolves its slot assignment and
+    * prior-state read through the newest manifest strictly below its
+    * own (continued) batch id — the restored pointer names query 1's
+    * final manifest — so the merge picks up exactly where the first
+    * lifetime left off, and the final state must STILL equal DuckDB's
+    * one-shot last-writer-wins derivation (same oracle SQL as
+    * `streaming_cdc_upsert`). */
+  def cdcUpsertRestart(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    val staged = stage(spark, sfDir, chunks = 4)
+    val state = new BucketedState(spark, Paths.get(workDir, "state"), StateBuckets)
+    runRestarted(staged, Paths.get(workDir, "in"), split = 2) { () =>
+      cdcRun(spark, Paths.get(workDir, "in").toString, workDir, state)
+    }
+    state.current().getOrElse(fail("no micro-batch ran — empty source?"))
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("event_type"), col("last_event_id"), col("last_value"))
+  }
+
+  /** One query lifetime of the CDC MERGE loop (shared verbatim by the
+    * one-shot row and the restart row). */
+  private def cdcRun(spark: SparkSession, in: String, workDir: String,
+      state: BucketedState): Unit = {
+    import org.apache.spark.sql.expressions.Window
     val q = source(spark, in)
       .writeStream
       .outputMode("append")
@@ -320,9 +439,6 @@ object StreamOracle {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    state.current().getOrElse(fail("no micro-batch ran — empty source?"))
-      .filter(col("user_id") >= 0)
-      .select(col("user_id"), col("event_type"), col("last_event_id"), col("last_value"))
   }
 
   /** Chunk count shared by [[enriched]] and its oracle SQL. */
@@ -694,9 +810,23 @@ object StreamOracle {
     import graft.pipeline.Sketches
     val in = stage(spark, sfDir, chunks = 4)
     val state = new VersionedSnapshot(spark, Paths.get(workDir, "kmv"))
-    def minsBelow(batch: Long): DataFrame =
-      state.newestBelow(batch).map(_.select(col("hv")))
-        .getOrElse(spark.range(0).select(col("id").as("hv")))
+    kmvRun(spark, in, workDir, state, k)
+    Sketches.kmvEstimateFromMins(kmvMinsBelow(spark, state, Long.MaxValue), k)
+  }
+
+  /** The KMV fold's current k-minima set strictly below `batch` (empty
+    * frame before the first committed write). */
+  private def kmvMinsBelow(spark: SparkSession, state: VersionedSnapshot,
+      batch: Long): DataFrame =
+    state.newestBelow(batch).map(_.select(col("hv")))
+      .getOrElse(spark.range(0).select(col("id").as("hv")))
+
+  /** One query lifetime of the KMV fold (shared verbatim by the
+    * one-shot row and the restart row — the restart must run the SAME
+    * code path, not a copy that could drift). */
+  private def kmvRun(spark: SparkSession, in: String, workDir: String,
+      state: VersionedSnapshot, k: Int): Unit = {
+    import graft.pipeline.Sketches
     val q = source(spark, in)
       .writeStream
       .outputMode("append")
@@ -705,12 +835,33 @@ object StreamOracle {
         val mins = b.filter(col("event_type") =!= "__flush__")
           .select(Sketches.kmvHash("event_id").as("hv"))
           .where(col("hv").isNotNull).distinct()
-        state.write(batchId, minsBelow(batchId).unionByName(mins).distinct()
-          .orderBy(col("hv")).limit(k))
+        state.write(batchId, kmvMinsBelow(spark, state, batchId).unionByName(mins)
+          .distinct().orderBy(col("hv")).limit(k))
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    Sketches.kmvEstimateFromMins(minsBelow(Long.MaxValue), k)
+  }
+
+  /** [[kmvStreamed]] across a REAL QUERY RESTART (see [[runRestarted]]):
+    * two real chunks fold under query 1, which stops; a NEW query on the
+    * same checkpoint folds the rest. The restart exercises exactly the
+    * machinery [[VersionedSnapshot]] was built for — query 2's first
+    * batch id continues from the checkpoint's offset log, its
+    * `newestBelow` read resolves through the `__latest` pointer to
+    * query 1's final committed version (one GET — or, if query 1's last
+    * batch landed its snapshot but not its sink commit, the strict-below
+    * pin makes the replay re-fold identical content) — and the final
+    * estimate must STILL equal the one-shot batch sketch bit-for-bit
+    * (same oracle SQL as `streaming_kmv_distinct`). */
+  def kmvStreamedRestart(spark: SparkSession, sfDir: String, workDir: String,
+      k: Int = 1024): DataFrame = {
+    import graft.pipeline.Sketches
+    val staged = stage(spark, sfDir, chunks = 4)
+    val state = new VersionedSnapshot(spark, Paths.get(workDir, "kmv"))
+    runRestarted(staged, Paths.get(workDir, "in"), split = 2) { () =>
+      kmvRun(spark, Paths.get(workDir, "in").toString, workDir, state, k)
+    }
+    Sketches.kmvEstimateFromMins(kmvMinsBelow(spark, state, Long.MaxValue), k)
   }
 
   /** STREAMING SAMPLED QUANTILE: the deterministic Bernoulli-gate sample
@@ -914,8 +1065,18 @@ object StreamOracle {
     cur
   }
 
+  /** Chunk count for the four interval-join rows: 2, the minimum that
+    * still proves MULTI-batch behavior (join state carried across a
+    * batch boundary; the second chunk's rows match buffered first-chunk
+    * rows). The family ran 4 chunks through r14 at ~20 s/row — ~78 s of
+    * bench that measured the micro-batch harness (each extra chunk is a
+    * full join pass over accumulated state), not the plan; 2 chunks
+    * keeps every behavioral claim (cross-batch matches, watermark-driven
+    * outer flush via the two sentinels) at half the batch count. */
+  private val IntervalChunks = 2
+
   def intervalJoined(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
-    val in = stage(spark, sfDir, chunks = 4)
+    val in = stage(spark, sfDir, chunks = IntervalChunks)
     // sentinel filter on the SINK READ, not in the streaming plan (the
     // sentinel never matches, so inner output is identical either way —
     // but an in-plan left-column filter pushes below the left watermark
@@ -933,7 +1094,7 @@ object StreamOracle {
     * micro-batch emissions needs no flush sentinel and must equal
     * DuckDB's one-shot EXISTS derivation. */
   def intervalJoinedSemi(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
-    val in = stage(spark, sfDir, chunks = 4)
+    val in = stage(spark, sfDir, chunks = IntervalChunks)
     runToSink(Streams.intervalJoinLeftSemi(source(spark, in), source(spark, in), gap = "1 hour"),
       workDir).filter(col("user_id") >= 0)
   }
@@ -986,7 +1147,7 @@ object StreamOracle {
     * two events missing). The right side kept advancing, which is what
     * made the stall invisible to everything but the outer emission. */
   def intervalJoinedOuter(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
-    val in = stage(spark, sfDir, chunks = 4, sentinels = 2)
+    val in = stage(spark, sfDir, chunks = IntervalChunks, sentinels = 2)
     runToSink(Streams.intervalJoinLeftOuter(source(spark, in), source(spark, in), gap = "1 hour"),
       workDir).filter(col("user_id") >= 0)
   }
@@ -1011,7 +1172,7 @@ object StreamOracle {
     * either side (left-null rows carry only `r_user`), so the sink read
     * filters BOTH user columns, null-tolerantly. */
   def intervalJoinedFull(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
-    val in = stage(spark, sfDir, chunks = 4, sentinels = 2)
+    val in = stage(spark, sfDir, chunks = IntervalChunks, sentinels = 2)
     runToSink(Streams.intervalJoinFullOuter(source(spark, in), source(spark, in), gap = "1 hour"),
       workDir)
       .filter((col("user_id") >= 0 || col("user_id").isNull) &&

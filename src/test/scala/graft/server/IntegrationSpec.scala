@@ -83,4 +83,24 @@ class IntegrationSpec extends SparkTestBase {
     assert(joined.map(r => (r.getString(0), r.getLong(1))).toSet ==
       Set(("Apple", 5L), ("Pear", 9L)))
   }
+
+  test("scripted execute is thread-safe: concurrent callers on one session serialize, never self-conflict") {
+    // execute takes the session monitor (the same one the listener's
+    // wire path holds), so its snapshot-read and commit-CAS are one
+    // critical section: N racing scripted inserts must ALL land —
+    // a lost race would surface as Err.Conflict (snapshot != head)
+    val s = new EngineSession(spark)
+    run(s, "(ddl (CreateDatabase racedb))")
+    run(s, "(ddl (CreateRelation (name t) (schema ((k integer)))))")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 8).map { k =>
+      new Thread(() =>
+        s.execute(s"(dml (InsertTuple (relation t) (attributes ((k (Int $k))))))")
+          .left.foreach(e => errs.add(s"insert $k: $e")))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing scripted inserts failed: $errs")
+    assert(rows(s, "(drl (Base t))").length == 8)
+  }
 }
