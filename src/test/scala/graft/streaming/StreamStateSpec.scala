@@ -334,4 +334,35 @@ class StreamStateSpec extends SparkTestBase {
     val want = (1L to 64L).map(k => k -> (if (k == 1L) "v2_1" else s"v0_$k")).toMap
     assert(cur == want, "state diverged across compounding splits")
   }
+
+  test("RESTART continuation: a FRESH BucketedState over a split history resolves the catalog and keeps merging") {
+    // the recovery shape the streaming_restart_cdc oracle row proves for
+    // the unsplit state, pinned here for a SPLIT one: query 2's (or a new
+    // driver's) BucketedState object holds no in-memory carryover — the
+    // split catalog, slot metas, and pointer must all reconstruct from
+    // the manifest, and continued merges must make the same trie
+    // decisions the original instance would have
+    val root = tmpRoot()
+    val st1 = new BucketedState(spark, root, buckets = 2, splitBytes = 1L)
+    val b0 = keyed(st1, 0L, (1L to 32L).map(k => k -> s"v0_$k"): _*)
+    st1.write(0L, b0, touchedOf(b0), splitKeyCols = Seq("k"))
+    val ups1 = keyed(st1, 1L, (1L, "v1_1"))
+    st1.merge(1L, ups1.select(col("k"), col("__bucket")), ups1, Seq("k"))
+    // "restart": a brand-new instance on the same root — nothing shared
+    val st2 = new BucketedState(spark, root, buckets = 2, splitBytes = 1L)
+    // its slot resolution must agree with the survivor's view of batch 2
+    assert(touchedOf(keyed(st2, 2L, (1L, "x"))) == touchedOf(keyed(st1, 2L, (1L, "x"))),
+      "fresh instance resolved a different slot than the original")
+    // and it can continue the merge history — splitting further as needed
+    val ups2 = keyed(st2, 2L, (1L, "v2_1"), (17L, "v2_17"))
+    st2.merge(2L, ups2.select(col("k"), col("__bucket")), ups2, Seq("k"))
+    val cur = asMap(st2.current().getOrElse(fail("state empty")))
+    val want = (1L to 32L).map(k => k -> (k match {
+      case 1L => "v2_1"; case 17L => "v2_17"; case _ => s"v0_$k"
+    })).toMap
+    assert(cur == want, "state diverged across the instance boundary")
+    // the original instance, reading at the same bound, sees the same
+    // final state — manifests are the single source of truth
+    assert(asMap(st1.current().getOrElse(fail("state empty"))) == want)
+  }
 }
