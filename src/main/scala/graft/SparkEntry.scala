@@ -3466,6 +3466,12 @@ object SparkEntry {
     // same-cell candidates only (bounded), bench side broadcasts
     "dedup_semantic_contamination" -> ((s, dir) =>
       graft.pipeline.Ann.semanticContamination(table(s, dir, "embeddings"))),
+    // IVF MULTI-PROBE (nprobe=2): the recall/cost dial — queries search
+    // their 2 nearest cells (same dist² chain ranks centroids), so a
+    // true neighbor just across a Voronoi boundary recovers; cost is
+    // exactly nprobe× the single-probe scan
+    "ann_ivf_nprobe" -> ((s, dir) =>
+      graft.pipeline.Ann.ivfNprobeTopK(table(s, dir, "embeddings"))),
     // INCREMENTAL IVF MAINTENANCE: a new batch assigned to the FROZEN
     // base-trained centroids (O(batch) narrow map, no retrain) plus the
     // per-cell drift²-triggered retrain flag — the arrival path of a
@@ -5711,6 +5717,7 @@ object SparkEntry {
       graft.pipeline.Ann.BenchSetSize, graft.pipeline.Ann.SemanticEps),
     "ann_ivf_balance" -> graft.pipeline.Oracles.annIvfBalance,
     "ann_ivf_incremental" -> graft.pipeline.Oracles.annIvfIncremental(),
+    "ann_ivf_nprobe" -> graft.pipeline.Oracles.annIvfNprobe(),
     "ann_ivfpq_topk" -> graft.pipeline.Oracles.annIvfPqTopK,
     "ann_filtered_topk" ->
       graft.pipeline.Oracles.annFilteredTopK(graft.pipeline.Ann.FilterLabel),

@@ -455,6 +455,58 @@ object Ann {
           (col("n_vecs").cast("double") * col("n_vecs").cast("double")), 4).as("imbalance"))
   }
 
+  /** Probe width for [[ivfNprobeTopK]] — faiss's nprobe, the second of
+    * the two IVF knobs ([[ivfBalance]] prices the first, nlist). */
+  val IvfNprobe = 2
+
+  /** IVF with MULTI-CELL PROBING (nprobe > 1) — the recall/cost dial
+    * every production IVF deployment turns: a query whose true nearest
+    * neighbor fell just across a Voronoi boundary (the single-probe
+    * [[ivfTopK]]'s miss mode) recovers it by searching its `nprobe`
+    * nearest cells instead of one. Corpus assignment stays the fused
+    * argmin narrow map; the QUERY side ranks all centroids by the same
+    * dist² chain (queries × k is tiny — NumQueries·nlist rows through
+    * one window) and the probe is the same bucketed equi-join, now
+    * landing on nprobe cells per query — cost scales exactly nprobe×
+    * the single-probe scan, which is the entire point of the knob.
+    * Output shape ≡ [[ivfTopK]] (best cosine neighbor per query), so
+    * recall(nprobe=2) ≥ recall(nprobe=1) row-by-row is directly
+    * observable against `ann_ivf_topk`. */
+  def ivfNprobeTopK(embeddings: DataFrame, numCentroids: Int = NumCentroids,
+      numQueries: Int = NumQueries, iters: Int = KMeansIters,
+      nprobe: Int = IvfNprobe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = embeddings.sparkSession
+    val book = ivfCentroids(embeddings, numCentroids, iters)
+    val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    val assigned = n.withColumn("cell", pqEncodeCol(ss, col("embedding"), book))
+    // query-side cell ranking against the literal centroid frame — the
+    // same (c·c) − 2·(v·c) left-associated chain the oracle states,
+    // evaluated on NumQueries × nlist rows (a broadcast cross of two
+    // tiny frames, never the corpus)
+    import ss.implicits._
+    val bookDf = book.map { case (c, ce) => (c, ce.toSeq) }.toDF("cell", "ce")
+    val cc = (1 to Dim).foldLeft(lit(0.0)) { (acc, i) =>
+      acc + element_at(col("ce"), i) * element_at(col("ce"), i)
+    }
+    val vc = (1 to Dim).foldLeft(lit(0.0)) { (acc, i) =>
+      acc + element_at(col("embedding"), i).cast("double") * element_at(col("ce"), i)
+    }
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("cell"))
+    val qcells = n.filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(bookDf))
+      .withColumn("dist2", cc - lit(2.0) * vc)
+      .withColumn("__rn", row_number().over(wq)).filter(col("__rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cell"))
+    val pairs = assigned.join(broadcast(qcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(dot(ss, col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+  }
+
   /** Base/new split for [[ivfIncremental]]: vectors below it are the
     * indexed corpus the coarse quantizer trained on, vectors at or
     * above arrive as the new batch. Fixed (not data-derived) so the
