@@ -2731,6 +2731,12 @@ object SparkEntry {
     // final state ≡ the one-shot last-writer-wins derivation
     "streaming_restart_cdc" -> ((s, dir) =>
       graft.streaming.StreamOracle.cdcUpsertRestart(s, dir, scratch(dir, "streamrstcdc"))),
+    // the split-capable BAND INDEX across a restart (the fourth state
+    // shape): post-restart documents must be rejected by bands claimed
+    // BEFORE the restart — the admission joins resolve through query
+    // 1's final manifest; same one-shot oracle as streaming_neardup_admit
+    "streaming_restart_neardup" -> ((s, dir) =>
+      graft.streaming.StreamOracle.nearDupAdmissionRestart(s, dir, scratch(dir, "streamrstnd"))),
     // STREAMING CDC UPSERT, oracle-checked: the event stream as a keyed
     // changelog applied batch-by-batch via foreachBatch MERGE into
     // versioned state parquet — the final state version must equal the
@@ -5261,6 +5267,7 @@ object SparkEntry {
     "streaming_restart_kmv" ->
       graft.pipeline.Sketches.kmvDistinctOracle("events", "event_id"),
     "streaming_restart_cdc" -> graft.streaming.StreamOracle.cdcUpsertOracle,
+    "streaming_restart_neardup" -> graft.pipeline.Oracles.dedupStreamingAdmission,
     "streaming_neardup_admit" -> graft.pipeline.Oracles.dedupStreamingAdmission,
     "streaming_dedup" -> graft.streaming.StreamOracle.dedupAdmittedOracle,
     "streaming_enrich" -> graft.streaming.StreamOracle.enrichedOracle,

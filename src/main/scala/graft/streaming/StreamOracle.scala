@@ -211,12 +211,8 @@ object StreamOracle {
     * double-appending. Runs with [[StatePartitions]] state partitions
     * (set at start, restored after — the conf is read once when the
     * query plans). */
-  private def sinkRun(plan: DataFrame, workDir: String): Unit = {
-    val spark = plan.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val prior = spark.conf.get(key)
-    spark.conf.set(key, StatePartitions.toString)
-    try {
+  private def sinkRun(plan: DataFrame, workDir: String): Unit =
+    withStatePartitions(plan.sparkSession) {
       val sink = Paths.get(workDir, "sink").toString
       val q = plan.writeStream
         .outputMode("append")
@@ -226,7 +222,20 @@ object StreamOracle {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set(key, prior)
+    }
+
+  /** Run one streaming-query lifetime under [[StatePartitions]] shuffle
+    * partitions (set before the query plans, restored after). Shared by
+    * the plain-sink runner AND every foreachBatch-state runner: the
+    * engine-stateful rows gain on state-store commit count, the
+    * foreachBatch rows on the per-exchange fixed cost of their many
+    * small batch jobs (a micro-batch at bench scale carries ~25k rows —
+    * 32-way exchanges are almost all scheduling). */
+  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, StatePartitions.toString)
+    try body finally spark.conf.set(key, prior)
   }
 
   /** Drive a streaming pipeline across a REAL QUERY RESTART — the
@@ -430,7 +439,7 @@ object StreamOracle {
   /** One query lifetime of the CDC MERGE loop (shared verbatim by the
     * one-shot row and the restart row). */
   private def cdcRun(spark: SparkSession, in: String, workDir: String,
-      state: BucketedState): Unit = {
+      state: BucketedState): Unit = withStatePartitions(spark) {
     import org.apache.spark.sql.expressions.Window
     val q = source(spark, in)
       .writeStream
@@ -500,13 +509,15 @@ object StreamOracle {
         customer.select(col("c_custkey"), (col("nk") * 100L + v).as("dim_v"), col("segment"))
           .write.mode("overwrite").parquet(s"$dir/v=$v")
     }
-    val q = Streams.enrichPerBatch(
-      source(spark, in),
-      batchId => spark.read.parquet(s"$dims/v=$batchId"),
-      (b, d) => b("user_id") === d("c_custkey"),
-      (b, d) => Seq(b("event_id"), b("user_id"), d("dim_v"), d("segment")),
-      sink, Paths.get(workDir, "ckpt").toString)
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = Streams.enrichPerBatch(
+        source(spark, in),
+        batchId => spark.read.parquet(s"$dims/v=$batchId"),
+        (b, d) => b("user_id") === d("c_custkey"),
+        (b, d) => Seq(b("event_id"), b("user_id"), d("dim_v"), d("segment")),
+        sink, Paths.get(workDir, "ckpt").toString)
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.read.parquet(sink).drop("b")
   }
 
@@ -568,14 +579,44 @@ object StreamOracle {
     * shorter than the shingle width never band and are absent on both
     * sides (the `dedup_incremental` contract). */
   def nearDupAdmission(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
-    import graft.pipeline.Dedup
     val in = stageDocs(spark, sfDir, chunks = 4)
-    val sink = Paths.get(workDir, "verdicts").toString
     val index = new BucketedState(spark, Paths.get(workDir, "bandidx"), StateBuckets)
+    neardupRun(spark, in, workDir, index)
+    spark.read.parquet(Paths.get(workDir, "verdicts").toString).drop("b")
+  }
+
+  /** [[nearDupAdmission]] across a REAL QUERY RESTART (see
+    * [[runRestarted]]) — the fourth and last state shape under the
+    * restart proof (after the engine's own store, the whole-value
+    * snapshot, and the keyed CDC table): the persistent BAND INDEX,
+    * the one state whose slots SPLIT as they grow. Query 2's first
+    * batch must resolve the split catalog, the prior-band reads, and
+    * the admission joins through query 1's final manifest — a document
+    * arriving after the restart whose bands were claimed BEFORE the
+    * restart must be rejected, which only happens if the index
+    * survived the seam intact. Same oracle as
+    * `streaming_neardup_admit` (the one-shot global no-smaller-id
+    * derivation). */
+  def nearDupAdmissionRestart(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+    val staged = stageDocs(spark, sfDir, chunks = 4)
+    val index = new BucketedState(spark, Paths.get(workDir, "bandidx"), StateBuckets)
+    runRestarted(staged, Paths.get(workDir, "in"), split = 2) { () =>
+      neardupRun(spark, Paths.get(workDir, "in").toString, workDir, index)
+    }
+    spark.read.parquet(Paths.get(workDir, "verdicts").toString).drop("b")
+  }
+
+  /** One query lifetime of the near-dup admission gate (shared verbatim
+    * by the one-shot row and the restart row). */
+  private def neardupRun(spark: SparkSession, in: String, workDir: String,
+      index: BucketedState): Unit = {
+    import graft.pipeline.Dedup
+    val sink = Paths.get(workDir, "verdicts").toString
     val src = spark.readStream
       .schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", 1)
       .parquet(in)
+    withStatePartitions(spark) {
     val q = src.writeStream
       .outputMode("append")
       .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
@@ -625,7 +666,7 @@ object StreamOracle {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(sink).drop("b")
+    }
   }
 
   /** Chunk count shared by [[dedupAdmitted]] and its oracle SQL. */
@@ -793,18 +834,20 @@ object StreamOracle {
     }
     val verts = new BucketedState(spark, Paths.get(workDir, "verts"), StateBuckets)
     val forest = new BucketedState(spark, Paths.get(workDir, "forest"), StateBuckets)
-    val q = spark.readStream
-      .schema("ok BIGINT, p BIGINT")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(in)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
-      .foreachBatch { (b: DataFrame, batchId: Long) =>
-        ccBatch(verts, forest, batchId, b)
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = spark.readStream
+        .schema("ok BIGINT, p BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          ccBatch(verts, forest, batchId, b)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // an all-empty stream (every chunk filtered away) labels nothing —
     // the same empty frame the one-shot row and the oracle produce
     val vs = verts.current()
@@ -850,7 +893,7 @@ object StreamOracle {
     * one-shot row and the restart row — the restart must run the SAME
     * code path, not a copy that could drift). */
   private def kmvRun(spark: SparkSession, in: String, workDir: String,
-      state: VersionedSnapshot, k: Int): Unit = {
+      state: VersionedSnapshot, k: Int): Unit = withStatePartitions(spark) {
     import graft.pipeline.Sketches
     val q = source(spark, in)
       .writeStream
@@ -913,6 +956,7 @@ object StreamOracle {
     val in = stage(spark, sfDir, chunks = 4)
     val state = new BucketedState(spark, Paths.get(workDir, "sample"), StateBuckets)
     val bound = Sketches.quantileBound(rate)
+    withStatePartitions(spark) {
     val strq = source(spark, in)
       .writeStream
       .outputMode("append")
@@ -932,6 +976,7 @@ object StreamOracle {
       }
       .start()
     try strq.processAllAvailable() finally strq.stop()
+    }
     Sketches.quantileEstimate(
       state.current().getOrElse(fail("no micro-batch ran — empty source?")),
       col("cents"), q)
@@ -957,24 +1002,26 @@ object StreamOracle {
     val state = new VersionedSnapshot(spark, Paths.get(workDir, "cmsgrid"))
     def tokens(df: DataFrame): DataFrame =
       df.select(explode(split(trim(col("text")), "\\s+")).as("token"))
-    val q = spark.readStream
-      .schema("doc_id BIGINT, text STRING")
-      .option("maxFilesPerTrigger", 1)
-      .parquet(in)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
-      .foreachBatch { (b: DataFrame, batchId: Long) =>
-        val grid = Sketches.cmsGrid(tokens(b), "token")
-        val folded = state.newestBelow(batchId) match {
-          case None => grid
-          case Some(p) => p.unionByName(grid)
-            .groupBy(col("r"), col("b")).agg(sum(col("c")).as("c"))
+    withStatePartitions(spark) {
+      val q = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          val grid = Sketches.cmsGrid(tokens(b), "token")
+          val folded = state.newestBelow(batchId) match {
+            case None => grid
+            case Some(p) => p.unionByName(grid)
+              .groupBy(col("r"), col("b")).agg(sum(col("c")).as("c"))
+          }
+          state.write(batchId, folded)
         }
-        state.write(batchId, folded)
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val corpus = tokens(spark.read.parquet(s"$sfDir/documents.parquet"))
     Sketches.cmsProbeHeavy(corpus, "token", topK,
       state.newestBelow(Long.MaxValue).getOrElse(fail("no micro-batch ran — empty source?")))

@@ -96,6 +96,32 @@ class StreamRestartSpec extends SparkTestBase {
     assert(versions <= 2, s"sweep leaked across restart: $versions versions on disk")
   }
 
+  test("near-dup band index across a restart == single-lifetime run; cross-seam rejections observed") {
+    import graft.pipeline.Dedup
+    val restarted = rows(StreamOracle.nearDupAdmissionRestart(spark, sf, work("nd1")))
+    val oneShot = rows(StreamOracle.nearDupAdmission(spark, sf, work("nd2")))
+    assert(restarted == oneShot,
+      s"restart leaked: missing=${(oneShot -- restarted).take(3)} extra=${(restarted -- oneShot).take(3)}")
+    // non-triviality: at least one PHASE-2 document must be rejected by
+    // a band claimed in PHASE 1 — only possible if the index survived
+    // the seam. Phase 1 = the first 2 of 4 doc_id-range chunks.
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"), col("text"))
+    val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val splitId = lo + 2 * ((hi - lo) / 4 + 1)
+    val bands = Dedup.bandRows(Dedup.bandSignatures(docs, "doc_id", "text"), "doc_id")
+    val p1 = bands.filter(col("doc_id") < splitId).select(col("band"), col("bh")).distinct()
+    val crossSeamLosers = bands.filter(col("doc_id") >= splitId)
+      .join(p1, Seq("band", "bh")).select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(crossSeamLosers.nonEmpty,
+      "no phase-2 document shares a band with phase 1 — the restart test proved nothing here")
+    val verdicts = restarted.map(r => r.head.asInstanceOf[Long] -> r(2).asInstanceOf[Int]).toMap
+    val wronglyAdmitted = crossSeamLosers.filter(d => verdicts.getOrElse(d, 1) != 0)
+    assert(wronglyAdmitted.isEmpty,
+      s"documents with pre-restart band claims were ADMITTED after the seam: ${wronglyAdmitted.take(5)}")
+  }
+
   test("cdc upsert across a restart == one-shot last-writer-wins") {
     val got = StreamOracle.cdcUpsertRestart(spark, sf, work("cdc"))
     val w = org.apache.spark.sql.expressions.Window
