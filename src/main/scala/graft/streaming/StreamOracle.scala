@@ -266,7 +266,8 @@ object StreamOracle {
     * increasing in GLOBAL chunk index from one base taken before
     * phase 1, so phase-2 files sort after phase-1 files even on a
     * coarse-mtime filesystem. */
-  private def runRestarted(staged: String, live: Path, split: Int)(
+  private def runRestarted(staged: String, live: Path, split: Int,
+      betweenPhases: () => Unit = () => ())(
       runOnce: () => Unit): Unit = {
     val files = Option(Paths.get(staged).toFile.listFiles())
       .getOrElse(Array.empty[java.io.File])
@@ -283,8 +284,31 @@ object StreamOracle {
     }
     admit(0, split)
     runOnce()
+    betweenPhases()
     admit(split, files.length)
     runOnce()
+  }
+
+  /** Simulate a crash BETWEEN a batch's execution and its commit: delete
+    * the newest entry of the checkpoint's commit log. On the next start
+    * the engine finds offsets for the batch but no commit, so it
+    * RE-EXECUTES it with the same data — the replayed-boundary-batch
+    * shape every strict-below state read and batch-keyed idempotent
+    * sink in this layer exists to absorb. Used by the spec-level
+    * forced-replay restarts; the oracle rows run the clean stop. */
+  private[streaming] def dropLastCommit(workDir: String): Unit = {
+    val commits = Paths.get(workDir, "ckpt", "commits").toFile
+    val last = Option(commits.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong).lastOption
+    val victim = last.getOrElse(fail(s"no commit log entries under $commits"))
+    Files.delete(victim.toPath)
+    // the local checkpoint FS is Hadoop's ChecksumFs: every log entry
+    // carries a `.N.crc` sidecar, and the replay's re-commit RENAMES a
+    // fresh temp file (+ fresh crc) into place — a stale sidecar makes
+    // that rename throw FileAlreadyExists, which Spark reports as the
+    // concurrent-queries guard. A real crash-before-commit leaves
+    // NEITHER file, so the simulation must remove both.
+    Files.deleteIfExists(commits.toPath.resolve(s".${victim.getName}.crc")): Unit
   }
 
   /** Watermarked daily tumbling-window counts per event type, hash-exact:
@@ -425,10 +449,12 @@ object StreamOracle {
     * lifetime left off, and the final state must STILL equal DuckDB's
     * one-shot last-writer-wins derivation (same oracle SQL as
     * `streaming_cdc_upsert`). */
-  def cdcUpsertRestart(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+  def cdcUpsertRestart(spark: SparkSession, sfDir: String, workDir: String,
+      forceBoundaryReplay: Boolean = false): DataFrame = {
     val staged = stage(spark, sfDir, chunks = 4)
     val state = new BucketedState(spark, Paths.get(workDir, "state"), StateBuckets)
-    runRestarted(staged, Paths.get(workDir, "in"), split = 2) { () =>
+    val between = if (forceBoundaryReplay) () => dropLastCommit(workDir) else () => ()
+    runRestarted(staged, Paths.get(workDir, "in"), split = 2, between) { () =>
       cdcRun(spark, Paths.get(workDir, "in").toString, workDir, state)
     }
     state.current().getOrElse(fail("no micro-batch ran — empty source?"))
@@ -922,11 +948,12 @@ object StreamOracle {
     * estimate must STILL equal the one-shot batch sketch bit-for-bit
     * (same oracle SQL as `streaming_kmv_distinct`). */
   def kmvStreamedRestart(spark: SparkSession, sfDir: String, workDir: String,
-      k: Int = 1024): DataFrame = {
+      k: Int = 1024, forceBoundaryReplay: Boolean = false): DataFrame = {
     import graft.pipeline.Sketches
     val staged = stage(spark, sfDir, chunks = 4)
     val state = new VersionedSnapshot(spark, Paths.get(workDir, "kmv"))
-    runRestarted(staged, Paths.get(workDir, "in"), split = 2) { () =>
+    val between = if (forceBoundaryReplay) () => dropLastCommit(workDir) else () => ()
+    runRestarted(staged, Paths.get(workDir, "in"), split = 2, between) { () =>
       kmvRun(spark, Paths.get(workDir, "in").toString, workDir, state, k)
     }
     Sketches.kmvEstimateFromMins(kmvMinsBelow(spark, state, Long.MaxValue), k)

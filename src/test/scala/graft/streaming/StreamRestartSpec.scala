@@ -122,6 +122,44 @@ class StreamRestartSpec extends SparkTestBase {
       s"documents with pre-restart band claims were ADMITTED after the seam: ${wronglyAdmitted.take(5)}")
   }
 
+  test("FORCED boundary-batch replay across the seam: kmv fold survives a crash-before-commit") {
+    // the crash the strict-below pin exists for: query 1's LAST batch
+    // executed (v=N on disk, pointer advanced to N) but its commit-log
+    // entry is deleted before query 2 starts — the engine re-executes
+    // batch N with the same data. The replay's newestBelow(N) must
+    // resolve the pre-N version (pointer N fails the strict-below
+    // filter; the sweep kept exactly N−1), re-fold identical content,
+    // and the final estimate must STILL equal the one-shot sketch.
+    val got = rows(StreamOracle.kmvStreamedRestart(spark, sf, work("kmvre"),
+      forceBoundaryReplay = true))
+    val expected = rows(graft.pipeline.Sketches.kmvDistinct(
+      spark.read.parquet(s"$sf/events.parquet"), "event_id"))
+    assert(got == expected, s"replayed boundary batch diverged: got $got expected $expected")
+  }
+
+  test("FORCED boundary-batch replay across the seam: cdc merge survives a crash-before-commit") {
+    // same crash shape against BucketedState: the replay of batch N
+    // must resolve slot assignment and prior state through the newest
+    // manifest STRICTLY below N (the one the first attempt read), and
+    // rewrite identical content — last-writer-wins must hold as if the
+    // crash never happened
+    val got = rows(StreamOracle.cdcUpsertRestart(spark, sf, work("cdcre"),
+      forceBoundaryReplay = true))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val expected = rows(spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .withColumn("op", when(col("event_id") % 10 === 7, lit("D")).otherwise(lit("U")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .filter(col("op") === "U")
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"), col("value").as("last_value")))
+    assert(got == expected,
+      s"replayed boundary batch diverged: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("cdc upsert across a restart == one-shot last-writer-wins") {
     val got = StreamOracle.cdcUpsertRestart(spark, sf, work("cdc"))
     val w = org.apache.spark.sql.expressions.Window
