@@ -393,11 +393,13 @@ object StreamOracle {
     * partitions never collide. The union of both lifetimes' emissions
     * must equal the one-shot batch gaps-and-islands derivation — same
     * oracle SQL as `streaming_sessionize`. */
-  def sessionizedRestart(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
+  def sessionizedRestart(spark: SparkSession, sfDir: String, workDir: String,
+      forceBoundaryReplay: Boolean = false): DataFrame = {
     import spark.implicits._
     val staged = stage(spark, sfDir, chunks = 4, sentinels = 2)
     val live = Paths.get(workDir, "in")
-    runRestarted(staged, live, split = 2) { () =>
+    val between = if (forceBoundaryReplay) () => dropLastCommit(workDir) else () => ()
+    runRestarted(staged, live, split = 2, between) { () =>
       sinkRun(
         Streams.sessionize(source(spark, live.toString).as[Streams.Event], SessionGapMs).toDF(),
         workDir)

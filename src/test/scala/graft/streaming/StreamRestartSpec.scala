@@ -122,6 +122,35 @@ class StreamRestartSpec extends SparkTestBase {
       s"documents with pre-restart band claims were ADMITTED after the seam: ${wronglyAdmitted.take(5)}")
   }
 
+  test("FORCED boundary-batch replay across the seam: sessionize survives a crash-before-commit") {
+    // the ENGINE-state variant of the crash: the state store must
+    // rewind the replayed batch to its pre-batch version (Spark pins
+    // store version = batchId), and the batch-keyed OVERWRITE sink
+    // partition must absorb the double emission — append would
+    // double-write the replayed batch's sessions
+    val got = rows(StreamOracle.sessionizedRestart(spark, sf, work("sessre"),
+      forceBoundaryReplay = true))
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), (unix_micros(col("ts").cast("timestamp")) / 1000L)
+        .cast("long").as("t"))
+    ev.createOrReplaceTempView("__restart_ev2")
+    val gap = StreamOracle.SessionGapMs
+    val expected = rows(spark.sql(
+      s"""WITH s AS (SELECT user_id, t,
+         |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > $gap
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM __restart_ev2),
+         |g AS (SELECT user_id, t,
+         |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+         |                       ROWS UNBOUNDED PRECEDING) AS sid
+         |      FROM s)
+         |SELECT user_id, min(t) AS start_ms, count(*) AS n_events,
+         |       max(t) - min(t) AS duration_ms
+         |FROM g GROUP BY user_id, sid""".stripMargin))
+    assert(got == expected,
+      s"replayed boundary batch diverged: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("FORCED boundary-batch replay across the seam: kmv fold survives a crash-before-commit") {
     // the crash the strict-below pin exists for: query 1's LAST batch
     // executed (v=N on disk, pointer advanced to N) but its commit-log
