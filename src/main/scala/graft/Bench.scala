@@ -62,7 +62,7 @@ object Bench {
       "scaleprobe_jaccard_x16", "scaleprobe_minhash_x16", "scaleprobe_triangles_x4",
       "scaleprobe_hamming_x16", "scaleprobe_fkbulk_x4", "scaleprobe_streamstate_x4",
       "scaleprobe_dclmerge_x4", "scaleprobe_persist_x4", "scaleprobe_skewjoin_x16",
-      "scaleprobe_streamcc_x4", "scaleprobe_caswriters_x8")
+      "scaleprobe_streamcc_x4", "scaleprobe_caswriters_x8", "scaleprobe_bpetrain_x4")
     // fail loudly on knob typos, same contract as SPARK_GRAFT_ONLY: a
     // misspelled value would silently run only the canaries and emit a
     // plausible complete-looking JSON line

@@ -2726,6 +2726,17 @@ object SparkEntry {
     // final estimate ≡ the one-shot batch sketch bit-for-bit
     "streaming_restart_kmv" -> ((s, dir) =>
       graft.streaming.StreamOracle.kmvStreamedRestart(s, dir, scratch(dir, "streamrstkmv"))),
+    // CRASH-BEFORE-COMMIT under the oracle's own hash check: between
+    // the two lifetimes the checkpoint's LAST COMMIT FILE is deleted
+    // (offsets without commit — the exact on-disk shape a crash between
+    // sink write and commit leaves), so query 2's first act is to
+    // RE-EXECUTE the boundary batch; the snapshot's strict-below read
+    // pins its input to pre-batch state and the versioned overwrite
+    // makes the re-emission idempotent — final estimate still ≡ the
+    // one-shot batch sketch
+    "streaming_restart_replay" -> ((s, dir) =>
+      graft.streaming.StreamOracle.kmvStreamedRestart(s, dir,
+        scratch(dir, "streamrstreplay"), forceBoundaryReplay = true)),
     // BucketedState across a restart: query 2's first merge reads slot
     // assignment and prior state through query 1's final manifest —
     // final state ≡ the one-shot last-writer-wins derivation
@@ -2751,6 +2762,15 @@ object SparkEntry {
     // proves batch boundaries invisible
     "streaming_neardup_admit" -> ((s, dir) =>
       graft.streaming.StreamOracle.nearDupAdmission(s, dir, scratch(dir, "streamlsh"))),
+    // RETENTION HORIZON on the band index: entries whose newest claim
+    // is older than the horizon stop blocking (logical filter on the
+    // slots each batch already reads) and a full-index TTL rewrite
+    // reclaims them (BucketedState.retain, run after the stream) — over
+    // the planted-duplicate corpus the re-sends land 2 chunks after
+    // their originals and must RE-ADMIT, the delta vs the grow-only
+    // index; the oracle derives the windowed verdicts in one shot
+    "streaming_neardup_retire" -> ((s, dir) =>
+      graft.streaming.StreamOracle.nearDupAdmissionRetained(s, dir, scratch(dir, "streamlshret"))),
     // STREAMING EXACT DEDUP (dropDuplicatesWithinWatermark), oracle-
     // checked with a stream-spanning watermark: nothing evicts, so the
     // admitted set must equal DuckDB's global first-arrival dedup —
@@ -4115,6 +4135,14 @@ object SparkEntry {
       }
     def tri(m: Int): (SparkSession, String) => DataFrame =
       (s, dir) => graft.operators.Triangles.count(replicatedEdges(s, dir, m))
+    // histogram-domain BPE training: fixed vocab (the one-scan corpus
+    // histogram), m× the merge rounds — t(m) ∝ m (flat per-round cost,
+    // independent of the merge count) is the claim; the corpus-domain
+    // trainer this replaced re-scanned the corpus with an r-long
+    // replace chain and would bend superlinear here
+    def bpetrain(m: Int): (SparkSession, String) => DataFrame =
+      (s, dir) => graft.pipeline.TextPipeline.bpeTrain(
+        table(s, dir, "documents"), "doc_id", "text", rounds = 16 * m)
     def trid(m: Int): (SparkSession, String) => DataFrame =
       (s, dir) => graft.operators.Triangles.count(densifiedEdges(s, dir, m))
     Map(
@@ -4126,6 +4154,7 @@ object SparkEntry {
       "scaleprobe_triangles_x16" -> tri(16),
       "scaleprobe_tridense_x1" -> trid(1), "scaleprobe_tridense_x2" -> trid(2),
       "scaleprobe_tridense_x4" -> trid(4),
+      "scaleprobe_bpetrain_x1" -> bpetrain(1), "scaleprobe_bpetrain_x4" -> bpetrain(4),
       // the binary-quantization claim measured: brute Hamming top-k over
       // an m×-replicated corpus should scale ~linearly in m (the whole
       // point of 8-byte signatures — a memory-bandwidth-bound scan)
@@ -5266,9 +5295,12 @@ object SparkEntry {
       graft.streaming.StreamOracle.SessionGapMs),
     "streaming_restart_kmv" ->
       graft.pipeline.Sketches.kmvDistinctOracle("events", "event_id"),
+    "streaming_restart_replay" ->
+      graft.pipeline.Sketches.kmvDistinctOracle("events", "event_id"),
     "streaming_restart_cdc" -> graft.streaming.StreamOracle.cdcUpsertOracle,
     "streaming_restart_neardup" -> graft.pipeline.Oracles.dedupStreamingAdmission,
     "streaming_neardup_admit" -> graft.pipeline.Oracles.dedupStreamingAdmission,
+    "streaming_neardup_retire" -> graft.pipeline.Oracles.dedupStreamingRetention,
     "streaming_dedup" -> graft.streaming.StreamOracle.dedupAdmittedOracle,
     "streaming_enrich" -> graft.streaming.StreamOracle.enrichedOracle,
     // the streamed fold must equal the one-shot sketch bit-for-bit

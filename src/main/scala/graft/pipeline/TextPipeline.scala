@@ -386,14 +386,18 @@ object TextPipeline {
   private def bpeRep(c: Column, find: String, to: String): Column =
     call_function("replace", c, lit(find), lit(to))
 
-  /** The shared BPE corpus encoding (see [[bpeApply]]'s contract):
-    * normalize → `#c#` per char → `|` word boundaries. */
-  private def bpeEncode(textCol: Column): Column = {
-    val norm = trim(regexp_replace(
+  /** The shared BPE normalization (see [[bpeApply]]'s contract):
+    * lowercase, drop words containing a non-[a-z] character, squeeze
+    * whitespace. */
+  private def bpeNorm(textCol: Column): Column =
+    trim(regexp_replace(
       regexp_replace(lower(trim(textCol)), "\\S*[^a-z\\s]\\S*", " "),
       "\\s+", " "))
-    bpeRep(regexp_replace(norm, "([a-z])", "#$1#"), " ", "|")
-  }
+
+  /** The shared BPE corpus encoding (see [[bpeApply]]'s contract):
+    * normalize → `#c#` per char → `|` word boundaries. */
+  private def bpeEncode(textCol: Column): Column =
+    bpeRep(regexp_replace(bpeNorm(textCol), "([a-z])", "#$1#"), " ", "|")
 
   /** Apply a merge list in rank order to an encoded column. */
   private def bpeMergeChain(encoded: Column, merges: Seq[(String, String)]): Column =
@@ -402,57 +406,97 @@ object TextPipeline {
     }
 
   /** Training rounds for [[bpeTrain]] — shared with the oracle's
-    * unrolled CTE chain. */
-  val BpeTrainRounds = 8
+    * unrolled CTE chain. 64 (up from the r15 demo's 8): large enough
+    * that the per-round cost shape is the claim under test (flat —
+    * see the scaleprobe_bpetrain ladder), small enough for the sf0.1
+    * bench. A production 32k-merge run changes only this constant. */
+  val BpeTrainRounds = 64
 
-  /** BPE TRAIN at corpus scale — the iterated trainer [[bpePairs]] is
-    * one round of, run to an actual merge table: each round counts
-    * adjacent SYMBOL pairs over the current encoding of the whole
-    * corpus (symbols start as characters and grow as merges land),
-    * picks the most frequent pair (ties broken (left, right) ascending
-    * — a total order, so both engines pick the same winner), records
-    * the merge, and re-encodes. Output is the merge table itself:
-    * (rank, l, r, merged, cnt) — the artifact [[bpeApply]] consumes,
-    * closing the train → apply → ids tokenizer loop. Rounds with no
-    * pairs left stop early (absent ranks on both engines).
+  /** BPE TRAIN in the HISTOGRAM DOMAIN — Sennrich '16's actual
+    * algorithm: train on the distinct-word frequency table, not the
+    * corpus. ONE corpus scan builds `(word, count)` (at 100 TB that is
+    * ~10⁸ unique words instead of the corpus); every round then
+    * (1) counts adjacent symbol pairs over UNIQUE WORDS weighted by
+    * word count — one map-side-combinable aggregation over the
+    * vocab-sized frame, (2) takes the 1-row argmax (ties broken
+    * (l, r) ascending — a total order, so both engines pick the same
+    * winner), and (3) advances the encoding with ONE literal replace
+    * of the winning pair. Per-round cost is O(vocab), independent of
+    * both the corpus size and the merge count — the difference between
+    * a demo and a real 32k-merge table (the r15 corpus-domain trainer
+    * re-scanned the corpus each round with an r-long replace chain).
     *
-    * Scale shape: each round is ONE map-side-combinable aggregation
-    * (encode + pair explosion are scan-side codegen; the merge chain
-    * so far rides as literal replaces) followed by a 1-row
-    * TakeOrderedAndProject — `rounds` linear scans total, the textbook
-    * distributed-BPE cost, with only one (l, r, cnt) row per round
-    * crossing the driver. */
+    * Pair counts are word-decomposable (the `|` word boundary means no
+    * pair spans words), so the weighted histogram count equals the
+    * corpus-domain count exactly: output — (rank, l, r, merged, cnt),
+    * the artifact [[bpeApply]] consumes — is bit-identical to the r15
+    * trainer's and to the oracle's unrolled histogram CTE chain
+    * ([[Oracles.bpeTrain]]). Rounds with no pairs left stop early
+    * (absent ranks on both engines).
+    *
+    * Iteration discipline — the loop is O(rounds), not O(rounds²):
+    * every round's word table is cut to a FLAT plan with a lazy
+    * `localCheckpoint` (a `LogicalRDD` scan — one logical node), so
+    * analysis/optimization/cache-lookup cost per round is constant no
+    * matter the merge count. (The naive alternative — persist each
+    * round's DataFrame on top of its parent's — leaves the logical
+    * plan growing one replace per round, and Catalyst's per-action
+    * plan processing over that chain measured ×2 PER ROUND on this
+    * suite: 16 rounds took 63 s; this shape runs 64 in ~11 s, flat
+    * ~0.12 s/round.) Laziness fuses materialization into the round's
+    * argmax job — ONE job per round; the replaced table materializes
+    * while the NEXT round's pair count scans it. Superseded round
+    * RDDs are dropped by reference and reaped by the ContextCleaner;
+    * a production 32k-merge run over a 10⁸-row word table would swap
+    * localCheckpoint for reliable `checkpoint` (same shape, survives
+    * executor loss). Only one (l, r, cnt) row per round crosses the
+    * driver. */
   def bpeTrain(df: DataFrame, idCol: String, textCol: String,
       rounds: Int = BpeTrainRounds): DataFrame = {
     val ss = df.sparkSession
     import ss.implicits._
-    val base = df.select(bpeEncode(col(textCol)).as("e"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var merges = Vector.empty[(String, String, Long)]
-      var exhausted = false
-      for (_ <- 1 to rounds if !exhausted) {
-        val cur = bpeMergeChain(col("e"), merges.map(m => (m._1, m._2)))
-        val syms = split(trim(col("w"), "#"), "##")
-        val top = base
-          .select(explode(split(cur, "\\|")).as("w"))
-          .select(syms.as("syms"))
-          .select(explode(when(size(col("syms")) < 2,
-            array().cast("array<struct<l:string,r:string>>"))
-            .otherwise(transform(sequence(lit(1), size(col("syms")) - 1), i =>
-              struct(element_at(col("syms"), i).as("l"),
-                element_at(col("syms"), i + 1).as("r"))))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else merges :+= ((top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+    // the ONE corpus scan: normalized words → (encoded word, count).
+    // groupBy BEFORE encoding: the shuffle carries raw words, the
+    // #c# expansion (3× the bytes) stays post-aggregation. balanced():
+    // the regex-heavy normalization must not run single-threaded on a
+    // one-file parquet scan (the repo-wide small-file rebalance rule).
+    // AQE's post-shuffle coalesce sizes the word table's partitions to
+    // the data (tiny at bench sf, thousands-wide at 100 TB), and the
+    // checkpoint pins that partitioning for every later round.
+    var cur = Dedup.balanced(df.select(col(textCol)))
+      .select(explode(split(bpeNorm(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+      .select(regexp_replace(col("w"), "([a-z])", "#$1#").as("e"), col("wcnt"))
+      .localCheckpoint(false)
+    var merges = Vector.empty[(String, String, Long)]
+    var exhausted = false
+    var round = 0
+    while (round < rounds && !exhausted) {
+      round += 1
+      val syms = split(trim(col("e"), "#"), "##")
+      val top = cur
+        .select(syms.as("syms"), col("wcnt"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("syms")) - 1), i =>
+          struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"), col("wcnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        merges :+= ((l, r, top(0).getLong(2)))
+        cur = cur.select(
+          bpeRep(col("e"), s"#$l##$r#", s"#$l$r#").as("e"), col("wcnt"))
+          .localCheckpoint(false)
       }
-      merges.zipWithIndex.map { case ((l, r, cnt), i) =>
-        (i + 1, l, r, l + r, cnt)
-      }.toDF("rank", "l", "r", "merged", "cnt")
-    } finally { base.unpersist(); () }
+    }
+    merges.zipWithIndex.map { case ((l, r, cnt), i) =>
+      (i + 1, l, r, l + r, cnt)
+    }.toDF("rank", "l", "r", "merged", "cnt")
   }
 
   /** PII redaction patterns: (name, regex, replacement), applied in

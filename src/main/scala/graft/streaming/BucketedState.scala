@@ -49,7 +49,8 @@ import org.apache.spark.sql.functions._
   * pre-batch manifest bytes), and rewrites identical content.
   * Superseded versions and manifests are swept by [[compact]]. */
 final class BucketedState(spark: SparkSession, root: Path, buckets: Int,
-    splitBytes: Long = BucketedState.DefaultSplitBytes) {
+    splitBytes: Long = BucketedState.DefaultSplitBytes,
+    ptr: PointerStore = LatestPointer) {
   require(buckets > 0, s"bucket count must be positive: $buckets")
   import BucketedState.{Slot, SlotMeta}
 
@@ -140,7 +141,7 @@ final class BucketedState(spark: SparkSession, root: Path, buckets: Int,
     * installed this batch's manifest and pointer): the directory
     * LIST. */
   private def latest(beforeBatch: Long): Map[String, SlotMeta] =
-    LatestPointer.read(root).filter(_ < beforeBatch).flatMap(readManifest).getOrElse {
+    ptr.read(root).filter(_ < beforeBatch).flatMap(readManifest).getOrElse {
       manifestVersions().filter(_ < beforeBatch).lastOption
         .flatMap(readManifest).getOrElse(Map.empty)
     }
@@ -154,7 +155,7 @@ final class BucketedState(spark: SparkSession, root: Path, buckets: Int,
     Files.write(tmp, body.getBytes("UTF-8"))
     Files.move(tmp, manifestPath(batch), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING): Unit
-    LatestPointer.advance(root, batch)
+    ptr.advance(root, batch)
   }
 
   // ---- reads ----
@@ -274,6 +275,36 @@ final class BucketedState(spark: SparkSession, root: Path, buckets: Int,
     }
     write(batch, merged, touched, splitKeyCols = keyCols)
     compact(batch - 1)
+  }
+
+  /** Keys of every slot holding rows in the newest manifest STRICTLY
+    * below `beforeBatch` (empty tombstoned slots excluded) — the
+    * touched set a full-index rewrite ([[retain]]) passes to [[write]].
+    * Pinned pre-batch for the same reason [[before]] is: a REPLAY of
+    * the rewrite must resolve the same touched set, not the one its
+    * own first attempt left behind (which would skip — and so
+    * resurrect — every slot that attempt emptied). */
+  def liveSlots(beforeBatch: Long = Long.MaxValue): Set[String] =
+    latest(beforeBatch).filter(_._2.nonEmpty).keysIterator.toSet
+
+  /** AGE-OUT COMPACTION — the physical retention rewrite backing a
+    * lazily-filtered index: rewrite EVERY live slot as version `batch`,
+    * keeping only rows satisfying `keep`. Deliberately O(index), so it
+    * is the AMORTIZED half of the retention protocol: readers retire
+    * expired rows logically (a `filter` on the slots they were reading
+    * anyway — O(touched) per batch), and this pass reclaims the bytes
+    * on a cadence (every N batches / nightly), exactly the
+    * TTL-compaction split log-structured stores use. Runs through the
+    * same [[write]] path as a merge, so oversize slots still split,
+    * slots emptied by the filter tombstone correctly, and a replay of
+    * `batch` rewrites identical content. Run BETWEEN batches, as
+    * [[compact]]'s contract requires. */
+  def retain(batch: Long, keep: Column, keyCols: Seq[String]): Unit = {
+    val touched = liveSlots(batch)
+    before(batch, Some(touched)).foreach { cur =>
+      write(batch, cur.filter(keep), touched, splitKeyCols = keyCols)
+      compact(batch - 1)
+    }
   }
 
   /** Retention janitor: delete every slot partition SHADOWED by a

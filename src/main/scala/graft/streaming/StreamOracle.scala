@@ -140,6 +140,18 @@ object StreamOracle {
     * deterministically flushes everything sentinel k−1's advance
     * unlocked, and the LAST sentinel's own unlocks are emissions nobody
     * reads (its windows/rows are filtered from every sink read). */
+  /** Event-time width of one staged chunk — single-sourced so restart
+    * specs compute the phase boundary ([[chunkSplitMs]]) from the SAME
+    * math [[stage]] cuts files with, instead of re-deriving it. */
+  private[streaming] def chunkWidth(lo: Long, hi: Long, chunks: Int): Long =
+    math.max((hi - lo) / chunks + 1, 1L)
+
+  /** Event-time boundary after the first `split` of `chunks` staged
+    * chunk files — rows strictly below it live entirely in the first
+    * `split` chunks (the restart rows' phase 1). */
+  private[streaming] def chunkSplitMs(lo: Long, hi: Long, chunks: Int, split: Int): Long =
+    lo + split * chunkWidth(lo, hi, chunks)
+
   private def stage(spark: SparkSession, sfDir: String, chunks: Int,
       sentinels: Int = 1): String =
       cachedStage(sfDir,
@@ -151,7 +163,7 @@ object StreamOracle {
       val r = ev.agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts")))).head()
       (r.getLong(0), r.getLong(1))
     }
-    val width = math.max((hi - lo) / chunks + 1, 1L)
+    val width = chunkWidth(lo, hi, chunks)
     def writeChunk(df: DataFrame, name: String): Unit =
       moveOnePart(df, in.resolve(s"tmp_$name"), in.resolve(s"$name.parquet"))
     for (i <- 0 until chunks) {
@@ -230,7 +242,14 @@ object StreamOracle {
     * engine-stateful rows gain on state-store commit count, the
     * foreachBatch rows on the per-exchange fixed cost of their many
     * small batch jobs (a micro-batch at bench scale carries ~25k rows —
-    * 32-way exchanges are almost all scheduling). */
+    * 32-way exchanges are almost all scheduling).
+    *
+    * SEQUENTIAL-HARNESS ASSUMPTION: the set/restore mutates the shared
+    * session's conf globally, so two overlapping wrapped runs (or any
+    * concurrent query on the same session) would clobber each other's
+    * restore mid-query. Every caller here runs inside the sequential
+    * Verify/Bench/spec harness; a concurrent deployment would isolate
+    * via `spark.newSession()` per run so the change is session-local. */
   private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prior = spark.conf.get(key)
@@ -579,7 +598,7 @@ object StreamOracle {
       val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
       (r.getLong(0), r.getLong(1))
     }
-    val width = math.max((hi - lo) / chunks + 1, 1L)
+    val width = chunkWidth(lo, hi, chunks)
     for (i <- 0 until chunks) {
       val (a, b) = (lo + i * width, lo + (i + 1) * width)
       moveOnePart(docs.filter(col("doc_id") >= a && col("doc_id") < b),
@@ -695,6 +714,122 @@ object StreamOracle {
       .start()
     try q.processAllAvailable() finally q.stop()
     }
+  }
+
+  /** Retention horizon for [[nearDupAdmissionRetained]], in BATCHES: a
+    * band-index entry whose newest claim is more than this many batches
+    * old is RETIRED — it no longer blocks admission, and the next
+    * physical rewrite drops it. 1 = a band blocks only re-use in its
+    * own or the immediately following batch; shared with the oracle's
+    * lag-chunk derivation. */
+  val RetentionBatches = 1
+
+  /** STREAMING NEAR-DUP ADMISSION WITH A RETENTION HORIZON — the
+    * age-out story every production admission index needs (an index
+    * that only grows eventually blocks everything that echoes old
+    * content — licensing boilerplate, recurring headers): each band
+    * entry carries `last_batch`, the newest batch in which ANY document
+    * (admitted or not) claimed the band; a document is rejected only by
+    * bands claimed within [[RetentionBatches]] batches — older claims
+    * are expired. Retirement is two-phase, the TTL-compaction split:
+    *
+    *  - '''logical, per batch''': the admission join filters the prior
+    *    entries it was already reading to
+    *    `last_batch >= batchId - RetentionBatches` — O(touched), no
+    *    extra I/O; touched-slot rewrites drop expired rows
+    *    opportunistically (they are in hand).
+    *  - '''physical, amortized''': [[BucketedState.retain]] rewrites
+    *    ALL slots dropping expired rows — run on a cadence (here once,
+    *    after the stream), never on the read path.
+    *
+    * Ingested over the SAME planted-duplicate corpus as
+    * `streaming_dedup` (docs + every doc_id ≡ 3 (mod 7) re-sent at
+    * doc_id + span, 4 id-range chunks — shared stage-cache variant):
+    * the re-sends land exactly 2 chunks after their originals, so under
+    * horizon 1 every planted duplicate whose bands went quiet RE-ADMITS
+    * — the non-trivial delta vs `streaming_neardup_admit`, whose
+    * grow-only index rejects them — while genuine near-dups in adjacent
+    * chunks still reject. The oracle derives the same verdicts in one
+    * shot: per (band, doc), the newest smaller-id claimer's chunk must
+    * be within the horizon ([[graft.pipeline.Oracles.dedupStreamingRetention]];
+    * chunk index = the staging id-range formula, batch ids align with
+    * staged chunks exactly as `streaming_dedup`'s admitted_chunk check
+    * already pins). */
+  def nearDupAdmissionRetained(spark: SparkSession, sfDir: String,
+      workDir: String): DataFrame = {
+    import graft.pipeline.Dedup
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val span = {
+      val r = docs0.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      r.getLong(1) - r.getLong(0) + 1
+    }
+    val doubled = docs0.unionAll(
+      docs0.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + span).as("doc_id"), col("text")))
+    val in = stageDocsFrame(doubled, sfDir, s"docs_doubled_c$DedupChunks", DedupChunks)
+    val index = new BucketedState(spark, Paths.get(workDir, "bandidx"), StateBuckets)
+    val sink = Paths.get(workDir, "verdicts").toString
+    val src = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    var lastBatch = -1L
+    withStatePartitions(spark) {
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          lastBatch = math.max(lastBatch, batchId)
+          val long = Dedup.bandRows(
+            Dedup.bandSignatures(b, "doc_id", "text"), "doc_id")
+            .withColumn("__bucket", index.bucketOf(batchId, col("band"), col("bh")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val minb = long.groupBy(col("band"), col("bh")).agg(min(col("doc_id")).as("__min"))
+            val withMin = long.join(minb, Seq("band", "bh"))
+            val touched = long.select(col("__bucket")).distinct()
+              .collect().map(_.getString(0)).toSet
+            // ONE state read per batch; the retention filter is the
+            // logical half of the age-out — expired entries neither
+            // block admission nor survive the touched-slot rewrite
+            val alive = index.before(batchId, Some(touched)).map(
+              _.filter(col("last_batch") >= batchId - RetentionBatches))
+            val joined = alive match {
+              case None => withMin.withColumn("__prev", lit(null).cast("int"))
+              case Some(p) =>
+                withMin.join(p.select(col("band"), col("bh")).withColumn("__prev", lit(1)),
+                  Seq("band", "bh"), "left")
+            }
+            val verdicts = joined
+              .withColumn("__hit", col("__prev").isNotNull || col("doc_id") > col("__min"))
+              .groupBy(col("doc_id"))
+              .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hit_bands"))
+              .select(col("doc_id"), col("n_hit_bands"),
+                when(col("n_hit_bands") === 0, lit(1)).otherwise(lit(0)).as("admitted"))
+            verdicts.write.mode("overwrite").parquet(s"$sink/b=$batchId")
+            // advance: surviving prior entries ∪ this batch's claims,
+            // newest claim per (band, bh) — `last_batch` refreshes on
+            // EVERY sighting, admitted or not
+            val batchKeys = long.select(col("band"), col("bh"), col("__bucket"))
+              .distinct().withColumn("last_batch", lit(batchId))
+            val entries = (alive match {
+              case None    => batchKeys
+              case Some(p) => p.unionByName(batchKeys)
+            }).groupBy(col("band"), col("bh"), col("__bucket"))
+              .agg(max(col("last_batch")).as("last_batch"))
+            index.write(batchId, entries, touched, splitKeyCols = Seq("band", "bh"))
+            index.compact(batchId - 1)
+          } finally { long.unpersist(); () }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // the amortized physical half: one full-index TTL rewrite, sized
+    // for the NEXT batch's horizon (what a nightly compaction would do)
+    index.retain(lastBatch + 1,
+      col("last_batch") >= lastBatch + 1 - RetentionBatches, Seq("band", "bh"))
+    spark.read.parquet(sink).drop("b")
   }
 
   /** Chunk count shared by [[dedupAdmitted]] and its oracle SQL. */

@@ -34,7 +34,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * accretes one version per batch forever nor pays a LIST per batch —
   * the object-store posture the streamed sketches require at 100 TB.
   */
-final class VersionedSnapshot(spark: SparkSession, root: Path) {
+final class VersionedSnapshot(spark: SparkSession, root: Path,
+    ptr: PointerStore = LatestPointer) {
 
   private def versionPath(v: Long): Path = root.resolve(s"v=$v")
 
@@ -52,7 +53,7 @@ final class VersionedSnapshot(spark: SparkSession, root: Path) {
       .toSeq.sorted
 
   private def newestVersionBelow(batch: Long): Option[Long] =
-    LatestPointer.read(root).filter(v => v < batch && committed(v))
+    ptr.read(root).filter(v => v < batch && committed(v))
       .orElse(versions().filter(v => v < batch && committed(v)).lastOption)
 
   /** The state visible STRICTLY before `batch` (replay-deterministic);
@@ -69,7 +70,7 @@ final class VersionedSnapshot(spark: SparkSession, root: Path) {
     * torn older dirs are swept too. */
   def write(batch: Long, df: DataFrame): Unit = {
     df.write.mode("overwrite").parquet(versionPath(batch).toString)
-    LatestPointer.advance(root, batch)
+    ptr.advance(root, batch)
     // one LIST per write (amortized janitor cost, never on the read path)
     val below = versions().filter(_ < batch)
     val keep = below.filter(committed).lastOption

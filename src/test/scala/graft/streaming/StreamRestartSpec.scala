@@ -73,7 +73,9 @@ class StreamRestartSpec extends SparkTestBase {
       .agg(min(unix_millis(col("ts").cast("timestamp"))),
         max(unix_millis(col("ts").cast("timestamp")))).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val splitMs = lo + 2 * ((hi - lo) / 4 + 1) // chunk width formula, 2 chunks in
+    // phase boundary from stage()'s OWN chunk math (single-sourced —
+    // a staging change cannot silently desynchronize this assertion)
+    val splitMs = StreamOracle.chunkSplitMs(lo, hi, chunks = 4, split = 2)
     val fromRestoredState = spark.read.parquet(s"$wd/sink")
       .filter(col("b") >= 2 && col("user_id") >= 0 &&
         col("start_ms") + col("duration_ms") < splitMs)
