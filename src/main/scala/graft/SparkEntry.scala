@@ -3172,6 +3172,15 @@ object SparkEntry {
     // merge table through its own string engine
     "text_bpe_apply" -> ((s, dir) =>
       graft.pipeline.TextPipeline.bpeApply(table(s, dir, "documents"), "doc_id", "text")),
+    // THE END-PRODUCT COMPOSITION: trained merges → per-distinct-word
+    // tokenization → ids from a vocab derived FROM the merge table →
+    // distributed-prefix-sum packing into fixed-length sequences →
+    // deterministic shard assignment; one row per packed sequence with
+    // an order-exact md5 over its token ids — DuckDB re-derives the
+    // identical chain from the train CTEs in one statement
+    "pipeline_tokenize_pack" -> ((s, dir) =>
+      graft.pipeline.TextPipeline.tokenizePack(
+        table(s, dir, "documents"), "doc_id", "text")),
     // Zipf profile: EVERY corpus term with its global frequency rank —
     // rank via the two-phase range-partitioned prefix sum (GlobalRank),
     // never Spark's single-task no-partition window; ties (tf, token)
@@ -3477,10 +3486,25 @@ object SparkEntry {
       graft.pipeline.Ann.lshMultiprobeTopK(table(s, dir, "embeddings"))),
     "ann_ivf_topk" -> ((s, dir) =>
       graft.pipeline.Ann.ivfTopK(table(s, dir, "embeddings"))),
+    // TRAIN ONCE, STORE, SERVE WITHOUT RETRAINING: the trained centroid
+    // book persisted as a versioned artifact (VersionedSnapshot:
+    // _SUCCESS-gated versions behind the __latest pointer), restored in
+    // a FRESH session, and served — results must equal the in-session
+    // index to the bit (same oracle as ann_ivf_topk)
+    "ann_ivf_persist" -> ((s, dir) =>
+      graft.pipeline.Ann.ivfPersistServe(table(s, dir, "embeddings"),
+        scratch(dir, "ivfpersist"))),
     // product-quantization ADC scan: trained per-subspace codebooks
     // inlined as literals — encode+score is a zero-join narrow map
     "ann_pq_topk" -> ((s, dir) =>
       graft.pipeline.Ann.pqTopK(table(s, dir, "embeddings"))),
+    // the PQ half of train-once/store/serve: the trained per-subspace
+    // codebooks persisted as one versioned artifact, restored in a
+    // fresh session, served without retraining (same oracle as
+    // ann_pq_topk — the claim is bit-equality)
+    "ann_pq_persist" -> ((s, dir) =>
+      graft.pipeline.Ann.pqPersistServe(table(s, dir, "embeddings"),
+        scratch(dir, "pqpersist"))),
     // IVF × PQ composed: coarse cell restricts the probe, ADC over PQ
     // codes scores within it — the production ANN shape at corpus scale
     // IVF cell-balance census (faiss imbalance_factor): the expected
@@ -5560,6 +5584,7 @@ object SparkEntry {
     // rank-order merges replayed by DuckDB's own string engine from the
     // SAME single-sourced merge table
     "text_bpe_apply" -> graft.pipeline.Oracles.bpeApply(),
+    "pipeline_tokenize_pack" -> graft.pipeline.Oracles.tokenizePack(),
     "text_bpe_train" -> graft.pipeline.Oracles.bpeTrain(),
     "text_token_ids" ->
       (s"""WITH v AS (${graft.pipeline.Oracles.textVocab(100)}),
@@ -5751,7 +5776,9 @@ object SparkEntry {
     "ann_lsh_topk" -> graft.pipeline.Oracles.annLshTopK,
     "ann_lsh_multiprobe" -> graft.pipeline.Oracles.annLshMultiprobeTopK,
     "ann_ivf_topk" -> graft.pipeline.Oracles.annIvfTopK,
+    "ann_ivf_persist" -> graft.pipeline.Oracles.annIvfTopK,
     "ann_pq_topk" -> graft.pipeline.Oracles.annPqTopK,
+    "ann_pq_persist" -> graft.pipeline.Oracles.annPqTopK,
     "dedup_semantic_contamination" -> graft.pipeline.Oracles.annSemanticContamination(
       graft.pipeline.Ann.BenchSetSize, graft.pipeline.Ann.SemanticEps),
     "ann_ivf_balance" -> graft.pipeline.Oracles.annIvfBalance,

@@ -406,10 +406,20 @@ object Ann {
     * reproduces the untrained first-N quantizer (the recall baseline
     * the spec compares against). */
   def ivfTopK(embeddings: DataFrame, numCentroids: Int = NumCentroids,
-      numQueries: Int = NumQueries, iters: Int = KMeansIters): DataFrame = {
+      numQueries: Int = NumQueries, iters: Int = KMeansIters): DataFrame =
+    ivfServe(embeddings, ivfCentroids(embeddings, numCentroids, iters), numQueries)
+
+  /** SERVE an IVF index from an already-trained centroid book — the
+    * query path alone, no training job: the book is a literal (a
+    * trained index's coarse quantizer is k vectors — driver-sized by
+    * design, faiss ships it as a file), assignment is the fused-argmin
+    * narrow map, the probe is the bucketed equi-join. This split is
+    * what makes the index a PERSISTABLE ARTIFACT: train once
+    * ([[ivfCentroids]]), store ([[ivfPersistServe]]), serve forever. */
+  def ivfServe(embeddings: DataFrame, book: Seq[(Int, Array[Double])],
+      numQueries: Int = NumQueries): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ss = embeddings.sparkSession
-    val book = ivfCentroids(embeddings, numCentroids, iters)
     val n = withNorm(embeddings.select(col("vec_id"), col("embedding")))
     // cell assignment is a narrow map against the literal trained book
     val assigned = n.withColumn("cell", pqEncodeCol(ss, col("embedding"), book))
@@ -422,6 +432,54 @@ object Ann {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
       .select(col("query_id"), col("vec_id"), col("sim"))
+  }
+
+  /** PERSIST the trained IVF index and serve it back WITHOUT
+    * retraining — the missing half of train/serve at 100 TB, where the
+    * centroid book is the expensive artifact (k-means over the corpus)
+    * and queries must never pay for it again:
+    *
+    *  1. '''train''' [[ivfCentroids]] once;
+    *  2. '''store''' the book as a VERSIONED artifact through
+    *     [[graft.streaming.VersionedSnapshot]] — `_SUCCESS`-gated
+    *     parquet versions behind the `__latest` pointer, so a torn
+    *     write can never serve, a re-publish is one conditional
+    *     pointer advance, and old books sweep to the two-version
+    *     retention window (same machinery the streamed sketches
+    *     restart on, same object-store posture);
+    *  3. '''restore''' in a FRESH SparkSession (`newSession()` —
+    *     separate SQL conf/temp state; the read resolves purely
+    *     through the pointer + commit gate on disk, nothing cached
+    *     in-session) and rebuild the literal book from the k stored
+    *     rows;
+    *  4. '''serve''' [[ivfServe]] from the restored book.
+    *
+    * The oracle row (`ann_ivf_persist`) hash-checks the SERVED results
+    * against the same DuckDB derivation as `ann_ivf_topk` — restored
+    * index ≡ in-session index, to the bit. AnnPersistSpec pins the
+    * restore really round-trips the book and that a second publish
+    * supersedes the first. */
+  def ivfPersistServe(embeddings: DataFrame, workDir: String,
+      numCentroids: Int = NumCentroids, numQueries: Int = NumQueries,
+      iters: Int = KMeansIters): DataFrame = {
+    val ss = embeddings.sparkSession
+    import ss.implicits._
+    val book = ivfCentroids(embeddings, numCentroids, iters)
+    val store = new graft.streaming.VersionedSnapshot(
+      ss, java.nio.file.Paths.get(workDir, "ivfbook"))
+    store.write(1L, book.toDF("cell", "centroid"))
+    // fresh session: the restore path sees only what the store
+    // committed to disk
+    val s2 = ss.newSession()
+    val restored = new graft.streaming.VersionedSnapshot(
+      s2, java.nio.file.Paths.get(workDir, "ivfbook"))
+      .newestBelow(Long.MaxValue)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed ivf book under $workDir/ivfbook"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    ivfServe(embeddings, restored, numQueries)
   }
 
   /** IVF cell-balance census over the TRAINED coarse quantizer — the
@@ -672,10 +730,19 @@ object Ann {
     * loops (bit-identical to the oracle's left-associated chains),
     * quantized means are exact, ties break by cent_id / vec_id. */
   def pqTopK(embeddings: DataFrame, numQueries: Int = NumQueries,
-      k: Int = PqCentroids, iters: Int = PqIters): DataFrame = {
+      k: Int = PqCentroids, iters: Int = PqIters): DataFrame =
+    pqServe(embeddings, pqCodebooks(embeddings, k, iters), numQueries, k)
+
+  /** SERVE the PQ scan from already-trained per-subspace codebooks —
+    * the query path alone, no training job (the [[ivfServe]] split for
+    * the PQ half: the codebooks are PqSubspaces × k subvectors,
+    * driver-sized by design, faiss ships them inside the index file).
+    * [[pqPersistServe]] stores and restores them as a versioned
+    * artifact. */
+  def pqServe(embeddings: DataFrame, books: Seq[Seq[(Int, Array[Double])]],
+      numQueries: Int = NumQueries, k: Int = PqCentroids): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ss = embeddings.sparkSession
-    val books = pqCodebooks(embeddings, k, iters)
     val n = embeddings.select(col("vec_id"), col("embedding"))
     // per-subspace code via the fused native argmin
     // ([[graft.functions.PqEncode]]): the v·v term of the true distance
@@ -710,6 +777,43 @@ object Ann {
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
       .select(col("query_id"), col("vec_id"), col("adc"))
+  }
+
+  /** PERSIST the trained PQ codebooks and serve the ADC scan WITHOUT
+    * retraining — the PQ half of the [[ivfPersistServe]] story, same
+    * protocol: train [[pqCodebooks]] once; store all PqSubspaces × k
+    * subvector rows as ONE versioned artifact through
+    * [[graft.streaming.VersionedSnapshot]] (`_SUCCESS`-gated versions
+    * behind the `__latest` pointer); restore in a FRESH session;
+    * [[pqServe]] from the restored books. The `ann_pq_persist` oracle
+    * row hash-checks the served results against the same DuckDB
+    * derivation as `ann_pq_topk` — restored codebooks ≡ in-session
+    * codebooks, to the bit. */
+  def pqPersistServe(embeddings: DataFrame, workDir: String,
+      numQueries: Int = NumQueries, k: Int = PqCentroids,
+      iters: Int = PqIters): DataFrame = {
+    val ss = embeddings.sparkSession
+    import ss.implicits._
+    val books = pqCodebooks(embeddings, k, iters)
+    val rows = for {
+      (bj, j) <- books.zipWithIndex
+      (cid, v) <- bj
+    } yield (j, cid, v)
+    val store = new graft.streaming.VersionedSnapshot(
+      ss, java.nio.file.Paths.get(workDir, "pqbook"))
+    store.write(1L, rows.toDF("subspace", "cell", "centroid"))
+    val s2 = ss.newSession()
+    val restoredRows = new graft.streaming.VersionedSnapshot(
+      s2, java.nio.file.Paths.get(workDir, "pqbook"))
+      .newestBelow(Long.MaxValue)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed pq codebooks under $workDir/pqbook"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val restored = (0 until PqSubspaces).map { j =>
+      restoredRows.filter(_._1 == j).map(t => (t._2, t._3)).sortBy(_._1).toSeq
+    }
+    pqServe(embeddings, restored, numQueries, k)
   }
 
   /** IVF × PQ — the production ANN shape at corpus scale (Jégou et al.

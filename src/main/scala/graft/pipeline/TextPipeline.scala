@@ -499,6 +499,131 @@ object TextPipeline {
     }.toDF("rank", "l", "r", "merged", "cnt")
   }
 
+  /** Shard count for [[tokenizePack]]'s deterministic shard assignment
+    * (`seq_id % PackShards` — reproducible across runs and layouts). */
+  val PackShards = 8
+
+  /** THE PIPELINE'S END PRODUCT, composed: train → tokenize → ids →
+    * pack → shard, the artifact chain an LLM data pipeline actually
+    * ships ([[bpeTrain]] and [[Packing]] each prove their own half;
+    * this row proves they compose).
+    *
+    *  1. '''Train''': [[bpeTrain]]'s merge table — k rows, THE
+    *     tokenizer model, a driver-sized artifact by definition (the
+    *     one collect here).
+    *  2. '''Vocab FROM the merge table''': a–z = ids 1..26, each merge
+    *     = 26 + rank; duplicate merged strings keep the smallest id
+    *     (two ranks CAN concatenate to the same string — e.g. (th,e)
+    *     and (t,he) both yield "the").
+    *  3. '''Tokenize in the histogram domain''': the merge chain runs
+    *     once per DISTINCT word (vocab-sized narrow map, same
+    *     delimiter-protected replaces as [[bpeApply]]), never per
+    *     document; documents re-join their words' id sequences (a
+    *     shuffle join on the word — the word table is corpus-derived,
+    *     so no broadcast assumption at 100 TB).
+    *  4. '''Pack''': each document's global token offset is the
+    *     two-phase distributed prefix sum ([[Packing.pack]]'s
+    *     scaffold — range exchange + driver prefix of per-partition
+    *     totals), never a global single-task window; within a doc the
+    *     (word pos, token pos) window is partitioned by doc.
+    *  5. '''Shard''': `seq_id % shards` — a pure function of content.
+    *
+    * Output: one row per packed sequence — (seq_id, shard, n_tokens,
+    * n_docs, ids_md5), where ids_md5 digests the sequence's token ids
+    * in tape order (the content-equality instrument; the production
+    * writer would emit the id arrays themselves, partitioned by
+    * shard). The oracle derives the identical rows with the train CTE
+    * chain + one global window ([[Oracles.tokenizePack]]). Assumes
+    * the corpus sustains `rounds` merges (ours do; an exhausted
+    * trainer would need the oracle's final word CTE guarded). */
+  def tokenizePack(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int = BpeTrainRounds, capacity: Long = Packing.Capacity,
+      shards: Int = PackShards): DataFrame = {
+    val ss = df.sparkSession
+    import ss.implicits._
+    val mergeRows = bpeTrain(df, idCol, textCol, rounds)
+      .select(col("rank"), col("l"), col("r"), col("merged"))
+      .collect().sortBy(_.getInt(0))
+    val merges = mergeRows.map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = (('a' to 'z').map(c => (c.toString, (('a' to 'z').indexOf(c) + 1).toLong)) ++
+      mergeRows.map(r => (r.getString(3), 26L + r.getInt(0))))
+      .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).min) }.toSeq
+      .toDF("token", "token_id")
+    // doc → (word pos, word), order-carrying; balanced for the same
+    // small-file reason as the trainer's corpus scan
+    val words = Dedup.balanced(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(bpeNorm(col(textCol)), " ")).as(Seq("wp", "w")))
+      .filter(col("w") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var docWords: DataFrame = null
+    try {
+      // distinct word → ordered token-id array + token count (the merge
+      // chain and the vocab join both run in the vocab domain)
+      val wordTok = words.select(col("w")).distinct()
+        .withColumn("e",
+          bpeMergeChain(regexp_replace(col("w"), "([a-z])", "#$1#"), merges))
+        .select(col("w"),
+          split(trim(bpeRep(col("e"), "##", " "), "#"), " ").as("toks"))
+      val wordIds = wordTok
+        .select(col("w"), posexplode(col("toks")).as(Seq("tp", "token")))
+        .join(broadcast(vocab), Seq("token"))
+        .groupBy(col("w"))
+        .agg(array_sort(collect_list(struct(col("tp"), col("token_id")))).as("ts"))
+        .select(col("w"),
+          transform(col("ts"), x => x.getField("token_id")).as("ids"),
+          size(col("ts")).cast("long").as("nwt"))
+      // persisted: the word join feeds BOTH the prefix-sum counts and
+      // the tape explosion — unpersisted it runs twice
+      docWords = words.join(wordIds, Seq("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // phase 1 of the tape: per-doc token counts → distributed prefix
+      // sum over doc_id order (the Packing.pack scaffold)
+      val counted = docWords.groupBy(col("doc_id"))
+        .agg(sum(col("nwt")).as("n_tokens"))
+      val (ranged, baseDf, _) =
+        graft.operators.PrefixSum.rangedBases(counted, Seq("doc_id"), col("n_tokens"))
+      val wdoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__pid")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offsets = ranged.join(broadcast(baseDf), Seq("__pid"))
+        .withColumn("start_offset",
+          col("__base") + coalesce(sum(col("n_tokens")).over(wdoc), lit(0L)))
+        .select(col("doc_id"), col("start_offset"))
+      // phase 2: word start within the doc (per-doc window — docs are
+      // bounded), then the global token position
+      val wword = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("wp"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val tape = docWords
+        .withColumn("wstart", coalesce(sum(col("nwt")).over(wword), lit(0L)))
+        .join(offsets, Seq("doc_id"))
+        .select(col("doc_id"),
+          (col("start_offset") + col("wstart")).as("ws0"), col("ids"))
+        .select(col("doc_id"), col("ws0"),
+          posexplode(col("ids")).as(Seq("tp", "tid")))
+        .withColumn("gpos", col("ws0") + col("tp"))
+      tape
+        .withColumn("seq_id", floor(col("gpos") / capacity).cast("long"))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("gpos"), col("tid")))),
+            x => x.getField("tid").cast("string")), ",")).as("ids_md5"))
+        .select(col("seq_id"), pmod(col("seq_id"), lit(shards.toLong)).as("shard"),
+          col("n_tokens"), col("n_docs"), col("ids_md5"))
+        // eager cut: one row per SEQUENCE (corpus_tokens/capacity —
+        // tiny), materialized while the caches above are still alive
+        // so the finally can release them
+        .localCheckpoint(true)
+    } finally {
+      words.unpersist()
+      if (docWords != null) docWords.unpersist()
+      ()
+    }
+  }
+
   /** PII redaction patterns: (name, regex, replacement), applied in
     * order — emails first, then IPv4 (before the phone pattern, which a
     * dotted quad also matches), then phone-like digit runs. The regex
