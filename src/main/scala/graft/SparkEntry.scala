@@ -2771,6 +2771,14 @@ object SparkEntry {
     // index; the oracle derives the windowed verdicts in one shot
     "streaming_neardup_retire" -> ((s, dir) =>
       graft.streaming.StreamOracle.nearDupAdmissionRetained(s, dir, scratch(dir, "streamlshret"))),
+    // retention state across a REAL QUERY RESTART: the last_batch
+    // recency stamps restored from query 1's final manifest must keep
+    // driving aliveness in query 2 (recent claims still block, expired
+    // ones re-admit) — the redeploy path of a production TTL'd index;
+    // same one-shot oracle as streaming_neardup_retire
+    "streaming_restart_retire" -> ((s, dir) =>
+      graft.streaming.StreamOracle.nearDupAdmissionRetainedRestart(s, dir,
+        scratch(dir, "streamrstret"))),
     // STREAMING EXACT DEDUP (dropDuplicatesWithinWatermark), oracle-
     // checked with a stream-spanning watermark: nothing evicts, so the
     // admitted set must equal DuckDB's global first-arrival dedup —
@@ -3529,6 +3537,14 @@ object SparkEntry {
     // and every flag against DuckDB's re-derivation
     "ann_ivf_incremental" -> ((s, dir) =>
       graft.pipeline.Ann.ivfIncremental(table(s, dir, "embeddings"))),
+    // the live-index RESTART lifecycle composed: train on the base
+    // slice, publish the book through the versioned store, restore in
+    // a FRESH session, ingest the new batch against the RESTORED
+    // frozen centroids (same oracle as ann_ivf_incremental — one
+    // perturbed centroid bit would flip an assignment or drift digit)
+    "ann_ivf_persist_incr" -> ((s, dir) =>
+      graft.pipeline.Ann.ivfPersistIncremental(table(s, dir, "embeddings"),
+        scratch(dir, "ivfpersistincr"))),
     "ann_ivf_balance" -> ((s, dir) =>
       graft.pipeline.Ann.ivfBalance(table(s, dir, "embeddings"))),
     "ann_ivfpq_topk" -> ((s, dir) =>
@@ -5325,6 +5341,7 @@ object SparkEntry {
     "streaming_restart_neardup" -> graft.pipeline.Oracles.dedupStreamingAdmission,
     "streaming_neardup_admit" -> graft.pipeline.Oracles.dedupStreamingAdmission,
     "streaming_neardup_retire" -> graft.pipeline.Oracles.dedupStreamingRetention,
+    "streaming_restart_retire" -> graft.pipeline.Oracles.dedupStreamingRetention,
     "streaming_dedup" -> graft.streaming.StreamOracle.dedupAdmittedOracle,
     "streaming_enrich" -> graft.streaming.StreamOracle.enrichedOracle,
     // the streamed fold must equal the one-shot sketch bit-for-bit
@@ -5783,6 +5800,7 @@ object SparkEntry {
       graft.pipeline.Ann.BenchSetSize, graft.pipeline.Ann.SemanticEps),
     "ann_ivf_balance" -> graft.pipeline.Oracles.annIvfBalance,
     "ann_ivf_incremental" -> graft.pipeline.Oracles.annIvfIncremental(),
+    "ann_ivf_persist_incr" -> graft.pipeline.Oracles.annIvfIncremental(),
     "ann_ivf_nprobe" -> graft.pipeline.Oracles.annIvfNprobe(),
     "ann_ivfpq_topk" -> graft.pipeline.Oracles.annIvfPqTopK,
     "ann_filtered_topk" ->

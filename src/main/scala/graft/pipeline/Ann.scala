@@ -608,10 +608,19 @@ object Ann {
     * pass that writes the batch's postings. */
   def ivfIncremental(embeddings: DataFrame, split: Long = IvfIncrementalSplit,
       numCentroids: Int = NumCentroids, iters: Int = KMeansIters,
+      tau: Double = IvfDriftTau): DataFrame =
+    ivfIncrementalWith(embeddings,
+      ivfCentroids(embeddings.filter(col("vec_id") < split), numCentroids, iters),
+      split, tau)
+
+  /** The incremental-maintenance body over an ALREADY-TRAINED frozen
+    * book — the [[ivfServe]] split for the arrival path, so a
+    * persisted index can keep ingesting after a restore
+    * ([[ivfPersistIncremental]]) without retraining its quantizer. */
+  def ivfIncrementalWith(embeddings: DataFrame,
+      book: Seq[(Int, Array[Double])], split: Long = IvfIncrementalSplit,
       tau: Double = IvfDriftTau): DataFrame = {
     val ss = embeddings.sparkSession
-    val book = ivfCentroids(
-      embeddings.filter(col("vec_id") < split), numCentroids, iters)
     val assigned = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("cell", pqEncodeCol(ss, col("embedding"), book))
     // post-batch member means per cell (base ∪ new under the frozen
@@ -636,6 +645,41 @@ object Ann {
       .join(broadcast(verdicts), "cell")
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("drift2"), col("retrain"))
+  }
+
+  /** THE LIVE-INDEX RESTART, composed: restore a PERSISTED index and
+    * keep ingesting — [[ivfPersistServe]]'s store/restore protocol
+    * feeding [[ivfIncrementalWith]]'s arrival path. The book trains on
+    * the base slice once, publishes through
+    * [[graft.streaming.VersionedSnapshot]], a FRESH session restores
+    * it, and the new batch is assigned to the RESTORED frozen
+    * centroids with the drift²-triggered retrain flag — the full
+    * lifecycle of a production vector index across a process restart
+    * (train → publish → crash/redeploy → restore → ingest), no retrain
+    * anywhere after the publish. The `ann_ivf_persist_incr` oracle row
+    * hash-checks against the SAME DuckDB derivation as
+    * `ann_ivf_incremental`: a restore that perturbed one centroid bit
+    * would flip an assignment or a drift digit. */
+  def ivfPersistIncremental(embeddings: DataFrame, workDir: String,
+      split: Long = IvfIncrementalSplit, numCentroids: Int = NumCentroids,
+      iters: Int = KMeansIters, tau: Double = IvfDriftTau): DataFrame = {
+    val ss = embeddings.sparkSession
+    import ss.implicits._
+    val book = ivfCentroids(
+      embeddings.filter(col("vec_id") < split), numCentroids, iters)
+    val store = new graft.streaming.VersionedSnapshot(
+      ss, java.nio.file.Paths.get(workDir, "ivfbook"))
+    store.write(1L, book.toDF("cell", "centroid"))
+    val s2 = ss.newSession()
+    val restored = new graft.streaming.VersionedSnapshot(
+      s2, java.nio.file.Paths.get(workDir, "ivfbook"))
+      .newestBelow(Long.MaxValue)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed ivf book under $workDir/ivfbook"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    ivfIncrementalWith(embeddings, restored, split, tau)
   }
 
   /** Bucket census: LSH bucket id → membership stats. */

@@ -412,6 +412,17 @@ object TextPipeline {
     * bench. A production 32k-merge run changes only this constant. */
   val BpeTrainRounds = 64
 
+  /** Per-round lineage cut for [[bpeTrain]]: LAZY localCheckpoint by
+    * default — the materialization fuses into the next round's argmax
+    * job, one job per round — flipped to the EAGER reliable
+    * `checkpoint` when `SPARK_GRAFT_CHECKPOINT_DIR` is set (the same
+    * executor-churn switch the iterative graph loops honor via
+    * [[graft.operators.Checkpoints]]; a 32k-round run over hours must
+    * survive losing the executor holding a round's blocks). */
+  private def cutRound(df: DataFrame): DataFrame =
+    if (graft.operators.Checkpoints.reliable) graft.operators.Checkpoints.cut(df)
+    else df.localCheckpoint(false)
+
   /** BPE TRAIN in the HISTOGRAM DOMAIN — Sennrich '16's actual
     * algorithm: train on the distinct-word frequency table, not the
     * corpus. ONE corpus scan builds `(word, count)` (at 100 TB that is
@@ -447,10 +458,11 @@ object TextPipeline {
     * argmax job — ONE job per round; the replaced table materializes
     * while the NEXT round's pair count scans it. Superseded round
     * RDDs are dropped by reference and reaped by the ContextCleaner;
-    * a production 32k-merge run over a 10⁸-row word table would swap
-    * localCheckpoint for reliable `checkpoint` (same shape, survives
-    * executor loss). Only one (l, r, cnt) row per round crosses the
-    * driver. */
+    * a production 32k-merge run over a 10⁸-row word table sets
+    * `SPARK_GRAFT_CHECKPOINT_DIR` and [[cutRound]] flips every cut to
+    * the reliable `checkpoint` (same shape, survives executor loss —
+    * the switch the graph loops already honor). Only one (l, r, cnt)
+    * row per round crosses the driver. */
   def bpeTrain(df: DataFrame, idCol: String, textCol: String,
       rounds: Int = BpeTrainRounds): DataFrame = {
     val ss = df.sparkSession
@@ -468,7 +480,7 @@ object TextPipeline {
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
       .select(regexp_replace(col("w"), "([a-z])", "#$1#").as("e"), col("wcnt"))
-      .localCheckpoint(false)
+      .transform(cutRound)
     var merges = Vector.empty[(String, String, Long)]
     var exhausted = false
     var round = 0
@@ -491,7 +503,7 @@ object TextPipeline {
         merges :+= ((l, r, top(0).getLong(2)))
         cur = cur.select(
           bpeRep(col("e"), s"#$l##$r#", s"#$l$r#").as("e"), col("wcnt"))
-          .localCheckpoint(false)
+          .transform(cutRound)
       }
     }
     merges.zipWithIndex.map { case ((l, r, cnt), i) =>

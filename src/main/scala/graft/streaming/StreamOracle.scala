@@ -757,7 +757,44 @@ object StreamOracle {
     * already pins). */
   def nearDupAdmissionRetained(spark: SparkSession, sfDir: String,
       workDir: String): DataFrame = {
-    import graft.pipeline.Dedup
+    val in = stageRetainedDocs(spark, sfDir)
+    val index = new BucketedState(spark, Paths.get(workDir, "bandidx"), StateBuckets)
+    val last = neardupRetainedRun(spark, in, workDir, index)
+    // the amortized physical half: one full-index TTL rewrite, sized
+    // for the NEXT batch's horizon (what a nightly compaction would do)
+    index.retain(last + 1,
+      col("last_batch") >= last + 1 - RetentionBatches, Seq("band", "bh"))
+    spark.read.parquet(Paths.get(workDir, "verdicts").toString).drop("b")
+  }
+
+  /** [[nearDupAdmissionRetained]] across a REAL QUERY RESTART (see
+    * [[runRestarted]]) — retention state survives the seam: the
+    * `last_batch` recency stamps restored from query 1's final
+    * manifest must still drive aliveness in query 2, so a band claimed
+    * in phase 1's final batch blocks the first post-restart batch
+    * (within horizon) while phase-1-early claims are expired — and the
+    * planted re-sends, arriving after the seam, still re-admit. Same
+    * one-shot oracle as `streaming_neardup_retire`; the physical TTL
+    * rewrite runs once after the second lifetime, exactly where a
+    * redeployed pipeline's next compaction would. */
+  def nearDupAdmissionRetainedRestart(spark: SparkSession, sfDir: String,
+      workDir: String): DataFrame = {
+    val staged = stageRetainedDocs(spark, sfDir)
+    val index = new BucketedState(spark, Paths.get(workDir, "bandidx"), StateBuckets)
+    var last = -1L
+    runRestarted(staged, Paths.get(workDir, "in"), split = 2) { () =>
+      last = math.max(last, neardupRetainedRun(
+        spark, Paths.get(workDir, "in").toString, workDir, index))
+    }
+    index.retain(last + 1,
+      col("last_batch") >= last + 1 - RetentionBatches, Seq("band", "bh"))
+    spark.read.parquet(Paths.get(workDir, "verdicts").toString).drop("b")
+  }
+
+  /** The planted-duplicate corpus staged as id-range chunks (shared
+    * stage-cache variant with `streaming_dedup`): documents plus every
+    * doc_id ≡ 3 (mod 7) re-sent at doc_id + span. */
+  private def stageRetainedDocs(spark: SparkSession, sfDir: String): String = {
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val span = {
@@ -767,8 +804,15 @@ object StreamOracle {
     val doubled = docs0.unionAll(
       docs0.filter(col("doc_id") % 7 === 3)
         .select((col("doc_id") + span).as("doc_id"), col("text")))
-    val in = stageDocsFrame(doubled, sfDir, s"docs_doubled_c$DedupChunks", DedupChunks)
-    val index = new BucketedState(spark, Paths.get(workDir, "bandidx"), StateBuckets)
+    stageDocsFrame(doubled, sfDir, s"docs_doubled_c$DedupChunks", DedupChunks)
+  }
+
+  /** One query lifetime of the horizoned admission gate (shared by the
+    * one-shot and restart rows); returns the highest batch id this
+    * lifetime processed. */
+  private def neardupRetainedRun(spark: SparkSession, in: String,
+      workDir: String, index: BucketedState): Long = {
+    import graft.pipeline.Dedup
     val sink = Paths.get(workDir, "verdicts").toString
     val src = spark.readStream
       .schema("doc_id BIGINT, text STRING")
@@ -825,11 +869,7 @@ object StreamOracle {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    // the amortized physical half: one full-index TTL rewrite, sized
-    // for the NEXT batch's horizon (what a nightly compaction would do)
-    index.retain(lastBatch + 1,
-      col("last_batch") >= lastBatch + 1 - RetentionBatches, Seq("band", "bh"))
-    spark.read.parquet(sink).drop("b")
+    lastBatch
   }
 
   /** Chunk count shared by [[dedupAdmitted]] and its oracle SQL. */

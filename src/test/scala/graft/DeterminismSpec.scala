@@ -81,6 +81,9 @@ class DeterminismSpec extends SparkTestBase {
     "mm_phash_dupes",       // strided byte-gradient bits + hash dup window
     "graph_clustering_coeff",// per-center closed wedges + one IEEE division
     "emb_hard_negatives",   // cross-label broadcast top-k
+    "text_bpe_train",       // histogram-domain iterated argmax + checkpointed word table
+    "pipeline_tokenize_pack",// trained merges + vocab join + prefix-sum packing + md5 digests
+    "ann_ivf_persist",      // versioned-artifact restore + cell-probe top-k
   )
 
   private def canonical(name: String): String = {

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * iterative operators from `localCheckpoint` to RELIABLE `checkpoint`
   * must change the checkpoint MODE — files actually land under the
   * given directory — and nothing else: BFS levels, component labels,
-  * and the k-truss peel return identical rows in both modes. This is
+  * the k-truss peel, and the BPE trainer's merge table return identical rows in both modes. This is
   * the spec half of VERDICT r11 item 3; the other half is the
   * local-cluster oracle run with the env var set (PLANS.md). */
 class ReliableCheckpointSpec extends SparkTestBase {
@@ -29,10 +29,16 @@ class ReliableCheckpointSpec extends SparkTestBase {
   private def rows(df: DataFrame): Set[Seq[Any]] =
     df.collect().map(_.toSeq).toSet
 
-  private def runAll(): (Set[Seq[Any]], Set[Seq[Any]], Set[Seq[Any]]) = (
+  // the BPE trainer's per-round cut honors the same switch
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat"), (2L, "the cat ate the rat")
+  ).toDF("doc_id", "text")
+
+  private def runAll(): (Set[Seq[Any]], Set[Seq[Any]], Set[Seq[Any]], Set[Seq[Any]]) = (
     rows(Components.labels(nodes, edges, "n", "a", "b")),
     rows(Bfs.levels(Seq(1L).toDF("s"), edges, "s", "a", "b", maxDepth = 4)),
     rows(Truss.peel(edges, "a", "b", k = 3, rounds = 2)),
+    rows(graft.pipeline.TextPipeline.bpeTrain(docs, "doc_id", "text")),
   )
 
   test("reliable mode writes checkpoint files under the dir and changes NO results") {

@@ -51,6 +51,52 @@ class RetentionSpec extends SparkTestBase {
     } finally { verdicts.unpersist(); () }
   }
 
+  test("retention state survives a restart: restart == one-shot, and post-seam gating is driven by pre-seam recency stamps") {
+    import graft.pipeline.Dedup
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val restarted = rows(StreamOracle.nearDupAdmissionRetainedRestart(spark, sf, work("rst")))
+    val oneShot = rows(StreamOracle.nearDupAdmissionRetained(spark, sf, work("one")))
+    assert(restarted == oneShot,
+      s"restart leaked: missing=${(oneShot -- restarted).take(3)} extra=${(restarted -- oneShot).take(3)}")
+    // non-triviality: a PURE cross-seam loser — a phase-2 (re-sent)
+    // document with a band claimed in chunk 1 (alive at batch 2 only
+    // via the RESTORED last_batch stamp) and NO same-chunk smaller-id
+    // band-mate — must be rejected; with the index lost at the seam it
+    // would have zero hits and admit
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val b0 = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val span = b0.getLong(1) - b0.getLong(0) + 1
+    val doubled = docs.unionAll(docs.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + span).as("doc_id"), col("text")))
+    val b2 = doubled.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo2, hi2) = (b2.getLong(0), b2.getLong(1))
+    val width2 = StreamOracle.chunkWidth(lo2, hi2, 4)
+    def chunkOf(c: org.apache.spark.sql.Column) =
+      floor((c - lit(lo2)) / lit(width2)).cast("int")
+    val bands = Dedup.bandRows(Dedup.bandSignatures(doubled, "doc_id", "text"), "doc_id")
+      .withColumn("c", chunkOf(col("doc_id"))).persist()
+    try {
+      val c1 = bands.filter(col("c") === 1).select(col("band"), col("bh")).distinct()
+      val inC2 = bands.filter(col("c") === 2)
+      val withPreSeamClaim = inC2.join(c1, Seq("band", "bh"))
+        .select(col("doc_id")).distinct()
+      val sameChunkAmbiguous = inC2.as("a")
+        .join(inC2.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("b.doc_id") < col("a.doc_id"))
+        .select(col("a.doc_id").as("doc_id")).distinct()
+      val pure = withPreSeamClaim.join(sameChunkAmbiguous, Seq("doc_id"), "left_anti")
+        .collect().map(_.getLong(0)).toSet
+      assert(pure.nonEmpty,
+        "no pure cross-seam loser exists — the restart proved nothing here")
+      val verdicts = restarted.map(r => r.head.asInstanceOf[Long] -> r(2).asInstanceOf[Int]).toMap
+      val wronglyAdmitted = pure.filter(d => verdicts.getOrElse(d, 1) != 0)
+      assert(wronglyAdmitted.isEmpty,
+        s"docs gated only by pre-seam recency stamps were ADMITTED: ${wronglyAdmitted.take(5)}")
+    } finally { bands.unpersist(); () }
+  }
+
   test("retain() physically drops exactly the expired rows, idempotently, and empties tombstone") {
     val root = Paths.get(work("physical"), "idx")
     val st = new BucketedState(spark, root, buckets = 4)
