@@ -542,15 +542,42 @@ object TextPipeline {
     *
     * Output: one row per packed sequence — (seq_id, shard, n_tokens,
     * n_docs, ids_md5), where ids_md5 digests the sequence's token ids
-    * in tape order (the content-equality instrument; the production
-    * writer would emit the id arrays themselves, partitioned by
-    * shard). The oracle derives the identical rows with the train CTE
-    * chain + one global window ([[Oracles.tokenizePack]]). Assumes
-    * the corpus sustains `rounds` merges (ours do; an exhausted
-    * trainer would need the oracle's final word CTE guarded). */
+    * in tape order (the content-equality instrument;
+    * [[tokenizePackWrite]] emits the id arrays themselves, partitioned
+    * by shard). The oracle derives the identical rows with the train CTE
+    * chain + one global window ([[Oracles.tokenizePack]]); an
+    * exhausted trainer (fewer than `rounds` merges available) agrees
+    * on both sides — the merge list just ends early and the oracle's
+    * word-table chain carries through unchanged. */
   def tokenizePack(df: DataFrame, idCol: String, textCol: String,
       rounds: Int = BpeTrainRounds, capacity: Long = Packing.Capacity,
-      shards: Int = PackShards): DataFrame = {
+      shards: Int = PackShards): DataFrame =
+    sequenceDigests(packedSequences(df, idCol, textCol, rounds, capacity, shards))
+
+  /** WRITE the packed sequences as the training-shard artifact itself —
+    * the id arrays, parquet, partitioned by shard with ONE file per
+    * shard (a shard is the unit a training job reads, so write
+    * parallelism = shard count, not tasks × shards — the same
+    * one-task-per-partition discipline [[graft.streaming.BucketedState]]
+    * uses). Returns the same per-sequence digest frame as
+    * [[tokenizePack]], computed from the SAME materialized sequences,
+    * so the caller holds the manifest of exactly what landed on disk;
+    * TokenizePackSpec pins that reading the shards back and re-digesting
+    * reproduces it bit-for-bit. */
+  def tokenizePackWrite(df: DataFrame, idCol: String, textCol: String,
+      outDir: String, rounds: Int = BpeTrainRounds,
+      capacity: Long = Packing.Capacity, shards: Int = PackShards): DataFrame = {
+    val seqs = packedSequences(df, idCol, textCol, rounds, capacity, shards)
+    seqs.select(col("shard"), col("seq_id"), col("ids"))
+      .repartition(shards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    sequenceDigests(seqs)
+  }
+
+  /** [[tokenizePack]]'s materialized middle: one row per packed
+    * sequence with its full token-id array (tape order). */
+  private def packedSequences(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int, capacity: Long, shards: Int): DataFrame = {
     val ss = df.sparkSession
     import ss.implicits._
     val mergeRows = bpeTrain(df, idCol, textCol, rounds)
@@ -620,13 +647,13 @@ object TextPipeline {
         .groupBy(col("seq_id"))
         .agg(count(lit(1)).as("n_tokens"),
           countDistinct(col("doc_id")).as("n_docs"),
-          md5(array_join(transform(
+          transform(
             array_sort(collect_list(struct(col("gpos"), col("tid")))),
-            x => x.getField("tid").cast("string")), ",")).as("ids_md5"))
+            x => x.getField("tid")).as("ids"))
         .select(col("seq_id"), pmod(col("seq_id"), lit(shards.toLong)).as("shard"),
-          col("n_tokens"), col("n_docs"), col("ids_md5"))
+          col("n_tokens"), col("n_docs"), col("ids"))
         // eager cut: one row per SEQUENCE (corpus_tokens/capacity —
-        // tiny), materialized while the caches above are still alive
+        // small), materialized while the caches above are still alive
         // so the finally can release them
         .localCheckpoint(true)
     } finally {
@@ -635,6 +662,13 @@ object TextPipeline {
       ()
     }
   }
+
+  /** The per-sequence digest view of [[packedSequences]] — the shape
+    * the oracle hash-checks. */
+  private def sequenceDigests(seqs: DataFrame): DataFrame =
+    seqs.select(col("seq_id"), col("shard"), col("n_tokens"), col("n_docs"),
+      md5(array_join(transform(col("ids"), x => x.cast("string")), ","))
+        .as("ids_md5"))
 
   /** PII redaction patterns: (name, regex, replacement), applied in
     * order — emails first, then IPv4 (before the phone pattern, which a
