@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Dump `.explain("formatted")` for named queries to files — the
+  * optimization-round evidence artifacts (`plans/rNN/<query>_{before,after}.txt`).
+  *
+  * Usage: runMain graft.PlanDump <sfDir> <outDir> <suffix> <q1,q2,...>
+  *
+  * The plan captured is the EXECUTED plan after an actual run (AQE final
+  * plan — join strategies and coalesced exchanges as they really
+  * executed), falling back to the pre-execution formatted string for
+  * queries whose frame is the product of imperative machinery (engine
+  * scripts, streaming runs) where re-execution is the only way to see a
+  * plan at all. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 4, "usage: PlanDump <sfDir> <outDir> <suffix> <q1,q2,...>")
+    val Array(sfDir, outDir, suffix, names) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    for (n <- names.split(",").map(_.trim).filter(_.nonEmpty)) {
+      spark.catalog.clearCache()
+      val fn = SparkEntry.queries.getOrElse(n, SparkEntry.scaleProbes(n))
+      val df = fn(spark, sfDir)
+      df.count()
+      val txt = df.queryExecution.explainString(FormattedMode)
+      Files.writeString(Paths.get(outDir, s"${n}_$suffix.txt"), txt)
+      println(s"dumped $n (${txt.length} chars)")
+    }
+    spark.stop()
+  }
+}

@@ -140,29 +140,38 @@ object Hashing {
     }.toVector)
   }
 
-  /** Combined duplicate probe + content root in ONE distributed
-    * aggregation (one digest shuffle instead of two full hashing passes):
-    * group by the row digest, then fold count / max-multiplicity / limb
-    * sums. Returns (example duplicated hash if any, root); the root is
-    * exact whenever no duplicate exists (the only case callers proceed
-    * in), and the example hash lets the typed `(duplicate-tuple (hash h))`
-    * error carry a real digest at no extra job. */
+  /** Combined duplicate probe + content root. The root is one
+    * map-side-combinable aggregation (count + 4 limb sums — a handful of
+    * values per partition cross the exchange, never the digests). The
+    * duplicate probe is keyed on `xxhash64` OVER THE RAW ROW COLUMNS —
+    * pure codegen over native types, an 8-byte shuffle key — instead of
+    * grouping by the 64-char hex digest (the r15 shape shuffled ~88
+    * bytes/row of high-entropy string key and paid a string-keyed hash
+    * aggregation over the whole batch: measured ~4.5 s of
+    * scaleprobe_fkbulk_x4's 17 s on the 7.5M-row batch; at 100 TB the
+    * digest shuffle is the whole cost). Equal rows hash equal, so an
+    * xx-clean batch provably has no duplicates; an xx collision (real
+    * dup, or ~2⁻⁶⁴-rare false positive between distinct rows) takes a
+    * confirm pass restricted to the collided keys, grouping by the TRUE
+    * content digest — the verdict is exactly the reference's, and the
+    * example hash in the error is a real row digest.
+    *
+    * Returns (example duplicated hash if any, root); the root is exact
+    * whenever no duplicate exists (the only case callers proceed in). */
   def rootWithDupCheck(df: DataFrame, rowHash: Column): (Option[String], ContentRoot) = {
-    val g = df.groupBy(rowHash.as("__h")).agg(count(lit(1)).as("__c"))
-    val limbAggs = (0 until 4).map { i =>
-      sum(conv(substring(col("__h"), i * 16 + 1, 16), 16, 10).cast(DecimalType(38, 0)) * col("__c")).as(s"l$i")
-    }
-    val row = g.agg(sum(col("__c")).as("cnt"),
-      (max(when(col("__c") > 1, col("__h"))).as("dup") +: limbAggs): _*).head()
-    if (row.isNullAt(0)) (None, ContentRoot.empty)
-    else {
-      val cnt = row.getLong(0)
-      val dup = if (row.isNullAt(1)) None else Some(row.getString(1))
-      val root = ContentRoot(cnt, (2 to 5).map { i =>
-        row.getDecimal(i).toBigInteger.mod(TwoPow64).longValue()
-      }.toVector)
-      (dup, root)
-    }
+    val rowCols = df.columns.toIndexedSeq.map(c => col(s"`$c`"))
+    val xk = xxhash64(rowCols: _*)
+    val root = contentRootOf(df, rowHash)
+    val collidedKeys = df.groupBy(xk.as("__k")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select(col("__k"))
+    val dup =
+      if (collidedKeys.limit(1).isEmpty) None
+      else df.select(rowHash.as("__h"), xk.as("__k"))
+        .join(collidedKeys, Seq("__k"), "left_semi")
+        .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).limit(1).collect()
+        .headOption.map(_.getString(0))
+    (dup, root)
   }
 
   /** Relation hash = name | schema | content root

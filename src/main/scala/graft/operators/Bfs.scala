@@ -59,6 +59,10 @@ object Bfs {
         settled.unionAll(next.withColumn("dist", lit(depth.toLong))))
       frontier = next
     }
+    // under the lazy cut the final round's join may not have
+    // materialized yet (maxDepth exit skips its isEmpty probe) —
+    // materialize before releasing the edge cache it reads
+    settled.count(): Unit
     sym.unpersist()
     settled.select(col("node"), col("dist"))
   }

@@ -20,11 +20,25 @@ import org.apache.spark.sql.DataFrame
   *    filesystem all executors reach (HDFS/S3; any local path under
   *    local[*] or same-host local-cluster).
   *
-  * Both modes are EAGER (the returned frame is materialized) — the
-  * iterative loops count on cut-then-unpersist round discipline, and a
-  * lazy cut would stack rounds. The flag changes durability only, never
-  * results: ReliableCheckpointSpec pins result equality and that files
-  * actually land under the dir.
+  * The LOCAL mode is LAZY (`localCheckpoint(false)`): the logical plan
+  * is truncated to a one-node `LogicalRDD` immediately (so iterative
+  * plans still stay one round deep — truncation is a plan-build-time
+  * property, not a materialization-time one), but the blocks compute
+  * when the first action touches the frame, FUSING the cut's
+  * materialization into the job that consumes it. The r15 eager cut
+  * paid one extra job + one extra block-read pass per round in every
+  * iterative loop (star alternation, truss peel, BFS, DCL delta
+  * assembly, forest resolution) — measured ~8.7 s of eager-cut stages
+  * in one scaleprobe_dclmerge_x4 pass alone. Loop discipline under
+  * laziness: a loop that unpersists an input AFTER cutting a frame
+  * derived from it must materialize the cut first (the fixpoint probes
+  * — count/isEmpty — already do; BFS materializes its tail once before
+  * releasing the symmetric edge cache).
+  *
+  * The RELIABLE mode stays EAGER (`checkpoint()`): its entire point is
+  * that the blocks durably exist the moment the cut returns. The flag
+  * changes durability only, never results: ReliableCheckpointSpec pins
+  * result equality and that files actually land under the dir.
   *
   * Retention: reliable checkpoint files outlive the frames that made
   * them. A long-lived session running with the flag should also set
@@ -41,8 +55,8 @@ object Checkpoints {
   /** Whether the reliable mode is active (diagnostics/specs). */
   def reliable: Boolean = dir.isDefined
 
-  /** Cut `df`'s lineage: eager local or reliable checkpoint per the
-    * switch. */
+  /** Cut `df`'s lineage: lazy local or eager reliable checkpoint per
+    * the switch. */
   def cut(df: DataFrame): DataFrame = dir match {
     case Some(d) =>
       val sc = df.sparkSession.sparkContext
@@ -66,6 +80,6 @@ object Checkpoints {
       }
       if (!pointed) sc.setCheckpointDir(d)
       df.checkpoint()
-    case None => df.localCheckpoint()
+    case None => df.localCheckpoint(false)
   }
 }

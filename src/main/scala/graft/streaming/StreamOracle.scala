@@ -192,27 +192,45 @@ object StreamOracle {
     * index, incremental components, the sketch folds) keep their own
     * bodies — this helper is the plain-sink shape only, single-sourced
     * so a fix to the discipline cannot drift across copies. */
-  private def runToSink(plan: DataFrame, workDir: String): DataFrame = {
-    sinkRun(plan, workDir)
+  private def runToSink(plan: DataFrame, in: String, workDir: String): DataFrame = {
+    sinkRun(plan, in, workDir)
     plan.sparkSession.read.parquet(Paths.get(workDir, "sink").toString).drop("b")
   }
 
-  /** State-partition count for the engine-stateful streaming rows.
-    * `spark.sql.shuffle.partitions` at query start FIXES a streaming
-    * query's state-store partition count for the checkpoint's lifetime
-    * — the sizing knob every Structured Streaming deployment sets to
-    * its data volume, because per-micro-batch cost has a fixed
-    * per-store term (a stream-stream join maintains FOUR store
-    * instances per partition per side; every batch commits a delta
-    * file per store whether or not rows landed there). At the bench's
-    * sf0.1 (100k events/run), 32 partitions mean ~640 near-empty store
-    * commits per interval-join run — pure fixed cost; 8 carry the same
-    * rows at a quarter of it. At 100 TB the SAME knob turns the other
-    * way (thousands of partitions) — what scales is sizing state
-    * partitions to data, not any particular constant. Semantics are
-    * partition-invariant (the oracle rows prove it: identical results
-    * under local[32]/local-cluster at both settings). */
-  val StatePartitions = 8
+  /** State-partition sizing for the streaming rows, DERIVED FROM INPUT
+    * SIZE (guide §2: partitioning must be scale-adaptive, not a
+    * constant tuned for either local mode or the cluster — r15 shipped
+    * the constant 8 here). `spark.sql.shuffle.partitions` at query
+    * start FIXES a streaming query's state-store partition count for
+    * the checkpoint's lifetime — the sizing knob every Structured
+    * Streaming deployment sets to its data volume, because
+    * per-micro-batch cost has a fixed per-store term (a stream-stream
+    * join maintains FOUR store instances per partition per side; every
+    * batch commits a delta file per store whether or not rows landed
+    * there). The rule: one state partition per [[StateBytesPerPartition]]
+    * of staged source bytes, floored at [[MinStatePartitions]] (state
+    * must stay genuinely partitioned — the partition-invariance proofs
+    * are vacuous at 1) and capped at [[MaxStatePartitions]]. At the
+    * bench's sf0.1 (~2 MB staged events) that is the floor, 4 — the
+    * same rows as 32 partitions at 1/8th of the store-commit fixed
+    * cost; at 100 TB the SAME rule lands in the thousands. Restart
+    * safety: the engine pins the count in the checkpoint's offset-log
+    * metadata, so a phase-2 resume reuses phase 1's value no matter
+    * what the conf says at restart. Semantics are partition-invariant
+    * (the oracle rows prove it: identical results under
+    * local[32]/local-cluster across settings). */
+  val MinStatePartitions = 4
+  val MaxStatePartitions = 4096
+  val StateBytesPerPartition = 32L * 1024 * 1024
+
+  /** Derived state-partition count for a staged input directory (sum
+    * of file bytes — deterministic for the immutable stage). */
+  private[streaming] def statePartitionsFor(in: String): Int = {
+    val bytes = Option(Paths.get(in).toFile.listFiles())
+      .getOrElse(Array.empty[java.io.File]).filter(_.isFile).map(_.length()).sum
+    val want = (bytes + StateBytesPerPartition - 1) / StateBytesPerPartition
+    math.min(math.max(want, MinStatePartitions.toLong), MaxStatePartitions.toLong).toInt
+  }
 
   /** One QUERY LIFETIME of the plain-sink shape: build the writeStream,
     * start, drain (`processAllAvailable` — only available data), stop.
@@ -220,11 +238,11 @@ object StreamOracle {
     * identical writer twice against the same checkpoint + sink — the
     * batch-keyed OVERWRITE partitions make a batch replayed across the
     * restart boundary rewrite identical content instead of
-    * double-appending. Runs with [[StatePartitions]] state partitions
+    * double-appending. Runs with [[statePartitionsFor]] state partitions
     * (set at start, restored after — the conf is read once when the
     * query plans). */
-  private def sinkRun(plan: DataFrame, workDir: String): Unit =
-    withStatePartitions(plan.sparkSession) {
+  private def sinkRun(plan: DataFrame, in: String, workDir: String): Unit =
+    withStatePartitions(plan.sparkSession, in) {
       val sink = Paths.get(workDir, "sink").toString
       val q = plan.writeStream
         .outputMode("append")
@@ -236,8 +254,9 @@ object StreamOracle {
       try q.processAllAvailable() finally q.stop()
     }
 
-  /** Run one streaming-query lifetime under [[StatePartitions]] shuffle
-    * partitions (set before the query plans, restored after). Shared by
+  /** Run one streaming-query lifetime under [[statePartitionsFor]]
+    * shuffle partitions (set before the query plans, restored after;
+    * `in` is the staged source dir whose bytes drive the count). Shared by
     * the plain-sink runner AND every foreachBatch-state runner: the
     * engine-stateful rows gain on state-store commit count, the
     * foreachBatch rows on the per-exchange fixed cost of their many
@@ -250,10 +269,10 @@ object StreamOracle {
     * restore mid-query. Every caller here runs inside the sequential
     * Verify/Bench/spec harness; a concurrent deployment would isolate
     * via `spark.newSession()` per run so the change is session-local. */
-  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+  private def withStatePartitions[T](spark: SparkSession, in: String)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prior = spark.conf.get(key)
-    spark.conf.set(key, StatePartitions.toString)
+    spark.conf.set(key, statePartitionsFor(in).toString)
     try body finally spark.conf.set(key, prior)
   }
 
@@ -355,7 +374,7 @@ object StreamOracle {
     * (see [[stage]]). */
   def windowedDaily(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     val in = stage(spark, sfDir, chunks = 4, sentinels = 2)
-    runToSink(windowedDailyExact(source(spark, in)), workDir)
+    runToSink(windowedDailyExact(source(spark, in)), in, workDir)
       .filter(col("event_type") =!= "__flush__")
   }
 
@@ -392,7 +411,7 @@ object StreamOracle {
     val in = stage(spark, sfDir, chunks = 4, sentinels = 2)
     runToSink(
       Streams.sessionize(source(spark, in).as[Streams.Event], SessionGapMs).toDF(),
-      workDir)
+      in, workDir)
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("start_ms"), col("n_events"), col("duration_ms"))
   }
@@ -421,7 +440,7 @@ object StreamOracle {
     runRestarted(staged, live, split = 2, between) { () =>
       sinkRun(
         Streams.sessionize(source(spark, live.toString).as[Streams.Event], SessionGapMs).toDF(),
-        workDir)
+        live.toString, workDir)
     }
     spark.read.parquet(Paths.get(workDir, "sink").toString).drop("b")
       .filter(col("user_id") >= 0)
@@ -486,7 +505,7 @@ object StreamOracle {
   /** One query lifetime of the CDC MERGE loop (shared verbatim by the
     * one-shot row and the restart row). */
   private def cdcRun(spark: SparkSession, in: String, workDir: String,
-      state: BucketedState): Unit = withStatePartitions(spark) {
+      state: BucketedState): Unit = withStatePartitions(spark, in) {
     import org.apache.spark.sql.expressions.Window
     val q = source(spark, in)
       .writeStream
@@ -556,7 +575,7 @@ object StreamOracle {
         customer.select(col("c_custkey"), (col("nk") * 100L + v).as("dim_v"), col("segment"))
           .write.mode("overwrite").parquet(s"$dir/v=$v")
     }
-    withStatePartitions(spark) {
+    withStatePartitions(spark, in) {
       val q = Streams.enrichPerBatch(
         source(spark, in),
         batchId => spark.read.parquet(s"$dims/v=$batchId"),
@@ -663,7 +682,7 @@ object StreamOracle {
       .schema("doc_id BIGINT, text STRING")
       .option("maxFilesPerTrigger", 1)
       .parquet(in)
-    withStatePartitions(spark) {
+    withStatePartitions(spark, in) {
     val q = src.writeStream
       .outputMode("append")
       .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
@@ -819,7 +838,7 @@ object StreamOracle {
       .option("maxFilesPerTrigger", 1)
       .parquet(in)
     var lastBatch = -1L
-    withStatePartitions(spark) {
+    withStatePartitions(spark, in) {
       val q = src.writeStream
         .outputMode("append")
         .option("checkpointLocation", Paths.get(workDir, "ckpt").toString)
@@ -927,7 +946,7 @@ object StreamOracle {
     runToSink(
       Streams.streamingDedup(src, "ts", "text", watermark = "3650 days")
         .select(col("doc_id"), col("content_hash")),
-      workDir)
+      in, workDir)
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_admitted"),
         min(floor((col("doc_id") - lo) / width)).as("admitted_chunk"))
@@ -1021,23 +1040,30 @@ object StreamOracle {
     * [[graft.operators.Components]] — the documented recovery path,
     * pinned by StreamComponentsSpec. */
   def incrementalComponents(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
-    val in = cachedStage(sfDir, "lp_c4") { dir =>
+    // 2 chunks: the minimum that still proves MULTI-batch incremental
+    // behavior (batch 2's delta contracts against batch 1's restored
+    // forest/vertex state) — the interval-join chunk-diet precedent. At
+    // 4 chunks this row ran ~110 jobs per batch through the contraction
+    // fixpoint; the batch-boundary claim needs ONE boundary, and the
+    // O(touched)-at-scale claim is the scaleprobe_streamcc ladder's job,
+    // not this row's chunk count.
+    val in = cachedStage(sfDir, "lp_c2") { dir =>
       val lp = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .filter(col("l_quantity") > 45)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      // an all-filtered dataset yields null aggregates: stage 4 empty
+      // an all-filtered dataset yields null aggregates: stage 2 empty
       // (schema-bearing) chunks so the row returns the empty labeling,
       // exactly like graph_components and the oracle on the same input
       val head = lp.agg(min(col("ok")), max(col("ok"))).head()
       val (lo, hi) = if (head.isNullAt(0)) (0L, -1L) else (head.getLong(0), head.getLong(1))
-      val width = math.max((hi - lo) / 4 + 1, 1L)
-      for (i <- 0 until 4)
+      val width = math.max((hi - lo) / 2 + 1, 1L)
+      for (i <- 0 until 2)
         moveOnePart(lp.filter(col("ok") >= lo + i * width && col("ok") < lo + (i + 1) * width),
           dir.resolve(f"tmp_lp$i%02d"), dir.resolve(f"lp$i%02d.parquet"))
     }
     val verts = new BucketedState(spark, Paths.get(workDir, "verts"), StateBuckets)
     val forest = new BucketedState(spark, Paths.get(workDir, "forest"), StateBuckets)
-    withStatePartitions(spark) {
+    withStatePartitions(spark, in) {
       val q = spark.readStream
         .schema("ok BIGINT, p BIGINT")
         .option("maxFilesPerTrigger", 1)
@@ -1096,7 +1122,7 @@ object StreamOracle {
     * one-shot row and the restart row — the restart must run the SAME
     * code path, not a copy that could drift). */
   private def kmvRun(spark: SparkSession, in: String, workDir: String,
-      state: VersionedSnapshot, k: Int): Unit = withStatePartitions(spark) {
+      state: VersionedSnapshot, k: Int): Unit = withStatePartitions(spark, in) {
     import graft.pipeline.Sketches
     val q = source(spark, in)
       .writeStream
@@ -1160,7 +1186,7 @@ object StreamOracle {
     val in = stage(spark, sfDir, chunks = 4)
     val state = new BucketedState(spark, Paths.get(workDir, "sample"), StateBuckets)
     val bound = Sketches.quantileBound(rate)
-    withStatePartitions(spark) {
+    withStatePartitions(spark, in) {
     val strq = source(spark, in)
       .writeStream
       .outputMode("append")
@@ -1206,7 +1232,7 @@ object StreamOracle {
     val state = new VersionedSnapshot(spark, Paths.get(workDir, "cmsgrid"))
     def tokens(df: DataFrame): DataFrame =
       df.select(explode(split(trim(col("text")), "\\s+")).as("token"))
-    withStatePartitions(spark) {
+    withStatePartitions(spark, in) {
       val q = spark.readStream
         .schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", 1)
@@ -1359,7 +1385,7 @@ object StreamOracle {
     // node and stalls it, retaining join state past its horizon; see
     // intervalJoinedOuter, where the same stall LOSES rows)
     runToSink(Streams.intervalJoin(source(spark, in), source(spark, in), gap = "1 hour"),
-      workDir).filter(col("user_id") >= 0)
+      in, workDir).filter(col("user_id") >= 0)
   }
 
   /** The ORACLE row for the LEFT SEMI stream-stream interval join
@@ -1372,7 +1398,7 @@ object StreamOracle {
   def intervalJoinedSemi(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     val in = stage(spark, sfDir, chunks = IntervalChunks)
     runToSink(Streams.intervalJoinLeftSemi(source(spark, in), source(spark, in), gap = "1 hour"),
-      workDir).filter(col("user_id") >= 0)
+      in, workDir).filter(col("user_id") >= 0)
   }
 
   /** DuckDB half of [[intervalJoinedSemi]]: the one-shot EXISTS. */
@@ -1425,7 +1451,7 @@ object StreamOracle {
   def intervalJoinedOuter(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     val in = stage(spark, sfDir, chunks = IntervalChunks, sentinels = 2)
     runToSink(Streams.intervalJoinLeftOuter(source(spark, in), source(spark, in), gap = "1 hour"),
-      workDir).filter(col("user_id") >= 0)
+      in, workDir).filter(col("user_id") >= 0)
   }
 
   /** DuckDB half of [[intervalJoinedOuter]]: the one-shot LEFT JOIN. */
@@ -1450,7 +1476,7 @@ object StreamOracle {
   def intervalJoinedFull(spark: SparkSession, sfDir: String, workDir: String): DataFrame = {
     val in = stage(spark, sfDir, chunks = IntervalChunks, sentinels = 2)
     runToSink(Streams.intervalJoinFullOuter(source(spark, in), source(spark, in), gap = "1 hour"),
-      workDir)
+      in, workDir)
       .filter((col("user_id") >= 0 || col("user_id").isNull) &&
         (col("r_user") >= 0 || col("r_user").isNull))
   }
@@ -1486,7 +1512,7 @@ object StreamOracle {
     val in = stage(spark, sfDir, chunks = 4)
     runToSink(
       Streams.perKeyQuota(source(spark, in).as[Streams.Event], QuotaPerUser).toDF(),
-      workDir)
+      in, workDir)
       .filter(col("user_id") >= 0) // the far-future flush sentinel
       .select(col("event_id"), col("user_id"))
   }
@@ -1531,7 +1557,7 @@ object StreamOracle {
     val in = stage(spark, sfDir, chunks = 4, sentinels = 2)
     val sketch = runToSink(
       Streams.windowTopK(source(spark, in).as[Streams.Event], TopKWindowMs, TopKCapacity).toDF(),
-      workDir)
+      in, workDir)
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("w",
         expr(s"(unix_micros(cast(ts as timestamp)) div 1000) div $TopKWindowMs * $TopKWindowMs"))
