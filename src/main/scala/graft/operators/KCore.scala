@@ -38,9 +38,9 @@ object KCore {
     * ever SHRINK (a dropped vertex's degree can never recover), so equal
     * count ⇒ equal set ⇒ the next round's edge list, degree table, and
     * values are all identical — the exit can never change the result the
-    * oracle pins, it only stops paying for confirmed stability. The
-    * per-round persists are storage-level caches (recompute on executor
-    * loss, no checkpoint needed for correctness). */
+    * oracle pins, it only stops paying for confirmed stability. Rounds
+    * cut through [[Checkpoints.cut]] — lazy localCheckpoint by default,
+    * the reliable-dir switch for executor-churn deployments. */
   def peel(edges: DataFrame, srcCol: String = "doc_a",
       dstCol: String = "doc_b", k: Int = 3, rounds: Int = Rounds): DataFrame =
     peelWithRounds(edges, srcCol, dstCol, k, rounds)._1
@@ -52,9 +52,15 @@ object KCore {
       dstCol: String = "doc_b", k: Int = 3, rounds: Int = Rounds): (DataFrame, Int) = {
     require(k >= 1, s"need a positive core threshold: $k")
     require(rounds >= 1, s"need at least one round: $rounds")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var e = edges.select(col(s"`$srcCol`").as("a"), col(s"`$dstCol`").as("b"))
-      .persist(lvl)
+    // cut, not persist: a persisted round caches blocks but its
+    // ANALYZED plan still stacks the prior lineage, and each round
+    // references the previous edge list three times (degree union ×2,
+    // semi-join probe) — the tree grows ~3^r and Catalyst reprocesses
+    // it per action (the Truss 12^r lesson). The lazy cut truncates
+    // each round to one LogicalRDD; the probe counts materialize it
+    // (blocks reaped by the ContextCleaner on dereference).
+    var e = Checkpoints.cut(
+      edges.select(col(s"`$srcCol`").as("a"), col(s"`$dstCol`").as("b")))
     var deg: DataFrame = null
     var prevSurvivors = -1L
     var roundsRun = 0
@@ -63,36 +69,26 @@ object KCore {
     while (r < rounds && !stable) {
       r += 1
       val prevE = e
-      val prevDeg = deg
-      // persist + materialize the degree table ONCE per round: both
-      // semi joins below read the cache instead of re-running the
-      // aggregate (and the final round's table IS the answer)
-      deg = prevE.select(col("a").as("v")).unionAll(prevE.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("degree"))
-        .filter(col("degree") >= k)
-        .persist(lvl)
+      // cut + materialize the degree table ONCE per round: both semi
+      // joins below read the blocks instead of re-running the aggregate
+      // (and the final round's table IS the answer)
+      deg = Checkpoints.cut(
+        prevE.select(col("a").as("v")).unionAll(prevE.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+          .filter(col("degree") >= k))
       val survivors = deg.count() // the materialization IS the probe
-      if (prevDeg != null) prevDeg.unpersist()
       stable = survivors == prevSurvivors
       prevSurvivors = survivors
       // the last round only checks — nobody consumes a further-shrunk
       // edge list, so don't build one
       if (r < rounds && !stable) {
-        e = prevE
+        e = Checkpoints.cut(prevE
           .join(deg.select(col("v").as("__sa")), col("a") === col("__sa"), "left_semi")
-          .join(deg.select(col("v").as("__sb")), col("b") === col("__sb"), "left_semi")
-          .persist(lvl)
-        e.count() // materialize before releasing the previous round
+          .join(deg.select(col("v").as("__sb")), col("b") === col("__sb"), "left_semi"))
+        e.count() // materialize the round's cut
       }
-      prevE.unpersist()
       roundsRun = r
     }
-    // materialize the result, then release every build cache (hundreds
-    // of queries share a session)
-    val out = deg.select(col("v"), col("degree").as("core_degree"))
-      .persist(lvl)
-    out.count()
-    deg.unpersist()
-    (out, roundsRun)
+    (deg.select(col("v"), col("degree").as("core_degree")), roundsRun)
   }
 }

@@ -88,22 +88,24 @@ object LabelProp {
     import org.apache.spark.sql.expressions.Window
     val nodes = vertices.select(col(s"`$vertexCol`").as("v")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted PRE-PARTITIONED on the per-round join key (guide §2.4:
+    // operations keyed the same way share one exchange): every round
+    // joins sym on `v`, and a cache that already carries
+    // hashpartitioning(v) satisfies the join's distribution requirement
+    // — the label table (nodes-sized) is the only side re-exchanged per
+    // round, never the edge list (the big frame at every scale)
     val sym = edges.select(col(s"`$srcCol`").as("u"), col(s"`$dstCol`").as("v"))
       .union(edges.select(col(s"`$dstCol`").as("u"), col(s"`$srcCol`").as("v")))
       .distinct()
+      .repartition(col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var lab = nodes.withColumn("label", col("v"))
-    // the persisted handle of the current round (lab is a projection over
-    // it after round 1) — unpersisting the projection would be a no-op,
-    // so the handle is tracked explicitly
-    var labPersisted: DataFrame = null
     var roundsRun = 0
     var stable = false
     var r = 0
     while (r < rounds && !stable) {
       r += 1
       val prev = lab
-      val prevPersisted = labPersisted
       val nbrVotes = sym
         .join(prev.select(col("v").as("__nv"), col("label")), col("v") === col("__nv"))
         .select(col("u"), col("label"))
@@ -144,7 +146,15 @@ object LabelProp {
           nodes.join(top, Seq("v"), "left")
             .select(col("v"), coalesce(col("__new"), col("v")).as("label"))
         }
-      val persisted = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // cut, not persist: a persisted round caches its BLOCKS but its
+      // analyzed plan still stacks the whole prior lineage, and each
+      // round references the previous one 2-3 times — by round 5 the
+      // logical tree measured ~13,000 Exchange nodes / 11 MB rendered,
+      // and Catalyst reprocessed it per action (the Truss 12^r lesson).
+      // The lazy cut truncates to one LogicalRDD per round; the probe
+      // count below materializes it (blocks reaped by the
+      // ContextCleaner when the round's RDD is dereferenced)
+      val persisted = Checkpoints.cut(next)
       if (selfVote) {
         // materialization doubles as the fixpoint probe: 0 changed ⇒
         // every later round is identity — exit without touching the
@@ -153,10 +163,8 @@ object LabelProp {
         // null must read as "changed", never as "stable"
         stable = persisted.filter(!(col("label") <=> col("__old"))).count() == 0L
       } else {
-        persisted.count() // materialize before releasing the previous round
+        persisted.count() // materialize the round's cut
       }
-      if (prevPersisted != null) prevPersisted.unpersist()
-      labPersisted = persisted
       lab = persisted.select(col("v"), col("label"))
       roundsRun = r
     }

@@ -38,10 +38,11 @@ object PageRank {
     * [[Triangles.canonicalEdges]]); each edge carries rank both ways.
     * Output: one row `(v, rank)` per node, rank fixed-point in `scale`.
     *
-    * The returned DataFrame is persisted (it was materialized to drive
-    * the loop) and OWNED BY THE CALLER — unpersist it when done. All
-    * intermediate caches (adjacency, degree-joined edges, prior rank
-    * tables) are released before returning.
+    * The returned DataFrame is a materialized round cut
+    * ([[Checkpoints.cut]] — blocks reaped by the ContextCleaner when
+    * the frame is dereferenced; a caller's unpersist() is a harmless
+    * no-op). All build-side caches (adjacency, degree-joined edges) are
+    * released before returning.
     */
   def ranks(edges0: DataFrame, iters: Int, scale: Long = 1000000000L,
       dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
@@ -57,19 +58,22 @@ object PageRank {
     val adj = directed.join(deg.hint("shuffle_hash"), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var ranks = deg.select(col("src").as("v"), lit(scale).as("rank"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // rounds cut through Checkpoints.cut, not persist: a persisted
+    // round caches blocks but its ANALYZED plan still stacks the prior
+    // round's tree (including adj's whole derivation), and Catalyst
+    // reprocesses it per action — the LabelProp/KCore lesson. The cut
+    // truncates each round to one LogicalRDD; the count materializes it.
+    var ranks = Checkpoints.cut(
+      deg.select(col("src").as("v"), lit(scale).as("rank")))
     ranks.count() // materialize before the loop rewrites the variable
     for (_ <- 1 to iters) {
       val prev = ranks
       // one join + one agg per round; `div` keeps everything in longs
       val contribs = adj.join(prev.withColumnRenamed("v", "src").hint("shuffle_hash"), "src")
         .select(col("dst").as("v"), expr("rank div outdeg").as("c"))
-      ranks = contribs.groupBy(col("v"))
-        .agg((lit(base) + expr(s"(${dampNum}L * sum(c)) div ${dampDen}L")).as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      ranks = Checkpoints.cut(contribs.groupBy(col("v"))
+        .agg((lit(base) + expr(s"(${dampNum}L * sum(c)) div ${dampDen}L")).as("rank")))
       ranks.count()
-      prev.unpersist()
     }
     // The loop is done and `ranks` is materialized — the build-side
     // caches must not outlive the call (Verify/Bench run hundreds of

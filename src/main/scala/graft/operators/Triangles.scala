@@ -55,10 +55,16 @@ object Triangles {
     val withDeg = edges
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    // persisted PRE-PARTITIONED on `src` (guide §2.4): the wedge stage
+    // self-joins this cache on src — a cache already carrying
+    // hashpartitioning(src) feeds BOTH join inputs with zero exchanges
+    // (the degree joins above leave it partitioned by `b`, which
+    // satisfies neither side)
     val directed = withDeg.select(
       when(ordLess(col("da"), col("a"), col("db"), col("b")), col("a")).otherwise(col("b")).as("src"),
       when(ordLess(col("da"), col("a"), col("db"), col("b")), col("b")).otherwise(col("a")).as("dst"),
       when(ordLess(col("da"), col("a"), col("db"), col("b")), col("db")).otherwise(col("da")).as("ddst"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Wedge at src: unordered out-neighbor pairs, emitted once with
