@@ -37,7 +37,17 @@ object PlanDump {
       val df = fn(spark, sfDir)
       df.count()
       val txt = df.queryExecution.explainString(FormattedMode)
-      Files.writeString(Paths.get(outDir, s"${n}_$suffix.txt"), txt)
+      // a plan-stacking pathology can render MBs of tree — keep the
+      // artifact reviewable: head + a node-count summary
+      def c(s: String) = txt.split(s, -1).length - 1
+      val summary = s"\n=== PLAN SUMMARY: ${txt.length} chars, " +
+        s"Exchange=${c("Exchange")}, BroadcastHashJoin=${c("BroadcastHashJoin")}, " +
+        s"SortMergeJoin=${c("SortMergeJoin")}, ShuffledHashJoin=${c("ShuffledHashJoin")}, " +
+        s"CartesianProduct=${c("CartesianProduct")}, Scan=${c("Scan ")} ===\n"
+      val body =
+        if (txt.length <= 200000) txt + summary
+        else txt.take(120000) + s"\n... [truncated ${txt.length - 120000} chars]\n" + summary
+      Files.writeString(Paths.get(outDir, s"${n}_$suffix.txt"), body)
       println(s"dumped $n (${txt.length} chars)")
     }
     spark.stop()
