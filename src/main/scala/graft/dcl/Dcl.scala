@@ -82,11 +82,22 @@ object Diff {
     def df: DataFrame = ext match {
       case Extension.Local(rows) =>
         org.apache.spark.sql.SparkSession.active.createDataFrame(rows.values.toSeq.asJava, struct)
-      case Extension.Dist(d) => d
+      case Extension.Dist(d, _) => d
     }
     def local: Option[VectorMap[String, Row]] = ext match {
       case Extension.Local(rows) => Some(rows)
       case _                     => None
+    }
+    /** Digest-carrying view (rows + [[Engine.RhCol]]): the Dist twin when
+      * maintained, the keyed driver map for Local deltas (keys ARE the
+      * digests), else rows hashed lazily via `rh` on first use. */
+    def wideDf(rh: org.apache.spark.sql.Column): DataFrame = ext match {
+      case Extension.Dist(_, Some(w)) => w
+      case Extension.Dist(d, None)    => d.withColumn(Engine.RhCol, rh)
+      case Extension.Local(rows) =>
+        org.apache.spark.sql.SparkSession.active.createDataFrame(
+          rows.iterator.map { case (h, r) => Row.fromSeq(r.toSeq :+ h) }.toSeq.asJava,
+          Engine.wideStruct(struct))
     }
   }
 
@@ -116,9 +127,23 @@ object Diff {
                 removed = Delta(Extension.Local(ar.filter { case (h, _) => !tr.contains(h) }), a.struct),
                 schemaChanged = false))
             case _ =>
+              // digest-keyed deltas: both sides read their digest twin
+              // (materialized for bulk-built relations — zero sha here;
+              // one lazy hash pass otherwise, same cost the row-equality
+              // anti-join paid). Exact: relations are null-free and the
+              // canonical digest encoding is injective on raw values, so
+              // digest-equality IS attribute-equality. The deltas come
+              // back WITH their digests, so merge assembly and root
+              // arithmetic downstream never re-hash them.
+              import org.apache.spark.sql.functions.col
+              val aw = a.wideDf
+              val tw = t.wideDf
+              val rhKey = Seq(Engine.RhCol)
+              val addedW = tw.join(aw.select(col(Engine.RhCol)), rhKey, "left_anti")
+              val removedW = aw.join(tw.select(col(Engine.RhCol)), rhKey, "left_anti")
               Some(RelationModified(name,
-                added = Delta(Extension.Dist(Algebra.diff(t.df, a.df)), t.struct),
-                removed = Delta(Extension.Dist(Algebra.diff(a.df, t.df)), a.struct),
+                added = Delta(Extension.Dist(addedW.drop(Engine.RhCol), Some(addedW)), t.struct),
+                removed = Delta(Extension.Dist(removedW.drop(Engine.RhCol), Some(removedW)), a.struct),
                 schemaChanged = false))
           }
         case (None, None) => None
@@ -273,55 +298,94 @@ object Merge {
                     Engine.updateState(db, db.relations.updated(name,
                       base.copy(ext = ext, root = root, chain = 0)))
 
-                  // Any distributed row set: anti-join/union algebra.
+                  // Any distributed row set: digest-keyed algebra. Every
+                  // union/anti below rides the RhCol digest column (guide
+                  // §8: decide on the lightweight proxy) — the deltas come
+                  // back from Diff.diff WITH digests, the base contributes
+                  // its maintained twin, so merge assembly re-hashes
+                  // NOTHING, and the merged root is O(delta) limb
+                  // arithmetic instead of a full-relation aggregation.
                   case _ =>
-                    // MATERIALIZE each delta once (eager cut): a delta is a
-                    // lazy anti-join DAG costing two relation scans + row
-                    // hashing, and it is consumed up to three times below
-                    // (conflict count, merged assembly, root pass) — uncut,
-                    // a 3-way merge re-derived every delta per consumer,
-                    // making merge cost O(consumers × relation) instead of
-                    // O(relation + diff). The deltas themselves are
-                    // diff-sized — exactly what the reference holds as
-                    // materialized hash sets (merge.ml:95-171).
-                    val lAddDf = graft.operators.Checkpoints.cut(lAdd.df)
-                    val lRemDf = graft.operators.Checkpoints.cut(lRem.df)
-                    var merged = Algebra.diff(distinctUnion(base.df, lAddDf), lRemDf)
-                    rMod match {
+                    import org.apache.spark.sql.functions.col
+                    val rhKey = Seq(Engine.RhCol)
+                    val rhc = base.rowHash
+                    def digestsOf(w: DataFrame): DataFrame = w.select(col(Engine.RhCol))
+                    // MATERIALIZE each delta once (cut): a delta is a lazy
+                    // anti-join DAG costing two relation scans, consumed up
+                    // to three times below (conflict probe, merged assembly,
+                    // root arithmetic). The deltas themselves are diff-sized
+                    // — exactly what the reference holds as materialized
+                    // hash sets (merge.ml:95-171).
+                    val lAddW = graft.operators.Checkpoints.cut(lAdd.wideDf(rhc))
+                    val lRemW = graft.operators.Checkpoints.cut(lRem.wideDf(rhc))
+                    val baseW = base.wideDf
+                    val (mergedW, root) = rMod match {
                       case Some(Diff.RelationModified(_, rAddD, rRemD, _)) =>
-                        val rAdd = Diff.Delta(graft.engine.Extension.Dist(
-                          graft.operators.Checkpoints.cut(rAddD.df)), rAddD.struct)
-                        val rRem = Diff.Delta(graft.engine.Extension.Dist(
-                          graft.operators.Checkpoints.cut(rRemD.df)), rRemD.struct)
-                        val conflicts = distinctUnion(intersect(lAddDf, rRem.df), intersect(lRemDf, rAdd.df))
-                        val nConf = conflicts.count()
+                        val rAddW = graft.operators.Checkpoints.cut(rAddD.wideDf(rhc))
+                        val rRemW = graft.operators.Checkpoints.cut(rRemD.wideDf(rhc))
+                        // conflict probe on digest sets:
+                        // (lAdd ∩ rRem) ∪ (lRem ∩ rAdd) — delta-sized
+                        val confD = digestsOf(lAddW).join(digestsOf(rRemW), rhKey, "left_semi")
+                          .unionAll(digestsOf(lRemW).join(digestsOf(rAddW), rhKey, "left_semi"))
+                          .distinct()
+                        val nConf = confD.count()
                         if (nConf > 0) {
                           tupleConflicts(name) = nConf
+                          // conflict branches are DEAD on reference-shaped
+                          // diffs (see the Conflicts scaladoc: lAdd is
+                          // ancestor-disjoint while rRem is ancestor-
+                          // contained, so both intersections are empty) —
+                          // keep the legacy row algebra verbatim rather than
+                          // carry an equivalence proof for unreachable code
+                          val lAddDf = lAddW.drop(Engine.RhCol)
+                          val lRemDf = lRemW.drop(Engine.RhCol)
+                          val rAddDf = rAddW.drop(Engine.RhCol)
+                          val rRemDf = rRemW.drop(Engine.RhCol)
+                          val conflicts = distinctUnion(
+                            intersect(lAddDf, rRemDf), intersect(lRemDf, rAddDf))
+                          var merged = Algebra.diff(distinctUnion(base.df, lAddDf), lRemDf)
                           strategy match {
                             case PreferLeft =>
                               merged = Algebra.diff(
-                                distinctUnion(merged, Algebra.diff(rAdd.df, conflicts)),
-                                Algebra.diff(rRem.df, conflicts))
+                                distinctUnion(merged, Algebra.diff(rAddDf, conflicts)),
+                                Algebra.diff(rRemDf, conflicts))
                             case PreferRight =>
                               merged = Algebra.diff(
-                                distinctUnion(Algebra.diff(merged, conflicts), rAdd.df), rRem.df)
+                                distinctUnion(Algebra.diff(merged, conflicts), rAddDf), rRemDf)
                             case RevertToAncestor =>
                               merged = Algebra.diff(merged, conflicts)
                           }
+                          (merged.withColumn(Engine.RhCol, rhc),
+                            Hashing.contentRootOf(merged, rhc))
                         } else {
-                          merged = Algebra.diff(distinctUnion(merged, rAdd.df), rRem.df)
+                          // merged = (base − lRem − rRem) ∪ lAdd ∪ (rAdd − lAdd)
+                          // (adds are ancestor-disjoint; removes are
+                          // ancestor-contained; lAdd∩rRem = lRem∩rAdd = ∅ was
+                          // just verified, so subtract-then-add commutes and
+                          // the add set is duplicate-free after the rAdd−lAdd
+                          // dedup — the one overlap two honest diffs can have)
+                          val remsD = digestsOf(lRemW).unionAll(digestsOf(rRemW))
+                          val adds = lAddW.unionAll(
+                            rAddW.join(digestsOf(lAddW), rhKey, "left_anti"))
+                          val mw = baseW.join(remsD, rhKey, "left_anti").unionAll(adds)
+                          // root = base.root − root(lRem ∪ rRem) + root(adds):
+                          // exact limb arithmetic over delta-sized digest
+                          // aggregations (the remove union is deduped —
+                          // both sides may remove the same base row)
+                          val remRoot = Hashing.contentRootOf(remsD.distinct(), col(Engine.RhCol))
+                          val addRoot = Hashing.contentRootOf(adds, col(Engine.RhCol))
+                          (mw, base.root.subtract(remRoot).merge(addRoot))
                         }
-                      case _ => ()
+                      case _ =>
+                        // left-only change: merged = (base − lRem) ∪ lAdd
+                        val mw = baseW.join(digestsOf(lRemW), rhKey, "left_anti").unionAll(lAddW)
+                        val remRoot = Hashing.contentRootOf(lRemW, col(Engine.RhCol))
+                        val addRoot = Hashing.contentRootOf(lAddW, col(Engine.RhCol))
+                        (mw, base.root.subtract(remRoot).merge(addRoot))
                     }
-                    // a merge stacks several union/diff nodes — bound the
-                    // plan chain; checkpointing BEFORE the root aggregation
-                    // also spares the conflict/root passes a recompute
-                    val (ext, chain) = Engine.boundedDist(merged, base.chain, cost = 4)
-                    val mergedDf = ext match {
-                      case graft.engine.Extension.Dist(d) => d
-                      case _ => merged
-                    }
-                    val root = Hashing.contentRootOf(mergedDf, base.rowHash)
+                    // a merge stacks several union/anti nodes — bound the
+                    // plan chain (the digest column rides the checkpoint)
+                    val (ext, chain) = Engine.boundedDistWide(mergedW, base.chain, cost = 4)
                     Engine.updateState(db, db.relations.updated(name,
                       base.copy(ext = ext, root = root, chain = chain)))
                 }

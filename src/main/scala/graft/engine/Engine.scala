@@ -30,7 +30,20 @@ import graft.types.{Domain, RelSchema, Value}
 sealed trait Extension
 object Extension {
   final case class Local(rows: VectorMap[String, Row]) extends Extension
-  final case class Dist(df: DataFrame) extends Extension
+
+  /** @param withRh OPTIONAL digest-carrying twin: exactly `df`'s rows plus
+    *   a trailing [[Engine.RhCol]] column holding each row's content
+    *   digest, sharing `df`'s cached/checkpointed blocks (both views are
+    *   projections of ONE materialization). Every stored-side digest
+    *   consumer — bulk-insert clash probes, DCL version diffs, merge
+    *   assembly, content-root arithmetic — reads this column instead of
+    *   re-running sha-256 over the whole relation per operation (the r16
+    *   verdict's top scale-killer: O(n) re-hash per append, O(n²) across a
+    *   session). `None` (the default) means "derive on demand": any
+    *   constructor that cannot cheaply prove the invariant leaves it unset
+    *   and pays one lazy sha pass on first use, so staleness is
+    *   unrepresentable — a twin is either absent or exact. */
+  final case class Dist(df: DataFrame, withRh: Option[DataFrame] = None) extends Extension
   val emptyLocal: Local = Local(VectorMap.empty)
 }
 
@@ -56,12 +69,26 @@ final case class StoredRelation(
   def df: DataFrame = ext match {
     case Extension.Local(rows) =>
       SparkSession.active.createDataFrame(rows.values.toSeq.asJava, struct)
-    case Extension.Dist(d) => d
+    case Extension.Dist(d, _) => d
   }
 
   def localRows: Option[VectorMap[String, Row]] = ext match {
     case Extension.Local(rows) => Some(rows)
     case _                     => None
+  }
+
+  /** Digest-carrying view of the extension: declared columns plus a
+    * trailing [[Engine.RhCol]] digest column. Local relations build it
+    * from the driver map (the keys ARE the digests — zero compute); Dist
+    * relations return the maintained twin when present (materialized
+    * digests, no sha), else a lazy plan that hashes on first use. */
+  def wideDf: DataFrame = ext match {
+    case Extension.Local(rows) =>
+      SparkSession.active.createDataFrame(
+        rows.iterator.map { case (h, r) => Row.fromSeq(r.toSeq :+ h) }.toSeq.asJava,
+        Engine.wideStruct(struct))
+    case Extension.Dist(_, Some(w)) => w
+    case Extension.Dist(d, None)    => d.withColumn(Engine.RhCol, rowHash)
   }
 }
 
@@ -129,12 +156,28 @@ object Engine {
     * by HashingSpec). */
   private[graft] val RhCol = "__rh"
 
+  /** Declared struct plus the trailing [[RhCol]] digest column — the
+    * schema of every digest-carrying wide frame. */
+  private[graft] def wideStruct(struct: StructType): StructType =
+    StructType(struct.fields :+ StructField(RhCol, StringType))
+
   /** Wrap a mutated Dist plan, checkpointing once the accumulated chain
     * depth passes [[MaxPlanChain]]. Returns the new extension plus the
     * relation's new chain depth. */
   private[graft] def boundedDist(df: DataFrame, prevChain: Int, cost: Int = 1): (Extension, Int) =
     if (prevChain + cost >= MaxPlanChain) (Extension.Dist(df.localCheckpoint(true)), 0)
     else (Extension.Dist(df), prevChain + cost)
+
+  /** [[boundedDist]] for a digest-carrying wide plan (declared columns +
+    * [[RhCol]]): the chain checkpoint materializes raw rows AND digests
+    * into ONE block set, and both views re-anchor on it — the digest
+    * column survives every truncation, so no consumer ever re-hashes the
+    * stored side. */
+  private[graft] def boundedDistWide(wide: DataFrame, prevChain: Int, cost: Int = 1): (Extension, Int) =
+    if (prevChain + cost >= MaxPlanChain) {
+      val cp = wide.localCheckpoint(true)
+      (Extension.Dist(cp.drop(RhCol), Some(cp)), 0)
+    } else (Extension.Dist(wide.drop(RhCol), Some(wide)), prevChain + cost)
 
   // ---- schema / value admission (reference build_membership_criteria,
   // lib/manipulation.ml:20-33: integer/natural/string enforced, anything
@@ -217,17 +260,33 @@ object Engine {
           if (rows.contains(h)) Left(Err.DuplicateTuple(h))
           else {
             val m = rows.updated(h, rowOf(coerced))
-            if (m.size > LocalThreshold) // repeated single inserts also promote
-              Right((Extension.Dist(
-                spark.createDataFrame(m.values.toSeq.asJava, rel.struct)): Extension, 0))
-            else Right((Extension.Local(m): Extension, rel.chain))
+            if (m.size > LocalThreshold) {
+              // repeated single inserts also promote; the wide twin comes
+              // free — the driver map's keys ARE the digests
+              val wide = spark.createDataFrame(
+                m.iterator.map { case (hh, r) => Row.fromSeq(r.toSeq :+ hh) }.toSeq.asJava,
+                wideStruct(rel.struct))
+              Right((Extension.Dist(wide.drop(RhCol), Some(wide)): Extension, 0))
+            } else Right((Extension.Local(m): Extension, rel.chain))
           }
-        case Extension.Dist(d) =>
-          if (rel.root.count > 0 && !d.filter(eqPredicate(coerced)).isEmpty)
-            Left(Err.DuplicateTuple(h))
-          else Right(boundedDist(
-            d.unionAll(spark.createDataFrame(java.util.List.of(rowOf(coerced)), rel.struct)),
-            rel.chain))
+        case Extension.Dist(d, w) =>
+          // duplicate probe: one narrow scan of the materialized digest
+          // twin when present (h identifies the row exactly), else the
+          // attribute-predicate scan (pushdown-friendly on parquet)
+          val dup = rel.root.count > 0 && (w match {
+            case Some(ww) => !ww.where(col(s"`$RhCol`") === h).isEmpty
+            case None     => !d.filter(eqPredicate(coerced)).isEmpty
+          })
+          if (dup) Left(Err.DuplicateTuple(h))
+          else w match {
+            case Some(ww) =>
+              val rowWide = spark.createDataFrame(
+                java.util.List.of(Row.fromSeq(rowOf(coerced).toSeq :+ h)), wideStruct(rel.struct))
+              Right(boundedDistWide(ww.unionAll(rowWide), rel.chain))
+            case None => Right(boundedDist(
+              d.unionAll(spark.createDataFrame(java.util.List.of(rowOf(coerced)), rel.struct)),
+              rel.chain))
+          }
       }
       newRel = rel.copy(ext = extChain._1, chain = extChain._2, root = rel.root.add(h))
       newDb = updateRelation(db, newRel)
@@ -261,10 +320,19 @@ object Engine {
         case Extension.Local(rows) =>
           if (!rows.contains(h)) Left(Err.TupleNotFound(h))
           else Right((Extension.Local(rows.removed(h)): Extension, rel.chain))
-        case Extension.Dist(d) =>
-          if (rel.root.count == 0 || d.filter(eqPredicate(coerced)).isEmpty)
-            Left(Err.TupleNotFound(h))
-          else Right(boundedDist(d.filter(!eqPredicate(coerced)), rel.chain))
+        case Extension.Dist(d, w) =>
+          val present = rel.root.count > 0 && (w match {
+            case Some(ww) => !ww.where(col(s"`$RhCol`") === h).isEmpty
+            case None     => !d.filter(eqPredicate(coerced)).isEmpty
+          })
+          if (!present) Left(Err.TupleNotFound(h))
+          else w match {
+            case Some(ww) =>
+              // digest filter removes exactly the one row (h is unique
+              // within a duplicate-free relation) and keeps the twin exact
+              Right(boundedDistWide(ww.filter(col(s"`$RhCol`") =!= h), rel.chain))
+            case None => Right(boundedDist(d.filter(!eqPredicate(coerced)), rel.chain))
+          }
       }
       newRel = rel.copy(ext = extChain._1, chain = extChain._2, root = rel.root.remove(h))
       newDb = updateRelation(db, newRel)
@@ -415,28 +483,34 @@ object Engine {
       else {
         // batch as a stable DataFrame: the probe rows on the small path
         // (single evaluation); on the large one the balanced source is
-        // persisted so validation, dup/root aggregation, cascade, and the
-        // stored extension share ONE materialization
-        val batchDf =
-          if (small)
+        // persisted WIDE (with its digest column) so validation, dup/root
+        // aggregation, cascade, the clash probe, and the stored extension
+        // share ONE materialization — and the digest is computed exactly
+        // once, at that materialization
+        val batchWide = if (small) None else Some(prepareBulk(rel, conformed))
+        val batchDf = batchWide match {
+          case Some(wf) => wf.drop(RhCol)
+          case None =>
             spark.createDataFrame(
               probe.toSeq.map(r => Row.fromSeq(r.toSeq.take(rel.struct.fields.length))).asJava,
               rel.struct)
-          else prepareBulk(conformed)
+        }
         val res = for {
           // membership criteria FIRST: a null/domain violation must
           // surface as the reference's membership error, not as whichever
-          // named constraint its compiled join happens to trip
-          _ <- bulkValidate(db, rel, batchDf)
+          // named constraint its compiled join happens to trip (the wide
+          // frame is scanned so the first pass also materializes digests)
+          _ <- bulkValidate(db, rel, batchWide.getOrElse(batchDf))
           _ <- validateSetWise(db, rel, batchDf)
-          db2 <-
-            if (small) insertRowsLocal(db, rel, probe.toSeq)
-            else insertFromDistPrepared(spark, db, rel, batchDf, validated = true)
+          db2 <- batchWide match {
+            case None     => insertRowsLocal(db, rel, probe.toSeq)
+            case Some(wf) => insertFromDistPrepared(spark, db, rel, wf, validated = true)
+          }
           _ <- IclRuntime.cascadeBatch(spark, db2, relName, batchDf, "insert")
         } yield db2
         // an aborted statement must not leak its persisted batch (the
         // installed-extension case keeps it until the chain checkpoint)
-        if (res.isLeft && !small) batchDf.unpersist()
+        if (res.isLeft) batchWide.foreach(_.unpersist())
         res
       }
     }
@@ -485,80 +559,110 @@ object Engine {
             val merged = hashed.foldLeft(existing) { case (m, (h, r)) => m.updated(h, r) }
             val root = hashed.keysIterator.foldLeft(rel.root)(_.add(_))
             if (merged.size > LocalThreshold) {
-              // crossed the threshold: graduate to a distributed plan
-              val df = SparkSession.active.createDataFrame(merged.values.toSeq.asJava, rel.struct)
-              Right(updateRelation(db, rel.copy(ext = Extension.Dist(df), root = root, chain = 0)))
+              // crossed the threshold: graduate to a distributed plan (the
+              // wide twin comes free — the driver map's keys ARE the digests)
+              val wide = SparkSession.active.createDataFrame(
+                merged.iterator.map { case (h, r) => Row.fromSeq(r.toSeq :+ h) }.toSeq.asJava,
+                wideStruct(rel.struct))
+              Right(updateRelation(db,
+                rel.copy(ext = Extension.Dist(wide.drop(RhCol), Some(wide)), root = root, chain = 0)))
             } else
               Right(updateRelation(db, rel.copy(ext = Extension.Local(merged), root = root)))
         }
-      case Extension.Dist(d) =>
+      case Extension.Dist(d, w) =>
         // small batch into a large relation: one semi probe keyed on the
-        // 32-byte digest, with the tiny batch key set broadcast — one scan
-        // of the stored side, no wide-row shuffle
+        // 32-byte digest, with the tiny batch key set broadcast — reads
+        // the maintained digest twin when present. When absent, the twin
+        // is rebuilt behind a LAZY cut that the probe itself materializes,
+        // so the full-relation re-hash this probe used to pay on EVERY
+        // small batch is paid at most once per relation lifetime.
         val spark = SparkSession.active
         val keySchema = StructType(Seq(StructField(RhCol, StringType)))
         val keysDf = spark.createDataFrame(
           hashed.keysIterator.map(Row(_)).toSeq.asJava, keySchema)
-        val clash = d.withColumn(RhCol, rel.rowHash).select(col(RhCol))
+        val storedW = w.getOrElse(
+          d.withColumn(RhCol, rel.rowHash).localCheckpoint(false))
+        val clash = storedW.select(col(s"`$RhCol`"))
           .join(broadcast(keysDf), Seq(RhCol), "left_semi").limit(1).collect()
         if (clash.nonEmpty) Left(Err.DuplicateTuple(clash.head.getString(0)))
         else {
-          val batchDf = spark.createDataFrame(hashed.values.toSeq.asJava, rel.struct)
+          val batchWide = spark.createDataFrame(
+            hashed.iterator.map { case (h, r) => Row.fromSeq(r.toSeq :+ h) }.toSeq.asJava,
+            wideStruct(rel.struct))
           val root = hashed.keysIterator.foldLeft(rel.root)(_.add(_))
-          val (ext, chain) = boundedDist(d.unionAll(batchDf), rel.chain)
+          val (ext, chain) = boundedDistWide(storedW.unionAll(batchWide), rel.chain)
           Right(updateRelation(db, rel.copy(ext = ext, root = root, chain = chain)))
         }
     }
   }
 
-  /** Large-result insert: set-wise validation and dup-checks — both keyed
-    * on the 32-byte content digest, never on full rows — and one
-    * distributed content-root aggregation. */
-  /** Balance + persist a large bulk source: the set-wise insert makes
+  /** Balance + persist a large bulk source WITH its digest column (the
+    * wide frame: declared columns + [[RhCol]]): the set-wise insert makes
     * several passes (validation, dup/root aggregation, clash probe) and
     * the result becomes the relation's extension — one shared
-    * materialization instead of re-evaluating the source plan per pass.
-    * Cache entries live until LRU eviction or the chain checkpoint
-    * supersedes them (a cluster deployment would snapshot parquet here —
-    * SURVEY §1.3). */
-  private def prepareBulk(src: DataFrame): DataFrame =
-    balance(src).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * materialization instead of re-evaluating the source plan per pass,
+    * and the digest is COMPUTED ONCE at that materialization, then read
+    * as a stored column by the root aggregation, the clash probe, and
+    * every future insert/diff/merge against this relation. Cache entries
+    * live until LRU eviction or the chain checkpoint supersedes them (a
+    * cluster deployment would snapshot parquet here — SURVEY §1.3). */
+  private def prepareBulk(rel: StoredRelation, src: DataFrame): DataFrame =
+    balance(src).withColumn(RhCol, rel.rowHash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def insertFromDist(spark: SparkSession, db: Database, rel: StoredRelation,
       src: DataFrame): Either[Err, Database] = {
-    val batch = prepareBulk(src)
-    val res = insertFromDistPrepared(spark, db, rel, batch)
-    if (res.isLeft) batch.unpersist() // aborted: don't leak the cache entry
+    val wide = prepareBulk(rel, src)
+    val res = insertFromDistPrepared(spark, db, rel, wide)
+    if (res.isLeft) wide.unpersist() // aborted: don't leak the cache entry
     res
   }
 
-  /** Membership validation is a full batch scan; the constrained path
+  /** Large-result insert over the persisted wide batch: set-wise
+    * validation, dup-check and clash probe — all digest work reads the
+    * batch's stored [[RhCol]] column; the stored side contributes its
+    * maintained digest twin (or rebuilds it once, behind a lazy cut).
+    *
+    * Membership validation is a full batch scan; the constrained path
     * (insertFromConstrained) has ALREADY run it by the time it calls
     * here, so it passes `validated = true` — re-validating doubled the
     * most expensive scan of every constrained bulk insert for no
     * verdict change (measured ~4 s of the 17 s scaleprobe_fkbulk_x4
     * pass: two identical membership scans over the 7.5M-row batch). */
   private def insertFromDistPrepared(spark: SparkSession, db: Database, rel: StoredRelation,
-      conformed: DataFrame, validated: Boolean = false): Either[Err, Database] = {
+      wide: DataFrame, validated: Boolean = false): Either[Err, Database] = {
     for {
-      _ <- if (validated) Right(()) else bulkValidate(db, rel, conformed)
-      // duplicate probe + content root fused into ONE digest aggregation
-      // (the probe surfaces an example duplicated hash for the error)
-      dupRoot = Hashing.rootWithDupCheck(conformed, rel.rowHash)
+      _ <- if (validated) Right(()) else bulkValidate(db, rel, wide)
+      // duplicate probe + content root in one pass family: root limbs
+      // aggregate the batch's stored digest column; the dup probe keys on
+      // xxhash64 of the raw columns (the probe surfaces an example
+      // duplicated hash for the error)
+      dupRoot = Hashing.rootWithDupCheckPrehashed(wide, RhCol)
       _ <- dupRoot._1 match {
         case Some(h) => Left(Err.DuplicateTuple(h))
         case None    => Right(())
       }
-      _ <- {
-        if (rel.root.count == 0) Right(())
-        else {
-          val cur = rel.df.withColumn(RhCol, rel.rowHash).select(col(RhCol))
-          val clash = conformed.withColumn(RhCol, rel.rowHash).select(col(RhCol))
-            .join(cur, Seq(RhCol), "left_semi").limit(1).collect()
+      // stored-side digests for the clash probe AND the new twin: the
+      // maintained twin when present; rebuilt behind a lazy cut (the
+      // probe materializes it, and it STICKS — the next insert reads
+      // blocks) when this relation predates digest maintenance
+      storedW =
+        if (rel.root.count == 0) None
+        else Some(rel.ext match {
+          case Extension.Dist(_, Some(ww)) => ww
+          case Extension.Dist(d, None) =>
+            d.withColumn(RhCol, rel.rowHash).localCheckpoint(false)
+          case Extension.Local(_) => rel.wideDf // driver-local, broadcastable
+        })
+      _ <- storedW match {
+        case None => Right(())
+        case Some(sw) =>
+          val clash = wide.select(col(s"`$RhCol`"))
+            .join(sw.select(col(s"`$RhCol`")), Seq(RhCol), "left_semi").limit(1).collect()
           if (clash.isEmpty) Right(()) else Left(Err.DuplicateTuple(clash.head.getString(0)))
-        }
       }
-      extChain = boundedDist(rel.df.unionAll(conformed), rel.chain)
+      newWide = storedW.map(_.unionAll(wide)).getOrElse(wide)
+      extChain = boundedDistWide(newWide, rel.chain)
       newRel = rel.copy(ext = extChain._1, chain = extChain._2, root = rel.root.merge(dupRoot._2))
     } yield updateRelation(db, newRel)
   }
@@ -612,9 +716,20 @@ object Engine {
           val root = keys.foldLeft(rel.root)(_.remove(_))
           Right((rel.copy(ext = Extension.Local(rows.removedAll(keys)), root = root),
             removed.map(r => Row.fromSeq(r.toSeq.take(width)))))
-        case Extension.Dist(d) =>
+        case Extension.Dist(d, w) =>
           val delRoot = Hashing.contentRootOf(toDelete, rel.rowHash)
-          val (ext, chain) = boundedDist(graft.core.Algebra.diff(d, toDelete), rel.chain, cost = 2)
+          val (ext, chain) = w match {
+            case Some(ww) =>
+              // digest-keyed anti: sha only over the (match-sized) delete
+              // set; the stored side reads its materialized digest column.
+              // Exact equivalence with Algebra.diff: relations are
+              // null-free and the canonical digest encoding is injective
+              // on raw values, so digest-equality IS attribute-equality.
+              val delD = toDelete.select(rel.rowHash.as(RhCol))
+              boundedDistWide(ww.join(delD, Seq(RhCol), "left_anti"), rel.chain, cost = 2)
+            case None =>
+              boundedDist(graft.core.Algebra.diff(d, toDelete), rel.chain, cost = 2)
+          }
           Right((rel.copy(ext = ext, chain = chain,
             root = rel.root.subtract(delRoot)), Seq.empty[Row]))
       }

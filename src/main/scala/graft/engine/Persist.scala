@@ -442,7 +442,7 @@ object Persist {
     val f = fs(spark, root)
     val relations = db.relations.map { case (n, rel) =>
       rel.ext match {
-        case Extension.Dist(_) if rel.root.count > 0 =>
+        case Extension.Dist(_, _) if rel.root.count > 0 =>
           val p = objectPath(root, rel.relHash)
           if (f.exists(new Path(p, "_SUCCESS"))) {
             val df = spark.read.parquet(p.toString)

@@ -158,8 +158,40 @@ object Hashing {
     *
     * Returns (example duplicated hash if any, root); the root is exact
     * whenever no duplicate exists (the only case callers proceed in). */
-  def rootWithDupCheck(df: DataFrame, rowHash: Column): (Option[String], ContentRoot) = {
-    val rowCols = df.columns.toIndexedSeq.map(c => col(s"`$c`"))
+  def rootWithDupCheck(df: DataFrame, rowHash: Column): (Option[String], ContentRoot) =
+    rootWithDupCheckImpl(df, rowHash, df.columns.toIndexedSeq)
+
+  /** [[rootWithDupCheck]] over a frame that already CARRIES its digest in
+    * column `rhCol` (the engine's persisted wide batch): the root limbs
+    * aggregate the MATERIALIZED digest column and the confirm pass reads
+    * it — zero sha-256 recompute anywhere in the probe. The xxhash64 dup
+    * key spans only the raw row columns (hashing the 64-char digest per
+    * row would buy nothing the raw columns don't already decide). */
+  def rootWithDupCheckPrehashed(wide: DataFrame, rhCol: String): (Option[String], ContentRoot) =
+    rootWithDupCheckImpl(wide, col(s"`$rhCol`"), wide.columns.toIndexedSeq.filterNot(_ == rhCol))
+
+  /** Invariants the xxhash64 pre-filter rests on (both pinned by
+    * HashingSpec):
+    *  (a) digest-equal ⇒ xx-equal — holds because the canonical digest
+    *      encoding is injective on raw column values EXCEPT float/double
+    *      NaNs (every NaN bit pattern renders "NaN"), so NaNs are
+    *      canonicalized below before hashing; any OTHER normalization
+    *      added to [[rowHashCol]] must be mirrored here or the pre-filter
+    *      silently misses duplicates the digest would catch;
+    *  (b) the batch is null-free — xxhash64 skips null columns while the
+    *      digest goes null on a null cell; callers run bulkValidate first
+    *      (the engine's single call site does). */
+  private def rootWithDupCheckImpl(df: DataFrame, rowHash: Column,
+      rawCols: Seq[String]): (Option[String], ContentRoot) = {
+    val rowCols = rawCols.toIndexedSeq.map { c =>
+      val base = col(s"`$c`")
+      df.schema(c).dataType match {
+        // canonicalize NaN payload bits: digest-equal rows must xx-equal
+        case DoubleType => when(isnan(base), lit(Double.NaN)).otherwise(base)
+        case FloatType  => when(isnan(base), lit(Float.NaN)).otherwise(base)
+        case _          => base
+      }
+    }
     val xk = xxhash64(rowCols: _*)
     val root = contentRootOf(df, rowHash)
     val collidedKeys = df.groupBy(xk.as("__k")).agg(count(lit(1)).as("__c"))

@@ -82,4 +82,18 @@ object Checkpoints {
       df.checkpoint()
     case None => df.localCheckpoint(false)
   }
+
+  /** Free a cut frame's checkpoint blocks NOW (an iterative loop calls
+    * this on round r−1 once round r has materialized): the
+    * ContextCleaner reaps them on dereference eventually, but a long
+    * iteration under memory pressure shouldn't wait for GC (guide §5).
+    * Safe only when NOTHING will read the frame again — a local cut has
+    * no lineage to recompute from, so a later read of a released frame
+    * fails rather than silently recomputing. No-op for frames that are
+    * not cuts; for reliable cuts it drops cached blocks only (the
+    * checkpoint FILES stay — durability is unaffected). */
+  def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
+    case _ => ()
+  }
 }

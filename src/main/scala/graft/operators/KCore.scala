@@ -62,6 +62,7 @@ object KCore {
     var e = Checkpoints.cut(
       edges.select(col(s"`$srcCol`").as("a"), col(s"`$dstCol`").as("b")))
     var deg: DataFrame = null
+    var prevDeg: DataFrame = null
     var prevSurvivors = -1L
     var roundsRun = 0
     var r = 0
@@ -86,9 +87,17 @@ object KCore {
           .join(deg.select(col("v").as("__sa")), col("a") === col("__sa"), "left_semi")
           .join(deg.select(col("v").as("__sb")), col("b") === col("__sb"), "left_semi"))
         e.count() // materialize the round's cut
+        // round r−1's blocks are dead the moment round r materializes:
+        // free them NOW instead of waiting for the ContextCleaner
+        // (bounded storage across arbitrarily many rounds — guide §5)
+        Checkpoints.release(prevE)
+        if (prevDeg ne null) Checkpoints.release(prevDeg)
+        prevDeg = deg
       }
       roundsRun = r
     }
+    // the final round's deg IS the answer; its predecessor is dead
+    if (prevDeg ne null) Checkpoints.release(prevDeg)
     (deg.select(col("v"), col("degree").as("core_degree")), roundsRun)
   }
 }

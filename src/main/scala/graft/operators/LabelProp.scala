@@ -100,6 +100,7 @@ object LabelProp {
       .repartition(col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var lab = nodes.withColumn("label", col("v"))
+    var prevCut: DataFrame = null
     var roundsRun = 0
     var stable = false
     var r = 0
@@ -165,6 +166,11 @@ object LabelProp {
       } else {
         persisted.count() // materialize the round's cut
       }
+      // round r−1's blocks are dead once round r is materialized: free
+      // them NOW instead of waiting for the ContextCleaner (bounded
+      // storage across arbitrarily many rounds — guide §5)
+      if (prevCut ne null) Checkpoints.release(prevCut)
+      prevCut = persisted
       lab = persisted.select(col("v"), col("label"))
       roundsRun = r
     }

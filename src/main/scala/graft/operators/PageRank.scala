@@ -74,6 +74,10 @@ object PageRank {
       ranks = Checkpoints.cut(contribs.groupBy(col("v"))
         .agg((lit(base) + expr(s"(${dampNum}L * sum(c)) div ${dampDen}L")).as("rank")))
       ranks.count()
+      // round r−1's blocks are dead once round r is materialized: free
+      // them NOW instead of waiting for the ContextCleaner (bounded
+      // storage across arbitrarily many rounds — guide §5)
+      Checkpoints.release(prev)
     }
     // The loop is done and `ranks` is materialized — the build-side
     // caches must not outlive the call (Verify/Bench run hundreds of

@@ -80,7 +80,9 @@ object Truss {
       k: Int = 4, rounds: Int = Rounds): (DataFrame, Int) = {
     require(k >= 3, s"k-truss needs k >= 3 (k-2 >= 1 triangles per edge): $k")
     require(rounds >= 1, s"need at least one round: $rounds")
-    // localCheckpoint (eager), not persist: one round's plan references
+    // Checkpoints.cut (lazy local checkpoint; the fixpoint probe each
+    // round materializes it — see Checkpoints' materialize-before-release
+    // discipline), not persist: one round's plan references
     // the previous round's frame ~12 times (degree join ×2, orientation
     // ×3 arms, closure), so UNCUT lineage grows ~12^r — the optimizer
     // and codegen choke on the plan tree long before any data is big

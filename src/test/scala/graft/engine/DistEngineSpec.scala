@@ -62,6 +62,49 @@ class DistEngineSpec extends SparkTestBase {
     assert(Engine.insertFrom(spark, fresh, "t", dup).left.exists(_.message.startsWith("DuplicateTuple")))
   }
 
+  /** The digest twin is exact after a mutation, or absent — never stale
+    * (Extension.Dist scaladoc). Checks both halves of the invariant:
+    * twin rows ≡ extension rows, and the STORED digest column equals a
+    * from-scratch recompute of every row's digest. */
+  private def twinExact(rel: StoredRelation): Unit = rel.ext match {
+    case Extension.Dist(_, Some(w)) =>
+      assert(w.filter(!(col(Engine.RhCol) <=> rel.rowHash)).isEmpty,
+        "stored digest must equal the recomputed row digest")
+      val raw = w.drop(Engine.RhCol)
+      assert(raw.exceptAll(rel.df).isEmpty && rel.df.exceptAll(raw).isEmpty,
+        "twin rows must equal the extension rows")
+    case other => fail(s"expected a twin-bearing Dist extension, got: $other")
+  }
+
+  test("digest twin stays exact through bulk insert, append, single ops, and delete") {
+    var db = freshBig
+    twinExact(db.relations("big")) // installed by the promoting bulk insert
+    // bulk APPEND into the non-empty Dist relation (clash probe reads the twin)
+    db = Engine.insertFrom(spark, db, "big",
+      spark.range(n, n + 2000L).select(col("id").as("k"), concat(lit("v"), col("id")).as("v")))
+      .fold(e => fail(e.message), identity)
+    twinExact(db.relations("big"))
+    // small batch into the big relation (insertRowsLocal Dist path)
+    db = Engine.insertFrom(spark, db, "big",
+      spark.range(-5L, 0L).select(col("id").as("k"), concat(lit("s"), col("id")).as("v")))
+      .fold(e => fail(e.message), identity)
+    twinExact(db.relations("big"))
+    // single-tuple insert + retract
+    db = Engine.createTuple(spark, db, "big",
+      Seq("k" -> Value.IntV(-99), "v" -> Value.StrV("one"))).fold(e => fail(e.message), identity)
+    twinExact(db.relations("big"))
+    db = Engine.retractTuple(spark, db, "big",
+      Seq("k" -> Value.IntV(-99), "v" -> Value.StrV("one"))).fold(e => fail(e.message), identity)
+    twinExact(db.relations("big"))
+    // bulk delete (digest-keyed anti against the twin)
+    db = Engine.deleteWhere(spark, db, "big",
+      spark.range(500).select(col("id").as("k"))).fold(e => fail(e.message), identity)
+    twinExact(db.relations("big"))
+    assert(db.relations("big").cardinality == n + 2000 + 5 - 500)
+    assert(db.relations("big").root ==
+      Hashing.contentRootOf(db.relations("big").df, db.relations("big").rowHash))
+  }
+
   test("Dist DeleteWhere removes the matched set via anti-join and updates the root") {
     val db = freshBig
     val pred = spark.range(1000).select(col("id").as("k")) // delete k < 1000

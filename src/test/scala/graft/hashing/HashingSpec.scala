@@ -96,4 +96,38 @@ class HashingSpec extends SparkTestBase {
     assert(Hashing.databaseHash("db", hs) == Hashing.databaseHash("db", hs.reverse))
     assert(Hashing.databaseHash("db", hs) != Hashing.databaseHash("db", hs.take(1)))
   }
+
+  test("dup probe catches digest-equal rows with distinct NaN payload bits") {
+    // Two NaN bit patterns: the canonical quiet NaN and a payload-bearing
+    // one. Both render "NaN" in the canonical digest encoding (digest-
+    // EQUAL — the reference treats them as the same tuple), but their raw
+    // bits differ, so an un-normalized xxhash64 pre-filter would declare
+    // them distinct and silently miss the duplicate the digest catches.
+    val weird = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    assert(weird.isNaN && java.lang.Double.doubleToRawLongBits(weird) !=
+      java.lang.Double.doubleToRawLongBits(Double.NaN))
+    val df = Seq((1L, Double.NaN), (1L, weird)).toDF("k", "f")
+    val rh = Hashing.rowHashCol("r", df.schema)
+    // precondition: the digests really are equal (injectivity gap exists)
+    assert(df.select(rh).distinct().count() == 1)
+    val (dup, root) = Hashing.rootWithDupCheck(df, rh)
+    assert(dup.isDefined, "NaN-payload duplicate must be flagged")
+    assert(root.count == 2)
+    // same verdict through the prehashed (wide-batch) entry point
+    val wide = df.withColumn("__rh", rh)
+    val (dup2, root2) = Hashing.rootWithDupCheckPrehashed(wide, "__rh")
+    assert(dup2 == dup && root2 == root)
+  }
+
+  test("rootWithDupCheckPrehashed agrees with rootWithDupCheck") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (2L, "b")).toDF("k", "v")
+    val rh = Hashing.rowHashCol("r", df.schema)
+    val (dup, root) = Hashing.rootWithDupCheck(df, rh)
+    val (dup2, root2) = Hashing.rootWithDupCheckPrehashed(df.withColumn("__rh", rh), "__rh")
+    assert(dup.isDefined && dup2 == dup && root2 == root)
+    val clean = df.dropDuplicates()
+    val (d3, r3) = Hashing.rootWithDupCheckPrehashed(clean.withColumn("__rh", rh), "__rh")
+    assert(d3.isEmpty && r3 ==
+      Hashing.contentRootOf(clean, Hashing.rowHashCol("r", clean.schema)))
+  }
 }

@@ -5,6 +5,22 @@ import graft.SparkTestBase
 class KCoreSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("many-round peel keeps checkpoint storage bounded (round r−1 released)") {
+    // A 20-vertex path at k=2 peels its endpoints one layer per round —
+    // 8 rounds all run. Without explicit release, each round leaves two
+    // persisted cut RDDs (edges + degrees) alive until GC; with the
+    // release discipline only the final answer and the last edge cut
+    // may remain registered.
+    val sc = spark.sparkContext
+    val edges = (1 until 20).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val before = sc.getPersistentRDDs.size
+    val (res, rounds) = KCore.peelWithRounds(edges, "doc_a", "doc_b", k = 2, rounds = 8)
+    res.count()
+    assert(rounds == 8, s"expected all 8 rounds to run, got $rounds")
+    val leaked = sc.getPersistentRDDs.size - before
+    assert(leaked <= 3, s"8 rounds left $leaked persisted RDDs (expected <= 3)")
+  }
+
   test("peeling cascades: a pendant path dies even though its root starts at degree 2") {
     // K4 {1,2,3,4} plus a tail 4–5–6. Round 1 drops 6 (deg 1) and 5
     // (deg 2 < 3); round 2 re-degrees: the K4 is intact at 3 each.
