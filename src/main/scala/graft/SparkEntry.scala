@@ -3945,10 +3945,13 @@ object SparkEntry {
     //   lineitem = fixed base, orders/customer = trunk/feature bulk
     //   inserts, region/nation = trunk/feature delete key sets
     val tmp = cachedProbeInput(dir, s"dclmerge_x$m") { p =>
+      // deterministic survivor per key (min(v), not dropDuplicates'
+      // arbitrary one): every JVM stages bit-identical input, so
+      // cross-JVM probe re-proofs measure the same data (r16 ADVICE)
       val base = table(s, dir, "lineitem")
         .select((col("l_orderkey") * 8 + col("l_linenumber")).cast("int").as("k"),
           col("l_partkey").cast("int").as("v"))
-        .dropDuplicates("k")
+        .groupBy(col("k")).agg(min(col("v")).as("v"))
       base.write.mode("overwrite").parquet(s"$p/lineitem.parquet")
       val n = 2000L * m
       s.range(n).select((col("id") + 1000000000L).cast("int").as("k"),
